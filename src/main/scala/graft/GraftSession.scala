@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the settings every graft job needs.
+  *
+  * Local mode is a stand-in for a real cluster: shuffle partitions are
+  * sized to the core count (not the 200 default), AQE is on so skewed
+  * shuffles re-plan at runtime, and the session timezone is pinned to
+  * UTC so timestamp arithmetic matches the DuckDB oracle.
+  */
+object GraftSession {
+
+  /** Apply graft defaults to an existing builder (used by Verify/Bench
+    * which control master/memory themselves). */
+  def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet stores TIMESTAMP(NANOS); read as int64 nanoseconds
+    // (deterministic integers — converted to µs by the operators).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    .config("spark.ui.enabled", "false")
+
+  /** Standalone local session for tests / exploration. */
+  def local(cores: Int = 4): SparkSession = {
+    val s = withDefaults(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

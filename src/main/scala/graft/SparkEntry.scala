@@ -1,13 +1,201 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Analytics, Dedup}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core dedup (reference semantics)
+    "dedup_first" -> ((s, d) => Dedup.firstOccurrence(Dedup.hashedStream(s, d))),
+    "dedup_ignore_props" -> ((s, d) =>
+      Dedup.firstOccurrence(Dedup.hashedStream(s, d, ignored = Seq("k")))),
+    "dedup_tumbling" -> ((s, d) => Dedup.tumbling(Dedup.hashedStream(s, d))),
+    "dedup_chain" -> ((s, d) => Dedup.chain(Dedup.hashedStream(s, d))),
+    "dedup_bootstrap" -> ((s, d) => Dedup.bootstrap(Dedup.hashedStream(s, d))),
+    "dedup_counters" -> ((s, d) => Dedup.counters(Dedup.hashedStream(s, d))),
+    // analytics core
+    "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
+    "q3_shipping" -> ((s, d) => Analytics.q3(s, d)),
+    "q5_local_supplier" -> ((s, d) => Analytics.q5(s, d)),
+    "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
+    "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
+  )
+
+  /** Headliners timed by Bench (see SURVEY.md §6). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "q3_shipping", "q5_local_supplier",
+    "dedup_first", "dedup_chain", "events_sessionize")
+
+  // ---- DuckDB oracle SQL ------------------------------------------------
+  // Shared fragments so the Spark plans and the oracles stay in lockstep.
+
+  /** events with µs event time (DuckDB reads the ns parquet at µs). */
+  private val EV =
+    "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events"
+
+  /** Deterministic replica simulation — mirrors Dedup.withReplicas. */
+  private val DUP_CTE =
+    s"""ev AS ($EV),
+       |dup AS (
+       |  SELECT * FROM ev
+       |  UNION ALL SELECT event_id+10000000, ts_us+37000000, user_id, event_type, value, props FROM ev
+       |  UNION ALL SELECT event_id+20000000, ts_us+7200000000, user_id, event_type, value, props FROM ev
+       |)""".stripMargin
+
+  /** Canonical props for this data shape ({"k": N}); ignored=["k"] → ''. */
+  private val CANON_K = "concat('k=', json_extract_string(props, '$.k'))"
+
+  /** Digest — mirrors Hashing.eventDigest (md5 → first 60 bits). */
+  private def hashedCte(canon: String): String =
+    s"""hashed AS (
+       |  SELECT *, CAST(concat('0x', substr(md5(concat_ws('|',
+       |    CAST(user_id AS VARCHAR), event_type,
+       |    CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR), $canon)),1,15)) AS BIGINT) AS digest
+       |  FROM dup
+       |)""".stripMargin
+
+  private val OUT_COLS = "event_id, ts_us, user_id, event_type, value, props, digest"
+
+  private def moneySum(exprSql: String): String =
+    s"CAST(ROUND(SUM($exprSql),2) AS DOUBLE)"
+  private val DISC_PRICE =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_first" ->
+      s"""WITH $DUP_CTE, ${hashedCte(CANON_K)}
+         |SELECT $OUT_COLS FROM hashed
+         |QUALIFY row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) = 1
+         |ORDER BY event_id""".stripMargin,
+
+    "dedup_ignore_props" ->
+      s"""WITH $DUP_CTE, ${hashedCte("''")}
+         |SELECT $OUT_COLS FROM hashed
+         |QUALIFY row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) = 1
+         |ORDER BY event_id""".stripMargin,
+
+    "dedup_tumbling" ->
+      s"""WITH $DUP_CTE, ${hashedCte(CANON_K)}
+         |SELECT $OUT_COLS, ts_us // 3600000000 AS win FROM hashed
+         |QUALIFY row_number() OVER (PARTITION BY digest, ts_us // 3600000000 ORDER BY ts_us, event_id) = 1
+         |ORDER BY event_id""".stripMargin,
+
+    // Exact ObliviousSet TTL-chain semantics: per digest, keep the first
+    // row then greedily the next row ≥ lastKept + window. The oracle walks
+    // the same chain with a recursive CTE (one LATERAL step per kept row).
+    "dedup_chain" ->
+      s"""WITH RECURSIVE $DUP_CTE, ${hashedCte(CANON_K)},
+         |chain(digest, ts_us) AS (
+         |  SELECT digest, min(ts_us) FROM hashed GROUP BY digest
+         |  UNION ALL
+         |  SELECT c.digest, nxt.ts_us FROM chain c
+         |  JOIN LATERAL (
+         |    SELECT min(h.ts_us) AS ts_us FROM hashed h
+         |    WHERE h.digest = c.digest AND h.ts_us >= c.ts_us + 3600000000
+         |  ) nxt ON nxt.ts_us IS NOT NULL
+         |)
+         |SELECT h.event_id, h.ts_us, h.user_id, h.event_type, h.value, h.props, h.digest
+         |FROM hashed h JOIN chain c ON h.digest = c.digest AND h.ts_us = c.ts_us
+         |QUALIFY row_number() OVER (PARTITION BY h.digest, h.ts_us ORDER BY h.event_id) = 1
+         |ORDER BY event_id""".stripMargin,
+
+    "dedup_bootstrap" ->
+      s"""WITH $DUP_CTE, ${hashedCte(CANON_K)},
+         |history AS (
+         |  SELECT DISTINCT digest FROM hashed
+         |  WHERE ts_us < 1704153600000000 AND ts_us >= 1704153600000000 - 172800000000
+         |),
+         |firstocc AS (
+         |  SELECT * FROM hashed WHERE ts_us >= 1704153600000000
+         |  QUALIFY row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) = 1
+         |)
+         |SELECT $OUT_COLS FROM firstocc
+         |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.digest = firstocc.digest)
+         |ORDER BY event_id""".stripMargin,
+
+    "dedup_counters" ->
+      s"""WITH $DUP_CTE, ${hashedCte(CANON_K)}
+         |SELECT ts_us // 60000000 AS minute_bucket,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_forwarded,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) AS rn FROM hashed)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${moneySum("CAST(l_quantity AS DECIMAL(18,4))")} AS sum_qty,
+         |  ${moneySum("CAST(l_extendedprice AS DECIMAL(18,4))")} AS sum_base_price,
+         |  ${moneySum(DISC_PRICE)} AS sum_disc_price,
+         |  ${moneySum(s"CAST(ROUND($DISC_PRICE,4) AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))")} AS sum_charge,
+         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*), 4) AS avg_qty,
+         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*), 4) AS avg_price,
+         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*), 4) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, epoch_ms(o_orderdate) AS o_odate_ms,
+         |  ${moneySum(DISC_PRICE)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name, ${moneySum(DISC_PRICE)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "events_window" ->
+      s"""WITH ev AS ($EV)
+         |SELECT ts_us // 3600000000 AS hour_bucket, event_type, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH ev AS ($EV),
+         |s AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+         |                  THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |),
+         |s2 AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM s
+         |)
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "topk_per_group" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_type, rnk, event_id, value FROM (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+         |  FROM ev
+         |) WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+  )
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, MapType, StringType}
+
+/** Cross-engine deterministic hashing and canonicalization.
+  *
+  * The reference derives message identity from hash(payload ++
+  * stable-stringify(properties minus ignored)) — see
+  * /root/reference/src/deduplication.ts:11-40 (`createHasher`). Its own
+  * comment notes any collision-resistant non-crypto 64/128-bit hash
+  * suffices. We use the first 60 bits of md5 so the digest is
+  * reproducible bit-for-bit in ANSI SQL (DuckDB oracle) while staying
+  * entirely inside whole-stage codegen (no UDFs). The hot path for
+  * scale-only contexts can use `xxhash64` instead (same shuffle
+  * behavior, cheaper).
+  */
+object Hashing {
+
+  /** 60-bit hash of a string column, reproducible in DuckDB as
+    * CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT). Non-negative. */
+  def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Seeded variant for MinHash permutations / LSH planes. */
+  def h64Seeded(seed: Int, c: Column): Column =
+    h64(concat_ws(":", lit(seed), c))
+
+  /** Fast non-oracle variant for pure-throughput paths. */
+  def fast64(c: Column): Column = xxhash64(c)
+
+  /** Canonical form of a JSON-object property bag with `ignored` keys
+    * removed: entries sorted by key, "k=v" joined by ",". Mirrors the
+    * reference's stable stringify minus DEDUPLICATION_IGNORED_PROPERTIES
+    * (deduplication.ts:14-23). */
+  def canonicalProps(json: Column, ignored: Seq[String]): Column = {
+    val m = from_json(json, MapType(StringType, StringType))
+    val kept =
+      if (ignored.isEmpty) m
+      else map_filter(m, (k, _) => !k.isin(ignored: _*))
+    val entries = array_sort(map_entries(kept))
+    concat_ws(",", transform(entries, e =>
+      concat(e.getField("key"), lit("="), e.getField("value"))))
+  }
+
+  /** Money-ish double → exact integer cents (avoids engine-specific
+    * double→string formatting in hash inputs). */
+  def valueCents(value: Column): Column =
+    round(value * 100).cast("bigint")
+
+  /** Canonical message digest for the events stream: payload columns +
+    * canonical properties, timestamp excluded (deduplication.ts:24-27
+    * excludes the event timestamp on purpose — it differs per replica). */
+  def eventDigest(userId: Column, eventType: Column, value: Column,
+                  props: Column, ignored: Seq[String] = Nil): Column =
+    h64(concat_ws("|",
+      userId.cast("string"),
+      eventType,
+      valueCents(value).cast("string"),
+      canonicalProps(props, ignored)))
+
+  /** Exact decimal lift for money columns: sums become order-independent
+    * and bit-identical to the DuckDB oracle. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Final presentation of an exact decimal aggregate: round to cents,
+    * surface as double. */
+  def money2(c: Column): Column = round(c, 2).cast("double")
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashing.{dec, money2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytics core: the query capabilities the engine offers at scale.
+  * Declarative DataFrame plans — Catalyst handles pushdown, join
+  * strategy (dims are broadcast), and AQE re-planning.
+  *
+  * Money aggregates go through DECIMAL(18,4) so sums are exact and
+  * order-independent (bit-identical to the DuckDB oracle), then are
+  * rounded to cents and surfaced as doubles.
+  */
+object Analytics {
+
+  private val one = lit(1.0).cast(DecimalType(18, 4))
+
+  /** #20: TPC-H-Q1-style pricing summary on lineitem. */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val discPrice = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    val charge = round(discPrice, 4).cast(DecimalType(18, 4)) * (one + dec(col("l_tax")))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money2(sum(dec(col("l_quantity")))).as("sum_qty"),
+        money2(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        money2(sum(discPrice)).as("sum_disc_price"),
+        money2(sum(charge)).as("sum_charge"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** #21: shipping-priority style: unshipped high-value orders for one
+    * market segment. customer is small → broadcast into orders. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_odate_ms"))
+      .agg(money2(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** #22: local-supplier revenue per nation in one region and year —
+    * 6-way join; all dimension tables broadcast. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(money2(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** #23: tumbling 1-hour windowed aggregation over the event stream. */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.eventsUs(spark, dir)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000L"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"),
+           money2(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+
+  /** #24: gap-based sessionization (30 min) per user, pure window
+    * functions — one shuffle on user_id. */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val newSess = when(
+      lag("ts_us", 1).over(byUser).isNull ||
+      col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs, 1).otherwise(0)
+    Dedup.eventsUs(spark, dir)
+      .withColumn("new_sess", newSess)
+      .withColumn("session_idx",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+           min("ts_us").as("start_us"),
+           max("ts_us").as("end_us"),
+           money2(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** #25: top-3 events by value per event_type (window rank). */
+  def topkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    Dedup.eventsUs(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("event_type", "rnk", "event_id", "value")
+      .orderBy("event_type", "rnk")
+  }
+}

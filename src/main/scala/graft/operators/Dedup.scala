@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashing._
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stream-deduplication operators — the reference's core capability
+  * (ordered first-occurrence dedup within a TTL window, plus warm-up
+  * bootstrap), re-expressed as declarative Spark plans over the `events`
+  * table treated as the message stream.
+  *
+  * Reference semantics (cited in SURVEY.md §1):
+  *  - keep FIRST occurrence per canonical digest, in event-time order
+  *    (/root/reference/src/deduplication.ts:95-160);
+  *  - digests expire after DEDUPLICATION_WINDOW seconds and duplicates
+  *    do not refresh the TTL (deduplication.ts:77,117-121) → greedy
+  *    chain per digest;
+  *  - on startup, state is warmed from recent prior output
+  *    (/root/reference/src/cacheBuilding.ts) → anti-join vs history.
+  *
+  * Scale: every operator here shuffles exactly once, on the digest —
+  * digests are uniform hashes, so hash partitioning is skew-free by
+  * construction. Per-key state is a single timestamp (O(1)).
+  */
+object Dedup {
+
+  /** TTL window: DEDUPLICATION_WINDOW_IN_SECONDS default (config.ts). */
+  val WindowUs: Long = 3600L * 1000000L
+
+  /** CACHE_WINDOW_IN_SECONDS default (config.ts) for warm-up. */
+  val CacheWindowUs: Long = 172800L * 1000000L
+
+  /** Replica arrival skews for the deterministic duplicate generator. */
+  val Replica2ShiftUs: Long = 37L * 1000000L      // within TTL window
+  val Replica3ShiftUs: Long = 7200L * 1000000L    // beyond TTL window
+
+  /** Bootstrap cutoff: 2024-01-02T00:00:00Z in epoch µs. */
+  val BootstrapCutoffUs: Long = 1704153600000000L
+
+  private val evCols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+
+  /** `events` as a message stream with µs event time (ts is int64 ns on
+    * read — see GraftSession; µs matches the oracle's precision). */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), expr("ts div 1000").as("ts_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+
+  /** Deterministic replica simulation: each message arrives three times
+    * (original, +37 s replica inside the TTL window, +2 h replica beyond
+    * it) — models the duplicated upstream replicas the reference exists
+    * to reconcile (README: mqtt-pulsar-forwarder replicas). */
+  def withReplicas(ev: DataFrame): DataFrame = {
+    def shifted(idOff: Long, tsOff: Long): DataFrame = ev.select(
+      (col("event_id") + idOff).as("event_id"),
+      (col("ts_us") + tsOff).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    ev.select(evCols.map(col): _*)
+      .unionAll(shifted(10000000L, Replica2ShiftUs))
+      .unionAll(shifted(20000000L, Replica3ShiftUs))
+  }
+
+  /** Replicated stream + canonical digest column. */
+  def hashedStream(spark: SparkSession, dir: String,
+                   ignored: Seq[String] = Nil): DataFrame =
+    withReplicas(eventsUs(spark, dir)).withColumn(
+      "digest",
+      eventDigest(col("user_id"), col("event_type"), col("value"), col("props"), ignored))
+
+  private def orderedOut(df: DataFrame): DataFrame =
+    df.select((evCols :+ "digest").map(col): _*).orderBy("event_id")
+
+  /** #1/#2: global first occurrence per digest (TTL = ∞). One shuffle. */
+  def firstOccurrence(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("digest").orderBy("ts_us", "event_id")
+    orderedOut(df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+  }
+
+  /** #3: first occurrence per (digest, tumbling TTL window) — the
+    * scalable approximation: state is bounded per window and windows age
+    * out naturally, exactly how a TTL cache behaves under partitioning. */
+  def tumbling(df: DataFrame, windowUs: Long = WindowUs): DataFrame = {
+    val win = expr(s"ts_us div ${windowUs}L").as("win")
+    val w = Window.partitionBy("digest", "win").orderBy("ts_us", "event_id")
+    df.withColumn("win", win)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select((evCols ++ Seq("digest", "win")).map(col): _*)
+      .orderBy("event_id")
+  }
+
+  /** #4: exact ObliviousSet TTL semantics: per digest keep the first
+    * row, then greedily the next row ≥ lastKept + window (duplicates do
+    * NOT refresh the TTL — deduplication.ts only calls cache.add on the
+    * not-seen branch).
+    *
+    * Plan: one hash shuffle on digest + in-partition sort, then a
+    * streaming run-scan with O(1) state per key — no per-group
+    * materialization, so a degenerate hot digest cannot OOM an executor.
+    */
+  def chain(df: DataFrame, windowUs: Long = WindowUs): DataFrame = {
+    val projected = df.select((evCols :+ "digest").map(col): _*)
+    val schema = projected.schema
+    val iDigest = schema.fieldIndex("digest")
+    val iTs = schema.fieldIndex("ts_us")
+    val sorted = projected
+      .repartition(col("digest"))
+      .sortWithinPartitions("digest", "ts_us", "event_id")
+    val kept = sorted.mapPartitions { it =>
+      var cur = Long.MinValue; var last = Long.MinValue; var init = false
+      it.filter { r =>
+        val d = r.getLong(iDigest); val t = r.getLong(iTs)
+        if (!init || d != cur) { init = true; cur = d; last = t; true }
+        else if (t >= last + windowUs) { last = t; true }
+        else false
+      }
+    }(Encoders.row(schema))
+    kept.orderBy("event_id")
+  }
+
+  /** #5: warm-up bootstrap (cacheBuilding.ts): messages after the cutoff
+    * are deduplicated among themselves AND against the digest set of the
+    * prior CACHE_WINDOW of output. The digest set is small relative to
+    * the stream → Catalyst broadcasts the anti-join side (AQE keeps it
+    * a shuffle join if it grows past the threshold). */
+  def bootstrap(df: DataFrame, cutoffUs: Long = BootstrapCutoffUs,
+                cacheWindowUs: Long = CacheWindowUs): DataFrame = {
+    val history = df
+      .filter(col("ts_us") < cutoffUs && col("ts_us") >= cutoffUs - cacheWindowUs)
+      .select("digest").distinct()
+    val fresh = df.filter(col("ts_us") >= cutoffUs)
+    firstOccurrence(fresh).join(history, Seq("digest"), "left_anti")
+      .select((evCols :+ "digest").map(col): _*)
+      .orderBy("event_id")
+  }
+
+  /** #6: the reference's per-minute forwarded/dropped counters
+    * (deduplication.ts:82-94), as a windowed aggregation. */
+  def counters(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("digest").orderBy("ts_us", "event_id")
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("minute_bucket", expr("ts_us div 60000000L"))
+      .groupBy("minute_bucket")
+      .agg(
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("long").as("n_forwarded"),
+        sum(when(col("rn") =!= 1, 1).otherwise(0)).cast("long").as("n_dropped"))
+      .orderBy("minute_bucket")
+  }
+}

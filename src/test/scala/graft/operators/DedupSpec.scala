@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+/** Core dedup operators vs an independent in-memory model of the
+  * reference's ObliviousSet behavior (TTL cache, duplicates don't
+  * refresh the TTL — /root/reference/src/deduplication.ts:77,117-121). */
+class DedupSpec extends SparkSpec {
+
+  private lazy val hashed = Dedup.hashedStream(spark, sf).cache()
+
+  /** Reference model: sequential scan in arrival order with a TTL map. */
+  private def obliviousSetModel(rows: Seq[(Long, Long)], windowUs: Long): Set[Long] = {
+    // rows: (event_id, ts_us) pre-sorted by (ts_us, event_id) per digest
+    val kept = Seq.newBuilder[Long]
+    var last = Long.MinValue
+    var first = true
+    rows.foreach { case (id, ts) =>
+      if (first || ts >= last + windowUs) { kept += id; last = ts; first = false }
+    }
+    kept.result().toSet
+  }
+
+  test("firstOccurrence keeps exactly one row per digest, the earliest") {
+    val out = Dedup.firstOccurrence(hashed).collect()
+    val in = hashed.collect()
+    val byDigest = in.groupBy(_.getAs[Long]("digest"))
+    assert(out.length === byDigest.size)
+    val expected = byDigest.values.map { rs =>
+      rs.map(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"))).min._2
+    }.toSet
+    assert(out.map(_.getAs[Long]("event_id")).toSet === expected)
+  }
+
+  test("chain matches the ObliviousSet model on every digest group") {
+    val out = Dedup.chain(hashed).collect().map(_.getAs[Long]("event_id")).toSet
+    val expected = hashed.collect()
+      .groupBy(_.getAs[Long]("digest"))
+      .values.flatMap { rs =>
+        val sorted = rs.map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("ts_us")))
+          .sortBy { case (id, ts) => (ts, id) }
+        obliviousSetModel(sorted, Dedup.WindowUs)
+      }.toSet
+    assert(out === expected)
+  }
+
+  test("chain: +37s replica dropped, +2h replica kept") {
+    val out = Dedup.chain(hashed)
+    val ids = out.select("event_id").collect().map(_.getLong(0))
+    val orig = ids.count(_ < 10000000L)
+    val rep2 = ids.count(id => id >= 10000000L && id < 20000000L)
+    val rep3 = ids.count(_ >= 20000000L)
+    assert(orig > 0 && rep3 > 0)
+    // +37s replicas land inside the TTL window of their original
+    assert(rep2 < orig / 100)
+    // +2h replicas are beyond the 1h TTL → kept again (minus collisions)
+    assert(rep3 > orig * 9 / 10)
+  }
+
+  test("bootstrap: fresh rows whose digest appeared in history are dropped") {
+    val out = Dedup.bootstrap(hashed)
+    val history = hashed
+      .filter(col("ts_us") < Dedup.BootstrapCutoffUs)
+      .select("digest").distinct().collect().map(_.getLong(0)).toSet
+    val outDigests = out.select("digest").collect().map(_.getLong(0))
+    assert(outDigests.forall(d => !history.contains(d)))
+    assert(out.count() > 0)
+  }
+
+  test("counters: forwarded + dropped equals input size") {
+    val sums = Dedup.counters(hashed)
+      .agg(org.apache.spark.sql.functions.sum(col("n_forwarded")),
+           org.apache.spark.sql.functions.sum(col("n_dropped")))
+      .collect().head
+    assert(sums.getLong(0) + sums.getLong(1) === hashed.count())
+  }
+
+  test("ignored properties widen the duplicate groups") {
+    val strict = Dedup.firstOccurrence(hashed).count()
+    val loose = Dedup.firstOccurrence(
+      Dedup.hashedStream(spark, sf, ignored = Seq("k"))).count()
+    assert(loose <= strict)
+  }
+}
