@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup}
+import graft.operators.{Analytics, Dedup, DocDedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -20,6 +20,13 @@ object SparkEntry {
     "dedup_chain" -> ((s, d) => Dedup.chain(Dedup.hashedStream(s, d))),
     "dedup_bootstrap" -> ((s, d) => Dedup.bootstrap(Dedup.hashedStream(s, d))),
     "dedup_counters" -> ((s, d) => Dedup.counters(Dedup.hashedStream(s, d))),
+    // LLM-pipeline: document dedup + text analysis
+    "dedup_exact_docs" -> ((s, d) => DocDedup.exactDocs(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccard(s, d)),
+    "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // analytics core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3(s, d)),
@@ -63,6 +70,14 @@ object SparkEntry {
        |)""".stripMargin
 
   private val OUT_COLS = "event_id, ts_us, user_id, event_type, value, props, digest"
+
+  /** Whitespace tokens — mirrors TextAnalysis.tokens. */
+  private val TOKS =
+    """list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"""
+
+  /** md5-derived 60-bit hash of a SQL string expression — mirrors Hashing.h64. */
+  private def H64(e: String): String =
+    s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
 
   private def moneySum(exprSql: String): String =
     s"CAST(ROUND(SUM($exprSql),2) AS DOUBLE)"
@@ -128,6 +143,90 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
          |FROM (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) AS rn FROM hashed)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact_docs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id+100000, upper(text) FROM documents
+         |),
+         |h AS (SELECT doc_id,
+         |  ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS digest FROM d)
+         |SELECT min(doc_id) AS keep_id, digest, count(*) AS n_copies
+         |FROM h GROUP BY digest ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(t)-2),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+         |  FROM toks WHERE len(t) >= 3
+         |),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, shared, shared / (n1.n + n2.n - shared) AS jaccard
+         |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "text_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($TOKS) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS BIGINT) AS n_word_tokens,
+         |  CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT) AS n_num_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, $TOKS AS toks,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents
+         |),
+         |q2 AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+         |    len_no_ws
+         |  FROM q
+         |)
+         |SELECT doc_id, n_toks, n_stop,
+         |  ROUND(CAST(len_no_ws AS DOUBLE)/n_toks, 4) AS mean_tok_len,
+         |  ROUND(CAST(n_stop AS DOUBLE)/n_toks, 4) AS stop_ratio,
+         |  ROUND(LEAST(n_toks/100.0, 1.0)*0.4 + (1.0 - CAST(n_stop AS DOUBLE)/n_toks)*0.4
+         |        + LEAST((CAST(len_no_ws AS DOUBLE)/n_toks)/8.0, 1.0)*0.2, 4) AS quality_score
+         |FROM q2 ORDER BY doc_id""".stripMargin,
+
+    "text_language_id" ->
+      s"""WITH q AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_en,
+         |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS n_de,
+         |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS BIGINT) AS n_es,
+         |    CAST(len(list_filter(toks, t -> t IN ('le','les','de','et','est'))) AS BIGINT) AS n_fr,
+         |    CAST(len(list_filter(toks, t -> t IN ('的','是','不'))) AS BIGINT) AS n_zh
+         |  FROM q
+         |)
+         |SELECT doc_id, n_en, n_de, n_es, n_fr, n_zh,
+         |  CASE WHEN greatest(n_en, n_de, n_es, n_fr, n_zh) = 0 THEN 'und'
+         |       WHEN n_en = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'en'
+         |       WHEN n_de = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'de'
+         |       WHEN n_es = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'es'
+         |       WHEN n_fr = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($TOKS, t -> ${H64("t")} % 1000000007)),
+         |    (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashing.h64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-level deduplication for an LLM-data pipeline: exact
+  * (normalize→hash→groupBy) and n-gram-Jaccard near-dup (shingle
+  * explode → shuffle on shingle → pair aggregation). No cross joins:
+  * candidate generation is linear in (docs × shingles), pairs only
+  * materialize for docs that actually share a shingle.
+  */
+object DocDedup {
+
+  /** Canonical text: lowercase, trim, collapse whitespace. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Distinct 3-token shingles of a document. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ",
+          element_at(toks, i + 1),
+          element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** documents ∪ an upper-cased replica (id+100000) — deterministic
+    * casing noise that exact normalization must collapse. */
+  def docsWithCaseNoise(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 100000L).as("doc_id"),
+                        upper(col("text")).as("text")))
+  }
+
+  /** #7: exact dedup on normalized text — one shuffle on the digest. */
+  def exactDocs(spark: SparkSession, dir: String): DataFrame =
+    docsWithCaseNoise(spark, dir)
+      .withColumn("digest", h64(normalized(col("text"))))
+      .groupBy("digest")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "digest", "n_copies")
+      .orderBy("keep_id")
+
+  /** (doc_id, shingle) pairs, shingles distinct per doc. */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(shingles3(TextAnalysis.tokens(col("text")))).as("shingle"))
+
+  /** #8: near-dup pairs by true n-gram Jaccard ≥ τ. Shuffles: one on
+    * shingle (candidate generation), one on the pair key (intersection
+    * count). Per-doc shingle counts are broadcast back onto the pairs.
+    * At 100 TB a boilerplate-shingle hot key would fan out quadratically
+    * — the MinHash/LSH operator (MinHashLSH.scala) is the scale path;
+    * this one is the exact verifier. */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val pairs = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), "d1")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), "d2")
+      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "shared", "jaccard")
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM-data pipeline over `documents`.
+  * All expression-only (whole-stage codegen; no UDFs) and reproducible
+  * bit-for-bit in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** English-ish stopword profile used by quality + language-id. */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "y", "es")
+  val StopFr: Seq[String] = Seq("le", "les", "de", "et", "est")
+  val StopZh: Seq[String] = Seq("的", "是", "不")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** #14: token counting — whitespace tokens, word/number regex tokens,
+    * and a BPE-ish length/4 estimate. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(t).cast("long").as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")).cast("long").as("n_word_tokens"),
+      size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_num_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens")
+    ).orderBy("doc_id")
+  }
+
+  /** #15: quality scoring — length, stopword ratio, mean token length →
+    * composite score in [0,1]. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_stop", countIn(col("toks"), StopEn))
+      .withColumn("len_no_ws", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+    docs.select(
+      col("doc_id"), col("n_toks"), col("n_stop"),
+      round(col("len_no_ws").cast("double") / col("n_toks"), 4).as("mean_tok_len"),
+      round(col("n_stop").cast("double") / col("n_toks"), 4).as("stop_ratio"),
+      round(
+        least(col("n_toks") / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.4 +
+        least((col("len_no_ws").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.2,
+        4).as("quality_score")
+    ).orderBy("doc_id")
+  }
+
+  /** #16: language-id via stopword profiles with deterministic argmax
+    * (priority en > de > es > fr > zh; all-zero → 'und'). */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_en", countIn(col("toks"), StopEn))
+      .withColumn("n_de", countIn(col("toks"), StopDe))
+      .withColumn("n_es", countIn(col("toks"), StopEs))
+      .withColumn("n_fr", countIn(col("toks"), StopFr))
+      .withColumn("n_zh", countIn(col("toks"), StopZh))
+    val top = greatest(col("n_en"), col("n_de"), col("n_es"), col("n_fr"), col("n_zh"))
+    docs.select(
+      col("doc_id"), col("n_en"), col("n_de"), col("n_es"), col("n_fr"), col("n_zh"),
+      when(top === 0, "und")
+        .when(col("n_en") === top, "en")
+        .when(col("n_de") === top, "de")
+        .when(col("n_es") === top, "es")
+        .when(col("n_fr") === top, "fr")
+        .otherwise("zh").as("pred_lang")
+    ).orderBy("doc_id")
+  }
+
+  /** #17: document fingerprint — order-sensitive polynomial rolling hash
+    * over per-token md5-derived values, mod 1e9+7. Same fold in DuckDB
+    * (list_reduce), so near-identical docs with reordered tokens get
+    * different fingerprints while byte-identical content collides. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr(
+        """aggregate(
+          |  transform(filter(split(trim(text), '\\s+'), t -> t != ''),
+          |            t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 1000000007),
+          |  0L, (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+      ).as("fingerprint")
+    ).orderBy("doc_id")
+}

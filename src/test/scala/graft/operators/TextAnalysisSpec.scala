@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("tokenCount: ws tokens equal word tokens on the all-word corpus") {
+    val out = TextAnalysis.tokenCount(spark, sf)
+    assert(out.filter(col("n_ws_tokens") =!= col("n_word_tokens")).count() === 0)
+    assert(out.filter(col("n_num_tokens") =!= 0).count() === 0)
+  }
+
+  test("quality score stays within [0,1]") {
+    val out = TextAnalysis.quality(spark, sf)
+    assert(out.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+  }
+
+  test("languageId predicts 'en' when english stopwords dominate") {
+    import spark.implicits._
+    val out = TextAnalysis.languageId(spark, sf)
+    val bad = out.filter(col("pred_lang") === "en" && col("n_en") === 0).count()
+    assert(bad === 0)
+  }
+
+  test("fingerprint is order-sensitive and content-deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("tmp_docs")
+    val fp = df.select(col("doc_id"), expr(
+      """aggregate(
+        |  transform(filter(split(trim(text), '\\s+'), t -> t != ''),
+        |            t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 1000000007),
+        |  0L, (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(3L))
+    assert(fp(1L) !== fp(2L))
+  }
+}
