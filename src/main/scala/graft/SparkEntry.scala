@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, DocDedup, TextAnalysis}
+import graft.operators.{Analytics, Dedup, DocDedup, MinHashLSH, SimHash, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -23,6 +23,12 @@ object SparkEntry {
     // LLM-pipeline: document dedup + text analysis
     "dedup_exact_docs" -> ((s, d) => DocDedup.exactDocs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => MinHashLSH.nearDupPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => SimHash.nearDupPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Similarity.nearDupPairs(s, d)),
+    // LLM-pipeline: similarity search
+    "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
@@ -78,6 +84,32 @@ object SparkEntry {
   /** md5-derived 60-bit hash of a SQL string expression — mirrors Hashing.h64. */
   private def H64(e: String): String =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  /** tokens + distinct 3-shingles — mirrors DocDedup.docShingles. */
+  private val SH_CTE =
+    s"""toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(t)-2),
+       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+       |  FROM toks WHERE len(t) >= 3
+       |)""".stripMargin
+
+  /** Left-fold double dot product — mirrors Similarity.dotSql. */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64),
+       |      k -> CAST($a[k] AS DOUBLE)*CAST($b[k] AS DOUBLE))), (x,y)->x+y)""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Signed projection onto deterministic ±1 hyperplane p.p —
+    * mirrors Similarity.ProjSql. */
+  private val DUCK_PROJ =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64),
+       |      j -> CAST(e[j] AS DOUBLE) *
+       |           ((${H64("concat('pl:', CAST(p.p AS VARCHAR), ':', CAST(j AS VARCHAR))")} % 2)*2 - 1))),
+       |    (x,y)->x+y)""".stripMargin
 
   private def moneySum(exprSql: String): String =
     s"CAST(ROUND(SUM($exprSql),2) AS DOUBLE)"
@@ -172,6 +204,104 @@ object SparkEntry {
          |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
          |WHERE shared / (n1.n + n2.n - shared) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $SH_CTE,
+         |mh AS (
+         |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
+         |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
+         |),
+         |bands AS (
+         |  SELECT doc_id, seed//4 AS band,
+         |    ${H64("concat_ws('|', CAST(seed//4 AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
+         |  FROM mh GROUP BY doc_id, seed//4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.d1, c.d2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, shared / (n1.n + n2.n - shared) AS jaccard
+         |FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         |WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $SH_CTE,
+         |th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
+         |bits AS (
+         |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, generate_series(0,31) b(b) GROUP BY doc_id, b.b
+         |),
+         |simh AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte
+         |  FROM simh, generate_series(0,3) g(g)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
+         |)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM cand
+         |WHERE bit_count(xor(s1, s2)) <= 4 ORDER BY d1, d2""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, generate_series(0,7) p(p)
+         |),
+         |buckets AS (
+         |  SELECT vec_id, p//4 AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, p//4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |)
+         |SELECT c.v1, c.v2, ${duckCos("a.e", "b.e")} AS cos
+         |FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2
+         |WHERE ${duckCos("a.e", "b.e")} >= 0.45
+         |ORDER BY v1, v2""".stripMargin,
+
+    "ann_brute_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("q.e", "b.e")} AS cos
+         |  FROM v q JOIN v b ON b.vec_id <> q.vec_id WHERE q.vec_id < 20
+         |)
+         |SELECT q_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
+         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, generate_series(0,3) p(p)
+         |),
+         |b0 AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id
+         |),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
+         |  FROM b0 q JOIN b0 b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+         |  JOIN v qv ON qv.vec_id = q.vec_id JOIN v bv ON bv.vec_id = b.vec_id
+         |  WHERE q.vec_id < 20
+         |)
+         |SELECT q_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
+         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "text_token_count" ->
       s"""SELECT doc_id,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.functions.Hashing.h64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection — the scale path for
+  * document dedup (DocDedup.ngramJaccard is the exact verifier).
+  *
+  * k=16 permutations approximated by seeded md5-derived hashes, banded
+  * 4×4: docs agreeing on any band become candidates, candidates are
+  * verified with true shingle Jaccard. Shuffles: shingle → (doc,seed)
+  * min-agg → (doc,band) sig-agg → candidate join on (band,sig) → pair
+  * verify. Candidate volume is linear in rows×bands; band signatures
+  * are uniform hashes so the candidate join is skew-free even when one
+  * shingle is boilerplate-hot.
+  */
+object MinHashLSH {
+
+  val NumSeeds = 16
+  val BandRows = 4 // → 4 bands
+
+  /** Per-(doc,band) LSH signature. */
+  def bandSignatures(sh: DataFrame): DataFrame = {
+    val mh = sh
+      .withColumn("seed", explode(sequence(lit(0), lit(NumSeeds - 1))))
+      .groupBy("doc_id", "seed")
+      .agg(min(h64(concat_ws(":", col("seed").cast("string"), col("shingle")))).as("mh"))
+    mh.withColumn("band", expr(s"seed div $BandRows"))
+      .groupBy("doc_id", "band")
+      .agg(h64(concat_ws("|",
+        col("band").cast("string"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+            e => e.getField("mh").cast("string")),
+          ","))).as("sig"))
+  }
+
+  /** #9: candidate pairs from band collisions, verified with true
+    * Jaccard ≥ τ on the shingle sets. */
+  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val sh = DocDedup.docShingles(spark, dir)
+    val bands = bandSignatures(sh)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.as("a"), col("a.doc_id") === col("d1"))
+      .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.shingle") === col("a.shingle"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), "d1")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), "d2")
+      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+}

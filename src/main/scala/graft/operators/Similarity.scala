@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * All vector math is higher-order-function expressions (codegen'd,
+  * no UDFs) with explicit left-to-right folds so results are
+  * bit-identical to the DuckDB oracle: dot/norm accumulate in index
+  * order in double precision.
+  *
+  * Brute-force top-k is the correctness baseline (query set is bounded,
+  * so cost is O(queries × corpus) — embarrassingly parallel over the
+  * corpus). Random-hyperplane LSH bucketing is the 100 TB path: one
+  * shuffle on (band, bucket), candidates only within buckets.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 8   // 2 bands × 4 planes
+  val PlanesPerBand = 4
+  val TopK = 5
+  val NumQueries = 20
+  val NearDupTau = 0.45
+
+  /** Left-fold dot product of two float-array columns in double
+    * precision — same accumulation order as the oracle's list_reduce. */
+  private def dotSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       |          cast(0 as double), (acc, v) -> acc + v)""".stripMargin
+
+  /** cosine(a, b) with deterministic fold order. */
+  def cosine(a: String, b: String): Column =
+    expr(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
+
+  /** Signed projection of `e` onto the deterministic ±1 hyperplane `p`
+    * (component j's sign comes from an md5-derived bit — reproducible
+    * in SQL, no stored plane table needed). */
+  private val ProjSql =
+    s"""aggregate(zip_with(e, sequence(1, $Dim), (x, j) ->
+       |  cast(x as double) *
+       |  ((cast(conv(substring(md5(concat('pl:', cast(p as string), ':', cast(j as string))), 1, 15), 16, 10) as bigint) % 2) * 2 - 1)),
+       |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
+
+  /** Per-(vec, band) LSH bucket id from `PlanesPerBand` plane signs. */
+  def buckets(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .withColumn("p", explode(sequence(lit(0), lit(NumPlanes - 1))))
+      .withColumn("bit", when(expr(ProjSql) > 0, 1).otherwise(0))
+      .groupBy(col("vec_id"), expr(s"p div $PlanesPerBand").as("band"))
+      .agg(sum(when(col("bit") === 1, expr(s"shiftleft(1L, p % $PlanesPerBand)"))
+        .otherwise(0L)).cast("long").as("bucket"))
+
+  /** #11: embedding near-dup pairs — LSH band collision candidates
+    * verified with exact cosine ≥ τ. */
+  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = NearDupTau): DataFrame = {
+    val v = vecs(spark, dir)
+    val b = buckets(spark, dir)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("v1"), col("e").as("e1")), "v1")
+      .join(v.select(col("vec_id").as("v2"), col("e").as("e2")), "v2")
+      .withColumn("cos", cosine("e1", "e2"))
+      .filter(col("cos") >= tau)
+      .select("v1", "v2", "cos")
+      .orderBy("v1", "v2")
+  }
+
+  /** #12: exact top-k cosine neighbors for a bounded query subset —
+    * the brute-force baseline every ANN variant is measured against. */
+  def bruteTopK(spark: SparkSession, dir: String,
+                k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    q.crossJoin(v)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qe", "e"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** #13: LSH top-k — neighbors ranked only within the query's band-0
+    * bucket (the scale path: candidate set shrinks ~2^planes-fold). */
+  def lshTopK(spark: SparkSession, dir: String,
+              k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    val b0 = buckets(spark, dir).filter(col("band") === 0)
+    val q = b0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+      .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
+    val candidates = b0.join(v, "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    q.join(candidates, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qe", "e"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+}

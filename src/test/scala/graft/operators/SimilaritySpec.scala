@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("minhash candidates are a subset of true jaccard pairs at the same tau") {
+    val lsh = MinHashLSH.nearDupPairs(spark, sf, tau = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DocDedup.ngramJaccard(spark, sf, tau = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty)
+  }
+
+  test("simhash near-dup pairs are ordered and within the hamming bound") {
+    val out = SimHash.nearDupPairs(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+      assert(r.getAs[Long]("hd") <= SimHash.HammingMax)
+    }
+  }
+
+  test("bruteTopK: k ranked neighbors per query, cos non-increasing, no self") {
+    val out = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(out.size === Similarity.NumQueries)
+    out.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to Similarity.TopK))
+      assert(sorted.forall(_.getAs[Long]("vec_id") != q))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK neighbors share the query's band-0 bucket") {
+    val b0 = Similarity.buckets(spark, sf).filter(col("band") === 0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val out = Similarity.lshTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(b0(r.getAs[Long]("q_id")) === b0(r.getAs[Long]("vec_id")))
+    }
+  }
+
+  test("embedding near-dup pairs meet the cosine threshold") {
+    val out = Similarity.nearDupPairs(spark, sf, tau = 0.3).collect()
+    out.foreach(r => assert(r.getAs[Double]("cos") >= 0.3))
+  }
+}
