@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, DocDedup, MinHashLSH, SimHash, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -33,6 +33,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // LLM-pipeline: multimodal binary columns
+    "multimodal_meta" -> ((s, d) => Multimodal.meta(s, d)),
     // analytics core
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3(s, d)),
@@ -356,6 +358,16 @@ object SparkEntry {
          |    list_prepend(CAST(0 AS BIGINT),
          |      list_transform($TOKS, t -> ${H64("t")} % 1000000007)),
          |    (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // payload = UTF-8 bytes of text; md5(varchar) in DuckDB hashes the
+    // same bytes as Spark's md5(binary). Corpus is ASCII so the 4-char
+    // magic slice equals the 4-byte slice.
+    "multimodal_meta" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  ${H64("text")} AS checksum,
+         |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashing.h64
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media assets ride through the pipeline as
+  * opaque `binary` columns with typed metadata alongside. The Spark-side
+  * mechanics (schema, batching, partition-parallel decode) are real; the
+  * media decode kernel itself is STUBBED deterministically because no
+  * image/audio libraries exist in this environment — swap
+  * `decodeKernel` for a real decoder (JNI/FFI) in production.
+  */
+object Multimodal {
+
+  /** documents with a real binary payload column (UTF-8 bytes stand in
+    * for media bytes — the plumbing is format-agnostic). */
+  def withPayload(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** #18: typed metadata extracted from the binary column — byte
+    * length, content checksum, magic-byte sniff. Pure expressions over
+    * binary (codegen'd); the scan only reads doc_id+text. */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir).select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      h64(col("payload")).as("checksum"),
+      lower(hex(substring(col("payload"), 1, 4))).as("magic_hex")
+    ).orderBy("doc_id")
+
+  /** Decoded-asset schema a real media decoder would produce. */
+  case class DecodedAsset(doc_id: Long, width: Int, height: Int,
+                          format: String, n_frames: Int, ok: Boolean)
+
+  /** STUB decode kernel: deterministic fake derived from payload bytes.
+    * Replace with a real decoder; the signature (bytes in, typed struct
+    * out, executed per-partition with no driver involvement) is the
+    * production shape. */
+  private[operators] def decodeKernel(docId: Long, payload: Array[Byte]): DecodedAsset = {
+    if (payload == null || payload.isEmpty)
+      DecodedAsset(docId, 0, 0, "invalid", 0, ok = false)
+    else {
+      var h = 1125899906842597L // deterministic FNV-ish fold over bytes
+      payload.foreach(b => h = h * 31 + (b & 0xff))
+      val fmt = (h & 3) match {
+        case 0 => "jpeg"; case 1 => "png"; case 2 => "wav"; case _ => "mp4"
+      }
+      DecodedAsset(docId, 64 + (math.abs(h) % 1856).toInt,
+        64 + (math.abs(h >> 11) % 1016).toInt, fmt,
+        if (fmt == "mp4") 1 + (math.abs(h >> 23) % 240).toInt else 1, ok = true)
+    }
+  }
+
+  /** #19: partition-parallel decode of the binary column. Runs as
+    * `mapPartitions` so a real kernel can amortize per-batch setup
+    * (decoder contexts, pinned buffers) across a whole partition. */
+  def decode(spark: SparkSession, dir: String): DataFrame = {
+    val src = withPayload(spark, dir).select("doc_id", "payload")
+    src.mapPartitions { it =>
+      it.map(r => decodeKernel(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(Encoders.product[DecodedAsset]).toDF()
+  }
+
+  /** Frame-sampling plumbing over a decoded video asset: one output row
+    * per sampled frame index (every `stride`-th frame). Demonstrates the
+    * explode-based fan-out a video pipeline needs without materializing
+    * frames on the driver. */
+  def sampleFrames(decoded: DataFrame, stride: Int = 30): DataFrame =
+    decoded.filter(col("format") === "mp4")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select("doc_id", "frame_idx")
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's actual runtime re-expressed as Structured Streaming.
+  *
+  * The reference consumes a Pulsar topic, forwards first occurrences,
+  * and drops duplicates within a TTL window, warming its state from
+  * prior output on startup (/root/reference/src/deduplication.ts,
+  * cacheBuilding.ts). Here the stream is any Spark streaming DataFrame
+  * with the canonical envelope columns (event_id, ts_us, user_id,
+  * event_type, value, props, digest — see operators.Dedup for the
+  * digest derivation); sources/sinks are whatever `readStream`/
+  * `writeStream` supports (Kafka, files, sockets…).
+  *
+  * State scale: one timestamp per digest, hash-partitioned by Spark's
+  * state store — at 1000 executors state is sharded uniformly because
+  * digests are uniform hashes. Use the RocksDB state store provider in
+  * production for state larger than executor heap.
+  */
+object StreamDedup {
+
+  /** Canonical message envelope of the deduplicated stream. */
+  case class Msg(event_id: Long, ts_us: Long, user_id: Long,
+                 event_type: String, value: Double, props: String, digest: Long)
+
+  /** Per-digest dedup state: event time (µs) of the last forwarded row. */
+  case class DigestState(lastKeptUs: Long)
+
+  /** Attach an event-time column for watermarking. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** #26: first occurrence per digest (TTL = ∞): streaming
+    * `dropDuplicates` keyed on the digest. Watermark bounds state only
+    * when the key includes event time; with digest-only keys state
+    * grows with distinct keys — use #27/#28 for bounded state. */
+  def firstOccurrence(df: DataFrame): DataFrame =
+    withEventTime(df).withWatermark("ts", "2 hours").dropDuplicates("digest")
+
+  /** #27: TTL-window dedup via `dropDuplicatesWithinWatermark` — the
+    * built-in analog of DEDUPLICATION_WINDOW_IN_SECONDS: duplicates
+    * within the watermark delay of the kept row are dropped, and state
+    * ages out with the watermark (bounded, exactly like the reference's
+    * ObliviousSet expiry). */
+  def withinWatermark(df: DataFrame, window: String = "1 hour"): DataFrame =
+    withEventTime(df).withWatermark("ts", window)
+      .dropDuplicatesWithinWatermark("digest")
+
+  /** #28: exact ObliviousSet chain semantics with warm-up bootstrap —
+    * `flatMapGroupsWithState` keyed by digest, carrying one timestamp of
+    * state per key; `initialState` is the digest→lastKept map recovered
+    * from prior output (the cacheBuilding.ts warm-up). Rows within a
+    * trigger are sorted by event time before the greedy scan. */
+  def chain(spark: SparkSession, df: DataFrame, windowUs: Long,
+            initialState: Option[Dataset[(Long, DigestState)]] = None): Dataset[Msg] = {
+    import spark.implicits._
+    val ds = df.select("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest")
+      .as[Msg]
+    val grouped = ds.groupByKey(_.digest)
+
+    def fn(digest: Long, rows: Iterator[Msg], state: GroupState[DigestState]): Iterator[Msg] = {
+      var last = state.getOption.map(_.lastKeptUs)
+      val kept = rows.toSeq.sortBy(m => (m.ts_us, m.event_id)).filter { m =>
+        val keep = last.forall(l => m.ts_us >= l + windowUs)
+        if (keep) last = Some(m.ts_us)
+        keep
+      }
+      last.foreach(l => state.update(DigestState(l)))
+      kept.iterator
+    }
+
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
+  }
+
+  /** #29: watermarked tumbling-window counters — the streaming form of
+    * the reference's per-minute forwarded/dropped log line and of
+    * Analytics.eventsWindow. */
+  def windowCounts(df: DataFrame, window: String = "1 hour"): DataFrame =
+    withEventTime(df)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+}

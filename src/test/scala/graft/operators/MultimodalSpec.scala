@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("meta: byte length matches the document text length (ASCII corpus)") {
+    val bad = Multimodal.meta(spark, sf).as("m")
+      .join(graft.Tables.documents(spark, sf).as("d"), col("m.doc_id") === col("d.doc_id"))
+      .filter(col("n_bytes") =!= length(col("text")))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("decode: one deterministic asset per doc, stable across runs") {
+    val a = Multimodal.decode(spark, sf).collect().sortBy(_.getLong(0))
+    val b = Multimodal.decode(spark, sf).collect().sortBy(_.getLong(0))
+    assert(a.length === graft.Tables.documents(spark, sf).count())
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Boolean]("ok"))
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64)
+    }
+  }
+
+  test("sampleFrames fans out only video assets with stride steps") {
+    val decoded = Multimodal.decode(spark, sf)
+    val frames = Multimodal.sampleFrames(decoded, stride = 30)
+    val vids = decoded.filter(col("format") === "mp4").count()
+    assert(frames.select("doc_id").distinct().count() === vids)
+    assert(frames.filter(col("frame_idx") % 30 =!= 0).count() === 0)
+  }
+}
