@@ -14,6 +14,7 @@ object GraftSession {
   /** Apply graft defaults to an existing builder (used by Verify/Bench
     * which control master/memory themselves). */
   def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     // events.parquet stores TIMESTAMP(NANOS); read as int64 nanoseconds
     // (deterministic integers — converted to µs by the operators).

@@ -17,7 +17,7 @@ object SparkEntry {
     "dedup_ignore_props" -> ((s, d) =>
       Dedup.firstOccurrence(Dedup.hashedStream(s, d, ignored = Seq("k")))),
     "dedup_tumbling" -> ((s, d) => Dedup.tumbling(Dedup.hashedStream(s, d))),
-    "dedup_chain" -> ((s, d) => Dedup.chain(Dedup.hashedStream(s, d))),
+    "dedup_chain" -> ((s, d) => Dedup.chainNative(Dedup.hashedStream(s, d))),
     "dedup_bootstrap" -> ((s, d) => Dedup.bootstrap(Dedup.hashedStream(s, d))),
     "dedup_counters" -> ((s, d) => Dedup.counters(Dedup.hashedStream(s, d))),
     // LLM-pipeline: document dedup + text analysis

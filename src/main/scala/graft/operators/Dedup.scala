@@ -119,6 +119,23 @@ object Dedup {
     kept.orderBy("event_id")
   }
 
+  /** #4 (native): the same chain semantics as a first-class Catalyst
+    * operator (plans.ChainDedupPlan/Exec) — no object ser/de boundary;
+    * Catalyst inserts the digest exchange + sort from the operator's
+    * required distribution/ordering. Needs GraftExtensions registered
+    * (GraftSession does this). */
+  def chainNative(df: DataFrame, windowUs: Long = WindowUs): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val projected = df.select((evCols :+ "digest").map(col): _*)
+    val plan = Bridge.logicalPlan(projected)
+    val out = plan.output
+    def attr(n: String) = out.find(_.name == n).get
+    Bridge.ofRows(df.sparkSession,
+      graft.plans.ChainDedupPlan(attr("digest"), attr("ts_us"),
+        Seq(attr("event_id")), windowUs, plan))
+      .orderBy("event_id")
+  }
+
   /** #5: warm-up bootstrap (cacheBuilding.ts): messages after the cutoff
     * are deduplicated among themselves AND against the digest set of the
     * prior CACHE_WINDOW of output. The digest set is small relative to

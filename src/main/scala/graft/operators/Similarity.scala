@@ -32,9 +32,17 @@ object Similarity {
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
        |          cast(0 as double), (acc, v) -> acc + v)""".stripMargin
 
-  /** cosine(a, b) with deterministic fold order. */
-  def cosine(a: String, b: String): Column =
+  /** cosine(a, b) as a composable HOF expression — kept as the
+    * reference formulation; CodegenFallback, so the native expression
+    * below is the hot path. */
+  def cosineHof(a: String, b: String): Column =
     expr(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
+
+  /** cosine(a, b): native codegen'd expression with the same
+    * left-to-right double fold — bit-identical to cosineHof and to the
+    * DuckDB oracle (verified by the oracle hash-match). */
+  def cosine(a: String, b: String): Column =
+    graft.plans.VectorExpressions.cosineSimilarity(col(a), col(b))
 
   /** Signed projection of `e` onto the deterministic ±1 hyperplane `p`
     * (component j's sign comes from an md5-derived bit — reproducible

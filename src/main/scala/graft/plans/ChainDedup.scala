@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** TTL-chain deduplication as a first-class Catalyst operator.
+  *
+  * Semantics (reference ObliviousSet, /root/reference/src/
+  * deduplication.ts:77,117-121): per digest keep the first row in
+  * (ts, tiebreak) order, then greedily every row ≥ lastKept + window;
+  * duplicates do not refresh the TTL.
+  *
+  * Compared to the Dataset `mapPartitions` formulation this avoids the
+  * DeserializeToObject/SerializeFromObject boundary entirely: the exec
+  * node filters raw `InternalRow`s in a streaming pass with O(1) state.
+  * Catalyst inserts the required hash exchange + in-partition sort via
+  * requiredChildDistribution/Ordering — at cluster scale that is one
+  * shuffle on the uniform digest key, identical to any groupBy.
+  */
+case class ChainDedupPlan(digest: Attribute, ts: Attribute,
+                          tiebreak: Seq[Attribute], windowUs: Long,
+                          child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): ChainDedupPlan =
+    copy(child = c)
+}
+
+case class ChainDedupExec(digest: Attribute, ts: Attribute,
+                          tiebreak: Seq[Attribute], windowUs: Long,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(digest)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq((digest +: ts +: tiebreak).map(a => SortOrder(a, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val digestIdx = child.output.indexWhere(_.exprId == digest.exprId)
+    val tsIdx = child.output.indexWhere(_.exprId == ts.exprId)
+    val win = windowUs
+    child.execute().mapPartitions({ it =>
+      // rows arrive clustered by digest and sorted by (digest, ts, ...):
+      // a single pass with one timestamp of state per run suffices.
+      var cur = 0L; var last = 0L; var init = false
+      it.filter { row =>
+        val d = row.getLong(digestIdx)
+        val t = row.getLong(tsIdx)
+        if (!init || d != cur) { init = true; cur = d; last = t; true }
+        else if (t >= last + win) { last = t; true }
+        else false
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): ChainDedupExec =
+    copy(child = c)
+}
+
+object ChainDedupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case ChainDedupPlan(d, t, tb, w, child) =>
+      ChainDedupExec(d, t, tb, w, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Register with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => ChainDedupStrategy)
+  }
+}
