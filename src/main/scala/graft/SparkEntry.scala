@@ -44,10 +44,17 @@ object SparkEntry {
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
   )
 
-  /** Headliners timed by Bench (see SURVEY.md §6). */
+  /** Headliners timed by Bench (see SURVEY.md §6) — one per operator
+    * family so the profile covers the whole engine. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_local_supplier",
-    "dedup_first", "dedup_chain", "events_sessionize")
+    "events_window", "events_sessionize", "topk_per_group",
+    "dedup_first", "dedup_chain", "dedup_bootstrap", "dedup_counters",
+    "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding",
+    "ann_brute_topk", "ann_lsh_topk",
+    "text_token_count", "text_quality", "text_fingerprint",
+    "multimodal_meta")
 
   // ---- DuckDB oracle SQL ------------------------------------------------
   // Shared fragments so the Spark plans and the oracles stay in lockstep.

@@ -62,12 +62,17 @@ object Dedup {
       .unionAll(shifted(20000000L, Replica3ShiftUs))
   }
 
-  /** Replicated stream + canonical digest column. */
+  /** Replicated stream + canonical digest column. The repartition
+    * spreads digest computation across cores before any shuffle-keyed
+    * operator (the local test tables are single-split parquet files;
+    * at scale the scan splits naturally and this is a cheap rebalance). */
   def hashedStream(spark: SparkSession, dir: String,
                    ignored: Seq[String] = Nil): DataFrame =
-    withReplicas(eventsUs(spark, dir)).withColumn(
-      "digest",
-      eventDigest(col("user_id"), col("event_type"), col("value"), col("props"), ignored))
+    withReplicas(eventsUs(spark, dir))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn(
+        "digest",
+        eventDigest(col("user_id"), col("event_type"), col("value"), col("props"), ignored))
 
   private def orderedOut(df: DataFrame): DataFrame =
     df.select((evCols :+ "digest").map(col): _*).orderBy("event_id")

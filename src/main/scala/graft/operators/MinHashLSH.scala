@@ -20,27 +20,39 @@ object MinHashLSH {
   val NumSeeds = 16
   val BandRows = 4 // → 4 bands
 
-  /** Per-(doc,band) LSH signature. */
-  def bandSignatures(sh: DataFrame): DataFrame = {
-    val mh = sh
-      .withColumn("seed", explode(sequence(lit(0), lit(NumSeeds - 1))))
-      .groupBy("doc_id", "seed")
-      .agg(min(h64(concat_ws(":", col("seed").cast("string"), col("shingle")))).as("mh"))
-    mh.withColumn("band", expr(s"seed div $BandRows"))
-      .groupBy("doc_id", "band")
-      .agg(h64(concat_ws("|",
-        col("band").cast("string"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-            e => e.getField("mh").cast("string")),
-          ","))).as("sig"))
+  /** Per-(doc,band) LSH signature.
+    *
+    * The full minhash signature is computed in one pass inside the scan
+    * stage by the fused MinHashSignature expression (the composable
+    * explode×seeds → groupBy-min plan shuffles seeds× the shingle
+    * volume); only the final (doc, band, sig) rows reach an exchange.
+    * Band sig = h64("band|m₀,m₁,m₂,m₃") — identical bytes to the
+    * composable formulation, so the oracle is unchanged. */
+  def bandSignatures(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
+      .filter(size(col("sh3")) > 0)
+      .withColumn("mh", graft.plans.MinHashExpressions.minhashSignature(col("sh3"), NumSeeds))
+      .select("doc_id", "mh")
+    sig
+      .withColumn("band", explode(sequence(lit(0), lit(NumSeeds / BandRows - 1))))
+      .select(col("doc_id"), col("band"),
+        h64(concat_ws("|",
+          col("band").cast("string"),
+          array_join(
+            transform(slice(col("mh"), col("band") * lit(BandRows) + lit(1), lit(BandRows)),
+              m => m.cast("string")),
+            ","))).as("sig"))
   }
 
   /** #9: candidate pairs from band collisions, verified with true
     * Jaccard ≥ τ on the shingle sets. */
   def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val sh = DocDedup.docShingles(spark, dir)
-    val bands = bandSignatures(sh)
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val bands = bandSignatures(docs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -55,6 +55,7 @@ object Similarity {
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** Per-(vec, band) LSH bucket id from `PlanesPerBand` plane signs. */
   def buckets(spark: SparkSession, dir: String): DataFrame =

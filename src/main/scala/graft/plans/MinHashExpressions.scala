@@ -1,0 +1,74 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Fused MinHash signature: all `numSeeds` per-seed minima of the
+  * md5-derived 60-bit shingle hashes, computed in one pass over the
+  * shingle array.
+  *
+  * The composable plan (explode shingles × seeds → groupBy(doc, seed)
+  * min) shuffles rows × seeds intermediate records — at 16 seeds that
+  * is 16× the shingle volume through an exchange. This expression keeps
+  * the whole signature computation inside the scan stage; only
+  * (doc, band signature) rows ever shuffle.
+  *
+  * Hash parity: per (seed, shingle) the value equals
+  * `conv(substr(md5(seed || ':' || shingle), 1, 15), 16, 10)` — the
+  * first 60 bits of the md5, i.e. the first 8 bytes big-endian shifted
+  * right by 4 — so outputs are bit-identical to the composable
+  * formulation and the DuckDB oracle.
+  */
+case class MinHashSignature(child: Expression, numSeeds: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numSeeds >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numSeeds)(Long.MaxValue)
+    val md = localMd.get()
+    var i = 0
+    while (i < n) {
+      val sh = arr.getUTF8String(i).toString
+      var s = 0
+      while (s < numSeeds) {
+        md.reset()
+        val d = md.digest((s.toString + ":" + sh).getBytes(UTF_8))
+        // first 15 hex chars = first 60 bits: 8 big-endian bytes >>> 4
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = h >>> 4
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+object MinHashExpressions {
+  /** Column API: minhash signature (array<long>) of a shingle array. */
+  def minhashSignature(shingles: Column, numSeeds: Int): Column =
+    column(MinHashSignature(expression(shingles), numSeeds))
+}

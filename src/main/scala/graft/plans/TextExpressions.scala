@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-pass shingling: tokenize on whitespace and emit the
+  * distinct n-gram shingles of a document in first-occurrence order.
+  *
+  * Composable form (`split` → `transform(sequence(...))` →
+  * `array_distinct`) allocates per-element lambda frames and
+  * intermediate arrays per row — measurably the hot spot of every
+  * shingle-based operator. One eval doing the whole pass is ~5× faster
+  * and byte-identical in output (first-occurrence distinct order, same
+  * single-space joining), so oracle hashes are unchanged.
+  */
+case class ShingleArray(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        seen.add(sb.toString); i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleArray =
+    copy(child = c)
+}
+
+object TextExpressions {
+  /** Column API: distinct n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column =
+    column(ShingleArray(expression(text), n))
+}
