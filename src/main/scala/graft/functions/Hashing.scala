@@ -34,8 +34,12 @@ object Hashing {
     * removed: entries sorted by key, "k=v" joined by ",". Mirrors the
     * reference's stable stringify minus DEDUPLICATION_IGNORED_PROPERTIES
     * (deduplication.ts:14-23). */
-  def canonicalProps(json: Column, ignored: Seq[String]): Column = {
-    val m = from_json(json, MapType(StringType, StringType))
+  def canonicalProps(json: Column, ignored: Seq[String]): Column =
+    canonicalPropsMap(from_json(json, MapType(StringType, StringType)), ignored)
+
+  /** Same canonicalization over an already-typed map column (the
+    * envelope form — Pulsar properties are Map[String,String]). */
+  def canonicalPropsMap(m: Column, ignored: Seq[String]): Column = {
     val kept =
       if (ignored.isEmpty) m
       else map_filter(m, (k, _) => !k.isin(ignored: _*))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -74,9 +74,27 @@ object ChainDedupStrategy extends SparkStrategy {
 }
 
 /** Register with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
-  * or `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Injects the custom planner strategy and the SQL-facing functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans", null, name, usage, "")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => ChainDedupStrategy)
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(text, n) - distinct n-gram shingles"),
+      (args: Seq[Expression]) => ShingleArray(args.head, args.lift(1).map(
+        _.eval().asInstanceOf[Number].intValue()).getOrElse(3))))
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - minhash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, args.lift(1).map(
+        _.eval().asInstanceOf[Number].intValue()).getOrElse(16))))
   }
 }

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.Tables
+import graft.functions.Hashing.{canonicalPropsMap, h64}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonical message envelope — the data-model mapping of a Pulsar
+  * message (payload bytes, string properties, event timestamp, topic;
+  * see the pulsar-client Message surface used throughout
+  * /root/reference/src/deduplication.ts).
+  *
+  * Any batch or streaming source Spark can read (parquet/json/csv files,
+  * Kafka, rate, socket) becomes a deduplicatable stream once projected
+  * into this shape; sinks are plain `write`/`writeStream`. The digest
+  * is computed over raw payload bytes + canonical properties with the
+  * ignored-keys set removed, timestamp excluded — exactly the
+  * reference's `createHasher`.
+  */
+object Envelope {
+
+  val schema: StructType = StructType(Seq(
+    StructField("payload", BinaryType, nullable = false),
+    StructField("properties", MapType(StringType, StringType), nullable = false),
+    StructField("event_ts", TimestampType, nullable = false),
+    StructField("topic", StringType, nullable = false)))
+
+  /** Digest over an envelope: hash(payload ++ canonical properties).
+    * Binary-safe: the payload participates as raw bytes. */
+  def digest(ignored: Seq[String] = Nil): Column =
+    h64(concat(col("payload"),
+      encode(canonicalPropsMap(col("properties"), ignored), "UTF-8")))
+
+  /** The test `events` table as an envelope stream (payload = the
+    * event body bytes, properties = the parsed props map). */
+  def fromEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("event_id"),
+        encode(concat_ws("|", col("user_id"), col("event_type"),
+          col("value").cast("string")), "UTF-8").as("payload"),
+        from_json(col("props"), MapType(StringType, StringType)).as("properties"),
+        timestamp_micros(expr("ts div 1000")).as("event_ts"),
+        lit("events").as("topic"))
+
+  /** Generic batch readers into the envelope shape: the source columns
+    * are mapped by name (payload/properties/event_ts/topic must exist
+    * or be derivable by the caller's projection). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(schema.fieldNames.map(col): _*)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).json(path).select(schema.fieldNames.map(col): _*)
+
+  /** Streaming file source in envelope shape (the production entry
+    * point for continuous dedup: parquet files landing in a directory,
+    * e.g. from a connector). */
+  def streamParquet(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Synthetic envelope stream from the rate source (for soak tests). */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(
+        encode(col("value").cast("string"), "UTF-8").as("payload"),
+        map(lit("seq"), col("value").cast("string")).as("properties"),
+        col("timestamp").as("event_ts"),
+        lit("rate").as("topic"))
+
+  /** First-occurrence dedup of an envelope batch, in event-time order —
+    * keepDeduplicating with an infinite window over any envelope
+    * source. One shuffle on the digest. */
+  def firstOccurrence(env: DataFrame, ignored: Seq[String] = Nil): DataFrame = {
+    val hashed = env.withColumn("digest", digest(ignored))
+    val w = Window.partitionBy("digest").orderBy("event_ts")
+    hashed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

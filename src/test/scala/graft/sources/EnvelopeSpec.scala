@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EnvelopeSpec extends SparkSpec {
+
+  test("fromEvents produces the canonical envelope schema") {
+    val env = Envelope.fromEvents(spark, sf)
+    val names = env.schema.fieldNames.toSet
+    assert(Envelope.schema.fieldNames.toSet.subsetOf(names))
+    assert(env.count() === graft.Tables.events(spark, sf).count())
+  }
+
+  test("digest ignores the event timestamp but not the payload") {
+    val env = Envelope.fromEvents(spark, sf)
+    val shifted = env.withColumn("event_ts",
+      col("event_ts") + expr("INTERVAL 42 SECONDS"))
+    val a = env.select(Envelope.digest().as("d")).collect().map(_.getLong(0))
+    val b = shifted.select(Envelope.digest().as("d")).collect().map(_.getLong(0))
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+  }
+
+  test("ignored properties collapse property-only differences") {
+    val env = Envelope.fromEvents(spark, sf)
+    val mutated = env.withColumn("properties",
+      map_concat(col("properties"), map(lit("replica"), lit("2"))))
+    val strict = env.unionAll(mutated)
+      .select(Envelope.digest().as("d")).distinct().count()
+    val loose = env.unionAll(mutated)
+      .select(Envelope.digest(ignored = Seq("replica")).as("d")).distinct().count()
+    assert(loose < strict)
+  }
+
+  test("firstOccurrence over a duplicated envelope stream keeps one per digest") {
+    val env = Envelope.fromEvents(spark, sf)
+    val dup = env.unionAll(env.withColumn("event_ts",
+      col("event_ts") + expr("INTERVAL 37 SECONDS")))
+    val out = Envelope.firstOccurrence(dup)
+    assert(out.count() === env.select(Envelope.digest().as("d")).distinct().count())
+  }
+}
