@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -42,6 +42,11 @@ object SparkEntry {
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
+    "events_running" -> ((s, d) => Analytics.runningUser(s, d)),
+    "events_asof_signup" -> ((s, d) => AsOfJoin.eventsAsOfSignup(s, d)),
+    "events_salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
+    "source_similarity" -> ((s, d) => MinHashLSH.sourceSimilarity(s, d)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   /** Headliners timed by Bench (see SURVEY.md §6) — one per operator
@@ -52,9 +57,11 @@ object SparkEntry {
     "dedup_first", "dedup_chain", "dedup_bootstrap", "dedup_counters",
     "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding",
-    "ann_brute_topk", "ann_lsh_topk",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_token_count", "text_quality", "text_fingerprint",
-    "multimodal_meta")
+    "multimodal_meta",
+    "events_running", "events_asof_signup", "events_salted_agg",
+    "source_similarity")
 
   // ---- DuckDB oracle SQL ------------------------------------------------
   // Shared fragments so the Spark plans and the oracles stay in lockstep.
@@ -445,5 +452,73 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
          |  FROM ev
          |) WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "events_running" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_id, user_id, ts_us,
+         |  SUM(cents) OVER w_all AS running_cents,
+         |  CAST(SUM(cents) OVER w5 AS DOUBLE) / COUNT(*) OVER w5 AS mov5_cents
+         |FROM (SELECT *, CAST(ROUND(value*100) AS BIGINT) AS cents FROM ev)
+         |WINDOW
+         |  w_all AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  w5 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    // DuckDB has native ASOF JOIN; the Spark side reproduces it with a
+    // union-scan + last(ignoreNulls) carry — same >= match semantics.
+    "events_asof_signup" ->
+      s"""WITH ev AS ($EV)
+         |SELECT e.event_id, e.ts_us, e.user_id, e.event_type, e.value,
+         |       s.signup_id AS asof_signup_id, s.signup_value AS asof_signup_value
+         |FROM ev e ASOF LEFT JOIN (
+         |  SELECT user_id, ts_us AS sts, event_id AS signup_id, value AS signup_value
+         |  FROM ev WHERE event_type = 'signup'
+         |) s ON e.user_id = s.user_id AND e.ts_us >= s.sts
+         |ORDER BY event_id""".stripMargin,
+
+    // salting is an execution detail: the oracle states the plain agg.
+    "events_salted_agg" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_type, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "source_similarity" ->
+      s"""WITH toks AS (SELECT source, $TOKS AS t FROM documents),
+         |shs AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(t)-2),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+         |  FROM toks WHERE len(t) >= 3
+         |),
+         |mh AS (
+         |  SELECT source, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS m
+         |  FROM shs, generate_series(0,15) g(seed) GROUP BY source, g.seed
+         |)
+         |SELECT a.source AS s1, b.source AS s2,
+         |  SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+         |FROM mh a JOIN mh b ON a.seed = b.seed AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, c_id AS cell, e FROM (
+         |    SELECT v.vec_id, cent.c_id, v.e, ${duckCos("v.e", "cent.ce")} AS cos_c,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${duckCos("v.e", "cent.ce")} DESC, cent.c_id) AS rn
+         |    FROM v, cent
+         |  ) WHERE rn = 1
+         |),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id, ${duckCos("q.e", "c.e")} AS cos
+         |  FROM assign q JOIN assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         |)
+         |SELECT q_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
+         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

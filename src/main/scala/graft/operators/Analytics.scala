@@ -111,6 +111,22 @@ object Analytics {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Running totals + moving average per user — integer cents keep the
+    * running sum exact; the moving average is an explicit sum/count so
+    * both engines compute the identical double. */
+  def runningUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+    val w5 = w.rowsBetween(-4, 0)
+    Dedup.eventsUs(spark, dir)
+      .withColumn("cents", graft.functions.Hashing.valueCents(col("value")))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        sum("cents").over(wAll).as("running_cents"),
+        (sum("cents").over(w5).cast("double") / count(lit(1)).over(w5)).as("mov5_cents"))
+      .orderBy("event_id")
+  }
+
   /** #25: top-3 events by value per event_type (window rank). */
   def topkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))

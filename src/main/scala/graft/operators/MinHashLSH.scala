@@ -45,6 +45,31 @@ object MinHashLSH {
             ","))).as("sig"))
   }
 
+  /** Corpus-level similarity between sources: each source's corpus gets
+    * one MinHash signature (per-seed min over all its docs' shingles —
+    * a plain groupBy-min, so signatures of terabyte corpora cost one
+    * aggregation), and the estimated Jaccard between two corpora is the
+    * fraction of agreeing seeds. The sketch-merge property is what
+    * makes this scale: signatures compose without revisiting documents. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select("source", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val perSeed = docs
+      .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
+      .filter(size(col("sh3")) > 0)
+      .select(col("source"),
+        posexplode(graft.plans.MinHashExpressions.minhashSignature(col("sh3"), NumSeeds)))
+      .withColumnRenamed("pos", "seed").withColumnRenamed("col", "v")
+      .groupBy("source", "seed").agg(min("v").as("m"))
+    perSeed.as("a").join(perSeed.as("b"),
+        col("a.seed") === col("b.seed") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg((sum(when(col("a.m") === col("b.m"), 1).otherwise(0)) / lit(NumSeeds.toDouble))
+        .as("est_jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   /** #9: candidate pairs from band collisions, verified with true
     * Jaccard ≥ τ on the shingle sets. */
   def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {

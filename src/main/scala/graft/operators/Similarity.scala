@@ -102,6 +102,33 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-style ANN: vectors are assigned to their nearest of
+    * `nCentroids` coarse centroids (deterministically the first K
+    * vectors — a k-means fit would slot in here unchanged), and a query
+    * searches only its own cell (nprobe=1). The centroid set is tiny →
+    * broadcast; assignment is one narrow pass over the corpus. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = TopK,
+              nQueries: Int = NumQueries, nCentroids: Int = 8): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = v.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id"))
+    val assign = v.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine("e", "ce"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("e"))
+    val q = assign.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("cell"), col("e").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    q.join(assign, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qe", "e"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** #13: LSH top-k — neighbors ranked only within the query's band-0
     * bucket (the scale path: candidate set shrinks ~2^planes-fold). */
   def lshTopK(spark: SparkSession, dir: String,
