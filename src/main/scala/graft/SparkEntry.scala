@@ -39,6 +39,8 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3(s, d)),
     "q5_local_supplier" -> ((s, d) => Analytics.q5(s, d)),
+    "q6_forecast" -> ((s, d) => Analytics.q6(s, d)),
+    "q10_returns" -> ((s, d) => Analytics.q10(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
@@ -420,6 +422,25 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast" ->
+      s"""SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.03 AND l_discount <= 0.05
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name, ${moneySum(DISC_PRICE)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "events_window" ->
       s"""WITH ev AS ($EV)

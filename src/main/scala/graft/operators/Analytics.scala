@@ -82,6 +82,38 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H-Q6-style revenue forecast: pure filter + scalar aggregate —
+    * the pushdown stress test (every predicate reaches the scan). */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+              col("l_quantity") < 24)
+      .agg(money2(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+        .as("revenue"))
+
+  /** TPC-H-Q10-style returned-item ranking: customers by revenue lost
+    * to returns in one quarter. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(money2(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** #23: tumbling 1-hour windowed aggregation over the event stream. */
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =
     Dedup.eventsUs(spark, dir)

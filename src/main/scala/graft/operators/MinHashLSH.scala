@@ -55,18 +55,15 @@ object MinHashLSH {
     val docs = graft.Tables.documents(spark, dir)
       .select("source", "text")
       .repartition(spark.sparkContext.defaultParallelism)
-    val perSeed = docs
+    val sigs = docs
       .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
       .filter(size(col("sh3")) > 0)
-      .select(col("source"),
-        posexplode(graft.plans.MinHashExpressions.minhashSignature(col("sh3"), NumSeeds)))
-      .withColumnRenamed("pos", "seed").withColumnRenamed("col", "v")
-      .groupBy("source", "seed").agg(min("v").as("m"))
-    perSeed.as("a").join(perSeed.as("b"),
-        col("a.seed") === col("b.seed") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
-      .agg((sum(when(col("a.m") === col("b.m"), 1).otherwise(0)) / lit(NumSeeds.toDouble))
-        .as("est_jaccard"))
+      .groupBy("source")
+      .agg(graft.plans.MinHashAggFunctions.minhashAgg(col("sh3"), NumSeeds).as("mh"))
+    sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"),
+        (expr("size(filter(zip_with(a.mh, b.mh, (x, y) -> x = y), m -> m))")
+          / lit(NumSeeds.toDouble)).as("est_jaccard"))
       .orderBy("s1", "s2")
   }
 

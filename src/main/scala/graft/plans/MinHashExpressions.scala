@@ -1,8 +1,5 @@
 package graft.plans
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -34,32 +31,11 @@ case class MinHashSignature(child: Expression, numSeeds: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  @transient private lazy val localMd = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
     val mins = Array.fill(numSeeds)(Long.MaxValue)
-    val md = localMd.get()
-    var i = 0
-    while (i < n) {
-      val sh = arr.getUTF8String(i).toString
-      var s = 0
-      while (s < numSeeds) {
-        md.reset()
-        val d = md.digest((s.toString + ":" + sh).getBytes(UTF_8))
-        // first 15 hex chars = first 60 bits: 8 big-endian bytes >>> 4
-        var h = 0L
-        var b = 0
-        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-        h = h >>> 4
-        if (h < mins(s)) mins(s) = h
-        s += 1
-      }
-      i += 1
-    }
+    // per (seed, shingle): first 60 bits of md5("seed:shingle") — the
+    // 8 big-endian bytes >>> 4, equal to conv(substr(md5,1,15),16,10)
+    MinHashUtil.updateMins(mins, v.asInstanceOf[ArrayData])
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
