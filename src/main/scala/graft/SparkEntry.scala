@@ -45,6 +45,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "events_running" -> ((s, d) => Analytics.runningUser(s, d)),
+    "events_distinct_hour" -> ((s, d) => Analytics.distinctUsersHour(s, d)),
     "events_asof_signup" -> ((s, d) => AsOfJoin.eventsAsOfSignup(s, d)),
     "events_salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
     "source_similarity" -> ((s, d) => MinHashLSH.sourceSimilarity(s, d)),
@@ -473,6 +474,13 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
          |  FROM ev
          |) WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "events_distinct_hour" ->
+      s"""WITH ev AS ($EV)
+         |SELECT ts_us // 3600000000 AS hour_bucket,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  COUNT(*) AS n_events
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_running" ->
       s"""WITH ev AS ($EV)

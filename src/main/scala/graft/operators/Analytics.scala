@@ -123,6 +123,15 @@ object Analytics {
            money2(sum(dec(col("value")))).as("sum_value"))
       .orderBy("hour_bucket", "event_type")
 
+  /** Distinct users per hour — the shuffle-heavy distinct-agg shape
+    * (expands to a two-level aggregation; AQE coalesces the tail). */
+  def distinctUsersHour(spark: SparkSession, dir: String): DataFrame =
+    Dedup.eventsUs(spark, dir)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000L"))
+      .groupBy("hour_bucket")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("hour_bucket")
+
   /** #24: gap-based sessionization (30 min) per user, pure window
     * functions — one shuffle on user_id. */
   def sessionize(spark: SparkSession, dir: String,
