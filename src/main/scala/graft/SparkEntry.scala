@@ -50,6 +50,7 @@ object SparkEntry {
     "events_salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
     "source_similarity" -> ((s, d) => MinHashLSH.sourceSimilarity(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "pipeline_clean_docs" -> ((s, d) => graft.operators.Pipeline.cleanDocs(s, d)),
   )
 
   /** Headliners timed by Bench (see SURVEY.md §6) — one per operator
@@ -64,7 +65,7 @@ object SparkEntry {
     "text_token_count", "text_quality", "text_fingerprint",
     "multimodal_meta",
     "events_running", "events_asof_signup", "events_salted_agg",
-    "source_similarity")
+    "source_similarity", "pipeline_clean_docs")
 
   // ---- DuckDB oracle SQL ------------------------------------------------
   // Shared fragments so the Spark plans and the oracles stay in lockstep.
@@ -530,6 +531,76 @@ object SparkEntry {
          |  SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
          |FROM mh a JOIN mh b ON a.seed = b.seed AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the whole cleaning pipeline restated declaratively: exact-dedup
+    // keepers ∖ near-dup losers, gated on quality and language.
+    "pipeline_clean_docs" ->
+      s"""WITH $SH_CTE,
+         |mh AS (
+         |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
+         |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
+         |),
+         |bands AS (
+         |  SELECT doc_id, seed//4 AS band,
+         |    ${H64("concat_ws('|', CAST(seed//4 AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
+         |  FROM mh GROUP BY doc_id, seed//4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.d1, c.d2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |),
+         |losers AS (
+         |  SELECT DISTINCT d2 AS doc_id
+         |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS digest
+         |    FROM documents
+         |  ) GROUP BY digest
+         |),
+         |q AS (
+         |  SELECT doc_id, $TOKS AS toks,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents
+         |),
+         |q2 AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS n_de,
+         |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS BIGINT) AS n_es,
+         |    CAST(len(list_filter(toks, t -> t IN ('le','les','de','et','est'))) AS BIGINT) AS n_fr,
+         |    CAST(len(list_filter(toks, t -> t IN ('的','是','不'))) AS BIGINT) AS n_zh,
+         |    len_no_ws, toks
+         |  FROM q
+         |),
+         |scored AS (
+         |  SELECT doc_id, n_toks,
+         |    ROUND(LEAST(n_toks/100.0, 1.0)*0.4 + (1.0 - CAST(n_stop AS DOUBLE)/n_toks)*0.4
+         |          + LEAST((CAST(len_no_ws AS DOUBLE)/n_toks)/8.0, 1.0)*0.2, 4) AS quality_score,
+         |    CASE WHEN greatest(n_stop, n_de, n_es, n_fr, n_zh) = 0 THEN 'und'
+         |         WHEN n_stop = greatest(n_stop, n_de, n_es, n_fr, n_zh) THEN 'en'
+         |         ELSE 'other' END AS lang_gate,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(toks, t -> ${H64("t")} % 1000000007)),
+         |      (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
+         |  FROM q2
+         |)
+         |SELECT s.doc_id, s.n_toks, s.quality_score, s.fingerprint
+         |FROM scored s
+         |JOIN keepers k ON s.doc_id = k.doc_id
+         |WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND s.quality_score >= 0.6 AND s.lang_gate = 'en'
+         |ORDER BY s.doc_id""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

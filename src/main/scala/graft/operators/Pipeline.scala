@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashing.h64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data cleaning pipeline as ONE declarative
+  * plan: exact dedup → MinHash near-dup removal → quality gate →
+  * language gate → fingerprinted output. Each stage is an existing
+  * operator; composing them as DataFrame transforms lets Catalyst share
+  * scans, push filters, and broadcast the small side of every gate —
+  * nothing materializes between stages.
+  *
+  * Near-dup removal rule: drop every doc that appears as the larger id
+  * of any verified near-dup pair (deterministic, no transitive-closure
+  * pass — at 100 TB a connected-components step would be its own job).
+  */
+object Pipeline {
+
+  val QualityMin = 0.6
+
+  def cleanDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    // stage 1: exact dedup — keeper is min doc_id per normalized digest
+    val keepers = docs
+      .withColumn("digest", h64(DocDedup.normalized(col("text"))))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+    // stage 2: near-dup removal — drop the larger side of each pair
+    val nearDupLosers = MinHashLSH.nearDupPairs(spark, dir)
+      .select(col("d2").as("doc_id")).distinct()
+
+    // stages 3-5: quality, language, fingerprint (shared scans)
+    val quality = TextAnalysis.quality(spark, dir)
+      .select("doc_id", "n_toks", "quality_score")
+    val lang = TextAnalysis.languageId(spark, dir).select("doc_id", "pred_lang")
+    val fp = TextAnalysis.fingerprint(spark, dir)
+
+    docs.join(keepers, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .join(fp, "doc_id")
+      .filter(col("quality_score") >= QualityMin && col("pred_lang") === "en")
+      .select("doc_id", "n_toks", "quality_score", "fingerprint")
+      .orderBy("doc_id")
+  }
+}
