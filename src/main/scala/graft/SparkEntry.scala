@@ -17,6 +17,9 @@ object SparkEntry {
     "dedup_ignore_props" -> ((s, d) =>
       Dedup.firstOccurrence(Dedup.hashedStream(s, d, ignored = Seq("k")))),
     "dedup_tumbling" -> ((s, d) => Dedup.tumbling(Dedup.hashedStream(s, d))),
+    // xxhash64 fast path — no SQL oracle (driver rows-only check); the
+    // spec asserts its kept set equals the md5 path's.
+    "dedup_first_fast" -> ((s, d) => Dedup.firstOccurrence(Dedup.hashedStreamFast(s, d))),
     "dedup_chain" -> ((s, d) => Dedup.chainNative(Dedup.hashedStream(s, d))),
     "dedup_bootstrap" -> ((s, d) => Dedup.bootstrap(Dedup.hashedStream(s, d))),
     "dedup_counters" -> ((s, d) => Dedup.counters(Dedup.hashedStream(s, d))),

@@ -55,10 +55,14 @@ object Hashing {
 
   /** Canonical message digest for the events stream: payload columns +
     * canonical properties, timestamp excluded (deduplication.ts:24-27
-    * excludes the event timestamp on purpose — it differs per replica). */
+    * excludes the event timestamp on purpose — it differs per replica).
+    * `hasher` defaults to the oracle-reproducible md5-based h64; pass
+    * `fast64` (xxhash64, fully codegen'd) for pure-throughput paths
+    * where cross-engine reproducibility is not needed. */
   def eventDigest(userId: Column, eventType: Column, value: Column,
-                  props: Column, ignored: Seq[String] = Nil): Column =
-    h64(concat_ws("|",
+                  props: Column, ignored: Seq[String] = Nil,
+                  hasher: Column => Column = h64): Column =
+    hasher(concat_ws("|",
       userId.cast("string"),
       eventType,
       valueCents(value).cast("string"),

@@ -74,6 +74,19 @@ object Dedup {
         "digest",
         eventDigest(col("user_id"), col("event_type"), col("value"), col("props"), ignored))
 
+  /** Throughput variant: identical canonicalization, xxhash64 digest
+    * (stays inside whole-stage codegen; no md5). The kept-row set is
+    * identical to the md5 path absent hash collisions among distinct
+    * identities — the driver records a rows-only check for it. */
+  def hashedStreamFast(spark: SparkSession, dir: String,
+                       ignored: Seq[String] = Nil): DataFrame =
+    withReplicas(eventsUs(spark, dir))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn(
+        "digest",
+        eventDigest(col("user_id"), col("event_type"), col("value"), col("props"),
+          ignored, hasher = graft.functions.Hashing.fast64))
+
   private def orderedOut(df: DataFrame): DataFrame =
     df.select((evCols :+ "digest").map(col): _*).orderBy("event_id")
 

@@ -77,6 +77,14 @@ class DedupSpec extends SparkSpec {
     assert(sums.getLong(0) + sums.getLong(1) === hashed.count())
   }
 
+  test("xxhash64 fast path keeps the same row set as the md5 path") {
+    val fast = Dedup.firstOccurrence(Dedup.hashedStreamFast(spark, sf))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val slow = Dedup.firstOccurrence(hashed)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(fast === slow)
+  }
+
   test("ignored properties widen the duplicate groups") {
     val strict = Dedup.firstOccurrence(hashed).count()
     val loose = Dedup.firstOccurrence(
