@@ -32,6 +32,21 @@ class EnvelopeSpec extends SparkSpec {
     assert(loose < strict)
   }
 
+  test("readJson round-trips the envelope shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_env_json").toString
+    val env = Envelope.fromEvents(spark, sf)
+      .filter(col("event_id") < 50)
+      .select("payload", "properties", "event_ts", "topic")
+    env.write.mode("overwrite").json(dir)
+    val back = Envelope.readJson(spark, dir)
+    assert(back.count() === 50)
+    assert(back.schema.fieldNames.toSeq === Envelope.schema.fieldNames.toSeq)
+    // digests survive the round trip (payload bytes + properties intact)
+    val a = env.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
+    val b = back.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("firstOccurrence over a duplicated envelope stream keeps one per digest") {
     val env = Envelope.fromEvents(spark, sf)
     val dup = env.unionAll(env.withColumn("event_ts",
