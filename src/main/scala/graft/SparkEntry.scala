@@ -36,6 +36,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     // LLM-pipeline: multimodal binary columns
     "multimodal_meta" -> ((s, d) => Multimodal.meta(s, d)),
     // analytics core
@@ -56,19 +57,10 @@ object SparkEntry {
     "pipeline_clean_docs" -> ((s, d) => graft.operators.Pipeline.cleanDocs(s, d)),
   )
 
-  /** Headliners timed by Bench (see SURVEY.md §6) — one per operator
-    * family so the profile covers the whole engine. */
-  def benchQueries: Seq[String] = Seq(
-    "q1_agg", "q3_shipping", "q5_local_supplier",
-    "events_window", "events_sessionize", "topk_per_group",
-    "dedup_first", "dedup_chain", "dedup_bootstrap", "dedup_counters",
-    "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding",
-    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "text_token_count", "text_quality", "text_fingerprint",
-    "multimodal_meta",
-    "events_running", "events_asof_signup", "events_salted_agg",
-    "source_similarity", "pipeline_clean_docs")
+  /** Bench times every registered query — the profile covers the whole
+    * engine (order: cheap scans first so JIT warm-up noise lands on the
+    * smallest queries). */
+  def benchQueries: Seq[String] = queries.keys.toSeq.sorted
 
   // ---- DuckDB oracle SQL ------------------------------------------------
   // Shared fragments so the Spark plans and the oracles stay in lockstep.
@@ -372,6 +364,21 @@ object SparkEntry {
          |       WHEN n_fr = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'fr'
          |       ELSE 'zh' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // rational idf (N/df, no log): exact integer ratios in double —
+    // engine-independent, and ranking is the semantic payload.
+    "text_tfidf_topterms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM tk)
+         |SELECT doc_id, rnk, term, score FROM (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) AS rnk
+         |  FROM tf JOIN df USING (term), n
+         |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -79,6 +79,31 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document. The idf is the rational N/df (no
+    * log) so scores are exact integer ratios in double precision —
+    * deterministic across engines; ranking is what matters. Terms
+    * shuffle once for tf, once for df; both df and the corpus size
+    * broadcast back onto the term rows. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tk.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = tk.agg(countDistinct("doc_id").as("n"))
+    val score = (col("tf") * col("n")).cast("double") / col("df")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** #17: document fingerprint — order-sensitive polynomial rolling hash
     * over per-token md5-derived values, mod 1e9+7. Same fold in DuckDB
     * (list_reduce), so near-identical docs with reordered tokens get
