@@ -25,6 +25,7 @@ object SparkEntry {
     "dedup_counters" -> ((s, d) => Dedup.counters(Dedup.hashedStream(s, d))),
     // LLM-pipeline: document dedup + text analysis
     "dedup_exact_docs" -> ((s, d) => DocDedup.exactDocs(s, d)),
+    "sample_per_source" -> ((s, d) => DocDedup.samplePerSource(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashLSH.nearDupPairs(s, d)),
     "dedup_simhash" -> ((s, d) => SimHash.nearDupPairs(s, d)),
@@ -200,6 +201,16 @@ object SparkEntry {
          |  ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS digest FROM d)
          |SELECT min(doc_id) AS keep_id, digest, count(*) AS n_copies
          |FROM h GROUP BY digest ORDER BY keep_id""".stripMargin,
+
+    // deterministic sampling: rank on a seeded hash of the key —
+    // reproducible on any cluster size.
+    "sample_per_source" ->
+      s"""SELECT source, rnk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${H64("concat('sample:', CAST(doc_id AS VARCHAR))")}, doc_id) AS rnk
+         |  FROM documents
+         |) WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

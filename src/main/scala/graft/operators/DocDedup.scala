@@ -45,6 +45,24 @@ object DocDedup {
       .select("keep_id", "digest", "n_copies")
       .orderBy("keep_id")
 
+  /** Deterministic k-per-group sample: rank by a seeded hash of the row
+    * key — reproducible "random" sampling (same inputs → same sample on
+    * any cluster size), the property a curation pipeline needs for
+    * auditable training sets. One shuffle on the group key. */
+  def samplePerSource(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("rand_key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rand_key",
+        graft.functions.Hashing.h64(concat(lit("sample:"), col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("source", "rnk", "doc_id")
+      .orderBy("source", "rnk")
+  }
+
   /** (doc_id, shingle) pairs, shingles distinct per doc.
     *
     * The scan is spread across all cores first: the test tables are
