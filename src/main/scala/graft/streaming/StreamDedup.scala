@@ -55,31 +55,62 @@ object StreamDedup {
     * from prior output (the cacheBuilding.ts warm-up). Rows within a
     * trigger are sorted by event time before the greedy scan. */
   def chain(spark: SparkSession, df: DataFrame, windowUs: Long,
-            initialState: Option[Dataset[(Long, DigestState)]] = None): Dataset[Msg] = {
+            initialState: Option[Dataset[(Long, DigestState)]] = None,
+            stateExpiry: Option[String] = None): Dataset[Msg] = {
     import spark.implicits._
-    val ds = df.select("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest")
-      .as[Msg]
+    val withTs = withEventTime(
+      df.select("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest"))
+    // stateExpiry=Some(delay) bounds state with an event-time timeout:
+    // a digest's entry is irrelevant once its TTL has elapsed (the
+    // ObliviousSet expiry), so it can be dropped when the watermark
+    // passes lastKept+window. The tradeoff: a watermark makes the
+    // operator drop late input rows, so historical REPLAY (reprocessing
+    // data far older than the recovered watermark, e.g. after long
+    // downtime) must use stateExpiry=None (unbounded state, any arrival
+    // order — see CheckpointRecoverySpec) or re-bootstrap instead
+    // (Dedup.bootstrap / the initialState warm-up).
+    val ds = (stateExpiry match {
+      case Some(delay) if withTs.isStreaming => withTs.withWatermark("ts", delay)
+      case _ => withTs
+    }).as[Msg]
     val grouped = ds.groupByKey(_.digest)
+    val streaming = ds.isStreaming && stateExpiry.isDefined
 
     def fn(digest: Long, rows: Iterator[Msg], state: GroupState[DigestState]): Iterator[Msg] = {
-      var last = state.getOption.map(_.lastKeptUs)
-      val kept = rows.toSeq.sortBy(m => (m.ts_us, m.event_id)).filter { m =>
-        val keep = last.forall(l => m.ts_us >= l + windowUs)
-        if (keep) last = Some(m.ts_us)
-        keep
+      if (!rows.hasNext && state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var last = state.getOption.map(_.lastKeptUs)
+        val kept = rows.toSeq.sortBy(m => (m.ts_us, m.event_id)).filter { m =>
+          val keep = last.forall(l => m.ts_us >= l + windowUs)
+          if (keep) last = Some(m.ts_us)
+          keep
+        }
+        last.foreach { l =>
+          state.update(DigestState(l))
+          if (streaming) {
+            // never set a timeout at/behind the current watermark —
+            // Spark rejects it; expire on the next watermark advance
+            val target = l / 1000 + windowUs / 1000
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(target, wm + 1))
+          }
+        }
+        kept.iterator
       }
-      last.foreach(l => state.update(DigestState(l)))
-      kept.iterator
     }
 
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     initialState match {
       case Some(init) =>
         grouped.flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.NoTimeout,
+          OutputMode.Append, timeout,
           init.groupByKey(_._1).mapValues(_._2))(fn)
       case None =>
-        grouped.flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+        grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
     }
   }
 

@@ -59,6 +59,17 @@ class StreamDedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stream chain with bounded state (event-time expiry) equals batch chain on an in-order feed") {
+    val msgs = hashedMsgs
+    val got = runStream(msgs, 4)(df =>
+      StreamDedup.chain(spark, df, Dedup.WindowUs,
+        stateExpiry = Some("2 hours")).toDF())
+      .map(_.event_id).toSet
+    val want = Dedup.chain(Dedup.hashedStream(spark, sf))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
   test("stream chain with bootstrap state drops warmed digests") {
     import spark.implicits._
     val msgs = hashedMsgs
