@@ -51,6 +51,14 @@ object SparkEntry {
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "events_running" -> ((s, d) => Analytics.runningUser(s, d)),
     "events_distinct_hour" -> ((s, d) => Analytics.distinctUsersHour(s, d)),
+    // HLL++ sketch (built-in approx_count_distinct) — approximation has
+    // no cross-engine oracle; driver records a rows-only check.
+    "events_approx_users" -> ((s, d) =>
+      Dedup.eventsUs(s, d)
+        .withColumn("hour_bucket", org.apache.spark.sql.functions.expr("ts_us div 3600000000L"))
+        .groupBy("hour_bucket")
+        .agg(org.apache.spark.sql.functions.approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("hour_bucket")),
     "events_asof_signup" -> ((s, d) => AsOfJoin.eventsAsOfSignup(s, d)),
     "events_salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
     "source_similarity" -> ((s, d) => MinHashLSH.sourceSimilarity(s, d)),

@@ -114,6 +114,21 @@ object StreamDedup {
     }
   }
 
+  /** The cacheBuilding.ts warm-up, literally: recover per-digest chain
+    * state from the deduplicated output already written by a previous
+    * incarnation (e.g. after losing the checkpoint). Reads only rows in
+    * the trailing cache window and keeps the latest kept timestamp per
+    * digest — feed the result to `chain(initialState = …)`. */
+  def warmStateFromOutput(spark: SparkSession, outputPath: String,
+                          cacheWindowUs: Long, nowUs: Long): Dataset[(Long, DigestState)] = {
+    import spark.implicits._
+    spark.read.parquet(outputPath)
+      .filter(col("ts_us") >= nowUs - cacheWindowUs)
+      .groupBy("digest").agg(max("ts_us").as("last_kept"))
+      .select(col("digest").as[Long], col("last_kept").as[Long])
+      .map { case (d, t) => (d, DigestState(t)) }
+  }
+
   /** #29: watermarked tumbling-window counters — the streaming form of
     * the reference's per-minute forwarded/dropped log line and of
     * Analytics.eventsWindow. */

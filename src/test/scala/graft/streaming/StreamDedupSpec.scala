@@ -84,6 +84,28 @@ class StreamDedupSpec extends SparkSpec {
     assert(got.forall(id => !warmedDigests.contains(msgs.find(_.event_id == id).get.digest)))
   }
 
+  test("warmStateFromOutput rebuilds chain state from prior output (cacheBuilding analog)") {
+    val msgs = hashedMsgs
+    val (batch1, batch2) = msgs.partition(_.event_id < 10000000L)
+    // prior incarnation: batch chain over batch1, persisted as output
+    val outDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+    Dedup.chain(Dedup.hashedStream(spark, sf).filter(
+      org.apache.spark.sql.functions.col("event_id") < 10000000L))
+      .write.mode("overwrite").parquet(outDir)
+    // new incarnation: warm state from that output, stream the replicas
+    // cache window covering the whole history (the 48h default would
+    // legitimately leave digests older than 2 days cold)
+    val warmed = StreamDedup.warmStateFromOutput(
+      spark, outDir, Long.MaxValue / 2, nowUs = msgs.map(_.ts_us).max + 1)
+    val got = runStream(batch2, 2)(df =>
+      StreamDedup.chain(spark, df, Dedup.WindowUs, Some(warmed)).toDF())
+      .map(_.event_id).toSet
+    val want = Dedup.chain(Dedup.hashedStream(spark, sf))
+      .collect().map(_.getAs[Long]("event_id")).toSet
+      .filter(_ >= 10000000L)
+    assert(got === want)
+  }
+
   test("stream withinWatermark keeps originals and drops the +37s replicas") {
     val msgs = hashedMsgs
     val got = runStream(msgs, 4)(df => StreamDedup.withinWatermark(df))
