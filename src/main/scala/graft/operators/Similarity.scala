@@ -57,8 +57,21 @@ object Similarity {
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
       .repartition(spark.sparkContext.defaultParallelism)
 
-  /** Per-(vec, band) LSH bucket id from `PlanesPerBand` plane signs. */
+  /** Per-(vec, band) LSH bucket id from `PlanesPerBand` plane signs —
+    * fused native expression with precomputed sign tables (the HOF
+    * formulation re-derived planes×dim md5 signs per row; see
+    * plans.HyperplaneBuckets). Bit-identical output. */
   def buckets(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.plans.LshExpressions.hyperplaneBuckets(
+          col("e"), NumPlanes, PlanesPerBand, Dim)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** The composable HOF formulation of the same buckets — reference
+    * implementation kept for the parity spec. */
+  def bucketsHof(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)
       .withColumn("p", explode(sequence(lit(0), lit(NumPlanes - 1))))
       .withColumn("bit", when(expr(ProjSql) > 0, 1).otherwise(0))

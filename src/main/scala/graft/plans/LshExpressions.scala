@@ -1,0 +1,80 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Random-hyperplane LSH band buckets as one fused expression.
+  *
+  * The composable form derives every plane component sign from
+  * md5("pl:p:j") *inside the per-row lambda* — planes × dim md5 calls
+  * per row, though the signs depend only on (p, j). Here the ±1 sign
+  * tables are materialized once per expression instance, so a row costs
+  * planes × dim fused multiply-adds and zero hashing.
+  *
+  * Bit parity: signs use the identical md5 derivation
+  * ((h64("pl:"+p+":"+j) % 2)*2−1, j 1-based), and each projection folds
+  * left-to-right in double precision — outputs match the HOF
+  * formulation and the DuckDB oracle exactly (enforced by the
+  * dedup_embedding / ann_lsh_topk oracle hash-match).
+  */
+case class HyperplaneBuckets(child: Expression, numPlanes: Int,
+                             planesPerBand: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numPlanes % planesPerBand == 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  /** signs(p)(j) = ±1.0, derived once from md5 — not per row. */
+  @transient private lazy val signs: Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { j0 =>
+        val j = j0 + 1 // oracle indexes 1-based
+        md.reset()
+        val d = md.digest(s"pl:$p:$j".getBytes(UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = h >>> 4
+        ((h % 2) * 2 - 1).toDouble
+      }
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, e.numElements())
+    val nBands = numPlanes / planesPerBand
+    val buckets = new Array[Long](nBands)
+    var p = 0
+    while (p < numPlanes) {
+      val s = signs(p)
+      var proj = 0.0
+      var j = 0
+      while (j < n) { proj += e.getFloat(j).toDouble * s(j); j += 1 }
+      if (proj > 0) buckets(p / planesPerBand) |= (1L << (p % planesPerBand))
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buckets)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =
+    copy(child = c)
+}
+
+object LshExpressions {
+  /** Column API: per-band LSH bucket ids (array<long>, one per band)
+    * for a float-vector column. */
+  def hyperplaneBuckets(e: Column, numPlanes: Int, planesPerBand: Int,
+                        dim: Int): Column =
+    column(HyperplaneBuckets(expression(e), numPlanes, planesPerBand, dim))
+}

@@ -46,6 +46,13 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native hyperplane buckets equal the HOF formulation exactly") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("band").longValue(),
+        r.getAs[Long]("bucket"))).toSet
+    assert(key(Similarity.buckets(spark, sf)) === key(Similarity.bucketsHof(spark, sf)))
+  }
+
   test("embedding near-dup pairs meet the cosine threshold") {
     val out = Similarity.nearDupPairs(spark, sf, tau = 0.3).collect()
     out.foreach(r => assert(r.getAs[Double]("cos") >= 0.3))
