@@ -65,6 +65,33 @@ object Multimodal {
     }(Encoders.product[DecodedAsset]).toDF()
   }
 
+  /** Embedding record produced by the (stubbed) feature extractor. */
+  case class EmbeddedAsset(doc_id: Long, embedding: Array[Float])
+
+  /** Feature-extraction plumbing: binary payload → embedding vector,
+    * executed per-partition (a real vision/audio encoder would batch
+    * here; the kernel is a deterministic byte-fold STUB). The output
+    * column is `array<float>` — directly consumable by the Similarity
+    * operators (cosine, LSH buckets, ANN top-k). */
+  def embedStub(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val src = withPayload(spark, dir).select("doc_id", "payload")
+    src.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val v = new Array[Float](dim)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < bytes.length) {
+          h = h * 31 + (bytes(i) & 0xff)
+          v(i % dim) += ((h % 1024) / 512.0f) - 1.0f
+          i += 1
+        }
+        EmbeddedAsset(id, v)
+      }
+    }(Encoders.product[EmbeddedAsset]).toDF()
+  }
+
   /** Frame-sampling plumbing over a decoded video asset: one output row
     * per sampled frame index (every `stride`-th frame). Demonstrates the
     * explode-based fan-out a video pipeline needs without materializing

@@ -24,6 +24,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("embedStub output feeds the similarity operators end-to-end") {
+    val emb = Multimodal.embedStub(spark, sf)
+    assert(emb.count() === graft.Tables.documents(spark, sf).count())
+    // vectors are deterministic and 64-wide
+    val a = emb.orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    val b = Multimodal.embedStub(spark, sf).orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    assert(a.map(_.sum).toSeq === b.map(_.sum).toSeq)
+    assert(a.forall(_.length === 64))
+    // compose with the native cosine expression: self-similarity = 1
+    val self = emb.limit(5)
+      .withColumn("cos", graft.plans.VectorExpressions.cosineSimilarity(col("embedding"), col("embedding")))
+      .collect().map(_.getAs[Double]("cos"))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
   test("sampleFrames fans out only video assets with stride steps") {
     val decoded = Multimodal.decode(spark, sf)
     val frames = Multimodal.sampleFrames(decoded, stride = 30)
