@@ -28,6 +28,7 @@ object SparkEntry {
     "sample_per_source" -> ((s, d) => DocDedup.samplePerSource(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashLSH.nearDupPairs(s, d)),
+    "dedup_components" -> ((s, d) => MinHashLSH.nearDupComponents(s, d)),
     "dedup_simhash" -> ((s, d) => SimHash.nearDupPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     // LLM-pipeline: similarity search
@@ -265,6 +266,42 @@ object SparkEntry {
          |FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
          |WHERE shared / (n1.n + n2.n - shared) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // transitive dedup groups: same minhash pair CTEs, then reachability
+    // closure (recursive UNION dedups → terminates) and min per node.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |mh AS (
+         |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
+         |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
+         |),
+         |bands AS (
+         |  SELECT doc_id, seed//4 AS band,
+         |    ${H64("concat_ws('|', CAST(seed//4 AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
+         |  FROM mh GROUP BY doc_id, seed//4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.d1, c.d2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT d1, d2 FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |),
+         |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT d1, d1 FROM edges
+         |  UNION
+         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
+         |)
+         |SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $SH_CTE,

@@ -67,6 +67,41 @@ object MinHashLSH {
       .orderBy("s1", "s2")
   }
 
+  /** Connected components over the near-dup graph: full transitive
+    * dedup groups (pairs alone under-merge chains a→b→c). Min-label
+    * propagation: every node repeatedly adopts the smallest label among
+    * itself and its neighbors until fixpoint — O(diameter) rounds, each
+    * one join + aggregation; lineage is truncated per round with a
+    * local checkpoint so plans don't grow with iterations. Near-dup
+    * graphs are overwhelmingly tiny disjoint clusters, so this
+    * converges in 2-3 rounds at any scale. */
+  def nearDupComponents(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, tau).select("d1", "d2")
+    val edges = pairs
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("d1").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges.join(labels, col("d2") === col("node"))
+        .groupBy(col("d1")).agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("d1"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.as("u")
+        .join(labels.as("l"), col("u.node") === col("l.node"))
+        .filter(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels = updated
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+      .orderBy("doc_id")
+  }
+
   /** #9: candidate pairs from band collisions, verified with true
     * Jaccard ≥ τ on the shingle sets. */
   def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {

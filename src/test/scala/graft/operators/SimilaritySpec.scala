@@ -46,6 +46,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearDupComponents: labels are transitive minima over pair chains") {
+    val pairs = MinHashLSH.nearDupPairs(spark, sf, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = MinHashLSH.nearDupComponents(spark, sf, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both endpoints of every pair share a component
+    pairs.foreach { case (a, b) => assert(comp(a) === comp(b)) }
+    // each component's label is its minimum member
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+  }
+
   test("native hyperplane buckets equal the HOF formulation exactly") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("band").longValue(),
