@@ -52,6 +52,7 @@ object SparkEntry {
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "events_running" -> ((s, d) => Analytics.runningUser(s, d)),
     "events_distinct_hour" -> ((s, d) => Analytics.distinctUsersHour(s, d)),
+    "events_rollup" -> ((s, d) => Analytics.eventsRollup(s, d)),
     // HLL++ sketch (built-in approx_count_distinct) — approximation has
     // no cross-engine oracle; driver records a rows-only check.
     "events_approx_users" -> ((s, d) =>
@@ -541,6 +542,15 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
          |  FROM ev
          |) WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    // NULLS FIRST explicitly: Spark defaults nulls-first on ASC,
+    // DuckDB defaults nulls-last.
+    "events_rollup" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_type, ts_us // 3600000000 AS hour_bucket, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         |FROM ev GROUP BY ROLLUP (event_type, ts_us // 3600000000)
+         |ORDER BY event_type NULLS FIRST, hour_bucket NULLS FIRST""".stripMargin,
 
     "events_distinct_hour" ->
       s"""WITH ev AS ($EV)

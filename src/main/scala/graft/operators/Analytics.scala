@@ -123,6 +123,16 @@ object Analytics {
            money2(sum(dec(col("value")))).as("sum_value"))
       .orderBy("hour_bucket", "event_type")
 
+  /** ROLLUP over (event_type, hour): per-cell, per-type, and grand
+    * totals in one aggregation pass (grouping-sets coverage). */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.eventsUs(spark, dir)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000L"))
+      .rollup("event_type", "hour_bucket")
+      .agg(count(lit(1)).as("n"),
+           money2(sum(dec(col("value")))).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("hour_bucket").asc_nulls_first)
+
   /** Distinct users per hour — the shuffle-heavy distinct-agg shape
     * (expands to a two-level aggregation; AQE coalesces the tail). */
   def distinctUsersHour(spark: SparkSession, dir: String): DataFrame =
