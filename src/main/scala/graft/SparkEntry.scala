@@ -45,7 +45,10 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_shipping" -> ((s, d) => Analytics.q3(s, d)),
     "q5_local_supplier" -> ((s, d) => Analytics.q5(s, d)),
+    "q4_priority" -> ((s, d) => Analytics.q4(s, d)),
     "q6_forecast" -> ((s, d) => Analytics.q6(s, d)),
+    "q12_priority_class" -> ((s, d) => Analytics.q12(s, d)),
+    "q14_promo" -> ((s, d) => Analytics.q14(s, d)),
     "q10_returns" -> ((s, d) => Analytics.q10(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -491,6 +494,34 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_priority" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_priority_class" ->
+      s"""SELECT l_linestatus,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo" ->
+      s"""SELECT
+         |  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN $DISC_PRICE ELSE CAST(0.0 AS DECIMAL(18,4)) END),2) AS DOUBLE) AS promo_revenue,
+         |  ${moneySum(DISC_PRICE)} AS total_revenue,
+         |  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $DISC_PRICE ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+         |        / CAST(SUM($DISC_PRICE) AS DOUBLE), 4) AS promo_ratio
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
 
     "q6_forecast" ->
       s"""SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue

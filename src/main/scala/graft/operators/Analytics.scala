@@ -82,6 +82,53 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H-Q4-style order-priority check: EXISTS semi-join shape —
+    * orders in one quarter having at least one returned line item. */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H-Q12-style priority classification: conditional aggregation
+    * over a join (CASE inside SUM — map-side combinable). */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(urgent, 1).otherwise(0)).cast("long").as("high_line_count"),
+           sum(when(!urgent, 1).otherwise(0)).cast("long").as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H-Q14-style promo revenue ratio: conditional decimal sums and
+    * a double ratio — part is broadcast into the lineitem scan. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val discPrice = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    val zero = lit(0.0).cast(DecimalType(18, 4))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        money2(sum(when(col("p_type") === "PROMO", discPrice).otherwise(zero))).as("promo_revenue"),
+        money2(sum(discPrice)).as("total_revenue"),
+        round(sum(when(col("p_type") === "PROMO", discPrice).otherwise(zero)).cast("double") * 100.0
+          / sum(discPrice).cast("double"), 4).as("promo_ratio"))
+  }
+
   /** TPC-H-Q6-style revenue forecast: pure filter + scalar aggregate —
     * the pushdown stress test (every predicate reaches the scan). */
   def q6(spark: SparkSession, dir: String): DataFrame =
