@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line — to stdout AND to a file (SPARK_GRAFT_BENCH_OUT,
+  * default ./bench_out.json), because sbt interleaves its own log lines
+  * into stdout and a log-tail parse of the JSON is fragile.
+  *
+  * A query that throws is reported in the `errors` object and carries a
+  * -1 time marker — never its elapsed wall time — so a crash is
+  * distinguishable from a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,21 +23,35 @@ object Bench {
     // Warm-up: JIT/codegen/parquet-footer caches, untimed.
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Best of two runs per query: one-shot local timings swing ~2× on
     // JIT/GC noise; the min is the reproducible cost of the plan.
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors(name) = (Option(e.getMessage).getOrElse("") match {
+            case "" => e.getClass.getName
+            case m  => m
+          }).replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160)
+          None
+        }
       }
-      name -> times.min
-    }.toMap
+      name -> (if (times.nonEmpty) times.min else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try Files.writeString(Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -183,18 +183,24 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY h.digest, h.ts_us ORDER BY h.event_id) = 1
          |ORDER BY event_id""".stripMargin,
 
+    // Warm-up from prior OUTPUT (cacheBuilding.ts buildUpCache): a digest
+    // is warmed iff its first forwarded occurrence (= first pre-cutoff
+    // row) falls inside the cache window; keep the first fresh row of
+    // every un-warmed digest.
     "dedup_bootstrap" ->
       s"""WITH $DUP_CTE, ${hashedCte(CANON_K)},
-         |history AS (
-         |  SELECT DISTINCT digest FROM hashed
-         |  WHERE ts_us < 1704153600000000 AND ts_us >= 1704153600000000 - 172800000000
-         |),
-         |firstocc AS (
-         |  SELECT * FROM hashed WHERE ts_us >= 1704153600000000
-         |  QUALIFY row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) = 1
+         |x AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN ts_us < 1704153600000000 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY digest) AS n_pre,
+         |    MIN(CASE WHEN ts_us < 1704153600000000 THEN ts_us END)
+         |      OVER (PARTITION BY digest) AS first_pre_ts,
+         |    row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) AS rn
+         |  FROM hashed
          |)
-         |SELECT $OUT_COLS FROM firstocc
-         |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.digest = firstocc.digest)
+         |SELECT $OUT_COLS FROM x
+         |WHERE ts_us >= 1704153600000000 AND rn = n_pre + 1
+         |  AND (first_pre_ts IS NULL OR first_pre_ts < 1704153600000000 - 172800000000)
          |ORDER BY event_id""".stripMargin,
 
     "dedup_counters" ->
@@ -312,7 +318,7 @@ object SparkEntry {
          |th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
          |bits AS (
          |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM th, generate_series(0,31) b(b) GROUP BY doc_id, b.b
+         |  FROM th, generate_series(0,63) b(b) GROUP BY doc_id, b.b
          |),
          |simh AS (
          |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
@@ -320,7 +326,7 @@ object SparkEntry {
          |),
          |bands AS (
          |  SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte
-         |  FROM simh, generate_series(0,3) g(g)
+         |  FROM simh, generate_series(0,7) g(g)
          |),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2
@@ -590,11 +596,15 @@ object SparkEntry {
          |  COUNT(*) AS n_events
          |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // moving average exported as its exact (sum, count) integer pair —
+    // a repeating-decimal double ratio is the one thing two engines
+    // will format/round apart (round-1 lesson).
     "events_running" ->
       s"""WITH ev AS ($EV)
          |SELECT event_id, user_id, ts_us,
-         |  SUM(cents) OVER w_all AS running_cents,
-         |  CAST(SUM(cents) OVER w5 AS DOUBLE) / COUNT(*) OVER w5 AS mov5_cents
+         |  CAST(SUM(cents) OVER w_all AS BIGINT) AS running_cents,
+         |  CAST(SUM(cents) OVER w5 AS BIGINT) AS mov5_sum_cents,
+         |  CAST(COUNT(*) OVER w5 AS BIGINT) AS mov5_n
          |FROM (SELECT *, CAST(ROUND(value*100) AS BIGINT) AS cents FROM ev)
          |WINDOW
          |  w_all AS (PARTITION BY user_id ORDER BY ts_us, event_id

@@ -209,9 +209,10 @@ object Analytics {
       .orderBy("user_id", "session_idx")
   }
 
-  /** Running totals + moving average per user — integer cents keep the
-    * running sum exact; the moving average is an explicit sum/count so
-    * both engines compute the identical double. */
+  /** Running totals + moving window per user — everything is exact
+    * integer cents: the moving average is exported as its (sum, count)
+    * pair so no engine ever materializes a repeating-decimal double
+    * (the one cross-engine hash hazard this suite has hit). */
   def runningUser(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -221,7 +222,8 @@ object Analytics {
       .select(
         col("event_id"), col("user_id"), col("ts_us"),
         sum("cents").over(wAll).as("running_cents"),
-        (sum("cents").over(w5).cast("double") / count(lit(1)).over(w5)).as("mov5_cents"))
+        sum("cents").over(w5).as("mov5_sum_cents"),
+        count(lit(1)).over(w5).as("mov5_n"))
       .orderBy("event_id")
   }
 

@@ -154,18 +154,36 @@ object Dedup {
       .orderBy("event_id")
   }
 
-  /** #5: warm-up bootstrap (cacheBuilding.ts): messages after the cutoff
-    * are deduplicated among themselves AND against the digest set of the
-    * prior CACHE_WINDOW of output. The digest set is small relative to
-    * the stream → Catalyst broadcasts the anti-join side (AQE keeps it
-    * a shuffle join if it grows past the threshold). */
+  /** #5: warm-up bootstrap (cacheBuilding.ts buildUpCache): the dedup
+    * state is warmed from the digests of prior OUTPUT — i.e. messages
+    * the dedupper forwarded (first occurrences), not every raw input
+    * row — read back CACHE_WINDOW seconds. A digest first-forwarded
+    * BEFORE the window (whose later duplicates were dropped, hence
+    * absent from the output topic) is NOT warmed, so a fresh
+    * re-occurrence is forwarded again — exactly the reference's
+    * behavior. `cacheWindowUs <= 0` skips warm-up entirely
+    * (cacheBuilding.ts:72-79).
+    *
+    * Plan: ONE pass over the digested stream — a single hash exchange
+    * on the digest computes, per digest: the count of pre-cutoff rows,
+    * the first pre-cutoff timestamp (= when the digest was first
+    * forwarded), and the global row_number. A fresh row is kept iff it
+    * is the first fresh row of its digest and the digest was not
+    * forwarded within the cache window. No self-join, so the
+    * scan+digest pipeline executes exactly once. */
   def bootstrap(df: DataFrame, cutoffUs: Long = BootstrapCutoffUs,
                 cacheWindowUs: Long = CacheWindowUs): DataFrame = {
-    val history = df
-      .filter(col("ts_us") < cutoffUs && col("ts_us") >= cutoffUs - cacheWindowUs)
-      .select("digest").distinct()
-    val fresh = df.filter(col("ts_us") >= cutoffUs)
-    firstOccurrence(fresh).join(history, Seq("digest"), "left_anti")
+    if (cacheWindowUs <= 0)
+      return firstOccurrence(df.filter(col("ts_us") >= cutoffUs))
+    val w = Window.partitionBy("digest")
+    val wo = w.orderBy("ts_us", "event_id")
+    val isPre = col("ts_us") < lit(cutoffUs)
+    df.withColumn("n_pre", sum(when(isPre, 1L).otherwise(0L)).over(w))
+      .withColumn("first_pre_ts", min(when(isPre, col("ts_us"))).over(w))
+      .withColumn("rn", row_number().over(wo))
+      .filter(!isPre && col("rn") === col("n_pre") + 1 &&
+        (col("first_pre_ts").isNull ||
+         col("first_pre_ts") < lit(cutoffUs - cacheWindowUs)))
       .select((evCols :+ "digest").map(col): _*)
       .orderBy("event_id")
   }

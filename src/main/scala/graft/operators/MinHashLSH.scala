@@ -85,18 +85,18 @@ object MinHashLSH {
       .localCheckpoint(true)
     var converged = false
     while (!converged) {
-      val neighborMin = edges.join(labels, col("d2") === col("node"))
-        .groupBy(col("d1")).agg(min("label").as("nlabel"))
+      // The previous label rides along in the propagation result, so the
+      // convergence test is a scan of the (eagerly materialized) local
+      // checkpoint — one join job per round, not two.
       val updated = labels
-        .join(neighborMin, col("node") === col("d1"), "left")
-        .select(col("node"),
+        .join(edges.join(labels, col("d2") === col("node"))
+                .groupBy(col("d1")).agg(min("label").as("nlabel")),
+              col("node") === col("d1"), "left")
+        .select(col("node"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = updated.as("u")
-        .join(labels.as("l"), col("u.node") === col("l.node"))
-        .filter(col("u.label") =!= col("l.label"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("prev_label")).isEmpty
+      labels = updated.select("node", "label")
     }
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
       .orderBy("doc_id")

@@ -4,19 +4,25 @@ import graft.functions.Hashing.h64
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** SimHash near-duplicate detection: a 32-bit signature per document
+/** SimHash near-duplicate detection: a 64-bit signature per document
   * from its shingle hashes (majority vote per bit), then byte-banded
-  * candidate generation (4 bands of 8 bits — pigeonhole: any pair at
-  * Hamming ≤ 3 shares a whole byte; we verify candidates up to hd 4)
-  * and exact Hamming filtering. Signature state per doc is one int64,
-  * so the whole pipeline is groupBy/join shuffles on uniform keys.
+  * candidate generation (8 bands of 8 bits — pigeonhole: any pair at
+  * Hamming ≤ 7 shares a whole byte, so recall is EXACT for the
+  * HammingMax=4 contract) and exact Hamming filtering. Signature state
+  * per doc is one int64, so the whole pipeline is groupBy/join shuffles
+  * on uniform keys.
+  *
+  * Note: the feature hash (md5-derived h64) carries 60 bits of entropy,
+  * so bits 60–63 of the signature are constant-zero in both engines —
+  * harmless (they vote unanimously) and cross-engine identical.
   */
 object SimHash {
 
-  val Bits = 32
+  val Bits = 64
+  val Bands = 8
   val HammingMax = 4
 
-  /** Per-doc 32-bit simhash from distinct shingle features. */
+  /** Per-doc 64-bit simhash from distinct shingle features. */
   def signatures(sh: DataFrame): DataFrame = {
     val bitVotes = sh
       .withColumn("h", h64(col("shingle")))
@@ -32,7 +38,7 @@ object SimHash {
   /** #10: near-dup pairs at Hamming distance ≤ `HammingMax`. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = signatures(DocDedup.docShingles(spark, dir))
-    val bands = sig.withColumn("band", explode(sequence(lit(0), lit(3))))
+    val bands = sig.withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
       .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&

@@ -59,14 +59,37 @@ class DedupSpec extends SparkSpec {
     assert(rep3 > orig * 9 / 10)
   }
 
-  test("bootstrap: fresh rows whose digest appeared in history are dropped") {
-    val out = Dedup.bootstrap(hashed)
-    val history = hashed
-      .filter(col("ts_us") < Dedup.BootstrapCutoffUs)
-      .select("digest").distinct().collect().map(_.getLong(0)).toSet
-    val outDigests = out.select("digest").collect().map(_.getLong(0))
-    assert(outDigests.forall(d => !history.contains(d)))
-    assert(out.count() > 0)
+  test("bootstrap matches the reference warm-up model (output-derived digests)") {
+    // Model of cacheBuilding.ts buildUpCache: the warm set is the digests
+    // of messages FORWARDED (first occurrences) within the cache window
+    // before the cutoff; keep the first fresh row of every digest not in
+    // the warm set.
+    val cutoff = Dedup.BootstrapCutoffUs
+    val winStart = cutoff - Dedup.CacheWindowUs
+    val rows = hashed.select("digest", "ts_us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val pre = rs.filter(_._2 < cutoff)
+      val warmed = pre.nonEmpty && {
+        val firstPre = pre.map(r => (r._2, r._3)).min
+        firstPre._1 >= winStart
+      }
+      val fresh = rs.filter(_._2 >= cutoff)
+      if (warmed || fresh.isEmpty) None
+      else Some(fresh.map(r => (r._2, r._3)).min._2)
+    }.toSet
+    val out = Dedup.bootstrap(hashed).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
+  test("bootstrap with cacheWindow <= 0 skips warm-up (cacheBuilding.ts:72-79)") {
+    val out = Dedup.bootstrap(hashed, cacheWindowUs = 0L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val plain = Dedup.firstOccurrence(
+        hashed.filter(col("ts_us") >= Dedup.BootstrapCutoffUs))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(out === plain)
   }
 
   test("counters: forwarded + dropped equals input size") {
