@@ -124,6 +124,30 @@ object SparkEntry {
        |  FROM toks WHERE len(t) >= 3
        |)""".stripMargin
 
+  /** MinHash signatures → banded LSH candidate pairs with the hot-bucket
+    * cap (buckets larger than MaxBucketSize dropped) — mirrors
+    * MinHashLSH.nearDupPairsOf. Shared by every oracle that consumes
+    * near-dup candidates. */
+  private val MH_CAND_CTE =
+    s"""mh AS (
+       |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
+       |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
+       |),
+       |bands AS (
+       |  SELECT doc_id, seed//4 AS band,
+       |    ${H64("concat_ws('|', CAST(seed//4 AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
+       |  FROM mh GROUP BY doc_id, seed//4
+       |),
+       |capped AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bsz FROM bands)
+       |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM capped x JOIN capped y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+       |)""".stripMargin
+
   /** Left-fold double dot product — mirrors Similarity.dotSql. */
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64),
@@ -231,18 +255,19 @@ object SparkEntry {
          |  FROM documents
          |) WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
 
+    // Jaccard is defined over the df-capped shingle set (hot boilerplate
+    // shingles excluded) — mirrors DocDedup.ngramJaccardOf.
     "dedup_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(t)-2),
-         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
-         |  FROM toks WHERE len(t) >= 3
+      s"""WITH $SH_CTE,
+         |shd AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= ${graft.operators.DocDedup.MaxShingleDf}
          |),
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |n AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
          |p AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT d1, d2, shared, shared / (n1.n + n2.n - shared) AS jaccard
@@ -252,19 +277,7 @@ object SparkEntry {
 
     "dedup_minhash_lsh" ->
       s"""WITH $SH_CTE,
-         |mh AS (
-         |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
-         |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
-         |),
-         |bands AS (
-         |  SELECT doc_id, seed//4 AS band,
-         |    ${H64("concat_ws('|', CAST(seed//4 AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
-         |  FROM mh GROUP BY doc_id, seed//4
-         |),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-         |),
+         |$MH_CAND_CTE,
          |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |shared AS (
          |  SELECT c.d1, c.d2, count(*) AS shared
@@ -281,19 +294,7 @@ object SparkEntry {
     // closure (recursive UNION dedups → terminates) and min per node.
     "dedup_components" ->
       s"""WITH RECURSIVE $SH_CTE,
-         |mh AS (
-         |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
-         |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
-         |),
-         |bands AS (
-         |  SELECT doc_id, seed//4 AS band,
-         |    ${H64("concat_ws('|', CAST(seed//4 AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
-         |  FROM mh GROUP BY doc_id, seed//4
-         |),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-         |),
+         |$MH_CAND_CTE,
          |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |shared AS (
          |  SELECT c.d1, c.d2, count(*) AS shared
@@ -653,19 +654,7 @@ object SparkEntry {
     // keepers ∖ near-dup losers, gated on quality and language.
     "pipeline_clean_docs" ->
       s"""WITH $SH_CTE,
-         |mh AS (
-         |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
-         |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
-         |),
-         |bands AS (
-         |  SELECT doc_id, seed//4 AS band,
-         |    ${H64("concat_ws('|', CAST(seed//4 AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
-         |  FROM mh GROUP BY doc_id, seed//4
-         |),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-         |),
+         |$MH_CAND_CTE,
          |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |shared AS (
          |  SELECT c.d1, c.d2, count(*) AS shared

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing._
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
@@ -62,14 +63,14 @@ object Dedup {
       .unionAll(shifted(20000000L, Replica3ShiftUs))
   }
 
-  /** Replicated stream + canonical digest column. The repartition
-    * spreads digest computation across cores before any shuffle-keyed
-    * operator (the local test tables are single-split parquet files;
-    * at scale the scan splits naturally and this is a cheap rebalance). */
+  /** Replicated stream + canonical digest column. `spread` rebalances
+    * digest computation across cores ONLY when the scan under-splits
+    * (the local single-row-group test parquet); a multi-split scan at
+    * real scale passes through with no extra exchange (Partitioning). */
   def hashedStream(spark: SparkSession, dir: String,
                    ignored: Seq[String] = Nil): DataFrame =
     withReplicas(eventsUs(spark, dir))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spread
       .withColumn(
         "digest",
         eventDigest(col("user_id"), col("event_type"), col("value"), col("props"), ignored))
@@ -81,7 +82,7 @@ object Dedup {
   def hashedStreamFast(spark: SparkSession, dir: String,
                        ignored: Seq[String] = Nil): DataFrame =
     withReplicas(eventsUs(spark, dir))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spread
       .withColumn(
         "digest",
         eventDigest(col("user_id"), col("event_type"), col("value"), col("props"),

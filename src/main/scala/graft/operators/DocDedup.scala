@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.h64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -12,6 +13,14 @@ import org.apache.spark.sql.functions._
   * materialize for docs that actually share a shingle.
   */
 object DocDedup {
+
+  /** Hot-shingle cap: shingles present in more document sets than this
+    * are boilerplate (templated headers, empty-doc artifacts). A shingle
+    * shared by k docs emits k² candidate pairs in the self-join, so one
+    * hot shingle is quadratic at corpus scale; above-cap shingles also
+    * carry no discriminative signal, so near-dup Jaccard is DEFINED over
+    * the df-capped shingle set (the oracle applies the identical cap). */
+  val MaxShingleDf = 64
 
   /** Canonical text: lowercase, trim, collapse whitespace. */
   def normalized(text: Column): Column =
@@ -31,7 +40,7 @@ object DocDedup {
     * casing noise that exact normalization must collapse. */
   def docsWithCaseNoise(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spread
     d.unionAll(d.select((col("doc_id") + 100000L).as("doc_id"),
                         upper(col("text")).as("text")))
   }
@@ -65,29 +74,48 @@ object DocDedup {
 
   /** (doc_id, shingle) pairs, shingles distinct per doc.
     *
-    * The scan is spread across all cores first: the test tables are
-    * single-row-group parquet files (one scan split), and the shingle
-    * expression is the per-row hot spot — without the repartition the
-    * whole fan-out runs on one core. On a real multi-file/multi-row-
-    * group table the scan parallelizes itself and the repartition is a
-    * cheap no-op-sized shuffle of the narrow (doc_id, text) projection. */
+    * The shingle expression is the per-row hot spot, so the narrow
+    * (doc_id, text) projection goes through `spread`: rebalanced across
+    * cores when the scan under-splits (local single-row-group parquet),
+    * untouched — no extra shuffle — when a real multi-split scan
+    * already parallelizes (Partitioning). */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select("doc_id", "text")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        // fused native expression — same output as
-        // explode(shingles3(tokens(text))), ~5× faster per row
-        explode(graft.plans.TextExpressions.shingles(col("text"), 3)).as("shingle"))
+    docShinglesOf(
+      Tables.documents(spark, dir)
+        .select("doc_id", "text")
+        .spread)
+
+  /** Same, over an arbitrary (doc_id, text) frame. */
+  def docShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      // fused native expression — same output as
+      // explode(shingles3(tokens(text))), ~5× faster per row
+      explode(graft.plans.TextExpressions.shingles(col("text"), 3)).as("shingle"))
+
+  /** `sh` minus hot shingles (document frequency > maxDf). The df window
+    * hash-partitions on the shingle — the same partitioning the candidate
+    * self-join needs — so the cap adds no extra exchange on the hot path. */
+  def cappedShingles(sh: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    sh.withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "shingle")
+  }
 
   /** #8: near-dup pairs by true n-gram Jaccard ≥ τ. Shuffles: one on
     * shingle (candidate generation), one on the pair key (intersection
     * count). Per-doc shingle counts are broadcast back onto the pairs.
-    * At 100 TB a boilerplate-shingle hot key would fan out quadratically
-    * — the MinHash/LSH operator (MinHashLSH.scala) is the scale path;
-    * this one is the exact verifier. */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val sh = docShingles(spark, dir)
+    * Hot boilerplate shingles are df-capped out before the self-join
+    * (see MaxShingleDf) so no key can fan out quadratically; the
+    * MinHash/LSH operator (MinHashLSH.scala) remains the preferred
+    * scale path, this one the exact verifier. */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
+    ngramJaccardOf(docShingles(spark, dir), tau)
+
+  /** #8 over an arbitrary (doc_id, shingle) frame. */
+  def ngramJaccardOf(shAll: DataFrame, tau: Double = 0.5,
+                     maxDf: Int = MaxShingleDf): DataFrame = {
+    val sh = cappedShingles(shAll, maxDf)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val pairs = a.join(b,

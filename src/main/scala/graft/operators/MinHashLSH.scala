@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.functions.Hashing.h64
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,6 +20,13 @@ object MinHashLSH {
 
   val NumSeeds = 16
   val BandRows = 4 // → 4 bands
+
+  /** Hot-bucket cap: an LSH bucket holding k docs emits k²/2 candidate
+    * pairs, so one degenerate signature (empty/templated docs all
+    * hashing alike) is quadratic at scale. Buckets above this size are
+    * dropped — standard LSH practice; the lost pairs are exactly the
+    * degenerate ones, and the oracle applies the identical cap. */
+  val MaxBucketSize = 64
 
   /** Per-(doc,band) LSH signature.
     *
@@ -54,7 +62,7 @@ object MinHashLSH {
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
       .select("source", "text")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spread
     val sigs = docs
       .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
       .filter(size(col("sh3")) > 0)
@@ -104,12 +112,23 @@ object MinHashLSH {
 
   /** #9: candidate pairs from band collisions, verified with true
     * Jaccard ≥ τ on the shingle sets. */
-  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val sh = DocDedup.docShingles(spark, dir)
-    val docs = graft.Tables.documents(spark, dir)
-      .select("doc_id", "text")
-      .repartition(spark.sparkContext.defaultParallelism)
+  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
+    nearDupPairsOf(
+      graft.Tables.documents(spark, dir)
+        .select("doc_id", "text")
+        .spread,
+      tau)
+
+  /** #9 over an arbitrary (doc_id, text) frame. */
+  def nearDupPairsOf(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val sh = DocDedup.docShinglesOf(docs)
+    // Hot-bucket cap (see MaxBucketSize): the size window hash-partitions
+    // on (band, sig) — the same key the candidate self-join shuffles on.
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
     val bands = bandSignatures(docs)
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= MaxBucketSize)
+      .select("doc_id", "band", "sig")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.h64
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -23,7 +24,7 @@ object Pipeline {
   def cleanDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spread
 
     // stage 1: exact dedup — keeper is min doc_id per normalized digest
     val keepers = docs

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -55,7 +56,7 @@ object Similarity {
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spread
 
   /** Per-(vec, band) LSH bucket id from `PlanesPerBand` plane signs —
     * fused native expression with precomputed sign tables (the HOF

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -87,7 +88,7 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val tk = Tables.documents(spark, dir)
       .select("doc_id", "text")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spread
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tk.groupBy("term").agg(countDistinct("doc_id").as("df"))

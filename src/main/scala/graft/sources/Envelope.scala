@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.{canonicalPropsMap, h64}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -37,7 +38,7 @@ object Envelope {
     * event body bytes, properties = the parsed props map). */
   def fromEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .spread
       .select(
         col("event_id"),
         encode(concat_ws("|", col("user_id"), col("event_type"),

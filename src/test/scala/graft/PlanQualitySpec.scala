@@ -27,4 +27,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_quantity:double"))
     assert(!p.contains("l_orderkey"))
   }
+
+  test("spread: multi-split input passes through with no leading exchange") {
+    import graft.Partitioning._
+    import org.apache.spark.sql.functions._
+    val target = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_multisplit").toString
+    // many small files → the scan itself yields >= cores partitions
+    spark.range(2000).select(col("id").as("doc_id"),
+        concat(lit("text for doc "), col("id")).as("text"))
+      .repartition(target * 2)
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    assert(scan.rdd.getNumPartitions >= target)
+    val spreadDf = scan.spread
+    // same instance — spread added nothing to the plan
+    assert(spreadDf eq scan)
+    assert(!spreadDf.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("spread: single-split input is rebalanced across all cores") {
+    import graft.Partitioning._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_onesplit").toString
+    spark.range(100).select(col("id"), lit("x").as("t"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val spreadDf = scan.spread
+    assert(spreadDf.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+  }
 }

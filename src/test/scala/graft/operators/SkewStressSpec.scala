@@ -29,4 +29,35 @@ class SkewStressSpec extends SparkSpec {
       lit(1.0).as("value"), lit("{}").as("props"), lit(42L).as("digest"))
     assert(Dedup.firstOccurrence(hot).count() === 1)
   }
+
+  test("boilerplate shingle shared by 150 docs is df-capped out of ngram candidates") {
+    import spark.implicits._
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    val docs = (0 until 150).map { i =>
+      val tail =
+        if (i < 2) "alpha beta gamma delta epsilon zeta"
+        else s"unique$i token$i word$i extra$i more$i end$i"
+      (i.toLong, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val pairs = DocDedup.ngramJaccardOf(DocDedup.docShinglesOf(docs)).collect()
+    // every boilerplate shingle has df=150 > MaxShingleDf → excluded from
+    // candidate generation AND the Jaccard definition; only docs 0 and 1
+    // share surviving (tail + boundary) shingles.
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+  }
+
+  test("overfull LSH bucket (150 identical docs) is capped; small buckets survive") {
+    import spark.implicits._
+    val boilerDoc = "the same exact document body repeated verbatim across the whole corpus"
+    val dupDoc = "completely different content about catalyst optimizer internals and query planning"
+    val docs = ((0 until 150).map(i => (i.toLong, boilerDoc)) ++
+      Seq((900L, dupDoc), (901L, dupDoc))).toDF("doc_id", "text")
+    val pairs = MinHashLSH.nearDupPairsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The 150 identical docs collapse into one bucket of size 150 >
+    // MaxBucketSize → dropped (the 11k degenerate pairs are exact dups —
+    // dedup_exact_docs territory, not near-dup's). The 2-doc bucket for
+    // the 900/901 pair is untouched.
+    assert(pairs === Set((900L, 901L)))
+  }
 }
