@@ -165,27 +165,29 @@ object Dedup {
     * behavior. `cacheWindowUs <= 0` skips warm-up entirely
     * (cacheBuilding.ts:72-79).
     *
-    * Plan: ONE pass over the digested stream — a single hash exchange
-    * on the digest computes, per digest: the count of pre-cutoff rows,
-    * the first pre-cutoff timestamp (= when the digest was first
-    * forwarded), and the global row_number. A fresh row is kept iff it
-    * is the first fresh row of its digest and the digest was not
-    * forwarded within the cache window. No self-join, so the
+    * Plan: ONE aggregation over the digested stream — per digest, the
+    * first pre-cutoff timestamp (= when the digest was first forwarded)
+    * and the first fresh row (min of a (ts_us, event_id, …) struct, so
+    * the whole row rides the aggregate). Both are `min`s, so partial
+    * aggregation combines map-side: only per-digest minima cross the
+    * exchange, there is no sort and no window buffering, and the
     * scan+digest pipeline executes exactly once. */
   def bootstrap(df: DataFrame, cutoffUs: Long = BootstrapCutoffUs,
                 cacheWindowUs: Long = CacheWindowUs): DataFrame = {
     if (cacheWindowUs <= 0)
       return firstOccurrence(df.filter(col("ts_us") >= cutoffUs))
-    val w = Window.partitionBy("digest")
-    val wo = w.orderBy("ts_us", "event_id")
     val isPre = col("ts_us") < lit(cutoffUs)
-    df.withColumn("n_pre", sum(when(isPre, 1L).otherwise(0L)).over(w))
-      .withColumn("first_pre_ts", min(when(isPre, col("ts_us"))).over(w))
-      .withColumn("rn", row_number().over(wo))
-      .filter(!isPre && col("rn") === col("n_pre") + 1 &&
+    // ordering fields first: struct-min = row with min (ts_us, event_id)
+    val freshRow = struct(
+      (Seq("ts_us", "event_id") ++ evCols.filterNot(Set("ts_us", "event_id"))).map(col): _*)
+    df.groupBy("digest")
+      .agg(
+        min(when(isPre, col("ts_us"))).as("first_pre_ts"),
+        min(when(!isPre, freshRow)).as("ff"))
+      .filter(col("ff").isNotNull &&
         (col("first_pre_ts").isNull ||
          col("first_pre_ts") < lit(cutoffUs - cacheWindowUs)))
-      .select((evCols :+ "digest").map(col): _*)
+      .select(evCols.map(c => col(s"ff.$c").as(c)) :+ col("digest"): _*)
       .orderBy("event_id")
   }
 

@@ -4,8 +4,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge.{column, expression}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -23,10 +23,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * left-to-right in double precision — outputs match the HOF
   * formulation and the DuckDB oracle exactly (enforced by the
   * dedup_embedding / ann_lsh_topk oracle hash-match).
+  *
+  * A vector whose length differs from `dim` raises — the HOF form
+  * null-poisons short vectors, so silently truncating here would make
+  * the two formulations diverge quietly on malformed input.
+  *
+  * Codegen: direct kernel call via a reference object — the sign-table
+  * multiply-add loop runs inside whole-stage codegen with no
+  * interpreted-row boundary.
   */
 case class HyperplaneBuckets(child: Expression, numPlanes: Int,
                              planesPerBand: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numPlanes % planesPerBand == 0)
 
@@ -50,9 +58,11 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int,
     }
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val e = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, e.numElements())
+  /** Per-row kernel shared by interpreted eval and generated code. */
+  def compute(e: ArrayData): ArrayData = {
+    if (e.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_buckets: embedding has ${e.numElements()} elements, expected dim=$dim")
     val nBands = numPlanes / planesPerBand
     val buckets = new Array[Long](nBands)
     var p = 0
@@ -60,11 +70,18 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int,
       val s = signs(p)
       var proj = 0.0
       var j = 0
-      while (j < n) { proj += e.getFloat(j).toDouble * s(j); j += 1 }
+      while (j < dim) { proj += e.getFloat(j).toDouble * s(j); j += 1 }
       if (proj > 0) buckets(p / planesPerBand) |= (1L << (p % planesPerBand))
       p += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buckets)
+    UnsafeArrayData.fromPrimitiveArray(buckets)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBuckets", this, classOf[HyperplaneBuckets].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =

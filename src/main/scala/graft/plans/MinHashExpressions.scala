@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge.{column, expression}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -22,21 +22,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * first 60 bits of the md5, i.e. the first 8 bytes big-endian shifted
   * right by 4 — so outputs are bit-identical to the composable
   * formulation and the DuckDB oracle.
+  *
+  * Codegen: direct kernel call via a reference object — stays inside
+  * whole-stage codegen (md5 hashing dominates; the win is not inlining
+  * but avoiding the interpreted-row boundary CodegenFallback forces on
+  * the host stage).
   */
 case class MinHashSignature(child: Expression, numSeeds: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(numSeeds >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(v: Any): Any = {
+  /** One-pass kernel shared by interpreted eval and generated code. */
+  def compute(shingles: ArrayData): ArrayData = {
     val mins = Array.fill(numSeeds)(Long.MaxValue)
-    // per (seed, shingle): first 60 bits of md5("seed:shingle") — the
-    // 8 big-endian bytes >>> 4, equal to conv(substr(md5,1,15),16,10)
-    MinHashUtil.updateMins(mins, v.asInstanceOf[ArrayData])
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+    MinHashUtil.updateMins(mins, shingles)
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =

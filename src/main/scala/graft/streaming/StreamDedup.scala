@@ -26,6 +26,12 @@ object StreamDedup {
   case class Msg(event_id: Long, ts_us: Long, user_id: Long,
                  event_type: String, value: Double, props: String, digest: Long)
 
+  /** Every input row, tagged forwarded/dropped — the observability form
+    * (reference logs forwarded+dropped per minute, deduplication.ts:82-94). */
+  case class TaggedMsg(event_id: Long, ts_us: Long, user_id: Long,
+                       event_type: String, value: Double, props: String,
+                       digest: Long, kept: Boolean)
+
   /** Per-digest dedup state: event time (µs) of the last forwarded row. */
   case class DigestState(lastKeptUs: Long)
 
@@ -113,6 +119,65 @@ object StreamDedup {
         grouped.flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
     }
   }
+
+  /** `chain`, but emitting EVERY row tagged kept/dropped instead of
+    * filtering — the stream observability form. Downstream splits into
+    * the forwarded stream (`filter(kept)`, then Origin.withOriginProp)
+    * and the per-minute counters (`minuteCounters`), both fed by one
+    * stateful operator. Same O(1)-per-digest state as `chain`. */
+  def chainTagged(spark: SparkSession, df: DataFrame, windowUs: Long,
+                  initialState: Option[Dataset[(Long, DigestState)]] = None)
+      : Dataset[TaggedMsg] = {
+    import spark.implicits._
+    val ds = withEventTime(
+      df.select("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest"))
+      .as[Msg]
+    def fn(digest: Long, rows: Iterator[Msg], state: GroupState[DigestState]): Iterator[TaggedMsg] = {
+      var last = state.getOption.map(_.lastKeptUs)
+      val tagged = rows.toSeq.sortBy(m => (m.ts_us, m.event_id)).map { m =>
+        val keep = last.forall(l => m.ts_us >= l + windowUs)
+        if (keep) last = Some(m.ts_us)
+        TaggedMsg(m.event_id, m.ts_us, m.user_id, m.event_type, m.value,
+          m.props, m.digest, keep)
+      }
+      last.foreach(l => state.update(DigestState(l)))
+      tagged.iterator
+    }
+    val grouped = ds.groupByKey(_.digest)
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
+  }
+
+  /** The reference's per-minute forwarded/dropped counters IN the
+    * stream (deduplication.ts:82-94): a watermarked 1-minute windowed
+    * aggregation over the tagged stream. Works identically on a batch
+    * frame (the oracle-checked dedup_counters shape). */
+  def minuteCounters(tagged: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val withTs = withEventTime(tagged)
+    val wm = if (withTs.isStreaming) withTs.withWatermark("ts", watermark) else withTs
+    wm.groupBy(window(col("ts"), "1 minute"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_forwarded"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).cast("long").as("n_dropped"))
+      .select(
+        (unix_micros(col("window.start")) / 60000000L).cast("long").as("minute_bucket"),
+        col("n_forwarded"), col("n_dropped"))
+  }
+
+  /** Attach observed per-batch forwarded/dropped metrics to a tagged
+    * stream — surfaced through StreamingQueryProgress.observedMetrics
+    * and collected by Observability.GraftStreamListener (the metrics/
+    * health analog of the reference's counter log + healthCheck.ts). */
+  def observed(tagged: Dataset[TaggedMsg]): DataFrame =
+    tagged.toDF().observe(Observability.MetricName,
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_forwarded"),
+      sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
 
   /** The cacheBuilding.ts warm-up, literally: recover per-digest chain
     * state from the deduplicated output already written by a previous

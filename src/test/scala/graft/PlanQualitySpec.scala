@@ -28,6 +28,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("l_orderkey"))
   }
 
+  test("fused shingle/minhash/bucket expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.debug.codegenString
+    import org.apache.spark.sql.functions.col
+    // shingles + minhash signature in one projection over the scan
+    val mh = Tables.documents(spark, sf).select("doc_id", "text")
+      .select(col("doc_id"),
+        graft.plans.MinHashExpressions.minhashSignature(
+          graft.plans.TextExpressions.shingles(col("text"), 3), 4).as("mh"))
+    val mhCode = codegenString(mh.queryExecution.executedPlan)
+    assert(mhCode.contains("Found 1 WholeStageCodegen subtrees"), mhCode.take(200))
+    assert(mhCode.contains(".compute("), "generated code should call the fused kernel")
+    // hyperplane buckets over the embeddings scan
+    val hb = Tables.embeddings(spark, sf)
+      .select(graft.plans.LshExpressions.hyperplaneBuckets(col("embedding"), 8, 4, 64))
+    val hbCode = codegenString(hb.queryExecution.executedPlan)
+    assert(hbCode.contains("Found 1 WholeStageCodegen subtrees"), hbCode.take(200))
+  }
+
   test("spread: multi-split input passes through with no leading exchange") {
     import graft.Partitioning._
     import org.apache.spark.sql.functions._
