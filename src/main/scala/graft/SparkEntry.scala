@@ -68,6 +68,7 @@ object SparkEntry {
     "events_salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
     "source_similarity" -> ((s, d) => MinHashLSH.sourceSimilarity(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_ivf_kmeans" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "pipeline_clean_docs" -> ((s, d) => graft.operators.Pipeline.cleanDocs(s, d)),
   )
 
@@ -163,6 +164,35 @@ object SparkEntry {
        |      j -> CAST(e[j] AS DOUBLE) *
        |           ((${H64("concat('pl:', CAST(p.p AS VARCHAR), ':', CAST(j AS VARCHAR))")} % 2)*2 - 1))),
        |    (x,y)->x+y)""".stripMargin
+
+  /** cosine(float vec a, double centroid b) — mirrors Similarity.cosD. */
+  private def duckCosD(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE) * $b[i])), (x,y)->x+y)
+       | / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (x,y)->x+y))
+       |  * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64), i -> $b[i] * $b[i])), (x,y)->x+y))))""".stripMargin
+
+  /** One Lloyd assignment pass — mirrors Similarity.ivfKmeansTopK.assign. */
+  private def kmAssignCte(cent: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, c_id AS cell, e, rn FROM (
+       |    SELECT v.vec_id, c.c_id, v.e,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${duckCosD("v.e", "c.ce")} DESC, c.c_id) AS rn
+       |    FROM v, $cent c)
+       |)""".stripMargin
+
+  /** One Lloyd update pass: exact DECIMAL component sums → double mean
+    * — order-independent, so it replays Spark's distributed aggregation
+    * bit-for-bit. */
+  private def kmUpdateCte(assign: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cell AS c_id, list(m ORDER BY pos) AS ce FROM (
+       |    SELECT cell, pos, CAST(SUM(x) AS DOUBLE)/COUNT(*) AS m FROM (
+       |      SELECT a.cell, g.i AS pos, CAST(a.e[g.i] AS DECIMAL(28,10)) AS x
+       |      FROM $assign a, generate_series(1,64) g(i) WHERE a.rn = 1)
+       |    GROUP BY cell, pos)
+       |  GROUP BY cell
+       |)""".stripMargin
 
   private def moneySum(exprSql: String): String =
     s"CAST(ROUND(SUM($exprSql),2) AS DOUBLE)"
@@ -707,6 +737,28 @@ object SparkEntry {
          |WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
          |  AND s.quality_score >= 0.6 AND s.lang_gate = 'en'
          |ORDER BY s.doc_id""".stripMargin,
+
+    // k-means IVF: 2 unrolled Lloyd iterations (assign/update) from the
+    // first-8 seed, then nprobe=2 search over the final assignment.
+    "ann_ivf_kmeans" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |${kmAssignCte("c2", "af")},
+         |members AS (SELECT cell, vec_id, e FROM af WHERE rn = 1),
+         |qc AS (SELECT vec_id AS q_id, cell FROM af WHERE vec_id < 20 AND rn <= 2),
+         |p AS (
+         |  SELECT qc.q_id, m.vec_id, ${duckCos("qv.e", "m.e")} AS cos
+         |  FROM qc JOIN members m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
+         |  JOIN v qv ON qv.vec_id = qc.q_id
+         |)
+         |SELECT q_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
+         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

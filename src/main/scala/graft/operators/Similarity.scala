@@ -143,6 +143,68 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF with k-means-TRAINED centroids and multi-cell probing.
+    *
+    * Lloyd iterations, fully deterministic and cluster-size independent:
+    * the mean of each cell is computed with exact DECIMAL(28,10)
+    * component sums (order-independent, partial aggregation combines
+    * map-side) cast to double once — so centroids are bit-identical
+    * across engines and cluster layouts, which is what lets the DuckDB
+    * oracle replay the training run. Assignment broadcasts the (tiny)
+    * centroid set; per iteration the corpus is scanned once.
+    *
+    * Search probes the query's `nprobe` nearest cells (nprobe=2 —
+    * recall recovered from boundary queries, the standard IVF accuracy
+    * knob), ranking candidates by exact cosine. RecallSpec pins
+    * recall@k against the brute-force baseline. */
+  def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                    nQueries: Int = NumQueries, nCentroids: Int = 8,
+                    iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val v = vecs(spark, dir)
+    // cosine(float vec, double centroid) — same left-to-right fold as
+    // the oracle; centroid norms fold over the double components.
+    def cosD(e: String, ce: String): Column = expr(
+      s"""aggregate(zip_with($e, $ce, (x, y) -> cast(x as double) * y),
+         |          cast(0 as double), (acc, w) -> acc + w)
+         | / (sqrt(aggregate(zip_with($e, $e, (x, y) -> cast(x as double) * cast(y as double)),
+         |                   cast(0 as double), (acc, w) -> acc + w))
+         |  * sqrt(aggregate(zip_with($ce, $ce, (x, y) -> x * y),
+         |                   cast(0 as double), (acc, w) -> acc + w)))""".stripMargin)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
+      v.crossJoin(broadcast(cent))
+        .withColumn("cs", cosD("e", "ce"))
+        .withColumn("rn", row_number().over(w))
+    }
+    var cent = v.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"),
+        expr("transform(e, x -> cast(x as double))").as("ce"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent).filter(col("rn") === 1)
+        .select(col("c_id").as("cell"), posexplode(col("e")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", col("s").cast("double") / col("n"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell").as("c_id"), expr("transform(ms, x -> x.m)").as("ce"))
+    }
+    val fin = assign(cent)
+    val members = fin.filter(col("rn") === 1)
+      .select(col("c_id").as("cell"), col("vec_id"), col("e"))
+    val q = fin.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+      .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    q.join(members, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qe", "e"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** #13: LSH top-k — neighbors ranked only within the query's band-0
     * bucket (the scale path: candidate set shrinks ~2^planes-fold). */
   def lshTopK(spark: SparkSession, dir: String,

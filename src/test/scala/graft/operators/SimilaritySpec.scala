@@ -23,6 +23,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF (nprobe=2) recall@5 vs brute force meets the floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(spark, sf))
+    val km = pairs(Similarity.ivfKmeansTopK(spark, sf))
+    val naive = pairs(Similarity.ivfTopK(spark, sf))
+    val kmRecall = (brute intersect km).size.toDouble / brute.size
+    val naiveRecall = (brute intersect naive).size.toDouble / brute.size
+    info(f"recall@5: kmeans+nprobe2=$kmRecall%.3f, first8+nprobe1=$naiveRecall%.3f")
+    assert(kmRecall >= 0.5, f"kmeans IVF recall $kmRecall%.3f below floor")
+    // trained centroids + wider probe should not lose to the naive cells
+    assert(kmRecall >= naiveRecall - 0.05)
+  }
+
   test("bruteTopK: k ranked neighbors per query, cos non-increasing, no self") {
     val out = Similarity.bruteTopK(spark, sf).collect()
       .groupBy(_.getAs[Long]("q_id"))
