@@ -62,6 +62,44 @@ object Envelope {
   def streamParquet(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Kafka wire shape ⇄ envelope — the Spark-native stand-in for the
+    * reference's Pulsar client (pulsar.ts: topics pattern, per-message
+    * properties, event timestamp). A Kafka source DataFrame
+    * (`spark.readStream.format("kafka")…`) carries
+    * (key, value, topic, partition, offset, timestamp, headers); message
+    * properties ride the headers (key → UTF-8 value), exactly how
+    * Pulsar properties map onto Kafka's header model.
+    *
+    * Both directions are pure column mappings, so they work on any
+    * frame with the Kafka schema — the connector jar only matters at
+    * the actual read/write (not bundled in this environment; covered by
+    * a schema-shaped spec instead of a broker round trip). */
+  def fromKafka(kafka: DataFrame): DataFrame =
+    kafka.select(
+      col("value").as("payload"),
+      map_from_arrays(
+        transform(coalesce(col("headers"), array().cast(KafkaHeadersType)),
+          h => h.getField("key")),
+        transform(coalesce(col("headers"), array().cast(KafkaHeadersType)),
+          h => decode(h.getField("value"), "UTF-8"))).as("properties"),
+      col("timestamp").as("event_ts"),
+      col("topic"))
+
+  /** Envelope → Kafka sink columns (value/headers/topic; key = digest
+    * so replays of one message land in one partition). */
+  def toKafka(env: DataFrame, ignored: Seq[String] = Nil): DataFrame =
+    env.select(
+      digest(ignored).cast("string").cast("binary").as("key"),
+      col("payload").as("value"),
+      transform(map_entries(col("properties")),
+        e => struct(e.getField("key").as("key"),
+          encode(e.getField("value"), "UTF-8").as("value"))).as("headers"),
+      col("topic"))
+
+  val KafkaHeadersType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", BinaryType))))
+
   /** Synthetic envelope stream from the rate source (for soak tests). */
   def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")

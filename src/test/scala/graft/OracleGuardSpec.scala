@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+
+/** Guards the assumptions the DuckDB oracle SQL bakes in, so a change
+  * in test-data shape fails HERE with a message instead of as a silent
+  * cross-engine digest divergence. */
+class OracleGuardSpec extends SparkSpec {
+
+  test("events.props matches the {\"k\":N} shape CANON_K assumes") {
+    // The oracle canonicalizes props as concat('k=', json k). If a row
+    // ever carries extra keys, a missing k, or null props, DuckDB would
+    // produce 'k=' while Spark's full sorted-entry canonicalization
+    // produces something else — digests would diverge silently.
+    val bad = Tables.events(spark, sf)
+      .filter(col("props").isNull || !col("props").rlike("""^\{"k":\s*-?\d+\}$"""))
+      .count()
+    assert(bad === 0L, "events.props no longer matches the {\"k\":N} oracle assumption")
+  }
+
+  test("Spark canonicalProps equals the oracle's CANON_K on every events row") {
+    val ev = Tables.events(spark, sf)
+    val mismatches = ev
+      .withColumn("spark_canon", Hashing.canonicalProps(col("props"), Nil))
+      .withColumn("oracle_canon",
+        concat(lit("k="), get_json_object(col("props"), "$.k")))
+      .filter(col("spark_canon") =!= col("oracle_canon"))
+      .count()
+    assert(mismatches === 0L)
+  }
+}
