@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, AsOfJoin, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Analytics2, AsOfJoin, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -50,6 +50,15 @@ object SparkEntry {
     "q12_priority_class" -> ((s, d) => Analytics.q12(s, d)),
     "q14_promo" -> ((s, d) => Analytics.q14(s, d)),
     "q10_returns" -> ((s, d) => Analytics.q10(s, d)),
+    "q7_volume" -> ((s, d) => Analytics2.q7(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics2.q8(s, d)),
+    "q13_order_dist" -> ((s, d) => Analytics2.q13(s, d)),
+    "q15_top_supplier" -> ((s, d) => Analytics2.q15(s, d)),
+    "q18_large_orders" -> ((s, d) => Analytics2.q18(s, d)),
+    "q19_disjunctive" -> ((s, d) => Analytics2.q19(s, d)),
+    "q22_idle_customers" -> ((s, d) => Analytics2.q22(s, d)),
+    "events_theta_users" -> ((s, d) => graft.operators.Sketches.thetaUsersPerHour(s, d)),
+    "events_kmv_quantiles" -> ((s, d) => graft.operators.Sketches.kmvQuantiles(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
@@ -578,6 +587,140 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
          |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q7_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year, ${moneySum(DISC_PRICE)} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE sn.n_name IN ('NATION_1','NATION_2')
+         |  AND cn.n_name IN ('NATION_1','NATION_2')
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  CAST(ROUND(SUM(CASE WHEN n_name = 'NATION_1' THEN $DISC_PRICE ELSE CAST(0.0 AS DECIMAL(18,4)) END),2) AS DOUBLE) AS nation_revenue,
+         |  ${moneySum(DISC_PRICE)} AS total_revenue,
+         |  ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_1' THEN $DISC_PRICE ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         |        / CAST(SUM($DISC_PRICE) AS DOUBLE), 4) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_order_dist" ->
+      s"""SELECT c_count, COUNT(*) AS custdist FROM (
+         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         |  FROM customer LEFT JOIN orders
+         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         |  GROUP BY c_custkey
+         |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS s_suppkey, ${moneySum(DISC_PRICE)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier USING (s_suppkey)
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey AS o_orderkey,
+         |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)),2) AS DOUBLE) AS o_totalprice, sum_qty
+         |FROM big JOIN orders USING (o_orderkey)
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE sum_qty > 200.0
+         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT ${moneySum(DISC_PRICE)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q22_idle_customers" ->
+      s"""WITH a AS (
+         |  SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*), 4) AS a
+         |  FROM customer WHERE c_acctbal > 0.0
+         |)
+         |SELECT c_nationkey, COUNT(*) AS numcust,
+         |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS totacctbal
+         |FROM customer, a
+         |WHERE c_acctbal > a.a
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // KMV/theta sketch: min-64 md5 hashes of the distinct users — a pure
+    // function of the input set, so the estimate replays exactly.
+    "events_theta_users" ->
+      s"""WITH ev AS ($EV),
+         |h AS (
+         |  SELECT DISTINCT ts_us // 3600000000 AS hour_bucket,
+         |    ${H64("concat('u:', CAST(user_id AS VARCHAR))")} AS h
+         |  FROM ev
+         |),
+         |mk AS (
+         |  SELECT hour_bucket, h,
+         |    row_number() OVER (PARTITION BY hour_bucket ORDER BY h) AS rn
+         |  FROM h
+         |),
+         |s AS (
+         |  SELECT hour_bucket, CAST(COUNT(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+         |  FROM mk WHERE rn <= 64 GROUP BY 1
+         |)
+         |SELECT hour_bucket, n_sketch, kth_hash,
+         |  CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+         |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE), 4)
+         |  END AS est_users
+         |FROM s ORDER BY hour_bucket""".stripMargin,
+
+    // deterministic KMV sample (min-256 hashes of the event ids) →
+    // positional quantiles of the sorted sampled cents: exact integers.
+    "events_kmv_quantiles" ->
+      s"""WITH ev AS ($EV),
+         |h AS (
+         |  SELECT event_type,
+         |    ${H64("concat('e:', CAST(event_id AS VARCHAR))")} AS h,
+         |    CAST(ROUND(value*100) AS BIGINT) AS cents
+         |  FROM ev
+         |),
+         |d AS (SELECT event_type, h, min(cents) AS cents FROM h GROUP BY 1, 2),
+         |mk AS (
+         |  SELECT event_type, h, cents,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM d
+         |),
+         |s AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+         |    list(cents ORDER BY cents) AS vs
+         |  FROM mk WHERE rn <= 256 GROUP BY 1
+         |)
+         |SELECT event_type, n_sample,
+         |  vs[CAST(ceil(0.5 * n_sample) AS BIGINT)] AS p50_cents,
+         |  vs[CAST(ceil(0.9 * n_sample) AS BIGINT)] AS p90_cents
+         |FROM s ORDER BY event_type""".stripMargin,
 
     "events_window" ->
       s"""WITH ev AS ($EV)

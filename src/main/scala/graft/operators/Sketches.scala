@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.functions.Hashing.{h64, valueCents}
+import graft.plans.{ThetaSketch, ThetaSketchFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-tier queries: deterministic KMV/theta sketches (see
+  * plans.ThetaSketch) applied to the events stream. Unlike the HLL++
+  * estimate (events_approx_users, rows-only), these sketches are pure
+  * functions of the input SET, so the DuckDB oracle replays them
+  * hash-exactly — approximate answers with exact verification.
+  */
+object Sketches {
+
+  val ThetaK = 64
+  val SampleK = 256
+
+  /** events_theta_users: distinct users per hour via the KMV estimator.
+    * One aggregation; partial sketches combine map-side, so the shuffle
+    * carries at most k longs per (hour, partition). */
+  def thetaUsersPerHour(spark: SparkSession, dir: String, k: Int = ThetaK): DataFrame = {
+    Dedup.eventsUs(spark, dir)
+      .select(expr("ts_us div 3600000000L").as("hour_bucket"),
+        h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .groupBy("hour_bucket")
+      .agg(ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
+      .select(col("hour_bucket"),
+        size(col("mk")).cast("long").as("n_sketch"),
+        element_at(col("mk"), size(col("mk"))).as("kth_hash"),
+        when(size(col("mk")) < k, size(col("mk")).cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(ThetaSketch.HashSpace)
+              / element_at(col("mk"), k).cast("double"), 4))
+          .as("est_users"))
+      .orderBy("hour_bucket")
+  }
+
+  /** events_kmv_quantiles: per event type, median and p90 of the value
+    * (exact integer cents) over the deterministic KMV sample — a
+    * mergeable quantile sketch whose answer is a pure function of the
+    * input set (positional quantile of the sorted sample). */
+  def kmvQuantiles(spark: SparkSession, dir: String, k: Int = SampleK): DataFrame = {
+    def pos(q: Double) = ceil(lit(q) * col("n_sample")).cast("int")
+    Dedup.eventsUs(spark, dir)
+      .select(col("event_type"),
+        h64(concat(lit("e:"), col("event_id").cast("string"))).as("h"),
+        valueCents(col("value")).as("cents"))
+      .groupBy("event_type")
+      .agg(ThetaSketchFunctions.kmvSample(col("h"), col("cents"), k).as("mk"))
+      .select(col("event_type"),
+        size(col("mk")).cast("long").as("n_sample"),
+        array_sort(expr("transform(mk, x -> x.v)")).as("vs"))
+      .select(col("event_type"), col("n_sample"),
+        element_at(col("vs"), pos(0.5)).as("p50_cents"),
+        element_at(col("vs"), pos(0.9)).as("p90_cents"))
+      .orderBy("event_type")
+  }
+}

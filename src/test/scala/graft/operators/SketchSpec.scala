@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMV/theta sketch semantics: exact below k, sane estimates above,
+  * and quantiles drawn from real member values. */
+class SketchSpec extends SparkSpec {
+
+  test("theta estimate is exact below k and within KMV error above") {
+    val est = Sketches.thetaUsersPerHour(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val truth = Dedup.eventsUs(spark, sf)
+      .groupBy(expr("ts_us div 3600000000L").as("hour_bucket"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet === truth.keySet)
+    truth.foreach { case (h, n) =>
+      val (nSketch, e) = est(h)
+      if (nSketch < Sketches.ThetaK) assert(e === n.toDouble, s"hour $h")
+      else {
+        // KMV relative standard error ~ 1/sqrt(k-1) ≈ 0.126 at k=64;
+        // 4 sigma keeps the assertion deterministic-in-practice
+        val rel = math.abs(e - n) / n
+        assert(rel < 0.5, s"hour $h: est $e vs true $n (rel $rel)")
+      }
+    }
+  }
+
+  test("kmv quantile estimates are actual member values near the true quantile") {
+    val got = Sketches.kmvQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val cents = Dedup.eventsUs(spark, sf)
+      .select(col("event_type"), graft.functions.Hashing.valueCents(col("value")).as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    got.foreach { case (t, (n, p50, p90)) =>
+      val all = cents(t)
+      assert(all.contains(p50) && all.contains(p90), s"$t quantiles must be member values")
+      assert(p50 <= p90)
+      if (n >= Sketches.SampleK) {
+        // sampled median should land within a generous band of the true one
+        val truth = all(math.ceil(0.5 * all.length).toInt - 1)
+        val lo = all(((all.length - 1) * 0.3).toInt)
+        val hi = all(((all.length - 1) * 0.7).toInt)
+        assert(p50 >= lo && p50 <= hi, s"$t: sampled p50 $p50 vs true $truth")
+      }
+    }
+  }
+}
