@@ -1,0 +1,85 @@
+package graft.api
+
+import graft.functions.Hashing.h64
+import graft.operators.{DocDedup, MinHashLSH, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fluent composition of the document-cleaning operators over any
+  * (doc_id, text) frame:
+  *
+  * {{{
+  * DocPipeline(docs)
+  *   .exactDedup()
+  *   .nearDupRemove(tau = 0.5)
+  *   .qualityFilter(min = 0.6)
+  *   .languageFilter("en")
+  *   .fingerprint()
+  *   .df
+  * }}}
+  *
+  * Every combinator APPENDS transforms to one declarative plan —
+  * nothing materializes between stages, so Catalyst still shares
+  * scans, pushes filters, and broadcasts the small side of every gate,
+  * exactly like the hand-composed operators.Pipeline.cleanDocs (a
+  * parity spec pins the two equal). The per-stage semantics are the
+  * oracle-checked operators' own (same expressions, same caps).
+  */
+final class DocPipeline private (private val docs: DataFrame,
+                                 val df: DataFrame) {
+
+  private def next(d: DataFrame) = new DocPipeline(docs, d)
+
+  /** Keep the minimum doc_id of every normalized-text duplicate group
+    * (dedup_exact_docs semantics). */
+  def exactDedup(): DocPipeline = {
+    val keepers = docs
+      .withColumn("digest", h64(DocDedup.normalized(col("text"))))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    next(df.join(keepers, "doc_id"))
+  }
+
+  /** Drop the larger side of every verified MinHash near-dup pair
+    * (dedup_minhash_lsh semantics, hot-bucket cap included). */
+  def nearDupRemove(tau: Double = 0.5): DocPipeline = {
+    val losers = MinHashLSH.nearDupPairsOf(docs, tau)
+      .select(col("d2").as("doc_id")).distinct()
+    next(df.join(losers, Seq("doc_id"), "left_anti"))
+  }
+
+  private def withToks(d: DataFrame): DataFrame =
+    if (d.columns.contains("toks")) d
+    else d.withColumn("toks", TextAnalysis.tokens(col("text")))
+
+  /** Gate on the composite quality score (text_quality semantics);
+    * exposes `n_toks` and `quality_score`. */
+  def qualityFilter(min: Double): DocPipeline = {
+    val d = withToks(df)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("toks"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long")))
+    next(d.filter(col("quality_score") >= min))
+  }
+
+  /** Gate on the predicted language (text_language_id semantics). */
+  def languageFilter(lang: String): DocPipeline = {
+    val d = withToks(df).withColumn("pred_lang", TextAnalysis.predLangCol(col("toks")))
+    next(d.filter(col("pred_lang") === lang))
+  }
+
+  /** Attach the rolling-hash fingerprint (text_fingerprint semantics). */
+  def fingerprint(): DocPipeline =
+    next(df.withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text"))))
+
+  /** The canonical cleaned-corpus projection (pipeline_clean_docs
+    * column contract). */
+  def cleaned: DataFrame =
+    df.select("doc_id", "n_toks", "quality_score", "fingerprint")
+      .orderBy("doc_id")
+}
+
+object DocPipeline {
+  /** Start a pipeline over a (doc_id, text) frame. */
+  def apply(docs: DataFrame): DocPipeline = new DocPipeline(docs, docs)
+}

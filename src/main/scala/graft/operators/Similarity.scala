@@ -160,20 +160,24 @@ object Similarity {
   def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = TopK,
                     nQueries: Int = NumQueries, nCentroids: Int = 8,
                     iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    // norms hoisted: the vector norm is computed once per row and the
+    // centroid norm once per centroid (not per row×centroid pair);
+    // cos = dot/(en·cn) is the same IEEE ops in the same order as the
+    // oracle's dot/(sqrt(aa)·sqrt(bb)) — bit-identical, 3× fewer folds.
     val v = vecs(spark, dir)
-    // cosine(float vec, double centroid) — same left-to-right fold as
-    // the oracle; centroid norms fold over the double components.
-    def cosD(e: String, ce: String): Column = expr(
-      s"""aggregate(zip_with($e, $ce, (x, y) -> cast(x as double) * y),
-         |          cast(0 as double), (acc, w) -> acc + w)
-         | / (sqrt(aggregate(zip_with($e, $e, (x, y) -> cast(x as double) * cast(y as double)),
-         |                   cast(0 as double), (acc, w) -> acc + w))
-         |  * sqrt(aggregate(zip_with($ce, $ce, (x, y) -> x * y),
-         |                   cast(0 as double), (acc, w) -> acc + w)))""".stripMargin)
+    val vN = v.withColumn("en", expr(
+      """sqrt(aggregate(zip_with(e, e, (x, y) -> cast(x as double) * cast(y as double)),
+        |     cast(0 as double), (acc, w) -> acc + w))""".stripMargin))
     def assign(cent: DataFrame): DataFrame = {
+      val withCn = cent.withColumn("cn", expr(
+        """sqrt(aggregate(zip_with(ce, ce, (x, y) -> x * y),
+          |     cast(0 as double), (acc, w) -> acc + w))""".stripMargin))
       val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
-      v.crossJoin(broadcast(cent))
-        .withColumn("cs", cosD("e", "ce"))
+      vN.crossJoin(broadcast(withCn))
+        .withColumn("cs", expr(
+          """aggregate(zip_with(e, ce, (x, y) -> cast(x as double) * y),
+            |          cast(0 as double), (acc, w) -> acc + w)""".stripMargin)
+          / (col("en") * col("cn")))
         .withColumn("rn", row_number().over(w))
     }
     var cent = v.filter(col("vec_id") < nCentroids)

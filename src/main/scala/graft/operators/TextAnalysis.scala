@@ -25,6 +25,39 @@ object TextAnalysis {
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
 
+  // ---- column-level forms (compose over ANY (doc_id, text) frame; the
+  // ---- dir-based operators below and api.DocPipeline share these) ----
+
+  /** Composite quality score in [0,1] — identical arithmetic to
+    * `quality` (and the oracle). */
+  def qualityScoreCol(toks: Column, lenNoWs: Column): Column =
+    round(
+      least(size(toks).cast("long") / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - countIn(toks, StopEn).cast("double") / size(toks).cast("long")) * 0.4 +
+      least((lenNoWs.cast("double") / size(toks).cast("long")) / 8.0, lit(1.0)) * 0.2,
+      4)
+
+  /** Deterministic-argmax language id — identical to `languageId`. */
+  def predLangCol(toks: Column): Column = {
+    val n_en = countIn(toks, StopEn); val n_de = countIn(toks, StopDe)
+    val n_es = countIn(toks, StopEs); val n_fr = countIn(toks, StopFr)
+    val n_zh = countIn(toks, StopZh)
+    val top = greatest(n_en, n_de, n_es, n_fr, n_zh)
+    when(top === 0, "und")
+      .when(n_en === top, "en")
+      .when(n_de === top, "de")
+      .when(n_es === top, "es")
+      .when(n_fr === top, "fr")
+      .otherwise("zh")
+  }
+
+  /** Rolling polynomial fingerprint — identical to `fingerprint`. */
+  def fingerprintCol(text: Column): Column =
+    aggregate(
+      transform(tokens(text),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 1000000007L),
+      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
   /** #14: token counting — whitespace tokens, word/number regex tokens,
     * and a BPE-ish length/4 estimate. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -96,5 +96,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash", "graft_minhash(shingles, k) - minhash signature"),
       (args: Seq[Expression]) => MinHashSignature(args.head, args.lift(1).map(
         _.eval().asInstanceOf[Number].intValue()).getOrElse(16))))
+    e.injectFunction((FunctionIdentifier("graft_buckets"),
+      info("graft_buckets",
+        "graft_buckets(vec, numPlanes, planesPerBand, dim) - hyperplane LSH band buckets"),
+      (args: Seq[Expression]) => HyperplaneBuckets(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue(),
+        args(3).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("graft_theta_sketch"),
+      info("graft_theta_sketch",
+        "graft_theta_sketch(hash, k) - aggregate: sorted min-k distinct hashes (KMV/theta sketch)"),
+      (args: Seq[Expression]) => ThetaSketchAgg(args.head, args.lift(1).map(
+        _.eval().asInstanceOf[Number].intValue()).getOrElse(64))
+        .toAggregateExpression(isDistinct = false)))
+    e.injectFunction((FunctionIdentifier("graft_kmv_sample"),
+      info("graft_kmv_sample",
+        "graft_kmv_sample(hash, value, k) - aggregate: deterministic KMV (hash, value) sample"),
+      (args: Seq[Expression]) => KmvSampleAgg(args(0), args(1), args.lift(2).map(
+        _.eval().asInstanceOf[Number].intValue()).getOrElse(256))
+        .toAggregateExpression(isDistinct = false)))
   }
 }

@@ -1,0 +1,38 @@
+package graft.api
+
+import graft.SparkSpec
+
+/** The fluent API must be sugar, not a second implementation: its
+  * composed plan produces exactly the hand-built Pipeline.cleanDocs
+  * rows (which are oracle-checked as pipeline_clean_docs). */
+class DocPipelineSpec extends SparkSpec {
+
+  test("fluent pipeline equals the hand-composed cleanDocs plan") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val fluent = DocPipeline(docs)
+      .exactDedup()
+      .nearDupRemove(tau = 0.5)
+      .qualityFilter(min = graft.operators.Pipeline.QualityMin)
+      .languageFilter("en")
+      .fingerprint()
+      .cleaned
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val want = graft.operators.Pipeline.cleanDocs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(fluent.toSeq === want.toSeq)
+    assert(fluent.nonEmpty)
+  }
+
+  test("sql surface: graft_theta_sketch and graft_kmv_sample are callable") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 30L))
+      .toDF("h", "v").createOrReplaceTempView("tsk")
+    val arr = spark.sql("SELECT graft_theta_sketch(h, 2) AS mk FROM tsk")
+      .collect().head.getSeq[Long](0)
+    assert(arr === Seq(1L, 2L)) // min-2 distinct hashes
+    val smp = spark.sql("SELECT graft_kmv_sample(h, v, 2) AS mk FROM tsk")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(smp === Seq((1L, 10L), (2L, 20L)))
+  }
+}
