@@ -22,17 +22,25 @@ object SimHash {
   val Bands = 8
   val HammingMax = 4
 
-  /** Per-doc 64-bit simhash from distinct shingle features. */
+  /** Per-doc 64-bit simhash from distinct shingle features.
+    *
+    * One aggregation, NO bit explode: the ±1 vote sum for bit b is
+    * `2·ones(b) − n`, so the majority test `s > 0` is exactly
+    * `2·ones(b) > n` — 64 popcount-style sums + one count per doc,
+    * all partial-aggregable, instead of fanning every shingle out
+    * 64×. Values are identical to the explode formulation (and the
+    * oracle, which keeps the ±1 formulation). */
   def signatures(sh: DataFrame): DataFrame = {
-    val bitVotes = sh
-      .withColumn("h", h64(col("shingle")))
-      .withColumn("b", explode(sequence(lit(0), lit(Bits - 1))))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")).as("s"))
-    bitVotes
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
-        .cast("long").as("simhash"))
+    val th = sh.withColumn("h", h64(col("shingle")))
+    val ones = (0 until Bits).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"o$b"))
+    val aggs = ones :+ count(lit(1)).as("n")
+    th.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until Bits).map(b =>
+          when(col(s"o$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** #10: near-dup pairs at Hamming distance ≤ `HammingMax`. */

@@ -103,6 +103,11 @@ object Similarity {
     * the brute-force baseline every ANN variant is measured against. */
   def bruteTopK(spark: SparkSession, dir: String,
                 k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    // the brute baseline is O(nQueries × corpus) BY DESIGN — refuse
+    // query sets large enough to make the cross join a real cross join
+    require(nQueries <= 1000,
+      s"bruteTopK is the exact baseline for small query sets; got nQueries=$nQueries " +
+        "(use lshTopK / ivfKmeansTopK for large query sets)")
     val v = vecs(spark, dir)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
@@ -160,24 +165,15 @@ object Similarity {
   def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = TopK,
                     nQueries: Int = NumQueries, nCentroids: Int = 8,
                     iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    // norms hoisted: the vector norm is computed once per row and the
-    // centroid norm once per centroid (not per row×centroid pair);
-    // cos = dot/(en·cn) is the same IEEE ops in the same order as the
-    // oracle's dot/(sqrt(aa)·sqrt(bb)) — bit-identical, 3× fewer folds.
+    // assignment cosine is the fused native MixedCosine expression
+    // (float vector × double centroid) — one codegen'd loop per pair,
+    // same fold order as the oracle's HOF formulation, bit-identical.
     val v = vecs(spark, dir)
-    val vN = v.withColumn("en", expr(
-      """sqrt(aggregate(zip_with(e, e, (x, y) -> cast(x as double) * cast(y as double)),
-        |     cast(0 as double), (acc, w) -> acc + w))""".stripMargin))
     def assign(cent: DataFrame): DataFrame = {
-      val withCn = cent.withColumn("cn", expr(
-        """sqrt(aggregate(zip_with(ce, ce, (x, y) -> x * y),
-          |     cast(0 as double), (acc, w) -> acc + w))""".stripMargin))
       val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
-      vN.crossJoin(broadcast(withCn))
-        .withColumn("cs", expr(
-          """aggregate(zip_with(e, ce, (x, y) -> cast(x as double) * y),
-            |          cast(0 as double), (acc, w) -> acc + w)""".stripMargin)
-          / (col("en") * col("cn")))
+      v.crossJoin(broadcast(cent))
+        .withColumn("cs",
+          graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
         .withColumn("rn", row_number().over(w))
     }
     var cent = v.filter(col("vec_id") < nCentroids)

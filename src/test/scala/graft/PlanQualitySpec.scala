@@ -28,6 +28,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("l_orderkey"))
   }
 
+  test("q7/q8: dimension sides broadcast (no shuffled dim joins)") {
+    assert(plan("q7_volume").contains("BroadcastHashJoin"))
+    assert(plan("q8_market_share").contains("BroadcastHashJoin"))
+  }
+
+  test("q22: lapsed-customer check plans as a broadcast anti-join") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("fused shingle/minhash/bucket expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug.codegenString
     import org.apache.spark.sql.functions.col
