@@ -65,6 +65,7 @@ object SparkEntry {
     "events_running" -> ((s, d) => Analytics.runningUser(s, d)),
     "events_distinct_hour" -> ((s, d) => Analytics.distinctUsersHour(s, d)),
     "events_rollup" -> ((s, d) => Analytics.eventsRollup(s, d)),
+    "events_cube" -> ((s, d) => Analytics.eventsCube(s, d)),
     // HLL++ sketch (built-in approx_count_distinct) — approximation has
     // no cross-engine oracle; driver records a rows-only check.
     "events_approx_users" -> ((s, d) =>
@@ -761,6 +762,13 @@ object SparkEntry {
          |SELECT event_type, ts_us // 3600000000 AS hour_bucket, COUNT(*) AS n,
          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
          |FROM ev GROUP BY ROLLUP (event_type, ts_us // 3600000000)
+         |ORDER BY event_type NULLS FIRST, hour_bucket NULLS FIRST""".stripMargin,
+
+    "events_cube" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_type, ts_us // 3600000000 AS hour_bucket, COUNT(*) AS n,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         |FROM ev GROUP BY CUBE (event_type, ts_us // 3600000000)
          |ORDER BY event_type NULLS FIRST, hour_bucket NULLS FIRST""".stripMargin,
 
     "events_distinct_hour" ->

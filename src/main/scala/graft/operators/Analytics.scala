@@ -180,6 +180,17 @@ object Analytics {
            money2(sum(dec(col("value")))).as("sum_value"))
       .orderBy(col("event_type").asc_nulls_first, col("hour_bucket").asc_nulls_first)
 
+  /** CUBE grouping sets: all four (event_type × hour) marginal
+    * combinations in one pass — completes the grouping-sets surface
+    * next to ROLLUP. */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame =
+    Dedup.eventsUs(spark, dir)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000L"))
+      .cube("event_type", "hour_bucket")
+      .agg(count(lit(1)).as("n"),
+           money2(sum(dec(col("value")))).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("hour_bucket").asc_nulls_first)
+
   /** Distinct users per hour — the shuffle-heavy distinct-agg shape
     * (expands to a two-level aggregation; AQE coalesces the tail). */
   def distinctUsersHour(spark: SparkSession, dir: String): DataFrame =

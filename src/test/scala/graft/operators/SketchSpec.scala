@@ -27,6 +27,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch edge cases: empty input, single row, all-duplicate keys") {
+    import spark.implicits._
+    import graft.plans.ThetaSketchFunctions._
+    import org.apache.spark.sql.functions.col
+    // empty input → no groups at all
+    val empty = Seq.empty[(Long, Long)].toDF("g", "h")
+      .groupBy("g").agg(thetaSketch(col("h"), 4).as("mk"))
+    assert(empty.count() === 0)
+    // one row → sketch of size 1, estimate exact
+    val one = Seq((1L, 42L)).toDF("g", "h")
+      .groupBy("g").agg(thetaSketch(col("h"), 4).as("mk"))
+      .collect().head.getSeq[Long](1)
+    assert(one === Seq(42L))
+    // the same key a thousand times → still one distinct hash retained
+    val dup = (1 to 1000).map(_ => (1L, 7L)).toDF("g", "h")
+      .groupBy("g").agg(thetaSketch(col("h"), 4).as("mk"))
+      .collect().head.getSeq[Long](1)
+    assert(dup === Seq(7L))
+  }
+
   test("kmv quantile estimates are actual member values near the true quantile") {
     val got = Sketches.kmvQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
