@@ -366,8 +366,11 @@ object SparkEntry {
          |  FROM bits GROUP BY doc_id
          |),
          |bands AS (
-         |  SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte
-         |  FROM simh, generate_series(0,7) g(g)
+         |  SELECT doc_id, simhash, band, byte FROM (
+         |    SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte,
+         |      count(*) OVER (PARTITION BY g.g, (simhash >> (8*g.g)) & 255) AS bsz
+         |    FROM simh, generate_series(0,7) g(g))
+         |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
          |),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2

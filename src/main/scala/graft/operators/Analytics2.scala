@@ -95,8 +95,13 @@ object Analytics2 {
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey").as("s_suppkey"))
       .agg(money2(sum(discPrice)).as("total_revenue"))
-    val mx = rev.agg(max("total_revenue").as("mx"))
-    val top = rev.crossJoin(broadcast(mx))
+    // max via a window over the (small, per-supplier) aggregate — NOT a
+    // second aggregation subtree, which would scan lineitem twice; the
+    // single-partition window only ever sees |suppliers| rows.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val top = rev.withColumn("mx", max("total_revenue").over(wAll))
       .filter(col("total_revenue") === col("mx"))
     top.join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")), "s_suppkey")
       .select("s_suppkey", "s_name", "total_revenue")

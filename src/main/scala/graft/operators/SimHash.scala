@@ -43,11 +43,24 @@ object SimHash {
           .reduce(_ + _).cast("long").as("simhash"))
   }
 
-  /** #10: near-dup pairs at Hamming distance ≤ `HammingMax`. */
-  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(DocDedup.docShingles(spark, dir))
+  /** #10: near-dup pairs at Hamming distance ≤ `HammingMax`. Byte
+    * buckets get the same hot-bucket cap as the MinHash bands — simhash
+    * bytes are NOT uniform (boilerplate corpora share bytes), so one
+    * hot byte would fan the self-join out quadratically. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+                   maxBucket: Int = MinHashLSH.MaxBucketSize): DataFrame =
+    nearDupPairsOfShingles(DocDedup.docShingles(spark, dir), maxBucket)
+
+  /** #10 over an arbitrary (doc_id, shingle) frame. */
+  def nearDupPairsOfShingles(sh: DataFrame,
+                             maxBucket: Int = MinHashLSH.MaxBucketSize): DataFrame = {
+    val sig = signatures(sh)
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "byte")
     val bands = sig.withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
       .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -59,5 +59,10 @@ class SkewStressSpec extends SparkSpec {
     // dedup_exact_docs territory, not near-dup's). The 2-doc bucket for
     // the 900/901 pair is untouched.
     assert(pairs === Set((900L, 901L)))
+    // simhash byte buckets behave the same way under the same corpus
+    val simPairs = SimHash.nearDupPairsOfShingles(
+        DocDedup.docShinglesOf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simPairs === Set((900L, 901L)))
   }
 }
