@@ -47,6 +47,37 @@ class SketchSpec extends SparkSpec {
     assert(dup === Seq(7L))
   }
 
+  test("theta sketch inside a streaming aggregation equals the batch sketch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Dedup.eventsUs(spark, sf)
+      .select(expr("ts_us div 3600000000L").as("hb"),
+        graft.functions.Hashing.h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .as[(Long, Long)].collect()
+    val mem = MemoryStream[(Long, Long)]
+    val name = s"ts_${System.nanoTime()}"
+    val q = mem.toDF().toDF("hb", "h")
+      .groupBy("hb")
+      .agg(graft.plans.ThetaSketchFunctions.thetaSketch(col("h"), Sketches.ThetaK).as("mk"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = Dedup.eventsUs(spark, sf)
+      .select(expr("ts_us div 3600000000L").as("hb"),
+        graft.functions.Hashing.h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .groupBy("hb")
+      .agg(graft.plans.ThetaSketchFunctions.thetaSketch(col("h"), Sketches.ThetaK).as("mk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got === want)
+  }
+
   test("kmv quantile estimates are actual member values near the true quantile") {
     val got = Sketches.kmvQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
