@@ -39,6 +39,7 @@ object SparkEntry {
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_scrub" -> ((s, d) => TextAnalysis.scrub(s, d)),
     // LLM-pipeline: multimodal binary columns
     "multimodal_meta" -> ((s, d) => Multimodal.meta(s, d)),
     // analytics core
@@ -489,6 +490,16 @@ object SparkEntry {
          |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) AS rnk
          |  FROM tf JOIN df USING (term), n
          |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // scrub parity: Spark's replace-all is DuckDB's 'g' flag; the digest
+    // of the scrubbed text proves byte-identical redaction output.
+    "text_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+', 0)) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', 0)) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '[0-9]{7,}', 0)) AS BIGINT) AS n_long_nums,
+         |  ${H64("regexp_replace(regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'), '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g')")} AS scrubbed_digest
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -113,6 +113,40 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** PII/URL scrubbing — the redaction pass every training-data
+    * pipeline runs before tokenization: emails, URLs and long digit
+    * runs (phone/account numbers) are replaced with typed placeholder
+    * tokens, with per-doc hit counts for audit. Pure regex expressions
+    * (codegen'd, oracle-reproducible; DuckDB needs the 'g' flag for
+    * replace-all parity). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongDigitsRe = "[0-9]{7,}"
+
+  /** The redacted text itself (URL → EMAIL → NUM order). */
+  def scrubbedText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongDigitsRe, "<NUM>")
+
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubOf(Tables.documents(spark, dir))
+
+  /** Same over an arbitrary (doc_id, text) frame. */
+  def scrubOf(docs: DataFrame): DataFrame = {
+    val scrubbed = scrubbedText(col("text"))
+    // DSL (not expr) so the regexes bypass SQL string-literal escaping
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(LongDigitsRe), lit(0))).cast("long").as("n_long_nums"),
+      graft.functions.Hashing.h64(scrubbed).as("scrubbed_digest")
+    ).orderBy("doc_id")
+  }
+
   /** TF-IDF top terms per document. The idf is the rational N/df (no
     * log) so scores are exact integer ratios in double precision —
     * deterministic across engines; ranking is what matters. Terms

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("scrub redacts emails, urls and long digit runs (synthetic corpus has none)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "contact alice@example.com or visit https://example.com/page?id=9 ref 123456789"),
+      (2L, "clean text with short num 42")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((1L, 1L, 1L)))
+    assert(out(2L) === ((0L, 0L, 0L)))
+    val redacted = docs.select(TextAnalysis.scrubbedText(col("text")))
+      .collect().map(_.getString(0))
+    assert(redacted(0) === "contact <EMAIL> or visit <URL> ref <NUM>")
+    assert(redacted(1) === "clean text with short num 42")
+  }
+
   test("tokenCount: ws tokens equal word tokens on the all-word corpus") {
     val out = TextAnalysis.tokenCount(spark, sf)
     assert(out.filter(col("n_ws_tokens") =!= col("n_word_tokens")).count() === 0)
