@@ -57,6 +57,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(hbCode.contains("Found 1 WholeStageCodegen subtrees"), hbCode.take(200))
   }
 
+  test("dedup_tumbling: rank pushdown survives the composite (digest, win) key") {
+    assert(plan("dedup_tumbling").contains("WindowGroupLimit"))
+  }
+
+  test("partition-key filters prune partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_parts").toString
+    spark.range(1000)
+      .select(col("id"), (col("id") % 10).as("p"))
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir) // file listing snapshot
+    val pruned = table.filter(col("p") === 3)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(400))
+    // behavioral proof: vaporize another partition's files AFTER the
+    // listing — a pruned scan never touches them, a full scan must.
+    new java.io.File(s"$dir/p=7").listFiles().foreach(_.delete())
+    assert(pruned.count() === 100)
+    intercept[org.apache.spark.SparkException] {
+      table.filter(col("id") >= 0).count()
+    }
+  }
+
   test("spread: multi-split input passes through with no leading exchange") {
     import graft.Partitioning._
     import org.apache.spark.sql.functions._
