@@ -88,8 +88,11 @@ object MinHashLSH {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
-    var labels = edges.select(col("d1").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed labels with round 1 already applied: min(self, neighbors) is
+    // exactly one propagation step from identity labels, as a plain
+    // aggregation — saves a full join round (+ checkpoint) per run
+    var labels = edges.groupBy(col("d1")).agg(min("d2").as("mn"))
+      .select(col("d1").as("node"), least(col("d1"), col("mn")).as("label"))
       .localCheckpoint(true)
     var converged = false
     while (!converged) {
