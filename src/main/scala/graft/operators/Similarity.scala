@@ -179,17 +179,19 @@ object Similarity {
     var cent = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"),
         expr("transform(e, x -> cast(x as double))").as("ce"))
-    // update pass: 64 decimal component sums as agg COLUMNS (map-side
-    // combinable, no 64× posexplode fan-out); element_at is 1-based,
-    // matching the oracle's e[i] — identical values, identical order.
-    val compSums = (1 to Dim).map(j =>
-      sum(element_at(col("e"), j).cast("decimal(28,10)")).as(s"s$j"))
+    // update pass: posexplode to (cell, pos, component) then exact
+    // decimal sums. Measured faster than 64 decimal-sum agg columns in
+    // one buffer (tried; a 64-wide decimal aggregate buffer costs more
+    // than the row fan-out with map-side combine).
     for (_ <- 1 to iters) {
       cent = assign(cent).filter(col("rn") === 1)
-        .groupBy(col("c_id").as("cell"))
-        .agg(compSums.head, (compSums.tail :+ count(lit(1)).as("n")): _*)
-        .select(col("cell").as("c_id"),
-          array((1 to Dim).map(j => col(s"s$j").cast("double") / col("n")): _*).as("ce"))
+        .select(col("c_id").as("cell"), posexplode(col("e")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", col("s").cast("double") / col("n"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell").as("c_id"), expr("transform(ms, x -> x.m)").as("ce"))
     }
     val fin = assign(cent)
     val members = fin.filter(col("rn") === 1)
