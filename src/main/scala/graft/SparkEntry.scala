@@ -59,6 +59,7 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) => Analytics2.q19(s, d)),
     "q22_idle_customers" -> ((s, d) => Analytics2.q22(s, d)),
     "events_theta_users" -> ((s, d) => graft.operators.Sketches.thetaUsersPerHour(s, d)),
+    "events_theta_daily" -> ((s, d) => graft.operators.Sketches.thetaUsersDaily(s, d)),
     "events_kmv_quantiles" -> ((s, d) => graft.operators.Sketches.kmvQuantiles(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -710,6 +711,31 @@ object SparkEntry {
          |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE), 4)
          |  END AS est_users
          |FROM s ORDER BY hour_bucket""".stripMargin,
+
+    // daily sketch rollup: the Spark side merges the HOURLY sketches;
+    // the oracle computes min-k from raw rows — the KMV union property
+    // says they are identical.
+    "events_theta_daily" ->
+      s"""WITH ev AS ($EV),
+         |h AS (
+         |  SELECT DISTINCT ts_us // 86400000000 AS day_bucket,
+         |    ${H64("concat('u:', CAST(user_id AS VARCHAR))")} AS h
+         |  FROM ev
+         |),
+         |mk AS (
+         |  SELECT day_bucket, h,
+         |    row_number() OVER (PARTITION BY day_bucket ORDER BY h) AS rn
+         |  FROM h
+         |),
+         |s AS (
+         |  SELECT day_bucket, CAST(COUNT(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+         |  FROM mk WHERE rn <= 64 GROUP BY 1
+         |)
+         |SELECT day_bucket, n_sketch, kth_hash,
+         |  CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+         |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE), 4)
+         |  END AS est_users
+         |FROM s ORDER BY day_bucket""".stripMargin,
 
     // deterministic KMV sample (min-256 hashes of the event ids) →
     // positional quantiles of the sorted sampled cents: exact integers.

@@ -36,6 +36,35 @@ object Sketches {
       .orderBy("hour_bucket")
   }
 
+  /** events_theta_daily: daily distinct-user estimates RE-AGGREGATED
+    * from the hourly sketches — never revisiting the raw events. The
+    * KMV invariant makes this exact: the k smallest hashes of a union
+    * of per-hour min-k sets ARE the union's true min-k (any global
+    * min-k element is inside its own hour's min-k), so rolling up =
+    * explode + re-sketch, and the oracle computed from raw rows
+    * hash-matches. This is the sketch-tier contract at query level:
+    * petabyte groups compose from partial sketches. */
+  def thetaUsersDaily(spark: SparkSession, dir: String, k: Int = ThetaK): DataFrame = {
+    val hourly = Dedup.eventsUs(spark, dir)
+      .select(expr("ts_us div 3600000000L").as("hour_bucket"),
+        h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .groupBy("hour_bucket")
+      .agg(ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
+    hourly
+      .select(expr("hour_bucket div 24").as("day_bucket"), explode(col("mk")).as("h"))
+      .groupBy("day_bucket")
+      .agg(ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
+      .select(col("day_bucket"),
+        size(col("mk")).cast("long").as("n_sketch"),
+        element_at(col("mk"), size(col("mk"))).as("kth_hash"),
+        when(size(col("mk")) < k, size(col("mk")).cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(ThetaSketch.HashSpace)
+              / element_at(col("mk"), k).cast("double"), 4))
+          .as("est_users"))
+      .orderBy("day_bucket")
+  }
+
   /** events_kmv_quantiles: per event type, median and p90 of the value
     * (exact integer cents) over the deterministic KMV sample — a
     * mergeable quantile sketch whose answer is a pure function of the

@@ -80,6 +80,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join without any shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    // force a non-broadcast join so the bucketed (exchange-free) path
+    // is what gets planned
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val n = System.nanoTime()
+    val (ta, tb) = (s"bk_a_$n", s"bk_b_$n")
+    try {
+      spark.range(10000).select(col("id").as("k"), (col("id") * 2).as("va"))
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable(ta)
+      spark.range(5000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable(tb)
+      val joined = spark.table(ta).join(spark.table(tb), "k")
+      assert(joined.count() === 5000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key → NO exchange anywhere
+      assert(!plan.contains("Exchange"), plan.take(500))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+    }
+  }
+
   test("spread: multi-split input passes through with no leading exchange") {
     import graft.Partitioning._
     import org.apache.spark.sql.functions._
