@@ -81,7 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.plans", null, name, usage, "")
+    new ExpressionInfo("graft.plans", "", name, usage, "", "", "", "misc_funcs", "", "", "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => ChainDedupStrategy)

@@ -51,10 +51,10 @@ object Envelope {
     * are mapped by name (payload/properties/event_ts/topic must exist
     * or be derivable by the caller's projection). */
   def readParquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(schema.fieldNames.map(col): _*)
+    spark.read.parquet(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
 
   def readJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(schema).json(path).select(schema.fieldNames.map(col): _*)
+    spark.read.schema(schema).json(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
 
   /** Streaming file source in envelope shape (the production entry
     * point for continuous dedup: parquet files landing in a directory,

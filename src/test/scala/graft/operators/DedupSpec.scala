@@ -41,7 +41,7 @@ class DedupSpec extends SparkSpec {
       .values.flatMap { rs =>
         val sorted = rs.map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("ts_us")))
           .sortBy { case (id, ts) => (ts, id) }
-        obliviousSetModel(sorted, Dedup.WindowUs)
+        obliviousSetModel(sorted.toIndexedSeq, Dedup.WindowUs)
       }.toSet
     assert(out === expected)
   }
