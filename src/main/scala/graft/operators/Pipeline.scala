@@ -21,7 +21,23 @@ object Pipeline {
 
   val QualityMin = 0.6
 
-  def cleanDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** The oracle-checked pipeline_clean_docs, built with the fluent
+    * api.DocPipeline: quality/language/fingerprint are column
+    * transforms over ONE scan of the gated frame, where the composed
+    * variant below joins three separately-scanned metric frames.
+    * `cleanDocsComposed` is kept as the independent formulation the
+    * parity spec compares against. */
+  def cleanDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.api.DocPipeline(
+        Tables.documents(spark, dir).select("doc_id", "text").spread)
+      .exactDedup()
+      .nearDupRemove(tau = 0.5)
+      .qualityFilter(min = QualityMin)
+      .languageFilter("en")
+      .fingerprint()
+      .cleaned
+
+  def cleanDocsComposed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text")
       .spread

@@ -17,7 +17,9 @@ class DocPipelineSpec extends SparkSpec {
       .fingerprint()
       .cleaned
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-    val want = graft.operators.Pipeline.cleanDocs(spark, sf)
+    // the independent hand-composed formulation is the cross-check
+    // (cleanDocs itself is now built on DocPipeline)
+    val want = graft.operators.Pipeline.cleanDocsComposed(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(fluent.toSeq === want.toSeq)
     assert(fluent.nonEmpty)
