@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized (deterministically seeded) model checks: the operators'
+  * semantics hold on adversarial random inputs, not just on the
+  * well-behaved test corpus. */
+class RandomizedModelSpec extends SparkSpec {
+
+  private def obliviousModel(rows: Seq[(Long, Long)], windowUs: Long): Set[Long] = {
+    val kept = Seq.newBuilder[Long]
+    var last = Long.MinValue
+    var first = true
+    rows.foreach { case (id, ts) =>
+      if (first || ts >= last + windowUs) { kept += id; last = ts; first = false }
+    }
+    kept.result().toSet
+  }
+
+  test("chain equals the ObliviousSet model on random collision-heavy streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val windowUs = 1L + rnd.nextInt(1000)
+      // few digests + tight timestamps → dense duplicate chains
+      val rows = (0 until 400).map { i =>
+        (i.toLong, rnd.nextInt(3000).toLong, 0L, "t", 0.0, "{}",
+          rnd.nextInt(8).toLong)
+      }
+      val df = rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest")
+      val got = Dedup.chain(df, windowUs).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      val gotNative = Dedup.chainNative(df, windowUs).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      val want = rows.groupBy(_._7).values.flatMap { rs =>
+        obliviousModel(rs.map(r => (r._1, r._2)).sortBy { case (id, ts) => (ts, id) }
+          .map { case (id, ts) => (id, ts) }, windowUs)
+      }.toSet
+      assert(got === want, s"trial $trial window $windowUs")
+      assert(gotNative === want, s"native, trial $trial window $windowUs")
+    }
+  }
+
+  test("canonical digest is invariant under property-bag key order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("alpha", "beta", "gamma", "delta", "eps")
+    for (_ <- 1 to 10) {
+      val bag = keys.filter(_ => rnd.nextBoolean()).map(k => k -> rnd.nextInt(100).toString)
+      val orderings = Seq(bag, bag.reverse, rnd.shuffle(bag))
+      val jsons = orderings.map(o =>
+        o.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
+      val digests = jsons.toDF("props")
+        .select(graft.functions.Hashing.eventDigest(
+          lit(1L), lit("t"), lit(0.0), col("props")).as("d"))
+        .collect().map(_.getLong(0)).toSet
+      assert(digests.size === 1, s"orderings of $bag must hash alike")
+    }
+  }
+
+  test("theta sketch of a union equals the merged per-part sketches on random sets") {
+    import spark.implicits._
+    import graft.plans.ThetaSketchFunctions.thetaSketch
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val a = (0 until 500).map(_ => rnd.nextInt(300).toLong)
+      val b = (0 until 500).map(_ => rnd.nextInt(300).toLong + 150)
+      def sketchOf(xs: Seq[Long]) = xs.toDF("h")
+        .agg(thetaSketch(col("h"), 32)).collect().head.getSeq[Long](0)
+      val whole = sketchOf(a ++ b)
+      // merge at query level: explode the part sketches, re-sketch
+      val merged = (sketchOf(a) ++ sketchOf(b)).toDF("h")
+        .agg(thetaSketch(col("h"), 32)).collect().head.getSeq[Long](0)
+      assert(merged === whole, s"trial $trial")
+      // and it is the true min-32 of the distinct values
+      val truth = (a ++ b).distinct.sorted.take(32)
+      assert(whole === truth, s"trial $trial vs ground truth")
+    }
+  }
+}
