@@ -19,31 +19,48 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Generic as-of join: attach to every left row the `carried` columns
+    * of the latest right row with the same `key` and right `ts` ≤ left
+    * `ts` (nulls when no such row). Carried columns arrive prefixed
+    * `asof_`. Ties at identical timestamps resolve to the right row
+    * with the greatest first carried column (deterministic).
+    *
+    * ONE hash exchange on the key for any input sizes — the union-scan
+    * shape never materializes a per-key cross product, so a key with
+    * millions of rows on both sides stays linear. */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           carried: Seq[String]): DataFrame = {
+    require(carried.nonEmpty && carried.forall(right.columns.contains),
+      s"carried columns $carried must exist on the right side")
+    val leftRest = left.columns.toIndexedSeq.filterNot(c => c == key || c == ts)
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side")) ++
+        leftRest.map(col) ++
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carried.map(c => col(c).as(s"asof_$c")): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__side"), col(s"asof_${carried.head}"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    carried.foldLeft(l.unionAll(r)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** events ⟵asof⟶ the user's latest signup event at or before each
     * event: the canonical "attach the active profile version" shape. */
   def eventsAsOfSignup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Dedup.eventsUs(spark, dir)
-    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+    val signups = Dedup.eventsUs(spark, dir)
+      .filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts_us"),
         col("event_id").as("signup_id"), col("value").as("signup_value"))
-
-    val left = ev.select(col("user_id"), col("ts_us"), lit(1).as("side"),
-      col("event_id"), col("event_type"), col("value"),
-      lit(null).cast("bigint").as("signup_id"),
-      lit(null).cast("double").as("signup_value"))
-    val right = signups.select(col("user_id"), col("ts_us"), lit(0).as("side"),
-      lit(null).cast("bigint").as("event_id"),
-      lit(null).cast("string").as("event_type"),
-      lit(null).cast("double").as("value"),
-      col("signup_id"), col("signup_value"))
-
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us"), col("side"), col("signup_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    left.unionAll(right)
-      .withColumn("asof_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
-      .withColumn("asof_signup_value", last(col("signup_value"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+    asOf(ev, signups, "user_id", "ts_us", Seq("signup_id", "signup_value"))
       .select("event_id", "ts_us", "user_id", "event_type", "value",
         "asof_signup_id", "asof_signup_value")
       .orderBy("event_id")

@@ -59,6 +59,30 @@ class RandomizedModelSpec extends SparkSpec {
     }
   }
 
+  test("generic asOf matches the brute-force model on random keyed series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val left = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val right = (0 until 80).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val got = AsOfJoin.asOf(
+        left.toDF("lid", "k", "t"),
+        right.toDF("rid", "k", "t", "rv"),
+        key = "k", ts = "t", carried = Seq("rid", "rv"))
+      .select("lid", "asof_rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val want = left.map { case (lid, k, t) =>
+      val matches = right.filter(r => r._2 == k && r._3 <= t)
+      // tie rule: greatest first-carried column at the latest timestamp
+      lid -> (if (matches.isEmpty) None
+              else Some(matches.maxBy(r => (r._3, r._1))._1))
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
   test("theta sketch of a union equals the merged per-part sketches on random sets") {
     import spark.implicits._
     import graft.plans.ThetaSketchFunctions.thetaSketch
