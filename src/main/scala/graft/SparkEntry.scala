@@ -77,6 +77,7 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.approx_count_distinct("user_id").as("approx_users"))
         .orderBy("hour_bucket")),
     "events_asof_signup" -> ((s, d) => AsOfJoin.eventsAsOfSignup(s, d)),
+    "events_session_lookup" -> ((s, d) => graft.operators.RangeJoin.eventsSessionLookup(s, d)),
     "events_salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
     "source_similarity" -> ((s, d) => MinHashLSH.sourceSimilarity(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -833,6 +834,31 @@ object SparkEntry {
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |  w5 AS (PARTITION BY user_id ORDER BY ts_us, event_id
          |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    // range join: the Spark side bucketizes intervals into an equi join;
+    // the oracle states the plain BETWEEN containment over the same
+    // sessionize CTEs.
+    "events_session_lookup" ->
+      s"""WITH ev AS ($EV),
+         |s AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+         |                  THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |),
+         |s2 AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM s
+         |),
+         |sessions AS (
+         |  SELECT user_id, session_idx, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+         |  FROM s2 GROUP BY 1, 2
+         |)
+         |SELECT e.event_id, e.user_id, e.ts_us, x.session_idx
+         |FROM ev e JOIN sessions x
+         |  ON e.user_id = x.user_id AND e.ts_us BETWEEN x.start_us AND x.end_us
          |ORDER BY event_id""".stripMargin,
 
     // DuckDB has native ASOF JOIN; the Spark side reproduces it with a

@@ -83,6 +83,32 @@ class RandomizedModelSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
 
+  test("bucketized range join matches the brute-force containment model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (bucket <- Seq(7L, 100L, 5000L)) {
+      val points = (0 until 300).map(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(2000).toLong))
+      val intervals = (0 until 60).map { i =>
+        val lo = rnd.nextInt(2000).toLong
+        (5000L + i, rnd.nextInt(4).toLong, lo, lo + rnd.nextInt(400).toLong)
+      }
+      val got = RangeJoin.pointInInterval(
+          points.toDF("pid", "k", "t"),
+          intervals.toDF("iid", "k", "lo", "hi"),
+          key = "k", t = "t", lo = "lo", hi = "hi", bucketWidth = bucket)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, pk, t) <- points
+        (iid, ik, lo, hi) <- intervals
+        if pk == ik && t >= lo && t <= hi
+      } yield (pid, iid)).toSet
+      assert(got === want, s"bucketWidth=$bucket")
+      assert(want.nonEmpty)
+    }
+  }
+
   test("theta sketch of a union equals the merged per-part sketches on random sets") {
     import spark.implicits._
     import graft.plans.ThetaSketchFunctions.thetaSketch
