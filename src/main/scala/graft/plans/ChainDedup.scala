@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** TTL-chain deduplication as a first-class Catalyst operator.
@@ -32,7 +33,7 @@ case class ChainDedupPlan(digest: Attribute, ts: Attribute,
 
 case class ChainDedupExec(digest: Attribute, ts: Attribute,
                           tiebreak: Seq[Attribute], windowUs: Long,
-                          child: SparkPlan) extends UnaryExecNode {
+                          child: SparkPlan) extends UnaryExecNode with CodegenSupport {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
@@ -42,6 +43,40 @@ case class ChainDedupExec(digest: Attribute, ts: Attribute,
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq((digest +: ts +: tiebreak).map(a => SortOrder(a, Ascending)))
+
+  // ---- whole-stage codegen: the greedy-chain filter fuses into the
+  // ---- sorted child's consume loop; state is three generated-class
+  // ---- fields (per-partition instance), exactly the interpreted pass.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val digestIdx = child.output.indexWhere(_.exprId == digest.exprId)
+    val tsIdx = child.output.indexWhere(_.exprId == ts.exprId)
+    val cur = ctx.addMutableState(CodeGenerator.JAVA_LONG, "chainCur")
+    val last = ctx.addMutableState(CodeGenerator.JAVA_LONG, "chainLast")
+    val init = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "chainInit")
+    val keep = ctx.freshName("chainKeep")
+    val evalAll = evaluateVariables(input)
+    val d = input(digestIdx).value
+    val t = input(tsIdx).value
+    s"""
+       |$evalAll
+       |boolean $keep = false;
+       |if (!$init || $d != $cur) {
+       |  $init = true; $cur = $d; $last = $t; $keep = true;
+       |} else if ($t >= $last + ${windowUs}L) {
+       |  $last = $t; $keep = true;
+       |}
+       |if ($keep) {
+       |  ${consume(ctx, input)}
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val digestIdx = child.output.indexWhere(_.exprId == digest.exprId)

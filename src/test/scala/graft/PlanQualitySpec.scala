@@ -57,6 +57,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(hbCode.contains("Found 1 WholeStageCodegen subtrees"), hbCode.take(200))
   }
 
+  test("dedup_chain: the native exec runs inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.debug.codegenString
+    val df = SparkEntry.queries("dedup_chain")(spark, sf)
+    df.collect() // AQE materializes codegen stages only at execution
+    val code = codegenString(df.queryExecution.executedPlan)
+    // the chain state fields only exist in generated code when
+    // ChainDedupExec actually fused into a codegen stage
+    assert(code.contains("chainCur"), code.take(300))
+    assert(plan("dedup_chain").contains("ChainDedup"))
+  }
+
   test("dedup_tumbling: rank pushdown survives the composite (digest, win) key") {
     assert(plan("dedup_tumbling").contains("WindowGroupLimit"))
   }
