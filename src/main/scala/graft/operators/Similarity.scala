@@ -81,10 +81,26 @@ object Similarity {
         .otherwise(0L)).cast("long").as("bucket"))
 
   /** #11: embedding near-dup pairs — LSH band collision candidates
-    * verified with exact cosine ≥ τ. */
-  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = NearDupTau): DataFrame = {
+    * verified with exact cosine ≥ τ.
+    *
+    * SCALE NOTE: the bucket space per band is 2^planesPerBand, so the
+    * expected bucket population is N / 2^planesPerBand and the
+    * candidate join does ~bands × N²/2^planesPerBand work. The scale
+    * lever is therefore planesPerBand ≈ log2(N / targetBucketSize)
+    * (defaults here are sized for the test corpus; a 1e9-vector corpus
+    * wants ~24 planes per band, not 4) — widening buckets preserves
+    * recall structure, unlike a bucket-size cap, which on a
+    * 16-bucket space would throw away most true pairs. */
+  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = NearDupTau,
+                   numPlanes: Int = NumPlanes,
+                   planesPerBand: Int = PlanesPerBand): DataFrame = {
     val v = vecs(spark, dir)
-    val b = buckets(spark, dir)
+    val b = vecs(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.plans.LshExpressions.hyperplaneBuckets(
+          col("e"), numPlanes, planesPerBand, Dim)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
