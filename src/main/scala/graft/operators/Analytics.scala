@@ -39,7 +39,9 @@ object Analytics {
   }
 
   /** #21: shipping-priority style: unshipped high-value orders for one
-    * market segment. customer is small → broadcast into orders. */
+    * market segment. Join strategy is left to stats + AQE: the filtered
+    * customer side broadcasts while it fits, shuffles when it doesn't —
+    * a forced hint would pin a SF-growing table to the driver. */
   def q3(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -50,7 +52,7 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         // o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
         unix_millis(col("o_orderdate").cast("timestamp")).as("o_odate_ms"))
@@ -60,7 +62,8 @@ object Analytics {
   }
 
   /** #22: local-supplier revenue per nation in one region and year —
-    * 6-way join; all dimension tables broadcast. */
+    * 6-way join; nation/region (bounded forever) are hint-broadcast,
+    * customer/supplier (SF-growing) are left to stats + AQE. */
   def q5(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -71,8 +74,8 @@ object Analytics {
               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -113,7 +116,7 @@ object Analytics {
   }
 
   /** TPC-H-Q14-style promo revenue ratio: conditional decimal sums and
-    * a double ratio — part is broadcast into the lineitem scan. */
+    * a double ratio; the part join strategy is left to stats + AQE. */
   def q14(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
@@ -121,7 +124,7 @@ object Analytics {
     val part = Tables.part(spark, dir).select("p_partkey", "p_type")
     val discPrice = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
     val zero = lit(0.0).cast(DecimalType(18, 4))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(
         money2(sum(when(col("p_type") === "PROMO", discPrice).otherwise(zero))).as("promo_revenue"),
         money2(sum(discPrice)).as("total_revenue"),
@@ -153,7 +156,7 @@ object Analytics {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
     val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(money2(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))).as("revenue"))

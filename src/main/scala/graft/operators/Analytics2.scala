@@ -8,8 +8,8 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Second tranche of TPC-H-style analytics, adapted to the test schema
   * (no partsupp/phone/date columns beyond what the tables carry). Same
-  * discipline as Analytics: decimal-exact money, broadcast dimensions,
-  * total ORDER BY for the oracle.
+  * discipline as Analytics: decimal-exact money, hint-broadcast only the
+  * forever-bounded dims (nation/region), total ORDER BY for the oracle.
   */
 object Analytics2 {
 
@@ -32,9 +32,9 @@ object Analytics2 {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
@@ -57,9 +57,9 @@ object Analytics2 {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         money2(sum(when(col("n_name") === nation, discPrice)
@@ -103,7 +103,7 @@ object Analytics2 {
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val top = rev.withColumn("mx", max("total_revenue").over(wAll))
       .filter(col("total_revenue") === col("mx"))
-    top.join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")), "s_suppkey")
+    top.join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"), "s_suppkey")
       .select("s_suppkey", "s_name", "total_revenue")
       .orderBy("s_suppkey")
   }
@@ -117,7 +117,7 @@ object Analytics2 {
       .filter(col("sum_qty") > minQty)
     big.join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("l_orderkey").as("o_orderkey"),
         money2(dec(col("o_totalprice"))).as("o_totalprice"), col("sum_qty"))
@@ -130,7 +130,7 @@ object Analytics2 {
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
     Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 20)) ||

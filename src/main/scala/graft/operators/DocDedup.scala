@@ -104,8 +104,9 @@ object DocDedup {
 
   /** #8: near-dup pairs by true n-gram Jaccard ≥ τ. Shuffles: one on
     * shingle (candidate generation), one on the pair key (intersection
-    * count). Per-doc shingle counts are broadcast back onto the pairs.
-    * Hot boilerplate shingles are df-capped out before the self-join
+    * count). Per-doc shingle counts join back onto the pairs (AQE
+    * broadcasts them while they fit — at corpus scale the count table
+    * grows with the docs, so no forced hint). Hot boilerplate shingles are df-capped out before the self-join
     * (see MaxShingleDf) so no key can fan out quadratically; the
     * MinHash/LSH operator (MinHashLSH.scala) remains the preferred
     * scale path, this one the exact verifier. */
@@ -123,8 +124,8 @@ object DocDedup {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"))
     pairs
-      .join(broadcast(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), "d1")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), "d2")
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard") >= tau)
       .select("d1", "d2", "shared", "jaccard")

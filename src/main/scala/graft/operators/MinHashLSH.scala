@@ -144,8 +144,8 @@ object MinHashLSH {
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(broadcast(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), "d1")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), "d2")
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard") >= tau)
       .select("d1", "d2", "jaccard")

@@ -163,7 +163,7 @@ object TextAnalysis {
     val score = (col("tf") * col("n")).cast("double") / col("df")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", score)
       .withColumn("rnk", row_number().over(w).cast("long"))
