@@ -34,6 +34,7 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
@@ -426,6 +427,33 @@ object SparkEntry {
          |  FROM b0 q JOIN b0 b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
          |  JOIN v qv ON qv.vec_id = q.vec_id JOIN v bv ON bv.vec_id = b.vec_id
          |  WHERE q.vec_id < 20
+         |)
+         |SELECT q_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
+         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // multi-probe: the query's bucket plus its four Hamming-1 neighbors
+    // (each candidate lives in exactly one bucket, so no pair repeats).
+    "ann_lsh_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, generate_series(0,3) p(p)
+         |),
+         |b0 AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id
+         |),
+         |qp AS (
+         |  SELECT q.vec_id AS q_id, u.probe
+         |  FROM b0 q, unnest([q.bucket, xor(q.bucket, 1), xor(q.bucket, 2),
+         |                     xor(q.bucket, 4), xor(q.bucket, 8)]) u(probe)
+         |  WHERE q.vec_id < 20
+         |),
+         |p AS (
+         |  SELECT qp.q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
+         |  FROM qp JOIN b0 b ON b.bucket = qp.probe AND b.vec_id <> qp.q_id
+         |  JOIN v qv ON qv.vec_id = qp.q_id JOIN v bv ON bv.vec_id = b.vec_id
          |)
          |SELECT q_id, rank, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p

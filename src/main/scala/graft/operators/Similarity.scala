@@ -225,6 +225,33 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Multi-probe LSH top-k: the query also probes the Hamming-1
+    * neighbor buckets of its own (one flipped hyperplane bit each) —
+    * the standard recall knob for hyperplane LSH: a near neighbor that
+    * fell just on the other side of ONE plane is recovered without
+    * growing the bucket count. Candidates ⊇ the single-bucket set, so
+    * recall can only improve (spec-pinned vs lshTopK); work grows by
+    * the probe count on the QUERY side only. */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String,
+                        k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    val b0 = buckets(spark, dir).filter(col("band") === 0)
+    val probes = b0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(expr(
+          "array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)")).as("probe"))
+      .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
+    val candidates = b0.join(v, "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(candidates, col("probe") === col("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qe", "e"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** #13: LSH top-k — neighbors ranked only within the query's band-0
     * bucket (the scale path: candidate set shrinks ~2^planes-fold). */
   def lshTopK(spark: SparkSession, dir: String,

@@ -23,6 +23,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall@5 is at least single-bucket recall") {
+    def pr(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pr(Similarity.bruteTopK(spark, sf))
+    val single = (brute intersect pr(Similarity.lshTopK(spark, sf))).size
+    val multi = (brute intersect pr(Similarity.lshMultiProbeTopK(spark, sf))).size
+    info(s"recall@5 hits: single-bucket=$single, multi-probe=$multi of ${brute.size}")
+    // probing a superset of buckets can only move top-k toward the truth
+    assert(multi >= single)
+    assert(multi > 0)
+  }
+
   test("k-means IVF (nprobe=2) recall@5 vs brute force meets the floor") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "vec_id").collect()
