@@ -68,6 +68,11 @@ final class DocPipeline private (private val docs: DataFrame,
     next(d.filter(col("pred_lang") === lang))
   }
 
+  /** Redact PII/URLs in the text itself (text_scrub semantics) —
+    * typically the FIRST stage, before anything tokenizes. */
+  def scrub(): DocPipeline =
+    next(df.withColumn("text", TextAnalysis.scrubbedText(col("text"))))
+
   /** Attach the rolling-hash fingerprint (text_fingerprint semantics). */
   def fingerprint(): DocPipeline =
     next(df.withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text"))))

@@ -25,6 +25,18 @@ class DocPipelineSpec extends SparkSpec {
     assert(fluent.nonEmpty)
   }
 
+  test("scrub stage redacts before downstream stages tokenize") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "good long text " * 20 + " reach me at a@b.co or https://x.y now"))
+      .toDF("doc_id", "text")
+    val out = DocPipeline(docs).scrub().df
+      .select("text").collect().head.getString(0)
+    assert(!out.contains("a@b.co") && !out.contains("https://"))
+    assert(out.contains("<EMAIL>") && out.contains("<URL>"))
+  }
+
   test("sql surface: graft_theta_sketch and graft_kmv_sample are callable") {
     import spark.implicits._
     val df = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 30L))
