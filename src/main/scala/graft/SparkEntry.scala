@@ -56,6 +56,7 @@ object SparkEntry {
     "q8_market_share" -> ((s, d) => Analytics2.q8(s, d)),
     "q13_order_dist" -> ((s, d) => Analytics2.q13(s, d)),
     "q15_top_supplier" -> ((s, d) => Analytics2.q15(s, d)),
+    "q17_small_quantity" -> ((s, d) => Analytics2.q17(s, d)),
     "q18_large_orders" -> ((s, d) => Analytics2.q18(s, d)),
     "q19_disjunctive" -> ((s, d) => Analytics2.q19(s, d)),
     "q22_idle_customers" -> ((s, d) => Analytics2.q22(s, d)),
@@ -682,6 +683,17 @@ object SparkEntry {
          |FROM rev JOIN supplier USING (s_suppkey)
          |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
          |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_quantity" ->
+      s"""WITH a AS (
+         |  SELECT l_partkey,
+         |    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*), 4) AS avg_qty
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT COUNT(*) AS n_lines,
+         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/7.0, 4) AS avg_yearly
+         |FROM lineitem JOIN a USING (l_partkey)
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
 
     "q18_large_orders" ->
       s"""WITH big AS (

@@ -108,6 +108,26 @@ object Analytics2 {
       .orderBy("s_suppkey")
   }
 
+  /** Q17-style small-quantity revenue: line items below 20% of their
+    * part's average quantity — the correlated-aggregate shape, planned
+    * as a per-part aggregate joined back onto the fact table. The
+    * threshold is an exact-decimal mean rounded once, so the comparison
+    * boundary is bit-identical across engines. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val avgQty = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4)
+        .as("avg_qty"))
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 4)
+          .as("avg_yearly"))
+  }
+
   /** Q18-style large-volume orders: orders whose total quantity exceeds
     * the threshold, with their customer — aggregate-then-semi-join. */
   def q18(spark: SparkSession, dir: String, minQty: Double = 200.0): DataFrame = {

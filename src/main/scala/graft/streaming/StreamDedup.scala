@@ -179,6 +179,17 @@ object StreamDedup {
       sum(when(col("kept"), 1L).otherwise(0L)).as("n_forwarded"),
       sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
 
+  /** Bridge from the batch world: seed streaming chain state from an
+    * IncrementalDedup digest-state TABLE (digest, last_kept_us) — a
+    * daily batch job and a streaming job can hand the same dedup state
+    * back and forth. */
+  def warmStateFromTable(spark: SparkSession, state: org.apache.spark.sql.DataFrame)
+      : Dataset[(Long, DigestState)] = {
+    import spark.implicits._
+    state.select(col("digest").as[Long], col("last_kept_us").as[Long])
+      .map { case (d, t) => (d, DigestState(t)) }
+  }
+
   /** The cacheBuilding.ts warm-up, literally: recover per-digest chain
     * state from the deduplicated output already written by a previous
     * incarnation (e.g. after losing the checkpoint). Reads only rows in

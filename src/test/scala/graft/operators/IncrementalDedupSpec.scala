@@ -38,6 +38,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(gotState === wantState)
   }
 
+  test("state table warms a streaming chain (batch → stream handoff)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hashed = Dedup.hashedStream(spark, sf)
+    val cut = 1704153600000000L
+    // day 1 runs as a batch job, leaving its state table behind
+    val (_, state) = IncrementalDedup.processBatch(emptyState,
+      hashed.filter(col("ts_us") < cut))
+    val warmed = StreamDedup.warmStateFromTable(spark, state.localCheckpoint(true))
+    // day 2 runs as a stream seeded from that table
+    val msgs = hashed.filter(col("ts_us") >= cut)
+      .select("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest")
+      .as[StreamDedup.Msg].collect().sortBy(m => (m.ts_us, m.event_id))
+    val mem = MemoryStream[StreamDedup.Msg]
+    val name = s"handoff_${System.nanoTime()}"
+    val q = StreamDedup.chain(spark, mem.toDF(), Dedup.WindowUs, Some(warmed))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      msgs.grouped(math.max(1, msgs.length / 2)).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = Dedup.chain(hashed).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+      .filter(id => msgs.exists(_.event_id == id))
+    assert(got === want)
+  }
+
   test("pruned state never changes the kept output of a later batch") {
     val hashed = Dedup.hashedStream(spark, sf)
     val cut = 1704153600000000L
