@@ -63,6 +63,7 @@ object SparkEntry {
     "events_theta_users" -> ((s, d) => graft.operators.Sketches.thetaUsersPerHour(s, d)),
     "events_theta_daily" -> ((s, d) => graft.operators.Sketches.thetaUsersDaily(s, d)),
     "events_kmv_quantiles" -> ((s, d) => graft.operators.Sketches.kmvQuantiles(s, d)),
+    "source_term_cm" -> ((s, d) => graft.operators.Sketches.sourceTermCm(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
@@ -549,6 +550,28 @@ object SparkEntry {
          |  ${H64("text")} AS checksum,
          |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Count-Min: counters recomputed from raw tokens with the same
+    // md5 row hashes; estimates = min over rows at the probe's buckets
+    // (COALESCE 0 where no term hashed into a bucket).
+    "source_term_cm" -> {
+      def cmProbe(p: String): String =
+        (0 until graft.operators.Sketches.CmD).map(i =>
+          s"COALESCE((SELECT n FROM c WHERE c.source = s.source AND c.i = $i " +
+            s"AND c.b = ${H64(s"'cm$i:$p'")} % ${graft.operators.Sketches.CmW}), 0)")
+          .mkString("LEAST(", ", ", ")")
+      s"""WITH tk AS (SELECT source, unnest($TOKS) AS term FROM documents),
+         |c AS (
+         |  SELECT source, i.i, ${H64("concat('cm', CAST(i.i AS VARCHAR), ':', term)")} % ${graft.operators.Sketches.CmW} AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tk, generate_series(0,${graft.operators.Sketches.CmD - 1}) i(i)
+         |  GROUP BY 1, 2, 3
+         |),
+         |s AS (SELECT DISTINCT source FROM documents)
+         |SELECT s.source,
+         |  ${graft.operators.Sketches.CmProbes.map(p => s"${cmProbe(p)} AS est_$p").mkString(",\n         |  ")}
+         |FROM s ORDER BY s.source""".stripMargin
+    },
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

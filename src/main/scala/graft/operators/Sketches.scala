@@ -65,6 +65,31 @@ object Sketches {
       .orderBy("day_bucket")
   }
 
+  /** source_term_cm: Count-Min term-frequency estimates per source —
+    * the frequency member of the sketch trio. The counter matrix is
+    * d·w longs per source regardless of vocabulary size; probe-term
+    * bucket positions are md5-derived constants folded at plan time,
+    * and the oracle recomputes the same counters from raw tokens. */
+  val CmW = 64
+  val CmD = 4
+  val CmProbes = Seq("the", "of", "and", "a", "to")
+
+  def sourceTermCm(spark: SparkSession, dir: String, w: Int = CmW,
+                   d: Int = CmD, probes: Seq[String] = CmProbes): DataFrame = {
+    import graft.plans.{CountMinFunctions, CountMinUtil}
+    val tk = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    val cm = tk.groupBy("source")
+      .agg(CountMinFunctions.countMin(col("term"), w, d).as("cm"))
+    val ests = probes.map { p =>
+      least((0 until d).map(i =>
+        element_at(col("cm"), lit(i * w + CountMinUtil.bucket(i, p, w) + 1))): _*)
+        .as(s"est_$p")
+    }
+    cm.select(col("source") +: ests: _*).orderBy("source")
+  }
+
   /** events_kmv_quantiles: per event type, median and p90 of the value
     * (exact integer cents) over the deterministic KMV sample — a
     * mergeable quantile sketch whose answer is a pure function of the

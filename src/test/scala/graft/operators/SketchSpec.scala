@@ -47,6 +47,28 @@ class SketchSpec extends SparkSpec {
     assert(dup === Seq(7L))
   }
 
+  test("count-min estimates upper-bound the true term counts") {
+    val est = Sketches.sourceTermCm(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        Sketches.CmProbes.zipWithIndex.map { case (p, i) => p -> r.getLong(i + 1) }.toMap)
+      .toMap
+    val truth = graft.Tables.documents(spark, sf)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Sketches.CmProbes: _*))
+      .groupBy("source", "term").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    est.foreach { case (src, byProbe) =>
+      byProbe.foreach { case (p, e) =>
+        val exact = truth.getOrElse((src, p), 0L)
+        assert(e >= exact, s"$src/$p: CM must never underestimate")
+      }
+    }
+    // at least one probe should be estimated exactly (collision-free)
+    assert(est.exists { case (src, m) =>
+      m.exists { case (p, e) => truth.getOrElse((src, p), 0L) == e }
+    })
+  }
+
   test("theta sketch inside a streaming aggregation equals the batch sketch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
