@@ -185,13 +185,17 @@ object Similarity {
     // (float vector × double centroid) — one codegen'd loop per pair,
     // same fold order as the oracle's HOF formulation, bit-identical.
     val v = vecs(spark, dir)
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
+    // top-1 cell per vector as a PARTIAL-AGGREGABLE argmax: min of the
+    // (-cs, c_id, e) struct — same (cs desc, c_id asc) rule as a window
+    // rank (double negation is exact), but with map-side combine and no
+    // exchange+sort of the full corpus. The e column rides the struct.
+    def argmaxCell(cent: DataFrame): DataFrame =
       v.crossJoin(broadcast(cent))
         .withColumn("cs",
           graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
-        .withColumn("rn", row_number().over(w))
-    }
+        .groupBy("vec_id")
+        .agg(min(struct((-col("cs")).as("ncs"), col("c_id"), col("e"))).as("m"))
+        .select(col("vec_id"), col("m.c_id").as("cell"), col("m.e").as("e"))
     var cent = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"),
         expr("transform(e, x -> cast(x as double))").as("ce"))
@@ -200,8 +204,8 @@ object Similarity {
     // one buffer (tried; a 64-wide decimal aggregate buffer costs more
     // than the row fan-out with map-side combine).
     for (_ <- 1 to iters) {
-      cent = assign(cent).filter(col("rn") === 1)
-        .select(col("c_id").as("cell"), posexplode(col("e")))
+      cent = argmaxCell(cent)
+        .select(col("cell"), posexplode(col("e")))
         .groupBy("cell", "pos")
         .agg(sum(col("col").cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
         .withColumn("m", col("s").cast("double") / col("n"))
@@ -209,10 +213,16 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
         .select(col("cell").as("c_id"), expr("transform(ms, x -> x.m)").as("ce"))
     }
-    val fin = assign(cent)
-    val members = fin.filter(col("rn") === 1)
-      .select(col("c_id").as("cell"), col("vec_id"), col("e"))
-    val q = fin.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+    val members = argmaxCell(cent)
+    // probe ranking needs top-`nprobe` cells — a window, but only over
+    // the nQueries × nCentroids candidate rows, never the corpus
+    val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
       .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
