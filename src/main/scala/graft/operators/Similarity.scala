@@ -147,11 +147,13 @@ object Similarity {
     val v = vecs(spark, dir)
     val cent = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("e").as("ce"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id"))
+    // partial-aggregable argmax (min of (-cos, c_id, e) struct) — same
+    // (cos desc, c_id asc) rule as a window rank, no full-corpus sort
     val assign = v.crossJoin(broadcast(cent))
       .withColumn("cos_c", cosine("e", "ce"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"), col("e"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cos_c")).as("nc"), col("c_id"), col("e"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cell"), col("m.e").as("e"))
     val q = assign.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("cell"), col("e").as("qe"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
