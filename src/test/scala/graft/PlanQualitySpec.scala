@@ -57,6 +57,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(hbCode.contains("Found 1 WholeStageCodegen subtrees"), hbCode.take(200))
   }
 
+  test("no registered query plans a cartesian product") {
+    // crossJoin(broadcast(tiny)) plans as BroadcastNestedLoopJoin — fine;
+    // CartesianProductExec means an unintended unbounded pair blow-up.
+    // dedup_components is excluded: constructing it runs its iteration.
+    SparkEntry.queries.keys.filterNot(_ == "dedup_components").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   test("dedup_chain: the native exec runs inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug.codegenString
     val df = SparkEntry.queries("dedup_chain")(spark, sf)
