@@ -32,10 +32,12 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
+          // JSON-safe: strip EVERY control char plus the escapes, not
+          // just the common ones — native errors embed NUL/FF etc.
           errors(name) = (Option(e.getMessage).getOrElse("") match {
             case "" => e.getClass.getName
             case m  => m
-          }).replaceAll("[\\\\\"\\n\\r\\t]", " ").take(160)
+          }).map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c).take(160)
           None
         }
       }

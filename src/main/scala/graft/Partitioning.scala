@@ -23,9 +23,18 @@ object Partitioning {
       spark.conf.get("spark.graft.rebalanceInput", "auto") match {
         case "never"  => df
         case "always" => df.repartition(target)
-        // planning-time check, no job: a multi-split input passes
-        // through untouched (no leading exchange in the plan).
-        case _ => if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+        case _ =>
+          // A plan that already contains an exchange has shuffle-
+          // partition parallelism downstream — and probing its RDD
+          // would make AQE materialize the upstream stages (real
+          // jobs). Only exchange-free plans (scan + narrow ops, the
+          // intended use) are probed; for those df.rdd is pure
+          // planning with no job.
+          val hasExchange = df.queryExecution.sparkPlan.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+          if (hasExchange) df
+          else if (df.rdd.getNumPartitions < target) df.repartition(target)
+          else df
       }
     }
   }

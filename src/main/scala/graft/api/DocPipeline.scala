@@ -25,15 +25,15 @@ import org.apache.spark.sql.functions._
   * parity spec pins the two equal). The per-stage semantics are the
   * oracle-checked operators' own (same expressions, same caps).
   */
-final class DocPipeline private (private val docs: DataFrame,
-                                 val df: DataFrame) {
+final class DocPipeline private (val df: DataFrame) {
 
-  private def next(d: DataFrame) = new DocPipeline(docs, d)
+  private def next(d: DataFrame) = new DocPipeline(d)
 
   /** Keep the minimum doc_id of every normalized-text duplicate group
-    * (dedup_exact_docs semantics). */
+    * (dedup_exact_docs semantics). Derived from the CURRENT frame, so
+    * an earlier scrub() participates in the dedup decision. */
   def exactDedup(): DocPipeline = {
-    val keepers = docs
+    val keepers = df.select("doc_id", "text")
       .withColumn("digest", h64(DocDedup.normalized(col("text"))))
       .groupBy("digest").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
@@ -41,9 +41,10 @@ final class DocPipeline private (private val docs: DataFrame,
   }
 
   /** Drop the larger side of every verified MinHash near-dup pair
-    * (dedup_minhash_lsh semantics, hot-bucket cap included). */
+    * (dedup_minhash_lsh semantics, hot-bucket cap included). Derived
+    * from the CURRENT frame, like exactDedup. */
   def nearDupRemove(tau: Double = 0.5): DocPipeline = {
-    val losers = MinHashLSH.nearDupPairsOf(docs, tau)
+    val losers = MinHashLSH.nearDupPairsOf(df.select("doc_id", "text"), tau)
       .select(col("d2").as("doc_id")).distinct()
     next(df.join(losers, Seq("doc_id"), "left_anti"))
   }
@@ -86,5 +87,5 @@ final class DocPipeline private (private val docs: DataFrame,
 
 object DocPipeline {
   /** Start a pipeline over a (doc_id, text) frame. */
-  def apply(docs: DataFrame): DocPipeline = new DocPipeline(docs, docs)
+  def apply(docs: DataFrame): DocPipeline = new DocPipeline(docs)
 }

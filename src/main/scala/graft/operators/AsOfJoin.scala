@@ -23,7 +23,12 @@ object AsOfJoin {
     * of the latest right row with the same `key` and right `ts` ≤ left
     * `ts` (nulls when no such row). Carried columns arrive prefixed
     * `asof_`. Ties at identical timestamps resolve to the right row
-    * with the greatest first carried column (deterministic).
+    * with the greatest carried-column tuple (deterministic).
+    *
+    * The carried columns travel as ONE struct, so the output always
+    * holds the columns of a single right row — per-column carries would
+    * tear rows apart whenever a carried value is legitimately null on
+    * the latest right row (the null would be filled from an OLDER row).
     *
     * ONE hash exchange on the key for any input sizes — the union-scan
     * shape never materializes a per-key cross product, so a key with
@@ -33,22 +38,25 @@ object AsOfJoin {
     require(carried.nonEmpty && carried.forall(right.columns.contains),
       s"carried columns $carried must exist on the right side")
     val leftRest = left.columns.toIndexedSeq.filterNot(c => c == key || c == ts)
+    val carryType = org.apache.spark.sql.types.StructType(
+      carried.map(c => right.schema(right.schema.fieldIndex(c))))
     val l = left.select(
       Seq(col(key), col(ts), lit(1).as("__side")) ++
-        leftRest.map(col) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+        leftRest.map(col) :+
+        lit(null).cast(carryType).as("__carry"): _*)
     val r = right.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
-        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carried.map(c => col(c).as(s"asof_$c")): _*)
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carried.map(col): _*).as("__carry"): _*)
     val w = Window.partitionBy(key)
-      .orderBy(col(ts), col("__side"), col(s"asof_${carried.head}"))
+      .orderBy(col(ts), col("__side"), col("__carry"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    carried.foldLeft(l.unionAll(r)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
+    l.unionAll(r)
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(
+        Seq(col(key), col(ts)) ++ leftRest.map(col) ++
+          carried.map(c => col(s"__carry.$c").as(s"asof_$c")): _*)
   }
 
   /** events ⟵asof⟶ the user's latest signup event at or before each

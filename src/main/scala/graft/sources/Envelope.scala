@@ -77,11 +77,16 @@ object Envelope {
   def fromKafka(kafka: DataFrame): DataFrame =
     kafka.select(
       col("value").as("payload"),
-      map_from_arrays(
-        transform(coalesce(col("headers"), array().cast(KafkaHeadersType)),
-          h => h.getField("key")),
-        transform(coalesce(col("headers"), array().cast(KafkaHeadersType)),
-          h => decode(h.getField("value"), "UTF-8"))).as("properties"),
+      // Kafka headers are a repeatable LIST (duplicate keys are wire-
+      // legal); a map constructor would throw on duplicates, so fold
+      // with last-wins — the Pulsar property-map semantics.
+      aggregate(
+        coalesce(col("headers"), array().cast(KafkaHeadersType)),
+        map().cast(MapType(StringType, StringType)),
+        (acc, h) => map_concat(
+          map_filter(acc, (k, _) => k =!= h.getField("key")),
+          map(h.getField("key"), decode(h.getField("value"), "UTF-8"))))
+        .as("properties"),
       col("timestamp").as("event_ts"),
       col("topic"))
 

@@ -37,6 +37,18 @@ class DocPipelineSpec extends SparkSpec {
     assert(out.contains("<EMAIL>") && out.contains("<URL>"))
   }
 
+  test("scrub participates in downstream dedup (stage order matters)") {
+    import spark.implicits._
+    // two docs identical except for redacted PII → duplicates AFTER scrub
+    val base = "a reasonably long shared body of text for the exact dedup stage"
+    val docs = Seq(
+      (1L, s"$base contact a@b.co"),
+      (2L, s"$base contact c@d.co")).toDF("doc_id", "text")
+    val kept = DocPipeline(docs).scrub().exactDedup().df
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L), "scrubbed-identical docs must collapse to the min doc_id")
+  }
+
   test("sql surface: graft_theta_sketch and graft_kmv_sample are callable") {
     import spark.implicits._
     val df = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 30L))

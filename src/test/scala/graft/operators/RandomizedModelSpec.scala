@@ -83,6 +83,19 @@ class RandomizedModelSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
 
+  test("asOf carries whole right rows — a null carried value is not filled from an older row") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, 7L)).toDF("lid", "k", "t")
+    val right = Seq(
+      (1L, 1L, 5L, Some(2.0)),
+      (2L, 1L, 6L, None: Option[Double])) // latest row has rv = null
+      .toDF("rid", "k", "t", "rv")
+    val row = AsOfJoin.asOf(left, right, "k", "t", Seq("rid", "rv"))
+      .select("asof_rid", "asof_rv").collect().head
+    assert(row.getLong(0) === 2L)
+    assert(row.isNullAt(1), "null on the matched row must stay null, not leak from rid=1")
+  }
+
   test("bucketized range join matches the brute-force containment model") {
     import spark.implicits._
     val rnd = new scala.util.Random(2026)

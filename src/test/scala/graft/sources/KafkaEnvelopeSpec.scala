@@ -41,6 +41,20 @@ class KafkaEnvelopeSpec extends SparkSpec {
     assert(back(0).getAs[Array[Byte]]("key").nonEmpty)
   }
 
+  test("duplicate kafka header keys take last-wins instead of crashing") {
+    import spark.implicits._
+    val dup = Seq((Array[Byte](1), "t", 0, 0L, new java.sql.Timestamp(1L),
+        Seq(("trace", "a".getBytes("UTF-8")), ("trace", "b".getBytes("UTF-8")))))
+      .toDF("value", "topic", "partition", "offset", "timestamp", "hdr")
+      .withColumn("key", lit(null).cast("binary"))
+      .withColumn("headers",
+        expr("transform(hdr, h -> struct(h._1 as key, h._2 as value))"))
+      .drop("hdr")
+    val props = Envelope.fromKafka(dup)
+      .select("properties").collect().head.getAs[Map[String, String]](0)
+    assert(props === Map("trace" -> "b"))
+  }
+
   test("envelope digest is header-order independent (canonical properties)") {
     import spark.implicits._
     val e1 = Seq((Array[Byte](5), Map("x" -> "1", "y" -> "2"),

@@ -101,7 +101,8 @@ class ObservabilitySpec extends SparkSpec {
       (3L, """{"a":1}"""),      // not an array → skip
       (4L, """["12","x3"]"""),  // non-digest element → whole row skipped
       (5L, null),               // origin property absent → skip
-      (6L, "[456]")             // JSON number accepted (documented leniency)
+      (6L, "[456]"),            // JSON number accepted (documented leniency)
+      (7L, """["99999999999999999999"]""") // beyond Long range → skip, not ANSI crash
     ).toDF("ts_us", "origin")
     val env = rows.select(col("ts_us"),
       when(col("origin").isNotNull, map(lit("origin"), col("origin")))
