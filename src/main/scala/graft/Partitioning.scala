@@ -24,14 +24,18 @@ object Partitioning {
         case "never"  => df
         case "always" => df.repartition(target)
         case _ =>
-          // A plan that already contains an exchange has shuffle-
-          // partition parallelism downstream — and probing its RDD
-          // would make AQE materialize the upstream stages (real
-          // jobs). Only exchange-free plans (scan + narrow ops, the
-          // intended use) are probed; for those df.rdd is pure
-          // planning with no job.
-          val hasExchange = df.queryExecution.sparkPlan.exists(
-            _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+          // spread's contract is SCAN-level rebalance: plans already
+          // containing an exchange (joins/aggregates/explicit
+          // repartitions) pass through untouched — their parallelism is
+          // a shuffle-partition decision, and probing their RDD would
+          // make AQE materialize the upstream stages (real jobs).
+          // Detection must use the PREPARED plan: `sparkPlan` predates
+          // EnsureRequirements, so it never shows the implicit
+          // exchanges of aggregates/joins (verified on this Spark
+          // build); `executedPlan`'s rendering includes them for both
+          // the AQE wrapper (initial plan) and the non-AQE path.
+          val hasExchange =
+            df.queryExecution.executedPlan.toString.contains("Exchange")
           if (hasExchange) df
           else if (df.rdd.getNumPartitions < target) df.repartition(target)
           else df

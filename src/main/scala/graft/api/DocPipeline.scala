@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *
   * Every combinator APPENDS transforms to one declarative plan —
   * nothing materializes between stages, so Catalyst still shares
-  * scans, pushes filters, and broadcasts the small side of every gate,
-  * exactly like the hand-composed operators.Pipeline.cleanDocs (a
-  * parity spec pins the two equal). The per-stage semantics are the
-  * oracle-checked operators' own (same expressions, same caps).
+  * scans, pushes filters, and broadcasts the small side of every gate.
+  * Semantics are SEQUENTIAL: each stage sees its predecessor's
+  * survivors (so scrub() affects downstream dedup, and a dedup stage's
+  * hot-bucket caps apply to the already-filtered corpus) — which can
+  * legitimately differ from Pipeline.cleanDocs' one-shot full-corpus
+  * gating when removed rows straddle a cap boundary; the parity spec
+  * compares the two on corpora where they coincide. Per-stage
+  * expressions and caps are the oracle-checked operators' own.
   */
 final class DocPipeline private (val df: DataFrame) {
 

@@ -48,8 +48,17 @@ object AsOfJoin {
       Seq(col(key), col(ts), lit(0).as("__side")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(carried.map(col): _*).as("__carry"): _*)
+    // tie key among right rows at one timestamp: the orderable carried
+    // columns only — a map-typed carried column cannot participate in a
+    // sort key and would fail analysis (ties are then left unordered)
+    val tieKey =
+      carried.filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType)) match {
+        case Nil => lit(0)
+        case cs  => struct(cs.map(c => col(s"__carry.$c")): _*)
+      }
     val w = Window.partitionBy(key)
-      .orderBy(col(ts), col("__side"), col("__carry"))
+      .orderBy(col(ts), col("__side"), tieKey)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionAll(r)
       .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))

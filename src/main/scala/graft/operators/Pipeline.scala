@@ -21,21 +21,33 @@ object Pipeline {
 
   val QualityMin = 0.6
 
-  /** The oracle-checked pipeline_clean_docs, built with the fluent
-    * api.DocPipeline: quality/language/fingerprint are column
-    * transforms over ONE scan of the gated frame, where the composed
-    * variant below joins three separately-scanned metric frames.
-    * `cleanDocsComposed` is kept as the independent formulation the
-    * parity spec compares against. */
-  def cleanDocs(spark: SparkSession, dir: String): DataFrame =
-    graft.api.DocPipeline(
-        Tables.documents(spark, dir).select("doc_id", "text").spread)
-      .exactDedup()
-      .nearDupRemove(tau = 0.5)
-      .qualityFilter(min = QualityMin)
-      .languageFilter("en")
-      .fingerprint()
-      .cleaned
+  /** The oracle-checked pipeline_clean_docs: BOTH gates (exact-dedup
+    * keepers and near-dup losers) are computed over the FULL corpus —
+    * exactly the oracle's one-shot gating, where the fluent
+    * DocPipeline's stages see only their predecessor's survivors (the
+    * two can diverge when a stage's hot-bucket cap straddles removed
+    * rows). Metric columns ride one scan of the gated frame rather
+    * than three joined metric frames. */
+  def cleanDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
+    val keepers = docs
+      .withColumn("digest", h64(DocDedup.normalized(col("text"))))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val losers = MinHashLSH.nearDupPairsOf(docs, tau = 0.5)
+      .select(col("d2").as("doc_id")).distinct()
+    docs.join(keepers, "doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("toks"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long")))
+      .withColumn("pred_lang", TextAnalysis.predLangCol(col("toks")))
+      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
+      .filter(col("quality_score") >= QualityMin && col("pred_lang") === "en")
+      .select("doc_id", "n_toks", "quality_score", "fingerprint")
+      .orderBy("doc_id")
+  }
 
   def cleanDocsComposed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
