@@ -145,6 +145,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!spreadDf.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("spread: exchange-bearing plans pass through untouched (no AQE stage runs)") {
+    import graft.Partitioning._
+    import org.apache.spark.sql.functions._
+    val agg = spark.range(1000).groupBy((col("id") % 7).as("k")).count()
+    // contract: spread is scan-level only; a plan with an exchange is
+    // returned as-is (same instance — the RDD was never probed)
+    assert(agg.spread eq agg)
+  }
+
   test("spread: single-split input is rebalanced across all cores") {
     import graft.Partitioning._
     import org.apache.spark.sql.functions._
