@@ -24,19 +24,23 @@ object Partitioning {
         case "never"  => df
         case "always" => df.repartition(target)
         case _ =>
-          // spread's contract is SCAN-level rebalance: plans already
-          // containing an exchange (joins/aggregates/explicit
-          // repartitions) pass through untouched — their parallelism is
-          // a shuffle-partition decision, and probing their RDD would
-          // make AQE materialize the upstream stages (real jobs).
-          // Detection must use the PREPARED plan: `sparkPlan` predates
-          // EnsureRequirements, so it never shows the implicit
-          // exchanges of aggregates/joins (verified on this Spark
-          // build); `executedPlan`'s rendering includes them for both
-          // the AQE wrapper (initial plan) and the non-AQE path.
-          val hasExchange =
-            df.queryExecution.executedPlan.toString.contains("Exchange")
-          if (hasExchange) df
+          // spread's contract is SCAN-level rebalance: probe (and maybe
+          // repartition) ONLY plans that are a scan plus narrow ops —
+          // anything that will shuffle (joins/aggregates/windows/sorts/
+          // explicit repartitions) passes through untouched, because
+          // its parallelism is a shuffle-partition decision and probing
+          // its RDD would make AQE materialize upstream stages (real
+          // jobs). The check whitelists narrow LOGICAL operators (the
+          // prepared physical plan hides implicit exchanges behind the
+          // AQE wrapper, and plan-string matching false-positives on
+          // e.g. file paths containing "Exchange").
+          import org.apache.spark.sql.catalyst.plans.logical._
+          val narrowOnly = df.queryExecution.optimizedPlan.collectFirst {
+            case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+              !p.isInstanceOf[Generate] && !p.isInstanceOf[Union] &&
+              !p.isInstanceOf[LeafNode] => p
+          }.isEmpty
+          if (!narrowOnly) df
           else if (df.rdd.getNumPartitions < target) df.repartition(target)
           else df
       }

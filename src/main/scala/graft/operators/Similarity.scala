@@ -58,15 +58,17 @@ object Similarity {
     Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
       .spread
 
-  /** Per-(vec, band) LSH bucket id from `PlanesPerBand` plane signs —
+  /** Per-(vec, band) LSH bucket id from `planesPerBand` plane signs —
     * fused native expression with precomputed sign tables (the HOF
     * formulation re-derived planes×dim md5 signs per row; see
     * plans.HyperplaneBuckets). Bit-identical output. */
-  def buckets(spark: SparkSession, dir: String): DataFrame =
+  def buckets(spark: SparkSession, dir: String,
+              numPlanes: Int = NumPlanes,
+              planesPerBand: Int = PlanesPerBand): DataFrame =
     vecs(spark, dir)
       .select(col("vec_id"),
         posexplode(graft.plans.LshExpressions.hyperplaneBuckets(
-          col("e"), NumPlanes, PlanesPerBand, Dim)))
+          col("e"), numPlanes, planesPerBand, Dim)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -95,12 +97,7 @@ object Similarity {
                    numPlanes: Int = NumPlanes,
                    planesPerBand: Int = PlanesPerBand): DataFrame = {
     val v = vecs(spark, dir)
-    val b = vecs(spark, dir)
-      .select(col("vec_id"),
-        posexplode(graft.plans.LshExpressions.hyperplaneBuckets(
-          col("e"), numPlanes, planesPerBand, Dim)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val b = buckets(spark, dir, numPlanes, planesPerBand)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))

@@ -77,17 +77,25 @@ object Sketches {
   def sourceTermCm(spark: SparkSession, dir: String, w: Int = CmW,
                    d: Int = CmD, probes: Seq[String] = CmProbes): DataFrame = {
     import graft.plans.{CountMinFunctions, CountMinUtil}
-    val tk = graft.Tables.documents(spark, dir)
-      .select(col("source"),
-        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    val docs = graft.Tables.documents(spark, dir)
+    val tk = docs.select(col("source"),
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
     val cm = tk.groupBy("source")
       .agg(CountMinFunctions.countMin(col("term"), w, d).as("cm"))
+    // every distinct source gets a row — a source whose docs tokenize
+    // to nothing has an absent sketch and all-zero estimates, exactly
+    // the oracle's COALESCE-0 left probe
     val ests = probes.map { p =>
       least((0 until d).map(i =>
-        element_at(col("cm"), lit(i * w + CountMinUtil.bucket(i, p, w) + 1))): _*)
+        coalesce(
+          element_at(col("cm"), lit(i * w + CountMinUtil.bucket(i, p, w) + 1)),
+          lit(0L))): _*)
         .as(s"est_$p")
     }
-    cm.select(col("source") +: ests: _*).orderBy("source")
+    docs.select("source").distinct()
+      .join(cm, Seq("source"), "left")
+      .select(col("source") +: ests: _*)
+      .orderBy("source")
   }
 
   /** events_kmv_quantiles: per event type, median and p90 of the value

@@ -51,7 +51,7 @@ class DocPipelineSpec extends SparkSpec {
 
   test("sql surface: graft_theta_sketch and graft_kmv_sample are callable") {
     import spark.implicits._
-    val df = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 30L))
+    Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 30L))
       .toDF("h", "v").createOrReplaceTempView("tsk")
     val arr = spark.sql("SELECT graft_theta_sketch(h, 2) AS mk FROM tsk")
       .collect().head.getSeq[Long](0)

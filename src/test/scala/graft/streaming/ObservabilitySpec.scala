@@ -72,9 +72,14 @@ class ObservabilitySpec extends SparkSpec {
       val forwarded = Dedup.firstOccurrence(Dedup.hashedStream(spark, sf)).count()
       assert(stats.forwarded === forwarded)
       assert(stats.dropped === total - forwarded)
-      // progressed moments ago → healthy at a sane timeout; a 0ms
-      // timeout can only stay healthy if the clock hasn't ticked.
-      assert(listener.isHealthy(name, 60000))
+      // the query was stopped above: once the (async) termination event
+      // lands, health must flip false immediately — the reference goes
+      // unhealthy when the consumer closes, not a timeout later.
+      val termDeadline = System.currentTimeMillis() + 30000
+      while (!listener.totals(name).exists(_.terminated) &&
+             System.currentTimeMillis() < termDeadline) Thread.sleep(50)
+      assert(listener.totals(name).exists(_.terminated))
+      assert(!listener.isHealthy(name, 60000))
       assert(!listener.isHealthy(s"no_such_query_$name", 60000))
     } finally spark.streams.removeListener(listener)
   }
