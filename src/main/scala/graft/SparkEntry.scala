@@ -86,6 +86,17 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
     "pipeline_clean_docs" -> ((s, d) => graft.operators.Pipeline.cleanDocs(s, d)),
+    // round 3: curation tier
+    "contamination_ngrams" -> ((s, d) => graft.operators.Curation.contamination(s, d)),
+    "dedup_cross_source" -> ((s, d) => graft.operators.Curation.crossSourcePairs(s, d)),
+    "sample_stratified" -> ((s, d) => graft.operators.Curation.stratifiedSample(s, d)),
+    "bpe_pair_counts" -> ((s, d) => graft.operators.Curation.bpePairCounts(s, d)),
+    "text_inverted_index" -> ((s, d) => graft.operators.Curation.invertedIndex(s, d)),
+    "cluster_kmeans" -> ((s, d) => Similarity.clusterKmeans(s, d)),
+    // round 3: analytics tier
+    "q21_waiting" -> ((s, d) => graft.operators.Analytics3.q21(s, d)),
+    "events_gap_stats" -> ((s, d) => graft.operators.Analytics3.gapStats(s, d)),
+    "lineitem_quantiles" -> ((s, d) => graft.operators.Analytics3.quantiles(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1058,5 +1069,138 @@ object SparkEntry {
          |SELECT q_id, rank, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
          |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // ---- round 3: curation tier ----------------------------------------
+
+    "contamination_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |sh5 AS (
+         |  SELECT doc_id, ${H64("shingle")} AS sh FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, len(t)-4),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS shingle
+         |    FROM toks WHERE len(t) >= 5)
+         |),
+         |ev AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % ${graft.operators.Curation.EvalMod} = 0),
+         |tr AS (SELECT * FROM sh5 WHERE doc_id % ${graft.operators.Curation.EvalMod} <> 0),
+         |n AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+         |h AS (SELECT doc_id, count(*) AS n_contaminated FROM tr
+         |      WHERE sh IN (SELECT sh FROM ev) GROUP BY 1)
+         |SELECT n.doc_id AS doc_id, n_shingles, n_contaminated,
+         |  ROUND(n_contaminated / n_shingles, 4) AS ratio
+         |FROM n JOIN h ON n.doc_id = h.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
+
+    "dedup_cross_source" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.d1, c.d2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT d1, d2, shared / (n1.n + n2.n - shared) AS jaccard
+         |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |)
+         |SELECT p.d1, p.d2, da.source AS s1, db.source AS s2, p.jaccard
+         |FROM pairs p JOIN documents da ON da.doc_id = p.d1
+         |             JOIN documents db ON db.doc_id = p.d2
+         |WHERE da.source <> db.source
+         |ORDER BY p.d1, p.d2""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1)
+         |SELECT d.source AS source, d.doc_id AS doc_id
+         |FROM documents d JOIN c ON d.source = c.source
+         |WHERE ${H64("concat('strat:', CAST(d.doc_id AS VARCHAR))")} % 1000000
+         |      < least(1000000, 20000000 // cnt)
+         |ORDER BY d.source, d.doc_id""".stripMargin,
+
+    "bpe_pair_counts" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pr AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+         |  FROM toks WHERE len(t) >= 2)
+         |SELECT pair, count(*) AS n FROM pr GROUP BY 1
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "text_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |td AS (SELECT DISTINCT doc_id, term
+         |       FROM (SELECT doc_id, unnest(t) AS term FROM toks))
+         |SELECT term, count(*) AS df,
+         |  array_to_string((list_sort(list(doc_id)))[1:5], ',') AS postings
+         |FROM td GROUP BY term
+         |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    "cluster_kmeans" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |fin AS (
+         |  SELECT vec_id, c_id, cos FROM (
+         |    SELECT v.vec_id, c.c_id, ${duckCosD("v.e", "c.ce")} AS cos,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckCosD("v.e", "c.ce")} DESC, c.c_id) AS rn
+         |    FROM v, c2 c) WHERE rn = 1
+         |)
+         |SELECT vec_id, c_id AS cluster, ROUND(cos, 4) AS c_cos FROM fin
+         |ORDER BY vec_id""".stripMargin,
+
+    // ---- round 3: analytics tier ---------------------------------------
+
+    // Textbook correlated EXISTS / NOT-EXISTS form — the Spark plan is
+    // the aggregate rewrite, so the hash-match proves the rewrite.
+    "q21_waiting" ->
+      s"""WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+         |l AS (SELECT l_orderkey, l_suppkey,
+         |        l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+         |      FROM lineitem JOIN f ON l_orderkey = o_orderkey),
+         |sel AS (
+         |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+         |  FROM l l1
+         |  WHERE l1.late
+         |    AND EXISTS (SELECT 1 FROM l l2
+         |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |    AND NOT EXISTS (SELECT 1 FROM l l3
+         |      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |        AND l3.late)
+         |)
+         |SELECT s_name, count(*) AS numwait
+         |FROM sel JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name
+         |LIMIT 10""".stripMargin,
+
+    "events_gap_stats" ->
+      s"""WITH ev AS ($EV),
+         |g AS (
+         |  SELECT user_id,
+         |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+         |  FROM ev)
+         |SELECT user_id, count(*) AS n_gaps, sum(gap) AS sum_gap_us,
+         |  max(gap) AS max_gap_us, ROUND(sum(gap) / count(*), 4) AS avg_gap_us
+         |FROM g WHERE gap IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "lineitem_quantiles" ->
+      s"""SELECT l_returnflag,
+         |  quantile_cont(l_quantity, 0.25) AS p25,
+         |  quantile_cont(l_quantity, 0.5) AS p50,
+         |  quantile_cont(l_quantity, 0.75) AS p75
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
   )
 }

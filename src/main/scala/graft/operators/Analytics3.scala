@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third tranche of analytics: the Q21 shape (the hardest TPC-H join
+  * pattern), lag/lead gap analysis, and exact grouped quantiles.
+  *
+  * lineitem has no commit/receipt dates, so Q21's "late" predicate is
+  * adapted to l_shipdate > o_orderdate + `lateDays` — the join/
+  * correlation structure (the part that matters for planning) is
+  * unchanged.
+  */
+object Analytics3 {
+
+  /** Q21-style "suppliers who kept orders waiting": suppliers in one
+    * region whose late line item was the ONLY late one in a
+    * multi-supplier finished order.
+    *
+    * Planned as the aggregate rewrite, not correlated EXISTS/NOT
+    * EXISTS: one pass over (order, supplier, late) computes per-order
+    * supplier/late-supplier counts, and the winners fall out of a
+    * join on the order key — lineitem is scanned once and shuffled
+    * once on l_orderkey, versus the textbook form's two additional
+    * correlated self-joins of the largest table. The DuckDB oracle
+    * runs the textbook EXISTS form, so the hash-match proves the
+    * rewrite. */
+  def q21(spark: SparkSession, dir: String,
+          lateDays: Int = 365, region: String = "ASIA"): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === region)
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    // (order, supplier) grain with the late flag — duplicates collapsed
+    // here so downstream counts are supplier-level, not lineitem-level
+    val os = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
+    val perOrder = os.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+           sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    os.filter(col("late"))
+      .join(perOrder, "l_orderkey")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** Inter-event gap statistics per user (lag window): gap count, sum
+    * and max in exact integer µs, plus the mean as a rounded double.
+    * One shuffle on user_id; the window and the aggregation share it. */
+  def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Dedup.eventsUs(spark, dir)
+      .select("user_id", "ts_us", "event_id")
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", col("ts_us") - col("prev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+           sum("gap").as("sum_gap_us"),
+           max("gap").as("max_gap_us"),
+           round(sum("gap") / count(lit(1)), 4).as("avg_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** Exact grouped quantiles (p25/p50/p75 of l_quantity per return
+    * flag) via the exact `percentile` aggregate — linear-interpolation
+    * positions 0.25/0.5/0.75 are exact binary fractions over
+    * integer-valued quantities, so the interpolated doubles reproduce
+    * bit-for-bit in DuckDB's quantile_cont. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+      .orderBy("l_returnflag")
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Partitioning._
+import graft.Tables
+import graft.functions.Hashing.h64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup: benchmark
+  * contamination detection, cross-corpus near-dup audit, rebalancing
+  * stratified sampling, BPE-style pair statistics, and an inverted
+  * index — the remaining table-stakes passes of an LLM data pipeline.
+  *
+  * All are single-digit shuffle counts with partial aggregation; none
+  * joins anything quadratic. Where a "small" side exists (benchmark
+  * shingle set, per-stratum counts) it is bounded by construction, so
+  * AQE picks a broadcast join at any corpus scale.
+  */
+object Curation {
+
+  /** Deterministic eval split: doc_id ≡ 0 (mod EvalMod) plays the
+    * "benchmark suite" whose n-grams must not leak into training. */
+  val EvalMod = 20
+
+  /** Contamination shingle width. 13-grams are the published norm for
+    * benchmark decontamination (GPT-3 appendix C uses 13); the test
+    * docs are 10-99 tokens, so 5 keeps per-doc shingle sets non-empty
+    * while exercising the identical plan shape. */
+  val ContamN = 5
+
+  /** (doc_id, 60-bit shingle hash) pairs, shingles distinct per doc.
+    * Hashing shingles BEFORE the join keeps the exchanged key fixed
+    * width — at corpus scale the join never moves raw n-gram text. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .spread
+      .select(col("doc_id"),
+        explode(graft.plans.TextExpressions.shingles(col("text"), ContamN)).as("shingle"))
+      .select(col("doc_id"), h64(col("shingle")).as("sh"))
+
+  /** Benchmark-contamination report: for every training document, how
+    * many of its distinct n-gram shingles also occur anywhere in the
+    * eval split (docs with doc_id % EvalMod == 0), as a count and a
+    * ratio. Only contaminated docs (overlap > 0) are reported.
+    *
+    * Plan: one shingle explode, a semi-join on the shingle hash against
+    * the eval split's distinct shingles (benchmark suites are tiny and
+    * fixed-size in production, so that side broadcasts), and one
+    * per-doc aggregation. Linear in corpus shingle volume. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val evalSh = sh.filter(col("doc_id") % EvalMod === 0).select("sh").distinct()
+    val train = sh.filter(col("doc_id") % EvalMod =!= 0)
+    val n = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(evalSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    n.join(hits, "doc_id") // inner join ⇒ only docs with overlap > 0
+      .withColumn("ratio", round(col("n_contaminated") / col("n_shingles"), 4))
+      .select("doc_id", "n_shingles", "n_contaminated", "ratio")
+      .orderBy("doc_id")
+  }
+
+  /** Cross-corpus near-dup audit: MinHash/LSH near-dup pairs whose two
+    * documents come from DIFFERENT sources — the "did corpus A leak
+    * into corpus B" question (train/test splits, licensed vs scraped
+    * sets). Same candidate machinery as dedup_minhash_lsh; the source
+    * columns ride a join on doc_id (hash join on the pair endpoints —
+    * never wider than the pair list itself). */
+  def crossSourcePairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    MinHashLSH.nearDupPairs(spark, dir, tau)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .filter(col("s1") =!= col("s2"))
+      .select("d1", "d2", "s1", "s2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** Rebalancing stratified sample: ~`target` docs per source, chosen
+    * by deterministic hash threshold — over-represented sources are
+    * downsampled toward the target, rare sources are kept whole. The
+    * threshold is exact INTEGER arithmetic (floor(1e6·target/count)),
+    * so membership is reproducible on any engine and cluster layout;
+    * the keep test is a per-row hash compare, one narrow pass.
+    * Per-stratum counts are a tiny aggregate joined back (broadcast by
+    * AQE — #strata ≪ #rows at any scale). */
+  def stratifiedSample(spark: SparkSession, dir: String, target: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("source", "doc_id")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    docs.join(counts, "source")
+      .withColumn("thresh",
+        least(lit(1000000L), expr(s"${1000000L * target} div cnt")))
+      .filter(h64(concat(lit("strat:"), col("doc_id").cast("string"))) % 1000000L
+        < col("thresh"))
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+  }
+
+  /** BPE-style adjacent-pair statistics: occurrence counts of adjacent
+    * token pairs across the corpus — the inner loop of byte-pair /
+    * wordpiece vocabulary training, whose corpus-wide pair-count step
+    * is exactly a distributed explode + count. Top `topN` pairs with
+    * a deterministic tie-break. */
+  def bpePairCounts(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select("text").spread
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+    toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+        concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** Inverted index head: for the `topN` highest-document-frequency
+    * terms, the document frequency and the first `sample` postings
+    * (sorted doc ids, comma-joined — a bounded preview, not the full
+    * posting list). One distinct + one aggregation, both on the term —
+    * posting lists build with map-side combine; `TakeOrdered` keeps
+    * only the head on the driver. */
+  def invertedIndex(spark: SparkSession, dir: String,
+                    topN: Int = 20, sample: Int = 5): DataFrame = {
+    val td = Tables.documents(spark, dir)
+      .select("doc_id", "text").spread
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+    td.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(slice(array_sort(collect_list(col("doc_id"))), 1, sample),
+            d => d.cast("string")),
+          ",").as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topN)
+  }
+}

@@ -177,24 +177,25 @@ object Similarity {
     * recall recovered from boundary queries, the standard IVF accuracy
     * knob), ranking candidates by exact cosine. RecallSpec pins
     * recall@k against the brute-force baseline. */
-  def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = TopK,
-                    nQueries: Int = NumQueries, nCentroids: Int = 8,
-                    iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    // assignment cosine is the fused native MixedCosine expression
-    // (float vector × double centroid) — one codegen'd loop per pair,
-    // same fold order as the oracle's HOF formulation, bit-identical.
-    val v = vecs(spark, dir)
-    // top-1 cell per vector as a PARTIAL-AGGREGABLE argmax: min of the
-    // (-cs, c_id, e) struct — same (cs desc, c_id asc) rule as a window
-    // rank (double negation is exact), but with map-side combine and no
-    // exchange+sort of the full corpus. The e column rides the struct.
-    def argmaxCell(cent: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cent))
-        .withColumn("cs",
-          graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
-        .groupBy("vec_id")
-        .agg(min(struct((-col("cs")).as("ncs"), col("c_id"), col("e"))).as("m"))
-        .select(col("vec_id"), col("m.c_id").as("cell"), col("m.e").as("e"))
+  /** Top-1 cell per vector as a PARTIAL-AGGREGABLE argmax: min of the
+    * (-cs, c_id, e) struct — same (cs desc, c_id asc) rule as a window
+    * rank (double negation is exact), but with map-side combine and no
+    * exchange+sort of the full corpus. The e column rides the struct.
+    * Assignment cosine is the fused native MixedCosine expression
+    * (float vector × double centroid) — one codegen'd loop per pair,
+    * same fold order as the oracle's HOF formulation, bit-identical. */
+  private def argmaxCellOf(v: DataFrame, cent: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cs")).as("ncs"), col("c_id"), col("e"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cell"), col("m.e").as("e"))
+
+  /** Lloyd-trained centroids over a (vec_id, e) corpus — deterministic
+    * and cluster-size independent (see ivfKmeansTopK). Shared by IVF
+    * search and corpus clustering. */
+  def kmeansCentroids(v: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     var cent = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"),
         expr("transform(e, x -> cast(x as double))").as("ce"))
@@ -203,7 +204,7 @@ object Similarity {
     // one buffer (tried; a 64-wide decimal aggregate buffer costs more
     // than the row fan-out with map-side combine).
     for (_ <- 1 to iters) {
-      cent = argmaxCell(cent)
+      cent = argmaxCellOf(v, cent)
         .select(col("cell"), posexplode(col("e")))
         .groupBy("cell", "pos")
         .agg(sum(col("col").cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
@@ -212,6 +213,40 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
         .select(col("cell").as("c_id"), expr("transform(ms, x -> x.m)").as("ce"))
     }
+    cent
+  }
+
+  /** Corpus clustering: hard k-means assignment of every vector to its
+    * trained centroid, with the assignment cosine. The centroid set is
+    * tiny and broadcast; the corpus is scanned once per Lloyd iteration
+    * plus once for the final assignment — no shuffle ever carries the
+    * vectors themselves beyond the partial-aggregated argmax. */
+  def clusterKmeans(spark: SparkSession, dir: String, nCentroids: Int = 8,
+                    iters: Int = 2): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = kmeansCentroids(v, nCentroids, iters)
+    v.crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cs")).as("ncs"), col("c_id"))).as("m"))
+      // c_cos is presentational: the raw double depends on the decimal-
+      // quantized centroid components, whose 10th-decimal rounding is
+      // engine-specific (float→DECIMAL(28,10) ties) — ±1e-9 wiggle, so
+      // the export follows the suite's round-4 discipline. The argmax
+      // itself uses the raw cosine (assignment ties are structural,
+      // not rounding-induced; oracle-pinned via ann_ivf_kmeans).
+      .select(col("vec_id"), col("m.c_id").as("cluster"),
+        round(-col("m.ncs"), 4).as("c_cos"))
+      .orderBy("vec_id")
+  }
+
+  def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                    nQueries: Int = NumQueries, nCentroids: Int = 8,
+                    iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val v = vecs(spark, dir)
+    def argmaxCell(cent: DataFrame): DataFrame = argmaxCellOf(v, cent)
+    val cent = kmeansCentroids(v, nCentroids, iters)
     val members = argmaxCell(cent)
     // probe ranking needs top-`nprobe` cells — a window, but only over
     // the nQueries × nCentroids candidate rows, never the corpus

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Analytics3 vs independent in-memory models at sf0.001. The DuckDB
+  * oracle already proves q21's aggregate rewrite against the textbook
+  * EXISTS form cross-engine; these models pin the semantics inside the
+  * JVM too (and at a second data scale, via the driver's sf0.01 run). */
+class Analytics3Spec extends SparkSpec {
+
+  // the TPC-H tables carry TIMESTAMP_NTZ → collect() yields LocalDateTime
+  private def epochMs(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  test("q21 matches a brute-force EXISTS/NOT-EXISTS model") {
+    val ord = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> epochMs(r, 1)).toMap
+    val lateMs = 365L * 24 * 3600 * 1000
+    // (order, supplier) -> any late lineitem
+    val os = scala.collection.mutable.Map[(Long, Long), Boolean]().withDefaultValue(false)
+    graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .foreach { r =>
+        val ok = r.getLong(0)
+        ord.get(ok).foreach { odate =>
+          val key = (ok, r.getLong(1))
+          os(key) = os(key) || epochMs(r, 2) > odate + lateMs
+        }
+      }
+    val byOrder = os.keys.groupBy(_._1)
+    val waiting = os.collect { case ((ok, sk), true) => (ok, sk) }.filter { case (ok, sk) =>
+      val supps = byOrder(ok).map(_._2).toSet
+      val lateSupps = supps.filter(s => os((ok, s)))
+      supps.size >= 2 && lateSupps == Set(sk)
+    }
+    val region = graft.Tables.region(spark, sf).filter(col("r_name") === "ASIA")
+      .select("r_regionkey").collect().map(_.getInt(0)).toSet
+    val nations = graft.Tables.nation(spark, sf).collect()
+      .filter(r => region.contains(r.getInt(2))).map(_.getInt(0)).toSet
+    val suppName = graft.Tables.supplier(spark, sf).collect()
+      .filter(r => nations.contains(r.getInt(2)))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = waiting.toSeq
+      .flatMap { case (_, sk) => suppName.get(sk) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (n, w) => (-w, n) }.take(10)
+    val got = Analytics3.q21(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got == expected)
+  }
+
+  test("gapStats matches a per-user sorted-gaps model") {
+    val ev = Dedup.eventsUs(spark, sf)
+      .select("user_id", "ts_us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).view.mapValues { rows =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      (gaps.length.toLong, gaps.sum, gaps.max)
+    }.toSeq.filter(_._2._1 > 0).sortBy(_._1)
+    val got = Analytics3.gapStats(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got == expected)
+  }
+
+  test("quantiles matches the standard linear-interpolation definition") {
+    val byFlag = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def q(v: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (v.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < v.length) v(lo) + frac * (v(lo + 1) - v(lo)) else v(lo)
+    }
+    val got = Analytics3.quantiles(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == byFlag.keys.toSeq.sorted)
+    got.foreach { r =>
+      val v = byFlag(r.getString(0)).toIndexedSeq
+      assert(r.getDouble(1) == q(v, 0.25))
+      assert(r.getDouble(2) == q(v, 0.5))
+      assert(r.getDouble(3) == q(v, 0.75))
+    }
+  }
+}
