@@ -191,6 +191,46 @@ object Dedup {
       .orderBy("event_id")
   }
 
+  /** Bootstrap with a broadcast Bloom prefilter — the warm-up shape for
+    * the deployment where history (the output topic read-back) and the
+    * fresh stream are SEPARATE tables and the anti-join would shuffle
+    * the whole fresh stream.
+    *
+    * A Bloom filter over the history digests is built once (one
+    * aggregation — the filter is a few MB for billions of digests at
+    * 1% fpp) and broadcast; fresh first-occurrences whose digest the
+    * filter rules out (the overwhelming majority in steady state) are
+    * forwarded WITHOUT touching the join, and only the "maybe" fraction
+    * (true replays + fpp false positives) pays the exact anti-join.
+    * Output is bit-identical to `bootstrap` — Bloom "no" is
+    * definitive, and every "maybe" is re-checked exactly.
+    *
+    * The membership probe is a driver-built filter behind a UDF: the
+    * public-API analog of Spark's own runtime bloom pruning, which is
+    * not exposed for cross-table reuse. The UDF sits on the
+    * already-aggregated first-occurrence rows, not the raw stream. */
+  def bootstrapBloom(df: DataFrame, cutoffUs: Long = BootstrapCutoffUs,
+                     cacheWindowUs: Long = CacheWindowUs,
+                     fpp: Double = 0.01): DataFrame = {
+    val fresh = firstOccurrence(df.filter(col("ts_us") >= cutoffUs))
+    if (cacheWindowUs <= 0) return fresh
+    // history = digests first forwarded within the cache window, i.e.
+    // first occurrence overall landing in [cutoff - W, cutoff)
+    val hist = df.filter(col("ts_us") < cutoffUs)
+      .groupBy("digest").agg(min("ts_us").as("first_ts"))
+      .filter(col("first_ts") >= lit(cutoffUs - cacheWindowUs))
+      .select("digest")
+    val n = math.max(1L, hist.count())
+    val bloom = hist.stat.bloomFilter("digest", n, fpp)
+    val mightContain = udf((d: Long) => bloom.mightContainLong(d))
+    // unionByName: the USING-join reorders columns (digest first)
+    fresh.filter(!mightContain(col("digest")))
+      .unionByName(
+        fresh.filter(mightContain(col("digest")))
+          .join(hist, Seq("digest"), "left_anti"))
+      .orderBy("event_id")
+  }
+
   /** #6: the reference's per-minute forwarded/dropped counters
     * (deduplication.ts:82-94), as a windowed aggregation. */
   def counters(df: DataFrame): DataFrame = {

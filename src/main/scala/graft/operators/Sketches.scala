@@ -19,22 +19,11 @@ object Sketches {
   /** events_theta_users: distinct users per hour via the KMV estimator.
     * One aggregation; partial sketches combine map-side, so the shuffle
     * carries at most k longs per (hour, partition). */
-  def thetaUsersPerHour(spark: SparkSession, dir: String, k: Int = ThetaK): DataFrame = {
-    Dedup.eventsUs(spark, dir)
-      .select(expr("ts_us div 3600000000L").as("hour_bucket"),
-        h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
-      .groupBy("hour_bucket")
-      .agg(ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
-      .select(col("hour_bucket"),
-        size(col("mk")).cast("long").as("n_sketch"),
-        element_at(col("mk"), size(col("mk"))).as("kth_hash"),
-        when(size(col("mk")) < k, size(col("mk")).cast("double"))
-          .otherwise(round(
-            lit((k - 1).toDouble) * lit(ThetaSketch.HashSpace)
-              / element_at(col("mk"), k).cast("double"), 4))
-          .as("est_users"))
+  def thetaUsersPerHour(spark: SparkSession, dir: String, k: Int = ThetaK): DataFrame =
+    // shared with the STREAMING sketch tier — the same plan runs over a
+    // MemoryStream in StreamSketch (parity spec-pinned)
+    graft.streaming.StreamSketch.thetaUsersPerHour(Dedup.eventsUs(spark, dir), k)
       .orderBy("hour_bucket")
-  }
 
   /** events_theta_daily: daily distinct-user estimates RE-AGGREGATED
     * from the hourly sketches — never revisiting the raw events. The

@@ -92,6 +92,16 @@ class DedupSpec extends SparkSpec {
     assert(out === plain)
   }
 
+  test("bloom-prefiltered bootstrap is bit-identical to the plain bootstrap") {
+    val plain = Dedup.bootstrap(hashed).collect().map(_.toSeq).toSeq
+    val bloom = Dedup.bootstrapBloom(hashed).collect().map(_.toSeq).toSeq
+    assert(bloom == plain)
+    // an aggressive fpp (most fresh rows flagged "maybe") must not
+    // change the answer — every maybe is re-checked exactly
+    val coarse = Dedup.bootstrapBloom(hashed, fpp = 0.5).collect().map(_.toSeq).toSeq
+    assert(coarse == plain)
+  }
+
   test("counters: forwarded + dropped equals input size") {
     val sums = Dedup.counters(hashed)
       .agg(org.apache.spark.sql.functions.sum(col("n_forwarded")),

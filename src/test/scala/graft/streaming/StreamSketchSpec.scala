@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Sketches}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming sketch parity: the per-hour theta sketch over a
+  * MemoryStream equals the batch sketch query over the same rows —
+  * including when the stream arrives in several batches, which
+  * exercises sketch-state MERGE inside the streaming aggregation. */
+class StreamSketchSpec extends SparkSpec {
+
+  test("streaming per-hour theta sketch equals batch events_theta_users") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Dedup.eventsUs(spark, sf)
+      .select("ts_us", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val name = s"sk_${System.nanoTime()}"
+    val q = StreamSketch.thetaUsersPerHour(
+        mem.toDF().toDF("ts_us", "user_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // three arrival batches → the final state is a merge of partial
+      // sketches, not one absorb pass
+      rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val want = Sketches.thetaUsersPerHour(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want)
+  }
+}
