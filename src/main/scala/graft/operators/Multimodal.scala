@@ -101,4 +101,30 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("doc_id", "frame_idx")
+
+  /** Resized-asset record: the transformed payload plus before/after
+    * sizes (the audit columns a curation pipeline keeps). */
+  case class ResizedAsset(doc_id: Long, n_bytes_in: Long,
+                          n_bytes_out: Long, payload: Array[Byte])
+
+  /** Resize/transcode plumbing: binary payload in → smaller binary
+    * payload out, per-partition (a real image resizer amortizes codec
+    * setup across the partition exactly here). The kernel is a
+    * deterministic STUB (keep every `factor`-th byte); the data-flow
+    * shape — binary column rewritten in place, audit metadata emitted,
+    * no driver materialization — is the production one. */
+  def resizeStub(spark: SparkSession, dir: String, factor: Int = 4): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val src = withPayload(spark, dir).select("doc_id", "payload")
+    src.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        ResizedAsset(id, bytes.length.toLong, out.length.toLong, out)
+      }
+    }(Encoders.product[ResizedAsset]).toDF()
+  }
 }

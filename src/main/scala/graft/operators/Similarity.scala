@@ -204,16 +204,28 @@ object Similarity {
     // one buffer (tried; a 64-wide decimal aggregate buffer costs more
     // than the row fan-out with map-side combine).
     for (_ <- 1 to iters) {
-      cent = argmaxCellOf(v, cent)
+      cent = materialized(argmaxCellOf(v, cent)
         .select(col("cell"), posexplode(col("e")))
         .groupBy("cell", "pos")
         .agg(sum(col("col").cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
         .withColumn("m", col("s").cast("double") / col("n"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
-        .select(col("cell").as("c_id"), expr("transform(ms, x -> x.m)").as("ce"))
+        .select(col("cell").as("c_id"), expr("transform(ms, x -> x.m)").as("ce")))
     }
     cent
+  }
+
+  /** Centroids become DRIVER state between Lloyd iterations (k×dim
+    * doubles — collected and re-created as a local relation, exactly
+    * what MLlib's KMeans does). Without this, iteration i's centroid
+    * frame keeps the whole training lineage, so the final plan would
+    * re-scan the corpus O(iters²) times; with it, each iteration is one
+    * corpus aggregation and downstream consumers see a broadcastable
+    * literal. Values round-trip bit-exactly (no re-encoding). */
+  private def materialized(cent: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(cent.collect(): _*)
+    cent.sparkSession.createDataFrame(rows, cent.schema)
   }
 
   /** Corpus clustering: hard k-means assignment of every vector to its

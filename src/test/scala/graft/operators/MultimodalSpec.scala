@@ -46,4 +46,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("doc_id").distinct().count() === vids)
     assert(frames.filter(col("frame_idx") % 30 =!= 0).count() === 0)
   }
+
+  test("resizeStub shrinks payloads deterministically with audit columns") {
+    val a = Multimodal.resizeStub(spark, sf, factor = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    val b = Multimodal.resizeStub(spark, sf, factor = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "stub kernel must be deterministic")
+    a.foreach { case (_, nIn, nOut, payload) =>
+      assert(nOut == (nIn + 3) / 4)
+      assert(payload.length.toLong == nOut)
+    }
+    // in-to-out byte accounting survives an aggregation (audit query)
+    val total = Multimodal.resizeStub(spark, sf, factor = 4)
+      .agg(sum("n_bytes_in"), sum("n_bytes_out")).collect().head
+    assert(total.getLong(1) <= total.getLong(0))
+  }
 }
