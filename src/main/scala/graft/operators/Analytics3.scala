@@ -47,12 +47,15 @@ object Analytics3 {
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("l_shipdate") >
         col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
-    val perOrder = os.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supp"),
-           sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
-      .filter(col("n_supp") >= 2 && col("n_late") === 1)
-    os.filter(col("late"))
-      .join(perOrder, "l_orderkey")
+    // per-order supplier/late counts as a WINDOW over the aggregate, not
+    // a second aggregation subtree — a DataFrame branch would recompute
+    // the whole lineitem scan+join+agg; the window rides the (order,
+    // supplier) rows already in hand with one more orderkey exchange
+    val wOrd = Window.partitionBy("l_orderkey")
+    os.select(col("*"),
+        count(lit(1)).over(wOrd).as("n_supp"),
+        sum(when(col("late"), 1L).otherwise(0L)).over(wOrd).as("n_late"))
+      .filter(col("late") && col("n_supp") >= 2 && col("n_late") === 1)
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))

@@ -31,10 +31,8 @@ object Curation {
   /** (doc_id, 60-bit shingle hash) pairs, shingles distinct per doc.
     * Hashing shingles BEFORE the join keeps the exchanged key fixed
     * width — at corpus scale the join never moves raw n-gram text. */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select("doc_id", "text")
-      .spread
+  private def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(graft.plans.TextExpressions.shingles(col("text"), ContamN)).as("shingle"))
       .select(col("doc_id"), h64(col("shingle")).as("sh"))
@@ -49,13 +47,19 @@ object Curation {
     * fixed-size in production, so that side broadcasts), and one
     * per-doc aggregation. Linear in corpus shingle volume. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
-    val evalSh = sh.filter(col("doc_id") % EvalMod === 0).select("sh").distinct()
-    val train = sh.filter(col("doc_id") % EvalMod =!= 0)
-    val n = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = train.join(evalSh, Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    n.join(hits, "doc_id") // inner join ⇒ only docs with overlap > 0
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
+    // eval and train are filtered BEFORE shingling, and shingle totals +
+    // eval hits come out of ONE aggregation (left join against the
+    // distinct eval set with a hit marker) — the train split is
+    // shingled exactly once; a separate totals branch would re-run the
+    // explode over the whole corpus
+    val evalSh = shingleHashesOf(docs.filter(col("doc_id") % EvalMod === 0))
+      .select("sh").distinct()
+    val train = shingleHashesOf(docs.filter(col("doc_id") % EvalMod =!= 0))
+    train.join(evalSh.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
       .withColumn("ratio", round(col("n_contaminated") / col("n_shingles"), 4))
       .select("doc_id", "n_shingles", "n_contaminated", "ratio")
       .orderBy("doc_id")
