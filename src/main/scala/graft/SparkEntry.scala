@@ -97,6 +97,8 @@ object SparkEntry {
     "q21_waiting" -> ((s, d) => graft.operators.Analytics3.q21(s, d)),
     "events_gap_stats" -> ((s, d) => graft.operators.Analytics3.gapStats(s, d)),
     "lineitem_quantiles" -> ((s, d) => graft.operators.Analytics3.quantiles(s, d)),
+    "docs_lang_pivot" -> ((s, d) => graft.operators.Analytics3.langPivot(s, d)),
+    "events_anomalies" -> ((s, d) => graft.operators.Analytics3.valueAnomalies(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1202,5 +1204,30 @@ object SparkEntry {
          |  quantile_cont(l_quantity, 0.75) AS p75
          |FROM lineitem GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+
+    "docs_lang_pivot" ->
+      s"""SELECT source,
+         |  count(*) FILTER (lang = 'de') AS n_de,
+         |  count(*) FILTER (lang = 'en') AS n_en,
+         |  count(*) FILTER (lang = 'es') AS n_es,
+         |  count(*) FILTER (lang = 'fr') AS n_fr,
+         |  count(*) FILTER (lang = 'zh') AS n_zh
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "events_anomalies" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type,
+         |    CAST(ROUND(value*100) AS BIGINT) AS cents
+         |  FROM events),
+         |f AS (
+         |  SELECT event_type,
+         |    quantile_cont(cents, 0.75)
+         |      + 3.0 * (quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25))
+         |      AS fence
+         |  FROM ev GROUP BY event_type)
+         |SELECT ev.event_id, ev.event_type, ev.cents, f.fence
+         |FROM ev JOIN f ON ev.event_type = f.event_type
+         |WHERE ev.cents > f.fence
+         |ORDER BY ev.event_id""".stripMargin,
   )
 }

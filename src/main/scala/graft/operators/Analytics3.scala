@@ -81,6 +81,42 @@ object Analytics3 {
       .orderBy("user_id")
   }
 
+  /** Corpus composition matrix: documents per source × language as a
+    * PIVOT (fixed language universe → one aggregation, columns fan out
+    * at plan time; absent cells are exact zeros). The per-source row is
+    * what a curation dashboard reads to spot language skew by source. */
+  def langPivot(spark: SparkSession, dir: String,
+                langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .orderBy("source")
+
+  /** Tukey-fence value anomalies per event type: rows above
+    * p75 + 3·(p75 − p25) of their type's value (in exact integer
+    * cents). The fences come from the exact percentile aggregate at
+    * binary-exact positions, so the outlier boundary is bit-identical
+    * across engines — no mean/stddev floating-point edge. Two passes
+    * over events (fence aggregate ⋈ rows), fence table broadcast. */
+  def valueAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Dedup.eventsUs(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        graft.functions.Hashing.valueCents(col("value")).as("cents"))
+    val fences = ev.groupBy("event_type")
+      .agg(expr("percentile(cents, array(0.25D, 0.75D))").as("q"))
+      .select(col("event_type"),
+        (element_at(col("q"), 2) +
+          lit(3.0) * (element_at(col("q"), 2) - element_at(col("q"), 1)))
+          .as("fence"))
+    ev.join(broadcast(fences), "event_type")
+      .filter(col("cents") > col("fence"))
+      .select("event_id", "event_type", "cents", "fence")
+      .orderBy("event_id")
+  }
+
   /** Exact grouped quantiles (p25/p50/p75 of l_quantity per return
     * flag) via the exact `percentile` aggregate — linear-interpolation
     * positions 0.25/0.5/0.75 are exact binary fractions over
