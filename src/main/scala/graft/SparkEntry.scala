@@ -1118,8 +1118,10 @@ object SparkEntry {
       s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1)
          |SELECT d.source AS source, d.doc_id AS doc_id
          |FROM documents d JOIN c ON d.source = c.source
-         |WHERE ${H64("concat('strat:', CAST(d.doc_id AS VARCHAR))")} % 1000000
-         |      < least(1000000, 20000000 // cnt)
+         |WHERE ${H64("concat('strat:', CAST(d.doc_id AS VARCHAR))")}
+         |        % ${graft.operators.Curation.SampleSpace}
+         |      < least(${graft.operators.Curation.SampleSpace},
+         |              ${20L * graft.operators.Curation.SampleSpace} // cnt)
          |ORDER BY d.source, d.doc_id""".stripMargin,
 
     "bpe_pair_counts" ->

@@ -81,10 +81,16 @@ object Curation {
       .orderBy("d1", "d2")
   }
 
+  /** Sampling-ratio denominator: 2^40 ≈ 1.1e12, so the integer
+    * threshold floor(2^40·target/count) stays non-zero for strata up to
+    * target×2^40 docs — no stratum silently vanishes at corpus scale
+    * (a 1e6 modulus underflowed to zero past 2e7 docs/stratum). */
+  val SampleSpace: Long = 1L << 40
+
   /** Rebalancing stratified sample: ~`target` docs per source, chosen
     * by deterministic hash threshold — over-represented sources are
     * downsampled toward the target, rare sources are kept whole. The
-    * threshold is exact INTEGER arithmetic (floor(1e6·target/count)),
+    * threshold is exact INTEGER arithmetic (floor(2^40·target/count)),
     * so membership is reproducible on any engine and cluster layout;
     * the keep test is a per-row hash compare, one narrow pass.
     * Per-stratum counts are a tiny aggregate joined back (broadcast by
@@ -94,8 +100,8 @@ object Curation {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     docs.join(counts, "source")
       .withColumn("thresh",
-        least(lit(1000000L), expr(s"${1000000L * target} div cnt")))
-      .filter(h64(concat(lit("strat:"), col("doc_id").cast("string"))) % 1000000L
+        least(lit(SampleSpace), expr(s"${SampleSpace * target} div cnt")))
+      .filter(h64(concat(lit("strat:"), col("doc_id").cast("string"))) % SampleSpace
         < col("thresh"))
       .select("source", "doc_id")
       .orderBy("source", "doc_id")
@@ -123,9 +129,13 @@ object Curation {
   /** Inverted index head: for the `topN` highest-document-frequency
     * terms, the document frequency and the first `sample` postings
     * (sorted doc ids, comma-joined — a bounded preview, not the full
-    * posting list). One distinct + one aggregation, both on the term —
-    * posting lists build with map-side combine; `TakeOrdered` keeps
-    * only the head on the driver. */
+    * posting list). One distinct + one aggregation, both on the term.
+    * The preview is the mergeable min-k aggregate (KmvSampleAgg keyed
+    * by the doc id itself) — per-term aggregation state is O(sample)
+    * even for stopword-grade terms whose df approaches the corpus
+    * size, where a collect_list-then-slice would buffer the full
+    * posting list on one reducer. `TakeOrdered` keeps only the head
+    * on the driver. */
   def invertedIndex(spark: SparkSession, dir: String,
                     topN: Int = 20, sample: Int = 5): DataFrame = {
     val td = Tables.documents(spark, dir)
@@ -135,8 +145,11 @@ object Curation {
       .distinct()
     td.groupBy("term")
       .agg(count(lit(1)).as("df"),
+        graft.plans.ThetaSketchFunctions
+          .kmvSample(col("doc_id"), col("doc_id"), sample).as("mk"))
+      .select(col("term"), col("df"),
         array_join(
-          transform(slice(array_sort(collect_list(col("doc_id"))), 1, sample),
+          transform(array_sort(expr("transform(mk, x -> x.v)")),
             d => d.cast("string")),
           ",").as("postings"))
       .orderBy(col("df").desc, col("term"))

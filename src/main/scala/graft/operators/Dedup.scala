@@ -212,21 +212,31 @@ object Dedup {
   def bootstrapBloom(df: DataFrame, cutoffUs: Long = BootstrapCutoffUs,
                      cacheWindowUs: Long = CacheWindowUs,
                      fpp: Double = 0.01): DataFrame = {
-    val fresh = firstOccurrence(df.filter(col("ts_us") >= cutoffUs))
-    if (cacheWindowUs <= 0) return fresh
+    val raw = df.filter(col("ts_us") >= cutoffUs)
+    if (cacheWindowUs <= 0) return firstOccurrence(raw)
     // history = digests first forwarded within the cache window, i.e.
-    // first occurrence overall landing in [cutoff - W, cutoff)
+    // first occurrence overall landing in [cutoff - W, cutoff).
+    // localCheckpoint: the digest list is consumed three times (count,
+    // bloom build, anti-join) — materialize the aggregation once
+    // instead of replanning it per consumer.
     val hist = df.filter(col("ts_us") < cutoffUs)
       .groupBy("digest").agg(min("ts_us").as("first_ts"))
       .filter(col("first_ts") >= lit(cutoffUs - cacheWindowUs))
       .select("digest")
+      .localCheckpoint(true)
     val n = math.max(1L, hist.count())
     val bloom = hist.stat.bloomFilter("digest", n, fpp)
     val mightContain = udf((d: Long) => bloom.mightContainLong(d))
-    // unionByName: the USING-join reorders columns (digest first)
-    fresh.filter(!mightContain(col("digest")))
+    // Bloom membership is a pure function of the digest, so classifying
+    // BEFORE the first-occurrence window partitions the fresh stream
+    // into disjoint digest sets — per-digest dedup commutes with the
+    // split, each row crosses exactly one window shuffle, and only the
+    // maybe fraction (true replays + fpp) ever reaches the anti-join.
+    // The definitely-new branch needs no join at all: Bloom "no" is
+    // definitive. (unionByName: the USING-join reorders columns.)
+    firstOccurrence(raw.filter(!mightContain(col("digest"))))
       .unionByName(
-        fresh.filter(mightContain(col("digest")))
+        firstOccurrence(raw.filter(mightContain(col("digest"))))
           .join(hist, Seq("digest"), "left_anti"))
       .orderBy("event_id")
   }

@@ -120,10 +120,16 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-        ResizedAsset(id, bytes.length.toLong, out.length.toLong, out)
+        // same null/empty contract as decodeKernel: emit an auditable
+        // zero-byte row, never fail the task on a bad media payload
+        if (bytes == null || bytes.isEmpty)
+          ResizedAsset(id, 0L, 0L, Array.emptyByteArray)
+        else {
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          ResizedAsset(id, bytes.length.toLong, out.length.toLong, out)
+        }
       }
     }(Encoders.product[ResizedAsset]).toDF()
   }

@@ -46,11 +46,7 @@ object Sketches {
       .select(col("day_bucket"),
         size(col("mk")).cast("long").as("n_sketch"),
         element_at(col("mk"), size(col("mk"))).as("kth_hash"),
-        when(size(col("mk")) < k, size(col("mk")).cast("double"))
-          .otherwise(round(
-            lit((k - 1).toDouble) * lit(ThetaSketch.HashSpace)
-              / element_at(col("mk"), k).cast("double"), 4))
-          .as("est_users"))
+        graft.streaming.StreamSketch.thetaEstimate(col("mk"), k).as("est_users"))
       .orderBy("day_bucket")
   }
 

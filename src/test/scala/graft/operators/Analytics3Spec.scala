@@ -58,9 +58,11 @@ class Analytics3Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expected = ev.groupBy(_._1).view.mapValues { rows =>
       val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
-      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
-      (gaps.length.toLong, gaps.sum, gaps.max)
-    }.toSeq.filter(_._2._1 > 0).sortBy(_._1)
+      ts.zip(ts.tail).map { case (a, b) => b - a }
+    }.toSeq
+      .collect { case (u, gaps) if gaps.nonEmpty =>
+        (u, (gaps.length.toLong, gaps.sum, gaps.max)) }
+      .sortBy(_._1)
     val got = Analytics3.gapStats(spark, sf).collect().toSeq
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
     assert(got == expected)
