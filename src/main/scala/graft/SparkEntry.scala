@@ -99,6 +99,8 @@ object SparkEntry {
     "lineitem_quantiles" -> ((s, d) => graft.operators.Analytics3.quantiles(s, d)),
     "docs_lang_pivot" -> ((s, d) => graft.operators.Analytics3.langPivot(s, d)),
     "events_anomalies" -> ((s, d) => graft.operators.Analytics3.valueAnomalies(s, d)),
+    "events_funnel" -> ((s, d) => graft.operators.Analytics3.funnel(s, d)),
+    "events_retention" -> ((s, d) => graft.operators.Analytics3.retention(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1231,5 +1233,31 @@ object SparkEntry {
          |FROM ev JOIN f ON ev.event_type = f.event_type
          |WHERE ev.cents > f.fence
          |ORDER BY ev.event_id""".stripMargin,
+
+    "events_funnel" ->
+      s"""WITH ev AS ($EV),
+         |v AS (SELECT user_id, min(ts_us) AS t_view FROM ev
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+         |      FROM ev e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts_us > v.t_view
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+         |      FROM ev e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click
+         |      GROUP BY e.user_id)
+         |SELECT (SELECT count(*) FROM v) AS n_view,
+         |       (SELECT count(*) FROM c) AS n_click,
+         |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+
+    "events_retention" ->
+      s"""WITH ev AS ($EV),
+         |activity AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM ev),
+         |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+         |SELECT c.cohort_day, a.day - c.cohort_day AS offset, count(*) AS n_users
+         |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+         |WHERE a.day - c.cohort_day <= 7
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -117,6 +117,47 @@ object Analytics3 {
       .orderBy("event_id")
   }
 
+  /** Sequential conversion funnel: users who viewed, then clicked
+    * strictly after their first view, then purchased strictly after
+    * that first qualifying click. Each stage is one type-filtered scan
+    * (the filter pushes into parquet) aggregated to a per-user minimum
+    * and joined on user_id — per-stage state is one timestamp per user,
+    * and each later stage only scans its own event type. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Dedup.eventsUs(spark, dir).select("user_id", "event_type", "ts_us")
+    def stage(prev: DataFrame, eType: String, tsCol: String): DataFrame =
+      ev.filter(col("event_type") === eType)
+        .join(prev, "user_id")
+        .filter(col("ts_us") > col(tsCol))
+        .groupBy("user_id").agg(min("ts_us").as(s"t_$eType"))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t_view"))
+    val clicked = stage(viewed, "click", "t_view")
+    val purchased = stage(clicked, "purchase", "t_click")
+    viewed.agg(count(lit(1)).as("n_view"))
+      .crossJoin(clicked.agg(count(lit(1)).as("n_click")))
+      .crossJoin(purchased.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  /** Cohort retention matrix: users grouped by first-active day, and
+    * for each day offset 0..`maxOffset`, how many of that cohort were
+    * active again. Two aggregations (first day per user, distinct
+    * activity days) sharing the user_id shuffle, then one count per
+    * (cohort, offset) cell. */
+  def retention(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
+    val dayUs = 86400000000L
+    val activity = Dedup.eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** Exact grouped quantiles (p25/p50/p75 of l_quantity per return
     * flag) via the exact `percentile` aggregate — linear-interpolation
     * positions 0.25/0.5/0.75 are exact binary fractions over

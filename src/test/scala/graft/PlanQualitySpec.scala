@@ -67,6 +67,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  private def scanCount(planStr: String, table: String): Int =
+    planStr.sliding(s"$table.parquet".length).count(_ == s"$table.parquet")
+
+  test("q21: one lineitem scan (window-over-aggregate, not a second agg branch)") {
+    val p = plan("q21_waiting")
+    assert(scanCount(p, "lineitem") == 1, s"expected 1 lineitem scan:\n$p")
+    assert(scanCount(p, "orders") == 1)
+  }
+
+  test("contamination: train corpus is shingled once (two scans total)") {
+    // one scan per split (eval / train), filters pushed — a totals
+    // branch would add a third documents scan
+    assert(scanCount(plan("contamination_ngrams"), "documents") == 2)
+  }
+
+  test("inverted index: posting preview is the bounded min-k aggregate") {
+    val p = plan("text_inverted_index")
+    assert(!p.contains("collect_list"), "posting preview must not buffer O(df)")
+    assert(p.contains("kmv_sample"))
+  }
+
+  test("anomalies: the per-type fence table broadcasts onto the events scan") {
+    assert(plan("events_anomalies").contains("BroadcastHashJoin"))
+  }
+
   test("dedup_chain: the native exec runs inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug.codegenString
     val df = SparkEntry.queries("dedup_chain")(spark, sf)
