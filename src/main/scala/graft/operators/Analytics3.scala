@@ -149,8 +149,12 @@ object Analytics3 {
     val activity = Dedup.eventsUs(spark, dir)
       .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"))
       .distinct()
-    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
-    activity.join(cohorts, "user_id")
+    // cohort day as a WINDOW over the distinct activity frame — a
+    // cohort-aggregate branch joined back would recompute the events
+    // scan + distinct; the window costs one user_id exchange instead
+    activity
+      .withColumn("cohort_day",
+        min("day").over(Window.partitionBy("user_id")))
       .withColumn("offset", col("day") - col("cohort_day"))
       .filter(col("offset") <= maxOffset)
       .groupBy("cohort_day", "offset")

@@ -92,6 +92,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("events_anomalies").contains("BroadcastHashJoin"))
   }
 
+  test("retention: one events scan (cohort window over the activity frame)") {
+    assert(scanCount(plan("events_retention"), "events") == 1)
+  }
+
   test("dedup_chain: the native exec runs inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug.codegenString
     val df = SparkEntry.queries("dedup_chain")(spark, sf)
