@@ -101,6 +101,7 @@ object SparkEntry {
     "events_anomalies" -> ((s, d) => graft.operators.Analytics3.valueAnomalies(s, d)),
     "events_funnel" -> ((s, d) => graft.operators.Analytics3.funnel(s, d)),
     "events_retention" -> ((s, d) => graft.operators.Analytics3.retention(s, d)),
+    "ann_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -230,7 +231,33 @@ object SparkEntry {
   private val DISC_PRICE =
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
-  def oracleSql: Map[String, String] = Map(
+  /** The composed recall-report oracle reuses the four variant oracles
+    * plus the brute baseline as subqueries (DuckDB allows WITH inside a
+    * derived table), so the report's oracle can never drift from the
+    * per-variant oracles it grades. */
+  def oracleSql: Map[String, String] = {
+    def sub(name: String) =
+      s"(SELECT q_id, vec_id FROM (${baseOracles(name)}))"
+    baseOracles + ("ann_recall_report" ->
+      s"""WITH b AS ${sub("ann_brute_topk")},
+         |hits AS (
+         |  SELECT 'ann_ivf_kmeans' AS variant, count(*) AS n_hits
+         |    FROM ${sub("ann_ivf_kmeans")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_ivf_topk', count(*)
+         |    FROM ${sub("ann_ivf_topk")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_lsh_multiprobe', count(*)
+         |    FROM ${sub("ann_lsh_multiprobe")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_lsh_topk', count(*)
+         |    FROM ${sub("ann_lsh_topk")} x JOIN b USING (q_id, vec_id)
+         |)
+         |SELECT variant, n_hits, ROUND(n_hits / 100.0, 4) AS recall
+         |FROM hits ORDER BY variant""".stripMargin)
+  }
+
+  private def baseOracles: Map[String, String] = Map(
     "dedup_first" ->
       s"""WITH $DUP_CTE, ${hashedCte(CANON_K)}
          |SELECT $OUT_COLS FROM hashed

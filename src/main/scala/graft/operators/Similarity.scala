@@ -308,6 +308,30 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Index quality report: recall@k of every ANN variant against the
+    * exact brute-force baseline, in one frame — the evaluation loop an
+    * embedding platform runs after (re)building an index. Each variant
+    * contributes one row (variant, n_hits, recall); the brute top-k
+    * set is the shared join side. Costs are the variants' own (each
+    * bounded to the nQueries probe set); the comparison join is
+    * nQueries×k rows per side. */
+  def recallReport(spark: SparkSession, dir: String,
+                   k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val brute = bruteTopK(spark, dir, k, nQueries).select("q_id", "vec_id")
+    val denom = (k * nQueries).toDouble
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select("q_id", "vec_id")
+        .join(brute, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("variant"), col("n_hits"),
+          round(col("n_hits") / denom, 4).as("recall"))
+    row("ann_ivf_kmeans", ivfKmeansTopK(spark, dir, k, nQueries))
+      .unionByName(row("ann_ivf_topk", ivfTopK(spark, dir, k, nQueries)))
+      .unionByName(row("ann_lsh_multiprobe", lshMultiProbeTopK(spark, dir, k, nQueries)))
+      .unionByName(row("ann_lsh_topk", lshTopK(spark, dir, k, nQueries)))
+      .orderBy("variant")
+  }
+
   /** #13: LSH top-k — neighbors ranked only within the query's band-0
     * bucket (the scale path: candidate set shrinks ~2^planes-fold). */
   def lshTopK(spark: SparkSession, dir: String,
