@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * pipeline. State per open session is one (start, end, count, sum)
   * tuple; the engine merges windows as late events arrive.
   *
-  * Boundary alignment: session_window closes a session when the next
-  * event is AT or beyond end = last + gap (window ranges are
-  * half-open), while the batch operator starts a new session only when
-  * the g a p strictly exceeds gapUs. Passing gap+1 µs to
-  * session_window makes both break exactly when diff > gapUs, so the
-  * two formulations agree event-for-event (parity spec). */
+  * Boundary alignment: session_window merges INCLUSIVELY at the
+  * boundary — an event exactly gap after the previous one extends the
+  * session (verified empirically; the window's printed range is
+  * half-open but the merge test is `start <= prevEnd`). The batch
+  * operator likewise keeps diff == gapUs in-session and splits only on
+  * diff > gapUs, so passing gapUs UNCHANGED gives event-for-event
+  * parity (boundary-fixture spec). */
 object StreamSession {
 
   /** Sessionize a (user_id, ts_us, value) frame — batch or streaming.
@@ -23,7 +24,7 @@ object StreamSession {
   def sessionize(ev: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame =
     ev.withColumn("ts", timestamp_micros(col("ts_us")))
       .groupBy(col("user_id"),
-        session_window(col("ts"), s"${gapUs + 1} microseconds").as("w"))
+        session_window(col("ts"), s"$gapUs microseconds").as("w"))
       .agg(count(lit(1)).as("n_events"),
            min("ts_us").as("start_us"),
            max("ts_us").as("end_us"),

@@ -38,4 +38,37 @@ class StreamSessionSpec extends SparkSpec {
       .sortBy(t => (t._1, t._3)).toSeq
     assert(got == want)
   }
+
+  test("boundary fixture: diff == gap stays in-session, diff == gap+1 splits (both engines)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val gapUs = 10000000L // 10 s
+    // ts 0 and gap merge (batch splits only on diff > gap); 2*gap+1 splits
+    val fixture = Seq((1L, 0L, 1.0), (1L, gapUs, 1.0), (1L, 2 * gapUs + 1, 1.0))
+    // batch formulation over the same fixture
+    val batch = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+      fixture.toDF("user_id", "ts_us", "value")
+        .withColumn("new_sess",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.lag("ts_us", 1).over(w).isNull ||
+            org.apache.spark.sql.functions.col("ts_us") -
+              org.apache.spark.sql.functions.lag("ts_us", 1).over(w) > gapUs,
+            1).otherwise(0))
+        .agg(org.apache.spark.sql.functions.sum("new_sess")).collect().head.getLong(0)
+    }
+    assert(batch == 2L, "fixture must produce exactly 2 batch sessions")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val name = s"ssb_${System.nanoTime()}"
+    val q = StreamSession.sessionize(
+        mem.toDF().toDF("user_id", "ts_us", "value"), gapUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try { mem.addData(fixture); q.processAllAvailable() } finally q.stop()
+    val sessions = spark.table(name).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(1))).sortBy(_._1).toSeq
+    assert(sessions == Seq((0L, gapUs, 2L), (2 * gapUs + 1, 2 * gapUs + 1, 1L)),
+      s"streaming boundary must match batch; got $sessions")
+  }
 }
