@@ -102,6 +102,8 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => graft.operators.Analytics3.funnel(s, d)),
     "events_retention" -> ((s, d) => graft.operators.Analytics3.retention(s, d)),
     "ann_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
+    "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "sample_weighted" -> ((s, d) => graft.operators.Curation.weightedSample(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1286,5 +1288,24 @@ object SparkEntry {
          |WHERE a.day - c.cohort_day <= 7
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+
+    "ann_filtered_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS q_id, q.label, c.vec_id, ${duckCos("q.e", "c.e")} AS cos
+         |  FROM v q JOIN v c ON q.label = c.label AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
+         |)
+         |SELECT q_id, label, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
+         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "sample_weighted" ->
+      s"""SELECT source, doc_id, n_chars FROM documents
+         |WHERE ${H64("concat('wsamp:', CAST(doc_id AS VARCHAR))")}
+         |        % ${graft.operators.Curation.SampleSpace}
+         |      < CAST(floor(least(1.0, n_chars / 500.0)
+         |              * ${graft.operators.Curation.SampleSpace}) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -107,6 +107,23 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Quality-weighted sample: each document is kept with probability
+    * proportional to a quality weight (here length-based, capped at 1)
+    * — the deterministic importance-sampling pass a data-mixing recipe
+    * applies before training. Membership = hash < weight·2^40: a pure
+    * per-row predicate, no shuffle at all, reproducible across engines
+    * and cluster layouts (the weight product is IEEE double arithmetic
+    * on both sides, floored once). */
+  def weightedSample(spark: SparkSession, dir: String,
+                     fullAt: Int = 500): DataFrame =
+    Tables.documents(spark, dir)
+      .select("source", "doc_id", "n_chars")
+      .withColumn("w", least(lit(1.0), col("n_chars") / fullAt.toDouble))
+      .filter(h64(concat(lit("wsamp:"), col("doc_id").cast("string"))) % SampleSpace
+        < floor(col("w") * SampleSpace).cast("long"))
+      .select("source", "doc_id", "n_chars")
+      .orderBy("doc_id")
+
   /** BPE-style adjacent-pair statistics: occurrence counts of adjacent
     * token pairs across the corpus — the inner loop of byte-pair /
     * wordpiece vocabulary training, whose corpus-wide pair-count step

@@ -308,6 +308,30 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Filtered vector search: exact top-k among vectors sharing the
+    * query's label — the metadata-predicate form every production
+    * vector store needs (search only rows passing a filter). The
+    * label is the partition key of the candidate join, so each query
+    * ranks only its own label's vectors: candidate volume is
+    * N/|labels| per query instead of N, and the plan is one hash join
+    * + per-query window. */
+  def filteredTopK(spark: SparkSession, dir: String,
+                   k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .spread
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    q.join(v, "label")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qe", "e"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "label", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Index quality report: recall@k of every ANN variant against the
     * exact brute-force baseline, in one frame — the evaluation loop an
     * embedding platform runs after (re)building an index. Each variant
