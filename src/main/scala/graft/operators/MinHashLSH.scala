@@ -113,6 +113,56 @@ object MinHashLSH {
       .orderBy("doc_id")
   }
 
+  /** Incremental index maintenance: the persisted near-dup index of a
+    * corpus is its (doc_id, band, sig) signature table plus its
+    * (doc_id, shingle) table — both strictly per-doc, so indexing a
+    * new ingest batch NEVER revisits old documents. New near-dup
+    * pairs are exactly the band collisions involving at least one new
+    * doc (old-old pairs were emitted when their docs arrived); the
+    * verification join reads only candidate docs' rows from the
+    * persisted shingle table (hash join pruning).
+    *
+    * The hot-bucket cap is evaluated over the UPDATED index: a bucket
+    * that crosses MaxBucketSize as the corpus grows stops emitting
+    * pairs from that point on (the already-emitted old pairs are not
+    * retracted — caps are monotone suppressions, not invalidations).
+    *
+    * Returns (newSigs, newShingles, pairs): append the first two to
+    * the persisted index tables, emit the third. */
+  def incrementalNearDupPairs(oldSigs: DataFrame, oldShingles: DataFrame,
+                              newDocs: DataFrame, tau: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val newSigs = bandSignatures(newDocs)
+    val newSh = DocDedup.docShinglesOf(newDocs)
+    val sigs = oldSigs.select("doc_id", "band", "sig").withColumn("is_new", lit(false))
+      .unionByName(newSigs.withColumn("is_new", lit(true)))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val capped = sigs.withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= MaxBucketSize)
+      .select("doc_id", "band", "sig", "is_new")
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        (col("x.is_new") || col("y.is_new")))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sh = oldShingles.unionByName(newSh)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.as("a"), col("a.doc_id") === col("d1"))
+      .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.shingle") === col("a.shingle"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("shared"))
+    val pairs = shared
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+    (newSigs, newSh, pairs)
+  }
+
   /** #9: candidate pairs from band collisions, verified with true
     * Jaccard ≥ τ on the shingle sets. */
   def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
