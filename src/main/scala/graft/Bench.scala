@@ -45,6 +45,10 @@ object Bench {
           None
         }
       }
+      // untimed GC between queries: 150 query executions in one JVM
+      // accumulate broadcast/codegen garbage, and a collection landing
+      // mid-query once inflated a 1 s query to 24 s in the recorded run
+      System.gc()
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
