@@ -146,21 +146,34 @@ object MinHashLSH {
         (col("x.is_new") || col("y.is_new")))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val sh = oldShingles.unionByName(newSh)
+    (newSigs, newSh, verifyCandidates(cand, oldShingles.unionByName(newSh), tau))
+  }
+
+  /** Jaccard-verify candidate pairs over a (doc_id, shingle) table —
+    * the shared tail of the batch and incremental paths. The shingle
+    * table is semi-joined to the candidate endpoints first, so the
+    * pass costs proportional to candidate volume, not the corpus (at
+    * incremental scale the persisted shingle table is the whole
+    * corpus; only candidate docs' rows may leave the scan). */
+  private def verifyCandidates(cand: DataFrame, shAll: DataFrame,
+                               tau: Double): DataFrame = {
+    val ids = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id")))
+      .distinct()
+    val sh = shAll.join(ids, Seq("doc_id"), "left_semi")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = cand
       .join(sh.as("a"), col("a.doc_id") === col("d1"))
       .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.shingle") === col("a.shingle"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("shared"))
-    val pairs = shared
+    shared
       .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard") >= tau)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
-    (newSigs, newSh, pairs)
   }
 
   /** #9: candidate pairs from band collisions, verified with true
@@ -187,18 +200,6 @@ object MinHashLSH {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = cand
-      .join(sh.as("a"), col("a.doc_id") === col("d1"))
-      .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.shingle") === col("a.shingle"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
-      .filter(col("jaccard") >= tau)
-      .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
+    verifyCandidates(cand, sh, tau)
   }
 }
