@@ -8,6 +8,17 @@ import org.apache.spark.sql.functions._
   * cross-engine digest divergence. */
 class OracleGuardSpec extends SparkSpec {
 
+  test("every registered query has an oracle or a documented rows-only exemption") {
+    // rows-only by design: xxhash64 has no DuckDB twin (spec pins its
+    // kept set == the md5 path), HLL++ is not replayable cross-engine
+    val exempt = Set("dedup_first_fast", "events_approx_users")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == exempt,
+      s"queries without an oracle beyond the documented exemptions: ${missing -- exempt}")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without a registered query: $orphaned")
+  }
+
   test("events.props matches the {\"k\":N} shape CANON_K assumes") {
     // The oracle canonicalizes props as concat('k=', json k). If a row
     // ever carries extra keys, a missing k, or null props, DuckDB would
