@@ -34,6 +34,31 @@ class NullRobustnessSpec extends SparkSpec {
     assert(df.filter(col("digest").isNull).count() === 0)
   }
 
+  test("curation operators tolerate null/empty/whitespace documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulldocs").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "srcA", 35L),
+      (1L, null.asInstanceOf[String], "en", "srcA", 0L),
+      (2L, "", "en", "srcB", 0L),
+      (3L, "   \t  ", "en", "srcB", 6L),
+      (21L, "alpha beta gamma delta epsilon zeta", "en", "srcB", 35L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // token-less docs contribute nothing; nothing throws
+    val contam = Curation.contamination(spark, dir).collect()
+    assert(contam.map(_.getLong(0)).toSet == Set(21L)) // doc 0 is the eval split
+    assert(Curation.bpePairCounts(spark, dir).collect()
+      .forall(_.getString(0).trim.nonEmpty))
+    assert(Curation.invertedIndex(spark, dir).collect()
+      .map(_.getString(0)).toSet == Set("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    // sampling keys on doc_id/source (never the text) → all docs eligible
+    assert(Curation.stratifiedSample(spark, dir, target = 10).count() === 5)
+    // weighted sampling keeps w=1 rows, drops w=0 rows deterministically
+    val kept = Curation.weightedSample(spark, dir, fullAt = 30).collect().map(_.getLong(1)).toSet
+    assert(Set(0L, 21L).subsetOf(kept) && !kept.contains(1L) && !kept.contains(2L))
+  }
+
   test("chain dedup of an empty stream is empty, of one row is that row") {
     import spark.implicits._
     val schema = Seq((0L, 0L, 0L, "x", 0.0, "{}", 7L))
