@@ -104,6 +104,7 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
     "sample_weighted" -> ((s, d) => graft.operators.Curation.weightedSample(s, d)),
+    "source_dup_rate" -> ((s, d) => graft.operators.Curation.sourceDupRate(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1307,5 +1308,28 @@ object SparkEntry {
          |      < CAST(floor(least(1.0, n_chars / 500.0)
          |              * ${graft.operators.Curation.SampleSpace}) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+
+    "source_dup_rate" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.d1, c.d2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT d1, d2
+         |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |),
+         |dd AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs))
+         |SELECT d.source AS source, count(*) AS n_docs,
+         |  count(dd.doc_id) AS n_dup_docs,
+         |  ROUND(count(dd.doc_id) / count(*), 4) AS dup_rate
+         |FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -107,6 +107,24 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Corpus health report: per source, how many documents participate
+    * in ANY near-dup pair, as a count and a rate — the number a
+    * curation dashboard tracks per ingest feed. The duplicate-doc set
+    * comes from the MinHash/LSH pair list (linear candidate
+    * generation); the rate aggregation is one left join + groupBy. */
+  def sourceDupRate(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val dupDocs = MinHashLSH.nearDupPairs(spark, dir, tau)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+      .withColumn("dup", lit(1))
+    docs.join(dupDocs, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(col("dup")).as("n_dup_docs"))
+      .withColumn("dup_rate", round(col("n_dup_docs") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
   /** Quality-weighted sample: each document is kept with probability
     * proportional to a quality weight (here length-based, capped at 1)
     * — the deterministic importance-sampling pass a data-mixing recipe
