@@ -105,6 +105,7 @@ object SparkEntry {
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
     "sample_weighted" -> ((s, d) => graft.operators.Curation.weightedSample(s, d)),
     "source_dup_rate" -> ((s, d) => graft.operators.Curation.sourceDupRate(s, d)),
+    "dedup_manifest" -> ((s, d) => graft.operators.Curation.dedupManifest(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1331,5 +1332,42 @@ object SparkEntry {
          |  ROUND(count(dd.doc_id) / count(*), 4) AS dup_rate
          |FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_manifest" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |$MH_CAND_CTE,
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.d1, c.d2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT d1, d2 FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |),
+         |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT d1, d1 FROM edges
+         |  UNION
+         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |ex AS (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY
+         |      ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}) AS keep_id
+         |  FROM documents)
+         |SELECT ex.doc_id AS doc_id,
+         |  CASE WHEN ex.doc_id <> ex.keep_id THEN 'drop_exact'
+         |       WHEN c.component_id IS NOT NULL AND c.component_id <> ex.doc_id
+         |         THEN 'drop_near_dup'
+         |       WHEN c.component_id IS NOT NULL THEN 'keep_canonical'
+         |       ELSE 'keep_unique' END AS status,
+         |  CASE WHEN ex.doc_id <> ex.keep_id THEN ex.keep_id
+         |       ELSE coalesce(c.component_id, ex.doc_id) END AS canonical_id
+         |FROM ex LEFT JOIN comp c ON ex.doc_id = c.doc_id
+         |ORDER BY ex.doc_id""".stripMargin,
   )
 }

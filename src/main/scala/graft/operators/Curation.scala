@@ -125,6 +125,33 @@ object Curation {
       .orderBy("source")
   }
 
+  /** The dedup MANIFEST — the artifact a dedup pass actually applies
+    * to a corpus: per document, a keep/drop status with its reason and
+    * the canonical doc it defers to. Exact duplicates (same normalized
+    * text, higher doc_id) take precedence; near-dup component members
+    * defer to their component's minimum; component minima are kept as
+    * canonicals; everything else is unique. One window over the exact
+    * digest + a left join onto the (pair-involved-only) component
+    * labels. */
+  def dedupManifest(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val exact = Tables.documents(spark, dir).select("doc_id", "text")
+      .withColumn("digest", h64(DocDedup.normalized(col("text"))))
+      .withColumn("keep_id",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+      .select("doc_id", "keep_id")
+    val comp = MinHashLSH.nearDupComponents(spark, dir, tau)
+    exact.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), lit("drop_exact"))
+          .when(col("component_id").isNotNull && col("component_id") =!= col("doc_id"),
+            lit("drop_near_dup"))
+          .when(col("component_id").isNotNull, lit("keep_canonical"))
+          .otherwise(lit("keep_unique")).as("status"),
+        when(col("doc_id") =!= col("keep_id"), col("keep_id"))
+          .otherwise(coalesce(col("component_id"), col("doc_id"))).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-weighted sample: each document is kept with probability
     * proportional to a quality weight (here length-based, capped at 1)
     * — the deterministic importance-sampling pass a data-mixing recipe
