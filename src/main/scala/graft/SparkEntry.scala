@@ -185,6 +185,24 @@ object SparkEntry {
        |  FROM capped x JOIN capped y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
        |)""".stripMargin
 
+  /** Candidate verification: true-Jaccard pairs at τ=0.5 from `cand` +
+    * `sh` — mirrors MinHashLSH.verifyCandidates, shared by every
+    * oracle that consumes verified near-dup pairs (the SQL twin of the
+    * Scala-side shared helper; one definition each side). */
+  private val MH_PAIRS_CTE =
+    s"""n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT c.d1, c.d2, count(*) AS shared
+       |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+       |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+       |  GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT d1, d2, shared / (n1.n + n2.n - shared) AS jaccard
+       |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+       |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
+       |)""".stripMargin
+
   /** Left-fold double dot product — mirrors Similarity.dotSql. */
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64),
@@ -370,16 +388,8 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.d1, c.d2, count(*) AS shared
-         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
-         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2
-         |)
-         |SELECT d1, d2, shared / (n1.n + n2.n - shared) AS jaccard
-         |FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-         |WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |$MH_PAIRS_CTE
+         |SELECT d1, d2, jaccard FROM pairs
          |ORDER BY d1, d2""".stripMargin,
 
     // transitive dedup groups: same minhash pair CTEs, then reachability
@@ -387,17 +397,7 @@ object SparkEntry {
     "dedup_components" ->
       s"""WITH RECURSIVE $SH_CTE,
          |$MH_CAND_CTE,
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.d1, c.d2, count(*) AS shared
-         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
-         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT d1, d2 FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
-         |),
+         |$MH_PAIRS_CTE,
          |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
          |reach(a, b) AS (
          |  SELECT d1, d1 FROM edges
@@ -1129,18 +1129,7 @@ object SparkEntry {
     "dedup_cross_source" ->
       s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.d1, c.d2, count(*) AS shared
-         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
-         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT d1, d2, shared / (n1.n + n2.n - shared) AS jaccard
-         |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
-         |)
+         |$MH_PAIRS_CTE
          |SELECT p.d1, p.d2, da.source AS s1, db.source AS s2, p.jaccard
          |FROM pairs p JOIN documents da ON da.doc_id = p.d1
          |             JOIN documents db ON db.doc_id = p.d2
@@ -1313,18 +1302,7 @@ object SparkEntry {
     "source_dup_rate" ->
       s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.d1, c.d2, count(*) AS shared
-         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
-         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT d1, d2
-         |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
-         |),
+         |$MH_PAIRS_CTE,
          |dd AS (SELECT DISTINCT doc_id FROM (
          |  SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs))
          |SELECT d.source AS source, count(*) AS n_docs,
@@ -1336,17 +1314,7 @@ object SparkEntry {
     "dedup_manifest" ->
       s"""WITH RECURSIVE $SH_CTE,
          |$MH_CAND_CTE,
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |shared AS (
-         |  SELECT c.d1, c.d2, count(*) AS shared
-         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
-         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT d1, d2 FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
-         |),
+         |$MH_PAIRS_CTE,
          |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
          |reach(a, b) AS (
          |  SELECT d1, d1 FROM edges
@@ -1358,16 +1326,27 @@ object SparkEntry {
          |  SELECT doc_id,
          |    min(doc_id) OVER (PARTITION BY
          |      ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}) AS keep_id
-         |  FROM documents)
-         |SELECT ex.doc_id AS doc_id,
-         |  CASE WHEN ex.doc_id <> ex.keep_id THEN 'drop_exact'
-         |       WHEN c.component_id IS NOT NULL AND c.component_id <> ex.doc_id
-         |         THEN 'drop_near_dup'
-         |       WHEN c.component_id IS NOT NULL THEN 'keep_canonical'
-         |       ELSE 'keep_unique' END AS status,
-         |  CASE WHEN ex.doc_id <> ex.keep_id THEN ex.keep_id
-         |       ELSE coalesce(c.component_id, ex.doc_id) END AS canonical_id
-         |FROM ex LEFT JOIN comp c ON ex.doc_id = c.doc_id
-         |ORDER BY ex.doc_id""".stripMargin,
+         |  FROM documents),
+         |base AS (
+         |  SELECT ex.doc_id AS doc_id,
+         |    CASE WHEN ex.doc_id <> ex.keep_id THEN 'drop_exact'
+         |         WHEN c.component_id IS NOT NULL AND c.component_id <> ex.doc_id
+         |           THEN 'drop_near_dup'
+         |         WHEN c.component_id IS NOT NULL THEN 'keep_canonical'
+         |         ELSE 'keep_unique' END AS status,
+         |    CASE WHEN ex.doc_id <> ex.keep_id THEN ex.keep_id
+         |         ELSE coalesce(c.component_id, ex.doc_id) END AS canonical_id
+         |  FROM ex LEFT JOIN comp c ON ex.doc_id = c.doc_id),
+         |mm AS (SELECT doc_id AS m_id, canonical_id AS m_next FROM base
+         |       WHERE doc_id <> canonical_id),
+         |chase(doc_id, cur) AS (
+         |  SELECT doc_id, canonical_id FROM base
+         |  UNION
+         |  SELECT c.doc_id, m.m_next FROM chase c JOIN mm m ON c.cur = m.m_id
+         |)
+         |SELECT c.doc_id AS doc_id, b.status, c.cur AS canonical_id
+         |FROM chase c JOIN base b ON c.doc_id = b.doc_id
+         |WHERE c.cur NOT IN (SELECT m_id FROM mm)
+         |ORDER BY c.doc_id""".stripMargin,
   )
 }

@@ -30,11 +30,13 @@ object Curation {
 
   /** (doc_id, 60-bit shingle hash) pairs, shingles distinct per doc.
     * Hashing shingles BEFORE the join keeps the exchanged key fixed
-    * width — at corpus scale the join never moves raw n-gram text. */
-  private def shingleHashesOf(docs: DataFrame): DataFrame =
+    * width — at corpus scale the join never moves raw n-gram text.
+    * THE shingle definition of the decontamination gate — batch and
+    * streaming both call this, so the two sides cannot drift. */
+  private[graft] def shingleHashesOf(docs: DataFrame, n: Int = ContamN): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(graft.plans.TextExpressions.shingles(col("text"), ContamN)).as("shingle"))
+        explode(graft.plans.TextExpressions.shingles(col("text"), n)).as("shingle"))
       .select(col("doc_id"), h64(col("shingle")).as("sh"))
 
   /** Benchmark-contamination report: for every training document, how
@@ -140,7 +142,7 @@ object Curation {
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("digest")))
       .select("doc_id", "keep_id")
     val comp = MinHashLSH.nearDupComponents(spark, dir, tau)
-    exact.join(comp, Seq("doc_id"), "left")
+    val base = exact.join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("doc_id") =!= col("keep_id"), lit("drop_exact"))
           .when(col("component_id").isNotNull && col("component_id") =!= col("doc_id"),
@@ -149,7 +151,28 @@ object Curation {
           .otherwise(lit("keep_unique")).as("status"),
         when(col("doc_id") =!= col("keep_id"), col("keep_id"))
           .otherwise(coalesce(col("component_id"), col("doc_id"))).as("canonical_id"))
-      .orderBy("doc_id")
+    // Chase canonical references to a FIXPOINT: a near-dup member's
+    // component minimum can itself be an exact duplicate (and an exact
+    // duplicate's keeper can be a near-dup member), so the immediate
+    // representative may be a doc this manifest drops. Every hop
+    // strictly decreases the id (both keep_id and component_id are
+    // minima), so the chase terminates; in real corpora it is 1-2
+    // hops (same shape as the component label loop).
+    val m = base.filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("m_id"), col("canonical_id").as("m_next"))
+      .localCheckpoint(true)
+    var out = base.localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val stepped = out.join(m, col("canonical_id") === col("m_id"), "left")
+        .select(col("doc_id"), col("status"),
+          coalesce(col("m_next"), col("canonical_id")).as("canonical_id"),
+          col("m_next").isNotNull.as("moved"))
+        .localCheckpoint(true)
+      converged = stepped.filter(col("moved")).isEmpty
+      out = stepped.drop("moved")
+    }
+    out.orderBy("doc_id")
   }
 
   /** Quality-weighted sample: each document is kept with probability

@@ -18,25 +18,27 @@ object StreamContamination {
 
   /** Per-document shingle totals and eval overlaps over a streaming (or
     * batch) (doc_id, text) frame. Run in complete/update mode; filter
-    * n_contaminated > 0 downstream for the contaminated-only report. */
+    * n_contaminated > 0 downstream for the contaminated-only report.
+    * Both sides shingle through Curation.shingleHashesOf — pass the
+    * SAME `n` here and to `evalShingles`, or the join probes a table
+    * of differently-sized n-grams and silently reports a clean corpus. */
   def contaminationFlags(docs: DataFrame, evalShingles: DataFrame,
                          n: Int = graft.operators.Curation.ContamN): DataFrame =
-    docs.select(col("doc_id"),
-        explode(graft.plans.TextExpressions.shingles(col("text"), n)).as("shingle"))
-      .select(col("doc_id"), h64(col("shingle")).as("sh"))
+    graft.operators.Curation.shingleHashesOf(docs, n)
       .join(broadcast(evalShingles.select("sh").withColumn("hit", lit(1))), Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
 
   /** The static eval-split shingle table for a documents dir (in
     * production this is a small persisted table built once per
-    * benchmark release). */
-  def evalShingles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Tables.documents(spark, dir)
-      .filter(col("doc_id") % graft.operators.Curation.EvalMod === 0)
-      .select(col("doc_id"),
-        explode(graft.plans.TextExpressions.shingles(
-          col("text"), graft.operators.Curation.ContamN)).as("shingle"))
-      .select(h64(col("shingle")).as("sh"))
+    * benchmark release), at the same shingle width the gate probes. */
+  def evalShingles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   n: Int = graft.operators.Curation.ContamN): DataFrame =
+    graft.operators.Curation.shingleHashesOf(
+        graft.Tables.documents(spark, dir)
+          .filter(col("doc_id") % graft.operators.Curation.EvalMod === 0)
+          .select("doc_id", "text"),
+        n)
+      .select("sh")
       .distinct()
 }

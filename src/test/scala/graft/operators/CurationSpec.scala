@@ -83,6 +83,31 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedupManifest chases canonical references through mixed exact/near-dup chains") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    // 5 is an EXACT dup of 2 (normalization folds case) but a NEAR dup
+    // of 9 (shingles are case-sensitive): 9's component minimum is 5,
+    // which is itself dropped — the manifest must chase 9 → 5 → 2.
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq(
+      (2L, base.toUpperCase, "en", "srcA", base.length.toLong),
+      (5L, base, "en", "srcA", base.length.toLong),
+      (9L, base + " extra", "en", "srcB", base.length.toLong + 6)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Curation.dedupManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (2L, "keep_unique", 2L),
+      (5L, "drop_exact", 2L),
+      (9L, "drop_near_dup", 2L)),
+      s"canonical chain 9→5→2 must resolve to the kept doc; got $got")
+  }
+
   test("crossSourcePairs = near-dup pairs restricted to differing sources") {
     val srcOf = docs.map { case (id, _, s) => id -> s }.toMap
     val all = MinHashLSH.nearDupPairs(spark, sf).collect().toSeq
