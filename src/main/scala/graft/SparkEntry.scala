@@ -106,6 +106,7 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) => graft.operators.Curation.weightedSample(s, d)),
     "source_dup_rate" -> ((s, d) => graft.operators.Curation.sourceDupRate(s, d)),
     "dedup_manifest" -> ((s, d) => graft.operators.Curation.dedupManifest(s, d)),
+    "events_cooccurrence" -> ((s, d) => graft.operators.Analytics3.cooccurrence(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1253,6 +1254,25 @@ object SparkEntry {
          |FROM ev JOIN f ON ev.event_type = f.event_type
          |WHERE ev.cents > f.fence
          |ORDER BY ev.event_id""".stripMargin,
+
+    "events_cooccurrence" ->
+      s"""WITH ev AS ($EV),
+         |s AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+         |                  THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |),
+         |s2 AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM s
+         |),
+         |d AS (SELECT DISTINCT user_id, session_idx, event_type FROM s2)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_sessions
+         |FROM d a JOIN d b ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+         |  AND a.event_type < b.event_type
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_funnel" ->
       s"""WITH ev AS ($EV),

@@ -205,8 +205,11 @@ object Analytics {
 
   /** #24: gap-based sessionization (30 min) per user, pure window
     * functions — one shuffle on user_id. */
-  def sessionize(spark: SparkSession, dir: String,
-                 gapUs: Long = 1800L * 1000000L): DataFrame = {
+  /** Events with their gap-session index — the shared prefix of
+    * sessionize and the co-occurrence query (one window pipeline, one
+    * user_id shuffle). */
+  def sessionIndexed(spark: SparkSession, dir: String,
+                     gapUs: Long = 1800L * 1000000L): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val newSess = when(
       lag("ts_us", 1).over(byUser).isNull ||
@@ -215,6 +218,11 @@ object Analytics {
       .withColumn("new_sess", newSess)
       .withColumn("session_idx",
         sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def sessionize(spark: SparkSession, dir: String,
+                 gapUs: Long = 1800L * 1000000L): DataFrame = {
+    sessionIndexed(spark, dir, gapUs)
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
            min("ts_us").as("start_us"),

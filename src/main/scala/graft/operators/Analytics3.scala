@@ -117,6 +117,26 @@ object Analytics3 {
       .orderBy("event_id")
   }
 
+  /** Within-session event-type co-occurrence — the market-basket
+    * shape: for every ordered pair of event types, in how many
+    * user-sessions both occur. Distinct (session, type) rows self-join
+    * on the session key (groups are session-sized, never corpus-sized)
+    * and aggregate; the session index rides Analytics.sessionIndexed's
+    * single user_id window pipeline. */
+  def cooccurrence(spark: SparkSession, dir: String,
+                   gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val d = Analytics.sessionIndexed(spark, dir, gapUs)
+      .select("user_id", "session_idx", "event_type")
+      .distinct()
+    d.as("a").join(d.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.session_idx") === col("b.session_idx") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Sequential conversion funnel: users who viewed, then clicked
     * strictly after their first view, then purchased strictly after
     * that first qualifying click. Each stage is one type-filtered scan
