@@ -107,6 +107,7 @@ object SparkEntry {
     "source_dup_rate" -> ((s, d) => graft.operators.Curation.sourceDupRate(s, d)),
     "dedup_manifest" -> ((s, d) => graft.operators.Curation.dedupManifest(s, d)),
     "events_cooccurrence" -> ((s, d) => graft.operators.Analytics3.cooccurrence(s, d)),
+    "events_markov" -> ((s, d) => graft.operators.Analytics3.markovTransitions(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1254,6 +1255,18 @@ object SparkEntry {
          |FROM ev JOIN f ON ev.event_type = f.event_type
          |WHERE ev.cents > f.fence
          |ORDER BY ev.event_id""".stripMargin,
+
+    "events_markov" ->
+      s"""WITH ev AS ($EV),
+         |t AS (
+         |  SELECT event_type AS type_from,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS type_to
+         |  FROM ev),
+         |g AS (SELECT type_from, type_to, count(*) AS n FROM t
+         |      WHERE type_to IS NOT NULL GROUP BY 1, 2)
+         |SELECT type_from, type_to, n,
+         |  ROUND(n / SUM(n) OVER (PARTITION BY type_from), 4) AS p
+         |FROM g ORDER BY type_from, type_to""".stripMargin,
 
     "events_cooccurrence" ->
       s"""WITH ev AS ($EV),

@@ -117,6 +117,24 @@ object Analytics3 {
       .orderBy("event_id")
   }
 
+  /** First-order transition counts between consecutive event types per
+    * user (the Markov-chain statistics a behavioral model trains on),
+    * with the per-from total riding a window over the aggregate so the
+    * transition probability needs no second pass. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wFrom = Window.partitionBy("type_from")
+    Dedup.eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("type_from"),
+        lead("event_type", 1).over(w).as("type_to"))
+      .filter(col("type_to").isNotNull)
+      .groupBy("type_from", "type_to")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum("n").over(wFrom), 4))
+      .orderBy("type_from", "type_to")
+  }
+
   /** Within-session event-type co-occurrence — the market-basket
     * shape: for every ordered pair of event types, in how many
     * user-sessions both occur. Distinct (session, type) rows self-join
