@@ -187,6 +187,22 @@ object SparkEntry {
        |  FROM capped x JOIN capped y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
        |)""".stripMargin
 
+  /** Gap-session index over `ev` (30-min default) — mirrors
+    * Analytics.sessionIndexed; shared by every session-consuming
+    * oracle (sessionize, session_lookup, cooccurrence). */
+  private val SESS_CTE =
+    s"""s AS (
+       |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+       |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+       |                  THEN 1 ELSE 0 END AS new_sess
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |),
+       |s2 AS (
+       |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM s
+       |)""".stripMargin
+
   /** Candidate verification: true-Jaccard pairs at τ=0.5 from `cand` +
     * `sh` — mirrors MinHashLSH.verifyCandidates, shared by every
     * oracle that consumes verified near-dup pairs (the SQL twin of the
@@ -883,17 +899,7 @@ object SparkEntry {
 
     "events_sessionize" ->
       s"""WITH ev AS ($EV),
-         |s AS (
-         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-         |                   OR ts_us - lag(ts_us) OVER w > 1800000000
-         |                  THEN 1 ELSE 0 END AS new_sess
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-         |),
-         |s2 AS (
-         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-         |  FROM s
-         |)
+         |$SESS_CTE
          |SELECT user_id, session_idx, COUNT(*) AS n_events,
          |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
@@ -952,17 +958,7 @@ object SparkEntry {
     // sessionize CTEs.
     "events_session_lookup" ->
       s"""WITH ev AS ($EV),
-         |s AS (
-         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-         |                   OR ts_us - lag(ts_us) OVER w > 1800000000
-         |                  THEN 1 ELSE 0 END AS new_sess
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-         |),
-         |s2 AS (
-         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-         |  FROM s
-         |),
+         |$SESS_CTE,
          |sessions AS (
          |  SELECT user_id, session_idx, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
          |  FROM s2 GROUP BY 1, 2
@@ -1270,17 +1266,7 @@ object SparkEntry {
 
     "events_cooccurrence" ->
       s"""WITH ev AS ($EV),
-         |s AS (
-         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-         |                   OR ts_us - lag(ts_us) OVER w > 1800000000
-         |                  THEN 1 ELSE 0 END AS new_sess
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-         |),
-         |s2 AS (
-         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-         |  FROM s
-         |),
+         |$SESS_CTE,
          |d AS (SELECT DISTINCT user_id, session_idx, event_type FROM s2)
          |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_sessions
          |FROM d a JOIN d b ON a.user_id = b.user_id AND a.session_idx = b.session_idx

@@ -203,8 +203,6 @@ object Analytics {
       .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
       .orderBy("hour_bucket")
 
-  /** #24: gap-based sessionization (30 min) per user, pure window
-    * functions — one shuffle on user_id. */
   /** Events with their gap-session index — the shared prefix of
     * sessionize and the co-occurrence query (one window pipeline, one
     * user_id shuffle). */
@@ -220,6 +218,8 @@ object Analytics {
         sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** #24: gap-based sessionization (30 min) per user, pure window
+    * functions — one shuffle on user_id. */
   def sessionize(spark: SparkSession, dir: String,
                  gapUs: Long = 1800L * 1000000L): DataFrame = {
     sessionIndexed(spark, dir, gapUs)

@@ -136,8 +136,8 @@ object Analytics3 {
   }
 
   /** Within-session event-type co-occurrence — the market-basket
-    * shape: for every ordered pair of event types, in how many
-    * user-sessions both occur. Distinct (session, type) rows self-join
+    * shape: for every UNORDERED pair of event types (emitted once,
+    * lexicographically ordered), in how many user-sessions both occur. Distinct (session, type) rows self-join
     * on the session key (groups are session-sized, never corpus-sized)
     * and aggregate; the session index rides Analytics.sessionIndexed's
     * single user_id window pipeline. */
