@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_manifest" -> ((s, d) => graft.operators.Curation.dedupManifest(s, d)),
     "events_cooccurrence" -> ((s, d) => graft.operators.Analytics3.cooccurrence(s, d)),
     "events_markov" -> ((s, d) => graft.operators.Analytics3.markovTransitions(s, d)),
+    "dedup_containment" -> ((s, d) => DocDedup.containmentPairs(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1251,6 +1252,25 @@ object SparkEntry {
          |FROM ev JOIN f ON ev.event_type = f.event_type
          |WHERE ev.cents > f.fence
          |ORDER BY ev.event_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $SH_CTE,
+         |shd AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= ${graft.operators.DocDedup.MaxShingleDf}
+         |),
+         |n AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, shared,
+         |  ROUND(shared / n1.n, 4) AS c1, ROUND(shared / n2.n, 4) AS c2
+         |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |WHERE greatest(shared / n1.n, shared / n2.n) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
 
     "events_markov" ->
       s"""WITH ev AS ($EV),

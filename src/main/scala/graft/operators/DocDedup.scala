@@ -102,6 +102,34 @@ object DocDedup {
       .select("doc_id", "shingle")
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ τ — the
+    * ASYMMETRIC overlap that catches sub-document duplication (a doc
+    * quoted or embedded inside a larger one), which symmetric Jaccard
+    * misses whenever the sizes differ (J = |∩|/|∪| shrinks as the
+    * larger doc grows; containment does not). Candidates still come
+    * from the shared-shingle equi-join with the same df cap — never
+    * all pairs; both directional containments are emitted alongside
+    * the deciding max. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       tau: Double = 0.8): DataFrame = {
+    val sh = cappedShingles(docShingles(spark, dir))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val pairs = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("c1", col("shared") / col("n1"))
+      .withColumn("c2", col("shared") / col("n2"))
+      .filter(greatest(col("c1"), col("c2")) >= tau)
+      .select(col("d1"), col("d2"), col("shared"),
+        round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
+      .orderBy("d1", "d2")
+  }
+
   /** #8: near-dup pairs by true n-gram Jaccard ≥ τ. Shuffles: one on
     * shingle (candidate generation), one on the pair key (intersection
     * count). Per-doc shingle counts join back onto the pairs (AQE
