@@ -45,19 +45,20 @@ object GraftConfig {
     def warmupEnabled: Boolean = !disableRebuild && cacheWindowSeconds > 0
   }
 
+  /** Decimal/scientific literals only — JS `Number(s)` (the reference's
+    * validator) rejects Java-isms `toDouble` accepts: type suffixes
+    * ("1d", "123f"), hex floats ("0x1p3"), and leading/trailing
+    * whitespace. */
+  private val FloatLiteral = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$".r
+
   private def nonNegativeFiniteFloat(spark: SparkSession, key: String,
                                      default: Double): Double =
     spark.conf.getOption(key).map { s =>
-      val v =
-        try s.toDouble
-        catch {
-          case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"$key must be a non-negative, finite float if given. Instead, $s was given.")
-        }
-      if (v.isNaN || v.isInfinite || v < 0)
-        throw new IllegalArgumentException(
-          s"$key must be a non-negative, finite float if given. Instead, $s was given.")
+      def fail() = throw new IllegalArgumentException(
+        s"$key must be a non-negative, finite float if given. Instead, $s was given.")
+      if (!FloatLiteral.matches(s)) fail()
+      val v = s.toDouble
+      if (v.isNaN || v.isInfinite || v < 0) fail()
       v
     }.getOrElse(default)
 

@@ -269,6 +269,13 @@ object SparkEntry {
 
   private def moneySum(exprSql: String): String =
     s"CAST(ROUND(SUM($exprSql),2) AS DOUBLE)"
+
+  /** DuckDB twin of graft.functions.Hashing.ratio4: ROUND(num/den, 4)
+    * computed HALF_UP on the exact rational in integer arithmetic —
+    * never ROUND over a double quotient, whose engine-specific boundary
+    * rounding broke events_gap_stats in r3. */
+  private def ratio4Sql(num: String, den: String): String =
+    s"((($num) * 10000 + ($den) // 2) // ($den)) / 10000.0"
   private val DISC_PRICE =
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
@@ -294,7 +301,10 @@ object SparkEntry {
          |  SELECT 'ann_lsh_topk', count(*)
          |    FROM ${sub("ann_lsh_topk")} x JOIN b USING (q_id, vec_id)
          |)
-         |SELECT variant, n_hits, ROUND(n_hits / 100.0, 4) AS recall
+         |SELECT variant, n_hits,
+         |  ${ratio4Sql("n_hits",
+                (graft.operators.Similarity.TopK.toLong *
+                 graft.operators.Similarity.NumQueries).toString)} AS recall
          |FROM hits ORDER BY variant""".stripMargin)
   }
 
@@ -1121,7 +1131,7 @@ object SparkEntry {
          |h AS (SELECT doc_id, count(*) AS n_contaminated FROM tr
          |      WHERE sh IN (SELECT sh FROM ev) GROUP BY 1)
          |SELECT n.doc_id AS doc_id, n_shingles, n_contaminated,
-         |  ROUND(n_contaminated / n_shingles, 4) AS ratio
+         |  ${ratio4Sql("n_contaminated", "n_shingles")} AS ratio
          |FROM n JOIN h ON n.doc_id = h.doc_id
          |ORDER BY n.doc_id""".stripMargin,
 
@@ -1142,7 +1152,8 @@ object SparkEntry {
          |WHERE ${H64("concat('strat:', CAST(d.doc_id AS VARCHAR))")}
          |        % ${graft.operators.Curation.SampleSpace}
          |      < least(${graft.operators.Curation.SampleSpace},
-         |              ${20L * graft.operators.Curation.SampleSpace} // cnt)
+         |              ${graft.operators.Curation.StratTarget *
+                          graft.operators.Curation.SampleSpace} // cnt)
          |ORDER BY d.source, d.doc_id""".stripMargin,
 
     "bpe_pair_counts" ->
@@ -1216,7 +1227,7 @@ object SparkEntry {
          |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
          |  FROM ev)
          |SELECT user_id, count(*) AS n_gaps, sum(gap) AS sum_gap_us,
-         |  max(gap) AS max_gap_us, ROUND(sum(gap) / count(*), 4) AS avg_gap_us
+         |  max(gap) AS max_gap_us, ${ratio4Sql("sum(gap)", "count(*)")} AS avg_gap_us
          |FROM g WHERE gap IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -1267,7 +1278,7 @@ object SparkEntry {
          |  GROUP BY 1, 2
          |)
          |SELECT d1, d2, shared,
-         |  ROUND(shared / n1.n, 4) AS c1, ROUND(shared / n2.n, 4) AS c2
+         |  ${ratio4Sql("shared", "n1.n")} AS c1, ${ratio4Sql("shared", "n2.n")} AS c2
          |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
          |WHERE greatest(shared / n1.n, shared / n2.n) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
@@ -1281,7 +1292,7 @@ object SparkEntry {
          |g AS (SELECT type_from, type_to, count(*) AS n FROM t
          |      WHERE type_to IS NOT NULL GROUP BY 1, 2)
          |SELECT type_from, type_to, n,
-         |  ROUND(n / SUM(n) OVER (PARTITION BY type_from), 4) AS p
+         |  ${ratio4Sql("n", "SUM(n) OVER (PARTITION BY type_from)")} AS p
          |FROM g ORDER BY type_from, type_to""".stripMargin,
 
     "events_cooccurrence" ->
@@ -1346,7 +1357,7 @@ object SparkEntry {
          |  SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs))
          |SELECT d.source AS source, count(*) AS n_docs,
          |  count(dd.doc_id) AS n_dup_docs,
-         |  ROUND(count(dd.doc_id) / count(*), 4) AS dup_rate
+         |  ${ratio4Sql("count(dd.doc_id)", "count(*)")} AS dup_rate
          |FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 

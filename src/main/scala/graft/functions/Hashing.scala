@@ -53,6 +53,34 @@ object Hashing {
   def valueCents(value: Column): Column =
     round(value * 100).cast("bigint")
 
+  /** Exact integer division (`a div b`) — truncating int64 division,
+    * never the double division Spark's `/` performs on integral inputs. */
+  def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(a.cast("long")),
+        org.apache.spark.sql.graft.Bridge.expression(b.cast("long"))))
+
+  /** ROUND(num/den, 4) as HALF_UP on the EXACT rational num/den,
+    * computed in pure int64 — (num·10⁴ + den div 2) div den, then one
+    * IEEE long→double divide by 10⁴. Bit-identical across engines by
+    * construction. ROUND over a double quotient is not: Spark rounds
+    * the quotient double's exact decimal expansion (BigDecimal
+    * HALF_UP) while DuckDB rounds the scaled double, and the two
+    * diverge on boundary values — the events_gap_stats r3 regression.
+    *
+    * Requires integer-typed num ≥ 0 (|num| < 9.2e14 so num·10⁴ fits
+    * int64 — any count/sum at report grain) and den > 0. Tie analysis:
+    * for even den the +den/2 offset rounds exact .5 ties up; for odd
+    * den a .5 tie is impossible (2·num·10⁴ = odd·odd has no solution),
+    * so truncation after +((den−1) div 2) is still nearest. DuckDB
+    * twin: ((num*10000 + den//2)//den)/10000.0 (same arithmetic in
+    * int64/int128). */
+  def ratio4(num: Column, den: Column): Column = {
+    val d = den.cast("long")
+    intDiv(num.cast("long") * 10000L + intDiv(d, lit(2L)), d) / lit(10000.0)
+  }
+
   /** Canonical message digest for the events stream: payload columns +
     * canonical properties, timestamp excluded (deduplication.ts:24-27
     * excludes the event timestamp on purpose — it differs per replica).

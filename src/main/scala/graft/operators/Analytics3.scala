@@ -77,7 +77,9 @@ object Analytics3 {
       .agg(count(lit(1)).as("n_gaps"),
            sum("gap").as("sum_gap_us"),
            max("gap").as("max_gap_us"),
-           round(sum("gap") / count(lit(1)), 4).as("avg_gap_us"))
+           // exact-rational rounding (graft.functions.Hashing.ratio4):
+           // round() over the double quotient diverged between engines
+           graft.functions.Hashing.ratio4(sum("gap"), count(lit(1))).as("avg_gap_us"))
       .orderBy("user_id")
   }
 
@@ -131,7 +133,7 @@ object Analytics3 {
       .filter(col("type_to").isNotNull)
       .groupBy("type_from", "type_to")
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n") / sum("n").over(wFrom), 4))
+      .withColumn("p", graft.functions.Hashing.ratio4(col("n"), sum("n").over(wFrom)))
       .orderBy("type_from", "type_to")
   }
 

@@ -62,7 +62,8 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
       .filter(col("n_contaminated") > 0)
-      .withColumn("ratio", round(col("n_contaminated") / col("n_shingles"), 4))
+      .withColumn("ratio",
+        graft.functions.Hashing.ratio4(col("n_contaminated"), col("n_shingles")))
       .select("doc_id", "n_shingles", "n_contaminated", "ratio")
       .orderBy("doc_id")
   }
@@ -97,7 +98,11 @@ object Curation {
     * the keep test is a per-row hash compare, one narrow pass.
     * Per-stratum counts are a tiny aggregate joined back (broadcast by
     * AQE — #strata ≪ #rows at any scale). */
-  def stratifiedSample(spark: SparkSession, dir: String, target: Int = 20): DataFrame = {
+  /** Default per-source target of [[stratifiedSample]] — named so the
+    * oracle derives its threshold from the same constant. */
+  val StratTarget = 20
+
+  def stratifiedSample(spark: SparkSession, dir: String, target: Int = StratTarget): DataFrame = {
     val docs = Tables.documents(spark, dir).select("source", "doc_id")
     val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     docs.join(counts, "source")
@@ -123,7 +128,8 @@ object Curation {
     docs.join(dupDocs, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), count(col("dup")).as("n_dup_docs"))
-      .withColumn("dup_rate", round(col("n_dup_docs") / col("n_docs"), 4))
+      .withColumn("dup_rate",
+        graft.functions.Hashing.ratio4(col("n_dup_docs"), col("n_docs")))
       .orderBy("source")
   }
 

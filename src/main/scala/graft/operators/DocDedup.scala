@@ -126,7 +126,10 @@ object DocDedup {
       .withColumn("c2", col("shared") / col("n2"))
       .filter(greatest(col("c1"), col("c2")) >= tau)
       .select(col("d1"), col("d2"), col("shared"),
-        round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
+        // τ filter compares the raw IEEE quotients (deterministic);
+        // only the EXPORT needs exact-rational rounding (ratio4)
+        graft.functions.Hashing.ratio4(col("shared"), col("n1")).as("c1"),
+        graft.functions.Hashing.ratio4(col("shared"), col("n2")).as("c2"))
       .orderBy("d1", "d2")
   }
 

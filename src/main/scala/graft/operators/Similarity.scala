@@ -342,13 +342,13 @@ object Similarity {
   def recallReport(spark: SparkSession, dir: String,
                    k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
     val brute = bruteTopK(spark, dir, k, nQueries).select("q_id", "vec_id")
-    val denom = (k * nQueries).toDouble
     def row(name: String, df: DataFrame): DataFrame =
       df.select("q_id", "vec_id")
         .join(brute, Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("variant"), col("n_hits"),
-          round(col("n_hits") / denom, 4).as("recall"))
+          graft.functions.Hashing.ratio4(col("n_hits"), lit(k.toLong * nQueries))
+            .as("recall"))
     row("ann_ivf_kmeans", ivfKmeansTopK(spark, dir, k, nQueries))
       .unionByName(row("ann_ivf_topk", ivfTopK(spark, dir, k, nQueries)))
       .unionByName(row("ann_lsh_multiprobe", lshMultiProbeTopK(spark, dir, k, nQueries)))

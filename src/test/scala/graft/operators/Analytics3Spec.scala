@@ -61,10 +61,15 @@ class Analytics3Spec extends SparkSpec {
       ts.zip(ts.tail).map { case (a, b) => b - a }
     }.toSeq
       .collect { case (u, gaps) if gaps.nonEmpty =>
-        (u, (gaps.length.toLong, gaps.sum, gaps.max)) }
+        // the mean with the operator's exact-rational HALF_UP rounding
+        // (ratio4) — r3's hash regression was exactly this column
+        val n = gaps.length.toLong
+        val avg = ((gaps.sum * 10000L + n / 2) / n) / 10000.0
+        (u, (n, gaps.sum, gaps.max, avg)) }
       .sortBy(_._1)
     val got = Analytics3.gapStats(spark, sf).collect().toSeq
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
     assert(got == expected)
   }
 

@@ -33,11 +33,11 @@ class CurationSpec extends SparkSpec {
     val got = Curation.contamination(spark, sf).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got == expected)
-    // and the reported ratio is overlap / total
+    // and the reported ratio is overlap / total with exact-rational
+    // HALF_UP rounding (ratio4's int64 arithmetic)
     Curation.contamination(spark, sf).collect().foreach { r =>
-      assert(r.getDouble(3) ==
-        BigDecimal(r.getLong(2).toDouble / r.getLong(1))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val (tot, cont) = (r.getLong(1), r.getLong(2))
+      assert(r.getDouble(3) == ((cont * 10000L + tot / 2) / tot) / 10000.0)
     }
   }
 
