@@ -109,6 +109,12 @@ object SparkEntry {
     "events_cooccurrence" -> ((s, d) => graft.operators.Analytics3.cooccurrence(s, d)),
     "events_markov" -> ((s, d) => graft.operators.Analytics3.markovTransitions(s, d)),
     "dedup_containment" -> ((s, d) => DocDedup.containmentPairs(s, d)),
+    // round 4: quality signals, canonical policy, CEP, edit verify
+    "text_repetition" -> ((s, d) => graft.operators.QualitySignals.repetition(s, d)),
+    "text_novelty" -> ((s, d) => graft.operators.QualitySignals.novelty(s, d)),
+    "dedup_edit_distance" -> ((s, d) => DocDedup.editDistancePairs(s, d)),
+    "dedup_best_quality" -> ((s, d) => graft.operators.Curation.bestQualityCanonical(s, d)),
+    "events_pattern_sessions" -> ((s, d) => graft.operators.Analytics3.patternSessions(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -191,10 +197,10 @@ object SparkEntry {
   /** Gap-session index over `ev` (30-min default) — mirrors
     * Analytics.sessionIndexed; shared by every session-consuming
     * oracle (sessionize, session_lookup, cooccurrence). */
-  private val SESS_CTE =
+  private def sessCte(gapUs: Long): String =
     s"""s AS (
        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-       |                   OR ts_us - lag(ts_us) OVER w > 1800000000
+       |                   OR ts_us - lag(ts_us) OVER w > $gapUs
        |                  THEN 1 ELSE 0 END AS new_sess
        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
        |),
@@ -203,6 +209,8 @@ object SparkEntry {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
        |  FROM s
        |)""".stripMargin
+
+  private val SESS_CTE = sessCte(1800L * 1000000L)
 
   /** Candidate verification: true-Jaccard pairs at τ=0.5 from `cand` +
     * `sh` — mirrors MinHashLSH.verifyCandidates, shared by every
@@ -270,12 +278,17 @@ object SparkEntry {
   private def moneySum(exprSql: String): String =
     s"CAST(ROUND(SUM($exprSql),2) AS DOUBLE)"
 
+  /** DuckDB twin of graft.functions.Hashing.halfUpDiv: ROUND(num/den)
+    * HALF_UP on the exact rational in integer arithmetic. */
+  private def halfUpSql(num: String, den: String): String =
+    s"((($num) + ($den) // 2) // ($den))"
+
   /** DuckDB twin of graft.functions.Hashing.ratio4: ROUND(num/den, 4)
     * computed HALF_UP on the exact rational in integer arithmetic —
     * never ROUND over a double quotient, whose engine-specific boundary
     * rounding broke events_gap_stats in r3. */
   private def ratio4Sql(num: String, den: String): String =
-    s"((($num) * 10000 + ($den) // 2) // ($den)) / 10000.0"
+    s"${halfUpSql(s"($num) * 10000", den)} / 10000.0"
   private val DISC_PRICE =
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
@@ -1398,5 +1411,98 @@ object SparkEntry {
          |FROM chase c JOIN base b ON c.doc_id = b.doc_id
          |WHERE c.cur NOT IN (SELECT m_id FROM mm)
          |ORDER BY c.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> concat_ws(' ', t[i], t[i+1]))) AS g
+         |  FROM toks WHERE len(t) >= 3
+         |  UNION ALL
+         |  SELECT doc_id, 3, unnest(list_transform(generate_series(1, len(t)-2),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+         |  FROM toks WHERE len(t) >= 3
+         |),
+         |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |a AS (
+         |  SELECT doc_id,
+         |    sum(c) FILTER (WHERE n = 2) AS n2,
+         |    max(c) FILTER (WHERE n = 2) AS top2,
+         |    sum(c) FILTER (WHERE n = 3) AS n3,
+         |    coalesce(sum(c) FILTER (WHERE n = 3 AND c >= 2), 0) AS dup3
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n2, top2, ${ratio4Sql("top2", "n2")} AS top2_frac,
+         |  n3, dup3, ${ratio4Sql("dup3", "n3")} AS dup3_frac
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH $SH_CTE,
+         |d AS (SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique,
+         |  ${ratio4Sql("sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)", "count(*)")} AS novelty
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_edit_distance" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |nrm AS (SELECT doc_id,
+         |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+         |        FROM documents),
+         |e AS (
+         |  SELECT d1, d2, levenshtein(x.nt, y.nt) AS lev,
+         |    greatest(len(x.nt), len(y.nt)) AS max_len
+         |  FROM cand JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2)
+         |SELECT d1, d2, lev, max_len, ${ratio4Sql("lev", "max_len")} AS rel_dist
+         |FROM e WHERE lev * 100 <= max_len * ${graft.operators.DocDedup.MaxEditPct}
+         |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_best_quality" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT d1, d1 FROM edges
+         |  UNION
+         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_toks,
+         |        CAST(len(list_filter($TOKS,
+         |          t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+         |        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws
+         |      FROM documents),
+         |qk AS (SELECT doc_id,
+         |        LEAST(n_toks * 40, 4000)
+         |          + (4000 - ${halfUpSql("n_stop * 4000", "n_toks")})
+         |          + LEAST(${halfUpSql("len_no_ws * 250", "n_toks")}, 2000) AS q_key
+         |       FROM q)
+         |SELECT c.doc_id AS doc_id, component_id, q_key,
+         |  first_value(c.doc_id) OVER (
+         |    PARTITION BY component_id ORDER BY q_key DESC, c.doc_id) AS keep_id
+         |FROM comp c JOIN qk ON qk.doc_id = c.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "events_pattern_sessions" ->
+      s"""WITH ev AS ($EV),
+         |${sessCte(graft.operators.Analytics3.PatternGapUs)},
+         |p1 AS (
+         |  SELECT *, coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |    OVER wp, 0) AS saw_view
+         |  FROM s2 WINDOW wp AS (PARTITION BY user_id, session_idx
+         |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |),
+         |p2 AS (
+         |  SELECT *, coalesce(max(CASE WHEN event_type = 'click' AND saw_view = 1
+         |      THEN 1 ELSE 0 END) OVER wp, 0) AS saw_qclick
+         |  FROM p1 WINDOW wp AS (PARTITION BY user_id, session_idx
+         |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT user_id, session_idx, count(*) AS n_events
+         |FROM p2 GROUP BY user_id, session_idx
+         |HAVING max(CASE WHEN event_type = 'purchase' AND saw_qclick = 1
+         |  THEN 1 ELSE 0 END) = 1
+         |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

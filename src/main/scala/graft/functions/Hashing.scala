@@ -76,9 +76,16 @@ object Hashing {
     * so truncation after +((den−1) div 2) is still nearest. DuckDB
     * twin: ((num*10000 + den//2)//den)/10000.0 (same arithmetic in
     * int64/int128). */
-  def ratio4(num: Column, den: Column): Column = {
+  def ratio4(num: Column, den: Column): Column =
+    halfUpDiv(num.cast("long") * 10000L, den) / lit(10000.0)
+
+  /** ROUND(num/den) HALF_UP on the exact rational, pure int64:
+    * (num + den div 2) div den. Exact-arithmetic building block for
+    * any cross-engine-deterministic rational export (ratio4, integer
+    * quality keys). num ≥ 0, den > 0. */
+  def halfUpDiv(num: Column, den: Column): Column = {
     val d = den.cast("long")
-    intDiv(num.cast("long") * 10000L + intDiv(d, lit(2L)), d) / lit(10000.0)
+    intDiv(num.cast("long") + intDiv(d, lit(2L)), d)
   }
 
   /** Canonical message digest for the events stream: payload columns +

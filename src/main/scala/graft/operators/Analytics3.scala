@@ -202,6 +202,41 @@ object Analytics3 {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Ordered-subsequence pattern match within sessions (the
+    * MATCH_RECOGNIZE / CEP shape): sessions containing a view, then a
+    * click after some view, then a purchase after such a click. The
+    * three-stage state machine runs as two cascaded window passes over
+    * the session ordering — "a qualifying earlier row exists" is
+    * max(flag) over ROWS UNBOUNDED PRECEDING..1 PRECEDING — so the
+    * whole match shares sessionization's single user_id shuffle; no
+    * joins, no per-session buffering. */
+  /** Pattern sessions use a visit-scale 12-hour gap: the CEP question
+    * ("did the funnel complete within one visit?") is about multi-event
+    * windows, and the 30-min analytics gap yields near-singleton
+    * sessions on this event density. */
+  val PatternGapUs: Long = 12L * 3600L * 1000000L
+
+  def patternSessions(spark: SparkSession, dir: String,
+                      gapUs: Long = PatternGapUs): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Analytics.sessionIndexed(spark, dir, gapUs)
+      .select("user_id", "session_idx", "event_type", "ts_us", "event_id")
+      .withColumn("saw_view",
+        coalesce(max(when(col("event_type") === "view", 1).otherwise(0)).over(w), lit(0)))
+      .withColumn("qual_click",
+        when(col("event_type") === "click" && col("saw_view") === 1, 1).otherwise(0))
+      .withColumn("saw_qclick", coalesce(max(col("qual_click")).over(w), lit(0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase" && col("saw_qclick") === 1, 1)
+          .otherwise(0)).as("hit"))
+      .filter(col("hit") === 1)
+      .select("user_id", "session_idx", "n_events")
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Exact grouped quantiles (p25/p50/p75 of l_quantity per return
     * flag) via the exact `percentile` aggregate — linear-interpolation
     * positions 0.25/0.5/0.75 are exact binary fractions over

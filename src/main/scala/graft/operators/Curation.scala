@@ -3,7 +3,7 @@ package graft.operators
 import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.h64
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond dedup: benchmark
@@ -179,6 +179,43 @@ object Curation {
       out = stepped.drop("moved")
     }
     out.orderBy("doc_id")
+  }
+
+  /** Exact integer quality key in 1e-4 units — the same blend as
+    * TextAnalysis.qualityScoreCol (length, stopword, token-shape
+    * terms) but with every rational term HALF_UP-rounded in int64
+    * (halfUpDiv), because canonical SELECTION needs a total order
+    * that is identical on every engine: an argmax over engine-rounded
+    * doubles flips on rounding-boundary documents. */
+  private[operators] def qualityKey(nToks: Column, nStop: Column,
+                                    lenNoWs: Column): Column = {
+    import graft.functions.Hashing.halfUpDiv
+    least(nToks * 40L, lit(4000L)) +
+      (lit(4000L) - halfUpDiv(nStop * 4000L, nToks)) +
+      least(halfUpDiv(lenNoWs * 250L, nToks), lit(2000L))
+  }
+
+  /** Canonical selection by QUALITY: each near-dup component keeps its
+    * highest-quality member (exact integer quality key; ties break to
+    * the smallest doc_id) instead of the smallest id — the policy a
+    * production pipeline actually wants (keep the best copy, not the
+    * first-crawled). One window over the component label; components
+    * come from the shared MinHash/LSH pipeline. */
+  def bestQualityCanonical(spark: SparkSession, dir: String,
+                           tau: Double = 0.5): DataFrame = {
+    val comp = MinHashLSH.nearDupComponents(spark, dir, tau)
+    val toks = TextAnalysis.tokens(col("text"))
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        qualityKey(size(toks).cast("long"),
+          size(filter(toks, t => t.isin(TextAnalysis.StopEn: _*))).cast("long"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long")).as("q_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component_id").orderBy(col("q_key").desc, col("doc_id"))
+    comp.join(q, "doc_id")
+      .withColumn("keep_id", first("doc_id").over(w))
+      .select("doc_id", "component_id", "q_key", "keep_id")
+      .orderBy("doc_id")
   }
 
   /** Quality-weighted sample: each document is kept with probability

@@ -133,6 +133,36 @@ object DocDedup {
       .orderBy("d1", "d2")
   }
 
+  /** Edit-distance share of the longer document, in integer percent
+    * (candidate pairs are bounded, so the O(len²) DP per pair is too). */
+  val MaxEditPct = 30
+
+  /** Edit-distance-verified near-dup pairs: banded-LSH candidates
+    * (linear volume, hot-bucket capped) whose NORMALIZED texts are
+    * within `maxPct`% relative Levenshtein distance — the
+    * character-exact verifier for when shingle Jaccard is too coarse
+    * (small in-place edits shift every overlapping shingle, but move
+    * the edit distance by one). The DP cost is per CANDIDATE, never
+    * per pair of documents; texts join onto the candidate list by
+    * doc_id (hash join, candidate-bounded). The threshold compare is
+    * pure integer arithmetic (lev·100 ≤ maxPct·len), so membership is
+    * engine-exact; both engines implement classic Levenshtein. */
+  def editDistancePairs(spark: SparkSession, dir: String,
+                        maxPct: Int = MaxEditPct): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
+    val norm = docs.select(col("doc_id"), normalized(col("text")).as("nt"))
+    MinHashLSH.lshCandidates(docs)
+      .join(norm.select(col("doc_id").as("d1"), col("nt").as("t1")), "d1")
+      .join(norm.select(col("doc_id").as("d2"), col("nt").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long").as("max_len"))
+      .filter(col("lev") * 100L <= col("max_len") * maxPct.toLong)
+      .select(col("d1"), col("d2"), col("lev"), col("max_len"),
+        graft.functions.Hashing.ratio4(col("lev"), col("max_len")).as("rel_dist"))
+      .orderBy("d1", "d2")
+  }
+
   /** #8: near-dup pairs by true n-gram Jaccard ≥ τ. Shuffles: one on
     * shingle (candidate generation), one on the pair key (intersection
     * count). Per-doc shingle counts join back onto the pairs (AQE

@@ -186,8 +186,13 @@ object MinHashLSH {
       tau)
 
   /** #9 over an arbitrary (doc_id, text) frame. */
-  def nearDupPairsOf(docs: DataFrame, tau: Double = 0.5): DataFrame = {
-    val sh = DocDedup.docShinglesOf(docs)
+  def nearDupPairsOf(docs: DataFrame, tau: Double = 0.5): DataFrame =
+    verifyCandidates(lshCandidates(docs), DocDedup.docShinglesOf(docs), tau)
+
+  /** Distinct banded-LSH candidate pairs (d1 < d2) — the shared
+    * linear-volume candidate source for every near-dup verifier
+    * (Jaccard, containment-on-candidates, edit distance). */
+  def lshCandidates(docs: DataFrame): DataFrame = {
     // Hot-bucket cap (see MaxBucketSize): the size window hash-partitions
     // on (band, sig) — the same key the candidate self-join shuffles on.
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
@@ -195,11 +200,10 @@ object MinHashLSH {
       .withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= MaxBucketSize)
       .select("doc_id", "band", "sig")
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    verifyCandidates(cand, sh, tau)
   }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Partitioning._
+import graft.Tables
+import graft.functions.Hashing.ratio4
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Intra-document and corpus-relative quality signals of the kind the
+  * published web-scale curation recipes gate on (Gopher's repetition
+  * rules, C4's boilerplate heuristics): repeated-n-gram fractions
+  * within a document, and how much of a document's content is unique
+  * to it corpus-wide. All ratios are exported through the
+  * exact-rational ratio4 discipline.
+  */
+object QualitySignals {
+
+  /** Gopher-style repetition signals per document: bigram/trigram
+    * occurrence totals, the most frequent bigram's share of all bigram
+    * occurrences (top2_frac — boilerplate templating shows up here),
+    * and the share of trigram occurrences belonging to trigrams seen
+    * more than once in the SAME document (dup3_frac — loops and
+    * copy-paste runs).
+    *
+    * One explode emits bigrams and trigrams together (tagged by n), so
+    * the corpus is tokenized once; aggregation is (doc, n, gram) →
+    * (doc) — both partial-aggregable, shuffling gram-count rows only.
+    * Documents need ≥ 3 tokens (both gram widths defined). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    def gramStructs(toks: org.apache.spark.sql.Column, n: Int) =
+      transform(sequence(lit(0), size(toks) - n), i =>
+        struct(lit(n).as("n"),
+          concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*).as("g")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t")).spread
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(concat(gramStructs(col("t"), 2), gramStructs(col("t"), 3))).as("gr"))
+      .groupBy(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("n") === 2, col("c"))).as("n2"),
+        max(when(col("n") === 2, col("c"))).as("top2"),
+        sum(when(col("n") === 3, col("c"))).as("n3"),
+        coalesce(sum(when(col("n") === 3 && col("c") >= 2, col("c"))), lit(0L)).as("dup3"))
+      .select(col("doc_id"), col("n2"), col("top2"),
+        ratio4(col("top2"), col("n2")).as("top2_frac"),
+        col("n3"), col("dup3"),
+        ratio4(col("dup3"), col("n3")).as("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-relative novelty: the fraction of a document's distinct
+    * 3-token shingles that occur in NO other document (document
+    * frequency 1). Low novelty = boilerplate assembled from shared
+    * fragments; high = original content. The df window hash-partitions
+    * on the shingle (one shuffle), the per-doc rollup on doc_id — the
+    * same two-exchange shape as the near-dup candidate pass, linear in
+    * corpus shingle volume. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    DocDedup.docShingles(spark, dir)
+      .withColumn("df", count(lit(1)).over(wSh))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        ratio4(col("n_unique"), col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+}
