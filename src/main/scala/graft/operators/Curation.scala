@@ -164,21 +164,29 @@ object Curation {
     // strictly decreases the id (both keep_id and component_id are
     // minima), so the chase terminates; in real corpora it is 1-2
     // hops (same shape as the component label loop).
-    val m = base.filter(col("doc_id") =!= col("canonical_id"))
+    //
+    // The upstream pipeline (exact window + the whole LSH component
+    // pass) is materialized ONCE; the loop then touches only the rows
+    // that can still move — docs pointing at another doc, a
+    // duplicate-sized set, not the corpus. Self-canonical rows
+    // (keep_unique/keep_canonical and already-resolved drops) never
+    // re-enter a join.
+    val base0 = base.localCheckpoint(true)
+    val m = base0.filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id").as("m_id"), col("canonical_id").as("m_next"))
-      .localCheckpoint(true)
-    var out = base.localCheckpoint(true)
+    val stable = base0.filter(col("doc_id") === col("canonical_id"))
+    var moving = base0.filter(col("doc_id") =!= col("canonical_id"))
     var converged = false
     while (!converged) {
-      val stepped = out.join(m, col("canonical_id") === col("m_id"), "left")
+      val stepped = moving.join(m, col("canonical_id") === col("m_id"), "left")
         .select(col("doc_id"), col("status"),
           coalesce(col("m_next"), col("canonical_id")).as("canonical_id"),
           col("m_next").isNotNull.as("moved"))
         .localCheckpoint(true)
       converged = stepped.filter(col("moved")).isEmpty
-      out = stepped.drop("moved")
+      moving = stepped.drop("moved")
     }
-    out.orderBy("doc_id")
+    stable.unionByName(moving).orderBy("doc_id")
   }
 
   /** Exact integer quality key in 1e-4 units — the same blend as
