@@ -289,6 +289,13 @@ object SparkEntry {
     * rounding broke events_gap_stats in r3. */
   private def ratio4Sql(num: String, den: String): String =
     s"${halfUpSql(s"($num) * 10000", den)} / 10000.0"
+
+  /** DuckDB twin of TextAnalysis.qualityKeyCol (exact int64 quality
+    * key, 1e-4 units) — shared by every quality-scoring oracle. */
+  private def qKeySql(nToks: String, nStop: String, lenNoWs: String): String =
+    s"""(LEAST(($nToks) * 40, 4000)
+       |      + (4000 - ${halfUpSql(s"($nStop) * 4000", nToks)})
+       |      + LEAST(${halfUpSql(s"($lenNoWs) * 250", nToks)}, 2000))""".stripMargin
   private val DISC_PRICE =
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
@@ -570,10 +577,9 @@ object SparkEntry {
          |  FROM q
          |)
          |SELECT doc_id, n_toks, n_stop,
-         |  ROUND(CAST(len_no_ws AS DOUBLE)/n_toks, 4) AS mean_tok_len,
-         |  ROUND(CAST(n_stop AS DOUBLE)/n_toks, 4) AS stop_ratio,
-         |  ROUND(LEAST(n_toks/100.0, 1.0)*0.4 + (1.0 - CAST(n_stop AS DOUBLE)/n_toks)*0.4
-         |        + LEAST((CAST(len_no_ws AS DOUBLE)/n_toks)/8.0, 1.0)*0.2, 4) AS quality_score
+         |  ${ratio4Sql("len_no_ws", "n_toks")} AS mean_tok_len,
+         |  ${ratio4Sql("n_stop", "n_toks")} AS stop_ratio,
+         |  ${qKeySql("n_toks", "n_stop", "len_no_ws")} / 10000.0 AS quality_score
          |FROM q2 ORDER BY doc_id""".stripMargin,
 
     "text_language_id" ->
@@ -1068,8 +1074,7 @@ object SparkEntry {
          |),
          |scored AS (
          |  SELECT doc_id, n_toks,
-         |    ROUND(LEAST(n_toks/100.0, 1.0)*0.4 + (1.0 - CAST(n_stop AS DOUBLE)/n_toks)*0.4
-         |          + LEAST((CAST(len_no_ws AS DOUBLE)/n_toks)/8.0, 1.0)*0.2, 4) AS quality_score,
+         |    ${qKeySql("n_toks", "n_stop", "len_no_ws")} / 10000.0 AS quality_score,
          |    CASE WHEN greatest(n_stop, n_de, n_es, n_fr, n_zh) = 0 THEN 'und'
          |         WHEN n_stop = greatest(n_stop, n_de, n_es, n_fr, n_zh) THEN 'en'
          |         ELSE 'other' END AS lang_gate,
@@ -1474,9 +1479,7 @@ object SparkEntry {
          |        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws
          |      FROM documents),
          |qk AS (SELECT doc_id,
-         |        LEAST(n_toks * 40, 4000)
-         |          + (4000 - ${halfUpSql("n_stop * 4000", "n_toks")})
-         |          + LEAST(${halfUpSql("len_no_ws * 250", "n_toks")}, 2000) AS q_key
+         |        ${qKeySql("n_toks", "n_stop", "len_no_ws")} AS q_key
          |       FROM q)
          |SELECT c.doc_id AS doc_id, component_id, q_key,
          |  first_value(c.doc_id) OVER (

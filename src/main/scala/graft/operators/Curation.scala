@@ -189,22 +189,9 @@ object Curation {
     stable.unionByName(moving).orderBy("doc_id")
   }
 
-  /** Exact integer quality key in 1e-4 units — the same blend as
-    * TextAnalysis.qualityScoreCol (length, stopword, token-shape
-    * terms) but with every rational term HALF_UP-rounded in int64
-    * (halfUpDiv), because canonical SELECTION needs a total order
-    * that is identical on every engine: an argmax over engine-rounded
-    * doubles flips on rounding-boundary documents. */
-  private[operators] def qualityKey(nToks: Column, nStop: Column,
-                                    lenNoWs: Column): Column = {
-    import graft.functions.Hashing.halfUpDiv
-    least(nToks * 40L, lit(4000L)) +
-      (lit(4000L) - halfUpDiv(nStop * 4000L, nToks)) +
-      least(halfUpDiv(lenNoWs * 250L, nToks), lit(2000L))
-  }
-
   /** Canonical selection by QUALITY: each near-dup component keeps its
-    * highest-quality member (exact integer quality key; ties break to
+    * highest-quality member (TextAnalysis.qualityKeyCol — the exact
+    * int64 quality key, so the argmax is engine-exact; ties break to
     * the smallest doc_id) instead of the smallest id — the policy a
     * production pipeline actually wants (keep the best copy, not the
     * first-crawled). One window over the component label; components
@@ -215,7 +202,7 @@ object Curation {
     val toks = TextAnalysis.tokens(col("text"))
     val q = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        qualityKey(size(toks).cast("long"),
+        TextAnalysis.qualityKeyCol(size(toks).cast("long"),
           size(filter(toks, t => t.isin(TextAnalysis.StopEn: _*))).cast("long"),
           length(regexp_replace(col("text"), "\\s", "")).cast("long")).as("q_key"))
     val w = org.apache.spark.sql.expressions.Window

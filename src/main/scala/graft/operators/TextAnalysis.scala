@@ -28,14 +28,26 @@ object TextAnalysis {
   // ---- column-level forms (compose over ANY (doc_id, text) frame; the
   // ---- dir-based operators below and api.DocPipeline share these) ----
 
-  /** Composite quality score in [0,1] — identical arithmetic to
-    * `quality` (and the oracle). */
+  /** Exact integer quality key in 1e-4 units — the length (0.4·min(n/
+    * 100,1)), stopword (0.4·(1−stop/n)) and token-shape (0.2·min(len/
+    * (8n),1)) blend with every rational term HALF_UP-rounded in int64
+    * (halfUpDiv). THE quality definition: scoring, gating and canonical
+    * selection all read it, and because it is pure integer arithmetic
+    * the score — and every threshold compare and argmax over it — is
+    * bit-identical on any engine (ROUND over the double blend was only
+    * parity-by-luck, the events_gap_stats hazard class). */
+  def qualityKeyCol(nToks: Column, nStop: Column, lenNoWs: Column): Column = {
+    import graft.functions.Hashing.halfUpDiv
+    least(nToks * 40L, lit(4000L)) +
+      (lit(4000L) - halfUpDiv(nStop * 4000L, nToks)) +
+      least(halfUpDiv(lenNoWs * 250L, nToks), lit(2000L))
+  }
+
+  /** Composite quality score in [0,1] (the key scaled to a double) —
+    * identical arithmetic to `quality` (and the oracle). */
   def qualityScoreCol(toks: Column, lenNoWs: Column): Column =
-    round(
-      least(size(toks).cast("long") / 100.0, lit(1.0)) * 0.4 +
-      (lit(1.0) - countIn(toks, StopEn).cast("double") / size(toks).cast("long")) * 0.4 +
-      least((lenNoWs.cast("double") / size(toks).cast("long")) / 8.0, lit(1.0)) * 0.2,
-      4)
+    qualityKeyCol(size(toks).cast("long"), countIn(toks, StopEn),
+      lenNoWs.cast("long")) / lit(10000.0)
 
   /** Deterministic-argmax language id — identical to `languageId`. */
   def predLangCol(toks: Column): Column = {
@@ -81,13 +93,10 @@ object TextAnalysis {
       .withColumn("len_no_ws", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
     docs.select(
       col("doc_id"), col("n_toks"), col("n_stop"),
-      round(col("len_no_ws").cast("double") / col("n_toks"), 4).as("mean_tok_len"),
-      round(col("n_stop").cast("double") / col("n_toks"), 4).as("stop_ratio"),
-      round(
-        least(col("n_toks") / 100.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.4 +
-        least((col("len_no_ws").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.2,
-        4).as("quality_score")
+      graft.functions.Hashing.ratio4(col("len_no_ws"), col("n_toks")).as("mean_tok_len"),
+      graft.functions.Hashing.ratio4(col("n_stop"), col("n_toks")).as("stop_ratio"),
+      (qualityKeyCol(col("n_toks"), col("n_stop"), col("len_no_ws")) / lit(10000.0))
+        .as("quality_score")
     ).orderBy("doc_id")
   }
 

@@ -96,6 +96,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(scanCount(plan("events_retention"), "events") == 1)
   }
 
+  test("repetition/novelty: the corpus is tokenized in a single scan") {
+    assert(scanCount(plan("text_repetition"), "documents") == 1)
+    assert(scanCount(plan("text_novelty"), "documents") == 1)
+  }
+
+  test("pattern sessions: one events scan, one user-keyed shuffle") {
+    val p = plan("events_pattern_sessions")
+    assert(scanCount(p, "events") == 1, s"expected 1 events scan:\n$p")
+    // both window passes and the final session aggregate ride the same
+    // user_id hash partitioning; only the output sort repartitions again
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, s"expected 1 hash exchange:\n$p")
+  }
+
   test("dedup_chain: the native exec runs inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug.codegenString
     val df = SparkEntry.queries("dedup_chain")(spark, sf)
