@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_edit_distance" -> ((s, d) => DocDedup.editDistancePairs(s, d)),
     "dedup_best_quality" -> ((s, d) => graft.operators.Curation.bestQualityCanonical(s, d)),
     "events_pattern_sessions" -> ((s, d) => graft.operators.Analytics3.patternSessions(s, d)),
+    "docs_source_quantiles" -> ((s, d) => graft.operators.QualitySignals.sourceLengthStats(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1507,5 +1508,12 @@ object SparkEntry {
          |HAVING max(CASE WHEN event_type = 'purchase' AND saw_qclick = 1
          |  THEN 1 ELSE 0 END) = 1
          |ORDER BY user_id, session_idx""".stripMargin,
+
+    "docs_source_quantiles" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  quantile_cont(n_chars, 0.25) AS p25,
+         |  quantile_cont(n_chars, 0.5) AS p50,
+         |  quantile_cont(n_chars, 0.75) AS p75
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -57,8 +57,21 @@ object Curation {
     // explode over the whole corpus
     val evalSh = shingleHashesOf(docs.filter(col("doc_id") % EvalMod === 0))
       .select("sh").distinct()
-    val train = shingleHashesOf(docs.filter(col("doc_id") % EvalMod =!= 0))
-    train.join(evalSh.withColumn("hit", lit(1)), Seq("sh"), "left")
+    contaminationOf(docs.filter(col("doc_id") % EvalMod =!= 0), evalSh)
+  }
+
+  /** The contamination gate over an arbitrary (doc_id, text) batch
+    * against an already-built distinct eval shingle-hash table — the
+    * INCREMENTAL form: benchmark suites are fixed, so the eval table
+    * is built once and persisted, and each new ingest batch costs one
+    * explode + one hash join + one per-doc aggregation, linear in the
+    * batch and independent of how much corpus came before. Folding
+    * batches equals one full pass (per-doc rows are disjoint across
+    * batches; CurationSpec pins it). The streaming twin is
+    * StreamContamination. */
+  def contaminationOf(newDocs: DataFrame, evalSh: DataFrame): DataFrame =
+    shingleHashesOf(newDocs)
+      .join(evalSh.withColumn("hit", lit(1)), Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
       .filter(col("n_contaminated") > 0)
@@ -66,7 +79,6 @@ object Curation {
         graft.functions.Hashing.ratio4(col("n_contaminated"), col("n_shingles")))
       .select("doc_id", "n_shingles", "n_contaminated", "ratio")
       .orderBy("doc_id")
-  }
 
   /** Cross-corpus near-dup audit: MinHash/LSH near-dup pairs whose two
     * documents come from DIFFERENT sources — the "did corpus A leak

@@ -52,6 +52,23 @@ object QualitySignals {
       .orderBy("doc_id")
   }
 
+  /** Per-source document-length profile: count plus exact p25/p50/p75
+    * of n_chars — the composition panel a curation dashboard shows per
+    * ingest feed. The exact percentile aggregate at binary-exact
+    * positions over integer lengths interpolates to bit-reproducible
+    * doubles (the lineitem_quantiles discipline); one shuffle on the
+    * (tiny) source key. */
+  def sourceLengthStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("source"), col("n_docs"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+      .orderBy("source")
+
   /** Corpus-relative novelty: the fraction of a document's distinct
     * 3-token shingles that occur in NO other document (document
     * frequency 1). Low novelty = boilerplate assembled from shared

@@ -56,6 +56,33 @@ object Envelope {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).json(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
 
+  /** CSV interchange schema: CSV holds neither maps nor raw bytes, so
+    * the wire form carries payload as base64 and properties as a JSON
+    * object string. */
+  val csvSchema: StructType = StructType(Seq(
+    StructField("payload_b64", StringType, nullable = false),
+    StructField("properties_json", StringType, nullable = false),
+    StructField("event_ts", TimestampType, nullable = false),
+    StructField("topic", StringType, nullable = false)))
+
+  /** Envelope → CSV wire columns (what a CSV export writes). */
+  def toCsvFrame(env: DataFrame): DataFrame = env.select(
+    base64(col("payload")).as("payload_b64"),
+    to_json(col("properties")).as("properties_json"),
+    col("event_ts"), col("topic"))
+
+  /** CSV wire columns → typed envelope. Together with toCsvFrame this
+    * is a lossless round trip (base64 payload bytes, canonical-order
+    * JSON properties), so digests computed before export equal digests
+    * computed after re-import. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(csvSchema).csv(path)
+      .select(
+        unbase64(col("payload_b64")).as("payload"),
+        from_json(col("properties_json"), MapType(StringType, StringType))
+          .as("properties"),
+        col("event_ts"), col("topic"))
+
   /** Streaming file source in envelope shape (the production entry
     * point for continuous dedup: parquet files landing in a directory,
     * e.g. from a connector). */

@@ -41,6 +41,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("incremental contamination: batch fold equals the full pass") {
+    val d = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val evalSh = Curation.shingleHashesOf(
+      d.filter(col("doc_id") % Curation.EvalMod === 0)).select("sh").distinct()
+      .localCheckpoint(true) // the persisted eval table
+    val train = d.filter(col("doc_id") % Curation.EvalMod =!= 0)
+    val b1 = Curation.contaminationOf(train.filter(col("doc_id") % 2 === 0), evalSh)
+    val b2 = Curation.contaminationOf(train.filter(col("doc_id") % 2 =!= 0), evalSh)
+    val folded = b1.unionByName(b2).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val full = Curation.contamination(spark, sf).collect().map(_.toSeq).toSeq
+    assert(folded == full)
+  }
+
   test("stratifiedSample is deterministic, within-stratum bounded, and keeps small strata whole") {
     val target = 3 // sf0.001 sources hold 2-5 docs → both branches exercised
     val a = Curation.stratifiedSample(spark, sf, target).collect().toSeq

@@ -47,6 +47,21 @@ class EnvelopeSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("readCsv round-trips the envelope through the base64/JSON wire form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_env_csv").toString
+    val env = Envelope.fromEvents(spark, sf)
+      .filter(col("event_id") < 50)
+      .select("payload", "properties", "event_ts", "topic")
+    Envelope.toCsvFrame(env).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val back = Envelope.readCsv(spark, dir)
+    assert(back.count() === 50)
+    assert(back.schema.fieldNames.toSeq === Envelope.schema.fieldNames.toSeq)
+    val a = env.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
+    val b = back.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("firstOccurrence over a duplicated envelope stream keeps one per digest") {
     val env = Envelope.fromEvents(spark, sf)
     val dup = env.unionAll(env.withColumn("event_ts",
