@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_best_quality" -> ((s, d) => graft.operators.Curation.bestQualityCanonical(s, d)),
     "events_pattern_sessions" -> ((s, d) => graft.operators.Analytics3.patternSessions(s, d)),
     "docs_source_quantiles" -> ((s, d) => graft.operators.QualitySignals.sourceLengthStats(s, d)),
+    "dedup_chunks" -> ((s, d) => DocDedup.chunkDedup(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1515,5 +1516,27 @@ object SparkEntry {
          |  quantile_cont(n_chars, 0.5) AS p50,
          |  quantile_cont(n_chars, 0.75) AS p75
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_chunks" -> {
+      val w = graft.operators.DocDedup.ChunkTokens
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |ch AS (
+         |  SELECT doc_id, u.pos AS pos, ${H64("u.ch")} AS chunk_h
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, CAST(floor(len(t) / $w.0) AS BIGINT)),
+         |      i -> struct_pack(pos := i,
+         |        ch := array_to_string(list_slice(t, (i-1)*$w + 1, i*$w), ' ')))) AS u
+         |    FROM toks WHERE len(t) >= $w)
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER wc AS rn,
+         |    first_value(doc_id) OVER wc AS keep_doc,
+         |    first_value(pos) OVER wc AS keep_pos
+         |  FROM ch WINDOW wc AS (PARTITION BY chunk_h ORDER BY doc_id, pos)
+         |)
+         |SELECT doc_id, pos, chunk_h, keep_doc, keep_pos
+         |FROM r WHERE rn > 1 ORDER BY doc_id, pos""".stripMargin
+    },
   )
 }

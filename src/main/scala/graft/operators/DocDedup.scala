@@ -133,6 +133,44 @@ object DocDedup {
       .orderBy("d1", "d2")
   }
 
+  /** Chunk width (tokens) for sub-document exact dedup. */
+  val ChunkTokens = 8
+
+  /** Chunk-grain exact dedup — the C4-style duplicate-passage pass:
+    * documents are cut into non-overlapping `w`-token chunks, and every
+    * occurrence of an exact chunk beyond its first (ordered by
+    * (doc_id, pos)) is reported with the keeper it defers to. This
+    * catches copy-paste passages BETWEEN documents that whole-doc and
+    * even near-dup passes miss when the surrounding text differs.
+    *
+    * One shuffle, on the chunk hash (uniform by construction — no hot
+    * keys beyond genuine boilerplate, and those spread over rank
+    * ties); rank pushdown (WindowGroupLimit) does not apply since all
+    * occurrences are emitted, but state per chunk key is one row. */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 w: Int = ChunkTokens): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val t = TextAnalysis.tokens(col("text"))
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t")).spread
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1L), intDiv(size(col("t")), lit(w))), i =>
+          struct(i.as("pos"),
+            h64(concat_ws(" ",
+              slice(col("t"), ((i - 1L) * w + 1L).cast("int"), lit(w)))).as("h")))).as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"), col("c.h").as("chunk_h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_h").orderBy("doc_id", "pos")
+    chunks
+      .withColumn("rn", row_number().over(win))
+      .withColumn("keep_doc", first("doc_id").over(win))
+      .withColumn("keep_pos", first("pos").over(win))
+      .filter(col("rn") > 1)
+      .select("doc_id", "pos", "chunk_h", "keep_doc", "keep_pos")
+      .orderBy("doc_id", "pos")
+  }
+
   /** Edit-distance share of the longer document, in integer percent
     * (candidate pairs are bounded, so the O(len²) DP per pair is too). */
   val MaxEditPct = 30

@@ -111,6 +111,22 @@ class QualitySignalsSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).toSet == comp)
   }
 
+  test("chunk dedup reports every non-first occurrence with its keeper") {
+    val w = DocDedup.ChunkTokens
+    val chunks = docs.flatMap { case (id, text) =>
+      toks(text).grouped(w).filter(_.length == w).zipWithIndex
+        .map { case (c, i) => (c.mkString(" "), id, (i + 1).toLong) }
+    }
+    val expected = chunks.groupBy(_._1).values.toSeq.flatMap { occ =>
+      val sorted = occ.map { case (_, id, pos) => (id, pos) }.sorted
+      val (kd, kp) = sorted.head
+      sorted.tail.map { case (id, pos) => (id, pos, kd, kp) }
+    }.sortBy(t => (t._1, t._2))
+    val got = DocDedup.chunkDedup(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got == expected)
+  }
+
   test("pattern sessions match a per-session subsequence model") {
     val ev = graft.operators.Dedup.eventsUs(spark, sf)
       .select("user_id", "ts_us", "event_id", "event_type").collect()
