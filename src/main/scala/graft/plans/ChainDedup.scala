@@ -150,5 +150,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => KmvSampleAgg(args(0), args(1), args.lift(2).map(
         _.eval().asInstanceOf[Number].intValue()).getOrElse(256))
         .toAggregateExpression(isDistinct = false)))
+    e.injectFunction((FunctionIdentifier("graft_ratio4"),
+      info("graft_ratio4",
+        "graft_ratio4(num, den) - ROUND(num/den, 4) HALF_UP on the exact rational " +
+          "in int64 (cross-engine deterministic; see Hashing.ratio4)"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, IntegralDivide, Literal, Multiply}
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val num = Cast(args(0), LongType)
+        val den = Cast(args(1), LongType)
+        val scaled = Add(Multiply(num, Literal(10000L)), IntegralDivide(den, Literal(2L)))
+        Divide(Cast(IntegralDivide(scaled, den), DoubleType), Literal(10000.0))
+      }))
   }
 }

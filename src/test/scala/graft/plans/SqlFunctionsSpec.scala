@@ -26,4 +26,14 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.length === 16)
     assert(r.forall(_ >= 0))
   }
+
+  test("graft_ratio4 from SQL rounds the exact rational HALF_UP") {
+    val r = spark.sql("SELECT graft_ratio4(1, 3) AS a, graft_ratio4(1, 8) AS b, " +
+        "graft_ratio4(1, 20000) AS tie")
+      .collect().head
+    assert(r.getDouble(0) == 0.3333)
+    assert(r.getDouble(1) == 0.125)
+    // 1/20000 = 0.00005 — an exact tie at the 4th decimal → HALF_UP
+    assert(r.getDouble(2) == 0.0001)
+  }
 }
