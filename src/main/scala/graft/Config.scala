@@ -45,19 +45,25 @@ object GraftConfig {
     def warmupEnabled: Boolean = !disableRebuild && cacheWindowSeconds > 0
   }
 
-  /** Decimal/scientific literals only — JS `Number(s)` (the reference's
-    * validator) rejects Java-isms `toDouble` accepts: type suffixes
-    * ("1d", "123f"), hex floats ("0x1p3"), and leading/trailing
-    * whitespace. */
-  private val FloatLiteral = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$".r
+  /** JS `parseFloat` (config.ts:71): skip leading whitespace, parse the
+    * longest leading decimal/scientific literal, IGNORE any trailing
+    * garbage ("1.5abc" → 1.5); no leading literal → NaN. Scala's
+    * `toDouble` diverges both ways — it accepts hex floats ("0x1p3" →
+    * 8.0 where parseFloat reads 0) and type suffixes as whole-string
+    * parses, but throws on the trailing-garbage inputs parseFloat
+    * tolerates — so the literal is extracted with parseFloat's own
+    * grammar first. */
+  private val LeadingFloat = "[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r
 
   private def nonNegativeFiniteFloat(spark: SparkSession, key: String,
                                      default: Double): Double =
     spark.conf.getOption(key).map { s =>
       def fail() = throw new IllegalArgumentException(
         s"$key must be a non-negative, finite float if given. Instead, $s was given.")
-      if (!FloatLiteral.matches(s)) fail()
-      val v = s.toDouble
+      // "Infinity"/"-Infinity" parse in JS but fail the isFinite check,
+      // same terminal outcome as the no-literal NaN path here
+      val v = LeadingFloat.findPrefixOf(s.dropWhile(_.isWhitespace))
+        .map(_.toString.toDouble).getOrElse(Double.NaN)
       if (v.isNaN || v.isInfinite || v < 0) fail()
       v
     }.getOrElse(default)

@@ -202,6 +202,12 @@ object Analytics3 {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Pattern sessions use a visit-scale 12-hour gap: the CEP question
+    * ("did the funnel complete within one visit?") is about multi-event
+    * windows, and the 30-min analytics gap yields near-singleton
+    * sessions on this event density. */
+  val PatternGapUs: Long = 12L * 3600L * 1000000L
+
   /** Ordered-subsequence pattern match within sessions (the
     * MATCH_RECOGNIZE / CEP shape): sessions containing a view, then a
     * click after some view, then a purchase after such a click. The
@@ -210,12 +216,6 @@ object Analytics3 {
     * max(flag) over ROWS UNBOUNDED PRECEDING..1 PRECEDING — so the
     * whole match shares sessionization's single user_id shuffle; no
     * joins, no per-session buffering. */
-  /** Pattern sessions use a visit-scale 12-hour gap: the CEP question
-    * ("did the funnel complete within one visit?") is about multi-event
-    * windows, and the 30-min analytics gap yields near-singleton
-    * sessions on this event density. */
-  val PatternGapUs: Long = 12L * 3600L * 1000000L
-
   def patternSessions(spark: SparkSession, dir: String,
                       gapUs: Long = PatternGapUs): DataFrame = {
     val w = Window.partitionBy("user_id", "session_idx")

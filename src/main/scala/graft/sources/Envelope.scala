@@ -65,18 +65,29 @@ object Envelope {
     StructField("event_ts", TimestampType, nullable = false),
     StructField("topic", StringType, nullable = false)))
 
-  /** Envelope → CSV wire columns (what a CSV export writes). */
+  /** CSV reader/writer options owned by the library: header on, and a
+    * MICROSECOND timestamp format — Spark's CSV default writes only
+    * millisecond fractions, which silently truncates event times and
+    * shifts every event-time consumer (dedup ordering, windows) after
+    * a re-import. */
+  val csvOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /** Envelope → CSV wire columns (what a CSV export writes — pair with
+    * `csvOptions` on the writer). */
   def toCsvFrame(env: DataFrame): DataFrame = env.select(
     base64(col("payload")).as("payload_b64"),
     to_json(col("properties")).as("properties_json"),
     col("event_ts"), col("topic"))
 
-  /** CSV wire columns → typed envelope. Together with toCsvFrame this
-    * is a lossless round trip (base64 payload bytes, canonical-order
-    * JSON properties), so digests computed before export equal digests
+  /** CSV wire columns → typed envelope. Together with toCsvFrame (both
+    * sides under `csvOptions`) this is a lossless round trip — base64
+    * payload bytes, canonical-order JSON properties, µs timestamps —
+    * so digests AND event times computed before export equal those
     * computed after re-import. */
   def readCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").schema(csvSchema).csv(path)
+    spark.read.options(csvOptions).schema(csvSchema).csv(path)
       .select(
         unbase64(col("payload_b64")).as("payload"),
         from_json(col("properties_json"), MapType(StringType, StringType))

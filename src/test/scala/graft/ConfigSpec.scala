@@ -26,6 +26,14 @@ class ConfigSpec extends SparkSpec {
       withConf(GraftConfig.DedupWindowKey -> bad) {
         intercept[IllegalArgumentException](GraftConfig.deduplication(spark))
       }
+    // parseFloat semantics (config.ts:71): leading whitespace skipped,
+    // trailing garbage ignored, hex reads its leading "0"
+    withConf(GraftConfig.DedupWindowKey -> " 1.5s") {
+      assert(GraftConfig.deduplication(spark).windowUs == 1500000L)
+    }
+    withConf(GraftConfig.DedupWindowKey -> "0x1p3") {
+      assert(GraftConfig.deduplication(spark).windowSeconds == 0.0)
+    }
   }
 
   test("ignored properties: JSON string array only, like the reference") {

@@ -53,13 +53,20 @@ class EnvelopeSpec extends SparkSpec {
       .filter(col("event_id") < 50)
       .select("payload", "properties", "event_ts", "topic")
     Envelope.toCsvFrame(env).write.mode("overwrite")
-      .option("header", "true").csv(dir)
+      .options(Envelope.csvOptions).csv(dir)
     val back = Envelope.readCsv(spark, dir)
     assert(back.count() === 50)
     assert(back.schema.fieldNames.toSeq === Envelope.schema.fieldNames.toSeq)
     val a = env.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
     val b = back.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
     assert(a.toSeq === b.toSeq)
+    // event times survive at FULL microsecond precision (the default
+    // CSV timestampFormat truncates to millis — csvOptions prevents it)
+    def ts(df: org.apache.spark.sql.DataFrame) =
+      df.select(unix_micros(col("event_ts")).as("us"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ts(back) === ts(env))
+    assert(ts(env).exists(_ % 1000 != 0), "fixture must carry sub-ms precision")
   }
 
   test("firstOccurrence over a duplicated envelope stream keeps one per digest") {
