@@ -117,6 +117,8 @@ object SparkEntry {
     "events_pattern_sessions" -> ((s, d) => graft.operators.Analytics3.patternSessions(s, d)),
     "docs_source_quantiles" -> ((s, d) => graft.operators.QualitySignals.sourceLengthStats(s, d)),
     "dedup_chunks" -> ((s, d) => DocDedup.chunkDedup(s, d)),
+    "pipeline_decontaminated" -> ((s, d) => graft.operators.Curation.decontaminated(s, d)),
+    "events_dau_wau" -> ((s, d) => graft.operators.Analytics3.dauWau(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -231,6 +233,25 @@ object SparkEntry {
        |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
        |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
        |)""".stripMargin
+
+  /** 5-gram contamination CTEs (tokens → hashed shingles → eval/train
+    * split → per-doc totals and eval hits) — mirrors
+    * Curation.shingleHashesOf + contaminationOf; shared by the report
+    * and the apply-step oracle so the two cannot drift. */
+  private val CONTAM_CTE =
+    s"""toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |sh5 AS (
+       |  SELECT doc_id, ${H64("shingle")} AS sh FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(t)-4),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS shingle
+       |    FROM toks WHERE len(t) >= 5)
+       |),
+       |ev AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % ${graft.operators.Curation.EvalMod} = 0),
+       |tr AS (SELECT * FROM sh5 WHERE doc_id % ${graft.operators.Curation.EvalMod} <> 0),
+       |n AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+       |h AS (SELECT doc_id, count(*) AS n_contaminated FROM tr
+       |      WHERE sh IN (SELECT sh FROM ev) GROUP BY 1)""".stripMargin
 
   /** Left-fold double dot product — mirrors Similarity.dotSql. */
   private def duckDot(a: String, b: String): String =
@@ -1137,23 +1158,24 @@ object SparkEntry {
     // ---- round 3: curation tier ----------------------------------------
 
     "contamination_ngrams" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |sh5 AS (
-         |  SELECT doc_id, ${H64("shingle")} AS sh FROM (
-         |    SELECT doc_id, unnest(list_distinct(list_transform(
-         |      generate_series(1, len(t)-4),
-         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS shingle
-         |    FROM toks WHERE len(t) >= 5)
-         |),
-         |ev AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % ${graft.operators.Curation.EvalMod} = 0),
-         |tr AS (SELECT * FROM sh5 WHERE doc_id % ${graft.operators.Curation.EvalMod} <> 0),
-         |n AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
-         |h AS (SELECT doc_id, count(*) AS n_contaminated FROM tr
-         |      WHERE sh IN (SELECT sh FROM ev) GROUP BY 1)
+      s"""WITH $CONTAM_CTE
          |SELECT n.doc_id AS doc_id, n_shingles, n_contaminated,
          |  ${ratio4Sql("n_contaminated", "n_shingles")} AS ratio
          |FROM n JOIN h ON n.doc_id = h.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+
+    // the decontamination APPLY step: the training split minus docs
+    // whose contamination ratio exceeds the threshold
+    "pipeline_decontaminated" ->
+      s"""WITH $CONTAM_CTE,
+         |bad AS (
+         |  SELECT n.doc_id FROM n JOIN h ON n.doc_id = h.doc_id
+         |  WHERE ${ratio4Sql("n_contaminated", "n_shingles")}
+         |        > ${graft.operators.Curation.MaxContamRatio})
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % ${graft.operators.Curation.EvalMod} <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_cross_source" ->
       s"""WITH $SH_CTE,
@@ -1538,5 +1560,15 @@ object SparkEntry {
          |SELECT doc_id, pos, chunk_h, keep_doc, keep_pos
          |FROM r WHERE rn > 1 ORDER BY doc_id, pos""".stripMargin
     },
+
+    "events_dau_wau" ->
+      s"""WITH ev AS ($EV),
+         |act AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM ev),
+         |dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1),
+         |w AS (SELECT DISTINCT user_id, day + g.i AS day
+         |      FROM act, generate_series(0, 6) g(i)),
+         |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+         |SELECT day, dau, wau, ${ratio4Sql("dau", "wau")} AS stickiness
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
   )
 }

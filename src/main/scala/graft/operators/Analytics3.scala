@@ -237,6 +237,29 @@ object Analytics3 {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Daily / trailing-7-day active users and stickiness (DAU/WAU) per
+    * day — the engagement panel. The distinct (user, day) activity
+    * frame is computed once; WAU explodes each activity day onto the 7
+    * report days it supports (a 7× fan-out of the DISTINCT frame,
+    * never of raw events) and distincts again, so the plan is linear
+    * and both counts are exact — no sliding distinct-over-window
+    * state. Stickiness is the exact-rational ratio4. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val act = Dedup.eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"))
+      .distinct()
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        graft.functions.Hashing.ratio4(col("dau"), col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Exact grouped quantiles (p25/p50/p75 of l_quantity per return
     * flag) via the exact `percentile` aggregate — linear-interpolation
     * positions 0.25/0.5/0.75 are exact binary fractions over

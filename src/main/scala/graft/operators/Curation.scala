@@ -70,6 +70,10 @@ object Curation {
     * batches; CurationSpec pins it). The streaming twin is
     * StreamContamination. */
   def contaminationOf(newDocs: DataFrame, evalSh: DataFrame): DataFrame =
+    contaminationCore(newDocs, evalSh).orderBy("doc_id")
+
+  /** Unordered report core (intermediate consumers skip the sort). */
+  private def contaminationCore(newDocs: DataFrame, evalSh: DataFrame): DataFrame =
     shingleHashesOf(newDocs)
       .join(evalSh.withColumn("hit", lit(1)), Seq("sh"), "left")
       .groupBy("doc_id")
@@ -78,7 +82,28 @@ object Curation {
       .withColumn("ratio",
         graft.functions.Hashing.ratio4(col("n_contaminated"), col("n_shingles")))
       .select("doc_id", "n_shingles", "n_contaminated", "ratio")
+
+  /** Contamination ratio above which the apply step drops a document. */
+  val MaxContamRatio = 0.2
+
+  /** The decontamination APPLY step — what the training pipeline
+    * actually executes once the report exists: the train split minus
+    * documents leaking more than `maxRatio` of their shingles into the
+    * benchmark set. One anti-join against the (tiny) flagged list on
+    * top of the report's linear plan; docs too short to shingle carry
+    * no overlap evidence and are kept. */
+  def decontaminated(spark: SparkSession, dir: String,
+                     maxRatio: Double = MaxContamRatio): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "source").spread
+    val evalSh = shingleHashesOf(docs.filter(col("doc_id") % EvalMod === 0))
+      .select("sh").distinct()
+    val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+    val bad = contaminationCore(train.select("doc_id", "text"), evalSh)
+      .filter(col("ratio") > maxRatio).select("doc_id")
+    train.join(bad, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source")
       .orderBy("doc_id")
+  }
 
   /** Cross-corpus near-dup audit: MinHash/LSH near-dup pairs whose two
     * documents come from DIFFERENT sources — the "did corpus A leak

@@ -101,6 +101,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(scanCount(plan("text_novelty"), "documents") == 1)
   }
 
+  test("chunk dedup: one documents scan, one chunk-hash shuffle") {
+    val p = plan("dedup_chunks")
+    assert(scanCount(p, "documents") == 1)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, s"expected 1 hash exchange:\n$p")
+  }
+
   test("pattern sessions: one events scan, one user-keyed shuffle") {
     val p = plan("events_pattern_sessions")
     assert(scanCount(p, "events") == 1, s"expected 1 events scan:\n$p")

@@ -57,6 +57,15 @@ class NullRobustnessSpec extends SparkSpec {
     // weighted sampling keeps w=1 rows, drops w=0 rows deterministically
     val kept = Curation.weightedSample(spark, dir, fullAt = 30).collect().map(_.getLong(1)).toSet
     assert(Set(0L, 21L).subsetOf(kept) && !kept.contains(1L) && !kept.contains(2L))
+    // round-4 operators: token-less docs drop out, nothing throws and
+    // no division hits a zero denominator
+    assert(QualitySignals.repetition(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 21L))
+    assert(QualitySignals.novelty(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 21L))
+    assert(DocDedup.chunkDedup(spark, dir, w = 3).collect()
+      .forall(r => r.getLong(0) == 21L)) // only the exact copy defers
+    assert(QualitySignals.sourceLengthStats(spark, dir).count() === 2)
   }
 
   test("chain dedup of an empty stream is empty, of one row is that row") {
