@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_chunks" -> ((s, d) => DocDedup.chunkDedup(s, d)),
     "pipeline_decontaminated" -> ((s, d) => graft.operators.Curation.decontaminated(s, d)),
     "events_dau_wau" -> ((s, d) => graft.operators.Analytics3.dauWau(s, d)),
+    "dedup_graph_rank" -> ((s, d) => MinHashLSH.graphCentrality(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1570,5 +1571,31 @@ object SparkEntry {
          |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
          |SELECT day, dau, wau, ${ratio4Sql("dau", "wau")} AS stickiness
          |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    // int64-exact PageRank over the near-dup graph, iterations unrolled
+    // to the same fixed depth the operator runs
+    "dedup_graph_rank" -> {
+      val iters = graft.operators.MinHashLSH.CentralityIters
+      val iterCtes = (1 to iters).map { i =>
+        s"""c$i AS (
+           |  SELECT e.d2 AS node,
+           |    sum(${halfUpSql("r.r * 85", "deg.outdeg * 100")}) AS in_c
+           |  FROM edges e JOIN deg ON e.d1 = deg.d1 JOIN r${i - 1} r ON e.d1 = r.node
+           |  GROUP BY 1),
+           |r$i AS (
+           |  SELECT p.node, ${halfUpSql("15000000", "100 * nn.n")}
+           |    + coalesce(c.in_c, 0) AS r
+           |  FROM r${i - 1} p CROSS JOIN nn LEFT JOIN c$i c ON p.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+         |deg AS (SELECT d1, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT d1 AS node, 1000000 // nn.n AS r FROM deg CROSS JOIN nn),
+         |$iterCtes
+         |SELECT node AS doc_id, r AS rank_micro FROM r$iters ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -113,6 +113,54 @@ object MinHashLSH {
       .orderBy("doc_id")
   }
 
+  /** Fixed iteration count for [[graphCentrality]] — unrolled in the
+    * oracle, so the two sides always agree on depth. */
+  val CentralityIters = 3
+
+  /** PageRank-style centrality over the near-dup graph — a doc
+    * connected (directly and transitively) to many near-dups is a
+    * template hub, and its rank quantifies that better than a bare
+    * degree count. Ranks live in exact 1e-6 integer units and every
+    * update is HALF_UP int64 arithmetic (halfUpDiv), so the iteration
+    * is bit-identical on any engine and any cluster layout — a
+    * floating-point PageRank is order-dependent in its sums and not
+    * oracle-able.
+    *
+    * rank₀ = 10⁶ div N; rankᵢ₊₁(v) = (15·10⁶) div (100·N) +
+    * Σ_{u→v} (rank ᵢ(u)·85) div (outdeg(u)·100), `iters` rounds.
+    * Each round is one join + one aggregation over the edge list
+    * (the component-propagation shape); per-round lineage is
+    * truncated with a local checkpoint. */
+  def graphCentrality(spark: SparkSession, dir: String, tau: Double = 0.5,
+                      iters: Int = CentralityIters): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, intDiv}
+    val pairs = nearDupPairs(spark, dir, tau).select("d1", "d2")
+    val edges = pairs
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("d1").agg(count(lit(1)).as("outdeg"))
+    val n = deg.count() // node count — one tiny job on the checkpoint
+    var rank = deg.select(col("d1").as("node"),
+        intDiv(lit(1000000L), lit(n)).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(deg, "d1")
+        .join(rank, col("d1") === col("node"))
+        .select(col("d2").as("node"),
+          halfUpDiv(col("r") * 85L, col("outdeg") * 100L).as("c"))
+        .groupBy("node").agg(sum("c").as("in_c"))
+      rank = rank.select("node")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (halfUpDiv(lit(15000000L), lit(100L * n)) +
+            coalesce(col("in_c"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("node").as("doc_id"), col("r").as("rank_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental index maintenance: the persisted near-dup index of a
     * corpus is its (doc_id, band, sig) signature table plus its
     * (doc_id, shingle) table — both strictly per-doc, so indexing a

@@ -98,4 +98,28 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.nearDupPairs(spark, sf, tau = 0.3).collect()
     out.foreach(r => assert(r.getAs[Double]("cos") >= 0.3))
   }
+
+  test("graphCentrality equals a driver-side int64 PageRank model exactly") {
+    // hu = the operator's halfUpDiv: (a + b div 2) div b, all-positive here
+    def hu(a: Long, b: Long): Long = (a + b / 2) / b
+    val pairs = MinHashLSH.nearDupPairs(spark, sf, tau = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(_.swap)
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.length.toLong }
+    val n = deg.size.toLong
+    var rank: Map[Long, Long] = deg.map { case (u, _) => u -> (1000000L / n) }
+    for (_ <- 1 to MinHashLSH.CentralityIters) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => hu(rank(u) * 85L, deg(u) * 100L) }.sum
+      }
+      rank = rank.map { case (v, _) =>
+        v -> (hu(15000000L, 100L * n) + in.getOrElse(v, 0L))
+      }
+    }
+    val got = MinHashLSH.graphCentrality(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === rank)
+    // hubs exist: at least one node outranks the teleport-only floor
+    assert(got.values.max > hu(15000000L, 100L * n))
+  }
 }
