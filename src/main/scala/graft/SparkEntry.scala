@@ -120,6 +120,14 @@ object SparkEntry {
     "pipeline_decontaminated" -> ((s, d) => graft.operators.Curation.decontaminated(s, d)),
     "events_dau_wau" -> ((s, d) => graft.operators.Analytics3.dauWau(s, d)),
     "dedup_graph_rank" -> ((s, d) => MinHashLSH.graphCentrality(s, d)),
+    // round 4 (cont.): corpus composition + event panels
+    "corpus_zipf" -> ((s, d) => graft.operators.CorpusStats.zipfTerms(s, d)),
+    "docs_shingle_profile" -> ((s, d) => graft.operators.CorpusStats.shingleDfProfile(s, d)),
+    "text_bigram_coverage" -> ((s, d) => graft.operators.CorpusStats.bigramCoverage(s, d)),
+    "dedup_cluster_sizes" -> ((s, d) => graft.operators.CorpusStats.clusterSizes(s, d)),
+    "events_histogram" -> ((s, d) => graft.operators.Analytics4.valueHistogram(s, d)),
+    "events_hourly_change" -> ((s, d) => graft.operators.Analytics4.hourlyChange(s, d)),
+    "events_attribution" -> ((s, d) => graft.operators.Analytics4.attribution(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1596,6 +1604,89 @@ object SparkEntry {
          |r0 AS (SELECT d1 AS node, 1000000 // nn.n AS r FROM deg CROSS JOIN nn),
          |$iterCtes
          |SELECT node AS doc_id, r AS rank_micro FROM r$iters ORDER BY doc_id""".stripMargin
+    },
+
+    // round 4 (cont.): corpus composition + event panels
+
+    "corpus_zipf" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |pd AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |agg AS (SELECT term, sum(c) AS tf, count(*) AS df FROM pd GROUP BY term),
+         |top AS (SELECT term, tf, df FROM agg ORDER BY tf DESC, term LIMIT 50)
+         |SELECT row_number() OVER (ORDER BY tf DESC, term) AS rank, term, tf, df
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "docs_shingle_profile" ->
+      s"""WITH $SH_CTE,
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+         |SELECT df, count(*) AS n_shingles FROM dfs GROUP BY df ORDER BY df""".stripMargin,
+
+    "text_bigram_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+         |  FROM toks WHERE len(t) >= 2),
+         |head AS (SELECT pair, count(*) AS n FROM bg GROUP BY pair
+         |         ORDER BY n DESC, pair LIMIT 100),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, count(head.pair) AS covered
+         |  FROM bg LEFT JOIN head USING (pair) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, covered,
+         |  ${ratio4Sql("covered", "n_bigrams")} AS coverage
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT d1, d1 FROM edges
+         |  UNION
+         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |szs AS (SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id)
+         |SELECT sz, count(*) AS n_clusters, sum(sz) AS n_docs
+         |FROM szs GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "events_histogram" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents FROM ev)
+         |SELECT event_type, cents // ${graft.operators.Analytics4.HistBucketCents} AS bucket,
+         |  count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
+         |FROM c GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "events_hourly_change" ->
+      s"""WITH ev AS ($EV),
+         |h AS (
+         |  SELECT event_type, ts_us // 3600000000 AS hour, count(*) AS n,
+         |    sum(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT event_type, hour, n, sum_cents,
+         |  coalesce(lag(n) OVER w, 0) AS prev_n,
+         |  n - coalesce(lag(n) OVER w, 0) AS delta_n
+         |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+         |ORDER BY event_type, hour""".stripMargin,
+
+    "events_attribution" -> {
+      val lookback = graft.operators.Analytics4.AttributionWindowUs
+      s"""WITH ev AS ($EV),
+         |t AS (
+         |  SELECT event_id, ts_us, user_id, event_type,
+         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+         |      OVER w AS click_id,
+         |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+         |      OVER w AS click_ts
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, click_id, ts_us - click_ts AS gap_us
+         |FROM t
+         |WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+         |  AND ts_us - click_ts <= $lookback
+         |ORDER BY event_id""".stripMargin
     },
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.Hashing.{intDiv, valueCents}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream panels beyond the Analytics1-3 tiers: distribution
+  * histogram, period-over-period deltas, and last-touch attribution.
+  * All value math stays in exact integer cents / µs.
+  */
+object Analytics4 {
+
+  /** Histogram bucket width: $20 in cents. */
+  val HistBucketCents = 2000L
+
+  /** Fixed-width value histogram per event type — the distribution
+    * panel next to the quantile/anomaly reports. Bucketing is exact
+    * integer division on cents, so bucket boundaries are engine- and
+    * layout-independent; one partial-aggregable shuffle on
+    * (type, bucket), output is O(types × occupied buckets). */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.eventsUs(spark, dir)
+      .select(col("event_type"), valueCents(col("value")).as("cents"))
+      .groupBy(col("event_type"), intDiv(col("cents"), lit(HistBucketCents)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy("event_type", "bucket")
+
+  /** Hour-over-hour movement per event type: hourly count + exact cents
+    * sum, with the previous OBSERVED hour's count and the delta (the
+    * lag skips empty hours — sparse grain, no zero-fill scan). The lag
+    * window runs over the hourly AGGREGATE (O(types × hours) rows), so
+    * its per-type partitions are trivially small at any input scale. */
+  def hourlyChange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    Dedup.eventsUs(spark, dir)
+      .select(col("event_type"), expr("ts_us div 3600000000L").as("hour"),
+        valueCents(col("value")).as("cents"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .withColumn("prev_n", coalesce(lag("n", 1).over(w), lit(0L)))
+      .withColumn("delta_n", col("n") - col("prev_n"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Attribution lookback: one hour in µs. */
+  val AttributionWindowUs = 3600L * 1000000L
+
+  /** Last-touch attribution: each purchase is attributed to the same
+    * user's most recent click at or before it, if within the lookback
+    * window. One user-partitioned window pass carries the latest click
+    * (id, ts) forward — the as-of union-scan shape: no range join, no
+    * per-user nested loop, one shuffle on user_id. Ordering is the
+    * total (ts_us, event_id) order, so ties are deterministic on any
+    * engine. Purchases with no qualifying click are omitted (they'd be
+    * the "organic" bucket). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val click = (c: String) =>
+      last(when(col("event_type") === "click", col(c)), ignoreNulls = true).over(w)
+    Dedup.eventsUs(spark, dir)
+      .select("event_id", "ts_us", "user_id", "event_type")
+      .withColumn("click_id", click("event_id"))
+      .withColumn("click_ts", click("ts_us"))
+      .filter(col("event_type") === "purchase" && col("click_ts").isNotNull &&
+        col("ts_us") - col("click_ts") <= AttributionWindowUs)
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("ts_us") - col("click_ts")).as("gap_us"))
+      .orderBy("event_id")
+  }
+}

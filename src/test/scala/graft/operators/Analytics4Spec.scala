@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Analytics4 vs independent in-memory models at sf0.001. */
+class Analytics4Spec extends SparkSpec {
+
+  private lazy val events: Seq[(Long, Long, Long, String, Double)] =
+    Dedup.eventsUs(spark, sf)
+      .select("event_id", "ts_us", "user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  test("valueHistogram matches an exact-cents bucketing model") {
+    val expected = events
+      .map { case (_, _, _, t, v) => (t, cents(v)) }
+      .groupBy { case (t, c) => (t, c / Analytics4.HistBucketCents) }
+      .map { case ((t, b), g) =>
+        (t, b, g.size.toLong, g.map(_._2).min, g.map(_._2).max) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = Analytics4.valueHistogram(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got == expected)
+  }
+
+  test("hourlyChange matches a sparse lag model over observed hours") {
+    val hourly = events
+      .map { case (_, ts, _, t, v) => (t, ts / 3600000000L, cents(v)) }
+      .groupBy { case (t, h, _) => (t, h) }
+      .map { case ((t, h), g) => (t, h, g.size.toLong, g.map(_._3).sum) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val expected = hourly.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(0L +: sorted.map(_._3)).map { case ((t, h, n, s), prev) =>
+        (t, h, n, s, prev, n - prev) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = Analytics4.hourlyChange(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got == expected)
+  }
+
+  test("attribution matches a per-user last-click scan model") {
+    val expected = events.groupBy(_._3).values.flatMap { rows =>
+      var lastClick: Option[(Long, Long)] = None // (click_id, click_ts)
+      rows.toSeq.sortBy(r => (r._2, r._1)).flatMap { case (id, ts, uid, t, _) =>
+        val out =
+          if (t == "purchase")
+            lastClick.collect { case (cid, cts) if ts - cts <= Analytics4.AttributionWindowUs =>
+              (id, uid, cid, ts - cts) }
+          else None
+        if (t == "click") lastClick = Some((id, ts))
+        out
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Analytics4.attribution(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}
