@@ -128,6 +128,10 @@ object SparkEntry {
     "events_histogram" -> ((s, d) => graft.operators.Analytics4.valueHistogram(s, d)),
     "events_hourly_change" -> ((s, d) => graft.operators.Analytics4.hourlyChange(s, d)),
     "events_attribution" -> ((s, d) => graft.operators.Analytics4.attribution(s, d)),
+    "events_top_paths" -> ((s, d) => graft.operators.Analytics4.topPaths(s, d)),
+    "events_spend_deciles" -> ((s, d) => graft.operators.Analytics4.spendDeciles(s, d)),
+    "events_session_histogram" -> ((s, d) => graft.operators.Analytics4.sessionHistogram(s, d)),
+    "text_char_stats" -> ((s, d) => TextAnalysis.charStats(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1687,6 +1691,54 @@ object SparkEntry {
          |WHERE event_type = 'purchase' AND click_ts IS NOT NULL
          |  AND ts_us - click_ts <= $lookback
          |ORDER BY event_id""".stripMargin
+    },
+
+    "events_top_paths" ->
+      s"""WITH ev AS ($EV),
+         |p AS (
+         |  SELECT concat_ws('>', event_type,
+         |    lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path,
+         |    lead(event_type, 2) OVER w AS t3
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         |SELECT path, count(*) AS n FROM p WHERE t3 IS NOT NULL
+         |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // decile = (rn-1)*10 div N + 1 in pure int64 — deliberately NOT SQL
+    // ntile (whose remainder distribution is a second thing to keep in
+    // lockstep); rank comes from the scalable global-rank helper on the
+    // Spark side and a window here.
+    "events_spend_deciles" ->
+      s"""WITH ev AS ($EV),
+         |sp AS (SELECT user_id, sum(CAST(ROUND(value*100) AS BIGINT)) AS spend_cents
+         |       FROM ev GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY spend_cents DESC, user_id) AS rn,
+         |        count(*) OVER () AS nn FROM sp)
+         |SELECT user_id, spend_cents, rn, (rn-1)*10 // nn + 1 AS decile
+         |FROM r ORDER BY user_id""".stripMargin,
+
+    "events_session_histogram" ->
+      s"""WITH ev AS ($EV),
+         |$SESS_CTE,
+         |per AS (SELECT user_id, session_idx, count(*) AS n_events
+         |        FROM s2 GROUP BY 1, 2)
+         |SELECT n_events, count(*) AS n_sessions FROM per
+         |GROUP BY n_events ORDER BY n_events""".stripMargin,
+
+    "text_char_stats" -> {
+      def cnt(cls: String) =
+        s"length(text) - length(regexp_replace(text, '$cls', '', 'g'))"
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(${cnt("[A-Z]")} AS BIGINT) AS n_upper,
+         |    CAST(${cnt("[a-z]")} AS BIGINT) AS n_lower,
+         |    CAST(${cnt("[0-9]")} AS BIGINT) AS n_digit,
+         |    CAST(${cnt("\\s")} AS BIGINT) AS n_space
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_upper, n_lower, n_digit, n_space,
+         |  ${ratio4Sql("n_upper", "greatest(n_chars, 1)")} AS upper_ratio,
+         |  ${ratio4Sql("n_digit", "greatest(n_chars, 1)")} AS digit_ratio,
+         |  ${ratio4Sql("n_space", "greatest(n_chars, 1)")} AS space_ratio
+         |FROM c ORDER BY doc_id""".stripMargin
     },
   )
 }

@@ -44,6 +44,50 @@ object Analytics4 {
       .orderBy("event_type", "hour")
   }
 
+  /** Top event-type trigram paths: the `topN` most frequent 3-step
+    * event-type sequences across user timelines (the path-mining
+    * summary behind funnel design). Two lead windows ride ONE user_id
+    * shuffle; the path space is tiny (|types|³), so the count
+    * aggregation is map-side-combinable and the head is a TakeOrdered.
+    * Ties at the boundary break by path string — total order. */
+  def topPaths(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Dedup.eventsUs(spark, dir)
+      .select("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topN)
+  }
+
+  /** Per-user lifetime spend with exact global rank and decile.
+    * Ranking uses [[Ranking.globalRowNumber]] (range-partitioned sort +
+    * partition-offset indices) — never a single-partition window, so
+    * the report holds at any user cardinality. decile = (rn−1)·10 div
+    * N + 1 in pure int64 (NOT SQL ntile — this floor form is one
+    * integer expression both engines compute identically). */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Dedup.eventsUs(spark, dir)
+      .groupBy("user_id").agg(sum(valueCents(col("value"))).as("spend_cents"))
+    val n = spend.count() // one scalar job; the denominator of the decile formula
+    Ranking.globalRowNumber(spend, Seq(col("spend_cents").desc, col("user_id")))
+      .select(col("user_id"), col("spend_cents"), col("rn"),
+        (intDiv((col("rn") - 1L) * 10L, lit(n)) + 1L).as("decile"))
+      .orderBy("user_id")
+  }
+
+  /** Session-size histogram: how many sessions have exactly n events —
+    * the engagement-depth panel next to DAU/WAU. Rides sessionIndexed's
+    * single user_id window pipeline; both aggregations partial-combine. */
+  def sessionHistogram(spark: SparkSession, dir: String,
+                       gapUs: Long = 1800L * 1000000L): DataFrame =
+    Analytics.sessionIndexed(spark, dir, gapUs)
+      .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n_events"))
+      .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("n_events")
+
   /** Attribution lookback: one hour in µs. */
   val AttributionWindowUs = 3600L * 1000000L
 

@@ -70,6 +70,29 @@ object TextAnalysis {
         t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 1000000007L),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
 
+  /** Character-class profile per document: counts and ratios of
+    * uppercase / lowercase / digit / whitespace characters — the
+    * C4-style "is this prose or a table dump?" signals. Counts are
+    * length minus length-after-removal with ASCII-exact classes (and
+    * the `\s` class whose cross-engine parity the quality oracle
+    * already proves); ratios ride the ratio4 discipline. Pure per-row
+    * expressions — no shuffle, codegen end to end. */
+  def charStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val n = length(col("text")).cast("long")
+    def cnt(cls: String) =
+      n - length(regexp_replace(col("text"), cls, "")).cast("long")
+    val denom = greatest(n, lit(1L))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), n.as("n_chars"),
+      cnt("[A-Z]").as("n_upper"), cnt("[a-z]").as("n_lower"),
+      cnt("[0-9]").as("n_digit"), cnt("\\s").as("n_space"),
+      ratio4(cnt("[A-Z]"), denom).as("upper_ratio"),
+      ratio4(cnt("[0-9]"), denom).as("digit_ratio"),
+      ratio4(cnt("\\s"), denom).as("space_ratio")
+    ).orderBy("doc_id")
+  }
+
   /** #14: token counting — whitespace tokens, word/number regex tokens,
     * and a BPE-ish length/4 estimate. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -42,6 +42,53 @@ class Analytics4Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("topPaths matches a sliding-trigram model") {
+    val expected = events.groupBy(_._3).values.flatMap { rows =>
+      rows.toSeq.sortBy(r => (r._2, r._1)).map(_._4).sliding(3).filter(_.size == 3)
+        .map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = Analytics4.topPaths(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got == expected)
+  }
+
+  test("spendDeciles matches a sorted-rank model (exact int64 decile)") {
+    val spend = events.groupBy(_._3).view
+      .mapValues(_.map(e => cents(e._5)).sum).toSeq
+    val n = spend.size.toLong
+    val expected = spend.sortBy { case (u, s) => (-s, u) }.zipWithIndex
+      .map { case ((u, s), i) =>
+        val rn = i + 1L
+        (u, s, rn, (rn - 1) * 10 / n + 1)
+      }.sortBy(_._1)
+    val got = Analytics4.spendDeciles(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected)
+    // every decile is populated on this corpus
+    assert(got.map(_._4).distinct.sorted == (1L to 10L))
+  }
+
+  test("sessionHistogram matches a gap-split model") {
+    val gap = 1800L * 1000000L
+    val sizes = events.groupBy(_._3).values.flatMap { rows =>
+      val ts = rows.toSeq.sortBy(r => (r._2, r._1)).map(_._2)
+      val sess = scala.collection.mutable.ArrayBuffer[Long]()
+      var prev = Long.MinValue
+      ts.foreach { t =>
+        if (sess.isEmpty || t - prev > gap) sess += 1
+        else sess(sess.size - 1) += 1
+        prev = t
+      }
+      sess
+    }
+    val expected = sizes.toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sorted
+    val got = Analytics4.sessionHistogram(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == expected)
+  }
+
   test("attribution matches a per-user last-click scan model") {
     val expected = events.groupBy(_._3).values.flatMap { rows =>
       var lastClick: Option[(Long, Long)] = None // (click_id, click_ts)

@@ -40,6 +40,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("charStats matches a per-character scan model") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ratio4(num: Long, den: Long): Double =
+      ((num * 10000L + den / 2) / den) / 10000.0
+    val ws = Set(' ', '\t', '\n', '\u000B', '\f', '\r') // Java regex \s
+    val expected = docs.map { case (id, t) =>
+      val n = t.codePointCount(0, t.length).toLong
+      val up = t.count(c => c >= 'A' && c <= 'Z').toLong
+      val lo = t.count(c => c >= 'a' && c <= 'z').toLong
+      val dg = t.count(c => c >= '0' && c <= '9').toLong
+      val sp = t.count(ws).toLong
+      val d = math.max(n, 1L)
+      (id, n, up, lo, dg, sp, ratio4(up, d), ratio4(dg, d), ratio4(sp, d))
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.charStats(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+    assert(got == expected)
+  }
+
   test("fingerprint is order-sensitive and content-deterministic") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
