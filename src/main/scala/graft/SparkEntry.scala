@@ -132,6 +132,10 @@ object SparkEntry {
     "events_spend_deciles" -> ((s, d) => graft.operators.Analytics4.spendDeciles(s, d)),
     "events_session_histogram" -> ((s, d) => graft.operators.Analytics4.sessionHistogram(s, d)),
     "text_char_stats" -> ((s, d) => TextAnalysis.charStats(s, d)),
+    "dedup_minhash_quality" -> ((s, d) => MinHashLSH.minhashQuality(s, d)),
+    "multimodal_dedup" -> ((s, d) => Multimodal.exactDedup(s, d)),
+    "events_trimmed_mean" -> ((s, d) => graft.operators.Analytics4.trimmedMean(s, d)),
+    "profile_events" -> ((s, d) => graft.operators.Analytics4.profileEvents(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1739,6 +1743,65 @@ object SparkEntry {
          |  ${ratio4Sql("n_digit", "greatest(n_chars, 1)")} AS digit_ratio,
          |  ${ratio4Sql("n_space", "greatest(n_chars, 1)")} AS space_ratio
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // sketch-quality report: estimate (agreeing seeds / k) vs true
+    // Jaccard on the SAME capped candidate set the near-dup pass uses
+    "dedup_minhash_quality" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.d1, c.d2, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT c.d1, c.d2, count(*) FILTER (WHERE x.mh = y.mh) AS est_agree
+         |  FROM cand c JOIN mh x ON x.doc_id = c.d1
+         |             JOIN mh y ON y.doc_id = c.d2 AND y.seed = x.seed
+         |  GROUP BY 1, 2)
+         |SELECT s.d1, s.d2, est_agree,
+         |  ${ratio4Sql("est_agree", graft.operators.MinHashLSH.NumSeeds.toString)} AS est_jaccard,
+         |  shared / (n1.n + n2.n - shared) AS jaccard
+         |FROM shared s JOIN est e ON s.d1 = e.d1 AND s.d2 = e.d2
+         |  JOIN n n1 ON s.d1 = n1.doc_id JOIN n n2 ON s.d2 = n2.doc_id
+         |ORDER BY s.d1, s.d2""".stripMargin,
+
+    // binary-grain exact dedup: payload is the UTF-8 text bytes, so
+    // md5(payload) == md5(text) and byte length == strlen(text)
+    "multimodal_dedup" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, ${H64("text")} AS checksum,
+         |    CAST(strlen(text) AS BIGINT) AS n_bytes
+         |  FROM documents)
+         |SELECT doc_id, checksum, n_bytes,
+         |  min(doc_id) OVER (PARTITION BY checksum) AS keep_doc,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY checksum) AS is_copy
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "events_trimmed_mean" -> {
+      val pct = graft.operators.Analytics4.TrimPct
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents, event_id FROM ev),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM c),
+         |kept AS (SELECT * FROM r WHERE rn > n * $pct // 100 AND rn <= n - n * $pct // 100)
+         |SELECT event_type, count(*) AS n_kept, min(cents) AS lo_cents,
+         |  max(cents) AS hi_cents, ${ratio4Sql("sum(cents)", "count(*)")} AS mean_cents
+         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
+    "profile_events" -> {
+      val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct
+           |FROM ev""".stripMargin
+      }.mkString(s"WITH ev AS ($EV)\nSELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name")
     },
   )
 }

@@ -88,6 +88,51 @@ object Analytics4 {
       .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
       .orderBy("n_events")
 
+  /** Rank-based trim: drop this percent of rows from EACH end. */
+  val TrimPct = 5L
+
+  /** Robust per-type mean: the mean of values after dropping the
+    * lowest and highest `TrimPct`% of ROWS (k = n·pct div 100 — pure
+    * integer trim counts, unlike percentile-threshold trimming whose
+    * 0.05 interpolation position is not a binary-exact fraction).
+    * Row-rank trimming over (cents, event_id) is a total order, the
+    * kept-range boundaries are exact ints, and the mean rides ratio4 —
+    * bit-reproducible end to end. Both windows share the event_type
+    * exchange. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    val wAll = Window.partitionBy("event_type")
+    Dedup.eventsUs(spark, dir)
+      .select(col("event_type"), valueCents(col("value")).as("cents"), col("event_id"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k", intDiv(col("n") * TrimPct, lit(100L)))
+      .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"), sum("cents").as("sum_cents"))
+      .select(col("event_type"), col("n_kept"), col("lo_cents"), col("hi_cents"),
+        graft.functions.Hashing.ratio4(col("sum_cents"), col("n_kept")).as("mean_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Column-profiling report over the events stream (the ANALYZE TABLE
+    * shape): per column, null count and exact distinct count, long
+    * format. One aggregation pass — Spark plans the multi-distinct as
+    * a single expand-based aggregate, so the table is scanned once. */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c")))
+    val one = Dedup.eventsUs(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stack = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+    one.selectExpr("n_rows",
+      s"stack(${cols.size}, $stack) AS (column_name, n_null, n_distinct)")
+      .select("column_name", "n_rows", "n_null", "n_distinct")
+      .orderBy("column_name")
+  }
+
   /** Attribution lookback: one hour in µs. */
   val AttributionWindowUs = 3600L * 1000000L
 

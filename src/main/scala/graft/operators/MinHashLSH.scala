@@ -161,6 +161,45 @@ object MinHashLSH {
       .orderBy("doc_id")
   }
 
+  /** Index-quality self-evaluation for the MinHash sketch (the dedup
+    * twin of ann_recall_report): for every banded-LSH candidate pair
+    * that shares at least one shingle, the sketch's Jaccard estimate
+    * (agreeing seeds / k, ratio4-exact) next to the true shingle
+    * Jaccard. Reading this per corpus is how you pick k/bands before
+    * trusting the sketch at scale. Same candidate volume as the
+    * near-dup pass + one extra broadcast-size join on the (doc,
+    * signature) table. */
+  def minhashQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").spread
+    val cand = lshCandidates(docs)
+    val sigs = docs
+      .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
+      .filter(size(col("sh3")) > 0)
+      .select(col("doc_id"),
+        graft.plans.MinHashExpressions.minhashSignature(col("sh3"), NumSeeds).as("mh"))
+    val sh = DocDedup.docShinglesOf(docs)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.as("a"), col("a.doc_id") === col("d1"))
+      .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.shingle") === col("a.shingle"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .join(sigs.as("sa"), col("sa.doc_id") === col("d1"))
+      .join(sigs.as("sb"), col("sb.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), m -> m))")
+          .cast("long").as("est_agree"),
+        col("shared"), (col("n1") + col("n2") - col("shared")).as("unioned"))
+      .select(col("d1"), col("d2"), col("est_agree"),
+        ratio4(col("est_agree"), lit(NumSeeds.toLong)).as("est_jaccard"),
+        (col("shared") / col("unioned")).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
   /** Incremental index maintenance: the persisted near-dup index of a
     * corpus is its (doc_id, band, sig) signature table plus its
     * (doc_id, shingle) table — both strictly per-doc, so indexing a

@@ -32,6 +32,26 @@ object Multimodal {
       lower(hex(substring(col("payload"), 1, 4))).as("magic_hex")
     ).orderBy("doc_id")
 
+  /** Exact dedup at the BINARY grain — the multimodal twin of
+    * dedup_exact_docs, with NO normalization: media bytes either match
+    * or don't. Per-asset manifest: content checksum, byte length, the
+    * group's keeper (min doc_id over identical bytes) and the copy
+    * flag. One shuffle on the uniform checksum. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedupOf(withPayload(spark, dir).select("doc_id", "payload"))
+
+  /** Same, over any (doc_id, payload) frame. */
+  def exactDedupOf(assets: DataFrame): DataFrame = {
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("checksum")
+    assets
+      .select(col("doc_id"), h64(col("payload")).as("checksum"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("keep_doc", min("doc_id").over(wC))
+      .select(col("doc_id"), col("checksum"), col("n_bytes"), col("keep_doc"),
+        (col("doc_id") =!= col("keep_doc")).as("is_copy"))
+      .orderBy("doc_id")
+  }
+
   /** Decoded-asset schema a real media decoder would produce. */
   case class DecodedAsset(doc_id: Long, width: Int, height: Int,
                           format: String, n_frames: Int, ok: Boolean)

@@ -53,8 +53,17 @@ object Envelope {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
 
+  /** JSONL interchange options — same µs-timestamp ownership as
+    * `csvOptions`: Spark's JSON default also writes millisecond
+    * fractions, truncating event times on a round trip. Payload bytes
+    * ride JSON's native base64 encoding of BinaryType; properties stay
+    * a real JSON object. Pair on BOTH writer and reader. */
+  val jsonOptions: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
   def readJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(schema).json(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    spark.read.options(jsonOptions).schema(schema).json(path)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
 
   /** CSV interchange schema: CSV holds neither maps nor raw bytes, so
     * the wire form carries payload as base64 and properties as a JSON

@@ -89,6 +89,31 @@ class Analytics4Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("trimmedMean matches a rank-trim model in exact cents") {
+    def ratio4(num: Long, den: Long): Double =
+      ((num * 10000L + den / 2) / den) / 10000.0
+    val expected = events.groupBy(_._4).toSeq.map { case (t, rows) =>
+      val sorted = rows.map(e => (cents(e._5), e._1)).toSeq.sorted
+      val k = (sorted.size * Analytics4.TrimPct / 100).toInt
+      val kept = sorted.slice(k, sorted.size - k).map(_._1)
+      (t, kept.size.toLong, kept.min, kept.max, ratio4(kept.sum, kept.size.toLong))
+    }.sortBy(_._1)
+    val got = Analytics4.trimmedMean(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got == expected)
+  }
+
+  test("profileEvents reports exact per-column null and distinct counts") {
+    val got = Analytics4.profileEvents(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = events.size.toLong
+    assert(got.keySet == Set("event_id", "ts_us", "user_id", "event_type", "value", "props"))
+    assert(got.values.forall(_._1 == n))
+    assert(got("event_id") == ((n, 0L, events.map(_._1).distinct.size.toLong)))
+    assert(got("event_type")._3 == events.map(_._4).distinct.size.toLong)
+    assert(got("user_id")._3 == events.map(_._3).distinct.size.toLong)
+  }
+
   test("attribution matches a per-user last-click scan model") {
     val expected = events.groupBy(_._3).values.flatMap { rows =>
       var lastClick: Option[(Long, Long)] = None // (click_id, click_ts)

@@ -13,6 +13,32 @@ class MultimodalSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("exactDedup keeps the min doc per byte-identical payload group") {
+    import spark.implicits._
+    // planted duplicates: 1 and 3 share bytes, 2 unique, 4 dups 1 again
+    val assets = Seq(
+      (1L, "abc"), (2L, "xyz"), (3L, "abc"), (4L, "abc"))
+      .toDF("doc_id", "s")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.encode(
+          org.apache.spark.sql.functions.col("s"), "UTF-8").as("payload"))
+    val got = Multimodal.exactDedupOf(assets).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got == Seq((1L, 3L, 1L, false), (2L, 3L, 2L, false),
+      (3L, 3L, 1L, true), (4L, 3L, 1L, true)))
+    // corpus manifest agrees with a text-grouping model
+    val texts = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val keep = texts.groupBy(_._2).values
+      .flatMap(g => g.map(d => d._1 -> g.map(_._1).min)).toMap
+    val corpus = Multimodal.exactDedup(spark, sf).collect()
+    assert(corpus.length == texts.length)
+    corpus.foreach { r =>
+      assert(r.getLong(3) == keep(r.getLong(0)))
+      assert(r.getBoolean(4) == (r.getLong(0) != keep(r.getLong(0))))
+    }
+  }
+
   test("decode: one deterministic asset per doc, stable across runs") {
     val a = Multimodal.decode(spark, sf).collect().sortBy(_.getLong(0))
     val b = Multimodal.decode(spark, sf).collect().sortBy(_.getLong(0))

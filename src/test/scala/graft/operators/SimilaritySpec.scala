@@ -14,6 +14,24 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("minhashQuality agrees with the near-dup pass and bounds its estimate") {
+    val q = MinHashLSH.minhashQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(q.nonEmpty)
+    // estimate stays in [0, 1] with k-quantized agreement counts
+    q.values.foreach { case (agree, est, jac) =>
+      assert(agree >= 0 && agree <= MinHashLSH.NumSeeds)
+      assert(est >= 0.0 && est <= 1.0)
+      assert(jac > 0.0 && jac <= 1.0)
+    }
+    // the verified near-dup pairs are exactly the quality rows with
+    // true jaccard >= tau, with the SAME jaccard values
+    val pairs = MinHashLSH.nearDupPairs(spark, sf, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(q.filter(_._2._3 >= 0.5).view.mapValues(_._3).toMap == pairs)
+  }
+
   test("simhash near-dup pairs are ordered and within the hamming bound") {
     val out = SimHash.nearDupPairs(spark, sf).collect()
     assert(out.nonEmpty)

@@ -37,7 +37,7 @@ class EnvelopeSpec extends SparkSpec {
     val env = Envelope.fromEvents(spark, sf)
       .filter(col("event_id") < 50)
       .select("payload", "properties", "event_ts", "topic")
-    env.write.mode("overwrite").json(dir)
+    env.write.mode("overwrite").options(Envelope.jsonOptions).json(dir)
     val back = Envelope.readJson(spark, dir)
     assert(back.count() === 50)
     assert(back.schema.fieldNames.toSeq === Envelope.schema.fieldNames.toSeq)
@@ -45,6 +45,12 @@ class EnvelopeSpec extends SparkSpec {
     val a = env.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
     val b = back.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
     assert(a.toSeq === b.toSeq)
+    // and so do MICROSECOND event times (jsonOptions owns the format —
+    // Spark's default JSON timestamp write truncates to milliseconds)
+    val ta = env.select(unix_micros(col("event_ts"))).collect().map(_.getLong(0)).sorted
+    val tb = back.select(unix_micros(col("event_ts"))).collect().map(_.getLong(0)).sorted
+    assert(ta.toSeq === tb.toSeq && ta.exists(_ % 1000 != 0),
+      "µs fractions must survive the JSON round trip")
   }
 
   test("readCsv round-trips the envelope through the base64/JSON wire form") {
