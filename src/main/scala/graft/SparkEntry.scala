@@ -136,6 +136,8 @@ object SparkEntry {
     "multimodal_dedup" -> ((s, d) => Multimodal.exactDedup(s, d)),
     "events_trimmed_mean" -> ((s, d) => graft.operators.Analytics4.trimmedMean(s, d)),
     "profile_events" -> ((s, d) => graft.operators.Analytics4.profileEvents(s, d)),
+    "dedup_semantic_components" -> ((s, d) => Similarity.semanticComponents(s, d)),
+    "events_rolling_week" -> ((s, d) => graft.operators.Analytics4.rollingWeek(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1803,5 +1805,47 @@ object SparkEntry {
       }.mkString(s"WITH ev AS ($EV)\nSELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY column_name")
     },
+
+    // embedding-graph components: the dedup_embedding pair CTEs + the
+    // same reachability closure the shingle-graph components oracle uses
+    "dedup_semantic_components" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, generate_series(0,7) p(p)
+         |),
+         |buckets AS (
+         |  SELECT vec_id, p//4 AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, p//4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |),
+         |p AS (
+         |  SELECT c.v1, c.v2
+         |  FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2
+         |  WHERE ${duckCos("a.e", "b.e")} >= ${graft.operators.Similarity.NearDupTau}
+         |),
+         |edges AS (SELECT v1, v2 FROM p UNION SELECT v2, v1 FROM p),
+         |reach(a, b) AS (
+         |  SELECT v1, v1 FROM edges
+         |  UNION
+         |  SELECT e.v1, r.b FROM edges e JOIN reach r ON e.v2 = r.a
+         |)
+         |SELECT a AS vec_id, min(b) AS component_id FROM reach GROUP BY a
+         |ORDER BY vec_id""".stripMargin,
+
+    "events_rolling_week" ->
+      s"""WITH ev AS ($EV),
+         |d AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day, count(*) AS n,
+         |    sum(CAST(ROUND(value*100) AS BIGINT)) AS day_cents
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT event_type, day, n, day_cents,
+         |  sum(n) OVER w AS w7_n, sum(day_cents) OVER w AS w7_cents
+         |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -69,8 +69,12 @@ object Analytics4 {
     * N + 1 in pure int64 (NOT SQL ntile — this floor form is one
     * integer expression both engines compute identically). */
   def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    // report-grain aggregate, materialized once: count(), zipWithIndex's
+    // internal count job, and the final pass would otherwise each
+    // re-aggregate the raw events (3 scans)
     val spend = Dedup.eventsUs(spark, dir)
       .groupBy("user_id").agg(sum(valueCents(col("value"))).as("spend_cents"))
+      .localCheckpoint(true)
     val n = spend.count() // one scalar job; the denominator of the decile formula
     Ranking.globalRowNumber(spend, Seq(col("spend_cents").desc, col("user_id")))
       .select(col("user_id"), col("spend_cents"), col("rn"),
@@ -87,6 +91,23 @@ object Analytics4 {
       .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n_events"))
       .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
       .orderBy("n_events")
+
+  /** Trailing-7-day revenue per event type on the daily aggregate via
+    * a RANGE frame over the integer day (gaps in sparse days are
+    * handled by the frame bound itself — no zero-fill, no explode).
+    * The window runs over O(types × days) aggregate rows, so per-type
+    * partitions stay trivial at any input scale. Exact integer cents. */
+  def rollingWeek(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    Dedup.eventsUs(spark, dir)
+      .select(col("event_type"), expr("ts_us div 86400000000L").as("day"),
+        valueCents(col("value")).as("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("day_cents"))
+      .withColumn("w7_n", sum("n").over(w))
+      .withColumn("w7_cents", sum("day_cents").over(w))
+      .orderBy("event_type", "day")
+  }
 
   /** Rank-based trim: drop this percent of rows from EACH end. */
   val TrimPct = 5L

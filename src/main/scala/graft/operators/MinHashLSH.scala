@@ -83,8 +83,15 @@ object MinHashLSH {
     * local checkpoint so plans don't grow with iterations. Near-dup
     * graphs are overwhelmingly tiny disjoint clusters, so this
     * converges in 2-3 rounds at any scale. */
-  def nearDupComponents(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val pairs = nearDupPairs(spark, dir, tau).select("d1", "d2")
+  def nearDupComponents(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
+    components(nearDupPairs(spark, dir, tau).select("d1", "d2"))
+      .select(col("node").as("doc_id"), col("label").as("component_id"))
+      .orderBy("doc_id")
+
+  /** Min-label propagation over an undirected pair list (d1, d2) →
+    * (node, label) — the shared connected-components engine behind the
+    * shingle-graph (#42) and embedding-graph components. */
+  def components(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
@@ -109,8 +116,7 @@ object MinHashLSH {
       converged = updated.filter(col("label") =!= col("prev_label")).isEmpty
       labels = updated.select("node", "label")
     }
-    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** Fixed iteration count for [[graphCentrality]] — unrolled in the

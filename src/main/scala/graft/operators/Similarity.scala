@@ -112,6 +112,19 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** Transitive SEMANTIC dedup groups: connected components over the
+    * embedding near-dup graph (cosine ≥ τ pairs) — the meaning-level
+    * analog of the shingle-graph components, catching paraphrase
+    * families a lexical pass can't merge. Shares the min-label
+    * propagation engine (MinHashLSH.components). */
+  def semanticComponents(spark: SparkSession, dir: String,
+                         tau: Double = NearDupTau): DataFrame =
+    MinHashLSH.components(
+      nearDupPairs(spark, dir, tau)
+        .select(col("v1").as("d1"), col("v2").as("d2")))
+      .select(col("node").as("vec_id"), col("label").as("component_id"))
+      .orderBy("vec_id")
+
   /** #12: exact top-k cosine neighbors for a bounded query subset —
     * the brute-force baseline every ANN variant is measured against. */
   def bruteTopK(spark: SparkSession, dir: String,

@@ -89,6 +89,22 @@ class Analytics4Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rollingWeek matches a trailing-7-day sum model over sparse days") {
+    val daily = events
+      .map { case (_, ts, _, t, v) => (t, ts / 86400000000L, cents(v)) }
+      .groupBy { case (t, d, _) => (t, d) }
+      .map { case ((t, d), g) => (t, d, g.size.toLong, g.map(_._3).sum) }
+      .toSeq
+    val expected = daily.map { case (t, d, n, s) =>
+      val win = daily.filter(x => x._1 == t && x._2 >= d - 6 && x._2 <= d)
+      (t, d, n, s, win.map(_._3).sum, win.map(_._4).sum)
+    }.sortBy(r => (r._1, r._2))
+    val got = Analytics4.rollingWeek(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got == expected)
+  }
+
   test("trimmedMean matches a rank-trim model in exact cents") {
     def ratio4(num: Long, den: Long): Double =
       ((num * 10000L + den / 2) / den) / 10000.0

@@ -32,6 +32,28 @@ class SimilaritySpec extends SparkSpec {
     assert(q.filter(_._2._3 >= 0.5).view.mapValues(_._3).toMap == pairs)
   }
 
+  test("semanticComponents merges exactly the embedding near-dup graph") {
+    val pairs = Similarity.nearDupPairs(spark, sf, tau = 0.3)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Similarity.semanticComponents(spark, sf, tau = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    // every edge's endpoints share a component label
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+    // labels match a union-find model over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = comp.keys.map(v => v -> find(v)).toMap
+    assert(comp == want)
+  }
+
   test("simhash near-dup pairs are ordered and within the hamming bound") {
     val out = SimHash.nearDupPairs(spark, sf).collect()
     assert(out.nonEmpty)
