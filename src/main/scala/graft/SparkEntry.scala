@@ -317,6 +317,11 @@ object SparkEntry {
        |  GROUP BY cell
        |)""".stripMargin
 
+  /** DuckDB twin of TextAnalysis.WsClass — the explicit whitespace
+    * class (Java `\\s` set) shared by every single-class regex oracle;
+    * RE2's `\\s` lacks U+000B, so a bare `\\s` is not cross-engine. */
+  private val WS = s"[${graft.operators.TextAnalysis.WsClass}]"
+
   private def moneySum(exprSql: String): String =
     s"CAST(ROUND(SUM($exprSql),2) AS DOUBLE)"
 
@@ -609,7 +614,7 @@ object SparkEntry {
     "text_quality" ->
       s"""WITH q AS (
          |  SELECT doc_id, $TOKS AS toks,
-         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws
+         |    CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
          |  FROM documents
          |),
          |q2 AS (
@@ -663,10 +668,10 @@ object SparkEntry {
     // of the scrubbed text proves byte-identical redaction output.
     "text_scrub" ->
       s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+', 0)) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.UrlRe}', 0)) AS BIGINT) AS n_urls,
          |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', 0)) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(text, '[0-9]{7,}', 0)) AS BIGINT) AS n_long_nums,
-         |  ${H64("regexp_replace(regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'), '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g')")} AS scrubbed_digest
+         |  ${H64("regexp_replace(regexp_replace(regexp_replace(text, '${graft.operators.TextAnalysis.UrlRe}', '<URL>', 'g'), '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g')")} AS scrubbed_digest
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
@@ -1101,7 +1106,7 @@ object SparkEntry {
          |),
          |q AS (
          |  SELECT doc_id, $TOKS AS toks,
-         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws
+         |    CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
          |  FROM documents
          |),
          |q2 AS (
@@ -1519,7 +1524,7 @@ object SparkEntry {
          |q AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_toks,
          |        CAST(len(list_filter($TOKS,
          |          t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
-         |        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS len_no_ws
+         |        CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
          |      FROM documents),
          |qk AS (SELECT doc_id,
          |        ${qKeySql("n_toks", "n_stop", "len_no_ws")} AS q_key
@@ -1738,7 +1743,7 @@ object SparkEntry {
          |    CAST(${cnt("[A-Z]")} AS BIGINT) AS n_upper,
          |    CAST(${cnt("[a-z]")} AS BIGINT) AS n_lower,
          |    CAST(${cnt("[0-9]")} AS BIGINT) AS n_digit,
-         |    CAST(${cnt("\\s")} AS BIGINT) AS n_space
+         |    CAST(${cnt(WS)} AS BIGINT) AS n_space
          |  FROM documents)
          |SELECT doc_id, n_chars, n_upper, n_lower, n_digit, n_space,
          |  ${ratio4Sql("n_upper", "greatest(n_chars, 1)")} AS upper_ratio,
@@ -1771,10 +1776,11 @@ object SparkEntry {
          |ORDER BY s.d1, s.d2""".stripMargin,
 
     // binary-grain exact dedup: payload is the UTF-8 text bytes, so
-    // md5(payload) == md5(text) and byte length == strlen(text)
+    // md5(payload) == md5(text) and byte length == strlen(text); the
+    // checksum is the FULL md5 hex (collision-safe, unlike h64)
     "multimodal_dedup" ->
       s"""WITH c AS (
-         |  SELECT doc_id, ${H64("text")} AS checksum,
+         |  SELECT doc_id, md5(text) AS checksum,
          |    CAST(strlen(text) AS BIGINT) AS n_bytes
          |  FROM documents)
          |SELECT doc_id, checksum, n_bytes,

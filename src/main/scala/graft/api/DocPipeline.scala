@@ -63,7 +63,8 @@ final class DocPipeline private (val df: DataFrame) {
     val d = withToks(df)
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("toks"),
-        length(regexp_replace(col("text"), "\\s", "")).cast("long")))
+        length(regexp_replace(col("text"),
+          s"[${TextAnalysis.WsClass}]", "")).cast("long")))
     next(d.filter(col("quality_score") >= min))
   }
 

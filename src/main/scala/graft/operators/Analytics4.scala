@@ -87,8 +87,10 @@ object Analytics4 {
     * single user_id window pipeline; both aggregations partial-combine. */
   def sessionHistogram(spark: SparkSession, dir: String,
                        gapUs: Long = 1800L * 1000000L): DataFrame =
-    Analytics.sessionIndexed(spark, dir, gapUs)
-      .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n_events"))
+    // rides the CANONICAL per-session frame (one "session size"
+    // definition in the library); the unused money/bounds aggregates
+    // and the inner sort are pruned by Catalyst
+    Analytics.sessionize(spark, dir, gapUs)
       .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
       .orderBy("n_events")
 

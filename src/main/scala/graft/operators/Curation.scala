@@ -241,7 +241,8 @@ object Curation {
       .select(col("doc_id"),
         TextAnalysis.qualityKeyCol(size(toks).cast("long"),
           size(filter(toks, t => t.isin(TextAnalysis.StopEn: _*))).cast("long"),
-          length(regexp_replace(col("text"), "\\s", "")).cast("long")).as("q_key"))
+          length(regexp_replace(col("text"),
+            s"[${TextAnalysis.WsClass}]", "")).cast("long")).as("q_key"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component_id").orderBy(col("q_key").desc, col("doc_id"))
     comp.join(q, "doc_id")

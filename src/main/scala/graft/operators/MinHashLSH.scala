@@ -36,22 +36,26 @@ object MinHashLSH {
     * volume); only the final (doc, band, sig) rows reach an exchange.
     * Band sig = h64("band|m₀,m₁,m₂,m₃") — identical bytes to the
     * composable formulation, so the oracle is unchanged. */
-  def bandSignatures(docs: DataFrame): DataFrame = {
-    val sig = docs
-      .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
-      .filter(size(col("sh3")) > 0)
-      .withColumn("mh", graft.plans.MinHashExpressions.minhashSignature(col("sh3"), NumSeeds))
-      .select("doc_id", "mh")
-    sig
-      .withColumn("band", explode(sequence(lit(0), lit(NumSeeds / BandRows - 1))))
-      .select(col("doc_id"), col("band"),
-        h64(concat_ws("|",
-          col("band").cast("string"),
-          array_join(
-            transform(slice(col("mh"), col("band") * lit(BandRows) + lit(1), lit(BandRows)),
-              m => m.cast("string")),
-            ","))).as("sig"))
-  }
+  def bandSignatures(docs: DataFrame): DataFrame = banded(sigTable(docs))
+
+  /** (doc_id, mh) — the per-doc k-seed signature table, fused into the
+    * scan stage. */
+  def sigTable(docs: DataFrame): DataFrame = docs
+    .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
+    .filter(size(col("sh3")) > 0)
+    .withColumn("mh", graft.plans.MinHashExpressions.minhashSignature(col("sh3"), NumSeeds))
+    .select("doc_id", "mh")
+
+  /** Signature table → per-(doc, band) LSH signatures. */
+  private def banded(sig: DataFrame): DataFrame = sig
+    .withColumn("band", explode(sequence(lit(0), lit(NumSeeds / BandRows - 1))))
+    .select(col("doc_id"), col("band"),
+      h64(concat_ws("|",
+        col("band").cast("string"),
+        array_join(
+          transform(slice(col("mh"), col("band") * lit(BandRows) + lit(1), lit(BandRows)),
+            m => m.cast("string")),
+          ","))).as("sig"))
 
   /** Corpus-level similarity between sources: each source's corpus gets
     * one MinHash signature (per-seed min over all its docs' shingles —
@@ -178,31 +182,20 @@ object MinHashLSH {
   def minhashQuality(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.ratio4
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").spread
-    val cand = lshCandidates(docs)
-    val sigs = docs
-      .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
-      .filter(size(col("sh3")) > 0)
-      .select(col("doc_id"),
-        graft.plans.MinHashExpressions.minhashSignature(col("sh3"), NumSeeds).as("mh"))
-    val sh = DocDedup.docShinglesOf(docs)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = cand
-      .join(sh.as("a"), col("a.doc_id") === col("d1"))
-      .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.shingle") === col("a.shingle"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+    // one-off report: materialize the fused signature pass once — it
+    // feeds both the banded candidate join and the per-pair estimate
+    val sigs = sigTable(docs).localCheckpoint(true)
+    val cand = candidatesFromBands(banded(sigs))
+    jaccardPairs(cand, DocDedup.docShinglesOf(docs))
       .join(sigs.as("sa"), col("sa.doc_id") === col("d1"))
       .join(sigs.as("sb"), col("sb.doc_id") === col("d2"))
       .select(col("d1"), col("d2"),
         expr("size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), m -> m))")
           .cast("long").as("est_agree"),
-        col("shared"), (col("n1") + col("n2") - col("shared")).as("unioned"))
+        col("jaccard"))
       .select(col("d1"), col("d2"), col("est_agree"),
         ratio4(col("est_agree"), lit(NumSeeds.toLong)).as("est_jaccard"),
-        (col("shared") / col("unioned")).as("jaccard"))
+        col("jaccard"))
       .orderBy("d1", "d2")
   }
 
@@ -249,7 +242,16 @@ object MinHashLSH {
     * incremental scale the persisted shingle table is the whole
     * corpus; only candidate docs' rows may leave the scan). */
   private def verifyCandidates(cand: DataFrame, shAll: DataFrame,
-                               tau: Double): DataFrame = {
+                               tau: Double): DataFrame =
+    jaccardPairs(cand, shAll)
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+
+  /** True shingle Jaccard for every candidate pair sharing ≥ 1 shingle
+    * (unfiltered) — the shared tail of verify and the quality report.
+    * Semi-join-prunes the shingle table to candidate endpoints first. */
+  private def jaccardPairs(cand: DataFrame, shAll: DataFrame): DataFrame = {
     val ids = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id")))
       .distinct()
@@ -264,9 +266,6 @@ object MinHashLSH {
       .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
-      .filter(col("jaccard") >= tau)
-      .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
   }
 
   /** #9: candidate pairs from band collisions, verified with true
@@ -285,11 +284,15 @@ object MinHashLSH {
   /** Distinct banded-LSH candidate pairs (d1 < d2) — the shared
     * linear-volume candidate source for every near-dup verifier
     * (Jaccard, containment-on-candidates, edit distance). */
-  def lshCandidates(docs: DataFrame): DataFrame = {
+  def lshCandidates(docs: DataFrame): DataFrame =
+    candidatesFromBands(bandSignatures(docs))
+
+  /** Banded signatures → distinct capped candidate pairs. */
+  private def candidatesFromBands(allBands: DataFrame): DataFrame = {
     // Hot-bucket cap (see MaxBucketSize): the size window hash-partitions
     // on (band, sig) — the same key the candidate self-join shuffles on.
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    val bands = bandSignatures(docs)
+    val bands = allBands
       .withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= MaxBucketSize)
       .select("doc_id", "band", "sig")

@@ -40,11 +40,16 @@ object Multimodal {
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     exactDedupOf(withPayload(spark, dir).select("doc_id", "payload"))
 
-  /** Same, over any (doc_id, payload) frame. */
+  /** Same, over any (doc_id, payload) frame. The checksum is the FULL
+    * 128-bit md5 hex (not the 60-bit h64): at multimodal corpus scale
+    * (2³⁰⁺ assets) a 60-bit key has birthday collisions, and a
+    * collision here silently merges byte-different assets into one
+    * "exact" group — the one dedup tier where a false merge is data
+    * loss with no verify step behind it. */
   def exactDedupOf(assets: DataFrame): DataFrame = {
     val wC = org.apache.spark.sql.expressions.Window.partitionBy("checksum")
     assets
-      .select(col("doc_id"), h64(col("payload")).as("checksum"),
+      .select(col("doc_id"), md5(col("payload")).as("checksum"),
         octet_length(col("payload")).cast("long").as("n_bytes"))
       .withColumn("keep_doc", min("doc_id").over(wC))
       .select(col("doc_id"), col("checksum"), col("n_bytes"), col("keep_doc"),

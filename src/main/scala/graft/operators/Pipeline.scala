@@ -41,7 +41,8 @@ object Pipeline {
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("toks"),
-        length(regexp_replace(col("text"), "\\s", "")).cast("long")))
+        length(regexp_replace(col("text"),
+          s"[${TextAnalysis.WsClass}]", "")).cast("long")))
       .withColumn("pred_lang", TextAnalysis.predLangCol(col("toks")))
       .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
       .filter(col("quality_score") >= QualityMin && col("pred_lang") === "en")

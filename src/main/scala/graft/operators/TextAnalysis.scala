@@ -15,6 +15,14 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Explicit whitespace CLASS (Java regex `\s` set, spelled out) for
+    * every single-class regex that must reproduce in the DuckDB oracle:
+    * Java's `\s` includes U+000B but RE2's Perl `\s` does not, so a
+    * bare `\s` is parity-by-data-luck, not by construction. The token
+    * SPLIT above keeps `\s+` deliberately — the tokenizer semantics are
+    * owned Spark-side and shared with the fused shingle expressions. */
+  val WsClass = " \\t\\n\\x0B\\f\\r"
+
   /** English-ish stopword profile used by quality + language-id. */
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
   val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist")
@@ -86,10 +94,10 @@ object TextAnalysis {
     Tables.documents(spark, dir).select(
       col("doc_id"), n.as("n_chars"),
       cnt("[A-Z]").as("n_upper"), cnt("[a-z]").as("n_lower"),
-      cnt("[0-9]").as("n_digit"), cnt("\\s").as("n_space"),
+      cnt("[0-9]").as("n_digit"), cnt(s"[$WsClass]").as("n_space"),
       ratio4(cnt("[A-Z]"), denom).as("upper_ratio"),
       ratio4(cnt("[0-9]"), denom).as("digit_ratio"),
-      ratio4(cnt("\\s"), denom).as("space_ratio")
+      ratio4(cnt(s"[$WsClass]"), denom).as("space_ratio")
     ).orderBy("doc_id")
   }
 
@@ -113,7 +121,8 @@ object TextAnalysis {
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_stop", countIn(col("toks"), StopEn))
-      .withColumn("len_no_ws", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("len_no_ws",
+        length(regexp_replace(col("text"), s"[$WsClass]", "")).cast("long"))
     docs.select(
       col("doc_id"), col("n_toks"), col("n_stop"),
       graft.functions.Hashing.ratio4(col("len_no_ws"), col("n_toks")).as("mean_tok_len"),
@@ -152,7 +161,7 @@ object TextAnalysis {
     * (codegen'd, oracle-reproducible; DuckDB needs the 'g' flag for
     * replace-all parity). */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val UrlRe = "https?://[^\\s]+"
+  val UrlRe = s"https?://[^$WsClass]+"
   val LongDigitsRe = "[0-9]{7,}"
 
   /** The redacted text itself (URL → EMAIL → NUM order). */

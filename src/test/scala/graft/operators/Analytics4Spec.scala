@@ -106,13 +106,11 @@ class Analytics4Spec extends SparkSpec {
   }
 
   test("trimmedMean matches a rank-trim model in exact cents") {
-    def ratio4(num: Long, den: Long): Double =
-      ((num * 10000L + den / 2) / den) / 10000.0
     val expected = events.groupBy(_._4).toSeq.map { case (t, rows) =>
       val sorted = rows.map(e => (cents(e._5), e._1)).toSeq.sorted
       val k = (sorted.size * Analytics4.TrimPct / 100).toInt
       val kept = sorted.slice(k, sorted.size - k).map(_._1)
-      (t, kept.size.toLong, kept.min, kept.max, ratio4(kept.sum, kept.size.toLong))
+      (t, kept.size.toLong, kept.min, kept.max, ratio4Model(kept.sum, kept.size.toLong))
     }.sortBy(_._1)
     val got = Analytics4.trimmedMean(spark, sf).collect().toSeq
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

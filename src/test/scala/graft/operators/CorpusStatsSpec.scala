@@ -8,9 +8,6 @@ import org.apache.spark.sql.functions._
   * the driver; these pin them inside the JVM). */
 class CorpusStatsSpec extends SparkSpec {
 
-  private def ratio4Model(num: Long, den: Long): Double =
-    ((num * 10000L + den / 2) / den) / 10000.0
-
   private lazy val docTokens: Map[Long, Seq[String]] =
     graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->

@@ -8,9 +8,6 @@ class QualitySignalsSpec extends SparkSpec {
   private def toks(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)
 
-  private def ratio4(num: Long, den: Long): Double =
-    ((num * 10000L + den / 2) / den) / 10000.0
-
   private lazy val docs: Seq[(Long, String)] =
     graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
@@ -27,7 +24,7 @@ class QualitySignalsSpec extends SparkSpec {
         val tc = tri.groupBy(identity).view.mapValues(_.size.toLong).toMap
         val (n2, top2) = (big.size.toLong, bc.values.max)
         val (n3, dup3) = (tri.size.toLong, tc.values.filter(_ >= 2).sum)
-        Some((id, n2, top2, ratio4(top2, n2), n3, dup3, ratio4(dup3, n3)))
+        Some((id, n2, top2, ratio4Model(top2, n2), n3, dup3, ratio4Model(dup3, n3)))
       }
     }.sortBy(_._1)
     val got = QualitySignals.repetition(spark, sf).collect().toSeq
@@ -43,7 +40,7 @@ class QualitySignalsSpec extends SparkSpec {
     val df = sh.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
     val expected = sh.map { case (id, s) =>
       val uniq = s.count(df(_) == 1).toLong
-      (id, s.size.toLong, uniq, ratio4(uniq, s.size.toLong))
+      (id, s.size.toLong, uniq, ratio4Model(uniq, s.size.toLong))
     }.sortBy(_._1)
     val got = QualitySignals.novelty(spark, sf).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -74,7 +71,7 @@ class QualitySignalsSpec extends SparkSpec {
       assert(l == lev(nrm(d1), nrm(d2)).toLong, s"lev mismatch on ($d1,$d2)")
       assert(ml == math.max(nrm(d1).length, nrm(d2).length).toLong)
       assert(l * 100 <= ml * DocDedup.MaxEditPct)
-      assert(r.getDouble(4) == ratio4(l, ml))
+      assert(r.getDouble(4) == ratio4Model(l, ml))
     }
     // every LSH candidate within the threshold is reported (no misses)
     val cand = MinHashLSH.lshCandidates(

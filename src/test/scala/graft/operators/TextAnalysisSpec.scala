@@ -43,8 +43,6 @@ class TextAnalysisSpec extends SparkSpec {
   test("charStats matches a per-character scan model") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def ratio4(num: Long, den: Long): Double =
-      ((num * 10000L + den / 2) / den) / 10000.0
     val ws = Set(' ', '\t', '\n', '\u000B', '\f', '\r') // Java regex \s
     val expected = docs.map { case (id, t) =>
       val n = t.codePointCount(0, t.length).toLong
@@ -53,7 +51,7 @@ class TextAnalysisSpec extends SparkSpec {
       val dg = t.count(c => c >= '0' && c <= '9').toLong
       val sp = t.count(ws).toLong
       val d = math.max(n, 1L)
-      (id, n, up, lo, dg, sp, ratio4(up, d), ratio4(dg, d), ratio4(sp, d))
+      (id, n, up, lo, dg, sp, ratio4Model(up, d), ratio4Model(dg, d), ratio4Model(sp, d))
     }.toSeq.sortBy(_._1)
     val got = TextAnalysis.charStats(spark, sf).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
