@@ -117,6 +117,55 @@ class PlanQualitySpec extends SparkSpec {
       .count(_ == "Exchange hashpartitioning") == 1, s"expected 1 hash exchange:\n$p")
   }
 
+  private def hashExchanges(p: String): Int =
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+
+  test("char stats: pure per-row expressions, no hash exchange") {
+    val p = plan("text_char_stats")
+    assert(scanCount(p, "documents") == 1)
+    assert(hashExchanges(p) == 0, s"expected 0 hash exchanges:\n$p")
+  }
+
+  test("top paths: both lead windows and the count ride one user shuffle") {
+    val p = plan("events_top_paths")
+    assert(scanCount(p, "events") == 1)
+    // user-window exchange + the path-count aggregation exchange; the
+    // head is a TakeOrdered, never a global sort
+    assert(hashExchanges(p) == 2, s"expected 2 hash exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("trimmed mean: rank window, count window and the final aggregate share one type shuffle") {
+    val p = plan("events_trimmed_mean")
+    assert(scanCount(p, "events") == 1)
+    assert(hashExchanges(p) == 1, s"expected 1 hash exchange:\n$p")
+  }
+
+  test("attribution: one events scan, one user-keyed shuffle") {
+    val p = plan("events_attribution")
+    assert(scanCount(p, "events") == 1)
+    assert(hashExchanges(p) == 1, s"expected 1 hash exchange:\n$p")
+  }
+
+  test("rolling week: daily aggregate then range-frame window, two keyed shuffles") {
+    val p = plan("events_rolling_week")
+    assert(scanCount(p, "events") == 1)
+    assert(hashExchanges(p) == 2, s"expected 2 hash exchanges:\n$p")
+  }
+
+  test("bigram coverage: the head joins back as a broadcast, never a shuffle join") {
+    val p = plan("text_bigram_coverage")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("profile: the multi-distinct column profile is one expand aggregate over one scan") {
+    val p = plan("profile_events")
+    assert(scanCount(p, "events") == 1, s"expected 1 events scan:\n$p")
+    assert(p.contains("Expand"))
+  }
+
   test("dedup_chain: the native exec runs inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug.codegenString
     val df = SparkEntry.queries("dedup_chain")(spark, sf)
