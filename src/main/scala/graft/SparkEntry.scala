@@ -132,6 +132,7 @@ object SparkEntry {
     "events_spend_deciles" -> ((s, d) => graft.operators.Analytics4.spendDeciles(s, d)),
     "events_session_histogram" -> ((s, d) => graft.operators.Analytics4.sessionHistogram(s, d)),
     "text_char_stats" -> ((s, d) => TextAnalysis.charStats(s, d)),
+    "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_minhash_quality" -> ((s, d) => MinHashLSH.minhashQuality(s, d)),
     "multimodal_dedup" -> ((s, d) => Multimodal.exactDedup(s, d)),
     "events_trimmed_mean" -> ((s, d) => graft.operators.Analytics4.trimmedMean(s, d)),
@@ -307,11 +308,16 @@ object SparkEntry {
   /** One Lloyd update pass: exact DECIMAL component sums → double mean
     * — order-independent, so it replays Spark's distributed aggregation
     * bit-for-bit. */
+  // component lift = ROUND(x·10⁶) integer micro-units (the money-suite
+  // primitive): a fixed-scale DECIMAL cast ties half-even in DuckDB but
+  // HALF_UP in Spark on floats whose expansion ends in 5 past the scale
   private def kmUpdateCte(assign: String, out: String): String =
     s"""$out AS (
        |  SELECT cell AS c_id, list(m ORDER BY pos) AS ce FROM (
-       |    SELECT cell, pos, CAST(SUM(x) AS DOUBLE)/COUNT(*) AS m FROM (
-       |      SELECT a.cell, g.i AS pos, CAST(a.e[g.i] AS DECIMAL(28,10)) AS x
+       |    SELECT cell, pos,
+       |      CAST(SUM(x) AS DOUBLE)/CAST(COUNT(*) * 1000000 AS DOUBLE) AS m FROM (
+       |      SELECT a.cell, g.i AS pos,
+       |        CAST(ROUND(CAST(a.e[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
        |      FROM $assign a, generate_series(1,64) g(i) WHERE a.rn = 1)
        |    GROUP BY cell, pos)
        |  GROUP BY cell
@@ -367,6 +373,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'ann_lsh_topk', count(*)
          |    FROM ${sub("ann_lsh_topk")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_pq_topk', count(*)
+         |    FROM ${sub("ann_pq_topk")} x JOIN b USING (q_id, vec_id)
          |)
          |SELECT variant, n_hits,
          |  ${ratio4Sql("n_hits",
@@ -1841,6 +1850,86 @@ object SparkEntry {
          |)
          |SELECT a AS vec_id, min(b) AS component_id FROM reach GROUP BY a
          |ORDER BY vec_id""".stripMargin,
+
+    // PQ: per-subspace Lloyd codebooks + codes-only ADC scoring,
+    // subspace CTEs generated from the operator's own constants
+    "ann_pq_topk" -> {
+      import graft.operators.Similarity.{PqCodebook, PqSubDim, PqSubspaces, NumQueries, TopK}
+      def dot16(a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> CAST($a[i] AS DOUBLE) * $b[i])), (x,y)->x+y)"
+      val subCtes = (0 until PqSubspaces).map { s =>
+        val o = s * PqSubDim
+        def cosd(a: String, b: String): String =
+          s"""(${dot16(a, b)} / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (x,y)->x+y))
+             |  * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> $b[i] * $b[i])), (x,y)->x+y))))""".stripMargin
+        s"""sv$s AS (SELECT vec_id, list_slice(e, ${o + 1}, ${o + PqSubDim}) AS e FROM v),
+           |c0$s AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+           |         FROM sv$s WHERE vec_id < $PqCodebook),
+           |a1$s AS (
+           |  SELECT x.vec_id, c.c_id AS cell, x.e,
+           |    row_number() OVER (PARTITION BY x.vec_id
+           |      ORDER BY ${cosd("x.e", "c.ce")} DESC, c.c_id) AS rn
+           |  FROM sv$s x, c0$s c),
+           |c1$s AS (
+           |  SELECT cell AS c_id, list(m ORDER BY pos) AS ce FROM (
+           |    SELECT cell, pos,
+           |      CAST(SUM(xx) AS DOUBLE)/CAST(COUNT(*) * 1000000 AS DOUBLE) AS m FROM (
+           |      SELECT a.cell, g.i AS pos,
+           |        CAST(ROUND(CAST(a.e[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xx
+           |      FROM a1$s a, generate_series(1,$PqSubDim) g(i) WHERE a.rn = 1)
+           |    GROUP BY cell, pos)
+           |  GROUP BY cell),
+           |af$s AS (
+           |  SELECT x.vec_id, c.c_id AS cell,
+           |    row_number() OVER (PARTITION BY x.vec_id
+           |      ORDER BY ${cosd("x.e", "c.ce")} DESC, c.c_id) AS rn
+           |  FROM sv$s x, c1$s c),
+           |cd$s AS (SELECT vec_id, cell AS code FROM af$s WHERE rn = 1),
+           |nn$s AS (SELECT c_id AS code,
+           |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(ce, x -> x*x)), (x,y)->x+y) AS nn
+           |  FROM c1$s),
+           |lut$s AS (
+           |  SELECT q.vec_id AS q_id, c.c_id AS code, ${dot16("q.e", "c.ce")} AS d
+           |  FROM sv$s q, c1$s c WHERE q.vec_id < $NumQueries)""".stripMargin
+      }.mkString(",\n")
+      val cdJoin = (1 until PqSubspaces)
+        .map(s => s"JOIN cd$s USING (vec_id)").mkString(" ")
+      val wide = (0 until PqSubspaces).map(s => s"cd$s.code AS code$s").mkString(", ")
+      // LUT and centroid norms collapse into ONE ordered list per query
+      // (indexed by sub·k + code) — scored by list extraction, so the
+      // optimizer never sees an n-way LUT join to reorder (a lut×lut
+      // cross product on q_id is 16^8 rows — the join-reorder trap)
+      val lutUnion = (0 until PqSubspaces)
+        .map(s => s"SELECT $s AS sub, q_id, code, d FROM lut$s")
+        .mkString(" UNION ALL ")
+      val nnUnion = (0 until PqSubspaces)
+        .map(s => s"SELECT $s AS sub, code, nn FROM nn$s")
+        .mkString(" UNION ALL ")
+      def dsAt(s: Int) = s"w.ds[${s * PqCodebook} + x.code$s + 1]"
+      def nsAt(s: Int) = s"nns.ns[${s * PqCodebook} + x.code$s + 1]"
+      val adot = (0 until PqSubspaces).map(dsAt).reduceLeft((a, b) => s"($a + $b)")
+      val xn = (0 until PqSubspaces).map(nsAt).reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$subCtes,
+         |x AS (SELECT cd0.vec_id, $wide FROM cd0 $cdJoin),
+         |qn AS (SELECT vec_id AS q_id, sqrt(${duckDot("e", "e")}) AS qn
+         |       FROM v WHERE vec_id < $NumQueries),
+         |lutw AS (
+         |  SELECT q_id, list(d ORDER BY sub * $PqCodebook + code) AS ds
+         |  FROM ($lutUnion) GROUP BY q_id),
+         |nns AS (
+         |  SELECT list(nn ORDER BY sub * $PqCodebook + code) AS ns
+         |  FROM ($nnUnion)),
+         |p AS (
+         |  SELECT w.q_id, x.vec_id, $adot / (qn.qn * sqrt($xn)) AS approx_cos
+         |  FROM x CROSS JOIN lutw w CROSS JOIN nns
+         |  JOIN qn ON qn.q_id = w.q_id
+         |  WHERE x.vec_id <> w.q_id)
+         |SELECT q_id, rank, vec_id, approx_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    },
 
     "events_rolling_week" ->
       s"""WITH ev AS ($EV),

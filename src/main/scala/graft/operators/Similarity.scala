@@ -212,16 +212,22 @@ object Similarity {
     var cent = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"),
         expr("transform(e, x -> cast(x as double))").as("ce"))
-    // update pass: posexplode to (cell, pos, component) then exact
-    // decimal sums. Measured faster than 64 decimal-sum agg columns in
-    // one buffer (tried; a 64-wide decimal aggregate buffer costs more
-    // than the row fan-out with map-side combine).
+    // update pass: posexplode to (cell, pos, component), components
+    // lifted to INTEGER micro-units (round(x·10⁶) — the same primitive
+    // the money suite proves cross-engine; a fixed-scale DECIMAL cast
+    // is NOT engine-exact: a float whose decimal expansion terminates
+    // in a 5 right past the scale is a true tie, and Spark rounds it
+    // HALF_UP while DuckDB rounds half-even — one such element at
+    // sf0.01 put a 1e-12 splinter in a PQ centroid). Integer sums are
+    // order-independent and exact; the mean is ONE double division.
     for (_ <- 1 to iters) {
       cent = materialized(argmaxCellOf(v, cent)
         .select(col("cell"), posexplode(col("e")))
         .groupBy("cell", "pos")
-        .agg(sum(col("col").cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
-        .withColumn("m", col("s").cast("double") / col("n"))
+        .agg(sum(round(col("col").cast("double") * 1000000d).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m",
+          col("s").cast("double") / (col("n") * 1000000L).cast("double"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
         .select(col("cell").as("c_id"), expr("transform(ms, x -> x.m)").as("ce")))
@@ -291,6 +297,83 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- Product quantization (ann_pq_topk) ------------------------------
+
+  val PqSubspaces = 8
+  val PqSubDim = 8 // Dim / PqSubspaces
+  val PqCodebook = 16
+  val PqIters = 1
+
+  /** PQ-compressed ANN: the vector is split into [[PqSubspaces]]
+    * sub-vectors, each quantized to its nearest per-subspace centroid
+    * (spherical codebooks trained with the shared decimal-exact Lloyd
+    * pass) — so the INDEX holds log₂(k) bits per subspace per vector
+    * (here 4 codes ≈ 1 byte) instead of 256 float bytes, and search
+    * never touches raw corpus vectors:
+    *
+    *  - encode = ONE corpus scan (every subspace assigned in a single
+    *    broadcast-join + min-struct aggregation pass);
+    *  - a query builds an m×k lookup table of sub-dot-products
+    *    (broadcast, nQueries×m×k rows);
+    *  - scoring = codes ⋈ LUT broadcast joins + a fixed-order sum —
+    *    the asymmetric-distance (ADC) estimate of cos(q, x) from
+    *    codes alone, no shuffle of vector bytes anywhere.
+    *
+    * Every floating sum is a FIXED left-to-right expression (never a
+    * groupBy-sum of doubles), so the estimate is bit-identical to the
+    * DuckDB oracle. Recall vs the brute baseline is spec-pinned. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+             nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    def subSlice(s: Int) = expr(s"slice(e, ${s * PqSubDim + 1}, $PqSubDim)")
+    // per-subspace codebooks; nn = centroid self-dot (reconstruction norm²)
+    val cb = (0 until PqSubspaces).map { s =>
+      kmeansCentroids(v.select(col("vec_id"), subSlice(s).as("e")), PqCodebook, PqIters)
+        .select(lit(s).as("sub"), col("c_id").as("code"), col("ce"))
+    }.reduce(_ unionAll _)
+      .withColumn("nn", expr("aggregate(ce, cast(0 as double), (acc, x) -> acc + x * x)"))
+    // encode: one scan, all subspaces at once; the chosen code carries
+    // its centroid norm in the argmax struct (no lookup join later)
+    val assigned = v.crossJoin(broadcast(cb))
+      .withColumn("cs", graft.plans.VectorExpressions.mixedCosine(
+        slice(col("e"), col("sub") * lit(PqSubDim) + lit(1), lit(PqSubDim)), col("ce")))
+    val aggs = (0 until PqSubspaces).map(s =>
+      min(when(col("sub") === s,
+        struct((-col("cs")).as("ncs"), col("code"), col("nn")))).as(s"m$s"))
+    val codes = assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +: (0 until PqSubspaces).flatMap(s =>
+        Seq(col(s"m$s.code").as(s"c$s"), col(s"m$s.nn").as(s"nn$s"))): _*)
+      .withColumn("xn",
+        sqrt((0 until PqSubspaces).map(s => col(s"nn$s")).reduceLeft(_ + _)))
+    // query side: exact norm + the per-(sub, code) dot lookup table
+    val qs = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .withColumn("qn", sqrt(expr(
+        "aggregate(zip_with(qe, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")))
+    val lut = qs.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("sub"), col("code"), expr(
+        s"aggregate(zip_with(slice(qe, sub * $PqSubDim + 1, $PqSubDim), ce, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)")
+        .as("d"))
+    // ADC scoring: per-subspace broadcast LUT joins, fixed-order sum
+    var scored = codes
+    for (s <- 0 until PqSubspaces)
+      scored = scored.join(
+        broadcast(lut.filter(col("sub") === s)
+          .select(col("q_id"), col("code").as(s"c$s"), col("d").as(s"d$s"))),
+        if (s == 0) Seq("c0") else Seq("q_id", s"c$s"))
+    val w = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vec_id"))
+    scored
+      .join(broadcast(qs.select("q_id", "qn")), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos",
+        (0 until PqSubspaces).map(s => col(s"d$s")).reduceLeft(_ + _) /
+          (col("qn") * col("xn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "approx_cos")
       .orderBy("q_id", "rank")
   }
 
@@ -366,6 +449,7 @@ object Similarity {
       .unionByName(row("ann_ivf_topk", ivfTopK(spark, dir, k, nQueries)))
       .unionByName(row("ann_lsh_multiprobe", lshMultiProbeTopK(spark, dir, k, nQueries)))
       .unionByName(row("ann_lsh_topk", lshTopK(spark, dir, k, nQueries)))
+      .unionByName(row("ann_pq_topk", pqTopK(spark, dir, k, nQueries)))
       .orderBy("variant")
   }
 

@@ -54,6 +54,18 @@ class SimilaritySpec extends SparkSpec {
     assert(comp == want)
   }
 
+  test("PQ search from codes alone clears a recall floor vs brute force") {
+    val rec = Similarity.recallReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    info(rec.map { case (v, h, r) => s"$v: $h hits (recall $r)" }.mkString("; "))
+    val pq = rec.find(_._1 == "ann_pq_topk").get
+    assert(pq._3 >= 0.2, s"PQ recall ${pq._3} below floor")
+    // sanity: every PQ row ranks a real vector with a finite score
+    val out = Similarity.pqTopK(spark, sf).collect()
+    assert(out.length == Similarity.TopK * Similarity.NumQueries)
+    out.foreach(r => assert(!r.getDouble(3).isNaN))
+  }
+
   test("simhash near-dup pairs are ordered and within the hamming bound") {
     val out = SimHash.nearDupPairs(spark, sf).collect()
     assert(out.nonEmpty)
