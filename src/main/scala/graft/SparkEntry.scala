@@ -139,6 +139,7 @@ object SparkEntry {
     "profile_events" -> ((s, d) => graft.operators.Analytics4.profileEvents(s, d)),
     "dedup_semantic_components" -> ((s, d) => Similarity.semanticComponents(s, d)),
     "events_rolling_week" -> ((s, d) => graft.operators.Analytics4.rollingWeek(s, d)),
+    "events_rfm" -> ((s, d) => graft.operators.Analytics4.rfm(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1930,6 +1931,25 @@ object SparkEntry {
          |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
     },
+
+    // RFM quintiles: 5 = best, (N − rn)·5 div N + 1 in pure int64 —
+    // scalable global ranks on the Spark side, windows here
+    "events_rfm" ->
+      s"""WITH ev AS ($EV),
+         |b AS (SELECT user_id, max(ts_us) AS last_us, count(*) AS n_events,
+         |        sum(CAST(ROUND(value*100) AS BIGINT)) AS spend_cents
+         |      FROM ev GROUP BY 1),
+         |r AS (SELECT *,
+         |        row_number() OVER (ORDER BY last_us DESC, user_id) AS rr,
+         |        row_number() OVER (ORDER BY n_events DESC, user_id) AS rf,
+         |        row_number() OVER (ORDER BY spend_cents DESC, user_id) AS rm,
+         |        count(*) OVER () AS nn
+         |      FROM b)
+         |SELECT user_id, last_us, n_events, spend_cents,
+         |  (nn - rr)*5 // nn + 1 AS r_score,
+         |  (nn - rf)*5 // nn + 1 AS f_score,
+         |  (nn - rm)*5 // nn + 1 AS m_score
+         |FROM r ORDER BY user_id""".stripMargin,
 
     "events_rolling_week" ->
       s"""WITH ev AS ($EV),

@@ -156,6 +156,33 @@ object Analytics4 {
       .orderBy("column_name")
   }
 
+  /** RFM quintile segmentation: per user, recency (last activity),
+    * frequency (event count) and monetary (exact cents spend), each
+    * scored 1–5 by EXACT global rank — three [[Ranking.globalRowNumber]]
+    * passes over the per-user aggregate, never a single-partition
+    * window. Quintile = (rn−1)·5 div N + 1 in pure int64 (the decile
+    * discipline); higher score = better (more recent / more frequent /
+    * higher spend), ties broken by user_id — total order, so the
+    * segmentation reproduces bit-for-bit anywhere. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.eventsUs(spark, dir)
+      .groupBy("user_id")
+      .agg(max("ts_us").as("last_us"), count(lit(1)).as("n_events"),
+        sum(valueCents(col("value"))).as("spend_cents"))
+      .localCheckpoint(true) // three rank passes + count read it
+    val n = base.count()
+    def score(df: DataFrame, sort: Seq[org.apache.spark.sql.Column], out: String) =
+      Ranking.globalRowNumber(df, sort, "rn")
+        .withColumn(out, intDiv((lit(n) - col("rn")) * 5L, lit(n)) + 1L)
+        .drop("rn")
+    val r = score(base, Seq(col("last_us").desc, col("user_id")), "r_score")
+    val f = score(r, Seq(col("n_events").desc, col("user_id")), "f_score")
+    val m = score(f, Seq(col("spend_cents").desc, col("user_id")), "m_score")
+    m.select("user_id", "last_us", "n_events", "spend_cents",
+        "r_score", "f_score", "m_score")
+      .orderBy("user_id")
+  }
+
   /** Attribution lookback: one hour in µs. */
   val AttributionWindowUs = 3600L * 1000000L
 

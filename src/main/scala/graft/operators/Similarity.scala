@@ -325,15 +325,50 @@ object Similarity {
     * Every floating sum is a FIXED left-to-right expression (never a
     * groupBy-sum of doubles), so the estimate is bit-identical to the
     * DuckDB oracle. Recall vs the brute baseline is spec-pinned. */
+  /** All [[PqSubspaces]] codebooks trained together: each Lloyd
+    * iteration is ONE corpus assignment pass (every (vec, sub) pair
+    * against the broadcast m×k centroid set) plus ONE update shuffle
+    * on (sub, cell, component) — identical per-subspace semantics to
+    * running the shared trainer m times (integer micro-unit sums are
+    * order-independent, so the fused grouping changes nothing the
+    * oracle can see) at 2 jobs per iteration instead of 2m. */
+  def pqCodebooks(v: DataFrame): DataFrame = {
+    def subCol(s: Int) = expr(
+      s"transform(slice(e, ${s * PqSubDim + 1}, $PqSubDim), x -> cast(x as double))")
+    var cent = materialized(
+      v.filter(col("vec_id") < PqCodebook)
+        .select(col("vec_id").as("code"),
+          explode(array((0 until PqSubspaces).map(s =>
+            struct(lit(s).as("sub"), subCol(s).as("ce"))): _*)).as("sc"))
+        .select(col("sc.sub").as("sub"), col("code"), col("sc.ce").as("ce")))
+    for (_ <- 1 to PqIters) {
+      val cl = v.crossJoin(broadcast(cent))
+        .withColumn("cs", graft.plans.VectorExpressions.mixedCosine(
+          slice(col("e"), col("sub") * lit(PqSubDim) + lit(1), lit(PqSubDim)), col("ce")))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct((-col("cs")).as("ncs"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("cell"))
+      cent = materialized(
+        v.select(col("vec_id"), posexplode(col("e")))
+          .select(col("vec_id"), expr(s"pos div $PqSubDim").as("sub"),
+            expr(s"pos % $PqSubDim").as("p"),
+            round(col("col").cast("double") * 1000000d).cast("long").as("x"))
+          .join(cl, Seq("vec_id", "sub"))
+          .groupBy("sub", "cell", "p")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .withColumn("m", col("s").cast("double") / (col("n") * 1000000L).cast("double"))
+          .groupBy("sub", "cell")
+          .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("ms"))
+          .select(col("sub"), col("cell").as("code"), expr("transform(ms, x -> x.m)").as("ce")))
+    }
+    cent
+  }
+
   def pqTopK(spark: SparkSession, dir: String, k: Int = TopK,
              nQueries: Int = NumQueries): DataFrame = {
     val v = vecs(spark, dir)
-    def subSlice(s: Int) = expr(s"slice(e, ${s * PqSubDim + 1}, $PqSubDim)")
-    // per-subspace codebooks; nn = centroid self-dot (reconstruction norm²)
-    val cb = (0 until PqSubspaces).map { s =>
-      kmeansCentroids(v.select(col("vec_id"), subSlice(s).as("e")), PqCodebook, PqIters)
-        .select(lit(s).as("sub"), col("c_id").as("code"), col("ce"))
-    }.reduce(_ unionAll _)
+    // codebooks + nn = centroid self-dot (reconstruction norm²)
+    val cb = pqCodebooks(v)
       .withColumn("nn", expr("aggregate(ce, cast(0 as double), (acc, x) -> acc + x * x)"))
     // encode: one scan, all subspaces at once; the chosen code carries
     // its centroid norm in the argmax struct (no lookup join later)

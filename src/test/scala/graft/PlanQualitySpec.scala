@@ -166,6 +166,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Expand"))
   }
 
+  test("PQ search: every scoring join is a broadcast (codes never shuffle per query)") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"PQ scoring must not shuffle-join:\n$p")
+  }
+
   test("dedup_chain: the native exec runs inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug.codegenString
     val df = SparkEntry.queries("dedup_chain")(spark, sf)

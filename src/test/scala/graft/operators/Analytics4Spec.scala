@@ -128,6 +128,24 @@ class Analytics4Spec extends SparkSpec {
     assert(got("user_id")._3 == events.map(_._3).distinct.size.toLong)
   }
 
+  test("rfm matches a triple-rank quintile model (5 = best)") {
+    val base = events.groupBy(_._3).map { case (u, rows) =>
+      (u, rows.map(_._2).max, rows.size.toLong, rows.map(e => cents(e._5)).sum)
+    }.toSeq
+    val n = base.size.toLong
+    def scores(key: ((Long, Long, Long, Long)) => Long): Map[Long, Long] =
+      base.sortBy(r => (-key(r), r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> ((n - (i + 1)) * 5 / n + 1) }.toMap
+    val (rs, fs, ms) = (scores(_._2), scores(_._3), scores(_._4))
+    val expected = base.map(r => (r._1, r._2, r._3, r._4, rs(r._1), fs(r._1), ms(r._1)))
+      .sortBy(_._1)
+    val got = Analytics4.rfm(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got == expected)
+    assert(got.map(_._5).distinct.sorted == (1L to 5L))
+  }
+
   test("attribution matches a per-user last-click scan model") {
     val expected = events.groupBy(_._3).values.flatMap { rows =>
       var lastClick: Option[(Long, Long)] = None // (click_id, click_ts)
