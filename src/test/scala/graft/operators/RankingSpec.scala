@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The scalable global-rank helper: exact, total-order-driven, safe on
+  * empty input, independent of partition boundaries. */
+class RankingSpec extends SparkSpec {
+
+  test("globalRowNumber ranks in total sort order regardless of partitioning") {
+    import spark.implicits._
+    val df = Seq((5L, "e"), (1L, "a"), (3L, "c"), (3L, "b"), (2L, "z"))
+      .toDF("k", "s").repartition(3)
+    val got = Ranking.globalRowNumber(df, Seq(col("k"), col("s")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._3)
+    assert(got.toSeq == Seq((1L, "a", 1L), (2L, "z", 2L), (3L, "b", 3L),
+      (3L, "c", 4L), (5L, "e", 5L)))
+  }
+
+  test("globalRowNumber on an empty frame is empty, schema intact") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String)].toDF("k", "s")
+    val out = Ranking.globalRowNumber(df, Seq(col("k")))
+    assert(out.schema.fieldNames.toSeq == Seq("k", "s", "rn"))
+    assert(out.count() == 0)
+  }
+
+  test("rank consumers plan no single-partition window") {
+    for (q <- Seq("events_spend_deciles", "events_rfm")) {
+      val p = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$q must rank via the partition-offset zip, not a window:\n$p")
+    }
+  }
+}
