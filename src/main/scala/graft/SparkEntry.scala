@@ -1915,12 +1915,26 @@ object SparkEntry {
          |x AS (SELECT cd0.vec_id, $wide FROM cd0 $cdJoin),
          |qn AS (SELECT vec_id AS q_id, sqrt(${duckDot("e", "e")}) AS qn
          |       FROM v WHERE vec_id < $NumQueries),
+         |grid AS (
+         |  SELECT s.s AS sub, c.c AS code
+         |  FROM generate_series(0, ${PqSubspaces - 1}) s(s),
+         |       generate_series(0, ${PqCodebook - 1}) c(c)),
+         |-- densified over the full (sub, code) grid: a Lloyd update can
+         |-- leave a cell empty, and a gap in the list would shift every
+         |-- later position's index (the coalesced 0 is never looked up —
+         |-- no vector carries an empty cell's code)
          |lutw AS (
-         |  SELECT q_id, list(d ORDER BY sub * $PqCodebook + code) AS ds
-         |  FROM ($lutUnion) GROUP BY q_id),
+         |  SELECT q_id, list(coalesce(d, 0.0) ORDER BY sub * $PqCodebook + code) AS ds
+         |  FROM (SELECT qq.q_id, g.sub, g.code, l.d
+         |        FROM grid g CROSS JOIN (SELECT DISTINCT q_id FROM ($lutUnion)) qq
+         |        LEFT JOIN ($lutUnion) l
+         |          ON l.sub = g.sub AND l.code = g.code AND l.q_id = qq.q_id)
+         |  GROUP BY q_id),
          |nns AS (
-         |  SELECT list(nn ORDER BY sub * $PqCodebook + code) AS ns
-         |  FROM ($nnUnion)),
+         |  SELECT list(coalesce(nn, 0.0) ORDER BY sub * $PqCodebook + code) AS ns
+         |  FROM (SELECT g.sub, g.code, n.nn
+         |        FROM grid g LEFT JOIN ($nnUnion) n
+         |          ON n.sub = g.sub AND n.code = g.code)),
          |p AS (
          |  SELECT w.q_id, x.vec_id, $adot / (qn.qn * sqrt($xn)) AS approx_cos
          |  FROM x CROSS JOIN lutw w CROSS JOIN nns

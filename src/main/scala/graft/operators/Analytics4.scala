@@ -160,7 +160,7 @@ object Analytics4 {
     * frequency (event count) and monetary (exact cents spend), each
     * scored 1–5 by EXACT global rank — three [[Ranking.globalRowNumber]]
     * passes over the per-user aggregate, never a single-partition
-    * window. Quintile = (rn−1)·5 div N + 1 in pure int64 (the decile
+    * window. Quintile = (N−rn)·5 div N + 1 in pure int64 (the decile
     * discipline); higher score = better (more recent / more frequent /
     * higher spend), ties broken by user_id — total order, so the
     * segmentation reproduces bit-for-bit anywhere. */
@@ -171,14 +171,19 @@ object Analytics4 {
         sum(valueCents(col("value"))).as("spend_cents"))
       .localCheckpoint(true) // three rank passes + count read it
     val n = base.count()
-    def score(df: DataFrame, sort: Seq[org.apache.spark.sql.Column], out: String) =
-      Ranking.globalRowNumber(df, sort, "rn")
-        .withColumn(out, intDiv((lit(n) - col("rn")) * 5L, lit(n)) + 1L)
-        .drop("rn")
-    val r = score(base, Seq(col("last_us").desc, col("user_id")), "r_score")
-    val f = score(r, Seq(col("n_events").desc, col("user_id")), "f_score")
-    val m = score(f, Seq(col("spend_cents").desc, col("user_id")), "m_score")
-    m.select("user_id", "last_us", "n_events", "spend_cents",
+    // each dimension ranks the CHECKPOINTED base independently (a chain
+    // of rank passes would re-execute the prior pass's sort + row
+    // re-encode inside every zipWithIndex count job), then the three
+    // score frames join back on user_id
+    def score(sortCol: org.apache.spark.sql.Column, out: String) =
+      Ranking.globalRowNumber(base, Seq(sortCol.desc, col("user_id")), "rn")
+        .select(col("user_id"),
+          (intDiv((lit(n) - col("rn")) * 5L, lit(n)) + 1L).as(out))
+    base
+      .join(score(col("last_us"), "r_score"), "user_id")
+      .join(score(col("n_events"), "f_score"), "user_id")
+      .join(score(col("spend_cents"), "m_score"), "user_id")
+      .select("user_id", "last_us", "n_events", "spend_cents",
         "r_score", "f_score", "m_score")
       .orderBy("user_id")
   }

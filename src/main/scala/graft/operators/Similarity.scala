@@ -179,9 +179,12 @@ object Similarity {
   /** IVF with k-means-TRAINED centroids and multi-cell probing.
     *
     * Lloyd iterations, fully deterministic and cluster-size independent:
-    * the mean of each cell is computed with exact DECIMAL(28,10)
-    * component sums (order-independent, partial aggregation combines
-    * map-side) cast to double once — so centroids are bit-identical
+    * the mean of each cell is computed from exact INTEGER micro-unit
+    * component sums (round(x·10⁶) — order-independent, partial
+    * aggregation combines map-side; a fixed-scale DECIMAL cast would
+    * tie half-even in DuckDB but HALF_UP in Spark on floats whose
+    * decimal expansion ends in 5 past the scale) — so centroids are
+    * bit-identical
     * across engines and cluster layouts, which is what lets the DuckDB
     * oracle replay the training run. Assignment broadcasts the (tiny)
     * centroid set; per iteration the corpus is scanned once.
@@ -261,10 +264,9 @@ object Similarity {
         graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
       .groupBy("vec_id")
       .agg(min(struct((-col("cs")).as("ncs"), col("c_id"))).as("m"))
-      // c_cos is presentational: the raw double depends on the decimal-
-      // quantized centroid components, whose 10th-decimal rounding is
-      // engine-specific (float→DECIMAL(28,10) ties) — ±1e-9 wiggle, so
-      // the export follows the suite's round-4 discipline. The argmax
+      // c_cos is presentational: the raw double depends on the
+      // micro-unit-quantized centroid components (round(x·10⁶) lift),
+      // so the export follows the suite's round-4 discipline. The argmax
       // itself uses the raw cosine (assignment ties are structural,
       // not rounding-induced; oracle-pinned via ann_ivf_kmeans).
       .select(col("vec_id"), col("m.c_id").as("cluster"),
@@ -309,8 +311,8 @@ object Similarity {
 
   /** PQ-compressed ANN: the vector is split into [[PqSubspaces]]
     * sub-vectors, each quantized to its nearest per-subspace centroid
-    * (spherical codebooks trained with the shared decimal-exact Lloyd
-    * pass) — so the INDEX holds log₂(k) bits per subspace per vector
+    * (spherical codebooks trained with the shared integer-micro-unit
+    * Lloyd pass) — so the INDEX holds log₂(k) bits per subspace per vector
     * (here 4 codes ≈ 1 byte) instead of 256 float bytes, and search
     * never touches raw corpus vectors:
     *

@@ -104,8 +104,7 @@ class PlanQualitySpec extends SparkSpec {
   test("chunk dedup: one documents scan, one chunk-hash shuffle") {
     val p = plan("dedup_chunks")
     assert(scanCount(p, "documents") == 1)
-    assert(p.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") == 1, s"expected 1 hash exchange:\n$p")
+    assert(hashExchanges(p) == 1, s"expected 1 hash exchange:\n$p")
   }
 
   test("pattern sessions: one events scan, one user-keyed shuffle") {
@@ -113,8 +112,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(scanCount(p, "events") == 1, s"expected 1 events scan:\n$p")
     // both window passes and the final session aggregate ride the same
     // user_id hash partitioning; only the output sort repartitions again
-    assert(p.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning") == 1, s"expected 1 hash exchange:\n$p")
+    assert(hashExchanges(p) == 1, s"expected 1 hash exchange:\n$p")
   }
 
   private def hashExchanges(p: String): Int =
