@@ -140,6 +140,9 @@ object SparkEntry {
     "dedup_semantic_components" -> ((s, d) => Similarity.semanticComponents(s, d)),
     "events_rolling_week" -> ((s, d) => graft.operators.Analytics4.rollingWeek(s, d)),
     "events_rfm" -> ((s, d) => graft.operators.Analytics4.rfm(s, d)),
+    "events_seasonality" -> ((s, d) => graft.operators.Analytics5.seasonality(s, d)),
+    "events_cohort_revenue" -> ((s, d) => graft.operators.Analytics5.cohortRevenue(s, d)),
+    "text_readability" -> ((s, d) => graft.operators.Analytics5.readability(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1945,6 +1948,37 @@ object SparkEntry {
          |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
     },
+
+    "events_seasonality" ->
+      s"""WITH ev AS ($EV),
+         |c AS (
+         |  SELECT (ts_us // 86400000000) % 7 AS dow,
+         |    (ts_us // 3600000000) % 24 AS hod, count(*) AS n
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT dow, hod, n,
+         |  ${ratio4Sql("n", "sum(n) OVER (PARTITION BY dow)")} AS day_share
+         |FROM c ORDER BY dow, hod""".stripMargin,
+
+    "events_cohort_revenue" ->
+      s"""WITH ev AS ($EV),
+         |ud AS (SELECT user_id, ts_us // 86400000000 AS day,
+         |         sum(CAST(ROUND(value*100) AS BIGINT)) AS cents
+         |       FROM ev GROUP BY 1, 2),
+         |c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
+         |SELECT cohort_day, day - cohort_day AS offset,
+         |  count(*) AS n_spenders, sum(cents) AS sum_cents
+         |FROM c WHERE day - cohort_day <= 7
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_words,
+         |    greatest(CAST(length(regexp_replace(text, '[.!?]+', 'x', 'g')) -
+         |      length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT), 1) AS n_sentences
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences,
+         |  ${ratio4Sql("n_words", "n_sentences")} AS words_per_sentence
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // RFM quintiles: 5 = best, (N − rn)·5 div N + 1 in pure int64 —
     // scalable global ranks on the Spark side, windows here

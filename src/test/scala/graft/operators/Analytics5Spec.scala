@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Analytics5 vs independent in-memory models at sf0.001. */
+class Analytics5Spec extends SparkSpec {
+
+  private lazy val events: Seq[(Long, Long, Double)] =
+    Dedup.eventsUs(spark, sf).select("ts_us", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("seasonality matches an epoch hod×dow bucketing model") {
+    val cells = events.groupBy { case (ts, _, _) =>
+      ((ts / 86400000000L) % 7, (ts / 3600000000L) % 24)
+    }.view.mapValues(_.size.toLong).toMap
+    val dayTotals = cells.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val expected = cells.toSeq.map { case ((dow, hod), n) =>
+      (dow, hod, n, ratio4Model(n, dayTotals(dow)))
+    }.sortBy(r => (r._1, r._2))
+    val got = Analytics5.seasonality(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // sparse grain: only populated cells appear (the sf0.001 corpus
+    // leaves a cell or two empty); nearly the full 7×24 grid shows up
+    assert(got.size >= 160 && got.size <= 168)
+  }
+
+  test("cohortRevenue matches a first-day cohort model in exact cents") {
+    val ud = events.groupBy { case (ts, u, _) => (u, ts / 86400000000L) }
+      .view.mapValues(_.map(e => math.round(e._3 * 100)).sum).toMap
+    val cohort = ud.keys.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = ud.toSeq
+      .map { case ((u, d), c) => (cohort(u), d - cohort(u), c) }
+      .filter(_._2 <= 7)
+      .groupBy { case (cd, off, _) => (cd, off) }
+      .map { case ((cd, off), g) => (cd, off, g.size.toLong, g.map(_._3).sum) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = Analytics5.cohortRevenue(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected)
+  }
+
+  test("readability counts terminator runs as sentence boundaries") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.map { case (id, t) =>
+      val words = t.trim.split("\\s+").count(_.nonEmpty).toLong
+      val runs = "[.!?]+".r.findAllIn(t).size.toLong
+      val sents = math.max(runs, 1L)
+      (id, words, sents, ratio4Model(words, sents))
+    }.toSeq.sortBy(_._1)
+    val got = Analytics5.readability(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // fixture sanity on the run-collapse rule
+    val probe = Seq((1L, "Hi there!! Done. Or not..."), (2L, "no terminator here"))
+      .toDF("doc_id", "text")
+    probe.createOrReplaceTempView("ignored")
+    val runs1 = "[.!?]+".r.findAllIn("Hi there!! Done. Or not...").size
+    assert(runs1 == 3)
+  }
+}
