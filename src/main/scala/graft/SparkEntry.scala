@@ -143,6 +143,7 @@ object SparkEntry {
     "events_seasonality" -> ((s, d) => graft.operators.Analytics5.seasonality(s, d)),
     "events_cohort_revenue" -> ((s, d) => graft.operators.Analytics5.cohortRevenue(s, d)),
     "text_readability" -> ((s, d) => graft.operators.Analytics5.readability(s, d)),
+    "dq_report" -> ((s, d) => graft.operators.Quality.report(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1979,6 +1980,35 @@ object SparkEntry {
          |SELECT doc_id, n_words, n_sentences,
          |  ${ratio4Sql("n_words", "n_sentences")} AS words_per_sentence
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "dq_report" ->
+      s"""WITH ev AS ($EV)
+         |SELECT * FROM (
+         |SELECT 'events' AS table_name, 'event_type_present' AS check_name,
+         |  CAST(coalesce(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM ev
+         |UNION ALL
+         |SELECT 'events', 'props_present',
+         |  CAST(coalesce(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ev
+         |UNION ALL
+         |SELECT 'events', 'ts_in_epoch_range',
+         |  CAST(coalesce(sum(CASE WHEN NOT coalesce(ts_us > 0, false) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ev
+         |UNION ALL
+         |SELECT 'events', 'value_non_negative',
+         |  CAST(coalesce(sum(CASE WHEN NOT coalesce(value >= 0, false) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ev
+         |UNION ALL
+         |SELECT 'events', 'unique_event_id',
+         |  CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+         |  FROM (SELECT count(*) AS c FROM ev GROUP BY event_id)
+         |UNION ALL
+         |SELECT 'lineitem', 'ref_l_orderkey', CAST(count(*) AS BIGINT) FROM lineitem l
+         |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         |UNION ALL
+         |SELECT 'orders', 'ref_o_custkey', CAST(count(*) AS BIGINT) FROM orders o
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         |UNION ALL
+         |SELECT 'supplier', 'ref_s_nationkey', CAST(count(*) AS BIGINT) FROM supplier s
+         |  WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+         |) ORDER BY table_name, check_name""".stripMargin,
 
     // RFM quintiles: 5 = best, (N − rn)·5 div N + 1 in pure int64 —
     // scalable global ranks on the Spark side, windows here

@@ -65,6 +65,13 @@ object Envelope {
     spark.read.options(jsonOptions).schema(schema).json(path)
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
 
+  /** ORC interchange: ORC holds binary, maps and nanosecond timestamps
+    * natively, so the envelope round-trips with NO wire encoding at
+    * all — the columnar-sibling alternative when a consumer can't read
+    * parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
+
   /** CSV interchange schema: CSV holds neither maps nor raw bytes, so
     * the wire form carries payload as base64 and properties as a JSON
     * object string. */

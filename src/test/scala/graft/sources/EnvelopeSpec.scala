@@ -53,6 +53,23 @@ class EnvelopeSpec extends SparkSpec {
       "µs fractions must survive the JSON round trip")
   }
 
+  test("readOrc round-trips the envelope natively (binary, map, µs timestamps)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_env_orc").toString
+    val env = Envelope.fromEvents(spark, sf)
+      .filter(col("event_id") < 50)
+      .select("payload", "properties", "event_ts", "topic")
+    env.write.mode("overwrite").orc(dir)
+    val back = Envelope.readOrc(spark, dir)
+    assert(back.count() === 50)
+    assert(back.schema.fieldNames.toSeq === Envelope.schema.fieldNames.toSeq)
+    val a = env.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
+    val b = back.select(Envelope.digest().as("d")).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+    val ta = env.select(unix_micros(col("event_ts"))).collect().map(_.getLong(0)).sorted
+    val tb = back.select(unix_micros(col("event_ts"))).collect().map(_.getLong(0)).sorted
+    assert(ta.toSeq === tb.toSeq && ta.exists(_ % 1000 != 0))
+  }
+
   test("readCsv round-trips the envelope through the base64/JSON wire form") {
     val dir = java.nio.file.Files.createTempDirectory("graft_env_csv").toString
     val env = Envelope.fromEvents(spark, sf)
