@@ -1967,7 +1967,7 @@ object SparkEntry {
          |       FROM ev GROUP BY 1, 2),
          |c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
          |SELECT cohort_day, day - cohort_day AS offset,
-         |  count(*) AS n_spenders, sum(cents) AS sum_cents
+         |  count(*) AS n_active, sum(cents) AS sum_cents
          |FROM c WHERE day - cohort_day <= 7
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

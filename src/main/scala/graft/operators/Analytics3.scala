@@ -184,19 +184,27 @@ object Analytics3 {
     * active again. Two aggregations (first day per user, distinct
     * activity days) sharing the user_id shuffle, then one count per
     * (cohort, offset) cell. */
-  def retention(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
-    val dayUs = 86400000000L
-    val activity = Dedup.eventsUs(spark, dir)
-      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"))
-      .distinct()
-    // cohort day as a WINDOW over the distinct activity frame — a
-    // cohort-aggregate branch joined back would recompute the events
-    // scan + distinct; the window costs one user_id exchange instead
-    activity
+  /** One day in µs — the day grain every cohort/DAU panel shares. */
+  val DayUs = 86400000000L
+
+  /** Shared cohort scaffold over any per-(user_id, day) frame: cohort
+    * day as a WINDOW over the frame (a cohort-aggregate branch joined
+    * back would recompute the frame's whole upstream; the window costs
+    * one user_id exchange), plus the bounded day offset. The retention
+    * matrix and its monetary twin both ride this, so "cohort" has one
+    * definition in the library. */
+  def cohortOffsets(perUserDay: DataFrame, maxOffset: Int): DataFrame =
+    perUserDay
       .withColumn("cohort_day",
         min("day").over(Window.partitionBy("user_id")))
       .withColumn("offset", col("day") - col("cohort_day"))
       .filter(col("offset") <= maxOffset)
+
+  def retention(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
+    val activity = Dedup.eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div ${DayUs}L").as("day"))
+      .distinct()
+    cohortOffsets(activity, maxOffset)
       .groupBy("cohort_day", "offset")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "offset")

@@ -39,17 +39,16 @@ object Analytics5 {
     * (cohort, offset) rollup. */
   def cohortRevenue(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
     import graft.functions.Hashing.valueCents
-    val dayUs = 86400000000L
-    Dedup.eventsUs(spark, dir)
-      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("day"),
+    val perUserDay = Dedup.eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div ${Analytics3.DayUs}L").as("day"),
         valueCents(col("value")).as("cents"))
       .groupBy("user_id", "day")
       .agg(sum("cents").as("cents"))
-      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
-      .withColumn("offset", col("day") - col("cohort_day"))
-      .filter(col("offset") <= maxOffset)
+    Analytics3.cohortOffsets(perUserDay, maxOffset)
       .groupBy("cohort_day", "offset")
-      .agg(count(lit(1)).as("n_spenders"), sum("cents").as("sum_cents"))
+      // n_active = active (user, day) cells — includes zero-cent days;
+      // "spenders" would need a cents > 0 gate
+      .agg(count(lit(1)).as("n_active"), sum("cents").as("sum_cents"))
       .orderBy("cohort_day", "offset")
   }
 
@@ -58,11 +57,15 @@ object Analytics5 {
     * word count, and ratio4 words-per-sentence — the cheap C4-style
     * "is this prose?" signal. Pure per-row regex counting, no
     * shuffle; documents with no terminator count as one sentence. */
+  /** Terminator-RUN count: (length with each [.!?]+ run as one char)
+    * minus (length with runs removed) = number of runs. Column-level so
+    * the spec can probe it on a controlled fixture. */
+  def sentenceRuns(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (length(regexp_replace(text, "[.!?]+", "x")) -
+      length(regexp_replace(text, "[.!?]+", ""))).cast("long")
+
   def readability(spark: SparkSession, dir: String): DataFrame = {
-    // terminator RUNS: (length with each [.!?]+ run as one char) minus
-    // (length with runs removed) = number of runs
-    val runs = (length(regexp_replace(col("text"), "[.!?]+", "x")) -
-      length(regexp_replace(col("text"), "[.!?]+", ""))).cast("long")
+    val runs = sentenceRuns(col("text"))
     val words = size(TextAnalysis.tokens(col("text"))).cast("long")
     Tables.documents(spark, dir).select(
       col("doc_id"),

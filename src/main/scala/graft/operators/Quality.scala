@@ -13,11 +13,19 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   /** One-pass aggregate checks over a table: each (name, predicate)
-    * counts rows VIOLATING the predicate. */
+    * counts rows VIOLATING the predicate (a NULL predicate counts as a
+    * violation; an empty table reports exact zeros). Check names are
+    * caller-supplied identifiers and end up inside generated SQL, so
+    * they are restricted to word characters — fail fast rather than
+    * splice arbitrary text into an expression. */
   def tableChecks(df: DataFrame, table: String,
                   checks: Seq[(String, Column)]): DataFrame = {
+    checks.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid check name: '$n'")
+    }
     val aggs = checks.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(name)
     }
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${checks.size}, " +

@@ -49,9 +49,22 @@ object Envelope {
 
   /** Generic batch readers into the envelope shape: the source columns
     * are mapped by name (payload/properties/event_ts/topic must exist
-    * or be derivable by the caller's projection). */
+    * or be derivable by the caller's projection) and type-checked
+    * against the envelope schema — a name-matching file with the wrong
+    * types (string payload, NTZ timestamp) fails at the READ, not as
+    * wrong digests three operators later. */
+  private def conform(df: DataFrame): DataFrame = {
+    val out = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    schema.fields.foreach { f =>
+      val got = out.schema(f.name).dataType
+      require(got == f.dataType,
+        s"envelope column ${f.name}: expected ${f.dataType.simpleString}, file has ${got.simpleString}")
+    }
+    out
+  }
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    conform(spark.read.parquet(path))
 
   /** JSONL interchange options — same µs-timestamp ownership as
     * `csvOptions`: Spark's JSON default also writes millisecond
@@ -62,15 +75,14 @@ object Envelope {
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
 
   def readJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.options(jsonOptions).schema(schema).json(path)
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    conform(spark.read.options(jsonOptions).schema(schema).json(path))
 
   /** ORC interchange: ORC holds binary, maps and nanosecond timestamps
     * natively, so the envelope round-trips with NO wire encoding at
     * all — the columnar-sibling alternative when a consumer can't read
     * parquet. */
   def readOrc(spark: SparkSession, path: String): DataFrame =
-    spark.read.orc(path).select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    conform(spark.read.orc(path))
 
   /** CSV interchange schema: CSV holds neither maps nor raw bytes, so
     * the wire form carries payload as base64 and properties as a JSON

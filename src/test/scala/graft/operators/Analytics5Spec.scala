@@ -54,11 +54,12 @@ class Analytics5Spec extends SparkSpec {
     val got = Analytics5.readability(spark, sf).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got == expected)
-    // fixture sanity on the run-collapse rule
+    // the OPERATOR's run-collapse expression on a controlled fixture
     val probe = Seq((1L, "Hi there!! Done. Or not..."), (2L, "no terminator here"))
       .toDF("doc_id", "text")
-    probe.createOrReplaceTempView("ignored")
-    val runs1 = "[.!?]+".r.findAllIn("Hi there!! Done. Or not...").size
-    assert(runs1 == 3)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Analytics5.sentenceRuns(org.apache.spark.sql.functions.col("text")).as("runs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probe == Map(1L -> 3L, 2L -> 0L))
   }
 }
