@@ -20,19 +20,24 @@ object Quality {
     * splice arbitrary text into an expression. */
   def tableChecks(df: DataFrame, table: String,
                   checks: Seq[(String, Column)]): DataFrame = {
-    checks.foreach { case (n, _) =>
-      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid check name: '$n'")
-    }
-    val aggs = checks.map { case (name, pred) =>
-      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L))
-        .as(name)
-    }
+    val aggs = violationAggs(checks)
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${checks.size}, " +
         checks.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
         ") AS (check_name, n_violations)")
       .select(lit(table).as("table_name"), col("check_name"), col("n_violations"))
   }
+
+  /** The violation-count aggregate expressions behind [[tableChecks]] —
+    * also attachable to a STREAMING frame via `observe()`
+    * (streaming.StreamQuality), so batch tables and micro-batches gate
+    * on the one check definition. */
+  def violationAggs(checks: Seq[(String, Column)]): Seq[Column] =
+    checks.map { case (name, pred) =>
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid check name: '$name'")
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(name)
+    }
 
   /** Uniqueness violation count: rows beyond the first per key. */
   def uniqueCheck(df: DataFrame, table: String, key: String): DataFrame =
