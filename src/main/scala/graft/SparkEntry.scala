@@ -144,6 +144,8 @@ object SparkEntry {
     "events_cohort_revenue" -> ((s, d) => graft.operators.Analytics5.cohortRevenue(s, d)),
     "text_readability" -> ((s, d) => graft.operators.Analytics5.readability(s, d)),
     "dq_report" -> ((s, d) => graft.operators.Quality.report(s, d)),
+    "docs_quality_histogram" -> ((s, d) => graft.operators.Analytics5.qualityHistogram(s, d)),
+    "lineitem_monthly" -> ((s, d) => graft.operators.Analytics5.monthlyRevenue(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1980,6 +1982,27 @@ object SparkEntry {
          |SELECT doc_id, n_words, n_sentences,
          |  ${ratio4Sql("n_words", "n_sentences")} AS words_per_sentence
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "docs_quality_histogram" ->
+      s"""WITH q AS (SELECT doc_id, $TOKS AS toks,
+         |  CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents),
+         |k AS (SELECT ${qKeySql(
+             "CAST(len(toks) AS BIGINT)",
+             "CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)",
+             "len_no_ws")} // 500 AS bucket FROM q)
+         |SELECT bucket, count(*) AS n_docs FROM k GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "lineitem_monthly" ->
+      s"""WITH m AS (
+         |  SELECT year(l_shipdate) AS year, month(l_shipdate) AS month,
+         |    count(*) AS n_items, SUM($DISC_PRICE) AS rev_exact
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT year, month, n_items,
+         |  CAST(ROUND(rev_exact, 2) AS DOUBLE) AS revenue,
+         |  CAST(ROUND(rev_exact * 100, 0) AS BIGINT) -
+         |    coalesce(CAST(ROUND(lag(rev_exact) OVER (ORDER BY year, month) * 100, 0) AS BIGINT), 0) AS delta_cents
+         |FROM m ORDER BY year, month""".stripMargin,
 
     "dq_report" ->
       s"""WITH ev AS ($EV)

@@ -57,6 +57,49 @@ object Analytics5 {
     * word count, and ratio4 words-per-sentence — the cheap C4-style
     * "is this prose?" signal. Pure per-row regex counting, no
     * shuffle; documents with no terminator count as one sentence. */
+  /** Quality-score histogram: documents per exact-integer quality-key
+    * bucket (the key is TextAnalysis.qualityKeyCol's 1e-4-unit int64;
+    * bucket width 500 = 0.05 score units). THE panel for choosing a
+    * gate threshold: integer bucketing over the exact key means the
+    * histogram — and any threshold read off it — reproduces anywhere.
+    * One narrow scan + one 21-key shuffle. */
+  def qualityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val toks = TextAnalysis.tokens(col("text"))
+    val key = TextAnalysis.qualityKeyCol(
+      size(toks).cast("long"),
+      size(filter(toks, t => t.isin(TextAnalysis.StopEn: _*))).cast("long"),
+      length(regexp_replace(col("text"), s"[${TextAnalysis.WsClass}]", "")).cast("long"))
+    Tables.documents(spark, dir)
+      .select(intDiv(key, lit(500L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+  }
+
+  /** Calendar-grain revenue trend: per (year, month) of l_shipdate,
+    * decimal-exact discounted revenue and row count, with the previous
+    * OBSERVED month's revenue delta in exact cents. The only
+    * calendar-extraction time series in the suite (event panels are
+    * deliberately epoch-relative); year/month parity is already proven
+    * by the TPC-H q7/q8 oracles. The lag window runs over the
+    * O(months) aggregate — a single ordered partition of report rows,
+    * never raw lineitem. */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{dec, money2}
+    val w = Window.orderBy("year", "month")
+    Tables.lineitem(spark, dir)
+      .select(year(col("l_shipdate")).as("year"), month(col("l_shipdate")).as("month"),
+        (dec(col("l_extendedprice")) * (dec(lit(1.0)) - dec(col("l_discount")))).as("rev"))
+      .groupBy("year", "month")
+      .agg(count(lit(1)).as("n_items"), sum("rev").as("rev_exact"))
+      .withColumn("revenue", money2(col("rev_exact")))
+      .withColumn("delta_cents",
+        round(col("rev_exact") * 100, 0).cast("long") -
+          coalesce(round(lag("rev_exact", 1).over(w) * 100, 0).cast("long"), lit(0L)))
+      .select("year", "month", "n_items", "revenue", "delta_cents")
+      .orderBy("year", "month")
+  }
+
   /** Terminator-RUN count: (length with each [.!?]+ run as one char)
     * minus (length with runs removed) = number of runs. Column-level so
     * the spec can probe it on a controlled fixture. */

@@ -41,6 +41,42 @@ class Analytics5Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("qualityHistogram buckets the exact quality key (recovered from quality())") {
+    val scores = TextAnalysis.quality(spark, sf).collect()
+      .map(r => math.round(r.getDouble(5) * 10000.0)) // exact int key back
+    val expected = scores.groupBy(_ / 500).view.mapValues(_.length.toLong)
+      .toSeq.sorted
+    val got = Analytics5.qualityHistogram(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == expected)
+    assert(got.map(_._2).sum == scores.length)
+  }
+
+  test("monthlyRevenue matches an exact-decimal calendar model") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select("l_shipdate", "l_extendedprice", "l_discount").collect()
+      .map { r =>
+        val d = r.getAs[java.time.LocalDateTime](0)
+        val price = new JBD(r.getDouble(1)).setScale(4, RoundingMode.HALF_UP)
+        val disc = new JBD(r.getDouble(2)).setScale(4, RoundingMode.HALF_UP)
+        ((d.getYear, d.getMonthValue), price.multiply(JBD.ONE.subtract(disc)))
+      }
+    val agg = rows.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.map(_._2).reduce(_ add _))
+    }.toSeq.sortBy(_._1)
+    val expected = agg.zip(new JBD(0) +: agg.map(_._2._2)).map {
+      case (((y, m), (n, rev)), prev) =>
+        (y, m, n,
+          rev.setScale(2, RoundingMode.HALF_UP).doubleValue,
+          rev.multiply(new JBD(100)).setScale(0, RoundingMode.HALF_UP).longValueExact -
+            prev.multiply(new JBD(100)).setScale(0, RoundingMode.HALF_UP).longValueExact)
+    }
+    val got = Analytics5.monthlyRevenue(spark, sf).collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got == expected)
+  }
+
   test("readability counts terminator runs as sentence boundaries") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
