@@ -52,11 +52,6 @@ object Analytics5 {
       .orderBy("cohort_day", "offset")
   }
 
-  /** Sentence-level readability profile per document: sentence count
-    * (terminator runs — consecutive [.!?] collapse to one boundary),
-    * word count, and ratio4 words-per-sentence — the cheap C4-style
-    * "is this prose?" signal. Pure per-row regex counting, no
-    * shuffle; documents with no terminator count as one sentence. */
   /** Quality-score histogram: documents per exact-integer quality-key
     * bucket (the key is TextAnalysis.qualityKeyCol's 1e-4-unit int64;
     * bucket width 500 = 0.05 score units). THE panel for choosing a
@@ -65,13 +60,8 @@ object Analytics5 {
     * One narrow scan + one 21-key shuffle. */
   def qualityHistogram(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.intDiv
-    val toks = TextAnalysis.tokens(col("text"))
-    val key = TextAnalysis.qualityKeyCol(
-      size(toks).cast("long"),
-      size(filter(toks, t => t.isin(TextAnalysis.StopEn: _*))).cast("long"),
-      length(regexp_replace(col("text"), s"[${TextAnalysis.WsClass}]", "")).cast("long"))
     Tables.documents(spark, dir)
-      .select(intDiv(key, lit(500L)).as("bucket"))
+      .select(intDiv(TextAnalysis.qualityKeyFromText(col("text")), lit(500L)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")
   }
@@ -83,7 +73,11 @@ object Analytics5 {
     * deliberately epoch-relative); year/month parity is already proven
     * by the TPC-H q7/q8 oracles. The lag window runs over the
     * O(months) aggregate — a single ordered partition of report rows,
-    * never raw lineitem. */
+    * never raw lineitem. The first month's delta is measured against a
+    * zero baseline (= its full revenue) — the same empty-start
+    * contract as hourlyChange's prev_n; consumers that want "no prior
+    * period" as absent should filter the first row, not treat the
+    * spike as movement. */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.{dec, money2}
     val w = Window.orderBy("year", "month")
@@ -100,9 +94,15 @@ object Analytics5 {
       .orderBy("year", "month")
   }
 
-  /** Terminator-RUN count: (length with each [.!?]+ run as one char)
-    * minus (length with runs removed) = number of runs. Column-level so
-    * the spec can probe it on a controlled fixture. */
+  /** Sentence-level readability profile per document: sentence count
+    * (terminator runs — consecutive [.!?] collapse to one boundary),
+    * word count, and ratio4 words-per-sentence — the cheap C4-style
+    * "is this prose?" signal. Pure per-row regex counting, no
+    * shuffle; documents with no terminator count as one sentence.
+    *
+    * Terminator-RUN count below: (length with each [.!?]+ run as one
+    * char) minus (length with runs removed) = number of runs.
+    * Column-level so the spec can probe it on a controlled fixture. */
   def sentenceRuns(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (length(regexp_replace(text, "[.!?]+", "x")) -
       length(regexp_replace(text, "[.!?]+", ""))).cast("long")

@@ -236,13 +236,9 @@ object Curation {
   def bestQualityCanonical(spark: SparkSession, dir: String,
                            tau: Double = 0.5): DataFrame = {
     val comp = MinHashLSH.nearDupComponents(spark, dir, tau)
-    val toks = TextAnalysis.tokens(col("text"))
     val q = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        TextAnalysis.qualityKeyCol(size(toks).cast("long"),
-          size(filter(toks, t => t.isin(TextAnalysis.StopEn: _*))).cast("long"),
-          length(regexp_replace(col("text"),
-            s"[${TextAnalysis.WsClass}]", "")).cast("long")).as("q_key"))
+        TextAnalysis.qualityKeyFromText(col("text")).as("q_key"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component_id").orderBy(col("q_key").desc, col("doc_id"))
     comp.join(q, "doc_id")

@@ -32,12 +32,14 @@ object Quality {
     * also attachable to a STREAMING frame via `observe()`
     * (streaming.StreamQuality), so batch tables and micro-batches gate
     * on the one check definition. */
-  def violationAggs(checks: Seq[(String, Column)]): Seq[Column] =
+  def violationAggs(checks: Seq[(String, Column)]): Seq[Column] = {
+    require(checks.nonEmpty, "at least one data-quality check is required")
     checks.map { case (name, pred) =>
       require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid check name: '$name'")
       coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L))
         .as(name)
     }
+  }
 
   /** Uniqueness violation count: rows beyond the first per key. */
   def uniqueCheck(df: DataFrame, table: String, key: String): DataFrame =

@@ -51,6 +51,16 @@ object TextAnalysis {
       least(halfUpDiv(lenNoWs * 250L, nToks), lit(2000L))
   }
 
+  /** The full quality key straight from a text column — ONE spelling
+    * of the key's inputs (tokens, StopEn count, whitespace-free
+    * length) for every consumer: scoring, canonical selection, and
+    * the gate-threshold histogram. */
+  def qualityKeyFromText(text: Column): Column = {
+    val toks = tokens(text)
+    qualityKeyCol(size(toks).cast("long"), countIn(toks, StopEn),
+      length(regexp_replace(text, s"[$WsClass]", "")).cast("long"))
+  }
+
   /** Composite quality score in [0,1] (the key scaled to a double) —
     * identical arithmetic to `quality` (and the oracle). */
   def qualityScoreCol(toks: Column, lenNoWs: Column): Column =
