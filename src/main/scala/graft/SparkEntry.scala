@@ -1308,7 +1308,7 @@ object SparkEntry {
          |  SELECT user_id,
          |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
          |  FROM ev)
-         |SELECT user_id, count(*) AS n_gaps, sum(gap) AS sum_gap_us,
+         |SELECT user_id, count(*) AS n_gaps, CAST(sum(gap) AS BIGINT) AS sum_gap_us,
          |  max(gap) AS max_gap_us, ${ratio4Sql("sum(gap)", "count(*)")} AS avg_gap_us
          |FROM g WHERE gap IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -1500,15 +1500,17 @@ object SparkEntry {
          |    sum(c) FILTER (WHERE n = 3) AS n3,
          |    coalesce(sum(c) FILTER (WHERE n = 3 AND c >= 2), 0) AS dup3
          |  FROM c GROUP BY 1)
-         |SELECT doc_id, n2, top2, ${ratio4Sql("top2", "n2")} AS top2_frac,
-         |  n3, dup3, ${ratio4Sql("dup3", "n3")} AS dup3_frac
+         |SELECT doc_id, CAST(n2 AS BIGINT) AS n2, top2,
+         |  ${ratio4Sql("top2", "n2")} AS top2_frac,
+         |  CAST(n3 AS BIGINT) AS n3, CAST(dup3 AS BIGINT) AS dup3,
+         |  ${ratio4Sql("dup3", "n3")} AS dup3_frac
          |FROM a ORDER BY doc_id""".stripMargin,
 
     "text_novelty" ->
       s"""WITH $SH_CTE,
          |d AS (SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
          |SELECT doc_id, count(*) AS n_shingles,
-         |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
          |  ${ratio4Sql("sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)", "count(*)")} AS novelty
          |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -1634,7 +1636,8 @@ object SparkEntry {
          |nn AS (SELECT count(*) AS n FROM deg),
          |r0 AS (SELECT d1 AS node, 1000000 // nn.n AS r FROM deg CROSS JOIN nn),
          |$iterCtes
-         |SELECT node AS doc_id, r AS rank_micro FROM r$iters ORDER BY doc_id""".stripMargin
+         |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_micro
+         |FROM r$iters ORDER BY doc_id""".stripMargin
     },
 
     // round 4 (cont.): corpus composition + event panels
@@ -1643,7 +1646,8 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
          |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
          |pd AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
-         |agg AS (SELECT term, sum(c) AS tf, count(*) AS df FROM pd GROUP BY term),
+         |agg AS (SELECT term, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+         |        FROM pd GROUP BY term),
          |top AS (SELECT term, tf, df FROM agg ORDER BY tf DESC, term LIMIT 50)
          |SELECT row_number() OVER (ORDER BY tf DESC, term) AS rank, term, tf, df
          |FROM top ORDER BY rank""".stripMargin,
@@ -1680,7 +1684,7 @@ object SparkEntry {
          |),
          |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
          |szs AS (SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id)
-         |SELECT sz, count(*) AS n_clusters, sum(sz) AS n_docs
+         |SELECT sz, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
          |FROM szs GROUP BY sz ORDER BY sz""".stripMargin,
 
     "events_histogram" ->
@@ -1694,7 +1698,7 @@ object SparkEntry {
       s"""WITH ev AS ($EV),
          |h AS (
          |  SELECT event_type, ts_us // 3600000000 AS hour, count(*) AS n,
-         |    sum(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+         |    CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          |  FROM ev GROUP BY 1, 2)
          |SELECT event_type, hour, n, sum_cents,
          |  coalesce(lag(n) OVER w, 0) AS prev_n,
@@ -1736,7 +1740,8 @@ object SparkEntry {
     // Spark side and a window here.
     "events_spend_deciles" ->
       s"""WITH ev AS ($EV),
-         |sp AS (SELECT user_id, sum(CAST(ROUND(value*100) AS BIGINT)) AS spend_cents
+         |sp AS (SELECT user_id,
+         |         CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS spend_cents
          |       FROM ev GROUP BY 1),
          |r AS (SELECT *, row_number() OVER (ORDER BY spend_cents DESC, user_id) AS rn,
          |        count(*) OVER () AS nn FROM sp)
@@ -1969,7 +1974,7 @@ object SparkEntry {
          |       FROM ev GROUP BY 1, 2),
          |c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
          |SELECT cohort_day, day - cohort_day AS offset,
-         |  count(*) AS n_active, sum(cents) AS sum_cents
+         |  count(*) AS n_active, CAST(sum(cents) AS BIGINT) AS sum_cents
          |FROM c WHERE day - cohort_day <= 7
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -1995,7 +2000,8 @@ object SparkEntry {
 
     "lineitem_monthly" ->
       s"""WITH m AS (
-         |  SELECT year(l_shipdate) AS year, month(l_shipdate) AS month,
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+         |    CAST(month(l_shipdate) AS INTEGER) AS month,
          |    count(*) AS n_items, SUM($DISC_PRICE) AS rev_exact
          |  FROM lineitem GROUP BY 1, 2)
          |SELECT year, month, n_items,
@@ -2038,7 +2044,7 @@ object SparkEntry {
     "events_rfm" ->
       s"""WITH ev AS ($EV),
          |b AS (SELECT user_id, max(ts_us) AS last_us, count(*) AS n_events,
-         |        sum(CAST(ROUND(value*100) AS BIGINT)) AS spend_cents
+         |        CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS spend_cents
          |      FROM ev GROUP BY 1),
          |r AS (SELECT *,
          |        row_number() OVER (ORDER BY last_us DESC, user_id) AS rr,
@@ -2056,10 +2062,11 @@ object SparkEntry {
       s"""WITH ev AS ($EV),
          |d AS (
          |  SELECT event_type, ts_us // 86400000000 AS day, count(*) AS n,
-         |    sum(CAST(ROUND(value*100) AS BIGINT)) AS day_cents
+         |    CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS day_cents
          |  FROM ev GROUP BY 1, 2)
          |SELECT event_type, day, n, day_cents,
-         |  sum(n) OVER w AS w7_n, sum(day_cents) OVER w AS w7_cents
+         |  CAST(sum(n) OVER w AS BIGINT) AS w7_n,
+         |  CAST(sum(day_cents) OVER w AS BIGINT) AS w7_cents
          |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
          |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, day""".stripMargin,

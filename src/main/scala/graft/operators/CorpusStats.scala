@@ -32,7 +32,8 @@ object CorpusStats {
       .limit(topN)
     head
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+        row_number().over(Window.orderBy(col("tf").desc, col("term")))
+          .cast("long"))
       .select("rank", "term", "tf", "df")
       .orderBy("rank")
   }

@@ -23,9 +23,9 @@ class CorpusStatsSpec extends SparkSpec {
     }
     val expected = tf.toSeq.map { case (t, f) => (t, f, df(t)) }
       .sortBy { case (t, f, _) => (-f, t) }.take(50)
-      .zipWithIndex.map { case ((t, f, d), i) => (i + 1, t, f, d) }
+      .zipWithIndex.map { case ((t, f, d), i) => ((i + 1).toLong, t, f, d) }
     val got = CorpusStats.zipfTerms(spark, sf).collect().toSeq
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got == expected)
   }
 

@@ -5,7 +5,9 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
 Loads each Spark result parquet written by graft.Verify, runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB against the same
-test tables, and compares: column names (sorted), row counts, and every
+test tables, and compares: column names (sorted), column TYPES (the
+driver's hash is type-aware — an uncast DuckDB sum() returns HUGEINT and
+hash-mismatches a value-identical Spark BIGINT), row counts, and every
 value (exact; floats compared bitwise via repr). Dev tool only — not part
 of the shipped library.
 """
@@ -51,8 +53,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        got_types = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
+        exp_types = {c: str(t) for c, t in zip(exp_cols, exp_rel.types)}
+        type_diff = {
+            c: (got_types[c], exp_types[c])
+            for c in got_types
+            if c in exp_types and got_types[c] != exp_types[c]
+        }
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+        elif type_diff:
+            detail = ", ".join(
+                f"{c}: spark={a} oracle={b}" for c, (a, b) in sorted(type_diff.items())
+            )
+            print(f"FAIL {name}: column types differ ({detail})")
             n_fail += 1
         elif len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
