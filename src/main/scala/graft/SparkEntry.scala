@@ -85,6 +85,7 @@ object SparkEntry {
     "source_similarity" -> ((s, d) => MinHashLSH.sourceSimilarity(s, d)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => Similarity.ivfKmeansTopK(s, d)),
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "pipeline_clean_docs" -> ((s, d) => graft.operators.Pipeline.cleanDocs(s, d)),
     // round 3: curation tier
     "contamination_ngrams" -> ((s, d) => graft.operators.Curation.contamination(s, d)),
@@ -330,6 +331,95 @@ object SparkEntry {
        |  GROUP BY cell
        |)""".stripMargin
 
+  /** Shared PQ oracle fragments — per-subspace codebook training, the
+    * wide code table `x`, the per-query LUT list `lutw`, centroid-norm
+    * list `nns`, query norms `qn` — composed by ann_pq_topk (exhaustive
+    * ADC) and ann_ivfpq_topk (coarse-cell-pruned ADC). Mirrors
+    * Similarity.pqCodebooks/pqEncode/pqLut/adcScore; expects a CTE `v`
+    * (vec_id, e) in scope. */
+  private object PqOracleCtes {
+    import graft.operators.Similarity.{PqCodebook, PqSubDim, PqSubspaces, NumQueries}
+    private def dot16(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> CAST($a[i] AS DOUBLE) * $b[i])), (x,y)->x+y)"
+    private val subCtes = (0 until PqSubspaces).map { s =>
+      val o = s * PqSubDim
+      def cosd(a: String, b: String): String =
+        s"""(${dot16(a, b)} / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (x,y)->x+y))
+           |  * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> $b[i] * $b[i])), (x,y)->x+y))))""".stripMargin
+      s"""sv$s AS (SELECT vec_id, list_slice(e, ${o + 1}, ${o + PqSubDim}) AS e FROM v),
+         |c0$s AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |         FROM sv$s WHERE vec_id < $PqCodebook),
+         |a1$s AS (
+         |  SELECT x.vec_id, c.c_id AS cell, x.e,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${cosd("x.e", "c.ce")} DESC, c.c_id) AS rn
+         |  FROM sv$s x, c0$s c),
+         |c1$s AS (
+         |  SELECT cell AS c_id, list(m ORDER BY pos) AS ce FROM (
+         |    SELECT cell, pos,
+         |      CAST(SUM(xx) AS DOUBLE)/CAST(COUNT(*) * 1000000 AS DOUBLE) AS m FROM (
+         |      SELECT a.cell, g.i AS pos,
+         |        CAST(ROUND(CAST(a.e[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xx
+         |      FROM a1$s a, generate_series(1,$PqSubDim) g(i) WHERE a.rn = 1)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |af$s AS (
+         |  SELECT x.vec_id, c.c_id AS cell,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${cosd("x.e", "c.ce")} DESC, c.c_id) AS rn
+         |  FROM sv$s x, c1$s c),
+         |cd$s AS (SELECT vec_id, cell AS code FROM af$s WHERE rn = 1),
+         |nn$s AS (SELECT c_id AS code,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(ce, x -> x*x)), (x,y)->x+y) AS nn
+         |  FROM c1$s),
+         |lut$s AS (
+         |  SELECT q.vec_id AS q_id, c.c_id AS code, ${dot16("q.e", "c.ce")} AS d
+         |  FROM sv$s q, c1$s c WHERE q.vec_id < $NumQueries)""".stripMargin
+    }.mkString(",\n")
+    private val cdJoin = (1 until PqSubspaces)
+      .map(s => s"JOIN cd$s USING (vec_id)").mkString(" ")
+    private val wide = (0 until PqSubspaces).map(s => s"cd$s.code AS code$s").mkString(", ")
+    // LUT and centroid norms collapse into ONE ordered list per query
+    // (indexed by sub·k + code) — scored by list extraction, so the
+    // optimizer never sees an n-way LUT join to reorder (a lut×lut
+    // cross product on q_id is 16^8 rows — the join-reorder trap)
+    private val lutUnion = (0 until PqSubspaces)
+      .map(s => s"SELECT $s AS sub, q_id, code, d FROM lut$s")
+      .mkString(" UNION ALL ")
+    private val nnUnion = (0 until PqSubspaces)
+      .map(s => s"SELECT $s AS sub, code, nn FROM nn$s")
+      .mkString(" UNION ALL ")
+    private def dsAt(s: Int) = s"w.ds[${s * PqCodebook} + x.code$s + 1]"
+    private def nsAt(s: Int) = s"nns.ns[${s * PqCodebook} + x.code$s + 1]"
+    val adot: String = (0 until PqSubspaces).map(dsAt).reduceLeft((a, b) => s"($a + $b)")
+    val xn: String = (0 until PqSubspaces).map(nsAt).reduceLeft((a, b) => s"($a + $b)")
+    lazy val ctes: String =
+      s"""$subCtes,
+         |x AS (SELECT cd0.vec_id, $wide FROM cd0 $cdJoin),
+         |qn AS (SELECT vec_id AS q_id, sqrt(${duckDot("e", "e")}) AS qn
+         |       FROM v WHERE vec_id < $NumQueries),
+         |grid AS (
+         |  SELECT s.s AS sub, c.c AS code
+         |  FROM generate_series(0, ${PqSubspaces - 1}) s(s),
+         |       generate_series(0, ${PqCodebook - 1}) c(c)),
+         |-- densified over the full (sub, code) grid: a Lloyd update can
+         |-- leave a cell empty, and a gap in the list would shift every
+         |-- later position's index (the coalesced 0 is never looked up —
+         |-- no vector carries an empty cell's code)
+         |lutw AS (
+         |  SELECT q_id, list(coalesce(d, 0.0) ORDER BY sub * $PqCodebook + code) AS ds
+         |  FROM (SELECT qq.q_id, g.sub, g.code, l.d
+         |        FROM grid g CROSS JOIN (SELECT DISTINCT q_id FROM ($lutUnion)) qq
+         |        LEFT JOIN ($lutUnion) l
+         |          ON l.sub = g.sub AND l.code = g.code AND l.q_id = qq.q_id)
+         |  GROUP BY q_id),
+         |nns AS (
+         |  SELECT list(coalesce(nn, 0.0) ORDER BY sub * $PqCodebook + code) AS ns
+         |  FROM (SELECT g.sub, g.code, n.nn
+         |        FROM grid g LEFT JOIN ($nnUnion) n
+         |          ON n.sub = g.sub AND n.code = g.code))""".stripMargin
+  }
+
   /** DuckDB twin of TextAnalysis.WsClass — the explicit whitespace
     * class (Java `\\s` set) shared by every single-class regex oracle;
     * RE2's `\\s` lacks U+000B, so a bare `\\s` is not cross-engine. */
@@ -374,6 +464,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'ann_ivf_topk', count(*)
          |    FROM ${sub("ann_ivf_topk")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_ivfpq_topk', count(*)
+         |    FROM ${sub("ann_ivfpq_topk")} x JOIN b USING (q_id, vec_id)
          |  UNION ALL
          |  SELECT 'ann_lsh_multiprobe', count(*)
          |    FROM ${sub("ann_lsh_multiprobe")} x JOIN b USING (q_id, vec_id)
@@ -1865,97 +1958,50 @@ object SparkEntry {
 
     // PQ: per-subspace Lloyd codebooks + codes-only ADC scoring,
     // subspace CTEs generated from the operator's own constants
-    "ann_pq_topk" -> {
-      import graft.operators.Similarity.{PqCodebook, PqSubDim, PqSubspaces, NumQueries, TopK}
-      def dot16(a: String, b: String): String =
-        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> CAST($a[i] AS DOUBLE) * $b[i])), (x,y)->x+y)"
-      val subCtes = (0 until PqSubspaces).map { s =>
-        val o = s * PqSubDim
-        def cosd(a: String, b: String): String =
-          s"""(${dot16(a, b)} / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (x,y)->x+y))
-             |  * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$PqSubDim), i -> $b[i] * $b[i])), (x,y)->x+y))))""".stripMargin
-        s"""sv$s AS (SELECT vec_id, list_slice(e, ${o + 1}, ${o + PqSubDim}) AS e FROM v),
-           |c0$s AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
-           |         FROM sv$s WHERE vec_id < $PqCodebook),
-           |a1$s AS (
-           |  SELECT x.vec_id, c.c_id AS cell, x.e,
-           |    row_number() OVER (PARTITION BY x.vec_id
-           |      ORDER BY ${cosd("x.e", "c.ce")} DESC, c.c_id) AS rn
-           |  FROM sv$s x, c0$s c),
-           |c1$s AS (
-           |  SELECT cell AS c_id, list(m ORDER BY pos) AS ce FROM (
-           |    SELECT cell, pos,
-           |      CAST(SUM(xx) AS DOUBLE)/CAST(COUNT(*) * 1000000 AS DOUBLE) AS m FROM (
-           |      SELECT a.cell, g.i AS pos,
-           |        CAST(ROUND(CAST(a.e[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xx
-           |      FROM a1$s a, generate_series(1,$PqSubDim) g(i) WHERE a.rn = 1)
-           |    GROUP BY cell, pos)
-           |  GROUP BY cell),
-           |af$s AS (
-           |  SELECT x.vec_id, c.c_id AS cell,
-           |    row_number() OVER (PARTITION BY x.vec_id
-           |      ORDER BY ${cosd("x.e", "c.ce")} DESC, c.c_id) AS rn
-           |  FROM sv$s x, c1$s c),
-           |cd$s AS (SELECT vec_id, cell AS code FROM af$s WHERE rn = 1),
-           |nn$s AS (SELECT c_id AS code,
-           |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(ce, x -> x*x)), (x,y)->x+y) AS nn
-           |  FROM c1$s),
-           |lut$s AS (
-           |  SELECT q.vec_id AS q_id, c.c_id AS code, ${dot16("q.e", "c.ce")} AS d
-           |  FROM sv$s q, c1$s c WHERE q.vec_id < $NumQueries)""".stripMargin
-      }.mkString(",\n")
-      val cdJoin = (1 until PqSubspaces)
-        .map(s => s"JOIN cd$s USING (vec_id)").mkString(" ")
-      val wide = (0 until PqSubspaces).map(s => s"cd$s.code AS code$s").mkString(", ")
-      // LUT and centroid norms collapse into ONE ordered list per query
-      // (indexed by sub·k + code) — scored by list extraction, so the
-      // optimizer never sees an n-way LUT join to reorder (a lut×lut
-      // cross product on q_id is 16^8 rows — the join-reorder trap)
-      val lutUnion = (0 until PqSubspaces)
-        .map(s => s"SELECT $s AS sub, q_id, code, d FROM lut$s")
-        .mkString(" UNION ALL ")
-      val nnUnion = (0 until PqSubspaces)
-        .map(s => s"SELECT $s AS sub, code, nn FROM nn$s")
-        .mkString(" UNION ALL ")
-      def dsAt(s: Int) = s"w.ds[${s * PqCodebook} + x.code$s + 1]"
-      def nsAt(s: Int) = s"nns.ns[${s * PqCodebook} + x.code$s + 1]"
-      val adot = (0 until PqSubspaces).map(dsAt).reduceLeft((a, b) => s"($a + $b)")
-      val xn = (0 until PqSubspaces).map(nsAt).reduceLeft((a, b) => s"($a + $b)")
+    "ann_pq_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |$subCtes,
-         |x AS (SELECT cd0.vec_id, $wide FROM cd0 $cdJoin),
-         |qn AS (SELECT vec_id AS q_id, sqrt(${duckDot("e", "e")}) AS qn
-         |       FROM v WHERE vec_id < $NumQueries),
-         |grid AS (
-         |  SELECT s.s AS sub, c.c AS code
-         |  FROM generate_series(0, ${PqSubspaces - 1}) s(s),
-         |       generate_series(0, ${PqCodebook - 1}) c(c)),
-         |-- densified over the full (sub, code) grid: a Lloyd update can
-         |-- leave a cell empty, and a gap in the list would shift every
-         |-- later position's index (the coalesced 0 is never looked up —
-         |-- no vector carries an empty cell's code)
-         |lutw AS (
-         |  SELECT q_id, list(coalesce(d, 0.0) ORDER BY sub * $PqCodebook + code) AS ds
-         |  FROM (SELECT qq.q_id, g.sub, g.code, l.d
-         |        FROM grid g CROSS JOIN (SELECT DISTINCT q_id FROM ($lutUnion)) qq
-         |        LEFT JOIN ($lutUnion) l
-         |          ON l.sub = g.sub AND l.code = g.code AND l.q_id = qq.q_id)
-         |  GROUP BY q_id),
-         |nns AS (
-         |  SELECT list(coalesce(nn, 0.0) ORDER BY sub * $PqCodebook + code) AS ns
-         |  FROM (SELECT g.sub, g.code, n.nn
-         |        FROM grid g LEFT JOIN ($nnUnion) n
-         |          ON n.sub = g.sub AND n.code = g.code)),
+         |${PqOracleCtes.ctes},
          |p AS (
-         |  SELECT w.q_id, x.vec_id, $adot / (qn.qn * sqrt($xn)) AS approx_cos
+         |  SELECT w.q_id, x.vec_id,
+         |    ${PqOracleCtes.adot} / (qn.qn * sqrt(${PqOracleCtes.xn})) AS approx_cos
          |  FROM x CROSS JOIN lutw w CROSS JOIN nns
          |  JOIN qn ON qn.q_id = w.q_id
          |  WHERE x.vec_id <> w.q_id)
          |SELECT q_id, rank, vec_id, approx_cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
-    },
+         |WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank""".stripMargin,
+
+    // IVF+PQ: the same trained codebooks and code table as ann_pq_topk,
+    // but a query ADC-scores only the members of its nprobe k-means
+    // cells (the coarse quantizer is the ann_ivf_kmeans training run,
+    // replayed verbatim) — mirrors Similarity.ivfPqTopK.
+    "ann_ivfpq_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |${kmAssignCte("c2", "af")},
+         |members AS (SELECT cell, vec_id FROM af WHERE rn = 1),
+         |qc AS (SELECT vec_id AS q_id, cell FROM af
+         |       WHERE vec_id < ${graft.operators.Similarity.NumQueries} AND rn <= 2),
+         |${PqOracleCtes.ctes},
+         |p AS (
+         |  SELECT w.q_id, x.vec_id,
+         |    ${PqOracleCtes.adot} / (qn.qn * sqrt(${PqOracleCtes.xn})) AS approx_cos
+         |  FROM qc JOIN members m ON m.cell = qc.cell
+         |  JOIN x ON x.vec_id = m.vec_id
+         |  JOIN lutw w ON w.q_id = qc.q_id
+         |  CROSS JOIN nns
+         |  JOIN qn ON qn.q_id = w.q_id
+         |  WHERE x.vec_id <> w.q_id)
+         |SELECT q_id, rank, vec_id, approx_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
+         |WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank""".stripMargin,
 
     "events_seasonality" ->
       s"""WITH ev AS ($EV),

@@ -366,41 +366,56 @@ object Similarity {
     cent
   }
 
-  def pqTopK(spark: SparkSession, dir: String, k: Int = TopK,
-             nQueries: Int = NumQueries): DataFrame = {
-    val v = vecs(spark, dir)
-    // codebooks + nn = centroid self-dot (reconstruction norm²)
-    val cb = pqCodebooks(v)
+  /** Codebooks + per-centroid self-dot (reconstruction norm²). */
+  private def pqCodebooksWithNorm(v: DataFrame): DataFrame =
+    pqCodebooks(v)
       .withColumn("nn", expr("aggregate(ce, cast(0 as double), (acc, x) -> acc + x * x)"))
-    // encode: one scan, all subspaces at once; the chosen code carries
-    // its centroid norm in the argmax struct (no lookup join later)
+
+  /** Encode: one corpus scan, all subspaces at once; the chosen code
+    * carries its centroid norm in the argmax struct (no lookup join
+    * later). Output: (vec_id, c0..c_{m-1}, nn0..nn_{m-1}, xn). */
+  private def pqEncode(v: DataFrame, cb: DataFrame): DataFrame = {
     val assigned = v.crossJoin(broadcast(cb))
       .withColumn("cs", graft.plans.VectorExpressions.mixedCosine(
         slice(col("e"), col("sub") * lit(PqSubDim) + lit(1), lit(PqSubDim)), col("ce")))
     val aggs = (0 until PqSubspaces).map(s =>
       min(when(col("sub") === s,
         struct((-col("cs")).as("ncs"), col("code"), col("nn")))).as(s"m$s"))
-    val codes = assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id") +: (0 until PqSubspaces).flatMap(s =>
         Seq(col(s"m$s.code").as(s"c$s"), col(s"m$s.nn").as(s"nn$s"))): _*)
       .withColumn("xn",
         sqrt((0 until PqSubspaces).map(s => col(s"nn$s")).reduceLeft(_ + _)))
-    // query side: exact norm + the per-(sub, code) dot lookup table
-    val qs = v.filter(col("vec_id") < nQueries)
+  }
+
+  /** Query side: exact norm per query vector. */
+  private def pqQueries(v: DataFrame, nQueries: Int): DataFrame =
+    v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
       .withColumn("qn", sqrt(expr(
         "aggregate(zip_with(qe, qe, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")))
-    val lut = qs.crossJoin(broadcast(cb))
+
+  /** Per-(q_id, sub, code) lookup table of sub-dot-products. */
+  private def pqLut(qs: DataFrame, cb: DataFrame): DataFrame =
+    qs.crossJoin(broadcast(cb))
       .select(col("q_id"), col("sub"), col("code"), expr(
         s"aggregate(zip_with(slice(qe, sub * $PqSubDim + 1, $PqSubDim), ce, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)")
         .as("d"))
-    // ADC scoring: per-subspace broadcast LUT joins, fixed-order sum
-    var scored = codes
+
+  /** ADC scoring over a candidate code frame: per-subspace broadcast
+    * LUT joins, fixed-order sum, per-query rank. `base` is either the
+    * whole code table (exhaustive — the s=0 join fans out each code row
+    * to every query) or an already-(q_id, vec_id)-shaped probed subset
+    * (IVF-pruned — every join keys on q_id too). */
+  private def adcScore(base: DataFrame, lut: DataFrame, qs: DataFrame,
+                       k: Int): DataFrame = {
+    val hasQid = base.columns.contains("q_id")
+    var scored = base
     for (s <- 0 until PqSubspaces)
       scored = scored.join(
         broadcast(lut.filter(col("sub") === s)
           .select(col("q_id"), col("code").as(s"c$s"), col("d").as(s"d$s"))),
-        if (s == 0) Seq("c0") else Seq("q_id", s"c$s"))
+        if (s == 0 && !hasQid) Seq("c0") else Seq("q_id", s"c$s"))
     val w = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vec_id"))
     scored
       .join(broadcast(qs.select("q_id", "qn")), "q_id")
@@ -412,6 +427,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "approx_cos")
       .orderBy("q_id", "rank")
+  }
+
+  def pqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+             nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    val cb = pqCodebooksWithNorm(v)
+    val qs = pqQueries(v, nQueries)
+    adcScore(pqEncode(v, cb), pqLut(qs, cb), qs, k)
+  }
+
+  /** IVF+PQ composed index: the coarse k-means quantizer assigns every
+    * code to a cell, and a query ADC-scores ONLY the codes in its
+    * `nprobe` probed cells — the missing piece that makes pqTopK scale:
+    * exhaustive ADC touches all N codes per query, this touches
+    * ~N·nprobe/nCentroids. Raw vectors still never move at query time
+    * (cell ids ride the 1-byte-per-subspace code rows); centroids and
+    * LUTs are broadcast. Codebooks quantize the RAW vectors (not cell
+    * residuals), so codes are cell-independent and the PQ training pass
+    * is shared verbatim with pqTopK — the no-residual IVFPQ variant,
+    * which keeps the DuckDB oracle an exact replay. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                nQueries: Int = NumQueries, nCentroids: Int = 8,
+                iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = kmeansCentroids(v, nCentroids, iters)
+    val members = argmaxCellOf(v, cent).select("vec_id", "cell")
+    val cb = pqCodebooksWithNorm(v)
+    val codes = pqEncode(v, cb).join(members, "vec_id")
+    // top-nprobe cells per query — a window over nQueries × nCentroids
+    // rows only, never the corpus
+    val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val qs = pqQueries(v, nQueries)
+    // cell prune: each query sees only its probed cells' code rows
+    // (cells are disjoint, so no (q_id, vec_id) duplicates can arise)
+    val probed = broadcast(probes).join(codes, "cell").drop("cell")
+    adcScore(probed, pqLut(qs, cb), qs, k)
   }
 
   /** Multi-probe LSH top-k: the query also probes the Hamming-1
@@ -474,9 +532,16 @@ object Similarity {
     * nQueries×k rows per side. */
   def recallReport(spark: SparkSession, dir: String,
                    k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
-    val brute = bruteTopK(spark, dir, k, nQueries).select("q_id", "vec_id")
+    // each variant's (q_id, vec_id) top-k is localCheckpointed before
+    // the semi-joins: the brute baseline would otherwise be recomputed
+    // once per variant branch, and every variant's full index pipeline
+    // would ride into the union plan (same discipline minhashQuality
+    // applies to signatures). nQueries×k rows each — trivially small.
+    def topk(df: DataFrame): DataFrame =
+      df.select("q_id", "vec_id").localCheckpoint()
+    val brute = topk(bruteTopK(spark, dir, k, nQueries))
     def row(name: String, df: DataFrame): DataFrame =
-      df.select("q_id", "vec_id")
+      topk(df)
         .join(brute, Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("variant"), col("n_hits"),
@@ -484,6 +549,7 @@ object Similarity {
             .as("recall"))
     row("ann_ivf_kmeans", ivfKmeansTopK(spark, dir, k, nQueries))
       .unionByName(row("ann_ivf_topk", ivfTopK(spark, dir, k, nQueries)))
+      .unionByName(row("ann_ivfpq_topk", ivfPqTopK(spark, dir, k, nQueries)))
       .unionByName(row("ann_lsh_multiprobe", lshMultiProbeTopK(spark, dir, k, nQueries)))
       .unionByName(row("ann_lsh_topk", lshTopK(spark, dir, k, nQueries)))
       .unionByName(row("ann_pq_topk", pqTopK(spark, dir, k, nQueries)))

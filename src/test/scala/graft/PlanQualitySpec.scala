@@ -170,6 +170,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"PQ scoring must not shuffle-join:\n$p")
   }
 
+  test("IVF+PQ search: broadcast scoring; the one shuffle join is the vec_id code/cell zip") {
+    val p = plan("ann_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    // codes ⋈ coarse-cell assignment is the single allowed SMJ: both
+    // sides arrive hash-partitioned on vec_id from their own groupBys,
+    // so the join reuses those exchanges and adds none of its own —
+    // every OTHER join (probe cells, LUTs, norms) must be broadcast
+    val smjLines = p.split("\n").filter(_.contains("SortMergeJoin")).map(_.trim).distinct
+    assert(smjLines.forall(_.contains("[vec_id")),
+      s"unexpected non-vec_id shuffle join:\n${smjLines.mkString("\n")}")
+  }
+
   test("dedup_chain: the native exec runs inside whole-stage codegen") {
     import org.apache.spark.sql.execution.debug.codegenString
     val df = SparkEntry.queries("dedup_chain")(spark, sf)

@@ -66,6 +66,31 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(r => assert(!r.getDouble(3).isNaN))
   }
 
+  test("IVF+PQ: pruned ADC scores equal exhaustive ADC and clear the PQ recall floor") {
+    val ivfpq = Similarity.ivfPqTopK(spark, sf).collect()
+    assert(ivfpq.length == Similarity.TopK * Similarity.NumQueries)
+    ivfpq.foreach { r =>
+      assert(!r.getDouble(3).isNaN)
+      assert(r.getLong(2) != r.getLong(0))
+    }
+    // any (q, vec) pair both searches return must score identically:
+    // the codebooks, codes, and LUT are shared — pruning only shrinks
+    // the candidate set, it never changes an ADC estimate
+    val pq = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = ivfpq.flatMap(r =>
+      pq.get((r.getLong(0), r.getLong(2))).map(_ -> r.getDouble(3)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (exhaustive, pruned) => assert(exhaustive == pruned) }
+    // recall@5 vs brute force stays above the same floor PQ is held to
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = ivfpq.map(r => (r.getLong(0), r.getLong(2))).toSet intersect brute
+    val recall = hits.size.toDouble / brute.size
+    info(f"IVF+PQ recall@5 = $recall%.3f")
+    assert(recall >= 0.2, f"IVF+PQ recall $recall%.3f below floor")
+  }
+
   test("simhash near-dup pairs are ordered and within the hamming bound") {
     val out = SimHash.nearDupPairs(spark, sf).collect()
     assert(out.nonEmpty)
