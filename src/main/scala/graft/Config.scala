@@ -29,6 +29,17 @@ object GraftConfig {
   val IgnoredPropsKey = "spark.graft.deduplication.ignoredProperties"
   val CacheWindowKey = "spark.graft.cache.windowSeconds"
   val DisableRebuildKey = "spark.graft.cache.disableRebuild"
+  val DigestKey = "spark.graft.digest"
+
+  /** Digest algorithm for envelope identity: `h64` (default; BIGINT,
+    * DuckDB-oracle-reproducible) or `blake2b` (BINARY(64), reference
+    * createHasher parity — see functions.Blake2b). */
+  def digestAlgorithm(spark: SparkSession): String =
+    spark.conf.getOption(DigestKey).getOrElse("h64") match {
+      case v @ ("h64" | "blake2b") => v
+      case other => throw new IllegalArgumentException(
+        s"""$DigestKey must be either "h64" or "blake2b". Instead, $other was given.""")
+    }
 
   val DefaultDedupWindowSeconds = 3600.0
   val DefaultCacheWindowSeconds = 172800.0

@@ -48,6 +48,42 @@ object Hashing {
       concat(e.getField("key"), lit("="), e.getField("value"))))
   }
 
+  /** Reference-exact stable stringify of a property bag: JSON object
+    * with keys SORTED and `ignored` keys removed — byte-identical to
+    * `safe-stable-stringify` over Record<string,string> as the
+    * reference feeds its hasher (deduplication.ts:17-23). Spark's
+    * to_json provides the JSON string escaping; map_from_entries over
+    * the sorted entry array fixes the key order. */
+  def stableStringifyProps(m: Column, ignored: Seq[String]): Column = {
+    val kept =
+      if (ignored.isEmpty) m
+      else map_filter(m, (k, _) => !k.isin(ignored: _*))
+    to_json(map_from_entries(array_sort(map_entries(kept))))
+  }
+
+  /** BLAKE2b-512 of a binary column — codegen'd static call into the
+    * RFC 7693 implementation ([[Blake2b]]); 64-byte digest, exactly
+    * Node's createHash("BLAKE2b512"). */
+  def blake2b512(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        Blake2b.getClass,
+        org.apache.spark.sql.types.BinaryType,
+        "hash512",
+        Seq(org.apache.spark.sql.graft.Bridge.expression(c)),
+        returnNullable = false))
+
+  /** The reference's digest, byte-for-byte (deduplication.ts:25-38):
+    * BLAKE2b-512 over payload bytes ‖ UTF-8 stable-stringified kept
+    * properties. Lets digests interchange with an output store the
+    * reference service wrote (migration/bootstrap parity). Not used by
+    * the oracle-checked queries — DuckDB has no BLAKE2b; select it via
+    * spark.graft.digest=blake2b (Envelope.digestFor). */
+  def envelopeDigestBlake2b(payload: Column, props: Column,
+                            ignored: Seq[String] = Nil): Column =
+    blake2b512(concat(payload,
+      encode(stableStringifyProps(props, ignored), "UTF-8")))
+
   /** Money-ish double → exact integer cents (avoids engine-specific
     * double→string formatting in hash inputs). */
   def valueCents(value: Column): Column =

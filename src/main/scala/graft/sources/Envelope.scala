@@ -34,6 +34,19 @@ object Envelope {
     h64(concat(col("payload"),
       encode(canonicalPropsMap(col("properties"), ignored), "UTF-8")))
 
+  /** Digest selected by `spark.graft.digest`: the default `h64`
+    * (BIGINT, DuckDB-reproducible — what every oracle-checked query
+    * uses) or `blake2b` (BINARY(64), byte-for-byte the reference's
+    * createHasher output — payload ‖ stable-stringified kept props —
+    * for interchange with digests the reference service published). */
+  def digestFor(spark: SparkSession, ignored: Seq[String] = Nil): Column =
+    graft.GraftConfig.digestAlgorithm(spark) match {
+      case "h64" => digest(ignored)
+      case "blake2b" =>
+        graft.functions.Hashing.envelopeDigestBlake2b(
+          col("payload"), col("properties"), ignored)
+    }
+
   /** The test `events` table as an envelope stream (payload = the
     * event body bytes, properties = the parsed props map). */
   def fromEvents(spark: SparkSession, dir: String): DataFrame =
