@@ -58,10 +58,14 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    // stop BEFORE printing: executor/session shutdown chatter lands on
+    // stderr/stdout first, so the JSON line is the program's LAST stdout
+    // line and a tail parse (the driver's) finds it unbroken
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -16,9 +16,13 @@ object Analytics4 {
 
   /** Fixed-width value histogram per event type — the distribution
     * panel next to the quantile/anomaly reports. Bucketing is exact
-    * integer division on cents, so bucket boundaries are engine- and
-    * layout-independent; one partial-aggregable shuffle on
-    * (type, bucket), output is O(types × occupied buckets). */
+    * integer division on cents; both engines truncate toward zero
+    * (Spark IntegralDivide and DuckDB `//` — verified on negative
+    * fixtures in Analytics4Spec), so even a negative cent value (the
+    * value ≥ 0 contract is monitored, not enforced, by dq_report)
+    * buckets identically across engines. One partial-aggregable
+    * shuffle on (type, bucket), output is O(types × occupied
+    * buckets). */
   def valueHistogram(spark: SparkSession, dir: String): DataFrame =
     Dedup.eventsUs(spark, dir)
       .select(col("event_type"), valueCents(col("value")).as("cents"))

@@ -13,6 +13,19 @@ class Analytics4Spec extends SparkSpec {
 
   private def cents(v: Double): Long = math.round(v * 100)
 
+  test("intDiv buckets negative cents exactly like DuckDB // (both truncate)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Seq(-4100L, -2000L, -1L, 0L, 1999L, 2000L).toDF("cents")
+      .select(graft.functions.Hashing.intDiv(col("cents"),
+        lit(Analytics4.HistBucketCents)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    // pinned against DuckDB: SELECT c // 2000 over the same fixtures
+    // returns (-2, -1, 0, 0, 0, 1) — truncation toward zero, NOT floor
+    // (round-4 advice assumed floor; the engines in fact agree as-is)
+    assert(got == Seq(-2L, -1L, 0L, 0L, 0L, 1L))
+  }
+
   test("valueHistogram matches an exact-cents bucketing model") {
     val expected = events
       .map { case (_, _, _, t, v) => (t, cents(v)) }
