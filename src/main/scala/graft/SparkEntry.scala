@@ -119,6 +119,7 @@ object SparkEntry {
     "docs_source_quantiles" -> ((s, d) => graft.operators.QualitySignals.sourceLengthStats(s, d)),
     "dedup_chunks" -> ((s, d) => DocDedup.chunkDedup(s, d)),
     "pipeline_decontaminated" -> ((s, d) => graft.operators.Curation.decontaminated(s, d)),
+    "pipeline_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),
     "events_dau_wau" -> ((s, d) => graft.operators.Analytics3.dauWau(s, d)),
     "dedup_graph_rank" -> ((s, d) => MinHashLSH.graphCentrality(s, d)),
     // round 4 (cont.): corpus composition + event panels
@@ -1309,6 +1310,24 @@ object SparkEntry {
          |WHERE doc_id % ${graft.operators.Curation.EvalMod} <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+
+    // sequence packing: concatenate in doc_id order, cut every seqLen
+    // tokens — the oracle's single-partition window IS the semantics;
+    // the operator computes the same exclusive prefix sum via
+    // range-repartitioned Ranking.globalPrefixSum (scalable path)
+    "pipeline_pack_sequences" -> {
+      val L = graft.operators.Pipeline.PackSeqLen
+      s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, n_toks,
+         |  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, n_toks, start_tok,
+         |  start_tok // $L AS pack_id,
+         |  (n_toks > 0 AND (start_tok + n_toks - 1) // $L <> start_tok // $L) AS straddles
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_cross_source" ->
       s"""WITH $SH_CTE,

@@ -20,6 +20,32 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   val QualityMin = 0.6
+  val PackSeqLen = 512L
+
+  /** Sequence packing — the training-data step after cleaning: docs are
+    * concatenated in doc_id order and the token stream is cut every
+    * `seqLen` tokens. Each doc reports its global token offset, the
+    * training sequence (pack) its first token lands in, and whether it
+    * straddles a cut (the fraction of straddling docs is the metric a
+    * pipeline watches when choosing seqLen vs document-boundary
+    * packing). The global offset is an exact exclusive prefix sum via
+    * [[Ranking.globalPrefixSum]] — range-repartitioned, never a
+    * single-partition window, so the plan survives a corpus that is
+    * 10⁶× this test table. */
+  def packSequences(spark: SparkSession, dir: String,
+                    seqLen: Long = PackSeqLen): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    Ranking.globalPrefixSum(perDoc, Seq(col("doc_id")), "n_toks", out = "start_tok")
+      .withColumn("pack_id", intDiv(col("start_tok"), lit(seqLen)))
+      .withColumn("straddles",
+        col("n_toks") > 0 &&
+          intDiv(col("start_tok") + col("n_toks") - 1, lit(seqLen)) =!= col("pack_id"))
+      .select("doc_id", "n_toks", "start_tok", "pack_id", "straddles")
+      .orderBy("doc_id")
+  }
 
   /** The oracle-checked pipeline_clean_docs: BOTH gates (exact-dedup
     * keepers and near-dup losers) are computed over the FULL corpus —

@@ -29,4 +29,35 @@ object Ranking {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Append `out` = EXCLUSIVE global prefix sum of long column
+    * `valueCol` in `sort` order (row i gets the sum of all earlier
+    * rows' values; the first row gets 0) — the value-weighted twin of
+    * [[globalRowNumber]], same two-job shape: range-repartition +
+    * within-partition sort, one tiny job collecting the per-partition
+    * sums (numPartitions longs of driver state — the zipWithIndex
+    * pattern), then a per-partition running sum seeded by the
+    * preceding partitions' total. `sort` must be a total order. */
+  def globalPrefixSum(df: DataFrame, sort: Seq[Column], valueCol: String,
+                      out: String = "prefix"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sort: _*).sortWithinPartitions(sort: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.foldLeft(0L)(_ + _.getLong(idx)))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive per-partition seeds
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val start = acc
+        acc += r.getLong(idx)
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -26,10 +26,39 @@ class RankingSpec extends SparkSpec {
   }
 
   test("rank consumers plan no single-partition window") {
-    for (q <- Seq("events_spend_deciles", "events_rfm")) {
+    for (q <- Seq("events_spend_deciles", "events_rfm", "pipeline_pack_sequences")) {
       val p = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!p.contains("Window"), s"$q must rank via the partition-offset zip, not a window:\n$p")
     }
+  }
+
+  test("globalPrefixSum is the exclusive running total in sort order") {
+    import spark.implicits._
+    val df = Seq((4L, 10L), (1L, 3L), (3L, 0L), (2L, 7L), (5L, 2L))
+      .toDF("k", "v").repartition(3)
+    val got = Ranking.globalPrefixSum(df, Seq(col("k")), "v", out = "p")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L), (2L, 3L), (3L, 10L), (4L, 10L), (5L, 20L)))
+  }
+
+  test("packSequences matches a sequential concatenate-and-cut model") {
+    val L = Pipeline.PackSeqLen
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "CAST(size(filter(split(trim(text), '\\\\s+'), t -> t != '')) AS BIGINT) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val expected = docs.map { case (id, n) =>
+      val start = off; off += n
+      (id, n, start, start / L,
+        n > 0 && (start + n - 1) / L != start / L)
+    }.toSeq
+    val got = Pipeline.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    assert(got == expected)
+    // the straddle metric is meaningful on this corpus: some docs cross
+    assert(got.exists(_._5) && got.exists(!_._5))
   }
 }
