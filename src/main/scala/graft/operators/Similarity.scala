@@ -276,11 +276,16 @@ object Similarity {
 
   def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = TopK,
                     nQueries: Int = NumQueries, nCentroids: Int = 8,
-                    iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val v = vecs(spark, dir)
-    def argmaxCell(cent: DataFrame): DataFrame = argmaxCellOf(v, cent)
-    val cent = kmeansCentroids(v, nCentroids, iters)
-    val members = argmaxCell(cent)
+                    iters: Int = 2, nprobe: Int = 2): DataFrame =
+    ivfKmeansTopKWith(vecs(spark, dir),
+      kmeansCentroids(vecs(spark, dir), nCentroids, iters), k, nQueries, nprobe)
+
+  /** Search against ALREADY-TRAINED centroids (a materialized local
+    * relation) — lets recallReport train once and grade every consumer
+    * of the same coarse quantizer without re-running Lloyd. */
+  private def ivfKmeansTopKWith(v: DataFrame, cent: DataFrame, k: Int,
+                                nQueries: Int, nprobe: Int): DataFrame = {
+    val members = argmaxCellOf(v, cent)
     // probe ranking needs top-`nprobe` cells — a window, but only over
     // the nQueries × nCentroids candidate rows, never the corpus
     val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
@@ -432,7 +437,12 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String, k: Int = TopK,
              nQueries: Int = NumQueries): DataFrame = {
     val v = vecs(spark, dir)
-    val cb = pqCodebooksWithNorm(v)
+    pqTopKWith(v, pqCodebooksWithNorm(v), k, nQueries)
+  }
+
+  /** Exhaustive ADC against ALREADY-TRAINED codebooks. */
+  private def pqTopKWith(v: DataFrame, cb: DataFrame, k: Int,
+                         nQueries: Int): DataFrame = {
     val qs = pqQueries(v, nQueries)
     adcScore(pqEncode(v, cb), pqLut(qs, cb), qs, k)
   }
@@ -451,9 +461,16 @@ object Similarity {
                 nQueries: Int = NumQueries, nCentroids: Int = 8,
                 iters: Int = 2, nprobe: Int = 2): DataFrame = {
     val v = vecs(spark, dir)
-    val cent = kmeansCentroids(v, nCentroids, iters)
+    ivfPqTopKWith(v, kmeansCentroids(v, nCentroids, iters),
+      pqCodebooksWithNorm(v), k, nQueries, nprobe)
+  }
+
+  /** Cell-pruned ADC against ALREADY-TRAINED coarse centroids and
+    * codebooks — the composition point recallReport uses to share one
+    * training run across the kmeans-IVF, PQ, and IVF+PQ variants. */
+  private def ivfPqTopKWith(v: DataFrame, cent: DataFrame, cb: DataFrame,
+                            k: Int, nQueries: Int, nprobe: Int): DataFrame = {
     val members = argmaxCellOf(v, cent).select("vec_id", "cell")
-    val cb = pqCodebooksWithNorm(v)
     val codes = pqEncode(v, cb).join(members, "vec_id")
     // top-nprobe cells per query — a window over nQueries × nCentroids
     // rows only, never the corpus
@@ -547,12 +564,20 @@ object Similarity {
         .select(lit(name).as("variant"), col("n_hits"),
           graft.functions.Hashing.ratio4(col("n_hits"), lit(k.toLong * nQueries))
             .as("recall"))
-    row("ann_ivf_kmeans", ivfKmeansTopK(spark, dir, k, nQueries))
+    // one training run per model, shared: the coarse k-means centroids
+    // feed both the kmeans-IVF and IVF+PQ rows, the PQ codebooks feed
+    // both the PQ and IVF+PQ rows — training is deterministic and the
+    // trained frames are materialized local relations, so sharing
+    // changes no value, only removes the duplicate Lloyd passes
+    val v = vecs(spark, dir)
+    val cent = kmeansCentroids(v, nCentroids = 8, iters = 2)
+    val cb = pqCodebooksWithNorm(v)
+    row("ann_ivf_kmeans", ivfKmeansTopKWith(v, cent, k, nQueries, nprobe = 2))
       .unionByName(row("ann_ivf_topk", ivfTopK(spark, dir, k, nQueries)))
-      .unionByName(row("ann_ivfpq_topk", ivfPqTopK(spark, dir, k, nQueries)))
+      .unionByName(row("ann_ivfpq_topk", ivfPqTopKWith(v, cent, cb, k, nQueries, nprobe = 2)))
       .unionByName(row("ann_lsh_multiprobe", lshMultiProbeTopK(spark, dir, k, nQueries)))
       .unionByName(row("ann_lsh_topk", lshTopK(spark, dir, k, nQueries)))
-      .unionByName(row("ann_pq_topk", pqTopK(spark, dir, k, nQueries)))
+      .unionByName(row("ann_pq_topk", pqTopKWith(v, cb, k, nQueries)))
       .orderBy("variant")
   }
 
