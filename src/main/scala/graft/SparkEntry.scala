@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_chunks" -> ((s, d) => DocDedup.chunkDedup(s, d)),
     "pipeline_decontaminated" -> ((s, d) => graft.operators.Curation.decontaminated(s, d)),
     "pipeline_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),
+    "source_mix_report" -> ((s, d) => graft.operators.Curation.sourceMixReport(s, d)),
     "events_dau_wau" -> ((s, d) => graft.operators.Analytics3.dauWau(s, d)),
     "dedup_graph_rank" -> ((s, d) => MinHashLSH.graphCentrality(s, d)),
     // round 4 (cont.): corpus composition + event panels
@@ -1328,6 +1329,20 @@ object SparkEntry {
          |  (n_toks > 0 AND (start_tok + n_toks - 1) // $L <> start_tok // $L) AS straddles
          |FROM p ORDER BY doc_id""".stripMargin
     },
+
+    // uniform-target mix weight = (total div nSources) / n_toks, exact
+    // rational on both engines — mirrors Curation.sourceMixReport
+    "source_mix_report" ->
+      s"""WITH t AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CAST(len($TOKS) AS BIGINT)) AS BIGINT) AS n_toks
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total,
+         |               count(*) AS n_sources FROM t)
+         |SELECT source, n_docs, n_toks,
+         |  ${ratio4Sql("n_toks", "total")} AS tok_share,
+         |  ${ratio4Sql("total // n_sources", "n_toks")} AS mix_weight
+         |FROM t CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "dedup_cross_source" ->
       s"""WITH $SH_CTE,

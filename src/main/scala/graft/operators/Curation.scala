@@ -170,6 +170,30 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Data-mixture report — the rebalancing panel a training-data
+    * pipeline reads before sampling: per source, document and exact
+    * token counts, the source's share of all tokens, and the
+    * resampling weight that would move the mix to a UNIFORM per-source
+    * token target (weight = (total div nSources) / n_toks, exact
+    * rational ratio4 — >1 means upsample, <1 downsample). One
+    * narrow-scan groupBy to O(sources) rows; the totals ride back as a
+    * broadcast, never a second corpus pass. */
+  def sourceMixReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val t = Tables.documents(spark, dir).select("source", "text").spread
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_toks"))
+    val tot = t.agg(sum("n_toks").as("total"), count(lit(1)).as("n_sources"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("tok_share", ratio4(col("n_toks"), col("total")))
+      .withColumn("mix_weight",
+        ratio4(intDiv(col("total"), col("n_sources")), col("n_toks")))
+      .select("source", "n_docs", "n_toks", "tok_share", "mix_weight")
+      .orderBy("source")
+  }
+
   /** The dedup MANIFEST — the artifact a dedup pass actually applies
     * to a corpus: per document, a keep/drop status with its reason and
     * the canonical doc it defers to. Exact duplicates (same normalized

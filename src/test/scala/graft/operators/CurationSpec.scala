@@ -121,6 +121,24 @@ class CurationSpec extends SparkSpec {
       s"canonical chain 9→5→2 must resolve to the kept doc; got $got")
   }
 
+  test("sourceMixReport matches an exact token-share and uniform-weight model") {
+    val bySource = docs.groupBy(_._3).map { case (src, ds) =>
+      src -> (ds.size.toLong, ds.map(d => toks(d._2).length.toLong).sum)
+    }
+    val total = bySource.values.map(_._2).sum
+    val nSources = bySource.size.toLong
+    val expected = bySource.toSeq.sortBy(_._1).map { case (src, (nd, nt)) =>
+      (src, nd, nt, ratio4Model(nt, total), ratio4Model(total / nSources, nt))
+    }
+    val got = Curation.sourceMixReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // the weights rebalance: at least one source needs up- and one
+    // needs down-sampling unless the mix is already exactly uniform
+    assert(got.map(_._5).distinct.size > 1 || got.forall(_._5 == 1.0))
+  }
+
   test("crossSourcePairs = near-dup pairs restricted to differing sources") {
     val srcOf = docs.map { case (id, _, s) => id -> s }.toMap
     val all = MinHashLSH.nearDupPairs(spark, sf).collect().toSeq
