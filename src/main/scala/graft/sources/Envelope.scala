@@ -202,4 +202,17 @@ object Envelope {
     val w = Window.partitionBy("digest").orderBy("event_ts")
     hashed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
+
+  /** Same dedup with the digest selected by `spark.graft.digest` — a
+    * migration from the reference service flips the conf to `blake2b`
+    * (byte-compatible digests, BINARY column) without touching the
+    * pipeline; grouping and shuffle semantics are identical for any
+    * collision-free digest, so the kept set does not change
+    * (spec-pinned against the h64 path). */
+  def firstOccurrenceConfigured(spark: SparkSession, env: DataFrame,
+                                ignored: Seq[String] = Nil): DataFrame = {
+    val hashed = env.withColumn("digest", digestFor(spark, ignored))
+    val w = Window.partitionBy("digest").orderBy("event_ts")
+    hashed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
 }

@@ -63,6 +63,22 @@ class Blake2bSpec extends SparkSpec {
     assert(out === """{"a":"he said \"hi\"","z":"last"}""")
   }
 
+  test("blake2b-digested dedup keeps exactly the h64 path's rows") {
+    val env = graft.sources.Envelope.fromEvents(spark, sf)
+    def kept(algo: String): Set[Long] =
+      try {
+        spark.conf.set(graft.GraftConfig.DigestKey, algo)
+        graft.sources.Envelope.firstOccurrenceConfigured(spark, env)
+          .select("event_id").collect().map(_.getLong(0)).toSet
+      } finally spark.conf.unset(graft.GraftConfig.DigestKey)
+    val h64Kept = kept("h64")
+    val blakeKept = kept("blake2b")
+    assert(h64Kept.nonEmpty)
+    // any collision-free digest keeps the same first occurrences —
+    // the conf flip is semantics-preserving for a migration
+    assert(blakeKept === h64Kept)
+  }
+
   test("spark.graft.digest selects the envelope digest algorithm") {
     val env = graft.sources.Envelope.fromEvents(spark, sf).limit(5)
     try {
