@@ -180,11 +180,15 @@ object Curation {
     * broadcast, never a second corpus pass. */
   def sourceMixReport(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.{intDiv, ratio4}
+    // localCheckpoint the O(sources) aggregate: the totals derive from
+    // it AND it feeds the final join — without the checkpoint both
+    // consumers would re-run the corpus scan + shuffle
     val t = Tables.documents(spark, dir).select("source", "text").spread
       .select(col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n").as("n_toks"))
+      .localCheckpoint()
     val tot = t.agg(sum("n_toks").as("total"), count(lit(1)).as("n_sources"))
     t.crossJoin(broadcast(tot))
       .withColumn("tok_share", ratio4(col("n_toks"), col("total")))

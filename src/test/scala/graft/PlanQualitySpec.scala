@@ -170,6 +170,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"PQ scoring must not shuffle-join:\n$p")
   }
 
+  test("mix report: one documents scan (checkpointed aggregate feeds totals AND join)") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("source_mix_report")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(scanCount(p, "documents") == 0, // both sides read the checkpointed rows
+      s"totals must reuse the checkpointed aggregate, not rescan documents:\n$p")
+  }
+
   test("IVF+PQ search: broadcast scoring; the one shuffle join is the vec_id code/cell zip") {
     val p = plan("ann_ivfpq_topk")
     assert(p.contains("BroadcastHashJoin"))
