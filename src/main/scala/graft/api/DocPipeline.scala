@@ -88,6 +88,21 @@ final class DocPipeline private (val df: DataFrame) {
   def cleaned: DataFrame =
     df.select("doc_id", "n_toks", "quality_score", "fingerprint")
       .orderBy("doc_id")
+
+  /** Terminal: sequence-pack the SURVIVING corpus
+    * (pipeline_pack_sequences semantics over this pipeline's frame) —
+    * doc_id-ordered concatenate-and-cut with global offsets from the
+    * range-repartitioned prefix sum. */
+  def packed(seqLen: Long = graft.operators.Pipeline.PackSeqLen): DataFrame =
+    graft.operators.Pipeline.packOf(
+      withToks(df).select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks")),
+      seqLen)
+
+  /** Terminal: data-mixture report of the SURVIVING corpus
+    * (source_mix_report semantics) — requires a `source` column. */
+  def mixReport: DataFrame =
+    graft.operators.Curation.sourceMixReportOf(df.select("source", "text"))
 }
 
 object DocPipeline {

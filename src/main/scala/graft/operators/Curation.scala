@@ -178,12 +178,17 @@ object Curation {
     * rational ratio4 — >1 means upsample, <1 downsample). One
     * narrow-scan groupBy to O(sources) rows; the totals ride back as a
     * broadcast, never a second corpus pass. */
-  def sourceMixReport(spark: SparkSession, dir: String): DataFrame = {
+  def sourceMixReport(spark: SparkSession, dir: String): DataFrame =
+    sourceMixReportOf(Tables.documents(spark, dir).select("source", "text").spread)
+
+  /** The mix-report core over any (source, text) frame — shared by the
+    * oracle-checked query above and DocPipeline.mixReport. */
+  def sourceMixReportOf(docs: DataFrame): DataFrame = {
     import graft.functions.Hashing.{intDiv, ratio4}
     // localCheckpoint the O(sources) aggregate: the totals derive from
     // it AND it feeds the final join — without the checkpoint both
     // consumers would re-run the corpus scan + shuffle
-    val t = Tables.documents(spark, dir).select("source", "text").spread
+    val t = docs
       .select(col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
       .groupBy("source")

@@ -33,12 +33,18 @@ object Pipeline {
     * single-partition window, so the plan survives a corpus that is
     * 10⁶× this test table. */
   def packSequences(spark: SparkSession, dir: String,
-                    seqLen: Long = PackSeqLen): DataFrame = {
-    import graft.functions.Hashing.intDiv
-    val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread
+                    seqLen: Long = PackSeqLen): DataFrame =
+    packOf(Tables.documents(spark, dir).select("doc_id", "text").spread
       .select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
-    Ranking.globalPrefixSum(perDoc, Seq(col("doc_id")), "n_toks", out = "start_tok")
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks")),
+      seqLen)
+
+  /** The packing core over any (doc_id, n_toks) frame — shared by the
+    * oracle-checked query above and DocPipeline.packed. */
+  def packOf(perDoc: DataFrame, seqLen: Long = PackSeqLen): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    Ranking.globalPrefixSum(perDoc.select("doc_id", "n_toks"),
+        Seq(col("doc_id")), "n_toks", out = "start_tok")
       .withColumn("pack_id", intDiv(col("start_tok"), lit(seqLen)))
       .withColumn("straddles",
         col("n_toks") > 0 &&

@@ -25,6 +25,27 @@ class DocPipelineSpec extends SparkSpec {
     assert(fluent.nonEmpty)
   }
 
+  test("packed/mixReport terminals equal the whole-corpus operators on an identity pipeline") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "source")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList).toSeq
+    // no filtering stages → the pipeline's frame IS the corpus, so the
+    // terminals must reproduce the oracle-checked operators exactly
+    assert(rows(DocPipeline(docs).packed()) ===
+      rows(graft.operators.Pipeline.packSequences(spark, sf)))
+    assert(rows(DocPipeline(docs).mixReport) ===
+      rows(graft.operators.Curation.sourceMixReport(spark, sf)))
+    // and after a filtering stage the packing is over SURVIVORS only:
+    // offsets re-base to the surviving corpus
+    val packedFiltered = DocPipeline(docs)
+      .qualityFilter(min = graft.operators.Pipeline.QualityMin).packed()
+    val perDoc = packedFiltered.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perDoc.nonEmpty && perDoc.length < docs.count())
+    var off = 0L
+    perDoc.foreach { case (_, n, start) => assert(start == off); off += n }
+  }
+
   test("scrub stage redacts before downstream stages tokenize") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
