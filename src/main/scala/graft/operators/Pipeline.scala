@@ -40,11 +40,17 @@ object Pipeline {
       seqLen)
 
   /** The packing core over any (doc_id, n_toks) frame — shared by the
-    * oracle-checked query above and DocPipeline.packed. */
-  def packOf(perDoc: DataFrame, seqLen: Long = PackSeqLen): DataFrame = {
+    * oracle-checked query above and DocPipeline.packed. `baseOffset`
+    * continues an EXISTING packed corpus: pass the prior run's total
+    * token count and the new batch's offsets/packs pick up exactly
+    * where the old corpus ended (incremental append — the same
+    * fold-equals-full-pass contract the incremental dedup keeps). */
+  def packOf(perDoc: DataFrame, seqLen: Long = PackSeqLen,
+             baseOffset: Long = 0L): DataFrame = {
     import graft.functions.Hashing.intDiv
     Ranking.globalPrefixSum(perDoc.select("doc_id", "n_toks"),
         Seq(col("doc_id")), "n_toks", out = "start_tok")
+      .withColumn("start_tok", col("start_tok") + baseOffset)
       .withColumn("pack_id", intDiv(col("start_tok"), lit(seqLen)))
       .withColumn("straddles",
         col("n_toks") > 0 &&

@@ -42,6 +42,29 @@ class RankingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L), (2L, 3L), (3L, 10L), (4L, 10L), (5L, 20L)))
   }
 
+  test("globalPrefixSum on an empty frame is empty, schema intact") {
+    import spark.implicits._
+    val out = Ranking.globalPrefixSum(
+      Seq.empty[(Long, Long)].toDF("k", "v"), Seq(col("k")), "v")
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v", "prefix"))
+    assert(out.count() == 0)
+  }
+
+  test("incremental pack continuation equals the full-corpus pack") {
+    import spark.implicits._
+    val all = Seq((1L, 300L), (2L, 300L), (3L, 10L), (4L, 600L), (5L, 100L))
+      .toDF("doc_id", "n_toks")
+    val full = Pipeline.packOf(all, seqLen = 512L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // split at doc 3: pack the tail with baseOffset = head's token total
+    val (head, tail) = (all.filter(col("doc_id") <= 3), all.filter(col("doc_id") > 3))
+    val headPacked = Pipeline.packOf(head, seqLen = 512L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val tailPacked = Pipeline.packOf(tail, seqLen = 512L, baseOffset = 610L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert((headPacked ++ tailPacked).sortBy(_._1).toSeq == full.sortBy(_._1).toSeq)
+  }
+
   test("packSequences matches a sequential concatenate-and-cut model") {
     val L = Pipeline.PackSeqLen
     val docs = graft.Tables.documents(spark, sf)
