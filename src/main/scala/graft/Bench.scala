@@ -61,11 +61,25 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    // The full per-query map (~4.5 KB for 150 queries) overflows the
+    // driver's 2000-char log-tail window, so the FINAL stdout line is a
+    // compact summary (<~400 chars): total + slowest-5 in `queries` +
+    // counts + pointer to the full map on disk. The full line still goes
+    // to stdout one line earlier and, authoritatively, to `out`.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val topQs = slowest.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
+    val maxS = if (slowest.nonEmpty) f"${slowest.head._2}%.2f" else "-1"
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$topQs,""" +
+      s""""n_queries":${results.size},"max_query_s":$maxS,""" +
+      s""""n_errors":${errors.size},"cpus":$cpus,"sf":"$sfDir","full":"$out"}"""
     // stop BEFORE printing: executor/session shutdown chatter lands on
-    // stderr/stdout first, so the JSON line is the program's LAST stdout
-    // line and a tail parse (the driver's) finds it unbroken
+    // stderr/stdout first, so the JSON lines are the program's LAST
+    // stdout lines and a tail parse (the driver's) finds them unbroken
     spark.stop()
     println(line)
+    println(summary)
     System.out.flush()
   }
 }

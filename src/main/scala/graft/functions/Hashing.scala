@@ -53,7 +53,14 @@ object Hashing {
     * `safe-stable-stringify` over Record<string,string> as the
     * reference feeds its hasher (deduplication.ts:17-23). Spark's
     * to_json provides the JSON string escaping; map_from_entries over
-    * the sorted entry array fixes the key order. */
+    * the sorted entry array fixes the key order.
+    *
+    * Key-order caveat: array_sort compares keys by UTF-8 bytes
+    * (code-point order) while JS Array.prototype.sort compares UTF-16
+    * code units, so keys mixing supplementary-plane characters with
+    * U+E000–U+FFFF can sort differently. Byte-parity with the reference
+    * digest is guaranteed for ASCII/BMP keys — in practice all Pulsar
+    * property names. */
   def stableStringifyProps(m: Column, ignored: Seq[String]): Column = {
     val kept =
       if (ignored.isEmpty) m

@@ -88,6 +88,10 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** SPEC-ONLY comparison target: the same pipeline as [[cleanDocs]]
+    * built by composing the standalone operators, kept so
+    * DocPipelineSpec can assert the fused production path is equivalent.
+    * Not registered as a query; do not use in pipelines. */
   def cleanDocsComposed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text")

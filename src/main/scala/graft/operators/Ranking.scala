@@ -43,14 +43,22 @@ object Ranking {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(sort: _*).sortWithinPartitions(sort: _*)
     val idx = sorted.schema.fieldIndex(valueCol)
-    val partSums = sorted.rdd
+    // persist the shuffled RDD across the two jobs (offset collect, then
+    // the seeded pass): a non-deterministic input (sampling, round-robin
+    // repartition) recomputed between them would silently pair offsets
+    // with different partition contents. RDD-level persist (not Dataset
+    // CacheManager) so the ContextCleaner auto-unpersists it once the
+    // result's lineage is dropped.
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = sortedRdd
       .mapPartitionsWithIndex { (i, it) =>
         Iterator.single(i -> it.foldLeft(0L)(_ + _.getLong(idx)))
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // exclusive per-partition seeds
     val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val rows = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets(i)
       it.map { r =>
         val start = acc

@@ -284,8 +284,15 @@ object Similarity {
     * relation) — lets recallReport train once and grade every consumer
     * of the same coarse quantizer without re-running Lloyd. */
   private def ivfKmeansTopKWith(v: DataFrame, cent: DataFrame, k: Int,
-                                nQueries: Int, nprobe: Int): DataFrame = {
-    val members = argmaxCellOf(v, cent)
+                                nQueries: Int, nprobe: Int): DataFrame =
+    ivfKmeansSearch(v, cent, argmaxCellOf(v, cent), k, nQueries, nprobe)
+
+  /** Search against an ALREADY-BUILT coarse assignment table
+    * (`members` = argmaxCellOf output) — lets recallReport build the
+    * assignment once and share it with the IVF+PQ row. */
+  private def ivfKmeansSearch(v: DataFrame, cent: DataFrame,
+                              members: DataFrame, k: Int,
+                              nQueries: Int, nprobe: Int): DataFrame = {
     // probe ranking needs top-`nprobe` cells — a window, but only over
     // the nQueries × nCentroids candidate rows, never the corpus
     val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
@@ -442,9 +449,16 @@ object Similarity {
 
   /** Exhaustive ADC against ALREADY-TRAINED codebooks. */
   private def pqTopKWith(v: DataFrame, cb: DataFrame, k: Int,
-                         nQueries: Int): DataFrame = {
+                         nQueries: Int): DataFrame =
+    pqSearch(v, cb, pqEncode(v, cb), k, nQueries)
+
+  /** Exhaustive ADC against an ALREADY-ENCODED code table — lets
+    * recallReport encode the corpus once and share the codes with the
+    * IVF+PQ row. */
+  private def pqSearch(v: DataFrame, cb: DataFrame, codes: DataFrame,
+                       k: Int, nQueries: Int): DataFrame = {
     val qs = pqQueries(v, nQueries)
-    adcScore(pqEncode(v, cb), pqLut(qs, cb), qs, k)
+    adcScore(codes, pqLut(qs, cb), qs, k)
   }
 
   /** IVF+PQ composed index: the coarse k-means quantizer assigns every
@@ -461,17 +475,35 @@ object Similarity {
                 nQueries: Int = NumQueries, nCentroids: Int = 8,
                 iters: Int = 2, nprobe: Int = 2): DataFrame = {
     val v = vecs(spark, dir)
-    ivfPqTopKWith(v, kmeansCentroids(v, nCentroids, iters),
-      pqCodebooksWithNorm(v), k, nQueries, nprobe)
+    // the coarse quantizer and the PQ codebooks train on independent
+    // Lloyd pipelines (each a chain of blocking collect jobs) — run
+    // them concurrently; results are deterministic either way
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fCent = Future(kmeansCentroids(v, nCentroids, iters))
+    val fCb = Future(pqCodebooksWithNorm(v))
+    ivfPqTopKWith(v, Await.result(fCent, Duration.Inf),
+      Await.result(fCb, Duration.Inf), k, nQueries, nprobe)
   }
 
   /** Cell-pruned ADC against ALREADY-TRAINED coarse centroids and
     * codebooks — the composition point recallReport uses to share one
     * training run across the kmeans-IVF, PQ, and IVF+PQ variants. */
   private def ivfPqTopKWith(v: DataFrame, cent: DataFrame, cb: DataFrame,
-                            k: Int, nQueries: Int, nprobe: Int): DataFrame = {
-    val members = argmaxCellOf(v, cent).select("vec_id", "cell")
-    val codes = pqEncode(v, cb).join(members, "vec_id")
+                            k: Int, nQueries: Int, nprobe: Int): DataFrame =
+    ivfPqSearch(v, cent, cb, argmaxCellOf(v, cent), pqEncode(v, cb),
+      k, nQueries, nprobe)
+
+  /** Cell-pruned ADC against ALREADY-BUILT index artifacts: the coarse
+    * assignment table and the PQ code table both arrive prebuilt, so
+    * recallReport pays one assignment pass and one encode pass for the
+    * kmeans-IVF / PQ / IVF+PQ rows together. */
+  private def ivfPqSearch(v: DataFrame, cent: DataFrame, cb: DataFrame,
+                          membersFull: DataFrame, rawCodes: DataFrame,
+                          k: Int, nQueries: Int, nprobe: Int): DataFrame = {
+    val members = membersFull.select("vec_id", "cell")
+    val codes = rawCodes.join(members, "vec_id")
     // top-nprobe cells per query — a window over nQueries × nCentroids
     // rows only, never the corpus
     val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
@@ -500,12 +532,20 @@ object Similarity {
                         k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
     val v = vecs(spark, dir)
     val b0 = buckets(spark, dir).filter(col("band") === 0)
+    lshMultiProbeSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
+  }
+
+  /** Multi-probe search against ALREADY-BUILT band-0 buckets and the
+    * (bucket, vec_id, e) candidate table — shared with [[lshTopK]]'s
+    * search in recallReport. */
+  private def lshMultiProbeSearch(v: DataFrame, b0: DataFrame,
+                                  candidates: DataFrame,
+                                  k: Int, nQueries: Int): DataFrame = {
     val probes = b0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"),
         explode(expr(
           "array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)")).as("probe"))
       .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
-    val candidates = b0.join(v, "vec_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     probes.join(candidates, col("probe") === col("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -556,28 +596,62 @@ object Similarity {
     // applies to signatures). nQueries×k rows each — trivially small.
     def topk(df: DataFrame): DataFrame =
       df.select("q_id", "vec_id").localCheckpoint()
-    val brute = topk(bruteTopK(spark, dir, k, nQueries))
-    def row(name: String, df: DataFrame): DataFrame =
-      topk(df)
-        .join(brute, Seq("q_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(name).as("variant"), col("n_hits"),
-          graft.functions.Hashing.ratio4(col("n_hits"), lit(k.toLong * nQueries))
-            .as("recall"))
     // one training run per model, shared: the coarse k-means centroids
     // feed both the kmeans-IVF and IVF+PQ rows, the PQ codebooks feed
     // both the PQ and IVF+PQ rows — training is deterministic and the
     // trained frames are materialized local relations, so sharing
     // changes no value, only removes the duplicate Lloyd passes
     val v = vecs(spark, dir)
-    val cent = kmeansCentroids(v, nCentroids = 8, iters = 2)
-    val cb = pqCodebooksWithNorm(v)
-    row("ann_ivf_kmeans", ivfKmeansTopKWith(v, cent, k, nQueries, nprobe = 2))
-      .unionByName(row("ann_ivf_topk", ivfTopK(spark, dir, k, nQueries)))
-      .unionByName(row("ann_ivfpq_topk", ivfPqTopKWith(v, cent, cb, k, nQueries, nprobe = 2)))
-      .unionByName(row("ann_lsh_multiprobe", lshMultiProbeTopK(spark, dir, k, nQueries)))
-      .unionByName(row("ann_lsh_topk", lshTopK(spark, dir, k, nQueries)))
-      .unionByName(row("ann_pq_topk", pqTopKWith(v, cb, k, nQueries)))
+    // the coarse quantizer and the PQ codebooks train on independent
+    // Lloyd pipelines — run them as concurrent driver jobs (Spark's
+    // scheduler interleaves them across the executor cores)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fCent = Future(kmeansCentroids(v, nCentroids = 8, iters = 2))
+    val fCb = Future(pqCodebooksWithNorm(v))
+    val cent = Await.result(fCent, Duration.Inf)
+    val cb = Await.result(fCb, Duration.Inf)
+    // one BUILD pass per index artifact, shared via localCheckpoint:
+    // the coarse assignment table (kmeans-IVF + IVF+PQ), the PQ code
+    // table (PQ + IVF+PQ), and the LSH band-0 bucket/candidate frames
+    // (single-bucket + multi-probe). These are exactly what a platform
+    // persists to storage after an index build; checkpointing is the
+    // single-job analog, and every frame is deterministic, so no
+    // oracle-visible value changes — only the duplicate corpus passes
+    // disappear. The builds are independent → concurrent jobs too.
+    val fMembers = Future(argmaxCellOf(v, cent).localCheckpoint())
+    val fCodes = Future(pqEncode(v, cb).localCheckpoint())
+    val fB0 = Future(buckets(spark, dir).filter(col("band") === 0).localCheckpoint())
+    val fBrute = Future(topk(bruteTopK(spark, dir, k, nQueries)))
+    val members = Await.result(fMembers, Duration.Inf)
+    val codes = Await.result(fCodes, Duration.Inf)
+    val b0 = Await.result(fB0, Duration.Inf)
+    val candidates = b0.join(v, "vec_id").localCheckpoint()
+    val brute = Await.result(fBrute, Duration.Inf)
+    // every variant's bounded top-k is an independent job over the
+    // prebuilt artifacts: evaluate all six concurrently (the wall-time
+    // of the report becomes the slowest variant, not the sum — on a
+    // cluster these are small jobs that co-schedule trivially)
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "ann_ivf_kmeans" -> (() => ivfKmeansSearch(v, cent, members, k, nQueries, nprobe = 2)),
+      "ann_ivf_topk" -> (() => ivfTopK(spark, dir, k, nQueries)),
+      "ann_ivfpq_topk" -> (() => ivfPqSearch(v, cent, cb, members, codes, k, nQueries, nprobe = 2)),
+      "ann_lsh_multiprobe" -> (() => lshMultiProbeSearch(v, b0, candidates, k, nQueries)),
+      "ann_lsh_topk" -> (() => lshSearch(v, b0, candidates, k, nQueries)),
+      "ann_pq_topk" -> (() => pqSearch(v, cb, codes, k, nQueries)))
+    val rows = Await.result(
+      Future.sequence(variants.map { case (name, f) =>
+        Future(name -> topk(f()))
+      }), Duration.Inf)
+    def row(name: String, tk: DataFrame): DataFrame =
+      tk.join(brute, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("variant"), col("n_hits"),
+          graft.functions.Hashing.ratio4(col("n_hits"), lit(k.toLong * nQueries))
+            .as("recall"))
+    rows.map { case (n, tk) => row(n, tk) }
+      .reduceLeft(_ unionByName _)
       .orderBy("variant")
   }
 
@@ -587,10 +661,16 @@ object Similarity {
               k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
     val v = vecs(spark, dir)
     val b0 = buckets(spark, dir).filter(col("band") === 0)
+    lshSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
+  }
+
+  /** Single-bucket search against ALREADY-BUILT band-0 buckets and
+    * candidates — shared with the multi-probe variant in recallReport. */
+  private def lshSearch(v: DataFrame, b0: DataFrame, candidates: DataFrame,
+                        k: Int, nQueries: Int): DataFrame = {
     val q = b0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("bucket"))
       .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
-    val candidates = b0.join(v, "vec_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     q.join(candidates, "bucket")
       .filter(col("vec_id") =!= col("q_id"))

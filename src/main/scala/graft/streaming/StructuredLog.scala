@@ -25,8 +25,10 @@ object StructuredLog {
     * (`changePinoLevelToGcpLogSeverity`, gcpLogging.ts:37-58): trace
     * and debug fold to DEBUG, warn to WARNING, fatal to CRITICAL,
     * silent/unknown to DEFAULT. Case-insensitive on the way in —
-    * log4j2 levels arrive upper-case. */
-  def severityOf(level: String): String = level.toLowerCase match {
+    * log4j2 levels arrive upper-case. Locale.ROOT: a Turkish default
+    * locale lowercases "INFO" to dotless-ı "ınfo", misclassifying it. */
+  def severityOf(level: String): String =
+    level.toLowerCase(java.util.Locale.ROOT) match {
     case "trace" | "debug" => "DEBUG"
     case "info"            => "INFO"
     case "warn"            => "WARNING"
@@ -61,7 +63,7 @@ object StructuredLog {
            timeMillis: Long = System.currentTimeMillis()): String = {
     val sev = severityOf(level)
     val iso = java.time.Instant.ofEpochMilli(timeMillis).toString
-    val lvl = level.toLowerCase
+    val lvl = level.toLowerCase(java.util.Locale.ROOT)
     val typeProperty =
       if (lvl == "error" || lvl == "fatal")
         s""","@type":"${ErrorEventType}""""
