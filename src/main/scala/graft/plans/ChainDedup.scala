@@ -120,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => ChainDedupStrategy)
+    e.injectPlannerStrategy(_ => GlobalRankStrategy)
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

@@ -33,6 +33,17 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("native rank fuses into whole-stage codegen, no object boundary") {
+    val df = Pipeline.packSequences(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank"), p)
+    assert(!p.contains("DeserializeToObject") && !p.contains("ExistingRDD"),
+      s"rank must stay in Tungsten rows:\n$p")
+    assert("""\*\(\d+\) GlobalRank""".r.findFirstIn(p).isDefined,
+      s"GlobalRank must carry the whole-stage codegen marker:\n$p")
+  }
+
   test("globalPrefixSum is the exclusive running total in sort order") {
     import spark.implicits._
     val df = Seq((4L, 10L), (1L, 3L), (3L, 0L), (2L, 7L), (5L, 2L))
