@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_cross_source" -> ((s, d) => graft.operators.Curation.crossSourcePairs(s, d)),
     "sample_stratified" -> ((s, d) => graft.operators.Curation.stratifiedSample(s, d)),
     "bpe_pair_counts" -> ((s, d) => graft.operators.Curation.bpePairCounts(s, d)),
+    "bpe_train_merges" -> ((s, d) => graft.operators.Curation.bpeTrainMerges(s, d)),
     "text_inverted_index" -> ((s, d) => graft.operators.Curation.invertedIndex(s, d)),
     "cluster_kmeans" -> ((s, d) => Similarity.clusterKmeans(s, d)),
     // round 3: analytics tier
@@ -193,6 +194,44 @@ object SparkEntry {
   /** md5-derived 60-bit hash of a SQL string expression — mirrors Hashing.h64. */
   private def H64(e: String): String =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  /** BPE merge training replayed as [[graft.operators.Curation.BpeRounds]]
+    * unrolled CTE rounds — each round: pair-count aggregate over the
+    * wrapped word-type frame, argmax (count desc, pair asc), one literal
+    * replace applying the merge (mirrors Curation.bpeTrainMergesOf: the
+    * "(a)(b)(c)" wrapping makes replace() the exact greedy
+    * non-overlapping merge in both engines). */
+  private def bpeTrainMergesOracle: String = {
+    val rounds = graft.operators.Curation.BpeRounds
+    val cte = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, cnt
+         |  FROM (SELECT pair, sum(n) AS cnt FROM (
+         |          SELECT unnest(list_transform(generate_series(1, len(sy)-1),
+         |                 i -> sy[i] || ' ' || sy[i+1])) AS pair, n
+         |          FROM (SELECT string_split(trim(replace(s, ')(', ' '), '()'), ' ') AS sy, n
+         |                FROM $prev) q1
+         |          WHERE len(sy) >= 2) q2
+         |        GROUP BY pair) q3
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(s, '(' || lhs || ')(' || rhs || ')',
+         |                       '(' || lhs || rhs || ')') AS s, n
+         |        FROM w${r - 1}, p$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs,
+         |  lhs || rhs AS merged, CAST(cnt AS BIGINT) AS n FROM p$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
+       |wt AS (SELECT w, count(*) AS n
+       |       FROM (SELECT unnest(t) AS w FROM toks) q0
+       |       WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+       |w0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, n FROM wt),
+       |$cte
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** tokens + distinct 3-shingles — mirrors DocDedup.docShingles. */
   private val SH_CTE =
@@ -1364,6 +1403,8 @@ object SparkEntry {
          |              ${graft.operators.Curation.StratTarget *
                           graft.operators.Curation.SampleSpace} // cnt)
          |ORDER BY d.source, d.doc_id""".stripMargin,
+
+    "bpe_train_merges" -> bpeTrainMergesOracle,
 
     "bpe_pair_counts" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

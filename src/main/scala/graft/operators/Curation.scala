@@ -316,6 +316,69 @@ object Curation {
       .limit(topN)
   }
 
+  val BpeRounds = 8
+
+  /** BPE merge-loop vocabulary training — the iterative completion of
+    * [[bpePairCounts]]: `rounds` greedy merges, each round picking the
+    * corpus-wide most frequent adjacent symbol pair and fusing it.
+    *
+    * Scale shape (the classic Sennrich formulation): training runs over
+    * WORD TYPES with frequency weights, not corpus tokens — one
+    * corpus-sized aggregation up front, then every round is an
+    * aggregation over the vocabulary (≪ corpus). Per round: one
+    * distributed pair-count aggregate + TakeOrdered(1) argmax collected
+    * as DRIVER state (the k-means Lloyd discipline), then the merge is
+    * applied as ONE literal string replace per word — no shuffle.
+    *
+    * Cross-engine exactness: words are wrapped as "(a)(b)(c)", so the
+    * merge pattern "(l)(r)" is boundary-exact (symbols are [a-z0-9]+,
+    * never containing parens) and `replace()` IS the greedy
+    * left-to-right non-overlapping merge, with identical semantics in
+    * Spark and DuckDB; the argmax tie-break (count desc, "l r" pair
+    * string asc) is total and binary-collated on both engines. */
+  def bpeTrainMerges(spark: SparkSession, dir: String,
+                     rounds: Int = BpeRounds): DataFrame =
+    bpeTrainMergesOf(spark,
+      Tables.documents(spark, dir)
+        .select("text").spread
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("n")),
+      rounds)
+
+  /** The merge loop over any (w, n) word-frequency frame. */
+  def bpeTrainMergesOf(spark: SparkSession, words0: DataFrame,
+                       rounds: Int): DataFrame = {
+    var words = words0
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("s"), col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = words
+        .withColumn("sy",
+          split(trim(expr("replace(s, ')(', ' ')"), "()"), " "))
+        .filter(size(col("sy")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("sy")) - 1),
+          i => concat(element_at(col("sy"), i), lit(" "),
+            element_at(col("sy"), i + 1)))).as("pair"), col("n"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(l, rr) = pair.split(" ", 2)
+        merges += ((r.toLong, l, rr, l + rr, cnt))
+        if (r < rounds) // the last merge is recorded, never applied
+          words = words.withColumn("s",
+            expr(s"replace(s, '($l)($rr)', '($l$rr)')")).localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "n")
+      .orderBy("merge_rank")
+  }
+
   /** Inverted index head: for the `topN` highest-document-frequency
     * terms, the document frequency and the first `sample` postings
     * (sorted doc ids, comma-joined — a bounded preview, not the full

@@ -82,6 +82,40 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpeTrainMerges matches a sequential in-memory BPE trainer") {
+    import spark.implicits._
+    // crafted corpus with clear merge structure + ties to exercise the
+    // (count desc, pair asc) tie-break and non-overlapping greedy merge
+    val words = Seq("aaaa" -> 3L, "aab" -> 2L, "banana" -> 4L,
+      "bana" -> 1L, "ab" -> 5L, "x" -> 2L)
+    // naive model: word types as symbol vectors, greedy merges
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val expect = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to 5) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sy, n) <- vocab; i <- 0 until sy.size - 1)
+        counts((sy(i), sy(i + 1))) = counts.getOrElse((sy(i), sy(i + 1)), 0L) + n
+      val ((l, rr), cnt) = counts.toSeq.minBy { case ((l, rr), c) => (-c, l + " " + rr) }
+      expect += ((r.toLong, l, rr, l + rr, cnt))
+      vocab = vocab.map { case (sy, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.size) {
+          if (i + 1 < sy.size && sy(i) == l && sy(i + 1) == rr) {
+            out += l + rr; i += 2
+          } else { out += sy(i); i += 1 }
+        }
+        (out.result(), n)
+      }
+    }
+    val got = Curation.bpeTrainMergesOf(spark, words.toDF("w", "n"), rounds = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == expect.result())
+  }
+
   test("invertedIndex matches a naive posting-list model") {
     val postings = scala.collection.mutable.Map[String, Set[Long]]().withDefaultValue(Set.empty)
     docs.foreach { case (id, text, _) =>
