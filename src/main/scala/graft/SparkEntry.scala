@@ -119,6 +119,7 @@ object SparkEntry {
     "events_pattern_sessions" -> ((s, d) => graft.operators.Analytics3.patternSessions(s, d)),
     "docs_source_quantiles" -> ((s, d) => graft.operators.QualitySignals.sourceLengthStats(s, d)),
     "dedup_chunks" -> ((s, d) => DocDedup.chunkDedup(s, d)),
+    "dedup_passages" -> ((s, d) => DocDedup.passageDedup(s, d)),
     "pipeline_decontaminated" -> ((s, d) => graft.operators.Curation.decontaminated(s, d)),
     "pipeline_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),
     "source_mix_report" -> ((s, d) => graft.operators.Curation.sourceMixReport(s, d)),
@@ -1769,6 +1770,36 @@ object SparkEntry {
          |)
          |SELECT doc_id, pos, chunk_h, keep_doc, keep_pos
          |FROM r WHERE rn > 1 ORDER BY doc_id, pos""".stripMargin
+    },
+
+    "dedup_passages" -> {
+      val w = graft.operators.DocDedup.ChunkTokens
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |wn AS (
+         |  SELECT doc_id, u.pos AS pos, ${H64("u.ch")} AS win_h
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - ${w - 1}),
+         |      i -> struct_pack(pos := i,
+         |        ch := array_to_string(list_slice(t, i, i + ${w - 1}), ' ')))) AS u
+         |    FROM toks WHERE len(t) >= $w)
+         |),
+         |d AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY win_h ORDER BY doc_id, pos) AS rn
+         |    FROM wn) q WHERE rn > 1
+         |),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM d
+         |)
+         |SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
+         |  max(pos) - min(pos) + $w AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM g GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_pos""".stripMargin
     },
 
     "events_dau_wau" ->

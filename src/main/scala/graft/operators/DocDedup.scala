@@ -171,6 +171,55 @@ object DocDedup {
       .orderBy("doc_id", "pos")
   }
 
+  /** Rolling-window passage dedup — the offset-insensitive upgrade of
+    * [[chunkDedup]]: non-overlapping chunks only catch a copied passage
+    * when the copy lands on the same chunk grid, so a passage shifted
+    * by 1..w-1 tokens is invisible to them. Here EVERY w-token window
+    * (stride 1) is hashed; a window whose hash occurred earlier (global
+    * (doc_id, pos) order) is a duplicated window, and per document the
+    * maximal runs of consecutive duplicated positions coalesce into
+    * passage spans — so a copied passage of L ≥ w tokens at ANY offset
+    * surfaces as one (start_pos, end_pos) span covering it.
+    *
+    * Scale: stride 1 emits ~n windows per n-token doc (w× the chunk
+    * pass) but both shuffles key uniformly — the window hash, then the
+    * doc — and per-key window state is O(1). The islands trick
+    * (pos − row_number) turns span assembly into one partitioned
+    * window + aggregate, never a per-doc loop. */
+  def passageDedup(spark: SparkSession, dir: String,
+                   w: Int = ChunkTokens): DataFrame =
+    passageDedupOf(
+      Tables.documents(spark, dir).select("doc_id", "text").spread, w)
+
+  /** The rolling core over any (doc_id, text) frame. */
+  def passageDedupOf(docs: DataFrame, w: Int): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val wins = docs
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1L), (size(col("t")) - (w - 1)).cast("long")), i =>
+          struct(i.as("pos"),
+            h64(concat_ws(" ", slice(col("t"), i.cast("int"), lit(w)))).as("h")))).as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"), col("c.h").as("win_h"))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_h").orderBy("doc_id", "pos")
+    val dups = wins
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") > 1)
+      .select("doc_id", "pos")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dups
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start_pos"), max("pos").as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + w).as("n_tokens"), col("n_windows"))
+      .orderBy("doc_id", "start_pos")
+  }
+
   /** Edit-distance share of the longer document, in integer percent
     * (candidate pairs are bounded, so the O(len²) DP per pair is too). */
   val MaxEditPct = 30

@@ -22,6 +22,27 @@ class DocDedupSpec extends SparkSpec {
     }
   }
 
+  test("passageDedup finds a planted copy at a non-grid offset that chunk dedup misses") {
+    import spark.implicits._
+    val w = DocDedup.ChunkTokens // 8
+    // doc 1: 40 unique tokens; doc 2 embeds doc 1's tokens a5..a20
+    // (L=16) at position 11 — NOT a multiple of the chunk width
+    val a = (1 to 40).map(i => s"a$i")
+    val b = (1 to 20).map(i => s"b$i")
+    val doc1 = a.mkString(" ")
+    val doc2 = (b.take(10) ++ a.slice(4, 20) ++ b.drop(10)).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    // the non-overlapping chunk grids provably share nothing (the miss)
+    def grid(toks: Seq[String]) =
+      toks.grouped(w).filter(_.size == w).map(_.mkString(" ")).toSet
+    assert(grid(a).intersect(grid(b.take(10) ++ a.slice(4, 20) ++ b.drop(10))).isEmpty)
+    // the rolling pass reports exactly the planted span in doc 2:
+    // windows 11..19 duplicated -> one island of 9 windows, 16 tokens
+    val got = DocDedup.passageDedupOf(docs, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((2L, 11L, 19L, 16L, 9L)))
+  }
+
   test("shingles3 of a short doc is empty, of 'a b c d' has two shingles") {
     import spark.implicits._
     val df = Seq("a b", "a b c d").toDF("text")
