@@ -93,6 +93,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => graft.operators.Curation.stratifiedSample(s, d)),
     "bpe_pair_counts" -> ((s, d) => graft.operators.Curation.bpePairCounts(s, d)),
     "bpe_train_merges" -> ((s, d) => graft.operators.Curation.bpeTrainMerges(s, d)),
+    "bpe_encode_fertility" -> ((s, d) => graft.operators.Curation.bpeEncodeFertility(s, d)),
     "text_inverted_index" -> ((s, d) => graft.operators.Curation.invertedIndex(s, d)),
     "cluster_kmeans" -> ((s, d) => Similarity.clusterKmeans(s, d)),
     // round 3: analytics tier
@@ -202,7 +203,9 @@ object SparkEntry {
     * replace applying the merge (mirrors Curation.bpeTrainMergesOf: the
     * "(a)(b)(c)" wrapping makes replace() the exact greedy
     * non-overlapping merge in both engines). */
-  private def bpeTrainMergesOracle: String = {
+  /** Shared BPE training CTE body (word types wt, wrapped w0, and per
+    * round the argmax pair p_r + merged words w_r). */
+  private def bpeTrainCtes: String = {
     val rounds = graft.operators.Curation.BpeRounds
     val cte = (1 to rounds).map { r =>
       val prev = s"w${r - 1}"
@@ -220,18 +223,52 @@ object SparkEntry {
          |                       '(' || lhs || rhs || ')') AS s, n
          |        FROM w${r - 1}, p$r)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to rounds).map(r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs,
-         |  lhs || rhs AS merged, CAST(cnt AS BIGINT) AS n FROM p$r""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
+    s"""toks AS (SELECT $TOKS AS t FROM documents),
        |wt AS (SELECT w, count(*) AS n
        |       FROM (SELECT unnest(t) AS w FROM toks) q0
        |       WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
        |w0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, n FROM wt),
-       |$cte
+       |$cte""".stripMargin
+  }
+
+  private def bpeTrainMergesOracle: String = {
+    val rounds = graft.operators.Curation.BpeRounds
+    val sel = (1 to rounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs,
+         |  lhs || rhs AS merged, CAST(cnt AS BIGINT) AS n FROM p$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
        |$sel
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Encode the vocabulary with the trained merges (LEFT JOIN per round
+    * so a pairless round is a no-op, mirroring the Spark encoder's
+    * shorter merge list) and roll fertility up per source. */
+  private def bpeEncodeFertilityOracle: String = {
+    val rounds = graft.operators.Curation.BpeRounds
+    val enc = (1 to rounds).map { r =>
+      s"""e$r AS (SELECT w,
+         |  CASE WHEN p.lhs IS NULL THEN s
+         |       ELSE replace(s, '(' || p.lhs || ')(' || p.rhs || ')',
+         |                    '(' || p.lhs || p.rhs || ')') END AS s
+         |  FROM e${r - 1} LEFT JOIN p$r p ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |e0 AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS s FROM wt),
+       |$enc,
+       |nsyms AS (SELECT w,
+       |  CAST(len(string_split(trim(replace(s, ')(', ' '), '()'), ' ')) AS BIGINT) AS n_syms
+       |  FROM e$rounds),
+       |stoks AS (SELECT source, $TOKS AS t FROM documents),
+       |sw AS (SELECT source, w, count(*) AS cnt
+       |       FROM (SELECT source, unnest(t) AS w FROM stoks) q0
+       |       WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY source, w)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  ${ratio4Sql("sum(cnt * n_syms)", "sum(cnt)")} AS fertility
+       |FROM sw JOIN nsyms USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** tokens + distinct 3-shingles — mirrors DocDedup.docShingles. */
@@ -1406,6 +1443,8 @@ object SparkEntry {
          |ORDER BY d.source, d.doc_id""".stripMargin,
 
     "bpe_train_merges" -> bpeTrainMergesOracle,
+
+    "bpe_encode_fertility" -> bpeEncodeFertilityOracle,
 
     "bpe_pair_counts" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

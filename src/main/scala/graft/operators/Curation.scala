@@ -349,6 +349,16 @@ object Curation {
   /** The merge loop over any (w, n) word-frequency frame. */
   def bpeTrainMergesOf(spark: SparkSession, words0: DataFrame,
                        rounds: Int): DataFrame = {
+    import spark.implicits._
+    bpeTrainMergesLocal(words0, rounds)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "n")
+      .orderBy("merge_rank")
+  }
+
+  /** The trained merge table as DRIVER state (rank, lhs, rhs, merged,
+    * count) — the form the encoder consumes. */
+  def bpeTrainMergesLocal(words0: DataFrame,
+                          rounds: Int): Seq[(Long, String, String, String, Long)] = {
     var words = words0
       .select(regexp_replace(col("w"), "(.)", "($1)").as("s"), col("n"))
       .localCheckpoint()
@@ -374,9 +384,48 @@ object Curation {
             expr(s"replace(s, '($l)($rr)', '($l$rr)')")).localCheckpoint()
       }
     }
-    import spark.implicits._
-    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "n")
-      .orderBy("merge_rank")
+    merges.result()
+  }
+
+  /** Word types encoded with an already-trained merge table: the wrap →
+    * replace-per-merge chain (rank order, all narrow — no shuffle),
+    * reduced to the BPE symbol count per word. */
+  def bpeEncodedSymbols(words0: DataFrame,
+                        merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    var enc = words0
+      .select(col("w"), regexp_replace(col("w"), "(.)", "($1)").as("s"))
+    for ((_, l, r, _, _) <- merges)
+      enc = enc.withColumn("s", expr(s"replace(s, '($l)($r)', '($l$r)')"))
+    enc.select(col("w"),
+      size(split(trim(expr("replace(s, ')(', ' ')"), "()"), " "))
+        .cast("long").as("n_syms"))
+  }
+
+  /** Tokenizer-fertility report — train [[bpeTrainMerges]]' merge table,
+    * ENCODE the corpus with it, and report per source: word count, BPE
+    * token count, and fertility (BPE tokens per word, the
+    * tokenizer-quality metric a data-mixture recipe watches per domain).
+    * Encoding touches WORD TYPES once (vocab-sized, merges applied as a
+    * narrow replace chain); the per-source roll-up is one hash join of
+    * the (source, word, count) frame onto the encoded vocab and one
+    * aggregation — corpus text is scanned once. */
+  def bpeEncodeFertility(spark: SparkSession, dir: String,
+                         rounds: Int = BpeRounds): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val docs = Tables.documents(spark, dir)
+      .select("source", "text").spread
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+    val bySourceWord = docs.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val vocab = bySourceWord.groupBy("w").agg(sum("cnt").as("n")).localCheckpoint()
+    val nsyms = bpeEncodedSymbols(vocab, bpeTrainMergesLocal(vocab, rounds))
+    bySourceWord.join(nsyms, "w")
+      .groupBy("source")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        ratio4(col("n_bpe_tokens"), col("n_words")).as("fertility"))
+      .orderBy("source")
   }
 
   /** Inverted index head: for the `topN` highest-document-frequency

@@ -116,6 +116,32 @@ class CurationSpec extends SparkSpec {
     assert(got == expect.result())
   }
 
+  test("bpeEncodedSymbols matches naive sequential merge application") {
+    import spark.implicits._
+    val words = Seq("aaaa" -> 3L, "aab" -> 2L, "banana" -> 4L,
+      "bana" -> 1L, "ab" -> 5L, "x" -> 2L)
+    val wordsDf = words.toDF("w", "n")
+    val merges = Curation.bpeTrainMergesLocal(wordsDf, rounds = 5)
+    // naive: apply each merge greedily left-to-right per word
+    def applyMerge(sy: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < sy.size) {
+        if (i + 1 < sy.size && sy(i) == l && sy(i + 1) == r) { out += l + r; i += 2 }
+        else { out += sy(i); i += 1 }
+      }
+      out.result()
+    }
+    val expect = words.map { case (w, _) =>
+      var sy = w.map(_.toString).toVector
+      for ((_, l, r, _, _) <- merges) sy = applyMerge(sy, l, r)
+      w -> sy.size.toLong
+    }.toMap
+    val got = Curation.bpeEncodedSymbols(wordsDf, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("invertedIndex matches a naive posting-list model") {
     val postings = scala.collection.mutable.Map[String, Set[Long]]().withDefaultValue(Set.empty)
     docs.foreach { case (id, text, _) =>
