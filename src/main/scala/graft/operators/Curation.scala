@@ -359,6 +359,11 @@ object Curation {
     * count) — the form the encoder consumes. */
   def bpeTrainMergesLocal(words0: DataFrame,
                           rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    // ONE checkpoint up front; each round then stacks one narrow literal
+    // replace on the lineage instead of paying a materialization job —
+    // round r recomputes r string replaces over the vocab frame, which
+    // is microseconds of work, versus a full Spark job per round (the
+    // job count, not the data, dominates BPE training cost)
     var words = words0
       .select(regexp_replace(col("w"), "(.)", "($1)").as("s"), col("n"))
       .localCheckpoint()
@@ -381,7 +386,7 @@ object Curation {
         merges += ((r.toLong, l, rr, l + rr, cnt))
         if (r < rounds) // the last merge is recorded, never applied
           words = words.withColumn("s",
-            expr(s"replace(s, '($l)($rr)', '($l$rr)')")).localCheckpoint()
+            expr(s"replace(s, '($l)($rr)', '($l$rr)')"))
       }
     }
     merges.result()
@@ -416,7 +421,10 @@ object Curation {
       .select("source", "text").spread
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
+    // one corpus scan: the (source, word, count) frame is checkpointed
+    // and both the training vocab and the final roll-up derive from it
     val bySourceWord = docs.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val vocab = bySourceWord.groupBy("w").agg(sum("cnt").as("n")).localCheckpoint()
     val nsyms = bpeEncodedSymbols(vocab, bpeTrainMergesLocal(vocab, rounds))
     bySourceWord.join(nsyms, "w")
