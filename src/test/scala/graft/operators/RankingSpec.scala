@@ -44,6 +44,21 @@ class RankingSpec extends SparkSpec {
       s"GlobalRank must carry the whole-stage codegen marker:\n$p")
   }
 
+  test("interpreted fallback (whole-stage codegen off) matches codegen results") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val df = Seq((5L, 2L), (1L, 3L), (3L, 7L), (2L, 0L), (4L, 1L))
+        .toDF("k", "v").repartition(3)
+      val rn = Ranking.globalRowNumber(df, Seq(col("k"))).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      assert(rn.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)))
+      val ps = Ranking.globalPrefixSum(df, Seq(col("k")), "v").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      assert(ps.toSeq == Seq((1L, 0L), (2L, 3L), (3L, 3L), (4L, 10L), (5L, 11L)))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("globalPrefixSum is the exclusive running total in sort order") {
     import spark.implicits._
     val df = Seq((4L, 10L), (1L, 3L), (3L, 0L), (2L, 7L), (5L, 2L))
