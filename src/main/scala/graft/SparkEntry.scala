@@ -152,6 +152,11 @@ object SparkEntry {
     "dq_report" -> ((s, d) => graft.operators.Quality.report(s, d)),
     "docs_quality_histogram" -> ((s, d) => graft.operators.Analytics5.qualityHistogram(s, d)),
     "lineitem_monthly" -> ((s, d) => graft.operators.Analytics5.monthlyRevenue(s, d)),
+    // round 6: model-based filtering (trained quality/importance models)
+    "quality_lexicon" -> ((s, d) => graft.operators.QualityModels.lexiconHead(s, d)),
+    "quality_lexicon_score" -> ((s, d) => graft.operators.QualityModels.lexiconScore(s, d)),
+    "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
+    "dsir_weights" -> ((s, d) => graft.operators.QualityModels.dsirWeights(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2261,5 +2266,103 @@ object SparkEntry {
          |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
          |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, day""".stripMargin,
+
+    // ---- round 6: model-based filtering (QualityModels) -----------------
+    // Clipped add-one count-ratio "affinity" in 1e-4-unit int64 — the
+    // exact-arithmetic analog of log-odds scoring (see QualityModels
+    // scaladoc). CUR_IN/clip mirror CuratedSources/clip4 verbatim.
+
+    "quality_lexicon" ->
+      s"""WITH $LEX_CTES
+         |SELECT term, c_cur, c_rest, aff4 / 10000.0 AS affinity
+         |FROM w ORDER BY affinity DESC, term
+         |LIMIT ${graft.operators.QualityModels.LexiconHead}""".stripMargin,
+
+    "quality_lexicon_score" ->
+      s"""WITH $LEX_CTES,
+         |prior AS (SELECT ${halfUpSql("(CAST(sum(c_cur) AS BIGINT) + count(*)) * 10000",
+                                       "CAST(sum(c_rest) AS BIGINT) + count(*)")} AS thr4
+         |          FROM lex),
+         |pdt AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |    CAST(sum(c * coalesce(aff4, thr4)) AS BIGINT) AS s4,
+         |    max(thr4) AS thr4
+         |  FROM pdt LEFT JOIN w USING (term) CROSS JOIN prior GROUP BY doc_id)
+         |SELECT doc_id, n_toks, ${halfUpSql("s4", "n_toks")} / 10000.0 AS score,
+         |  CAST(${halfUpSql("s4", "n_toks")} >= thr4 AS INTEGER) AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_lm_fluency" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $TOKS AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+         |  FROM toks WHERE len(t) >= 2),
+         |pairs AS (SELECT pair, CAST(count(*) AS BIGINT) AS c12
+         |          FROM bg WHERE lang = 'en' GROUP BY 1),
+         |ctx AS (SELECT split_part(pair, ' ', 1) AS w1,
+         |          CAST(sum(c12) AS BIGINT) AS c1
+         |        FROM pairs GROUP BY 1),
+         |v2 AS (SELECT CAST(count(DISTINCT split_part(pair, ' ', 2)) AS BIGINT) AS v2
+         |       FROM pairs),
+         |pdb AS (SELECT doc_id, pair, count(*) AS c FROM bg GROUP BY 1, 2),
+         |j AS (
+         |  SELECT doc_id, c, c12,
+         |    ${halfUpSql("(coalesce(c12, 0) + 1) * 10000", "coalesce(c1, 0) + v2")} AS p4
+         |  FROM pdb
+         |  LEFT JOIN pairs USING (pair)
+         |  LEFT JOIN ctx ON split_part(pdb.pair, ' ', 1) = ctx.w1
+         |  CROSS JOIN v2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN c12 IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+         |  ${halfUpSql("CAST(sum(c * p4) AS BIGINT)", "CAST(sum(c) AS BIGINT)")} / 10000.0
+         |    AS fluency
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, source, $TOKS AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+         |  FROM toks WHERE len(t) >= 2),
+         |b AS (SELECT doc_id, source,
+         |        ${H64("pair")} % ${graft.operators.QualityModels.DsirBuckets} AS bucket
+         |      FROM bg),
+         |bt AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 0 ELSE 1 END) AS BIGINT) AS cs
+         |  FROM b GROUP BY 1),
+         |w AS (SELECT bucket, ${clipSql(halfUpSql("(ct + 1) * 10000", "cs + 1"))} AS w4
+         |      FROM bt),
+         |pdb AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  ${halfUpSql("CAST(sum(c * w4) AS BIGINT)", "CAST(sum(c) AS BIGINT)")} / 10000.0
+         |    AS importance
+         |FROM pdb JOIN w USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
+
+  /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */
+  private def CUR_IN: String =
+    graft.operators.QualityModels.CuratedSources.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** DuckDB twin of QualityModels.clip4. */
+  private def clipSql(x: String): String =
+    s"LEAST(GREATEST($x, ${graft.operators.QualityModels.ClipLo4}), " +
+      s"${graft.operators.QualityModels.ClipHi4})"
+
+  /** Shared lexicon-training CTEs (tk token occurrences, lex class
+    * counts, w clipped affinity4) — mirror QualityModels.lexiconTrain. */
+  private def LEX_CTES: String =
+    s"""toks AS (SELECT doc_id, source, $TOKS AS t FROM documents),
+       |tk AS (SELECT doc_id, source, unnest(t) AS term FROM toks),
+       |lex AS (
+       |  SELECT term,
+       |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+       |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 0 ELSE 1 END) AS BIGINT) AS c_rest
+       |  FROM tk GROUP BY term),
+       |w AS (SELECT term, c_cur, c_rest,
+       |        ${clipSql(halfUpSql("(c_cur + 1) * 10000", "c_rest + 1"))} AS aff4
+       |      FROM lex)""".stripMargin
 }

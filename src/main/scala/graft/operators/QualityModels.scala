@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.Partitioning._
+import graft.Tables
+import graft.functions.Hashing.{h64, halfUpDiv, ratio4}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus filtering: the trainable counterparts of the
+  * heuristic QualitySignals — a curated-vs-crawl lexical classifier
+  * (the GPT-3/LLaMA "quality filter" recipe), a reference bigram-LM
+  * fluency score (the CCNet/KenLM gating recipe), and DSIR-style
+  * hashed n-gram importance weights for target-distribution
+  * resampling.
+  *
+  * All three are trained and applied in ONE framework: token (or
+  * hashed-bigram-bucket) class counts with add-one smoothing, turned
+  * into a clipped count-ratio "affinity" weight, and documents scored
+  * by the exact per-token mean of those weights. This is the
+  * exact-integer-arithmetic analog of the usual log-odds / log-ratio
+  * scores: log-space sums become rational-arithmetic means, so every
+  * exported number is a 1e-4-unit int64 ratio (the ratio4/halfUpDiv
+  * discipline) and reproduces bit-for-bit in any engine — no libm
+  * transcendentals whose final-ulp rounding differs across platforms.
+  * Clipping the per-feature ratio to [[ClipLo4]]..[[ClipHi4]] bounds
+  * variance exactly as the published DSIR/NB-filter recipes clip their
+  * log-ratios, and also caps every int64 intermediate:
+  * with corpus token totals up to ~1e14 and per-document token counts
+  * up to ~1e6, every product here stays below 2^63.
+  *
+  * Scale shape: each operator is one tokenize scan + partial-aggregable
+  * count shuffles; scoring joins are keyed on the feature (term /
+  * bigram / bucket), never on the document, so they co-partition with
+  * the count aggregates. The DSIR bucket table is O(buckets) rows by
+  * construction and is broadcast; the lexicon and LM tables are
+  * unbounded vocabularies and stay in shuffle joins.
+  */
+object QualityModels {
+
+  /** Stand-in curated slice (the "wiki+books" side of the GPT-3
+    * quality-filter recipe): sources src0..src4. */
+  val CuratedSources: Seq[String] = (0 to 4).map(i => s"src$i")
+
+  /** Affinity ratio clip bounds in 1e-4 units: [0.01, 100]. */
+  val ClipLo4 = 100L
+  val ClipHi4 = 1000000L
+
+  /** Hashed-bigram bucket count for DSIR (fixed ⇒ the weight table is
+    * O(DsirBuckets) rows at ANY corpus size — always broadcastable). */
+  val DsirBuckets = 1024
+
+  /** Rows exported by the quality_lexicon head query. */
+  val LexiconHead = 50
+
+  private def isCurated(source: Column): Column =
+    source.isInCollection(CuratedSources)
+
+  private def clip4(c: Column): Column =
+    least(greatest(c, lit(ClipLo4)), lit(ClipHi4))
+
+  /** (doc_id, source, term) one row per token occurrence. */
+  private def tokenOccurrences(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      .spread
+      .select(col("doc_id"), col("source"), explode(col("t")).as("term"))
+
+  /** (doc_id, source, lang, w1, w2) one row per bigram occurrence. */
+  private def bigramOccurrences(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("t"))
+      .spread
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Full lexicon: per term, curated/rest token counts and the clipped
+    * add-one affinity ratio (c_cur+1)/(c_rest+1) in 1e-4 units. One
+    * token shuffle (term → conditional counts, partial map-side). */
+  def lexiconTrain(spark: SparkSession, dir: String): DataFrame =
+    tokenOccurrences(spark, dir)
+      .groupBy("term")
+      .agg(
+        sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("c_rest"))
+      .withColumn("aff4",
+        clip4(halfUpDiv((col("c_cur") + 1L) * 10000L, col("c_rest") + 1L)))
+
+  /** #155 `quality_lexicon`: the [[LexiconHead]] most curated-leaning
+    * terms (affinity desc, term asc — total order). TakeOrdered head,
+    * never a global sort of the vocabulary. */
+  def lexiconHead(spark: SparkSession, dir: String): DataFrame =
+    lexiconTrain(spark, dir)
+      .select(col("term"), col("c_cur"), col("c_rest"),
+        (col("aff4") / lit(10000.0)).as("affinity"))
+      .orderBy(col("affinity").desc, col("term"))
+      .limit(LexiconHead)
+
+  /** #156 `quality_lexicon_score`: every document scored by the exact
+    * per-token mean affinity of its terms under the trained lexicon;
+    * `pred` = 1 when the document leans curated, i.e. its mean affinity
+    * reaches the corpus-prior neutral ratio (tot_cur+V)/(tot_rest+V) —
+    * the affinity an evenly-distributed term would get.
+    *
+    * Scoring pre-aggregates to distinct (doc, term) BEFORE the join, so
+    * the term-keyed shuffle join moves one row per distinct pair (hot
+    * stopword keys fan out 1:N against a 1-row build side — no
+    * expansion). The 1-row prior frame rides a broadcast. Documents
+    * with ≥ 1 token are scored (n_toks is the halfUpDiv denominator).
+    * Same-corpus scoring always hits the lexicon; the left join +
+    * prior-ratio fallback keeps the operator total when applied to a
+    * NEW corpus with out-of-vocabulary terms. */
+  def lexiconScore(spark: SparkSession, dir: String): DataFrame = {
+    val lex = lexiconTrain(spark, dir)
+    val prior = lex.agg(
+      (sum("c_cur") + count(lit(1))).as("pn"),
+      (sum("c_rest") + count(lit(1))).as("pd"))
+      .select(halfUpDiv(col("pn") * 10000L, col("pd")).as("thr4"))
+    val perDocTerm = tokenOccurrences(spark, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    perDocTerm
+      .join(lex.select("term", "aff4"), Seq("term"), "left")
+      .crossJoin(broadcast(prior))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_toks"),
+        sum(col("c") * coalesce(col("aff4"), col("thr4"))).as("s4"),
+        max("thr4").as("thr4"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        (halfUpDiv(col("s4"), col("n_toks")) / lit(10000.0)).as("score"),
+        (halfUpDiv(col("s4"), col("n_toks")) >= col("thr4")).cast("int").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** #157 `text_lm_fluency`: reference bigram LM trained on the
+    * `lang = 'en'` slice (add-one smoothing over the reference bigram
+    * vocabulary), every ≥2-token document scored by the exact mean
+    * conditional probability p(w2|w1) = (c12+1)/(c1+V2) of its bigram
+    * occurrences, in 1e-4 units — the arithmetic-mean, exact-rational
+    * analog of perplexity's geometric mean (low fluency = unlikely
+    * under the reference LM; non-English and boilerplate-free noise
+    * both surface at the bottom). `n_oov` counts bigram occurrences
+    * unseen in the reference.
+    *
+    * The context table c1 derives from the pair table (one extra
+    * partial aggregate, no second corpus scan). Scoring joins are
+    * keyed on (w1,w2) and w1 — uniform-ish keys, co-partitioned with
+    * their aggregates; the 1-row V2 frame is broadcast. */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigramOccurrences(spark, dir)
+    val pair = bg.filter(col("lang") === "en")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = pair.groupBy("w1").agg(sum("c12").as("c1"))
+    val v2 = pair.agg(countDistinct("w2").as("v2"))
+    val perDocBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    perDocBg
+      .join(pair, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v2))
+      .withColumn("p4", halfUpDiv(
+        (coalesce(col("c12"), lit(0L)) + 1L) * 10000L,
+        coalesce(col("c1"), lit(0L)) + col("v2")))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        sum(when(col("c12").isNull, col("c")).otherwise(0L)).as("n_oov"),
+        sum(col("c") * col("p4")).as("s4"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("n_oov"),
+        (halfUpDiv(col("s4"), col("n_bigrams")) / lit(10000.0)).as("fluency"))
+      .orderBy("doc_id")
+  }
+
+  /** #158 `dsir_weights`: DSIR-style importance weights over hashed
+    * bigram features — every bigram occurrence drops into one of
+    * [[DsirBuckets]] md5-hash buckets, the curated-vs-rest affinity
+    * ratio is trained per BUCKET (so the model is O(buckets) however
+    * large the corpus), and each ≥2-token document gets the exact mean
+    * bucket affinity of its bigrams as its importance weight.
+    * Rank-equivalent (given the clip) to the published
+    * sum-of-log-ratios formulation, in exact int64 arithmetic.
+    *
+    * The bucket table is explicitly broadcast: scoring is one
+    * shuffle-free map-side join over the per-doc bucket counts. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigramOccurrences(spark, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(h64(concat_ws(" ", col("w1"), col("w2"))), lit(DsirBuckets.toLong))
+          .as("bucket"))
+    val buckets = bg.groupBy("bucket")
+      .agg(
+        sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("ct"),
+        sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("cs"))
+      .withColumn("w4", clip4(halfUpDiv((col("ct") + 1L) * 10000L, col("cs") + 1L)))
+    val perDocBucket = bg.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    perDocBucket
+      .join(broadcast(buckets.select("bucket", "w4")), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), sum(col("c") * col("w4")).as("s4"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        (halfUpDiv(col("s4"), col("n_bigrams")) / lit(10000.0)).as("importance"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** QualityModels vs independent in-memory models at sf0.001 (the
+  * DuckDB oracle proves the same semantics cross-engine via the
+  * driver; these pin them inside the JVM, including the exact clip /
+  * halfUpDiv integer arithmetic). */
+class QualityModelsSpec extends SparkSpec {
+
+  private def halfUp(num: Long, den: Long): Long = (num + den / 2) / den
+
+  private def clip4(x: Long): Long =
+    math.min(math.max(x, QualityModels.ClipLo4), QualityModels.ClipHi4)
+
+  /** In-memory twin of Hashing.h64 (md5 hex head as 60-bit int). */
+  private def h64Model(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private lazy val docs: Seq[(Long, String, String, Seq[String])] =
+    graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).trim.split("\\s+").filter(_.nonEmpty).toSeq))
+      .toSeq
+
+  private val curated = QualityModels.CuratedSources.toSet
+
+  /** term -> (c_cur, c_rest, aff4) over the whole corpus. */
+  private lazy val lexicon: Map[String, (Long, Long, Long)] = {
+    val cur = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val rest = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, source, _, toks) =>
+      val m = if (curated(source)) cur else rest
+      toks.foreach(t => m(t) += 1)
+    }
+    (cur.keySet ++ rest.keySet).map { t =>
+      t -> (cur(t), rest(t), clip4(halfUp((cur(t) + 1) * 10000L, rest(t) + 1)))
+    }.toMap
+  }
+
+  test("lexiconHead is the top-50 affinity head with deterministic ties") {
+    val expected = lexicon.toSeq
+      .map { case (t, (c, r, a)) => (t, c, r, a / 10000.0) }
+      .sortBy { case (t, _, _, a) => (-a, t) }
+      .take(QualityModels.LexiconHead)
+    val got = QualityModels.lexiconHead(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+  }
+
+  test("lexiconScore is the exact per-token mean affinity with prior threshold") {
+    val totCur = lexicon.values.map(_._1).sum + lexicon.size
+    val totRest = lexicon.values.map(_._2).sum + lexicon.size
+    val thr4 = halfUp(totCur * 10000L, totRest)
+    val expected = docs.filter(_._4.nonEmpty).map { case (id, _, _, toks) =>
+      val s4 = toks.map(t => lexicon(t)._3).sum
+      val sc4 = halfUp(s4, toks.size.toLong)
+      (id, toks.size.toLong, sc4 / 10000.0, if (sc4 >= thr4) 1 else 0)
+    }.sortBy(_._1)
+    val got = QualityModels.lexiconScore(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got == expected)
+    // the curated/rest split must actually separate: both classes present
+    assert(got.count(_._4 == 1) > 0 && got.count(_._4 == 0) > 0)
+  }
+
+  private def bigrams(toks: Seq[String]): Seq[(String, String)] =
+    if (toks.size < 2) Seq.empty else toks.zip(toks.tail)
+
+  test("lmFluency is the exact mean add-one conditional bigram probability") {
+    val pair = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.filter(_._3 == "en").foreach(d => bigrams(d._4).foreach(b => pair(b) += 1))
+    val ctx = pair.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v2 = pair.keySet.map(_._2).size.toLong
+    val expected = docs.filter(_._4.size >= 2).map { case (id, _, _, toks) =>
+      val bgs = bigrams(toks)
+      val p4s = bgs.map { b =>
+        val c12 = pair.getOrElse(b, 0L)
+        val c1 = ctx.getOrElse(b._1, 0L)
+        halfUp((c12 + 1) * 10000L, c1 + v2)
+      }
+      val nOov = bgs.count(b => !pair.contains(b)).toLong
+      (id, bgs.size.toLong, nOov,
+        halfUp(p4s.sum, bgs.size.toLong) / 10000.0)
+    }.sortBy(_._1)
+    val got = QualityModels.lmFluency(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // English documents must on average outscore non-English ones
+    val byLang = docs.map(d => d._1 -> d._3).toMap
+    val (en, non) = got.partition(g => byLang(g._1) == "en")
+    assert(en.map(_._4).sum / en.size > non.map(_._4).sum / non.size)
+  }
+
+  test("dsirWeights is the exact mean hashed-bucket affinity") {
+    val B = QualityModels.DsirBuckets.toLong
+    def bucket(b: (String, String)): Long = h64Model(s"${b._1} ${b._2}") % B
+    val ct = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val cs = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, source, _, toks) =>
+      val m = if (curated(source)) ct else cs
+      bigrams(toks).foreach(b => m(bucket(b)) += 1)
+    }
+    def w4(bk: Long): Long = clip4(halfUp((ct(bk) + 1) * 10000L, cs(bk) + 1))
+    val expected = docs.filter(_._4.size >= 2).map { case (id, _, _, toks) =>
+      val bks = bigrams(toks).map(bucket)
+      (id, bks.size.toLong, halfUp(bks.map(w4).sum, bks.size.toLong) / 10000.0)
+    }.sortBy(_._1)
+    val got = QualityModels.dsirWeights(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == expected)
+    // curated-source documents must on average carry higher importance
+    val bySource = docs.map(d => d._1 -> d._2).toMap
+    val (c, r) = got.partition(g => curated(bySource(g._1)))
+    assert(c.map(_._3).sum / c.size > r.map(_._3).sum / r.size)
+  }
+}
