@@ -65,19 +65,27 @@ object QualityModels {
       .spread
       .select(col("doc_id"), col("source"), explode(col("t")).as("term"))
 
-  /** (doc_id, source, lang, w1, w2) one row per bigram occurrence. */
-  private def bigramOccurrences(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"),
-        TextAnalysis.tokens(col("text")).as("t"))
-      .spread
+  /** One row per bigram occurrence of `text`, as (w1, w2); every other
+    * column of `docs` is carried through. Narrow (works on streaming
+    * frames too — the streaming gates ride this same derivation). */
+  def bigramsOf(docs: DataFrame): DataFrame = {
+    val carried = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
+      .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("source"), col("lang"),
+      .select(carried :+
         explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
           struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("source"), col("lang"),
-        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+            element_at(col("t"), i + 1).as("w2")))).as("bg"): _*)
+      .select(carried :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+  }
+
+  /** (doc_id, source, lang, w1, w2) one row per bigram occurrence. */
+  private def bigramOccurrences(spark: SparkSession, dir: String): DataFrame =
+    bigramsOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .spread)
 
   /** Full lexicon: per term, curated/rest token counts and the clipped
     * add-one affinity ratio (c_cur+1)/(c_rest+1) in 1e-4 units. One
@@ -116,7 +124,11 @@ object QualityModels {
     * prior-ratio fallback keeps the operator total when applied to a
     * NEW corpus with out-of-vocabulary terms. */
   def lexiconScore(spark: SparkSession, dir: String): DataFrame = {
-    val lex = lexiconTrain(spark, dir)
+    // The trained lexicon feeds three consumers (prior numerator,
+    // prior denominator, scoring join); checkpointing the vocab-sized
+    // aggregate keeps the corpus tokenization at ONE training scan
+    // instead of one per consumer.
+    val lex = lexiconTrain(spark, dir).localCheckpoint()
     val prior = lex.agg(
       (sum("c_cur") + count(lit(1))).as("pn"),
       (sum("c_rest") + count(lit(1))).as("pd"))
@@ -155,8 +167,11 @@ object QualityModels {
     * their aggregates; the 1-row V2 frame is broadcast. */
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
     val bg = bigramOccurrences(spark, dir)
+    // pair feeds ctx, v2 AND the scoring join — checkpoint the
+    // bigram-vocab-sized table so training tokenizes the corpus once.
     val pair = bg.filter(col("lang") === "en")
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val ctx = pair.groupBy("w1").agg(sum("c12").as("c1"))
     val v2 = pair.agg(countDistinct("w2").as("v2"))
     val perDocBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
@@ -191,25 +206,43 @@ object QualityModels {
     *
     * The bucket table is explicitly broadcast: scoring is one
     * shuffle-free map-side join over the per-doc bucket counts. */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val bg = bigramOccurrences(spark, dir)
-      .select(col("doc_id"), col("source"),
-        pmod(h64(concat_ws(" ", col("w1"), col("w2"))), lit(DsirBuckets.toLong))
-          .as("bucket"))
-    val buckets = bg.groupBy("bucket")
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirScoreOf(
+      Tables.documents(spark, dir).select("doc_id", "text").spread,
+      // O(DsirBuckets) rows — checkpointing pins the trained model so
+      // the broadcast (and any retry) never re-runs the training scan
+      dsirBucketTable(spark, dir).localCheckpoint())
+      .orderBy("doc_id")
+
+  /** The hashed-bigram bucket column for a (w1, w2) pair. */
+  def dsirBucket(w1: Column, w2: Column): Column =
+    pmod(h64(concat_ws(" ", w1, w2)), lit(DsirBuckets.toLong))
+
+  /** The trained DSIR model: per bucket, curated/rest bigram counts and
+    * the clipped affinity weight. O([[DsirBuckets]]) rows always. */
+  def dsirBucketTable(spark: SparkSession, dir: String): DataFrame =
+    bigramOccurrences(spark, dir)
+      .select(col("source"), dsirBucket(col("w1"), col("w2")).as("bucket"))
+      .groupBy("bucket")
       .agg(
         sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("ct"),
         sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("cs"))
       .withColumn("w4", clip4(halfUpDiv((col("ct") + 1L) * 10000L, col("cs") + 1L)))
-    val perDocBucket = bg.groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-    perDocBucket
+
+  /** Scores any (doc_id, text) frame — batch OR streaming — against a
+    * trained bucket table: narrow bigram derivation, broadcast map-side
+    * join onto the O(buckets) model, then ONE aggregation (the whole
+    * plan has a single shuffle, and a single streaming agg is exactly
+    * what update-mode streaming allows — StreamQuality-style gates call
+    * this directly on the stream frame). */
+  def dsirScoreOf(docs: DataFrame, buckets: DataFrame): DataFrame =
+    bigramsOf(docs)
+      .select(col("doc_id"), dsirBucket(col("w1"), col("w2")).as("bucket"))
       .join(broadcast(buckets.select("bucket", "w4")), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(sum("c").as("n_bigrams"), sum(col("c") * col("w4")).as("s4"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w4")).as("s4"))
       .select(
         col("doc_id"),
         col("n_bigrams"),
         (halfUpDiv(col("s4"), col("n_bigrams")) / lit(10000.0)).as("importance"))
-      .orderBy("doc_id")
-  }
 }

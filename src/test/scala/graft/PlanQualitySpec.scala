@@ -288,4 +288,26 @@ class PlanQualitySpec extends SparkSpec {
     val spreadDf = scan.spread
     assert(spreadDf.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
   }
+
+  test("dsir: scoring is one broadcast join + one shuffle (model checkpointed)") {
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"bucket scoring must not shuffle-join:\n$p")
+    assert(scanCount(p, "documents") == 1, // training scan is behind the checkpoint
+      s"expected only the scoring scan in the final plan:\n$p")
+  }
+
+  test("lexicon score: one scoring scan (trained lexicon checkpointed), prior broadcast") {
+    val p = plan("quality_lexicon_score")
+    assert(scanCount(p, "documents") == 1,
+      s"training consumers must reuse the checkpointed lexicon:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row prior must broadcast:\n$p")
+  }
+
+  test("lm fluency: one scoring scan (pair table checkpointed feeds ctx/v2/join)") {
+    val p = plan("text_lm_fluency")
+    assert(scanCount(p, "documents") == 1,
+      s"ctx/v2/join must reuse the checkpointed pair table:\n$p")
+  }
 }
