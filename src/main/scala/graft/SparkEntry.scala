@@ -153,6 +153,7 @@ object SparkEntry {
     "docs_quality_histogram" -> ((s, d) => graft.operators.Analytics5.qualityHistogram(s, d)),
     "lineitem_monthly" -> ((s, d) => graft.operators.Analytics5.monthlyRevenue(s, d)),
     // round 6: model-based filtering (trained quality/importance models)
+    "text_lexical_diversity" -> ((s, d) => graft.operators.QualitySignals.lexicalDiversity(s, d)),
     "quality_lexicon" -> ((s, d) => graft.operators.QualityModels.lexiconHead(s, d)),
     "quality_lexicon_score" -> ((s, d) => graft.operators.QualityModels.lexiconScore(s, d)),
     "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
@@ -2271,6 +2272,20 @@ object SparkEntry {
     // Clipped add-one count-ratio "affinity" in 1e-4-unit int64 — the
     // exact-arithmetic analog of log-odds scoring (see QualityModels
     // scaladoc). CUR_IN/clip mirror CuratedSources/clip4 verbatim.
+
+    "text_lexical_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |tk AS (SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) >= 1),
+         |dt AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+         |d AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM dt GROUP BY doc_id)
+         |SELECT doc_id, n_toks, n_types, n_hapax,
+         |  ${ratio4Sql("n_types", "n_toks")} AS ttr,
+         |  ${ratio4Sql("n_hapax", "n_types")} AS hapax_share
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "quality_lexicon" ->
       s"""WITH $LEX_CTES

@@ -87,4 +87,26 @@ object QualitySignals {
         ratio4(col("n_unique"), col("n_shingles")).as("novelty"))
       .orderBy("doc_id")
   }
+
+  /** Lexical diversity per document: type-token ratio and the hapax
+    * share (types occurring exactly once in the doc) — the
+    * vocabulary-richness gates next to Gopher's repetition rules
+    * (machine-generated and template text sits low on both). One
+    * (doc, term) aggregate then one per-doc rollup, both
+    * partial-aggregable; exports ride ratio4. Docs need ≥ 1 token. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).spread
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_toks"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"), col("n_hapax"),
+        ratio4(col("n_types"), col("n_toks")).as("ttr"),
+        ratio4(col("n_hapax"), col("n_types")).as("hapax_share"))
+      .orderBy("doc_id")
 }

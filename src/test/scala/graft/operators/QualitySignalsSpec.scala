@@ -152,4 +152,22 @@ class QualitySignalsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got == expected)
   }
+
+  test("lexicalDiversity matches a type/hapax count model") {
+    val expected = docs.flatMap { case (id, text) =>
+      val t = toks(text)
+      if (t.isEmpty) None
+      else {
+        val counts = t.groupBy(identity).view.mapValues(_.size.toLong)
+        val types = counts.size.toLong
+        val hapax = counts.values.count(_ == 1L).toLong
+        Some((id, t.length.toLong, types, hapax,
+          ratio4Model(types, t.length.toLong), ratio4Model(hapax, types)))
+      }
+    }.sortBy(_._1)
+    val got = QualitySignals.lexicalDiversity(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got == expected)
+  }
 }
