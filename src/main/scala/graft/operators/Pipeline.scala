@@ -88,6 +88,48 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** #161 `pipeline_training_mix`: the whole training-mix assembly as
+    * ONE declarative plan — the composition a pretraining data team
+    * actually ships:
+    *
+    *   1. decontaminated training split (eval-shingle overlap gate,
+    *      [[Curation.decontaminated]]);
+    *   2. exact-dedup keepers (min doc_id per normalized digest);
+    *   3. trained quality gate: keep docs the curated-vs-crawl lexicon
+    *      scores curated-like ([[QualityModels.lexiconScore]] pred=1);
+    *   4. DSIR importance attached for downstream loss/sampling
+    *      weighting ([[QualityModels.dsirWeights]], ≥2-token docs —
+    *      shorter docs are not trainable sequences and drop here);
+    *   5. survivors packed into fixed-length training sequences via the
+    *      native range-partitioned prefix sum (never a single-partition
+    *      window).
+    *
+    * Every stage joins on doc_id, so the gates co-partition after their
+    * own aggregates; the model tables inside the stages keep their
+    * broadcast/checkpoint shapes. The prefix sum consumes the joined
+    * frame once (GlobalRankExec reuses its own shuffle for the seed and
+    * main passes — no re-execution of the gate chain). */
+  def trainingMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
+    val keepers = docs
+      .withColumn("digest", h64(DocDedup.normalized(col("text"))))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val surv = Curation.decontaminated(spark, dir)
+      .join(keepers, "doc_id")
+      .join(QualityModels.lexiconScore(spark, dir)
+        .filter(col("pred") === 1).select("doc_id", "n_toks", "score"), "doc_id")
+      .join(QualityModels.dsirWeights(spark, dir)
+        .select("doc_id", "importance"), "doc_id")
+      .select("doc_id", "source", "n_toks", "score", "importance")
+    Ranking.globalPrefixSum(surv, Seq(col("doc_id")), "n_toks", out = "start_tok")
+      .withColumn("pack_id", intDiv(col("start_tok"), lit(PackSeqLen)))
+      .select("doc_id", "source", "n_toks", "score", "importance",
+        "start_tok", "pack_id")
+      .orderBy("doc_id")
+  }
+
   /** SPEC-ONLY comparison target: the same pipeline as [[cleanDocs]]
     * built by composing the standalone operators, kept so
     * DocPipelineSpec can assert the fused production path is equivalent.

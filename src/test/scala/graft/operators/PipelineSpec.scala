@@ -19,4 +19,34 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(ids.forall(langs(_) == "en"))
   }
+
+  test("trainingMix equals composing its stage operators independently") {
+    import graft.functions.Hashing.h64
+    val decon = Curation.decontaminated(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keepers = graft.Tables.documents(spark, sf)
+      .withColumn("digest", h64(DocDedup.normalized(col("text"))))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scored = QualityModels.lexiconScore(spark, sf)
+      .filter(col("pred") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val imp = QualityModels.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val surv = decon.keySet.intersect(keepers)
+      .intersect(scored.keySet).intersect(imp.keySet).toSeq.sorted
+    var off = 0L
+    val expected = surv.map { id =>
+      val (nToks, score) = scored(id)
+      val row = (id, decon(id), nToks, score, imp(id), off,
+        off / Pipeline.PackSeqLen)
+      off += nToks
+      row
+    }
+    val got = Pipeline.trainingMix(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

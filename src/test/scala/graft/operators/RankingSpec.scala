@@ -26,7 +26,8 @@ class RankingSpec extends SparkSpec {
   }
 
   test("rank consumers plan no single-partition window") {
-    for (q <- Seq("events_spend_deciles", "events_rfm", "pipeline_pack_sequences")) {
+    for (q <- Seq("events_spend_deciles", "events_rfm", "pipeline_pack_sequences",
+                  "pipeline_training_mix")) {
       val p = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!p.contains("Window"), s"$q must rank via the partition-offset zip, not a window:\n$p")
