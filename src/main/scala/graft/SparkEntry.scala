@@ -155,6 +155,7 @@ object SparkEntry {
     // round 6: model-based filtering (trained quality/importance models)
     "text_lexical_diversity" -> ((s, d) => graft.operators.QualitySignals.lexicalDiversity(s, d)),
     "pipeline_training_mix" -> ((s, d) => graft.operators.Pipeline.trainingMix(s, d)),
+    "mix_retention_report" -> ((s, d) => graft.operators.Pipeline.mixRetention(s, d)),
     "quality_lexicon" -> ((s, d) => graft.operators.QualityModels.lexiconHead(s, d)),
     "quality_lexicon_score" -> ((s, d) => graft.operators.QualityModels.lexiconScore(s, d)),
     "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
@@ -2279,76 +2280,8 @@ object SparkEntry {
     // Self-contained tm-prefixed CTEs (the shared LEX/CONTAM macros
     // both claim the name `toks`); each block mirrors its operator's
     // standalone oracle verbatim.
-    "pipeline_training_mix" -> {
-      val mod = graft.operators.Curation.EvalMod
-      s"""WITH tmt AS (SELECT doc_id, source, $TOKS AS t FROM documents),
-         |tms AS (
-         |  SELECT doc_id, ${H64("shingle")} AS sh FROM (
-         |    SELECT doc_id, unnest(list_distinct(list_transform(
-         |      generate_series(1, len(t)-4),
-         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS shingle
-         |    FROM tmt WHERE len(t) >= 5)),
-         |tmev AS (SELECT DISTINCT sh FROM tms WHERE doc_id % $mod = 0),
-         |tmtr AS (SELECT * FROM tms WHERE doc_id % $mod <> 0),
-         |tmn AS (SELECT doc_id, count(*) AS n_shingles FROM tmtr GROUP BY 1),
-         |tmh AS (SELECT doc_id, count(*) AS n_contaminated FROM tmtr
-         |        WHERE sh IN (SELECT sh FROM tmev) GROUP BY 1),
-         |tmbad AS (
-         |  SELECT tmn.doc_id FROM tmn JOIN tmh ON tmn.doc_id = tmh.doc_id
-         |  WHERE ${ratio4Sql("n_contaminated", "n_shingles")}
-         |        > ${graft.operators.Curation.MaxContamRatio}),
-         |tmkeep AS (
-         |  SELECT min(doc_id) AS doc_id FROM (
-         |    SELECT doc_id, ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS digest
-         |    FROM documents
-         |  ) GROUP BY digest),
-         |tmtk AS (SELECT doc_id, source, unnest(t) AS term FROM tmt),
-         |tmlex AS (
-         |  SELECT term,
-         |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
-         |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 0 ELSE 1 END) AS BIGINT) AS c_rest
-         |  FROM tmtk GROUP BY term),
-         |tmw AS (SELECT term,
-         |          ${clipSql(halfUpSql("(c_cur + 1) * 10000", "c_rest + 1"))} AS aff4
-         |        FROM tmlex),
-         |tmprior AS (SELECT ${halfUpSql("(CAST(sum(c_cur) AS BIGINT) + count(*)) * 10000",
-                                         "CAST(sum(c_rest) AS BIGINT) + count(*)")} AS thr4
-         |            FROM tmlex),
-         |tmpdt AS (SELECT doc_id, term, count(*) AS c FROM tmtk GROUP BY 1, 2),
-         |tmsc AS (
-         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
-         |    CAST(sum(c * aff4) AS BIGINT) AS s4, max(thr4) AS thr4
-         |  FROM tmpdt JOIN tmw USING (term) CROSS JOIN tmprior GROUP BY doc_id),
-         |tmscore AS (
-         |  SELECT doc_id, n_toks, ${halfUpSql("s4", "n_toks")} / 10000.0 AS score
-         |  FROM tmsc WHERE ${halfUpSql("s4", "n_toks")} >= thr4),
-         |tmb AS (
-         |  SELECT doc_id, source,
-         |    ${H64("pair")} % ${graft.operators.QualityModels.DsirBuckets} AS bucket
-         |  FROM (
-         |    SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t)-1),
-         |      i -> concat_ws(' ', t[i], t[i+1]))) AS pair
-         |    FROM tmt WHERE len(t) >= 2)),
-         |tmbt AS (
-         |  SELECT bucket,
-         |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END) AS BIGINT) AS ct,
-         |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 0 ELSE 1 END) AS BIGINT) AS cs
-         |  FROM tmb GROUP BY 1),
-         |tmwb AS (SELECT bucket, ${clipSql(halfUpSql("(ct + 1) * 10000", "cs + 1"))} AS w4
-         |         FROM tmbt),
-         |tmimp AS (
-         |  SELECT doc_id,
-         |    ${halfUpSql("CAST(sum(w4) AS BIGINT)", "CAST(count(*) AS BIGINT)")} / 10000.0
-         |      AS importance
-         |  FROM tmb JOIN tmwb USING (bucket) GROUP BY doc_id),
-         |tmsurv AS (
-         |  SELECT d.doc_id, d.source, s.n_toks, s.score, i.importance
-         |  FROM documents d
-         |  JOIN tmkeep k ON d.doc_id = k.doc_id
-         |  JOIN tmscore s ON d.doc_id = s.doc_id
-         |  JOIN tmimp i ON d.doc_id = i.doc_id
-         |  WHERE d.doc_id % $mod <> 0
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM tmbad)),
+    "pipeline_training_mix" ->
+      s"""WITH $TM_CTES,
          |tmp AS (
          |  SELECT doc_id, source, n_toks, score, importance,
          |    CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
@@ -2356,8 +2289,27 @@ object SparkEntry {
          |  FROM tmsurv)
          |SELECT doc_id, source, n_toks, score, importance, start_tok,
          |  start_tok // ${graft.operators.Pipeline.PackSeqLen} AS pack_id
-         |FROM tmp ORDER BY doc_id""".stripMargin
-    },
+         |FROM tmp ORDER BY doc_id""".stripMargin,
+
+    // before/after panel over the same tm CTE chain: what the gate
+    // stack did to the source mix — mirrors Curation.mixRetention.
+    "mix_retention_report" ->
+      s"""WITH $TM_CTES,
+         |tmin AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+         |    CAST(sum(len(t)) AS BIGINT) AS toks_in
+         |  FROM tmt GROUP BY source),
+         |tmout AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+         |    CAST(sum(n_toks) AS BIGINT) AS toks_kept
+         |  FROM tmsurv GROUP BY source)
+         |SELECT source, docs_in, toks_in,
+         |  coalesce(docs_kept, 0) AS docs_kept,
+         |  coalesce(toks_kept, 0) AS toks_kept,
+         |  ${ratio4Sql("coalesce(docs_kept, 0)", "docs_in")} AS doc_retention,
+         |  ${ratio4Sql("coalesce(toks_kept, 0)", "toks_in")} AS tok_retention
+         |FROM tmin LEFT JOIN tmout USING (source)
+         |ORDER BY source""".stripMargin,
 
     "text_lexical_diversity" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
@@ -2452,6 +2404,83 @@ object SparkEntry {
   private def clipSql(x: String): String =
     s"LEAST(GREATEST($x, ${graft.operators.QualityModels.ClipLo4}), " +
       s"${graft.operators.QualityModels.ClipHi4})"
+
+  /** The full training-mix CTE chain through `tmsurv` (survivor docs
+    * with n_toks/score/importance) — tm-prefixed to avoid colliding
+    * with the shared LEX/CONTAM macros (both claim `toks`); each block
+    * mirrors its operator's standalone oracle verbatim. Shared by
+    * pipeline_training_mix and mix_retention_report. */
+  private def TM_CTES: String = {
+    val mod = graft.operators.Curation.EvalMod
+    s"""tmt AS (SELECT doc_id, source, $TOKS AS t FROM documents),
+       |tms AS (
+       |  SELECT doc_id, ${H64("shingle")} AS sh FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(t)-4),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS shingle
+       |    FROM tmt WHERE len(t) >= 5)),
+       |tmev AS (SELECT DISTINCT sh FROM tms WHERE doc_id % $mod = 0),
+       |tmtr AS (SELECT * FROM tms WHERE doc_id % $mod <> 0),
+       |tmn AS (SELECT doc_id, count(*) AS n_shingles FROM tmtr GROUP BY 1),
+       |tmh AS (SELECT doc_id, count(*) AS n_contaminated FROM tmtr
+       |        WHERE sh IN (SELECT sh FROM tmev) GROUP BY 1),
+       |tmbad AS (
+       |  SELECT tmn.doc_id FROM tmn JOIN tmh ON tmn.doc_id = tmh.doc_id
+       |  WHERE ${ratio4Sql("n_contaminated", "n_shingles")}
+       |        > ${graft.operators.Curation.MaxContamRatio}),
+       |tmkeep AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS digest
+       |    FROM documents
+       |  ) GROUP BY digest),
+       |tmtk AS (SELECT doc_id, source, unnest(t) AS term FROM tmt),
+       |tmlex AS (
+       |  SELECT term,
+       |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+       |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 0 ELSE 1 END) AS BIGINT) AS c_rest
+       |  FROM tmtk GROUP BY term),
+       |tmw AS (SELECT term,
+       |          ${clipSql(halfUpSql("(c_cur + 1) * 10000", "c_rest + 1"))} AS aff4
+       |        FROM tmlex),
+       |tmprior AS (SELECT ${halfUpSql("(CAST(sum(c_cur) AS BIGINT) + count(*)) * 10000",
+                                       "CAST(sum(c_rest) AS BIGINT) + count(*)")} AS thr4
+       |            FROM tmlex),
+       |tmpdt AS (SELECT doc_id, term, count(*) AS c FROM tmtk GROUP BY 1, 2),
+       |tmsc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+       |    CAST(sum(c * aff4) AS BIGINT) AS s4, max(thr4) AS thr4
+       |  FROM tmpdt JOIN tmw USING (term) CROSS JOIN tmprior GROUP BY doc_id),
+       |tmscore AS (
+       |  SELECT doc_id, n_toks, ${halfUpSql("s4", "n_toks")} / 10000.0 AS score
+       |  FROM tmsc WHERE ${halfUpSql("s4", "n_toks")} >= thr4),
+       |tmb AS (
+       |  SELECT doc_id, source,
+       |    ${H64("pair")} % ${graft.operators.QualityModels.DsirBuckets} AS bucket
+       |  FROM (
+       |    SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t)-1),
+       |      i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+       |    FROM tmt WHERE len(t) >= 2)),
+       |tmbt AS (
+       |  SELECT bucket,
+       |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN source IN $CUR_IN THEN 0 ELSE 1 END) AS BIGINT) AS cs
+       |  FROM tmb GROUP BY 1),
+       |tmwb AS (SELECT bucket, ${clipSql(halfUpSql("(ct + 1) * 10000", "cs + 1"))} AS w4
+       |         FROM tmbt),
+       |tmimp AS (
+       |  SELECT doc_id,
+       |    ${halfUpSql("CAST(sum(w4) AS BIGINT)", "CAST(count(*) AS BIGINT)")} / 10000.0
+       |      AS importance
+       |  FROM tmb JOIN tmwb USING (bucket) GROUP BY doc_id),
+       |tmsurv AS (
+       |  SELECT d.doc_id, d.source, s.n_toks, s.score, i.importance
+       |  FROM documents d
+       |  JOIN tmkeep k ON d.doc_id = k.doc_id
+       |  JOIN tmscore s ON d.doc_id = s.doc_id
+       |  JOIN tmimp i ON d.doc_id = i.doc_id
+       |  WHERE d.doc_id % $mod <> 0
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM tmbad))""".stripMargin
+  }
 
   /** Shared lexicon-training CTEs (tk token occurrences, lex class
     * counts, w clipped affinity4) — mirror QualityModels.lexiconTrain. */

@@ -111,23 +111,55 @@ object Pipeline {
     * main passes — no re-execution of the gate chain). */
   def trainingMix(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.intDiv
+    Ranking.globalPrefixSum(mixSurvivors(spark, dir),
+        Seq(col("doc_id")), "n_toks", out = "start_tok")
+      .withColumn("pack_id", intDiv(col("start_tok"), lit(PackSeqLen)))
+      .select("doc_id", "source", "n_toks", "score", "importance",
+        "start_tok", "pack_id")
+      .orderBy("doc_id")
+  }
+
+  /** The gate-stack survivors feeding [[trainingMix]] and
+    * [[mixRetention]]: (doc_id, source, n_toks, score, importance). */
+  private def mixSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
     val keepers = docs
       .withColumn("digest", h64(DocDedup.normalized(col("text"))))
       .groupBy("digest").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val surv = Curation.decontaminated(spark, dir)
+    Curation.decontaminated(spark, dir)
       .join(keepers, "doc_id")
       .join(QualityModels.lexiconScore(spark, dir)
         .filter(col("pred") === 1).select("doc_id", "n_toks", "score"), "doc_id")
       .join(QualityModels.dsirWeights(spark, dir)
         .select("doc_id", "importance"), "doc_id")
       .select("doc_id", "source", "n_toks", "score", "importance")
-    Ranking.globalPrefixSum(surv, Seq(col("doc_id")), "n_toks", out = "start_tok")
-      .withColumn("pack_id", intDiv(col("start_tok"), lit(PackSeqLen)))
-      .select("doc_id", "source", "n_toks", "score", "importance",
-        "start_tok", "pack_id")
-      .orderBy("doc_id")
+  }
+
+  /** #162 `mix_retention_report`: what the gate stack did to the source
+    * mix — per source, raw doc/token counts vs surviving counts and the
+    * exact retention ratios. The panel a curation team reads FIRST
+    * after changing any gate (a filter that silently empties one feed
+    * shows up here, not in downstream loss curves). Raw side is one
+    * narrow scan aggregate to O(sources) rows; the survivor side reuses
+    * the gate chain; the final join is broadcast-sized both sides. */
+  def mixRetention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val raw = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n")).spread
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_in"), sum("n").as("toks_in"))
+    val kept = mixSurvivors(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum("n_toks").as("toks_kept"))
+    raw.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("docs_in"), col("toks_in"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"),
+        ratio4(coalesce(col("docs_kept"), lit(0L)), col("docs_in")).as("doc_retention"),
+        ratio4(coalesce(col("toks_kept"), lit(0L)), col("toks_in")).as("tok_retention"))
+      .orderBy("source")
   }
 
   /** SPEC-ONLY comparison target: the same pipeline as [[cleanDocs]]

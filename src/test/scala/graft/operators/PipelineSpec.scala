@@ -49,4 +49,25 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("mixRetention reconciles raw counts with the trainingMix survivors") {
+    val raw = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val kept = Pipeline.trainingMix(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val expected = raw.toSeq.sortBy(_._1).map { case (s, (di, ti)) =>
+      val (dk, tk) = kept.getOrElse(s, (0L, 0L))
+      (s, di, ti, dk, tk, ratio4Model(dk, di), ratio4Model(tk, ti))
+    }
+    val got = Pipeline.mixRetention(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got == expected)
+    // the gate stack must actually discriminate: not everything survives
+    assert(got.map(_._4).sum < got.map(_._2).sum)
+  }
 }
