@@ -103,6 +103,28 @@ final class DocPipeline private (val df: DataFrame) {
     * (source_mix_report semantics) — requires a `source` column. */
   def mixReport: DataFrame =
     graft.operators.Curation.sourceMixReportOf(df.select("source", "text"))
+
+  /** Keep docs a TRAINED curated-vs-crawl lexicon scores curated-like
+    * (quality_lexicon_score pred=1 semantics). The lexicon comes from
+    * [[graft.operators.QualityModels.lexiconTrain]] — train once on
+    * the reference corpus, gate any number of pipelines with the same
+    * frozen model (out-of-vocabulary terms fall back to the prior). */
+  def lexiconGate(lex: DataFrame): DocPipeline = {
+    val keep = graft.operators.QualityModels
+      .lexiconScoreOf(df.select("doc_id", "text"), lex)
+      .filter(col("pred") === 1).select("doc_id")
+    next(df.join(keep, "doc_id"))
+  }
+
+  /** Attach the DSIR `importance` column from a TRAINED bucket table
+    * ([[graft.operators.QualityModels.dsirBucketTable]]) — broadcast
+    * map-side scoring; ≤1-token docs score no bigrams and drop (they
+    * are not trainable sequences). */
+  def importanceWeight(buckets: DataFrame): DocPipeline =
+    next(df.join(
+      graft.operators.QualityModels.dsirScoreOf(df.select("doc_id", "text"), buckets)
+        .select("doc_id", "importance"),
+      "doc_id"))
 }
 
 object DocPipeline {

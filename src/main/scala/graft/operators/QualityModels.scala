@@ -123,17 +123,28 @@ object QualityModels {
     * Same-corpus scoring always hits the lexicon; the left join +
     * prior-ratio fallback keeps the operator total when applied to a
     * NEW corpus with out-of-vocabulary terms. */
-  def lexiconScore(spark: SparkSession, dir: String): DataFrame = {
+  def lexiconScore(spark: SparkSession, dir: String): DataFrame =
     // The trained lexicon feeds three consumers (prior numerator,
     // prior denominator, scoring join); checkpointing the vocab-sized
     // aggregate keeps the corpus tokenization at ONE training scan
     // instead of one per consumer.
-    val lex = lexiconTrain(spark, dir).localCheckpoint()
+    lexiconScoreOf(
+      Tables.documents(spark, dir).select("doc_id", "text").spread,
+      lexiconTrain(spark, dir).localCheckpoint())
+      .orderBy("doc_id")
+
+  /** Scores any (doc_id, text) frame against a trained lexicon
+    * ([[lexiconTrain]] output — train once, gate many corpora). The
+    * corpus-prior threshold derives from the lexicon itself; the 1-row
+    * prior frame broadcasts, the term join co-partitions with the
+    * per-doc term aggregate. */
+  def lexiconScoreOf(docs: DataFrame, lex: DataFrame): DataFrame = {
     val prior = lex.agg(
       (sum("c_cur") + count(lit(1))).as("pn"),
       (sum("c_rest") + count(lit(1))).as("pd"))
       .select(halfUpDiv(col("pn") * 10000L, col("pd")).as("thr4"))
-    val perDocTerm = tokenOccurrences(spark, dir)
+    val perDocTerm = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
     perDocTerm
       .join(lex.select("term", "aff4"), Seq("term"), "left")
@@ -148,7 +159,6 @@ object QualityModels {
         col("n_toks"),
         (halfUpDiv(col("s4"), col("n_toks")) / lit(10000.0)).as("score"),
         (halfUpDiv(col("s4"), col("n_toks")) >= col("thr4")).cast("int").as("pred"))
-      .orderBy("doc_id")
   }
 
   /** #157 `text_lm_fluency`: reference bigram LM trained on the

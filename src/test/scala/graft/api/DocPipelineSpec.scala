@@ -82,4 +82,22 @@ class DocPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(smp === Seq((1L, 10L), (2L, 20L)))
   }
+
+  test("model gates: lexiconGate/importanceWeight equal the standalone scorers") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val lex = graft.operators.QualityModels.lexiconTrain(spark, sf).localCheckpoint()
+    val buckets = graft.operators.QualityModels.dsirBucketTable(spark, sf).localCheckpoint()
+    val got = DocPipeline(docs).lexiconGate(lex).importanceWeight(buckets).df
+      .select("doc_id", "importance").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val pred1 = graft.operators.QualityModels.lexiconScore(spark, sf)
+      .filter(col("pred") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = graft.operators.QualityModels.dsirWeights(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .filter(t => pred1(t._1)).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
