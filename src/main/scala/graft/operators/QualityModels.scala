@@ -161,6 +161,43 @@ object QualityModels {
         (halfUpDiv(col("s4"), col("n_toks")) >= col("thr4")).cast("int").as("pred"))
   }
 
+  /** Incremental lexicon training: merge a new batch's class counts
+    * into an existing trained lexicon (the incremental-dedup
+    * fold-equals-full contract — counts are a commutative monoid, so
+    * arrival order never changes the model). `prior` is a previous
+    * [[lexiconTrain]]/[[lexiconMergeOf]] output; `batch` is any
+    * (doc_id, source, text) frame. The affinity is recomputed from the
+    * merged counts, never averaged. One term-keyed shuffle over
+    * prior ∪ batch-counts. */
+  def lexiconMergeOf(prior: DataFrame, batch: DataFrame): DataFrame =
+    prior.select("term", "c_cur", "c_rest")
+      .unionByName(
+        batch
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("term")
+          .agg(
+            sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("c_cur"),
+            sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("c_rest")))
+      .groupBy("term")
+      .agg(sum("c_cur").as("c_cur"), sum("c_rest").as("c_rest"))
+      .withColumn("aff4",
+        clip4(halfUpDiv((col("c_cur") + 1L) * 10000L, col("c_rest") + 1L)))
+
+  /** Incremental DSIR model update — same count-monoid contract as
+    * [[lexiconMergeOf]] over the O([[DsirBuckets]]) bucket table. */
+  def dsirMergeOf(prior: DataFrame, batch: DataFrame): DataFrame =
+    prior.select("bucket", "ct", "cs")
+      .unionByName(
+        bigramsOf(batch.select("doc_id", "source", "text"))
+          .select(col("source"), dsirBucket(col("w1"), col("w2")).as("bucket"))
+          .groupBy("bucket")
+          .agg(
+            sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("ct"),
+            sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("cs")))
+      .groupBy("bucket")
+      .agg(sum("ct").as("ct"), sum("cs").as("cs"))
+      .withColumn("w4", clip4(halfUpDiv((col("ct") + 1L) * 10000L, col("cs") + 1L)))
+
   /** #157 `text_lm_fluency`: reference bigram LM trained on the
     * `lang = 'en'` slice (add-one smoothing over the reference bigram
     * vocabulary), every ≥2-token document scored by the exact mean

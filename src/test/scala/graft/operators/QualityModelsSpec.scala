@@ -96,6 +96,29 @@ class QualityModelsSpec extends SparkSpec {
     assert(en.map(_._4).sum / en.size > non.map(_._4).sum / non.size)
   }
 
+  test("incremental lexicon/dsir training folds to the full-corpus model") {
+    import org.apache.spark.sql.functions._
+    val all = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+    val (b1, b2) = (all.filter(col("doc_id") % 2 === 0),
+      all.filter(col("doc_id") % 2 =!= 0))
+    def key3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1.toString).toSeq
+    val lexFold = QualityModels.lexiconMergeOf(
+      QualityModels.lexiconMergeOf(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          QualityModels.lexiconTrain(spark, sf).schema), b1), b2)
+    assert(key3(lexFold) == key3(QualityModels.lexiconTrain(spark, sf)))
+    val dsirFold = QualityModels.dsirMergeOf(
+      QualityModels.dsirMergeOf(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          QualityModels.dsirBucketTable(spark, sf).schema), b1), b2)
+    assert(key3(dsirFold) == key3(QualityModels.dsirBucketTable(spark, sf)))
+  }
+
   test("dsirWeights is the exact mean hashed-bucket affinity") {
     val B = QualityModels.DsirBuckets.toLong
     def bucket(b: (String, String)): Long = h64Model(s"${b._1} ${b._2}") % B
