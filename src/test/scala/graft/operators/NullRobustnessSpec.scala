@@ -68,6 +68,32 @@ class NullRobustnessSpec extends SparkSpec {
     assert(QualitySignals.sourceLengthStats(spark, dir).count() === 2)
   }
 
+  test("model operators tolerate null/empty/whitespace documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullmodels").toString
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "src0", 22L), // curated source
+      (1L, null.asInstanceOf[String], "en", "src0", 0L),
+      (2L, "", "en", "srcB", 0L),
+      (3L, "   \t  ", "en", "srcB", 6L),
+      (4L, "single", "en", "srcB", 6L), // 1 token: scored, no bigrams
+      (5L, "alpha beta gamma delta", "de", "srcB", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // token-less docs drop out of every model op; no zero denominators
+    assert(QualityModels.lexiconScore(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 4L, 5L))
+    assert(QualityModels.lmFluency(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 5L)) // ≥2 tokens only
+    assert(QualityModels.dsirWeights(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 5L))
+    assert(QualitySignals.lexicalDiversity(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 4L, 5L))
+    // the flagship pipeline composes those gates without throwing
+    assert(Pipeline.mixRetention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap == Map("src0" -> 2L, "srcB" -> 4L))
+  }
+
   test("chain dedup of an empty stream is empty, of one row is that row") {
     import spark.implicits._
     val schema = Seq((0L, 0L, 0L, "x", 0.0, "{}", 7L))
