@@ -156,6 +156,7 @@ object SparkEntry {
     "text_lexical_diversity" -> ((s, d) => graft.operators.QualitySignals.lexicalDiversity(s, d)),
     "pipeline_training_mix" -> ((s, d) => graft.operators.Pipeline.trainingMix(s, d)),
     "mix_retention_report" -> ((s, d) => graft.operators.Pipeline.mixRetention(s, d)),
+    "pipeline_pack_bpe" -> ((s, d) => graft.operators.Pipeline.packBpeSequences(s, d)),
     "quality_lexicon" -> ((s, d) => graft.operators.QualityModels.lexiconHead(s, d)),
     "quality_lexicon_score" -> ((s, d) => graft.operators.QualityModels.lexiconScore(s, d)),
     "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
@@ -252,8 +253,9 @@ object SparkEntry {
 
   /** Encode the vocabulary with the trained merges (LEFT JOIN per round
     * so a pairless round is a no-op, mirroring the Spark encoder's
-    * shorter merge list) and roll fertility up per source. */
-  private def bpeEncodeFertilityOracle: String = {
+    * shorter merge list) → `nsyms(w, n_syms)`. Shared by the fertility
+    * and BPE-packing oracles. */
+  private def bpeEncodeCtes: String = {
     val rounds = graft.operators.Curation.BpeRounds
     val enc = (1 to rounds).map { r =>
       s"""e$r AS (SELECT w,
@@ -262,12 +264,16 @@ object SparkEntry {
          |                    '(' || p.lhs || p.rhs || ')') END AS s
          |  FROM e${r - 1} LEFT JOIN p$r p ON true)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $bpeTrainCtes,
-       |e0 AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS s FROM wt),
+    s"""e0 AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS s FROM wt),
        |$enc,
        |nsyms AS (SELECT w,
        |  CAST(len(string_split(trim(replace(s, ')(', ' '), '()'), ' ')) AS BIGINT) AS n_syms
-       |  FROM e$rounds),
+       |  FROM e$rounds)""".stripMargin
+  }
+
+  private def bpeEncodeFertilityOracle: String =
+    s"""WITH $bpeTrainCtes,
+       |$bpeEncodeCtes,
        |stoks AS (SELECT source, $TOKS AS t FROM documents),
        |sw AS (SELECT source, w, count(*) AS cnt
        |       FROM (SELECT source, unnest(t) AS w FROM stoks) q0
@@ -277,7 +283,6 @@ object SparkEntry {
        |  ${ratio4Sql("sum(cnt * n_syms)", "sum(cnt)")} AS fertility
        |FROM sw JOIN nsyms USING (w)
        |GROUP BY source ORDER BY source""".stripMargin
-  }
 
   /** tokens + distinct 3-shingles — mirrors DocDedup.docShingles. */
   private val SH_CTE =
@@ -1451,6 +1456,28 @@ object SparkEntry {
          |ORDER BY d.source, d.doc_id""".stripMargin,
 
     "bpe_train_merges" -> bpeTrainMergesOracle,
+
+    // packing in BPE-token units: the #150/#154 train+encode chain
+    // yields per-doc BPE totals, then the same prefix-sum cut
+    "pipeline_pack_bpe" -> {
+      val L = graft.operators.Pipeline.PackSeqLen
+      s"""WITH $bpeTrainCtes,
+         |$bpeEncodeCtes,
+         |dtoks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |dw AS (SELECT doc_id, w, count(*) AS cnt
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM dtoks) q0
+         |       WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY doc_id, w),
+         |pd AS (SELECT doc_id, CAST(sum(cnt * n_syms) AS BIGINT) AS n_toks
+         |       FROM dw JOIN nsyms USING (w) GROUP BY doc_id),
+         |p AS (SELECT doc_id, n_toks,
+         |  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM pd)
+         |SELECT doc_id, n_toks, start_tok,
+         |  start_tok // $L AS pack_id,
+         |  (n_toks > 0 AND (start_tok + n_toks - 1) // $L <> start_tok // $L) AS straddles
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
 
     "bpe_encode_fertility" -> bpeEncodeFertilityOracle,
 

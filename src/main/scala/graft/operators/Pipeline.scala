@@ -119,6 +119,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** #164 `pipeline_pack_bpe`: sequence packing in TOKENIZER units —
+    * what a training job actually cuts on. The corpus's own BPE
+    * tokenizer (the #150 merge table, trained on the global word-type
+    * vocab) encodes every doc's alnum word types to symbol counts, the
+    * per-doc BPE token total replaces the whitespace count, and the
+    * same native prefix-sum packing cuts every `seqLen` BPE tokens.
+    * Encoding touches word TYPES once (vocab-sized narrow replace
+    * chain); per-doc totals are one hash join of the checkpointed
+    * (doc, word, count) frame onto the encoded vocab. Docs with no
+    * alnum words carry zero trainable tokens and drop. */
+  def packBpeSequences(spark: SparkSession, dir: String,
+                       seqLen: Long = PackSeqLen): DataFrame = {
+    val perDocWord = Tables.documents(spark, dir)
+      .select("doc_id", "text").spread
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = perDocWord.groupBy("w").agg(sum("cnt").as("n")).localCheckpoint()
+    val nsyms = Curation.bpeEncodedSymbols(vocab,
+      Curation.bpeTrainMergesLocal(vocab, Curation.BpeRounds))
+    packOf(
+      perDocWord.join(nsyms, "w")
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * col("n_syms")).as("n_toks")),
+      seqLen)
+  }
+
   /** The gate-stack survivors feeding [[trainingMix]] and
     * [[mixRetention]]: (doc_id, source, n_toks, score, importance). */
   private def mixSurvivors(spark: SparkSession, dir: String): DataFrame = {

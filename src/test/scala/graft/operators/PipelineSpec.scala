@@ -70,4 +70,36 @@ class PipelineSpec extends SparkSpec {
     // the gate stack must actually discriminate: not everything survives
     assert(got.map(_._4).sum < got.map(_._2).sum)
   }
+
+  test("packBpeSequences cuts on the encoded per-doc BPE token totals") {
+    import spark.implicits._
+    val perDocWord = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val vocab = perDocWord.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toSeq.toDF("w", "n")
+    val nsyms = Curation.bpeEncodedSymbols(vocab,
+        Curation.bpeTrainMergesLocal(vocab, Curation.BpeRounds))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perDoc = perDocWord.groupBy(_._1).view
+      .mapValues(_.map(t => t._3 * nsyms(t._2)).sum).toSeq.sortBy(_._1)
+    val L = Pipeline.PackSeqLen
+    var off = 0L
+    val expected = perDoc.map { case (id, n) =>
+      val row = (id, n, off, off / L,
+        n > 0 && (off + n - 1) / L != off / L)
+      off += n
+      row
+    }
+    val got = Pipeline.packBpeSequences(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got == expected)
+    // BPE totals differ from whitespace totals (it's a different unit)
+    val ws = Pipeline.packSequences(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (id, n, _, _, _) => ws.get(id).exists(_ != n) })
+  }
 }
