@@ -157,6 +157,7 @@ object SparkEntry {
     "pipeline_training_mix" -> ((s, d) => graft.operators.Pipeline.trainingMix(s, d)),
     "mix_retention_report" -> ((s, d) => graft.operators.Pipeline.mixRetention(s, d)),
     "pipeline_pack_bpe" -> ((s, d) => graft.operators.Pipeline.packBpeSequences(s, d)),
+    "corpus_heaps_curve" -> ((s, d) => graft.operators.CorpusStats.heapsCurve(s, d)),
     "quality_lexicon" -> ((s, d) => graft.operators.QualityModels.lexiconHead(s, d)),
     "quality_lexicon_score" -> ((s, d) => graft.operators.QualityModels.lexiconScore(s, d)),
     "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
@@ -2337,6 +2338,24 @@ object SparkEntry {
          |  ${ratio4Sql("coalesce(toks_kept, 0)", "toks_in")} AS tok_retention
          |FROM tmin LEFT JOIN tmout USING (source)
          |ORDER BY source""".stripMargin,
+
+    "corpus_heaps_curve" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |mx AS (SELECT max(doc_id) AS m FROM documents),
+         |tk AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |bt AS (SELECT (doc_id * 10) // (m + 1) AS bucket, count(*) AS toks
+         |       FROM tk CROSS JOIN mx GROUP BY 1),
+         |nb AS (SELECT (fd * 10) // (m + 1) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS new_types
+         |       FROM (SELECT term, min(doc_id) AS fd FROM tk GROUP BY 1)
+         |       CROSS JOIN mx GROUP BY 1)
+         |SELECT bucket, toks,
+         |  CAST(sum(toks) OVER w AS BIGINT) AS cum_toks,
+         |  coalesce(new_types, 0) AS new_types,
+         |  CAST(sum(coalesce(new_types, 0)) OVER w AS BIGINT) AS cum_types
+         |FROM bt LEFT JOIN nb USING (bucket)
+         |WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+         |ORDER BY bucket""".stripMargin,
 
     "text_lexical_diversity" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

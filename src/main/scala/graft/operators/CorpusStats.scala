@@ -50,6 +50,41 @@ object CorpusStats {
       .groupBy("df").agg(count(lit(1)).as("n_shingles"))
       .orderBy("df")
 
+  /** #165 `corpus_heaps_curve`: vocabulary growth over the corpus in
+    * doc_id order (Heaps' law) — per tenth of the id range: token
+    * volume, NEW term types first seen there, and the running
+    * cumulative of both. The curve's flattening rate is what justifies
+    * (or refutes) a vocabulary cap at a given corpus scale. One token
+    * scan feeds both aggregates (bucket token counts; term → first
+    * doc_id → bucket), each partial map-side; the cumulative window
+    * runs over the O(10) bucket rows, never the corpus. Bucket =
+    * (doc_id·10) div (max_id+1) — exact integer arithmetic, so the
+    * cut points reproduce in any engine. */
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).spread
+      .select(col("doc_id"), explode(col("t")).as("term"))
+    val mx = Tables.documents(spark, dir).agg(max("doc_id").as("m"))
+    def bucketOf(id: org.apache.spark.sql.Column) =
+      graft.functions.Hashing.intDiv(id * 10L, col("m") + 1L)
+    val byBucket = tk.crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val newTypes = tk.groupBy("term").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("fd")).as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .select(col("bucket"), col("toks"),
+        sum("toks").over(w).as("cum_toks"),
+        col("new_types"),
+        sum("new_types").over(w).as("cum_types"))
+      .orderBy("bucket")
+  }
+
   /** Per-document coverage by the corpus's `topN` bigrams: the share of
     * a document's bigram occurrences that are corpus-head bigrams.
     * High coverage = the document is assembled from the corpus's most

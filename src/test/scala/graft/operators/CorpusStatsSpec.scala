@@ -70,4 +70,27 @@ class CorpusStatsSpec extends SparkSpec {
     // the corpus actually exercises multi-size histograms
     assert(got.nonEmpty && got.map(_._1).exists(_ >= 2))
   }
+
+  test("heapsCurve matches a first-occurrence vocabulary growth model") {
+    val m = docTokens.keys.max
+    def bucket(id: Long): Long = id * 10 / (m + 1)
+    val toksPerBucket = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docTokens.toSeq.sortBy(_._1).foreach { case (id, toks) =>
+      toksPerBucket(bucket(id)) += toks.size
+      toks.foreach(t => if (!firstDoc.contains(t) || firstDoc(t) > id) firstDoc(t) = id)
+    }
+    val newPerBucket = firstDoc.values.groupBy(bucket).view.mapValues(_.size.toLong)
+    var (ct, cy) = (0L, 0L)
+    val expected = toksPerBucket.toSeq.sorted.map { case (b, n) =>
+      val nt = newPerBucket.getOrElse(b, 0L)
+      ct += n; cy += nt
+      (b, n, ct, nt, cy)
+    }
+    val got = CorpusStats.heapsCurve(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got == expected)
+    // Heaps: later buckets introduce fewer new types than the first
+    assert(got.last._4 < got.head._4)
+  }
 }
