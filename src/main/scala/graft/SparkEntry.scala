@@ -158,6 +158,8 @@ object SparkEntry {
     "mix_retention_report" -> ((s, d) => graft.operators.Pipeline.mixRetention(s, d)),
     "pipeline_pack_bpe" -> ((s, d) => graft.operators.Pipeline.packBpeSequences(s, d)),
     "corpus_heaps_curve" -> ((s, d) => graft.operators.CorpusStats.heapsCurve(s, d)),
+    "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    "pipeline_token_budget" -> ((s, d) => graft.operators.Pipeline.tokenBudget(s, d)),
     "quality_lexicon" -> ((s, d) => graft.operators.QualityModels.lexiconHead(s, d)),
     "quality_lexicon_score" -> ((s, d) => graft.operators.QualityModels.lexiconScore(s, d)),
     "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
@@ -1517,6 +1519,48 @@ object SparkEntry {
          |)
          |SELECT vec_id, c_id AS cluster, ROUND(cos, 4) AS c_cos FROM fin
          |ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup: train (2 Lloyd rounds, the cluster_kmeans CTEs), assign
+    // every vector (a3), pairwise cosine only WITHIN a cell, duplicate =
+    // any earlier same-cell vector within tau
+    "dedup_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |${kmAssignCte("c2", "a3")},
+         |m AS (SELECT vec_id, cell, e FROM a3 WHERE rn = 1),
+         |dup AS (SELECT DISTINCT y.vec_id AS vec_id
+         |        FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |        WHERE ${duckCos("x.e", "y.e")} >= ${Similarity.NearDupTau})
+         |SELECT m.vec_id AS vec_id, m.cell AS cluster,
+         |  (dup.vec_id IS NOT NULL) AS is_dup
+         |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
+
+    // quality-ranked token-budget selection: exclusive prefix sum of
+    // tokens in (q_key DESC, doc_id) order, selected = starts below the
+    // budget (the straddler is included — greedy fill)
+    "pipeline_token_budget" -> {
+      val B = graft.operators.Pipeline.TokenBudget
+      s"""WITH q AS (SELECT doc_id, $TOKS AS toks,
+         |  CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents),
+         |k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CAST(${qKeySql(
+             "CAST(len(toks) AS BIGINT)",
+             "CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)",
+             "len_no_ws")} AS BIGINT) AS q_key FROM q),
+         |p AS (SELECT doc_id, q_key, n_toks,
+         |  CAST(coalesce(sum(n_toks) OVER (ORDER BY q_key DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM k)
+         |SELECT doc_id, q_key, n_toks, start_tok, start_tok < $B AS selected
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
 
     // ---- round 3: analytics tier ---------------------------------------
 

@@ -21,6 +21,7 @@ object Pipeline {
 
   val QualityMin = 0.6
   val PackSeqLen = 512L
+  val TokenBudget = 25000L
 
   /** Sequence packing — the training-data step after cleaning: docs are
     * concatenated in doc_id order and the token stream is cut every
@@ -38,6 +39,34 @@ object Pipeline {
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks")),
       seqLen)
+
+  /** Quality-ranked token-budget selection — "give me the best `budget`
+    * tokens" (the data-budget cut every scaled-down training run makes,
+    * and the selection step behind quality-pruning recipes): docs are
+    * ranked by the exact integer quality key (ties broken by doc_id —
+    * a total order), and a doc is selected when its exclusive prefix
+    * sum of tokens in that order starts below the budget (the
+    * boundary-straddling doc is included — greedy fill).
+    *
+    * The global prefix sum in quality order is the native
+    * range-partitioned [[Ranking.globalPrefixSum]] — a descending sort
+    * key exercises the exec's range exchange the other way; never a
+    * single-partition window, so "rank the whole corpus by quality"
+    * survives a 10⁶× bigger corpus. Output keeps ALL docs with their
+    * offset and a selected flag (the audit panel); a pipeline would
+    * `.filter($"selected")`. */
+  def tokenBudget(spark: SparkSession, dir: String,
+                  budget: Long = TokenBudget): DataFrame = {
+    val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .select(col("doc_id"),
+        TextAnalysis.qualityKeyFromText(col("text")).as("q_key"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    Ranking.globalPrefixSum(perDoc,
+        Seq(col("q_key").desc, col("doc_id")), "n_toks", out = "start_tok")
+      .withColumn("selected", col("start_tok") < budget)
+      .select("doc_id", "q_key", "n_toks", "start_tok", "selected")
+      .orderBy("doc_id")
+  }
 
   /** The packing core over any (doc_id, n_toks) frame — shared by the
     * oracle-checked query above and DocPipeline.packed. `baseOffset`

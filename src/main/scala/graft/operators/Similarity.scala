@@ -274,6 +274,39 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style within-cluster semantic dedup (Abbas et al. 2023):
+    * k-means partitions the corpus into cells, and pairwise cosine runs
+    * ONLY inside a cell — a vector is a duplicate when an earlier
+    * same-cell vector sits within cosine ≥ τ of it (deterministic
+    * keep-lowest-id rule, the suite's canonical-selection discipline).
+    *
+    * This is the published scale recipe for embedding dedup: the
+    * all-pairs cost collapses from O(N²) to O(Σ|cell|²), and the knob
+    * is nCentroids ≈ N / targetCellSize — cells of ~10³ vectors keep
+    * the per-cell pair block trivially partition-local at any corpus
+    * size (each cell's pairs land in one shuffle partition keyed by
+    * cell). Unlike the LSH pass (#11), recall inside a cell is exact;
+    * what is given up is only cross-cell pairs, the SemDeDup trade.
+    * The assignment frame is localCheckpointed so training + assignment
+    * scan the corpus once, not once per side of the self-join. */
+  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = 8,
+               iters: Int = 2, tau: Double = NearDupTau): DataFrame = {
+    val v = vecs(spark, dir)
+    val assign = argmaxCellOf(v, kmeansCentroids(v, nCentroids, iters))
+      .localCheckpoint(true)
+    val dups = assign.select(col("vec_id").as("v1"), col("cell"), col("e").as("e1"))
+      .join(assign.select(col("vec_id").as("v2"), col("cell"), col("e").as("e2")),
+        "cell")
+      .filter(col("v1") < col("v2") &&
+        graft.plans.VectorExpressions.cosineSimilarity(col("e1"), col("e2")) >= tau)
+      .select(col("v2").as("vec_id")).distinct()
+    assign.select("vec_id", "cell")
+      .join(dups.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").as("cluster"),
+        coalesce(col("d"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = TopK,
                     nQueries: Int = NumQueries, nCentroids: Int = 8,
                     iters: Int = 2, nprobe: Int = 2): DataFrame =

@@ -102,4 +102,33 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.exists { case (id, n, _, _, _) => ws.get(id).exists(_ != n) })
   }
+
+  test("tokenBudget selects the greedy quality-ordered prefix") {
+    val B = 2000L
+    val got = Pipeline.tokenBudget(spark, sf, budget = B).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // model: sort (q_key desc, doc_id), exclusive running token sum
+    val byQuality = got.map(t => (t._1, t._2, t._3))
+      .sortBy { case (id, qk, _) => (-qk, id) }
+    var off = 0L
+    val model = byQuality.map { case (id, qk, n) =>
+      val row = (id, qk, n, off, off < B); off += n; row
+    }.sortBy(_._1)
+    assert(got == model)
+    // the selected set is a non-empty proper prefix in quality order and
+    // stops within one doc of the budget
+    val sel = got.filter(_._5)
+    assert(sel.nonEmpty && sel.size < got.size)
+    val selTok = sel.map(_._3).sum
+    val lastSel = byQuality.takeWhile(t => model.find(_._1 == t._1).get._5).last
+    assert(selTok >= B || sel.size == got.size)
+    assert(selTok - lastSel._3 < B)
+    // q_key matches the shared quality-key spelling
+    val qk = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextAnalysis.qualityKeyFromText(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, k, _, _, _) => assert(qk(id) == k) }
+  }
 }

@@ -199,4 +199,31 @@ class SimilaritySpec extends SparkSpec {
     // hubs exist: at least one node outranks the teleport-only floor
     assert(got.values.max > hu(15000000L, 100L * n))
   }
+
+  test("semDedup flags exactly the within-cell earlier-neighbor relation") {
+    val tau = 0.3
+    val out = Similarity.semDedup(spark, sf, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // clusters agree with the oracle-pinned hard assignment
+    val cl = Similarity.clusterKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(t => t._1 -> t._2).toMap === cl)
+    // driver model: brute-force cosine inside each cell only
+    val vs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = out.groupBy(_._2)
+    out.foreach { case (v, cell, dup) =>
+      val expect = byCell(cell).exists { case (u, _, _) =>
+        u < v && cos(vs(u), vs(v)) >= tau }
+      assert(dup == expect, s"vec $v in cell $cell")
+    }
+    // the relation is non-trivial on the test corpus at this tau
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
 }
