@@ -160,6 +160,9 @@ object SparkEntry {
     "corpus_heaps_curve" -> ((s, d) => graft.operators.CorpusStats.heapsCurve(s, d)),
     "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "pipeline_token_budget" -> ((s, d) => graft.operators.Pipeline.tokenBudget(s, d)),
+    "corpus_heavy_hitters" -> ((s, d) => graft.operators.CorpusStats.heavyHitters(s, d)),
+    "docs_length_survival" -> ((s, d) => graft.operators.CorpusStats.lengthSurvival(s, d)),
+    "source_oov_rate" -> ((s, d) => graft.operators.CorpusStats.oovRate(s, d)),
     "quality_lexicon" -> ((s, d) => graft.operators.QualityModels.lexiconHead(s, d)),
     "quality_lexicon_score" -> ((s, d) => graft.operators.QualityModels.lexiconScore(s, d)),
     "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
@@ -1561,6 +1564,40 @@ object SparkEntry {
          |SELECT doc_id, q_key, n_toks, start_tok, start_tok < $B AS selected
          |FROM p ORDER BY doc_id""".stripMargin
     },
+
+    // exact two-pass heavy hitters: the oracle is the exact definition
+    // (count·threshold > total) — the MG sketch only proposes candidates,
+    // so it never appears in the semantics
+    "corpus_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($TOKS) AS term FROM documents),
+         |tot AS (SELECT count(*) AS total FROM tk)
+         |SELECT term, count(*) AS n, ${ratio4Sql("count(*)", "total")} AS share
+         |FROM tk CROSS JOIN tot
+         |GROUP BY term, total
+         |HAVING count(*) * ${graft.operators.CorpusStats.HhThreshold} > total
+         |ORDER BY n DESC, term""".stripMargin,
+
+    // survival curve at power-of-two length cutoffs; conditional sums,
+    // so thresholds nothing survives still emit a zero row
+    "docs_length_survival" ->
+      s"""WITH d AS (SELECT CAST(len($TOKS) AS BIGINT) AS n_toks FROM documents),
+         |th AS (SELECT CAST(unnest([1,2,4,8,16,32,64,128,256,512,1024]) AS BIGINT) AS min_toks)
+         |SELECT min_toks,
+         |  CAST(coalesce(sum(CASE WHEN n_toks >= min_toks THEN 1 END), 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN n_toks >= min_toks THEN n_toks END), 0) AS BIGINT) AS tok_mass
+         |FROM th CROSS JOIN d GROUP BY min_toks ORDER BY min_toks""".stripMargin,
+
+    // per-source OOV share vs the corpus's own top-N vocabulary
+    "source_oov_rate" ->
+      s"""WITH tk AS (SELECT source, unnest($TOKS) AS term FROM documents),
+         |v AS (SELECT term FROM (
+         |        SELECT term, count(*) AS tf FROM tk GROUP BY term)
+         |      ORDER BY tf DESC, term LIMIT ${graft.operators.CorpusStats.OovVocab}),
+         |a AS (SELECT tk.source AS source, count(*) AS n_occ,
+         |        CAST(coalesce(sum(CASE WHEN v.term IS NULL THEN 1 END), 0) AS BIGINT) AS n_oov
+         |      FROM tk LEFT JOIN v ON tk.term = v.term GROUP BY tk.source)
+         |SELECT source, n_occ, n_oov, ${ratio4Sql("n_oov", "n_occ")} AS oov_rate
+         |FROM a ORDER BY source""".stripMargin,
 
     // ---- round 3: analytics tier ---------------------------------------
 

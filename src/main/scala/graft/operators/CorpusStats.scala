@@ -85,6 +85,97 @@ object CorpusStats {
       .orderBy("bucket")
   }
 
+  val HhThreshold = 32L  // heavy hitter = count·threshold > total
+  val HhCapacity = 64    // MG counters; guarantee needs capacity+1 > threshold
+
+  /** #168 `corpus_heavy_hitters`: EXACT corpus-wide heavy hitters via
+    * the two-pass sketch→verify pattern — the shape that survives a
+    * vocabulary too large to aggregate casually:
+    *
+    *   pass 1: ONE scan aggregating the whole token stream into a
+    *     single ≤[[HhCapacity]]-counter [[graft.plans.MisraGries]]
+    *     sketch plus the exact token total — no shuffle at all beyond
+    *     the one-row final merge (every partial buffer is ≤ k
+    *     counters), and since capacity+1 > threshold, every term with
+    *     count > total/threshold is GUARANTEED to be a sketch key;
+    *   pass 2: exact recount of ONLY the candidate keys (broadcast
+    *     IN-filter, ≤ k distinct keys in the shuffle), keeping those
+    *     strictly above total/threshold.
+    *
+    * The output is exact and deterministic — the sketch only ever
+    * proposes candidates, so its estimate error never reaches the
+    * answer (sketch-assisted, oracle-checked). Driver state between
+    * the passes is ≤ k strings (the Lloyd discipline). */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   threshold: Long = HhThreshold,
+                   capacity: Int = HhCapacity): DataFrame = {
+    require(capacity + 1 > threshold,
+      "MG guarantee needs capacity+1 > threshold")
+    def toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).spread
+      .select(explode(col("t")).as("term"))
+    val pass1 = toks.agg(
+      graft.plans.MisraGries.mgSketch(col("term"), capacity).as("sk"),
+      count(lit(1)).as("total")).collect()(0)
+    val candidates = pass1.getMap[String, Long](0).keys.toSeq.sorted
+    val total = pass1.getLong(1)
+    toks.filter(col("term").isin(candidates: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") * threshold > total)
+      .withColumn("share", ratio4(col("n"), lit(total)))
+      .select("term", "n", "share")
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  /** #169 `docs_length_survival`: the document-length survival curve at
+    * power-of-two token thresholds — docs and token mass surviving a
+    * "drop documents shorter than X" gate, the panel read before
+    * choosing a min-length filter (how much mass does each candidate
+    * cutoff cost?). One scan, 22 conditional sums fused into a single
+    * partial-aggregable aggregate (no row multiplication), unpivoted to
+    * 11 rows driver-side via stack over the 1-row aggregate. */
+  def lengthSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .spread
+    val exprs = (0 to 10).flatMap { i =>
+      val x = 1L << i
+      Seq(sum(when(col("n_toks") >= x, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(col("n_toks") >= x, col("n_toks")).otherwise(0L)).as(s"t$i"))
+    }
+    d.agg(exprs.head, exprs.tail: _*)
+      .select(expr("stack(11, " +
+        (0 to 10).map(i => s"${1L << i}L, d$i, t$i").mkString(", ") +
+        ") as (min_toks, n_docs, tok_mass)"))
+      .orderBy("min_toks")
+  }
+
+  val OovVocab = 200
+
+  /** #170 `source_oov_rate`: per-source out-of-vocabulary occurrence
+    * share against the corpus's own top-[[OovVocab]] term vocabulary
+    * (tf desc, term asc — deterministic head). The cross-domain
+    * tokenizer/vocab health panel: a feed whose tokens mostly miss the
+    * head vocabulary either speaks another register or is noise. Vocab
+    * election is one (term) aggregate + LIMIT (driver-bounded head);
+    * scoring BROADCASTs the vocab against the token stream, so the
+    * only corpus-sized shuffle is the final O(sources) rollup. */
+  def oovRate(spark: SparkSession, dir: String,
+              vocabSize: Int = OovVocab): DataFrame = {
+    def tk = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("t")).spread
+      .select(col("source"), explode(col("t")).as("term"))
+    val vocab = tk.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("inv"))
+    tk.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source").agg(count(lit(1)).as("n_occ"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", ratio4(col("n_oov"), col("n_occ")))
+      .select("source", "n_occ", "n_oov", "oov_rate")
+      .orderBy("source")
+  }
+
   /** Per-document coverage by the corpus's `topN` bigrams: the share of
     * a document's bigram occurrences that are corpus-head bigrams.
     * High coverage = the document is assembled from the corpus's most

@@ -93,4 +93,76 @@ class CorpusStatsSpec extends SparkSpec {
     // Heaps: later buckets introduce fewer new types than the first
     assert(got.last._4 < got.head._4)
   }
+
+  private def hu(a: Long, b: Long): Long = (a + b / 2) / b
+
+  test("heavyHitters is exact: count·threshold > total, sketch-assisted") {
+    val all = docTokens.values.flatten.toSeq
+    val total = all.size.toLong
+    val counts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq
+      .filter { case (_, n) => n * CorpusStats.HhThreshold > total }
+      .map { case (t, n) =>
+        (t, n, hu(n * 10000L, total) / 10000.0) }
+      .sortBy { case (t, n, _) => (-n, t) }
+    val got = CorpusStats.heavyHitters(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("mgSketch keeps every term above the n/(k+1) guarantee, merged") {
+    val k = 8
+    val terms = graft.Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .repartition(16) // force many partial buffers through merge()
+    val sk = terms.agg(graft.plans.MisraGries.mgSketch(col("term"), k))
+      .collect()(0).getMap[String, Long](0)
+    assert(sk.size <= k)
+    val all = docTokens.values.flatten.toSeq
+    val counts = all.groupBy(identity).view.mapValues(_.size.toLong)
+    val guaranteed = counts.filter(_._2 > all.size.toLong / (k + 1)).keySet
+    assert(guaranteed.subsetOf(sk.keySet.toSet))
+    // estimates never exceed true counts
+    sk.foreach { case (t, est) => assert(est <= counts(t)) }
+  }
+
+  test("lengthSurvival matches the conditional-sum model at every cutoff") {
+    val lens = docTokens.values.map(_.size.toLong).toSeq
+    val expected = (0 to 10).map { i =>
+      val x = 1L << i
+      (x, lens.count(_ >= x).toLong, lens.filter(_ >= x).sum)
+    }
+    val got = CorpusStats.lengthSurvival(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+    // the curve is monotone non-increasing in both docs and mass
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3)
+    }
+  }
+
+  test("oovRate scores against the deterministic top-N vocabulary") {
+    // vocab smaller than the corpus's distinct-term count so OOV mass
+    // actually exists at sf0.001 (the default 200 swallows it whole)
+    val V = 20
+    val bySource = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    val tf = bySource.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+    val vocab = tf.sortBy { case (t, f) => (-f, t) }.take(V).map(_._1).toSet
+    val expected = bySource.groupBy(_._1).toSeq.map { case (s, docs) =>
+      val occ = docs.flatMap(_._2)
+      val oov = occ.count(t => !vocab.contains(t)).toLong
+      (s, occ.size.toLong, oov,
+        hu(oov * 10000L, occ.size.toLong) / 10000.0)
+    }.sortBy(_._1)
+    val got = CorpusStats.oovRate(spark, sf, vocabSize = V).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // some source actually has OOV mass at this vocab size
+    assert(got.exists(_._3 > 0L))
+  }
 }
