@@ -167,6 +167,7 @@ object SparkEntry {
     "quality_lexicon_score" -> ((s, d) => graft.operators.QualityModels.lexiconScore(s, d)),
     "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
     "dsir_weights" -> ((s, d) => graft.operators.QualityModels.dsirWeights(s, d)),
+    "pipeline_holdout_split" -> ((s, d) => graft.operators.Pipeline.holdoutSplit(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1598,6 +1599,26 @@ object SparkEntry {
          |      FROM tk LEFT JOIN v ON tk.term = v.term GROUP BY tk.source)
          |SELECT source, n_occ, n_oov, ${ratio4Sql("n_oov", "n_occ")} AS oov_rate
          |FROM a ORDER BY source""".stripMargin,
+
+    // deterministic hash holdout split; the salt prefix decorrelates the
+    // split hash from every other doc_id hash use
+    "pipeline_holdout_split" -> {
+      val P = graft.operators.Pipeline
+      s"""WITH d AS (SELECT CAST(len($TOKS) AS BIGINT) AS n_toks,
+         |  ${H64("concat('split:', CAST(doc_id AS VARCHAR))")} % ${P.SplitBuckets} AS b
+         |  FROM documents),
+         |s AS (SELECT CASE WHEN b = ${P.ValBucket} THEN 'val'
+         |               WHEN b = ${P.TestBucket} THEN 'test'
+         |               ELSE 'train' END AS split,
+         |    count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+         |    CAST(sum(n_toks) AS BIGINT) AS tt FROM s)
+         |SELECT split, n_docs, n_toks,
+         |  ${ratio4Sql("n_docs", "td")} AS doc_share,
+         |  ${ratio4Sql("n_toks", "tt")} AS tok_share
+         |FROM s CROSS JOIN t ORDER BY split""".stripMargin
+    },
 
     // ---- round 3: analytics tier ---------------------------------------
 

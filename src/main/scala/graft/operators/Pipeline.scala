@@ -23,6 +23,11 @@ object Pipeline {
   val PackSeqLen = 512L
   val TokenBudget = 25000L
 
+  /** Holdout-split hash buckets; 0–7 train, 8 val, 9 test. */
+  val SplitBuckets = 10
+  val ValBucket = 8
+  val TestBucket = 9
+
   /** Sequence packing — the training-data step after cleaning: docs are
     * concatenated in doc_id order and the token stream is cut every
     * `seqLen` tokens. Each doc reports its global token offset, the
@@ -86,6 +91,41 @@ object Pipeline {
           intDiv(col("start_tok") + col("n_toks") - 1, lit(seqLen)) =!= col("pack_id"))
       .select("doc_id", "n_toks", "start_tok", "pack_id", "straddles")
       .orderBy("doc_id")
+  }
+
+  /** #171 `pipeline_holdout_split`: deterministic hash-based
+    * train/validation/test split panel — the assignment every training
+    * pipeline makes before anything else, done by content-independent
+    * hashing so it is (a) reproducible across runs and engines, (b)
+    * stable under corpus appends (an old doc never changes split), and
+    * (c) free of the ordering bias a modulo-on-ingest-order split has.
+    * Bucket = h64("split:" + doc_id) mod [[SplitBuckets]]; buckets
+    * 0–7 → train, [[ValBucket]] → val, [[TestBucket]] → test (80/10/10
+    * in expectation; the panel shows the realized shares). Per split:
+    * docs, exact token mass, and ratio4 shares of both. One narrow
+    * token scan to an O(3) aggregate (partial map-side), totals
+    * broadcast back — no corpus shuffle, scale-free output. The salt
+    * prefix decorrelates the split from every other doc_id-hash use
+    * (sampling, sketches). */
+  def holdoutSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val bySplit = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .select(
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
+        pmod(h64(concat(lit("split:"), col("doc_id").cast("string"))),
+          lit(SplitBuckets.toLong)).as("b"))
+      .withColumn("split",
+        when(col("b") === ValBucket, "val")
+          .when(col("b") === TestBucket, "test")
+          .otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"))
+    val tot = bySplit.agg(sum("n_docs").as("td"), sum("n_toks").as("tt"))
+    bySplit.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("n_toks"),
+        ratio4(col("n_docs"), col("td")).as("doc_share"),
+        ratio4(col("n_toks"), col("tt")).as("tok_share"))
+      .orderBy("split")
   }
 
   /** The oracle-checked pipeline_clean_docs: BOTH gates (exact-dedup

@@ -131,4 +131,39 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.foreach { case (id, k, _, _, _) => assert(qk(id) == k) }
   }
+
+  test("holdoutSplit is a disjoint total cover with stable hash assignment") {
+    import graft.functions.Hashing.h64
+    val panel = Pipeline.holdoutSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(panel.keySet == Set("train", "val", "test"))
+
+    // model: per-doc bucket from the same salted hash
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"),
+        pmod(h64(concat(lit("split:"), col("doc_id").cast("string"))),
+          lit(Pipeline.SplitBuckets.toLong)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def nameOf(b: Long) =
+      if (b == Pipeline.ValBucket) "val"
+      else if (b == Pipeline.TestBucket) "test" else "train"
+    val model = docs.groupBy(t => nameOf(t._3))
+      .map { case (s, g) => s -> (g.length.toLong, g.map(_._2).sum) }
+    // splits partition the corpus exactly: counts agree and sum to the total
+    model.foreach { case (s, (nd, nt)) =>
+      assert(panel(s)._1 == nd && panel(s)._2 == nt)
+    }
+    assert(panel.values.map(_._1).sum == docs.length.toLong)
+    // shares are the exact ratio4 of the realized counts (sum ≈ 1)
+    val (td, tt) = (docs.length.toLong, docs.map(_._2).sum)
+    model.foreach { case (s, (nd, nt)) =>
+      assert(panel(s)._3 == ratio4Model(nd, td))
+      assert(panel(s)._4 == ratio4Model(nt, tt))
+    }
+    // train is the majority class at an 80/10/10 design
+    assert(panel("train")._1 > panel("val")._1 &&
+      panel("train")._1 > panel("test")._1)
+  }
 }
