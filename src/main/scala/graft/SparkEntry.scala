@@ -168,6 +168,7 @@ object SparkEntry {
     "text_lm_fluency" -> ((s, d) => graft.operators.QualityModels.lmFluency(s, d)),
     "dsir_weights" -> ((s, d) => graft.operators.QualityModels.dsirWeights(s, d)),
     "pipeline_holdout_split" -> ((s, d) => graft.operators.Pipeline.holdoutSplit(s, d)),
+    "corpus_pmi_pairs" -> ((s, d) => graft.operators.CorpusStats.pmiPairs(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1618,6 +1619,30 @@ object SparkEntry {
          |  ${ratio4Sql("n_docs", "td")} AS doc_share,
          |  ${ratio4Sql("n_toks", "tt")} AS tok_share
          |FROM s CROSS JOIN t ORDER BY split""".stripMargin
+    },
+
+    // exact-integer lift collocations (PMI rank twin): the two-step
+    // halfUp spelling IS the definition — it must match the operator's
+    // integer steps exactly, not a float PMI
+    "corpus_pmi_pairs" -> {
+      val C = graft.operators.CorpusStats
+      s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
+         |tk AS (SELECT unnest(t) AS term FROM toks),
+         |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY term),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+         |  FROM toks WHERE len(t) >= 2),
+         |pairs AS (SELECT split_part(pair, ' ', 1) AS w1,
+         |    split_part(pair, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY 1, 2 HAVING count(*) >= ${C.PmiMinPair}),
+         |sc AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         |    CAST(${halfUpSql("c12 * 10000", "u1.c")} AS BIGINT) AS p21_4
+         |  FROM pairs JOIN uni u1 ON w1 = u1.term JOIN uni u2 ON w2 = u2.term)
+         |SELECT w1, w2, c12, c1, c2, p21_4,
+         |  CAST(${halfUpSql("p21_4 * n", "c2")} AS BIGINT) AS lift4
+         |FROM sc CROSS JOIN tot
+         |ORDER BY lift4 DESC, w1, w2 LIMIT ${C.PmiHead}""".stripMargin
     },
 
     // ---- round 3: analytics tier ---------------------------------------

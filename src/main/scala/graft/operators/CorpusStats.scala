@@ -86,6 +86,10 @@ object CorpusStats {
   }
 
   val HhThreshold = 32L  // heavy hitter = count·threshold > total
+
+  /** pmiPairs noise gate / head size. */
+  val PmiMinPair = 3L
+  val PmiHead = 40
   val HhCapacity = 64    // MG counters; guarantee needs capacity+1 > threshold
 
   /** #168 `corpus_heavy_hitters`: EXACT corpus-wide heavy hitters via
@@ -206,6 +210,49 @@ object CorpusStats {
       .select(col("doc_id"), col("n_bigrams"), col("covered"),
         ratio4(col("covered"), col("n_bigrams")).as("coverage"))
       .orderBy("doc_id")
+  }
+
+  /** #172 `corpus_pmi_pairs`: strongest adjacent-bigram associations by
+    * exact-integer lift — the collocation panel (PMI's rank twin) a
+    * curation team reads to find multi-word units worth protecting from
+    * token-level ops (and template phrases worth flagging). Published
+    * PMI is log[p(w1,w2)/(p(w1)p(w2))]; log is monotone, so ranking by
+    * the RATIO is rank-equivalent, and the ratio is computed in two
+    * exact integer steps that each stay below 2⁶³ at a 10¹⁴-token
+    * corpus: p21_4 = halfUp(c12·10⁴ / c1) ≤ 10⁴ (p(w2|w1) in 1e-4
+    * units), lift4 = halfUp(p21_4·N / c2) (lift in 1e-4 units; the
+    * two-step spelling IS the definition, identically in both engines —
+    * no 128-bit c12·N product, no floats). Pairs below [[PmiMinPair]]
+    * occurrences are noise-gated (the classic rare-pair PMI bias).
+    *
+    * Shape: one token scan feeds the unigram and pair aggregates (both
+    * partial map-side, keyed by term — vocab-sized by Heaps' law, never
+    * corpus-sized); the filtered pair table joins the unigram counts on
+    * its own hash keys, the 1-row total broadcasts, and the head
+    * election is a TakeOrdered(topN) — no corpus shuffle anywhere. */
+  def pmiPairs(spark: SparkSession, dir: String, topN: Int = PmiHead): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    def toks = Tables.documents(spark, dir)
+      .select(TextAnalysis.tokens(col("text")).as("t")).spread
+    def tk = toks.select(explode(col("t")).as("term"))
+    val uni = tk.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = tk.agg(count(lit(1)).as("n"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= PmiMinPair)
+    pairs
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p21_4", halfUpDiv(col("c12") * lit(10000L), col("c1")))
+      .withColumn("lift4", halfUpDiv(col("p21_4") * col("n"), col("c2")))
+      .select("w1", "w2", "c12", "c1", "c2", "p21_4", "lift4")
+      .orderBy(col("lift4").desc, col("w1"), col("w2"))
+      .limit(topN)
   }
 
   /** Near-dup cluster size histogram: for each component size, the

@@ -165,4 +165,26 @@ class CorpusStatsSpec extends SparkSpec {
     // some source actually has OOV mass at this vocab size
     assert(got.exists(_._3 > 0L))
   }
+
+  test("pmiPairs matches the two-step integer-lift collocation model") {
+    val toks = docTokens.values.toSeq
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.map(_.size.toLong).sum
+    val c12 = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val model = c12.toSeq
+      .filter(_._2 >= CorpusStats.PmiMinPair)
+      .map { case ((w1, w2), c) =>
+        val p214 = hu(c * 10000L, uni(w1))
+        (w1, w2, c, uni(w1), uni(w2), p214, hu(p214 * n, uni(w2)))
+      }
+      .sortBy { case (w1, w2, _, _, _, _, l) => (-l, w1, w2) }
+      .take(CorpusStats.PmiHead)
+    val got = CorpusStats.pmiPairs(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got == model)
+    // the head is a real association panel: every lift beats neutral (1.0)
+    assert(got.nonEmpty && got.forall(_._7 > 10000L))
+  }
 }
