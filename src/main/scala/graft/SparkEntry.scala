@@ -169,6 +169,7 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => graft.operators.QualityModels.dsirWeights(s, d)),
     "pipeline_holdout_split" -> ((s, d) => graft.operators.Pipeline.holdoutSplit(s, d)),
     "corpus_pmi_pairs" -> ((s, d) => graft.operators.CorpusStats.pmiPairs(s, d)),
+    "events_value_concentration" -> ((s, d) => graft.operators.Analytics4.valueConcentration(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1644,6 +1645,29 @@ object SparkEntry {
          |FROM sc CROSS JOIN tot
          |ORDER BY lift4 DESC, w1, w2 LIMIT ${C.PmiHead}""".stripMargin
     },
+
+    // Lorenz concentration over the spend deciles: cumulative window on
+    // the O(10) aggregate; shares via the exact ratio4 spelling
+    "events_value_concentration" ->
+      s"""WITH ev AS ($EV),
+         |sp AS (SELECT user_id,
+         |         CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS spend_cents
+         |       FROM ev GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY spend_cents DESC, user_id) AS rn,
+         |        count(*) OVER () AS nn FROM sp),
+         |d AS (SELECT (rn-1)*10 // nn + 1 AS decile, count(*) AS n_users,
+         |        CAST(sum(spend_cents) AS BIGINT) AS decile_cents
+         |      FROM r GROUP BY 1),
+         |c AS (SELECT *,
+         |        CAST(sum(n_users) OVER (ORDER BY decile) AS BIGINT) AS cum_users,
+         |        CAST(sum(decile_cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents
+         |      FROM d),
+         |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+         |        CAST(sum(decile_cents) AS BIGINT) AS tc FROM d)
+         |SELECT decile, n_users, decile_cents, cum_cents,
+         |  ${ratio4Sql("cum_users", "tu")} AS user_share,
+         |  ${ratio4Sql("cum_cents", "tc")} AS spend_share
+         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
 
     // ---- round 3: analytics tier ---------------------------------------
 

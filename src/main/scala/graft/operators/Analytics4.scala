@@ -86,6 +86,35 @@ object Analytics4 {
       .orderBy("user_id")
   }
 
+  /** #173 `events_value_concentration`: the Lorenz/Pareto revenue-
+    * concentration panel over [[spendDeciles]] — per spend decile
+    * (1 = highest spenders): users, exact decile cents, and the
+    * cumulative user/spend shares, answering "what share of revenue do
+    * the top 10/20/…% of users hold" (the whale-risk number every
+    * usage dashboard leads with). Rides the decile frame (same rank,
+    * same materialized aggregate), collapses it to O(10) rows with one
+    * partial-aggregable shuffle; the cumulative window and 1-row total
+    * broadcast run on the 10-row aggregate, never the user table —
+    * the sparse-window-over-aggregate discipline. Shares are ratio4
+    * (exact half-up 1e-4), cents exact int64. */
+  def valueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val d = spendDeciles(spark, dir)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("spend_cents").as("decile_cents"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = d.agg(sum("n_users").as("tu"), sum("decile_cents").as("tc"))
+    d.withColumn("cum_users", sum("n_users").over(w))
+      .withColumn("cum_cents", sum("decile_cents").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("decile_cents"),
+        col("cum_cents"),
+        ratio4(col("cum_users"), col("tu")).as("user_share"),
+        ratio4(col("cum_cents"), col("tc")).as("spend_share"))
+      .orderBy("decile")
+  }
+
   /** Session-size histogram: how many sessions have exactly n events —
     * the engagement-depth panel next to DAU/WAU. Rides sessionIndexed's
     * single user_id window pipeline; both aggregations partial-combine. */

@@ -82,6 +82,27 @@ class Analytics4Spec extends SparkSpec {
     assert(got.map(_._4).distinct.sorted == (1L to 10L))
   }
 
+  test("valueConcentration is the Lorenz rollup of the decile frame") {
+    val deciles = Analytics4.spendDeciles(spark, sf).collect().toSeq
+      .map(r => (r.getLong(1), r.getLong(3))) // (spend_cents, decile)
+    val byDec = deciles.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (d, g) => (d, g.size.toLong, g.map(_._1).sum) }
+    val (tu, tc) = (byDec.map(_._2).sum, byDec.map(_._3).sum)
+    var (cu, cc) = (0L, 0L)
+    val model = byDec.map { case (d, nu, sc) =>
+      cu += nu; cc += sc
+      (d, nu, sc, cc, ratio4Model(cu, tu), ratio4Model(cc, tc))
+    }
+    val got = Analytics4.valueConcentration(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got == model)
+    // concentration is real: the top decile outholds its user share
+    assert(got.head._6 > got.head._5)
+    // the curve closes at exactly 1.0 on both axes
+    assert(got.last._5 == 1.0 && got.last._6 == 1.0)
+  }
+
   test("sessionHistogram matches a gap-split model") {
     val gap = 1800L * 1000000L
     val sizes = events.groupBy(_._3).values.flatMap { rows =>
