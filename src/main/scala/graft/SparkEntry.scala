@@ -170,6 +170,7 @@ object SparkEntry {
     "pipeline_holdout_split" -> ((s, d) => graft.operators.Pipeline.holdoutSplit(s, d)),
     "corpus_pmi_pairs" -> ((s, d) => graft.operators.CorpusStats.pmiPairs(s, d)),
     "events_value_concentration" -> ((s, d) => graft.operators.Analytics4.valueConcentration(s, d)),
+    "docs_boilerplate_prefix" -> ((s, d) => graft.operators.CorpusStats.boilerplatePrefix(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1668,6 +1669,23 @@ object SparkEntry {
          |  ${ratio4Sql("cum_users", "tu")} AS user_share,
          |  ${ratio4Sql("cum_cents", "tc")} AS spend_share
          |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    // boilerplate openings: families sharing the first-8-token prefix
+    "docs_boilerplate_prefix" -> {
+      val C = graft.operators.CorpusStats
+      s"""WITH tk AS (SELECT doc_id, source, $TOKS AS t FROM documents),
+         |p AS (SELECT doc_id, source,
+         |        array_to_string(t[1:${C.PrefixLen}], ' ') AS prefix
+         |      FROM tk WHERE len(t) >= 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+         |f AS (SELECT prefix, count(*) AS n_docs,
+         |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |        min(doc_id) AS exemplar
+         |      FROM p GROUP BY 1 HAVING count(*) >= ${C.MinFamily})
+         |SELECT prefix, n_docs, n_sources, exemplar,
+         |  ${ratio4Sql("n_docs", "n")} AS doc_share
+         |FROM f CROSS JOIN tot ORDER BY n_docs DESC, prefix""".stripMargin
+    },
 
     // ---- round 3: analytics tier ---------------------------------------
 

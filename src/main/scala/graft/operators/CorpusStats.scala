@@ -90,6 +90,10 @@ object CorpusStats {
   /** pmiPairs noise gate / head size. */
   val PmiMinPair = 3L
   val PmiHead = 40
+
+  /** boilerplatePrefix: tokens per prefix key / family-size gate. */
+  val PrefixLen = 8
+  val MinFamily = 3L
   val HhCapacity = 64    // MG counters; guarantee needs capacity+1 > threshold
 
   /** #168 `corpus_heavy_hitters`: EXACT corpus-wide heavy hitters via
@@ -253,6 +257,41 @@ object CorpusStats {
       .select("w1", "w2", "c12", "c1", "c2", "p21_4", "lift4")
       .orderBy(col("lift4").desc, col("w1"), col("w2"))
       .limit(topN)
+  }
+
+  /** #174 `docs_boilerplate_prefix`: template-family detection by
+    * shared document OPENINGS — documents that begin with the same
+    * first-[[PrefixLen]]-token prefix are one boilerplate family (the
+    * "same page header / license banner / scraper artifact" smell that
+    * full-document dedup misses because the bodies differ). Family key
+    * is the literal prefix string (first min(8, len) tokens), families
+    * below [[MinFamily]] docs are noise-gated; per family: docs,
+    * distinct sources (a cross-source family is a scraper artifact,
+    * not an author habit), the min-doc_id exemplar, and the ratio4
+    * share of all docs. Removal would be a join of the family keys
+    * back onto the corpus — this panel is the decision input.
+    *
+    * One narrow scan → one groupBy on the prefix string (bounded by
+    * distinct openings, ≪ corpus rows after the gate), 1-row total
+    * broadcast; head export by (n_docs desc, prefix) total order. */
+  def boilerplatePrefix(spark: SparkSession, dir: String,
+                        k: Int = PrefixLen): DataFrame = {
+    val fam = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      .spread
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("t"), 1, k)).as("prefix"))
+    val tot = fam.agg(count(lit(1)).as("n"))
+    fam.groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("exemplar"))
+      .filter(col("n_docs") >= MinFamily)
+      .crossJoin(broadcast(tot))
+      .select(col("prefix"), col("n_docs"), col("n_sources"), col("exemplar"),
+        ratio4(col("n_docs"), col("n")).as("doc_share"))
+      .orderBy(col("n_docs").desc, col("prefix"))
   }
 
   /** Near-dup cluster size histogram: for each component size, the

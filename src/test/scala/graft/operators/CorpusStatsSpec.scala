@@ -187,4 +187,29 @@ class CorpusStatsSpec extends SparkSpec {
     // the head is a real association panel: every lift beats neutral (1.0)
     assert(got.nonEmpty && got.forall(_._7 > 10000L))
   }
+
+  test("boilerplatePrefix surfaces shared-opening families, gated at 3 docs") {
+    val docsSrc = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pre = docTokens.toSeq
+      .filter(_._2.nonEmpty)
+      .map { case (id, t) =>
+        (id, docsSrc(id), t.take(CorpusStats.PrefixLen).mkString(" "))
+      }
+    val tot = pre.size.toLong
+    val model = pre.groupBy(_._3).toSeq
+      .map { case (p, g) =>
+        (p, g.size.toLong, g.map(_._2).distinct.size.toLong, g.map(_._1).min)
+      }
+      .filter(_._2 >= CorpusStats.MinFamily)
+      .map { case (p, n, s, ex) => (p, n, s, ex, ratio4Model(n, tot)) }
+      .sortBy { case (p, n, _, _, _) => (-n, p) }
+    val got = CorpusStats.boilerplatePrefix(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got == model)
+    // the planted duplicate families surface even at sf0.001
+    assert(got.nonEmpty && got.forall(_._2 >= CorpusStats.MinFamily))
+  }
 }
