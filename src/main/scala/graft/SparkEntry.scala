@@ -171,6 +171,7 @@ object SparkEntry {
     "corpus_pmi_pairs" -> ((s, d) => graft.operators.CorpusStats.pmiPairs(s, d)),
     "events_value_concentration" -> ((s, d) => graft.operators.Analytics4.valueConcentration(s, d)),
     "docs_boilerplate_prefix" -> ((s, d) => graft.operators.CorpusStats.boilerplatePrefix(s, d)),
+    "dedup_threshold_curve" -> ((s, d) => graft.operators.MinHashLSH.thresholdCurve(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1686,6 +1687,33 @@ object SparkEntry {
          |  ${ratio4Sql("n_docs", "n")} AS doc_share
          |FROM f CROSS JOIN tot ORDER BY n_docs DESC, prefix""".stripMargin
     },
+
+    // τ-tuning curve over the capped-LSH candidates: exact integer
+    // 0.05 bands (shared·20 div union), reverse-cumulative survivors;
+    // the doc curve is the reverse cumulative of per-doc MAX band
+    "dedup_threshold_curve" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |sha AS (
+         |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |pb AS (
+         |  SELECT d1, d2, shared * 20 // (n1.n + n2.n - shared) AS band
+         |  FROM sha JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id),
+         |hist AS (SELECT band, count(*) AS n_pairs FROM pb GROUP BY 1),
+         |dm AS (SELECT doc_id, max(band) AS band FROM (
+         |    SELECT d1 AS doc_id, band FROM pb
+         |    UNION ALL SELECT d2 AS doc_id, band FROM pb)
+         |  GROUP BY 1),
+         |dh AS (SELECT band, count(*) AS n_docs_max FROM dm GROUP BY 1)
+         |SELECT h.band, h.band * 500 AS tau4, h.n_pairs,
+         |  CAST(sum(h.n_pairs) OVER (ORDER BY h.band DESC) AS BIGINT) AS pairs_at_tau,
+         |  CAST(sum(coalesce(dh.n_docs_max, 0)) OVER (ORDER BY h.band DESC) AS BIGINT) AS docs_at_tau
+         |FROM hist h LEFT JOIN dh ON h.band = dh.band
+         |ORDER BY h.band""".stripMargin,
 
     // ---- round 3: analytics tier ---------------------------------------
 

@@ -251,6 +251,45 @@ object MinHashLSH {
   /** True shingle Jaccard for every candidate pair sharing ≥ 1 shingle
     * (unfiltered) — the shared tail of verify and the quality report.
     * Semi-join-prunes the shingle table to candidate endpoints first. */
+  /** #175 `dedup_threshold_curve`: the τ-tuning panel for every
+    * Jaccard-gated near-dup pass — candidate pairs bucketed into exact
+    * 0.05 similarity bands (band = shared·20 div union, pure int64 —
+    * never the double quotient, whose boundary rounding is not
+    * cross-engine), with, per band: pairs in the band, pairs surviving
+    * τ = band/20 (reverse cumulative), and documents flagged at that τ
+    * (a doc survives τ iff its MAX pair band ≥ τ·20, so the doc curve
+    * is the reverse cumulative of the per-doc max-band histogram — NOT
+    * a sum of per-band distinct counts, which double-counts docs that
+    * appear in several bands). Candidate generation is the shared
+    * capped-LSH source (linear in rows×bands); both reverse-cumulative
+    * windows run over the O(21) band histogram, never the pair table.
+    * Reading the panel: pick the band where pairs_at_tau stops falling
+    * off a cliff — above it is near-dup mass, below it is noise. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").spread
+    val pairs = jaccardPairs(lshCandidates(docs), DocDedup.docShinglesOf(docs))
+      .select(col("d1"), col("d2"),
+        intDiv(col("shared") * 20L, col("n1") + col("n2") - col("shared"))
+          .as("band"))
+      .localCheckpoint(true) // feeds both histograms; the pair scan runs once
+    val hist = pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+    val docMax = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"), col("band"))
+      .groupBy("doc_id").agg(max("band").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_docs_max"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist.join(docMax, Seq("band"), "left")
+      .withColumn("pairs_at_tau", sum("n_pairs").over(w))
+      .withColumn("docs_at_tau",
+        sum(coalesce(col("n_docs_max"), lit(0L))).over(w))
+      .select(col("band"), (col("band") * 500L).as("tau4"), col("n_pairs"),
+        col("pairs_at_tau"), col("docs_at_tau"))
+      .orderBy("band")
+  }
+
   private def jaccardPairs(cand: DataFrame, shAll: DataFrame): DataFrame = {
     val ids = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id")))

@@ -32,6 +32,37 @@ class SimilaritySpec extends SparkSpec {
     assert(q.filter(_._2._3 >= 0.5).view.mapValues(_._3).toMap == pairs)
   }
 
+  test("thresholdCurve matches an exact integer-band reverse-cumulative model") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val cand = MinHashLSH.lshCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sh = DocDedup.docShingles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bands = cand.flatMap { case (d1, d2) =>
+      for {
+        a <- sh.get(d1); b <- sh.get(d2)
+        shared = (a & b).size.toLong if shared > 0
+      } yield (d1, d2, shared * 20L / (a.size.toLong + b.size.toLong - shared))
+    }
+    val hist = bands.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val dmHist = bands.flatMap(t => Seq(t._1 -> t._3, t._2 -> t._3))
+      .groupBy(_._1).values.map(_.map(_._2).max)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val model = hist.keys.toSeq.sorted.map { k =>
+      (k, k * 500L, hist(k),
+        hist.filter(_._1 >= k).values.sum,
+        dmHist.filter(_._1 >= k).values.sum)
+    }
+    val got = MinHashLSH.thresholdCurve(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got == model)
+    // survivors only shrink as tau rises
+    assert(got.map(_._4) == got.map(_._4).sortBy(-_))
+    assert(got.map(_._5) == got.map(_._5).sortBy(-_))
+  }
+
   test("semanticComponents merges exactly the embedding near-dup graph") {
     val pairs = Similarity.nearDupPairs(spark, sf, tau = 0.3)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
