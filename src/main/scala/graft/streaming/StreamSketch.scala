@@ -40,4 +40,25 @@ object StreamSketch {
         size(col("mk")).cast("long").as("n_sketch"),
         element_at(col("mk"), size(col("mk"))).as("kth_hash"),
         thetaEstimate(col("mk"), k).as("est_users"))
+
+  /** Streaming frequent-items candidates: the SAME Misra-Gries
+    * aggregate the batch heavy-hitters pass 1 uses
+    * ([[graft.operators.CorpusStats.heavyHitters]]), running as a
+    * Structured Streaming global aggregation — state is ONE ≤capacity-
+    * counter map however many distinct terms stream through, updated
+    * per micro-batch through the exact update/merge rules the batch
+    * side proves (every term with true count > n/(k+1) over the whole
+    * stream-so-far survives in the sketch, merge order immaterial to
+    * the guarantee). Run in complete/update mode over a frame with a
+    * `term` column; each trigger emits the current candidate map plus
+    * the EXACT running total (the denominator of the guarantee). The
+    * deploy shape mirrors the batch two-pass pattern: the sketch gates
+    * which terms a downstream exact recount (batch, or a keyed
+    * streaming count restricted to candidate keys) has to track. */
+  def mgCandidates(terms: DataFrame,
+                   capacity: Int = graft.operators.CorpusStats.HhCapacity): DataFrame =
+    terms
+      .agg(graft.plans.MisraGries.mgSketch(col("term"), capacity).as("sk"),
+        count(lit(1)).as("total"))
+      .select(map_keys(col("sk")).as("candidates"), col("sk"), col("total"))
 }

@@ -38,4 +38,38 @@ class StreamSketchSpec extends SparkSpec {
       .toSeq
     assert(got == want)
   }
+
+  test("streaming MG candidates keep the heavy-hitter guarantee across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val terms = graft.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(r => r.getString(0).trim.split("\\s+").filter(_.nonEmpty))
+    val mem = MemoryStream[String]
+    val name = s"mg_${System.nanoTime()}"
+    val q = StreamSketch.mgCandidates(mem.toDF().toDF("term"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // three arrival batches → streaming state update + merge paths run
+      terms.grouped(math.max(1, terms.length / 3)).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val row = spark.table(name).collect().head
+    val sk = row.getMap[String, Long](1).toMap
+    val total = row.getLong(2)
+    val cap = graft.operators.CorpusStats.HhCapacity
+    val truth = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(total == terms.length.toLong)
+    assert(sk.size <= cap)
+    // candidates column mirrors the sketch keys
+    assert(row.getSeq[String](0).toSet == sk.keySet)
+    // MG guarantee over the whole stream: every term with
+    // count > n/(cap+1) survives in the merged streaming state
+    val mustSurvive = truth.filter { case (_, c) => c * (cap + 1L) > total }.keySet
+    assert(mustSurvive.nonEmpty && mustSurvive.subsetOf(sk.keySet))
+    // sketch counts never exceed the true counts
+    sk.foreach { case (t, est) => assert(est <= truth(t)) }
+  }
 }
