@@ -172,6 +172,7 @@ object SparkEntry {
     "events_value_concentration" -> ((s, d) => graft.operators.Analytics4.valueConcentration(s, d)),
     "docs_boilerplate_prefix" -> ((s, d) => graft.operators.CorpusStats.boilerplatePrefix(s, d)),
     "dedup_threshold_curve" -> ((s, d) => graft.operators.MinHashLSH.thresholdCurve(s, d)),
+    "events_bot_regularity" -> ((s, d) => graft.operators.Analytics3.botRegularity(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1714,6 +1715,36 @@ object SparkEntry {
          |  CAST(sum(coalesce(dh.n_docs_max, 0)) OVER (ORDER BY h.band DESC) AS BIGINT) AS docs_at_tau
          |FROM hist h LEFT JOIN dh ON h.band = dh.band
          |ORDER BY h.band""".stripMargin,
+
+    // gap-regularity bot panel: integer mean + exact MAD around it;
+    // mean 0 (all-identical timestamps) is the degenerate bot case
+    "events_bot_regularity" -> {
+      val A = graft.operators.Analytics3
+      s"""WITH ev AS ($EV),
+         |g AS (SELECT user_id,
+         |        ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+         |      FROM ev),
+         |g2 AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+         |m AS (SELECT user_id, count(*) AS n_gaps,
+         |        CAST(sum(gap) AS BIGINT) AS sum_gap
+         |      FROM g2 GROUP BY 1 HAVING count(*) >= ${A.MinGaps}),
+         |mm AS (SELECT user_id, n_gaps,
+         |         CAST(${halfUpSql("sum_gap", "n_gaps")} AS BIGINT) AS mean_us
+         |       FROM m),
+         |d AS (SELECT g2.user_id,
+         |        CAST(sum(abs(g2.gap - mm.mean_us)) AS BIGINT) AS sum_dev
+         |      FROM g2 JOIN mm USING (user_id) GROUP BY 1),
+         |f AS (SELECT mm.user_id, mm.n_gaps, mm.mean_us,
+         |        CAST(${halfUpSql("d.sum_dev", "mm.n_gaps")} AS BIGINT) AS mad_us
+         |      FROM mm JOIN d USING (user_id))
+         |SELECT user_id, n_gaps, mean_us, mad_us,
+         |  CASE WHEN mean_us > 0
+         |       THEN ${ratio4Sql("mad_us", "mean_us")} END AS regularity,
+         |  CASE WHEN mean_us = 0 THEN TRUE
+         |       ELSE ${ratio4Sql("mad_us", "mean_us")} <= ${A.BotRegularityMax}
+         |       END AS is_bot
+         |FROM f ORDER BY user_id""".stripMargin
+    },
 
     // ---- round 3: analytics tier ---------------------------------------
 

@@ -63,6 +63,57 @@ object Analytics3 {
       .limit(10)
   }
 
+  /** Gate and threshold for [[botRegularity]]: users with fewer gaps
+    * aren't assessable; regularity at or below the threshold flags. */
+  val MinGaps = 5L
+  val BotRegularityMax = 0.2
+
+  /** #177 `events_bot_regularity`: automated-traffic detection by
+    * inter-event-gap REGULARITY — humans arrive bursty (gap dispersion
+    * near the mean; an exponential arrival process has MAD/mean ≈
+    * 0.74), schedulers and replay bots arrive metronomically
+    * (dispersion near 0). Per user with ≥ [[MinGaps]] gaps: exact
+    * integer mean gap (halfUp µs), exact mean absolute deviation
+    * around that integer mean (MAD — deliberately NOT variance: |dev|
+    * sums stay int64 at any event volume where gap² sums would
+    * overflow), regularity = ratio4(MAD, mean), and the flag
+    * (regularity ≤ [[BotRegularityMax]], or an all-identical-timestamp
+    * user — mean 0, the degenerate perfectly-regular case, regularity
+    * left NULL).
+    *
+    * One user_id shuffle end to end: the lag window, both aggregates
+    * and the mean-join all ride the same hash partitioning (reused
+    * exchange), so the second pass (deviations need the mean first —
+    * inherent to any exact MAD) adds no new shuffle of the events. */
+  def botRegularity(spark: SparkSession, dir: String): DataFrame =
+    botRegularityOf(Dedup.eventsUs(spark, dir))
+
+  /** [[botRegularity]] over any frame with (user_id, ts_us, event_id). */
+  def botRegularityOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, ratio4}
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    def gaps = ev.select("user_id", "ts_us", "event_id")
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("ts_us") - col("prev")).as("gap"))
+    val m = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap"))
+      .filter(col("n_gaps") >= MinGaps)
+      .withColumn("mean_us", halfUpDiv(col("sum_gap"), col("n_gaps")))
+    val dev = gaps.join(m.select("user_id", "mean_us"), "user_id")
+      .groupBy("user_id")
+      .agg(sum(abs(col("gap") - col("mean_us"))).as("sum_dev"))
+    m.join(dev, "user_id")
+      .withColumn("mad_us", halfUpDiv(col("sum_dev"), col("n_gaps")))
+      .withColumn("regularity",
+        when(col("mean_us") > 0L, ratio4(col("mad_us"), col("mean_us"))))
+      .withColumn("is_bot",
+        when(col("mean_us") === 0L, lit(true))
+          .otherwise(col("regularity") <= lit(BotRegularityMax)))
+      .select("user_id", "n_gaps", "mean_us", "mad_us", "regularity", "is_bot")
+      .orderBy("user_id")
+  }
+
   /** Inter-event gap statistics per user (lag window): gap count, sum
     * and max in exact integer µs, plus the mean as a rounded double.
     * One shuffle on user_id; the window and the aggregation share it. */

@@ -73,6 +73,41 @@ class Analytics3Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("botRegularity matches an integer mean+MAD model and flags a planted bot") {
+    import spark.implicits._
+    def hu(a: Long, b: Long) = (a + b / 2) / b
+    // real corpus: model parity
+    val ev = Dedup.eventsUs(spark, sf)
+      .select("user_id", "ts_us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val model = ev.groupBy(_._1).view.mapValues { rows =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      ts.zip(ts.tail).map { case (a, b) => b - a }
+    }.toSeq
+      .collect { case (u, gaps) if gaps.length >= Analytics3.MinGaps =>
+        val n = gaps.length.toLong
+        val mean = hu(gaps.sum, n)
+        val mad = hu(gaps.map(g => math.abs(g - mean)).sum, n)
+        val reg = if (mean > 0) Some(hu(mad * 10000L, mean) / 10000.0) else None
+        (u, n, mean, mad, reg,
+          if (mean == 0) true else reg.get <= Analytics3.BotRegularityMax)
+      }.sortBy(_._1)
+    val got = Analytics3.botRegularity(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))
+    assert(got == model)
+    // humans in the synthetic stream are dispersed — none flagged
+    assert(got.nonEmpty && !got.exists(_._6))
+
+    // planted metronome (exact 60 s gaps) and zero-gap replayer both flag
+    val planted = (1L to 10L).map(i => (901L, i * 60000000L, i)) ++
+      (1L to 10L).map(i => (902L, 42L, 100L + i))
+    val flags = Analytics3
+      .botRegularityOf(planted.toDF("user_id", "ts_us", "event_id"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(flags == Map(901L -> true, 902L -> true))
+  }
+
   test("quantiles matches the standard linear-interpolation definition") {
     val byFlag = graft.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_quantity").collect()
