@@ -173,6 +173,7 @@ object SparkEntry {
     "docs_boilerplate_prefix" -> ((s, d) => graft.operators.CorpusStats.boilerplatePrefix(s, d)),
     "dedup_threshold_curve" -> ((s, d) => graft.operators.MinHashLSH.thresholdCurve(s, d)),
     "events_bot_regularity" -> ((s, d) => graft.operators.Analytics3.botRegularity(s, d)),
+    "embeddings_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1744,6 +1745,32 @@ object SparkEntry {
          |       ELSE ${ratio4Sql("mad_us", "mean_us")} <= ${A.BotRegularityMax}
          |       END AS is_bot
          |FROM f ORDER BY user_id""".stripMargin
+    },
+
+    // embedding-table dq: micro-unit lift (the engine-exact ROUND(x·1e6)
+    // primitive), per-vector norm² kept in 1e-6 units so label sums
+    // stay int64 at any corpus size
+    "embeddings_norm_audit" -> {
+      val q = "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+      s"""WITH v AS (
+         |  SELECT CAST(label AS BIGINT) AS label, embedding,
+         |    CASE WHEN embedding IS NOT NULL THEN CAST(${halfUpSql(
+               s"CAST(list_sum(list_transform(embedding, x -> $q * $q)) AS BIGINT)",
+               "1000000")} AS BIGINT) END AS nq2_u6
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(coalesce(sum(CASE WHEN embedding IS NULL THEN 1 END), 0) AS BIGINT) AS n_null,
+         |  CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL
+         |    AND len(embedding) <> ${graft.operators.Similarity.Dim} THEN 1 END), 0) AS BIGINT) AS n_bad_dim,
+         |  CAST(coalesce(sum(CASE WHEN nq2_u6 = 0 THEN 1 END), 0) AS BIGINT) AS n_zero,
+         |  min(nq2_u6) AS min_norm2_u6,
+         |  max(nq2_u6) AS max_norm2_u6,
+         |  CASE WHEN count(*) > coalesce(sum(CASE WHEN embedding IS NULL THEN 1 END), 0)
+         |       THEN CAST(${halfUpSql(
+               "CAST(sum(nq2_u6) AS BIGINT)",
+               "(count(*) - coalesce(sum(CASE WHEN embedding IS NULL THEN 1 END), 0))")} AS BIGINT)
+         |       END AS mean_norm2_u6
+         |FROM v GROUP BY label ORDER BY label""".stripMargin
     },
 
     // ---- round 3: analytics tier ---------------------------------------

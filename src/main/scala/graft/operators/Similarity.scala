@@ -697,6 +697,55 @@ object Similarity {
     lshSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
   }
 
+  /** #178 `embeddings_norm_audit`: the dq panel for the embedding
+    * table (the vector twin of dq_report's scalar gates) — per label:
+    * vectors, NULL embeddings, wrong-dimension vectors (≠ [[Dim]]),
+    * exact-zero vectors, and min/max/mean squared norm in exact 1e-6
+    * units. A broken encoder shows up here first: zero vectors from a
+    * failed forward pass, dim drift from a model swap, norm collapse /
+    * explosion from a bad checkpoint — all BEFORE any ANN/dedup result
+    * silently degrades downstream.
+    *
+    * Arithmetic: each component lifts to integer micro-units
+    * (ROUND(x·10⁶) — the engine-exact primitive the k-means trainer
+    * pins), a vector's squared norm Σq² ≤ dim·10¹² stays int64, and
+    * per-vector norm² is kept in 1e-6 units (halfUp(Σq², 10⁶) ≈ 10⁶·‖x‖²)
+    * so LABEL-level sums stay int64 to ~10¹¹ vectors — the audit runs
+    * one narrow scan into one O(labels) partial-aggregable shuffle. */
+  def normAudit(spark: SparkSession, dir: String): DataFrame =
+    normAuditOf(Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), col("embedding").as("e"))
+      .spread)
+
+  /** [[normAudit]] over any (label: long, e: array&lt;float&gt;) frame. */
+  def normAuditOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val nq2 = expr(
+      s"""aggregate(
+         |  transform(e, x -> cast(round(cast(x as double) * 1000000.0D) as bigint)),
+         |  0L, (acc, q) -> acc + q * q)""".stripMargin)
+    emb
+      .withColumn("nq2_u6",
+        when(col("e").isNotNull, halfUpDiv(nq2, lit(1000000L))))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("e").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("e").isNotNull && size(col("e")) =!= Dim, 1L)
+          .otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("nq2_u6") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min("nq2_u6").as("min_norm2_u6"),
+        max("nq2_u6").as("max_norm2_u6"),
+        sum("nq2_u6").as("sum_norm2_u6"))
+      .withColumn("mean_norm2_u6",
+        // guard the all-null label: DuckDB's // raises on zero where
+        // Spark's div yields NULL — spell the NULL explicitly in both
+        when(col("n_vecs") > col("n_null"),
+          halfUpDiv(col("sum_norm2_u6"), col("n_vecs") - col("n_null"))))
+      .select("label", "n_vecs", "n_null", "n_bad_dim", "n_zero",
+        "min_norm2_u6", "max_norm2_u6", "mean_norm2_u6")
+      .orderBy("label")
+  }
+
   /** Single-bucket search against ALREADY-BUILT band-0 buckets and
     * candidates — shared with the multi-probe variant in recallReport. */
   private def lshSearch(v: DataFrame, b0: DataFrame, candidates: DataFrame,

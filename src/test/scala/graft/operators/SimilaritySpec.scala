@@ -63,6 +63,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._5) == got.map(_._5).sortBy(-_))
   }
 
+  test("normAudit matches a micro-unit model and catches planted defects") {
+    import spark.implicits._
+    def hu(a: Long, b: Long) = (a + b / 2) / b
+    def u6(v: Seq[Float]): Long =
+      hu(v.map(x => math.round(x.toDouble * 1000000.0)).map(q => q * q).sum,
+        1000000L)
+    val rows = graft.Tables.embeddings(spark, sf)
+      .collect().map(r =>
+        (r.getInt(2).toLong, r.getSeq[Float](1).toIndexedSeq))
+    val model = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, g) =>
+      val ns = g.map(t => u6(t._2))
+      (l, g.length.toLong, 0L, 0L, ns.count(_ == 0L).toLong,
+        ns.min, ns.max, hu(ns.sum, g.length.toLong))
+    }
+    val got = Similarity.normAudit(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got == model)
+    // planted defects: a null vector, a wrong-dim vector, a zero vector
+    val bad = Seq(
+      (1L, Some(Seq.fill(Similarity.Dim)(0.5f))),
+      (1L, None),
+      (1L, Some(Seq(1.0f, 2.0f))),
+      (1L, Some(Seq.fill(Similarity.Dim)(0.0f))))
+      .toDF("label", "e")
+    val a = Similarity.normAuditOf(bad).collect().head
+    assert(a.getLong(1) == 4L && a.getLong(2) == 1L &&
+      a.getLong(3) == 1L && a.getLong(4) == 1L)
+  }
+
   test("semanticComponents merges exactly the embedding near-dup graph") {
     val pairs = Similarity.nearDupPairs(spark, sf, tau = 0.3)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
