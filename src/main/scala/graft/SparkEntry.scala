@@ -174,6 +174,7 @@ object SparkEntry {
     "dedup_threshold_curve" -> ((s, d) => graft.operators.MinHashLSH.thresholdCurve(s, d)),
     "events_bot_regularity" -> ((s, d) => graft.operators.Analytics3.botRegularity(s, d)),
     "embeddings_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
+    "corpus_dup_ngram_share" -> ((s, d) => DocDedup.dupNgramShare(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1771,6 +1772,31 @@ object SparkEntry {
                "(count(*) - coalesce(sum(CASE WHEN embedding IS NULL THEN 1 END), 0))")} AS BIGINT)
          |       END AS mean_norm2_u6
          |FROM v GROUP BY label ORDER BY label""".stripMargin
+    },
+
+    // per-source duplicated rolling-window mass (same grain + global-
+    // first rule as dedup_passages)
+    "corpus_dup_ngram_share" -> {
+      val w = graft.operators.DocDedup.ChunkTokens
+      s"""WITH toks AS (SELECT doc_id, source, $TOKS AS t FROM documents),
+         |wn AS (
+         |  SELECT doc_id, source, u.pos AS pos, ${H64("u.ch")} AS win_h
+         |  FROM (
+         |    SELECT doc_id, source, unnest(list_transform(
+         |      generate_series(1, len(t) - ${w - 1}),
+         |      i -> struct_pack(pos := i,
+         |        ch := array_to_string(list_slice(t, i, i + ${w - 1}), ' ')))) AS u
+         |    FROM toks WHERE len(t) >= $w)
+         |),
+         |r AS (SELECT source,
+         |        row_number() OVER (PARTITION BY win_h ORDER BY doc_id, pos) AS rn
+         |      FROM wn),
+         |a AS (SELECT source, count(*) AS n_windows,
+         |        CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT) AS n_dup
+         |      FROM r GROUP BY 1)
+         |SELECT source, n_windows, n_dup,
+         |  ${ratio4Sql("n_dup", "n_windows")} AS dup_share
+         |FROM a ORDER BY source""".stripMargin
     },
 
     // ---- round 3: analytics tier ---------------------------------------

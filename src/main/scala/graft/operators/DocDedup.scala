@@ -191,17 +191,25 @@ object DocDedup {
     passageDedupOf(
       Tables.documents(spark, dir).select("doc_id", "text").spread, w)
 
-  /** The rolling core over any (doc_id, text) frame. */
-  def passageDedupOf(docs: DataFrame, w: Int): DataFrame = {
-    val t = TextAnalysis.tokens(col("text"))
-    val wins = docs
-      .select(col("doc_id"), t.as("t"))
+  /** One row per rolling w-token window of `text`: (…carried, pos,
+    * win_h) — every non-text column of `docs` rides through (the
+    * bigramsOf convention). Shared by [[passageDedupOf]] and the
+    * per-source duplicated-window share panel. */
+  def rollingWindowsOf(docs: DataFrame, w: Int): DataFrame = {
+    val carried = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
+      .withColumn("t", TextAnalysis.tokens(col("text")))
       .filter(size(col("t")) >= w)
-      .select(col("doc_id"), explode(
+      .select(carried :+ explode(
         transform(sequence(lit(1L), (size(col("t")) - (w - 1)).cast("long")), i =>
           struct(i.as("pos"),
-            h64(concat_ws(" ", slice(col("t"), i.cast("int"), lit(w)))).as("h")))).as("c"))
-      .select(col("doc_id"), col("c.pos").as("pos"), col("c.h").as("win_h"))
+            h64(concat_ws(" ", slice(col("t"), i.cast("int"), lit(w)))).as("h")))).as("c"): _*)
+      .select(carried :+ col("c.pos").as("pos") :+ col("c.h").as("win_h"): _*)
+  }
+
+  /** The rolling core over any (doc_id, text) frame. */
+  def passageDedupOf(docs: DataFrame, w: Int): DataFrame = {
+    val wins = rollingWindowsOf(docs.select("doc_id", "text"), w)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy("win_h").orderBy("doc_id", "pos")
     val dups = wins
@@ -218,6 +226,34 @@ object DocDedup {
       .select(col("doc_id"), col("start_pos"), col("end_pos"),
         (col("end_pos") - col("start_pos") + w).as("n_tokens"), col("n_windows"))
       .orderBy("doc_id", "start_pos")
+  }
+
+  /** #179 `corpus_dup_ngram_share`: per-source duplicated n-gram MASS —
+    * the share of a source's rolling w-token window occurrences that
+    * are repeats of a window seen earlier anywhere in the corpus (the
+    * C4-observation metric: how much of this feed is copied text,
+    * by volume, not by document count — a feed can have zero duplicate
+    * DOCS and still be half boilerplate passages). Same window grain
+    * and same global-first rule as [[passageDedup]], so the two panels
+    * read together: this one says how much, that one says where.
+    * Shape: the window derivation shares [[rollingWindowsOf]], the
+    * dup rank is one win_h-keyed window (uniform hash keys), and the
+    * rollup is one O(sources) partial-aggregable shuffle. */
+  def dupNgramShare(spark: SparkSession, dir: String,
+                    w: Int = ChunkTokens): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val wins = rollingWindowsOf(
+      Tables.documents(spark, dir).select("doc_id", "source", "text").spread, w)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_h").orderBy("doc_id", "pos")
+    wins
+      .withColumn("rn", row_number().over(byHash))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_share", ratio4(col("n_dup"), col("n_windows")))
+      .select("source", "n_windows", "n_dup", "dup_share")
+      .orderBy("source")
   }
 
   /** Edit-distance share of the longer document, in integer percent

@@ -43,6 +43,31 @@ class DocDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 11L, 19L, 16L, 9L)))
   }
 
+  test("dupNgramShare matches a global-first rolling-window model per source") {
+    val w = DocDedup.ChunkTokens
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").filter(_.nonEmpty).toSeq))
+    val wins = docs.filter(_._3.length >= w).flatMap { case (id, src, t) =>
+      t.sliding(w).zipWithIndex.map { case (win, i) =>
+        (id, src, i + 1L, win.mkString(" "))
+      }
+    }
+    // global first occurrence per window content, by (doc_id, pos)
+    val firsts = wins.groupBy(_._4).view
+      .mapValues(_.map(t => (t._1, t._3)).min).toMap
+    val model = wins.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, g) =>
+      val dup = g.count(t => firsts(t._4) != ((t._1, t._3))).toLong
+      (src, g.length.toLong, dup, ratio4Model(dup, g.length.toLong))
+    }
+    val got = DocDedup.dupNgramShare(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == model)
+    // the planted duplicate docs put real duplicated mass somewhere
+    assert(got.exists(_._3 > 0L))
+  }
+
   test("shingles3 of a short doc is empty, of 'a b c d' has two shingles") {
     import spark.implicits._
     val df = Seq("a b", "a b c d").toDF("text")
