@@ -175,6 +175,7 @@ object SparkEntry {
     "events_bot_regularity" -> ((s, d) => graft.operators.Analytics3.botRegularity(s, d)),
     "embeddings_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
     "corpus_dup_ngram_share" -> ((s, d) => DocDedup.dupNgramShare(s, d)),
+    "corpus_zipf_coverage" -> ((s, d) => graft.operators.CorpusStats.zipfCoverage(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1798,6 +1799,23 @@ object SparkEntry {
          |  ${ratio4Sql("n_dup", "n_windows")} AS dup_share
          |FROM a ORDER BY source""".stripMargin
     },
+
+    // cumulative head-coverage: rank the vocab, conditional sums at
+    // power-of-two head sizes (the length-survival discipline)
+    "corpus_zipf_coverage" ->
+      s"""WITH tk AS (SELECT unnest($TOKS) AS term FROM documents),
+         |tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
+         |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rn FROM tf),
+         |th AS (SELECT CAST(unnest([1,2,4,8,16,32,64,128,256,512,1024]) AS BIGINT) AS head_k),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM tf)
+         |SELECT head_k,
+         |  CAST(coalesce(sum(CASE WHEN rn <= head_k THEN 1 END), 0) AS BIGINT) AS n_terms,
+         |  CAST(coalesce(sum(CASE WHEN rn <= head_k THEN tf END), 0) AS BIGINT) AS tf_mass,
+         |  ${ratio4Sql(
+             "CAST(coalesce(sum(CASE WHEN rn <= head_k THEN tf END), 0) AS BIGINT)",
+             "tot")} AS coverage
+         |FROM th CROSS JOIN r CROSS JOIN tot
+         |GROUP BY head_k, tot ORDER BY head_k""".stripMargin,
 
     // ---- round 3: analytics tier ---------------------------------------
 

@@ -158,6 +158,40 @@ object CorpusStats {
       .orderBy("min_toks")
   }
 
+  /** #180 `corpus_zipf_coverage`: cumulative head-coverage curve — for
+    * vocabulary head sizes K = 1, 2, 4, …, 1024, how many token
+    * occurrences the top-K terms (tf desc, term asc) cover, as exact
+    * counts and ratio4 share. This is THE vocab-size decision panel
+    * (where #115's Zipf head shows the shape, this shows the integral:
+    * "1024 types cover 97% of the mass ⇒ a 50k BPE vocab is plenty"),
+    * and the curve saturating at the corpus total is its own
+    * consistency check. Ranking the vocab uses the native
+    * range-partitioned [[Ranking.globalRowNumber]] — vocab tables at
+    * web scale are 10⁸ rows, far past the single-partition-window
+    * cliff — and the 11 conditional (count, mass) pairs fuse into ONE
+    * partial-aggregable aggregate over the ranked frame, unpivoted
+    * driver-side via stack (the #169 discipline). */
+  def zipfCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val tf = Tables.documents(spark, dir)
+      .select(TextAnalysis.tokens(col("text")).as("t")).spread
+      .select(explode(col("t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val ranked = Ranking.globalRowNumber(tf, Seq(col("tf").desc, col("term")))
+    val exprs = (0 to 10).flatMap { i =>
+      val k = 1L << i
+      Seq(sum(when(col("rn") <= k, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(col("rn") <= k, col("tf")).otherwise(0L)).as(s"m$i"))
+    } :+ sum("tf").as("tot")
+    ranked.agg(exprs.head, exprs.tail: _*)
+      .select(expr("stack(11, " +
+        (0 to 10).map(i => s"${1L << i}L, n$i, m$i").mkString(", ") +
+        ") as (head_k, n_terms, tf_mass)"), col("tot"))
+      .select(col("head_k"), col("n_terms"), col("tf_mass"),
+        ratio4(col("tf_mass"), col("tot")).as("coverage"))
+      .orderBy("head_k")
+  }
+
   val OovVocab = 200
 
   /** #170 `source_oov_rate`: per-source out-of-vocabulary occurrence

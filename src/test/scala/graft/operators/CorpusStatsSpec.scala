@@ -212,4 +212,23 @@ class CorpusStatsSpec extends SparkSpec {
     // the planted duplicate families surface even at sf0.001
     assert(got.nonEmpty && got.forall(_._2 >= CorpusStats.MinFamily))
   }
+
+  test("zipfCoverage matches a ranked cumulative model and saturates") {
+    val tf = docTokens.values.toSeq.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    val tot = tf.map(_._2).sum
+    val model = (0 to 10).map { i =>
+      val k = 1L << i
+      val head = tf.take(k.toInt)
+      val mass = head.map(_._2).sum
+      (k, head.size.toLong, mass, ratio4Model(mass, tot))
+    }
+    val got = CorpusStats.zipfCoverage(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == model)
+    // monotone and saturating at the full corpus mass
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.last._3 == tot && got.last._4 == 1.0)
+  }
 }
