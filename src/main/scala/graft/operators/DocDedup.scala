@@ -212,10 +212,17 @@ object DocDedup {
     val wins = rollingWindowsOf(docs.select("doc_id", "text"), w)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy("win_h").orderBy("doc_id", "pos")
-    val dups = wins
-      .withColumn("rn", row_number().over(byHash))
-      .filter(col("rn") > 1)
-      .select("doc_id", "pos")
+    passageSpans(
+      wins.withColumn("rn", row_number().over(byHash))
+        .filter(col("rn") > 1)
+        .select("doc_id", "pos"),
+      w)
+  }
+
+  /** Coalesce duplicated window positions into maximal passage spans
+    * (the islands trick) — shared by the one-shot and incremental
+    * passes. Input: (doc_id, pos) of duplicated windows. */
+  private def passageSpans(dups: DataFrame, w: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     dups
@@ -226,6 +233,35 @@ object DocDedup {
       .select(col("doc_id"), col("start_pos"), col("end_pos"),
         (col("end_pos") - col("start_pos") + w).as("n_tokens"), col("n_windows"))
       .orderBy("doc_id", "start_pos")
+  }
+
+  /** Incremental rolling-window passage dedup — the append-only batch
+    * form of [[passageDedupOf]] (the incremental-dedup contract: fold
+    * doc_id-ordered batches through this and the concatenated spans
+    * equal the one-shot full-corpus pass). The persisted index is the
+    * FIRST global occurrence of every window hash, (win_h, doc_id,
+    * pos) — strictly per-window state, so a new ingest batch never
+    * revisits old documents: its windows mark duplicated when the hash
+    * exists in the index (seen in any prior batch) or beyond-first
+    * within the batch, and the index grows by exactly the batch's
+    * unseen-hash firsts. One win_h-keyed join + one win_h rank window
+    * per batch; the index is hash-keyed state a lakehouse table holds.
+    * @return (spans of this batch's docs, updated index) */
+  def passageBatch(index: DataFrame, newDocs: DataFrame,
+                   w: Int = ChunkTokens): (DataFrame, DataFrame) = {
+    val wins = rollingWindowsOf(newDocs.select("doc_id", "text"), w)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_h").orderBy("doc_id", "pos")
+    val marked = wins
+      .join(index.select(col("win_h"), lit(true).as("seen")), Seq("win_h"), "left")
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("dup", coalesce(col("seen"), lit(false)) || col("rn") > 1)
+    val spans = passageSpans(
+      marked.filter(col("dup")).select("doc_id", "pos"), w)
+    val newFirsts = marked
+      .filter(!coalesce(col("seen"), lit(false)) && col("rn") === 1)
+      .select("win_h", "doc_id", "pos")
+    (spans, index.select("win_h", "doc_id", "pos").unionByName(newFirsts))
   }
 
   /** #179 `corpus_dup_ngram_share`: per-source duplicated n-gram MASS —

@@ -68,6 +68,36 @@ class DocDedupSpec extends SparkSpec {
     assert(got.exists(_._3 > 0L))
   }
 
+  test("passageBatch fold over doc-ordered batches equals the one-shot pass") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val w = DocDedup.ChunkTokens
+    val oneShot = DocDedup.passageDedupOf(docs, w).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    var index = Seq.empty[(Long, Long, Long)]
+      .toDF("win_h", "doc_id", "pos")
+    val folded = all.grouped(math.max(1, all.length / 3)).flatMap { b =>
+      val (spans, next) = DocDedup.passageBatch(index,
+        b.toSeq.toDF("doc_id", "text"), w)
+      // materialize BEFORE index reassignment (lazy plans chain otherwise)
+      val out = spans.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      index = next.localCheckpoint(true)
+      out
+    }.toSeq
+    assert(folded.sortBy(s => (s._1, s._2)) == oneShot.sortBy(s => (s._1, s._2)))
+    // the final index holds exactly the distinct window hashes' firsts
+    val wins = DocDedup.rollingWindowsOf(docs, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val firsts = wins.groupBy(_._3).view
+      .mapValues(g => g.map(t => (t._1, t._2)).min).toMap
+    val gotIdx = index.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotIdx == firsts)
+  }
+
   test("shingles3 of a short doc is empty, of 'a b c d' has two shingles") {
     import spark.implicits._
     val df = Seq("a b", "a b c d").toDF("text")
