@@ -176,6 +176,7 @@ object SparkEntry {
     "embeddings_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
     "corpus_dup_ngram_share" -> ((s, d) => DocDedup.dupNgramShare(s, d)),
     "corpus_zipf_coverage" -> ((s, d) => graft.operators.CorpusStats.zipfCoverage(s, d)),
+    "events_user_flux" -> ((s, d) => graft.operators.Analytics3.userFlux(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1816,6 +1817,22 @@ object SparkEntry {
              "tot")} AS coverage
          |FROM th CROSS JOIN r CROSS JOIN tot
          |GROUP BY head_k, tot ORDER BY head_k""".stripMargin,
+
+    // user-lifecycle flux: first/last event days per user over the
+    // distinct (user, day) frame, cumulative acquisitions
+    "events_user_flux" ->
+      s"""WITH ev AS ($EV),
+         |act AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM ev),
+         |a AS (SELECT day, count(*) AS n_active FROM act GROUP BY 1),
+         |sp AS (SELECT user_id, min(day) AS fd, max(day) AS ld FROM act GROUP BY 1),
+         |f AS (SELECT fd AS day, count(*) AS n_new FROM sp GROUP BY 1),
+         |l AS (SELECT ld AS day, count(*) AS n_last FROM sp GROUP BY 1)
+         |SELECT a.day, a.n_active,
+         |  CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new,
+         |  CAST(coalesce(l.n_last, 0) AS BIGINT) AS n_last,
+         |  CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT) AS cum_users
+         |FROM a LEFT JOIN f ON a.day = f.day LEFT JOIN l ON a.day = l.day
+         |ORDER BY a.day""".stripMargin,
 
     // ---- round 3: analytics tier ---------------------------------------
 

@@ -319,6 +319,42 @@ object Analytics3 {
       .orderBy("day")
   }
 
+  /** #182 `events_user_flux`: the user-lifecycle flux panel next to
+    * DAU/WAU and retention — per epoch day: distinct active users,
+    * users whose FIRST-ever event lands that day (acquisition), users
+    * whose LAST-ever event lands that day (the churn proxy: at the
+    * corpus horizon these are the not-yet-returned), and the running
+    * cumulative of first-days (= total users ever seen). Acquisition
+    * spikes, churn waves and the install-base curve in one table.
+    *
+    * Shape: the distinct (user, day) activity frame computes once and
+    * feeds BOTH the per-day active count and the per-user min/max-day
+    * aggregate (user-keyed, partial map-side); first/last counts
+    * aggregate to O(days) rows, the join is day-keyed on those tiny
+    * frames, and the cumulative window runs over O(days) — the
+    * sparse-window discipline. */
+  def userFlux(spark: SparkSession, dir: String): DataFrame = {
+    val act = Dedup.eventsUs(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000L").as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds the active count AND the span aggregate
+    val active = act.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val span = act.groupBy("user_id")
+      .agg(min("day").as("fd"), max("day").as("ld"))
+    val firsts = span.groupBy(col("fd").as("day")).agg(count(lit(1)).as("n_new"))
+    val lasts = span.groupBy(col("ld").as("day")).agg(count(lit(1)).as("n_last"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active
+      .join(firsts, Seq("day"), "left")
+      .join(lasts, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_last", coalesce(col("n_last"), lit(0L)))
+      .withColumn("cum_users", sum("n_new").over(w))
+      .select("day", "n_active", "n_new", "n_last", "cum_users")
+      .orderBy("day")
+  }
+
   /** Exact grouped quantiles (p25/p50/p75 of l_quantity per return
     * flag) via the exact `percentile` aggregate — linear-interpolation
     * positions 0.25/0.5/0.75 are exact binary fractions over

@@ -108,6 +108,30 @@ class Analytics3Spec extends SparkSpec {
     assert(flags == Map(901L -> true, 902L -> true))
   }
 
+  test("userFlux matches a first/last-day model and conserves users") {
+    val act = Dedup.eventsUs(spark, sf)
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000L)).distinct
+    val byDay = act.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val span = act.groupBy(_._1).view
+      .mapValues(ds => (ds.map(_._2).min, ds.map(_._2).max)).toMap
+    val firsts = span.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val lasts = span.values.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    var cum = 0L
+    val model = byDay.keys.toSeq.sorted.map { d =>
+      cum += firsts.getOrElse(d, 0L)
+      (d, byDay(d), firsts.getOrElse(d, 0L), lasts.getOrElse(d, 0L), cum)
+    }
+    val got = Analytics3.userFlux(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got == model)
+    // conservation: acquisitions and churn both sum to the user base
+    assert(got.map(_._3).sum == span.size.toLong)
+    assert(got.map(_._4).sum == span.size.toLong)
+    assert(got.last._5 == span.size.toLong)
+  }
+
   test("quantiles matches the standard linear-interpolation definition") {
     val byFlag = graft.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_quantity").collect()
