@@ -177,6 +177,7 @@ object SparkEntry {
     "corpus_dup_ngram_share" -> ((s, d) => DocDedup.dupNgramShare(s, d)),
     "corpus_zipf_coverage" -> ((s, d) => graft.operators.CorpusStats.zipfCoverage(s, d)),
     "events_user_flux" -> ((s, d) => graft.operators.Analytics3.userFlux(s, d)),
+    "split_leakage" -> ((s, d) => graft.operators.Pipeline.splitLeakage(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1833,6 +1834,41 @@ object SparkEntry {
          |  CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT) AS cum_users
          |FROM a LEFT JOIN f ON a.day = f.day LEFT JOIN l ON a.day = l.day
          |ORDER BY a.day""".stripMargin,
+
+    // held-out split leakage: same window grain + hash-split rule as
+    // dedup_passages / pipeline_holdout_split, composed
+    "split_leakage" -> {
+      val P = graft.operators.Pipeline
+      val w = graft.operators.DocDedup.ChunkTokens
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE ${H64("concat('split:', CAST(doc_id AS VARCHAR))")} % ${P.SplitBuckets}
+         |      WHEN ${P.ValBucket} THEN 'val' WHEN ${P.TestBucket} THEN 'test'
+         |      ELSE 'train' END AS split,
+         |    $TOKS AS t
+         |  FROM documents),
+         |wn AS (
+         |  SELECT doc_id, split, ${H64("ws")} AS win_h
+         |  FROM (
+         |    SELECT doc_id, split, unnest(list_transform(
+         |      generate_series(1, len(t) - ${w - 1}),
+         |      i -> array_to_string(list_slice(t, i, i + ${w - 1}), ' '))) AS ws
+         |    FROM d WHERE len(t) >= $w)
+         |),
+         |tw AS (SELECT DISTINCT win_h AS t_h FROM wn WHERE split = 'train'),
+         |pd AS (SELECT split, doc_id, count(*) AS n_w,
+         |    CAST(coalesce(sum(CASE WHEN t_h IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_l
+         |  FROM wn LEFT JOIN tw ON win_h = t_h
+         |  WHERE split <> 'train' GROUP BY 1, 2)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN n_l > 0 THEN 1 END), 0) AS BIGINT) AS n_leaky_docs,
+         |  CAST(sum(n_w) AS BIGINT) AS n_windows,
+         |  CAST(sum(n_l) AS BIGINT) AS n_leaked,
+         |  ${ratio4Sql("sum(n_l)", "sum(n_w)")} AS leak_share,
+         |  ${ratio4Sql(
+             "CAST(coalesce(sum(CASE WHEN n_l > 0 THEN 1 END), 0) AS BIGINT)",
+             "count(*)")} AS doc_leak_share
+         |FROM pd GROUP BY split ORDER BY split""".stripMargin
+    },
 
     // ---- round 3: analytics tier ---------------------------------------
 

@@ -28,6 +28,17 @@ object Pipeline {
   val ValBucket = 8
   val TestBucket = 9
 
+  /** The deterministic split label of a doc_id — the ONE spelling of
+    * the holdout rule, shared by the split panel and the leakage
+    * audit so they can never disagree on membership. */
+  private def splitOf(docId: org.apache.spark.sql.Column) = {
+    val b = pmod(h64(concat(lit("split:"), docId.cast("string"))),
+      lit(SplitBuckets.toLong))
+    when(b === ValBucket, "val")
+      .when(b === TestBucket, "test")
+      .otherwise("train")
+  }
+
   /** Sequence packing — the training-data step after cleaning: docs are
     * concatenated in doc_id order and the token stream is cut every
     * `seqLen` tokens. Each doc reports its global token offset, the
@@ -112,12 +123,7 @@ object Pipeline {
     val bySplit = Tables.documents(spark, dir).select("doc_id", "text").spread
       .select(
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
-        pmod(h64(concat(lit("split:"), col("doc_id").cast("string"))),
-          lit(SplitBuckets.toLong)).as("b"))
-      .withColumn("split",
-        when(col("b") === ValBucket, "val")
-          .when(col("b") === TestBucket, "test")
-          .otherwise("train"))
+        splitOf(col("doc_id")).as("split"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"))
     val tot = bySplit.agg(sum("n_docs").as("td"), sum("n_toks").as("tt"))
@@ -125,6 +131,58 @@ object Pipeline {
       .select(col("split"), col("n_docs"), col("n_toks"),
         ratio4(col("n_docs"), col("td")).as("doc_share"),
         ratio4(col("n_toks"), col("tt")).as("tok_share"))
+      .orderBy("split")
+  }
+
+  /** #183 `split_leakage`: held-out split leakage audit — for the val
+    * and test splits of the [[holdoutSplit]] hash rule, how much of
+    * their rolling w-token window mass also occurs anywhere in the
+    * train split. A hash split guarantees DOCUMENT disjointness and
+    * nothing more: near-dup docs, boilerplate, and copied passages put
+    * the same text on both sides, and an eval set measured on leaked
+    * text overstates the model. This is the panel read before trusting
+    * any loss/eval number from the split — same window grain as the
+    * passage-dedup family ([[DocDedup.rollingWindowsOf]]), so "leaked"
+    * here means exactly what "duplicated passage" means there.
+    *
+    * Per eval split: windowed docs (≥w tokens), docs with ≥1 leaked
+    * window, window occurrences, leaked occurrences, ratio4 shares of
+    * both. Shape: ONE corpus window derivation feeds both sides; the
+    * train side collapses to distinct win_h (partial-aggregable); the
+    * membership probe is a win_h-keyed hash join (uniform keys — the
+    * hashes themselves); rollups are per-doc then O(2). At 100 TB the
+    * train window set is corpus-sized, so the join shuffles both sides
+    * on win_h — co-partitioned, no broadcast assumption. */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   w: Int = DocDedup.ChunkTokens): DataFrame =
+    splitLeakageOf(
+      Tables.documents(spark, dir).select("doc_id", "text").spread
+        .withColumn("split", splitOf(col("doc_id"))), w)
+
+  /** The leakage core over pre-labeled (split, doc_id, text) frames —
+    * the spec entry point: the hash rule decides membership in
+    * production, but the audit itself is split-rule-agnostic. */
+  def splitLeakageOf(labeled: DataFrame, w: Int = DocDedup.ChunkTokens): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val wins = DocDedup.rollingWindowsOf(
+      labeled.select("doc_id", "split", "text"), w)
+    val trainW = wins.filter(col("split") === "train")
+      .select("win_h").distinct()
+      .withColumn("leak", lit(true))
+    val perDoc = wins.filter(col("split") =!= "train")
+      .join(trainW, Seq("win_h"), "left")
+      .groupBy("split", "doc_id")
+      .agg(count(lit(1)).as("n_w"),
+        sum(when(col("leak"), 1L).otherwise(0L)).as("n_l"))
+    perDoc.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_l") > 0, 1L).otherwise(0L)).as("n_leaky_docs"),
+        sum("n_w").as("n_windows"),
+        sum("n_l").as("n_leaked"))
+      .select(col("split"), col("n_docs"), col("n_leaky_docs"),
+        col("n_windows"), col("n_leaked"),
+        ratio4(col("n_leaked"), col("n_windows")).as("leak_share"),
+        ratio4(col("n_leaky_docs"), col("n_docs")).as("doc_leak_share"))
       .orderBy("split")
   }
 

@@ -166,4 +166,44 @@ class PipelineSpec extends SparkSpec {
     assert(panel("train")._1 > panel("val")._1 &&
       panel("train")._1 > panel("test")._1)
   }
+
+  test("splitLeakageOf counts a planted cross-split passage copy exactly") {
+    import spark.implicits._
+    val w = DocDedup.ChunkTokens
+    val a = (1 to 12).map(i => s"a$i")
+    val corpus = Seq(
+      // train doc holding the source passage (5 windows, none counted)
+      (1L, "train", a.mkString(" ")),
+      // test doc copying train tokens a3..a10 after a 2-token prefix:
+      // 10 tokens → 3 windows, exactly the last one (a3..a10) leaked
+      (2L, "test", ("z1 z2 " + a.slice(2, 10).mkString(" "))),
+      // val doc of fresh tokens: 2 windows, zero leaked
+      (3L, "val", (1 to 9).map(i => s"b$i").mkString(" ")),
+      // short test doc (< w tokens): contributes no windows at all
+      (4L, "test", "q1 q2 q3"))
+      .toDF("doc_id", "split", "text")
+    val got = Pipeline.splitLeakageOf(corpus, w).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("test", "val"))
+    val t = got("test")
+    assert(t.getLong(1) == 1L && t.getLong(2) == 1L)       // docs, leaky docs
+    assert(t.getLong(3) == 3L && t.getLong(4) == 1L)       // windows, leaked
+    assert(t.getDouble(5) == ratio4Model(1, 3))            // leak_share
+    assert(t.getDouble(6) == 1.0)                          // doc_leak_share
+    val v = got("val")
+    assert(v.getLong(1) == 1L && v.getLong(2) == 0L)
+    assert(v.getLong(3) == 2L && v.getLong(4) == 0L)
+    assert(v.getDouble(5) == 0.0 && v.getDouble(6) == 0.0)
+  }
+
+  test("splitLeakage panel is internally consistent at sf0.001") {
+    val rows = Pipeline.splitLeakage(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("test", "val"))
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))   // leaky docs ⊆ docs
+      assert(r.getLong(4) <= r.getLong(3))   // leaked ⊆ windows
+      assert(r.getDouble(5) == ratio4Model(r.getLong(4), r.getLong(3)))
+      assert(r.getDouble(6) == ratio4Model(r.getLong(2), r.getLong(1)))
+    }
+  }
 }
