@@ -178,6 +178,7 @@ object SparkEntry {
     "corpus_zipf_coverage" -> ((s, d) => graft.operators.CorpusStats.zipfCoverage(s, d)),
     "events_user_flux" -> ((s, d) => graft.operators.Analytics3.userFlux(s, d)),
     "split_leakage" -> ((s, d) => graft.operators.Pipeline.splitLeakage(s, d)),
+    "source_overlap_matrix" -> ((s, d) => graft.operators.CorpusStats.sourceOverlapMatrix(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1868,6 +1869,29 @@ object SparkEntry {
              "CAST(coalesce(sum(CASE WHEN n_l > 0 THEN 1 END), 0) AS BIGINT)",
              "count(*)")} AS doc_leak_share
          |FROM pd GROUP BY split ORDER BY split""".stripMargin
+    },
+
+    // pairwise source window overlap: distinct (source, win_h) self-join
+    "source_overlap_matrix" -> {
+      val w = graft.operators.DocDedup.ChunkTokens
+      s"""WITH toks AS (SELECT source, $TOKS AS t FROM documents),
+         |wn AS (SELECT DISTINCT source, ${H64("ws")} AS win_h
+         |  FROM (
+         |    SELECT source, unnest(list_transform(
+         |      generate_series(1, len(t) - ${w - 1}),
+         |      i -> array_to_string(list_slice(t, i, i + ${w - 1}), ' '))) AS ws
+         |    FROM toks WHERE len(t) >= $w)),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM wn GROUP BY 1),
+         |p AS (SELECT a.source AS s1, b.source AS s2,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM wn a JOIN wn b ON a.win_h = b.win_h AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT s1, s2, t1.n AS n1, t2.n AS n2, n_shared,
+         |  ${ratio4Sql("n_shared", "t1.n")} AS contain1,
+         |  ${ratio4Sql("n_shared", "t2.n")} AS contain2,
+         |  ${ratio4Sql("n_shared", "t1.n + t2.n - n_shared")} AS jaccard
+         |FROM p JOIN tot t1 ON s1 = t1.source JOIN tot t2 ON s2 = t2.source
+         |ORDER BY s1, s2""".stripMargin
     },
 
     // ---- round 3: analytics tier ---------------------------------------

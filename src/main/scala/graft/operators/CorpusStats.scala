@@ -339,4 +339,49 @@ object CorpusStats {
       .groupBy("component_id").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
       .orderBy("sz")
+
+  /** #184 `source_overlap_matrix`: pairwise source-level text overlap —
+    * for every unordered source pair with any overlap, the count of
+    * DISTINCT rolling w-token windows present in both feeds, plus each
+    * side's containment (shared / own distinct windows) and the pair
+    * Jaccard, all ratio4. This is the dataset-paper panel ("how much of
+    * CC is already in C4") that decides which feeds are worth ingesting
+    * and in which order a cross-source dedup should run — high
+    * containment of A in B means A is nearly a subset and adds little.
+    * Same window grain as the passage-dedup family, so "overlap" here
+    * is the same text the passage spans would flag.
+    *
+    * Shape: one corpus window derivation ([[DocDedup.rollingWindowsOf]])
+    * → distinct (source, win_h) — the ONLY corpus-volume shuffle, hash
+    * keys uniform; the pair step self-joins that frame on win_h
+    * (co-partitioned, no re-shuffle of either side beyond the key), and
+    * a window shared by k sources fans out k·(k−1)/2 pair rows — k is
+    * bounded by the source count, not the corpus; the rollup is
+    * O(sources²) rows. Per-source distinct totals are an O(sources)
+    * aggregate broadcast onto the pair frame twice. */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String,
+                          w: Int = DocDedup.ChunkTokens): DataFrame =
+    sourceOverlapOf(
+      Tables.documents(spark, dir).select("doc_id", "source", "text").spread, w)
+
+  /** The overlap core over any (doc_id, source, text) frame. */
+  def sourceOverlapOf(docs: DataFrame, w: Int = DocDedup.ChunkTokens): DataFrame = {
+    val sw = DocDedup.rollingWindowsOf(docs.select("doc_id", "source", "text"), w)
+      .select("source", "win_h").distinct()
+    val totals = sw.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sw.join(
+      sw.select(col("source").as("s2"), col("win_h")), "win_h")
+      .filter(col("source") < col("s2"))
+      .groupBy(col("source").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(totals.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_shared"),
+        ratio4(col("n_shared"), col("n1")).as("contain1"),
+        ratio4(col("n_shared"), col("n2")).as("contain2"),
+        ratio4(col("n_shared"), col("n1") + col("n2") - col("n_shared"))
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
 }

@@ -231,4 +231,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.map(_._3) == got.map(_._3).sorted)
     assert(got.last._3 == tot && got.last._4 == 1.0)
   }
+
+  test("sourceOverlapOf matches a distinct-window set model on a planted overlap") {
+    import spark.implicits._
+    val w = DocDedup.ChunkTokens
+    val x = (1 to 10).map(i => s"x$i")
+    val corpus = Seq(
+      (1L, "X", x.mkString(" ")),                              // 3 windows
+      (2L, "Y", (x.take(8) :+ "y9" :+ "y10").mkString(" ")),   // 3 windows, 1 ∩ X
+      (3L, "Z", (1 to 8).map(i => s"z$i").mkString(" ")))      // 1 window, disjoint
+      .toDF("doc_id", "source", "text")
+    // in-memory distinct-window sets — the semantics, independent of hashing
+    val sets = Map(
+      "X" -> x.sliding(w).map(_.mkString(" ")).toSet,
+      "Y" -> (x.take(8) :+ "y9" :+ "y10").sliding(w).map(_.mkString(" ")).toSet,
+      "Z" -> (1 to 8).map(i => s"z$i").sliding(w).map(_.mkString(" ")).toSet)
+    val model = (for {
+      s1 <- sets.keys; s2 <- sets.keys if s1 < s2
+      shared = (sets(s1) & sets(s2)).size.toLong if shared > 0
+      n1 = sets(s1).size.toLong; n2 = sets(s2).size.toLong
+    } yield (s1, s2, n1, n2, shared,
+      ratio4Model(shared, n1), ratio4Model(shared, n2),
+      ratio4Model(shared, n1 + n2 - shared))).toSeq.sorted
+    val got = CorpusStats.sourceOverlapOf(corpus, w).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(got == model)
+    // the planted shape: exactly the (X, Y) pair with one shared window
+    assert(got == Seq(("X", "Y", 3L, 3L, 1L,
+      ratio4Model(1, 3), ratio4Model(1, 3), ratio4Model(1, 5))))
+  }
 }
