@@ -179,6 +179,7 @@ object SparkEntry {
     "events_user_flux" -> ((s, d) => graft.operators.Analytics3.userFlux(s, d)),
     "split_leakage" -> ((s, d) => graft.operators.Pipeline.splitLeakage(s, d)),
     "source_overlap_matrix" -> ((s, d) => graft.operators.CorpusStats.sourceOverlapMatrix(s, d)),
+    "cluster_balance_report" -> ((s, d) => Similarity.clusterBalance(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1534,6 +1535,32 @@ object SparkEntry {
          |)
          |SELECT vec_id, c_id AS cluster, ROUND(cos, 4) AS c_cos FROM fin
          |ORDER BY vec_id""".stripMargin,
+
+    // k-means balance panel: the cluster_kmeans train+assign CTEs, then
+    // per-cluster rollup of the micro-lifted assignment cosine
+    "cluster_balance_report" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |fin AS (
+         |  SELECT vec_id, c_id, cos FROM (
+         |    SELECT v.vec_id, c.c_id, ${duckCosD("v.e", "c.ce")} AS cos,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckCosD("v.e", "c.ce")} DESC, c.c_id) AS rn
+         |    FROM v, c2 c) WHERE rn = 1
+         |),
+         |u AS (SELECT c_id, CAST(ROUND(cos * 1000000) AS BIGINT) AS cu FROM fin),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tv FROM u)
+         |SELECT c_id AS cluster, count(*) AS n_vecs,
+         |  ${ratio4Sql("count(*)", "tv")} AS share,
+         |  min(cu) AS min_cos_u6, max(cu) AS max_cos_u6,
+         |  CAST(${halfUpSql("CAST(sum(cu) AS BIGINT) + count(*) * 1000000",
+             "count(*)")} - 1000000 AS BIGINT) AS mean_cos_u6
+         |FROM u CROSS JOIN tot GROUP BY c_id, tv ORDER BY cluster""".stripMargin,
 
     // SemDeDup: train (2 Lloyd rounds, the cluster_kmeans CTEs), assign
     // every vector (a3), pairwise cosine only WITHIN a cell, duplicate =

@@ -274,6 +274,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** #185 `cluster_balance_report`: the health panel for every k-means
+    * consumer (IVF probe cost, SemDeDup cell blocks, cluster sampling)
+    * — per trained cluster: member count, corpus share, and the
+    * min/mean/max assignment cosine in exact 1e-6 units. A skewed cell
+    * histogram means IVF's nprobe cost is unbounded on the hot cell
+    * and SemDeDup's per-cell pair block is quadratic in the outlier;
+    * a low mean assignment cosine means the centroid count is too
+    * small for the manifold. Read it before trusting either.
+    *
+    * Exactness: the raw assignment cosine is order-dependent float —
+    * each is lifted per ROW to integer micro-units (round(cs·10⁶), the
+    * engine-exact primitive the norm audit and the Lloyd update
+    * already pin), so sums/means are order-independent int64. The mean
+    * shifts by +10⁶ per row before [[Hashing.halfUpDiv]] (num ≥ 0
+    * contract — cosines may be negative) and shifts back. Shape: the
+    * Lloyd training scans + one assignment scan (centroids broadcast),
+    * O(k) rollup, 1-row total broadcast. */
+  def clusterBalance(spark: SparkSession, dir: String, nCentroids: Int = 8,
+                     iters: Int = 2): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, ratio4}
+    val v = vecs(spark, dir)
+    val cent = kmeansCentroids(v, nCentroids, iters)
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cs")).as("ncs"), col("c_id"))).as("m"))
+      .select(col("m.c_id").as("cluster"),
+        expr("cast(round(-m.ncs * 1000000.0D) as bigint)").as("cos_u6"))
+    val tot = assigned.agg(count(lit(1)).as("tv"))
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("cos_u6").as("min_cos_u6"),
+        max("cos_u6").as("max_cos_u6"),
+        sum("cos_u6").as("s"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_vecs"),
+        ratio4(col("n_vecs"), col("tv")).as("share"),
+        col("min_cos_u6"), col("max_cos_u6"),
+        (halfUpDiv(col("s") + col("n_vecs") * 1000000L, col("n_vecs"))
+          - 1000000L).as("mean_cos_u6"))
+      .orderBy("cluster")
+  }
+
   /** SemDeDup-style within-cluster semantic dedup (Abbas et al. 2023):
     * k-means partitions the corpus into cells, and pairwise cosine runs
     * ONLY inside a cell — a vector is a duplicate when an earlier

@@ -287,4 +287,24 @@ class SimilaritySpec extends SparkSpec {
     // the relation is non-trivial on the test corpus at this tau
     assert(out.exists(_._3) && out.exists(!_._3))
   }
+
+  test("clusterBalance agrees with clusterKmeans assignments and bounds its means") {
+    val assigns = Similarity.clusterKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sizes = assigns.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = assigns.length.toLong
+    val got = Similarity.clusterBalance(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == total)
+    got.foreach { r =>
+      val (cl, n) = (r.getLong(0), r.getLong(1))
+      assert(n == sizes(cl))
+      assert(r.getDouble(2) == ratio4Model(n, total))
+      val (mn, mx, mean) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mn <= mean && mean <= mx)
+      assert(mn >= -1000000L && mx <= 1000000L)
+      // the micro-unit mean agrees with the panel's own round-4 cosines
+      val c4 = assigns.filter(_._2 == cl).map(_._3)
+      assert(math.abs(mean / 1e6 - c4.sum / c4.length) < 1e-3)
+    }
+  }
 }
