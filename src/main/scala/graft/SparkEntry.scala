@@ -180,6 +180,7 @@ object SparkEntry {
     "split_leakage" -> ((s, d) => graft.operators.Pipeline.splitLeakage(s, d)),
     "source_overlap_matrix" -> ((s, d) => graft.operators.CorpusStats.sourceOverlapMatrix(s, d)),
     "cluster_balance_report" -> ((s, d) => Similarity.clusterBalance(s, d)),
+    "dedup_multi_signal" -> ((s, d) => MinHashLSH.multiSignalComponents(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2539,6 +2540,59 @@ object SparkEntry {
          |)
          |SELECT a AS vec_id, min(b) AS component_id FROM reach GROUP BY a
          |ORDER BY vec_id""".stripMargin,
+
+    // multi-signal components: exact-digest ∪ verified-lexical ∪
+    // semantic pairs, one reachability closure, per-signal node flags
+    // (semantic CTEs renamed s* to avoid colliding with the lexical set)
+    "dedup_multi_signal" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |eh AS (SELECT doc_id,
+         |  ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS dg
+         |  FROM documents),
+         |eg AS (SELECT dg, min(doc_id) AS mn FROM eh GROUP BY dg),
+         |epr AS (SELECT eg.mn AS d1, eh.doc_id AS d2
+         |        FROM eh JOIN eg ON eh.dg = eg.dg AND eh.doc_id > eg.mn),
+         |sv AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |sbits AS (
+         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM sv, generate_series(0,7) p(p)
+         |),
+         |sbkt AS (
+         |  SELECT vec_id, p//4 AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM sbits GROUP BY vec_id, p//4
+         |),
+         |scand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM sbkt x JOIN sbkt y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |),
+         |sp AS (
+         |  SELECT c.v1, c.v2
+         |  FROM scand c JOIN sv a ON a.vec_id = c.v1 JOIN sv b ON b.vec_id = c.v2
+         |  WHERE ${duckCos("a.e", "b.e")} >= ${graft.operators.Similarity.NearDupTau}
+         |),
+         |ae AS (SELECT d1, d2 FROM pairs
+         |       UNION SELECT d1, d2 FROM epr
+         |       UNION SELECT v1, v2 FROM sp),
+         |edges AS (SELECT d1, d2 FROM ae UNION SELECT d2, d1 FROM ae),
+         |reach(a, b) AS (
+         |  SELECT d1, d1 FROM edges
+         |  UNION
+         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |exn AS (SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id FROM epr UNION ALL SELECT d2 FROM epr) q),
+         |lxn AS (SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs) q),
+         |smn AS (SELECT DISTINCT doc_id FROM (SELECT v1 AS doc_id FROM sp UNION ALL SELECT v2 FROM sp) q)
+         |SELECT c.doc_id AS doc_id, c.component_id AS component_id,
+         |  (exn.doc_id IS NOT NULL) AS in_exact,
+         |  (lxn.doc_id IS NOT NULL) AS in_lexical,
+         |  (smn.doc_id IS NOT NULL) AS in_semantic
+         |FROM comp c LEFT JOIN exn ON c.doc_id = exn.doc_id
+         |  LEFT JOIN lxn ON c.doc_id = lxn.doc_id
+         |  LEFT JOIN smn ON c.doc_id = smn.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     // PQ: per-subspace Lloyd codebooks + codes-only ADC scoring,
     // subspace CTEs generated from the operator's own constants

@@ -341,4 +341,53 @@ object MinHashLSH {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
   }
+
+  /** #186 `dedup_multi_signal`: unified duplicate components across ALL
+    * three duplicate signals — exact (normalized-digest groups),
+    * lexical (verified MinHash/LSH Jaccard ≥ τ pairs), and semantic
+    * (embedding cosine ≥ τ pairs; the test corpus keys embeddings by
+    * the same id space as documents, the usual lakehouse layout). A
+    * production dedup pass removes on the UNION of signals — exact
+    * catches byte-copies, lexical catches edited copies, semantic
+    * catches paraphrases — and canonical selection must happen per
+    * COMBINED family, or the three independent passes each keep a
+    * different "canonical" copy of the same content and nothing dies.
+    * Per doc in ≥1 duplicate edge: the combined component label plus a
+    * flag per contributing signal (which pass found it — the audit
+    * column for tuning each signal's τ).
+    *
+    * Shape: the three pair producers keep their own (already
+    * scale-shaped) plans — digest groupBy, capped LSH join, bucketed
+    * embedding LSH; the union is edge-count-sized (≪ corpus), and the
+    * shared min-label propagation ([[components]]) runs O(diameter)
+    * rounds over it. Flags are three edge-node semi-joins, each
+    * edge-bounded. */
+  def multiSignalComponents(spark: SparkSession, dir: String,
+                            tau: Double = 0.5): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").spread
+    val eh = docs.select(col("doc_id"),
+      h64(DocDedup.normalized(col("text"))).as("dg"))
+    val exact = eh.join(eh.groupBy("dg").agg(min("doc_id").as("d1")), "dg")
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
+    val lexical = nearDupPairs(spark, dir, tau).select("d1", "d2")
+    val semantic = Similarity.nearDupPairs(spark, dir)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val all = exact.unionByName(lexical).unionByName(semantic).distinct()
+    def nodesOf(p: DataFrame, flag: String): DataFrame =
+      p.select(col("d1").as("doc_id"))
+        .unionAll(p.select(col("d2").as("doc_id")))
+        .distinct()
+        .withColumn(flag, lit(true))
+    components(all)
+      .select(col("node").as("doc_id"), col("label").as("component_id"))
+      .join(nodesOf(exact, "in_exact"), Seq("doc_id"), "left")
+      .join(nodesOf(lexical, "in_lexical"), Seq("doc_id"), "left")
+      .join(nodesOf(semantic, "in_semantic"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("component_id"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"),
+        coalesce(col("in_lexical"), lit(false)).as("in_lexical"),
+        coalesce(col("in_semantic"), lit(false)).as("in_semantic"))
+      .orderBy("doc_id")
+  }
 }

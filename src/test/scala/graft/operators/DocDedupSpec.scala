@@ -98,6 +98,47 @@ class DocDedupSpec extends SparkSpec {
     assert(gotIdx == firsts)
   }
 
+  test("multiSignalComponents = union-find over the union of all three signals' edges") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // exact edges: normalized-digest groups, min id keeps
+    val exact = docs.groupBy { case (_, t) =>
+        t.trim.replaceAll("\\s+", " ").toLowerCase }
+      .values.filter(_.size > 1).toSeq
+      .flatMap { g => val ids = g.map(_._1).sorted; ids.tail.map(ids.head -> _) }
+    val lex = MinHashLSH.nearDupPairs(spark, sf, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sem = Similarity.nearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = (exact ++ lex ++ sem).distinct
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = MinHashLSH.multiSignalComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(got.map(_._1).toSet == nodes)
+    got.foreach { case (id, comp, _, _, _) => assert(comp == find(id)) }
+    // signal flags mark exactly the edge membership of each pass
+    val (exN, lxN, smN) = (
+      exact.flatMap(e => Seq(e._1, e._2)).toSet,
+      lex.flatMap(e => Seq(e._1, e._2)).toSet,
+      sem.flatMap(e => Seq(e._1, e._2)).toSet)
+    got.foreach { case (id, _, fe, fl, fs) =>
+      assert(fe == exN(id) && fl == lxN(id) && fs == smN(id))
+    }
+    // the union genuinely adds signal: some doc is semantic-only
+    assert(got.exists { case (_, _, fe, fl, fs) => fs && !fe && !fl })
+  }
+
   test("shingles3 of a short doc is empty, of 'a b c d' has two shingles") {
     import spark.implicits._
     val df = Seq("a b", "a b c d").toDF("text")
