@@ -181,6 +181,7 @@ object SparkEntry {
     "source_overlap_matrix" -> ((s, d) => graft.operators.CorpusStats.sourceOverlapMatrix(s, d)),
     "cluster_balance_report" -> ((s, d) => Similarity.clusterBalance(s, d)),
     "dedup_multi_signal" -> ((s, d) => MinHashLSH.multiSignalComponents(s, d)),
+    "pipeline_epoch_plan" -> ((s, d) => graft.operators.Curation.epochPlan(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1453,6 +1454,27 @@ object SparkEntry {
          |  ${ratio4Sql("n_toks", "total")} AS tok_share,
          |  ${ratio4Sql("total // n_sources", "n_toks")} AS mix_weight
          |FROM t CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // repeat-cap epoch planning over the uniform mix target — pure
+    // int64 rationals, mirrors Curation.epochPlan
+    "pipeline_epoch_plan" -> {
+      val cap = graft.operators.Curation.MaxEpochs
+      s"""WITH t AS (
+         |  SELECT source, CAST(sum(CAST(len($TOKS) AS BIGINT)) AS BIGINT) AS n_toks
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total,
+         |               count(*) AS n_sources FROM t),
+         |p AS (SELECT source, n_toks, total // n_sources AS target_toks,
+         |        least(total // n_sources, n_toks * $cap) AS planned_toks
+         |      FROM t CROSS JOIN tot),
+         |pt AS (SELECT CAST(sum(planned_toks) AS BIGINT) AS pt FROM p)
+         |SELECT source, n_toks, CAST(target_toks AS BIGINT) AS target_toks,
+         |  CAST(planned_toks AS BIGINT) AS planned_toks,
+         |  ${ratio4Sql("planned_toks", "n_toks")} AS epochs,
+         |  CAST(target_toks - planned_toks AS BIGINT) AS deficit_toks,
+         |  ${ratio4Sql("planned_toks", "pt")} AS planned_share
+         |FROM p CROSS JOIN pt ORDER BY source""".stripMargin
+    },
 
     "dedup_cross_source" ->
       s"""WITH $SH_CTE,

@@ -203,6 +203,50 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Epoch cap for [[epochPlan]] — the data-constrained-scaling
+    * finding (Muennighoff et al. 2023): repeating data is nearly as
+    * good as fresh data for ~4 epochs, then returns decay rapidly. */
+  val MaxEpochs = 4L
+
+  /** #187 `pipeline_epoch_plan`: the FEASIBILITY view of the uniform
+    * mix target — [[sourceMixReport]] says what weight each source
+    * needs; this panel says whether the repeat-cap allows it and what
+    * the realized mix will be. Per source: exact tokens, the uniform
+    * per-source token target (total div nSources — the same target the
+    * mix weight is computed against), planned tokens =
+    * min(target, n_toks · MaxEpochs), realized epochs (ratio4), the
+    * DEFICIT the cap leaves unfilled (>0 ⇒ the source is too small to
+    * meet the target even repeated MaxEpochs times — the signal to
+    * ingest more of that feed or re-weight the others), and the
+    * realized post-cap share. All arithmetic is exact int64; shape is
+    * the mix report's: one narrow-scan O(sources) aggregate
+    * (localCheckpointed — it feeds its own totals), totals broadcast
+    * back. */
+  def epochPlan(spark: SparkSession, dir: String,
+                maxEpochs: Long = MaxEpochs): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val t = Tables.documents(spark, dir).select("source", "text").spread
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_toks"))
+      .localCheckpoint()
+    val tot = t.agg(sum("n_toks").as("total"), count(lit(1)).as("n_sources"))
+    val planned = t.crossJoin(broadcast(tot))
+      .withColumn("target_toks", intDiv(col("total"), col("n_sources")))
+      .withColumn("planned_toks",
+        least(col("target_toks"), col("n_toks") * maxEpochs))
+      .localCheckpoint()
+    val ptot = planned.agg(sum("planned_toks").as("pt"))
+    planned.crossJoin(broadcast(ptot))
+      .select(col("source"), col("n_toks"), col("target_toks"),
+        col("planned_toks"),
+        ratio4(col("planned_toks"), col("n_toks")).as("epochs"),
+        (col("target_toks") - col("planned_toks")).as("deficit_toks"),
+        ratio4(col("planned_toks"), col("pt")).as("planned_share"))
+      .orderBy("source")
+  }
+
   /** The dedup MANIFEST — the artifact a dedup pass actually applies
     * to a corpus: per document, a keep/drop status with its reason and
     * the canonical doc it defers to. Exact duplicates (same normalized

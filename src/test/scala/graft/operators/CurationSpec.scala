@@ -199,6 +199,30 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._5).distinct.size > 1 || got.forall(_._5 == 1.0))
   }
 
+  test("epochPlan matches a capped-greedy uniform-target model") {
+    val bySource = docs.groupBy(_._3).view
+      .mapValues(_.map(d => toks(d._2).length.toLong).sum).toMap
+    val total = bySource.values.sum
+    val target = total / bySource.size
+    val plannedTotal = bySource.values
+      .map(nt => math.min(target, nt * Curation.MaxEpochs)).sum
+    val expected = bySource.toSeq.sortBy(_._1).map { case (src, nt) =>
+      val planned = math.min(target, nt * Curation.MaxEpochs)
+      (src, nt, target, planned, ratio4Model(planned, nt),
+        target - planned, ratio4Model(planned, plannedTotal))
+    }
+    val got = Curation.epochPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+    // invariants: epochs never exceed the cap; deficits only where the
+    // cap binds; a source at the target has zero deficit
+    got.foreach { case (_, _, tgt, planned, epochs, deficit, _) =>
+      assert(epochs <= Curation.MaxEpochs.toDouble)
+      assert(deficit >= 0 && (deficit == 0 || planned < tgt))
+    }
+  }
+
   test("crossSourcePairs = near-dup pairs restricted to differing sources") {
     val srcOf = docs.map { case (id, _, s) => id -> s }.toMap
     val all = MinHashLSH.nearDupPairs(spark, sf).collect().toSeq
