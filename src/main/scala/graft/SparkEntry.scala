@@ -182,6 +182,7 @@ object SparkEntry {
     "cluster_balance_report" -> ((s, d) => Similarity.clusterBalance(s, d)),
     "dedup_multi_signal" -> ((s, d) => MinHashLSH.multiSignalComponents(s, d)),
     "pipeline_epoch_plan" -> ((s, d) => graft.operators.Curation.epochPlan(s, d)),
+    "docs_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -226,6 +227,25 @@ object SparkEntry {
   /** md5-derived 60-bit hash of a SQL string expression — mirrors Hashing.h64. */
   private def H64(e: String): String =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  /** Stopword-count columns over a `toks` list — mirrors
+    * TextAnalysis.predLangCol's countIn inputs; shared by the lang-ID
+    * and lang-confusion oracles so the stop lists cannot drift. */
+  private val LANG_CNTS_SQL =
+    s"""CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_en,
+       |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS n_de,
+       |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS BIGINT) AS n_es,
+       |    CAST(len(list_filter(toks, t -> t IN ('le','les','de','et','est'))) AS BIGINT) AS n_fr,
+       |    CAST(len(list_filter(toks, t -> t IN ('的','是','不'))) AS BIGINT) AS n_zh""".stripMargin
+
+  /** Deterministic-argmax language pick — mirrors TextAnalysis.predLangCol. */
+  private val LANG_CASE_SQL =
+    s"""CASE WHEN greatest(n_en, n_de, n_es, n_fr, n_zh) = 0 THEN 'und'
+       |       WHEN n_en = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'en'
+       |       WHEN n_de = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'de'
+       |       WHEN n_es = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'es'
+       |       WHEN n_fr = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'fr'
+       |       ELSE 'zh' END""".stripMargin
 
   /** BPE merge training replayed as [[graft.operators.Curation.BpeRounds]]
     * unrolled CTE rounds — each round: pair-count aggregate over the
@@ -855,21 +875,32 @@ object SparkEntry {
       s"""WITH q AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |c AS (
          |  SELECT doc_id,
-         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_en,
-         |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS n_de,
-         |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS BIGINT) AS n_es,
-         |    CAST(len(list_filter(toks, t -> t IN ('le','les','de','et','est'))) AS BIGINT) AS n_fr,
-         |    CAST(len(list_filter(toks, t -> t IN ('的','是','不'))) AS BIGINT) AS n_zh
+         |    $LANG_CNTS_SQL
          |  FROM q
          |)
          |SELECT doc_id, n_en, n_de, n_es, n_fr, n_zh,
-         |  CASE WHEN greatest(n_en, n_de, n_es, n_fr, n_zh) = 0 THEN 'und'
-         |       WHEN n_en = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'en'
-         |       WHEN n_de = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'de'
-         |       WHEN n_es = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'es'
-         |       WHEN n_fr = greatest(n_en, n_de, n_es, n_fr, n_zh) THEN 'fr'
-         |       ELSE 'zh' END AS pred_lang
+         |  $LANG_CASE_SQL AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // labeled-vs-predicted lang confusion matrix (shares the lang-ID
+    // count/argmax fragments with text_language_id)
+    "docs_lang_confusion" ->
+      s"""WITH q AS (SELECT lang, $TOKS AS toks FROM documents),
+         |c AS (
+         |  SELECT lang,
+         |    $LANG_CNTS_SQL
+         |  FROM q
+         |),
+         |p AS (SELECT lang, $LANG_CASE_SQL AS pred_lang FROM c),
+         |cells AS (SELECT lang, pred_lang, count(*) AS n_docs
+         |          FROM p GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS nl
+         |        FROM cells GROUP BY 1)
+         |SELECT cells.lang AS lang, pred_lang, n_docs,
+         |  ${ratio4Sql("n_docs", "nl")} AS label_share,
+         |  (cells.lang = pred_lang) AS correct
+         |FROM cells JOIN tot ON cells.lang = tot.lang
+         |ORDER BY lang, pred_lang""".stripMargin,
 
     // rational idf (N/df, no log): exact integer ratios in double —
     // engine-independent, and ranking is the semantic payload.

@@ -81,6 +81,32 @@ object TextAnalysis {
       .otherwise("zh")
   }
 
+  /** #188 `docs_lang_confusion`: labeled-vs-predicted language
+    * confusion matrix — the eval panel for the language-ID heuristic
+    * itself, using the corpus's own `lang` labels as ground truth.
+    * Per (label, prediction) cell: docs, the cell's share of the
+    * label's row (ratio4 — row-normalized recall view: the diagonal
+    * cell's share IS per-label recall), and the diagonal flag. A
+    * lang-id gate is usually the FIRST corpus filter; this is the
+    * number that says how much real data it throws away per language
+    * and what it mislabels it as. One narrow corpus scan to an
+    * O(langs²) cell aggregate (partial map-side); row totals are an
+    * O(cells) rollup of the checkpointed cells, broadcast back. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val cells = Tables.documents(spark, dir).select("lang", "text").spread
+      .select(col("lang"), predLangCol(tokens(col("text"))).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val tot = cells.groupBy("lang").agg(sum("n_docs").as("nl"))
+    cells.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        ratio4(col("n_docs"), col("nl")).as("label_share"),
+        (col("lang") === col("pred_lang")).as("correct"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Rolling polynomial fingerprint — identical to `fingerprint`. */
   def fingerprintCol(text: Column): Column =
     aggregate(

@@ -40,6 +40,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("langConfusion cells reconcile with languageId predictions and lang labels") {
+    val preds = TextAnalysis.languageId(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val labels = graft.Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = labels.toSeq
+      .map { case (id, l) => (l, preds(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = cells.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val expected = cells.toSeq.map { case ((l, p), n) =>
+      (l, p, n, ratio4Model(n, rowTot(l)), l == p)
+    }.sortBy(c => (c._1, c._2))
+    val got = TextAnalysis.langConfusion(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got == expected)
+    // each label row's shares close at 1.0 within ratio4 granularity
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) <= 0.0002 * rows.size)
+    }
+  }
+
   test("charStats matches a per-character scan model") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
