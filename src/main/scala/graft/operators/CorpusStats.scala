@@ -366,6 +366,10 @@ object CorpusStats {
 
   /** The overlap core over any (doc_id, source, text) frame. */
   def sourceOverlapOf(docs: DataFrame, w: Int = DocDedup.ChunkTokens): DataFrame = {
+    // distinct (source, win_h) feeds the totals AND both self-join
+    // sides, but all three consumers sit in ONE plan — Catalyst reuses
+    // the distinct's exchange (ReusedExchange), so no checkpoint: a
+    // measured attempt to materialize it cost more than it saved
     val sw = DocDedup.rollingWindowsOf(docs.select("doc_id", "source", "text"), w)
       .select("source", "win_h").distinct()
     val totals = sw.groupBy("source").agg(count(lit(1)).as("n"))

@@ -367,12 +367,21 @@ object MinHashLSH {
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").spread
     val eh = docs.select(col("doc_id"),
       h64(DocDedup.normalized(col("text"))).as("dg"))
+    // Each pair frame is edge-sized (≪ corpus) but its lineage is a
+    // full corpus pass (digest scan / LSH+verify / embedding LSH) —
+    // checkpoint each once, because every producer feeds BOTH the
+    // component union and its own flag semi-join (without this the
+    // lexical LSH pipeline alone re-ran end-to-end for the flags:
+    // 13.4 s → 6.5 s at sf0.1).
     val exact = eh.join(eh.groupBy("dg").agg(min("doc_id").as("d1")), "dg")
       .filter(col("doc_id") > col("d1"))
       .select(col("d1"), col("doc_id").as("d2"))
+      .localCheckpoint()
     val lexical = nearDupPairs(spark, dir, tau).select("d1", "d2")
+      .localCheckpoint()
     val semantic = Similarity.nearDupPairs(spark, dir)
       .select(col("v1").as("d1"), col("v2").as("d2"))
+      .localCheckpoint()
     val all = exact.unionByName(lexical).unionByName(semantic).distinct()
     def nodesOf(p: DataFrame, flag: String): DataFrame =
       p.select(col("d1").as("doc_id"))
