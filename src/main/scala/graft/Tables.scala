@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated test tables (see TESTDATA.md).
   *
@@ -22,4 +24,27 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `ts` as epoch microseconds, whatever the file's physical encoding.
+    *
+    * The engine must not hard-code one parquet timestamp representation of
+    * its input: generators have shipped `events.ts` as TIMESTAMP(NANOS)
+    * (surfacing as int64 nanos under `spark.sql.legacy.parquet.nanosAsLong`,
+    * GraftSession) and TIMESTAMP(MICROS) with and without UTC adjustment
+    * (TimestampType / TimestampNTZType — identical epoch math under the
+    * session's pinned UTC zone). Branching on the
+    * read schema keeps every consumer encoding-agnostic; the DuckDB oracle
+    * side (`epoch_us(ts)`) already is.
+    */
+  def tsUsCol(df: DataFrame, column: String = "ts"): Column =
+    df.schema(column).dataType match {
+      case LongType      => expr(s"$column div 1000") // int64 nanos
+      case TimestampType => unix_micros(col(column))
+      // unix_micros only accepts TIMESTAMP; the cast is a wall-clock
+      // reinterpretation under the session's pinned UTC zone (GraftSession).
+      case TimestampNTZType => unix_micros(col(column).cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported physical type for event timestamp column '$column': ${other.simpleString}")
+    }
 }

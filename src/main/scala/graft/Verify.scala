@@ -14,6 +14,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // One clear message up front if the testdata physical schema drifted
+    // from TESTDATA.md, instead of N opaque per-query analysis errors.
+    SchemaGate.report(spark, sfDir)
     // Dev-only subset filter (comma-separated names); the driver never
     // sets it, so its runs always dump the full query set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

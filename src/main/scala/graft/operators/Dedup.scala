@@ -42,12 +42,16 @@ object Dedup {
 
   private val evCols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
 
-  /** `events` as a message stream with µs event time (ts is int64 ns on
-    * read — see GraftSession; µs matches the oracle's precision). */
-  def eventsUs(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
-      col("event_id"), expr("ts div 1000").as("ts_us"),
+  /** `events` as a message stream with µs event time. The physical `ts`
+    * encoding varies across data generations (int64 nanos vs
+    * TIMESTAMP(MICROS)); `Tables.tsUsCol` normalizes adaptively so this
+    * operator family never depends on one parquet representation. */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+      col("event_id"), Tables.tsUsCol(ev).as("ts_us"),
       col("user_id"), col("event_type"), col("value"), col("props"))
+  }
 
   /** Deterministic replica simulation: each message arrives three times
     * (original, +37 s replica inside the TTL window, +2 h replica beyond

@@ -49,16 +49,17 @@ object Envelope {
 
   /** The test `events` table as an envelope stream (payload = the
     * event body bytes, properties = the parsed props map). */
-  def fromEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .spread
+  def fromEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.spread
       .select(
         col("event_id"),
         encode(concat_ws("|", col("user_id"), col("event_type"),
           col("value").cast("string")), "UTF-8").as("payload"),
         from_json(col("props"), MapType(StringType, StringType)).as("properties"),
-        timestamp_micros(expr("ts div 1000")).as("event_ts"),
+        timestamp_micros(Tables.tsUsCol(ev)).as("event_ts"),
         lit("events").as("topic"))
+  }
 
   /** Generic batch readers into the envelope shape: the source columns
     * are mapped by name (payload/properties/event_ts/topic must exist

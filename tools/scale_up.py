@@ -14,8 +14,10 @@ Dimension tables (region, nation) and all non-key payloads (texts,
 embeddings, timestamps) are kept verbatim: duplicated texts/vectors are
 a deliberately harsh dedup/ANN stress, and the DuckDB oracle replays on
 the same scaled files, so the correctness compare stays exact.
-pyarrow preserves the physical parquet types — notably events.ts stays
-TIMESTAMP(NANOS), which the Spark session reads via nanosAsLong."""
+pyarrow preserves the physical parquet types verbatim — whatever
+encoding events.ts ships in (NANOS through round 5, MICROS since
+round 6), the replica keeps it and the engine's adaptive read
+(Tables.tsUsCol) handles it."""
 import os
 import sys
 
