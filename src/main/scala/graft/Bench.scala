@@ -24,13 +24,31 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: JIT/codegen/parquet-footer caches, untimed.
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Warm-up, untimed: one representative query per TABLE FAMILY, so the
+    // first measured queries (alphabetically the ANN family) aren't charged
+    // for cold page cache on their parquet, cold parquet footers, or cold
+    // JIT/codegen of the vector expressions. Round-6 driver runs measured
+    // the unchanged ann_brute_topk at 2.8× the builder's number purely
+    // because it ran first on a cold JVM — warm-up must cover every input,
+    // not just lineitem.
+    Seq("q1_agg",           // lineitem/orders scan + agg
+        "text_token_count", // documents scan + text codegen
+        "ann_lsh_topk",     // embeddings scan + native vector expressions
+        "dedup_first")      // events scan + digest pipeline
+      .foreach { w =>
+        try SparkEntry.queries(w)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Best of two runs per query: one-shot local timings swing ~2× on
     // JIT/GC noise; the min is the reproducible cost of the plan.
-    val results = SparkEntry.benchQueries.map { name =>
+    // Dev-only subset filter (comma-separated names), mirroring Verify's
+    // SPARK_GRAFT_ONLY; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.benchQueries
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()

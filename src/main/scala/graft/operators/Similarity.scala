@@ -27,6 +27,25 @@ object Similarity {
   val NumQueries = 20
   val NearDupTau = 0.45
 
+  /** Bounded 2-thread pool for overlapping INDEPENDENT index-build
+    * pipelines (coarse quantizer vs PQ codebooks). Round 6 ran builds and
+    * the six recall variants on the unbounded global pool; under the
+    * driver's back-to-back bench harness that concurrency oversubscribed
+    * the local scheduler and the family measured 2–4× slower than the
+    * same commit on an idle box. Two concurrent build jobs keep the
+    * genuine overlap win; evaluation is sequential again (each variant is
+    * a small job over prebuilt checkpointed artifacts, so there is no
+    * sum-of-variants wall time to hide). Daemon threads — never block
+    * JVM exit. */
+  private lazy val buildPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-index-build")
+          t.setDaemon(true)
+          t
+        }))
+
   /** Left-fold dot product of two float-array columns in double
     * precision — same accumulation order as the oracle's list_reduce. */
   private def dotSql(a: String, b: String): String =
@@ -553,11 +572,12 @@ object Similarity {
                 iters: Int = 2, nprobe: Int = 2): DataFrame = {
     val v = vecs(spark, dir)
     // the coarse quantizer and the PQ codebooks train on independent
-    // Lloyd pipelines (each a chain of blocking collect jobs) — run
-    // them concurrently; results are deterministic either way
+    // Lloyd pipelines (each a chain of blocking collect jobs) — overlap
+    // the two on the bounded build pool; results are deterministic
+    // either way
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = buildPool
     val fCent = Future(kmeansCentroids(v, nCentroids, iters))
     val fCb = Future(pqCodebooksWithNorm(v))
     ivfPqTopKWith(v, Await.result(fCent, Duration.Inf),
@@ -680,11 +700,10 @@ object Similarity {
     // changes no value, only removes the duplicate Lloyd passes
     val v = vecs(spark, dir)
     // the coarse quantizer and the PQ codebooks train on independent
-    // Lloyd pipelines — run them as concurrent driver jobs (Spark's
-    // scheduler interleaves them across the executor cores)
+    // Lloyd pipelines — overlap the two on the bounded build pool
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = buildPool
     val fCent = Future(kmeansCentroids(v, nCentroids = 8, iters = 2))
     val fCb = Future(pqCodebooksWithNorm(v))
     val cent = Await.result(fCent, Duration.Inf)
@@ -696,7 +715,8 @@ object Similarity {
     // persists to storage after an index build; checkpointing is the
     // single-job analog, and every frame is deterministic, so no
     // oracle-visible value changes — only the duplicate corpus passes
-    // disappear. The builds are independent → concurrent jobs too.
+    // disappear. The four builds are independent; the bounded pool
+    // overlaps them pairwise without oversubscribing the scheduler.
     val fMembers = Future(argmaxCellOf(v, cent).localCheckpoint())
     val fCodes = Future(pqEncode(v, cb).localCheckpoint())
     val fB0 = Future(buckets(spark, dir).filter(col("band") === 0).localCheckpoint())
@@ -706,10 +726,12 @@ object Similarity {
     val b0 = Await.result(fB0, Duration.Inf)
     val candidates = b0.join(v, "vec_id").localCheckpoint()
     val brute = Await.result(fBrute, Duration.Inf)
-    // every variant's bounded top-k is an independent job over the
-    // prebuilt artifacts: evaluate all six concurrently (the wall-time
-    // of the report becomes the slowest variant, not the sum — on a
-    // cluster these are small jobs that co-schedule trivially)
+    // every variant is a SMALL job over the prebuilt artifacts. Round 6
+    // ran all six as UNBOUNDED concurrent jobs and the driver's
+    // back-to-back bench harness measured the family 2–4× slower than
+    // the same commit idle; fully sequential costs ~2× the report's
+    // wall time back. The bounded pool (2 concurrent jobs) keeps the
+    // overlap win with contention capped at one extra job.
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "ann_ivf_kmeans" -> (() => ivfKmeansSearch(v, cent, members, k, nQueries, nprobe = 2)),
       "ann_ivf_topk" -> (() => ivfTopK(spark, dir, k, nQueries)),
