@@ -89,13 +89,26 @@ object Analytics3 {
     botRegularityOf(Dedup.eventsUs(spark, dir))
 
   /** [[botRegularity]] over any frame with (user_id, ts_us, event_id). */
-  def botRegularityOf(ev: DataFrame): DataFrame = {
-    import graft.functions.Hashing.{halfUpDiv, ratio4}
+  def botRegularityOf(ev: DataFrame): DataFrame =
+    regularityOfGaps(gapsOf(ev))
+
+  /** The per-user inter-event gap stream (user_id, gap) — the lag-window
+    * stage of [[botRegularityOf]], exposed so the streaming twin
+    * (streaming.StreamRegularity: one (ts, id) tuple of state per user)
+    * can assert its emitted gap multiset equals this exactly. */
+  def gapsOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    def gaps = ev.select("user_id", "ts_us", "event_id")
+    ev.select("user_id", "ts_us", "event_id")
       .withColumn("prev", lag("ts_us", 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("user_id"), (col("ts_us") - col("prev")).as("gap"))
+  }
+
+  /** The regularity panel over ANY (user_id, gap) frame — batch gaps
+    * (the lag window) and accumulated streaming gaps produce identical
+    * output, which is the parity contract StreamRegularitySpec pins. */
+  def regularityOfGaps(gaps: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, ratio4}
     val m = gaps.groupBy("user_id")
       .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap"))
       .filter(col("n_gaps") >= MinGaps)
