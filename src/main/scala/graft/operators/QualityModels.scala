@@ -170,33 +170,74 @@ object QualityModels {
     * merged counts, never averaged. One term-keyed shuffle over
     * prior ∪ batch-counts. */
   def lexiconMergeOf(prior: DataFrame, batch: DataFrame): DataFrame =
+    lexiconFold(prior, lexiconCountsOf(batch))
+
+  /** Per-term class counts of ONE batch — the monoid element both the
+    * merge (add) and retire (subtract) legs fold into a prior model. */
+  private def lexiconCountsOf(batch: DataFrame): DataFrame =
+    batch
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(
+        sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("c_rest"))
+
+  private def lexiconFold(prior: DataFrame, delta: DataFrame): DataFrame =
     prior.select("term", "c_cur", "c_rest")
-      .unionByName(
-        batch
-          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-          .groupBy("term")
-          .agg(
-            sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("c_cur"),
-            sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("c_rest")))
+      .unionByName(delta)
       .groupBy("term")
       .agg(sum("c_cur").as("c_cur"), sum("c_rest").as("c_rest"))
+      // retiring a window can zero a term out entirely — drop it, or a
+      // long-lived model's vocabulary grows monotonically forever
+      .filter(col("c_cur") + col("c_rest") > 0L)
       .withColumn("aff4",
         clip4(halfUpDiv((col("c_cur") + 1L) * 10000L, col("c_rest") + 1L)))
+
+  /** TTL retirement: subtract an EXPIRED batch's counts from a trained
+    * lexicon — the inverse leg the count group supports (counts are a
+    * ℤ-monoid: merge adds, retire adds the negation; affinity is always
+    * recomputed from the live counts). The windowed curation loop this
+    * enables — merge each arriving window, retire each expired one — is
+    * the trained-model analog of the reference's ObliviousSet expiry
+    * (/root/reference/src/deduplication.ts:77,117-121: state leaves the
+    * window, it stops influencing decisions). Retiring data never merged
+    * is a contract violation; terms whose counts both reach zero drop
+    * from the model. Fold-invariance (retire(merge(M,W), W) == M and
+    * train(B∪C) == retire(train(A∪B∪C), A)) is spec-pinned. */
+  def lexiconRetireOf(model: DataFrame, expired: DataFrame): DataFrame =
+    lexiconFold(model,
+      lexiconCountsOf(expired)
+        .select(col("term"), (-col("c_cur")).as("c_cur"),
+          (-col("c_rest")).as("c_rest")))
 
   /** Incremental DSIR model update — same count-monoid contract as
     * [[lexiconMergeOf]] over the O([[DsirBuckets]]) bucket table. */
   def dsirMergeOf(prior: DataFrame, batch: DataFrame): DataFrame =
+    dsirFold(prior, dsirCountsOf(batch))
+
+  private def dsirCountsOf(batch: DataFrame): DataFrame =
+    bigramsOf(batch.select("doc_id", "source", "text"))
+      .select(col("source"), dsirBucket(col("w1"), col("w2")).as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("ct"),
+        sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("cs"))
+
+  private def dsirFold(prior: DataFrame, delta: DataFrame): DataFrame =
     prior.select("bucket", "ct", "cs")
-      .unionByName(
-        bigramsOf(batch.select("doc_id", "source", "text"))
-          .select(col("source"), dsirBucket(col("w1"), col("w2")).as("bucket"))
-          .groupBy("bucket")
-          .agg(
-            sum(when(isCurated(col("source")), 1L).otherwise(0L)).as("ct"),
-            sum(when(isCurated(col("source")), 0L).otherwise(1L)).as("cs")))
+      .unionByName(delta)
       .groupBy("bucket")
       .agg(sum("ct").as("ct"), sum("cs").as("cs"))
+      .filter(col("ct") + col("cs") > 0L)
       .withColumn("w4", clip4(halfUpDiv((col("ct") + 1L) * 10000L, col("cs") + 1L)))
+
+  /** TTL retirement for the DSIR bucket model — same count-group
+    * subtract leg as [[lexiconRetireOf]], over the O([[DsirBuckets]])
+    * table. */
+  def dsirRetireOf(model: DataFrame, expired: DataFrame): DataFrame =
+    dsirFold(model,
+      dsirCountsOf(expired)
+        .select(col("bucket"), (-col("ct")).as("ct"), (-col("cs")).as("cs")))
 
   /** #157 `text_lm_fluency`: reference bigram LM trained on the
     * `lang = 'en'` slice (add-one smoothing over the reference bigram

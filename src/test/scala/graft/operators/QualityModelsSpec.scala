@@ -119,6 +119,40 @@ class QualityModelsSpec extends SparkSpec {
     assert(key3(dsirFold) == key3(QualityModels.dsirBucketTable(spark, sf)))
   }
 
+  test("TTL retirement inverts the merge: windowed models forget expired data exactly") {
+    import org.apache.spark.sql.functions._
+    val all = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+    val (expired, live) = (all.filter(col("doc_id") % 3 === 0),
+      all.filter(col("doc_id") % 3 =!= 0))
+    def key3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1.toString).toSeq
+    // retire(train(expired ∪ live), expired) == train-on-live-only:
+    // the full model minus an expired window is EXACTLY the model that
+    // never saw it — affinities recomputed, zeroed terms dropped
+    val lexFull = QualityModels.lexiconTrain(spark, sf).localCheckpoint()
+    val lexLive = QualityModels.lexiconMergeOf(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), lexFull.schema),
+      live)
+    assert(key3(QualityModels.lexiconRetireOf(lexFull, expired)) == key3(lexLive))
+    // merge-then-retire round-trips to the prior model
+    val lexPrior = QualityModels.lexiconMergeOf(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), lexFull.schema),
+      live).localCheckpoint()
+    assert(key3(QualityModels.lexiconRetireOf(
+      QualityModels.lexiconMergeOf(lexPrior, expired), expired)) == key3(lexPrior))
+    // the DSIR bucket model supports the same inverse
+    val dsirFull = QualityModels.dsirBucketTable(spark, sf).localCheckpoint()
+    val dsirLive = QualityModels.dsirMergeOf(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), dsirFull.schema),
+      live)
+    assert(key3(QualityModels.dsirRetireOf(dsirFull, expired)) == key3(dsirLive))
+  }
+
   test("dsirWeights is the exact mean hashed-bucket affinity") {
     val B = QualityModels.DsirBuckets.toLong
     def bucket(b: (String, String)): Long = h64Model(s"${b._1} ${b._2}") % B
