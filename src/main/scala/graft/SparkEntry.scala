@@ -183,6 +183,7 @@ object SparkEntry {
     "dedup_multi_signal" -> ((s, d) => MinHashLSH.multiSignalComponents(s, d)),
     "pipeline_epoch_plan" -> ((s, d) => graft.operators.Curation.epochPlan(s, d)),
     "docs_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
+    "quality_model_eval" -> ((s, d) => graft.operators.QualityModels.modelEval(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2901,6 +2902,37 @@ object SparkEntry {
          |SELECT doc_id, n_toks, ${halfUpSql("s4", "n_toks")} / 10000.0 AS score,
          |  CAST(${halfUpSql("s4", "n_toks")} >= thr4 AS INTEGER) AS pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "quality_model_eval" ->
+      s"""WITH $LEX_CTES,
+         |prior AS (SELECT ${halfUpSql("(CAST(sum(c_cur) AS BIGINT) + count(*)) * 10000",
+                                       "CAST(sum(c_rest) AS BIGINT) + count(*)")} AS thr4
+         |          FROM lex),
+         |pdt AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |    CAST(sum(c * coalesce(aff4, thr4)) AS BIGINT) AS s4,
+         |    max(thr4) AS thr4
+         |  FROM pdt LEFT JOIN w USING (term) CROSS JOIN prior GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_id, ${halfUpSql("s4", "n_toks")} AS score4,
+         |    CAST(${halfUpSql("s4", "n_toks")} >= thr4 AS INTEGER) AS pred
+         |  FROM sc),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END AS label
+         |        FROM documents),
+         |cells AS (
+         |  SELECT label, pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(score4) AS BIGINT) AS ss4
+         |  FROM scored JOIN lab USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT label, CAST(sum(n_docs) AS BIGINT) AS nl
+         |        FROM cells GROUP BY 1)
+         |SELECT label, pred, n_docs,
+         |  ${ratio4Sql("n_docs", "nl")} AS label_share,
+         |  ${halfUpSql("ss4", "n_docs")} AS mean_score4,
+         |  (label = pred) AS correct
+         |FROM cells JOIN tot USING (label)
+         |ORDER BY label, pred""".stripMargin,
 
     "text_lm_fluency" ->
       s"""WITH toks AS (SELECT doc_id, lang, $TOKS AS t FROM documents),

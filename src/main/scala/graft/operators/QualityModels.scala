@@ -138,7 +138,18 @@ object QualityModels {
     * corpus-prior threshold derives from the lexicon itself; the 1-row
     * prior frame broadcasts, the term join co-partitions with the
     * per-doc term aggregate. */
-  def lexiconScoreOf(docs: DataFrame, lex: DataFrame): DataFrame = {
+  def lexiconScoreOf(docs: DataFrame, lex: DataFrame): DataFrame =
+    lexiconScored4Of(docs, lex)
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        (col("score4") / lit(10000.0)).as("score"),
+        col("pred"))
+
+  /** [[lexiconScoreOf]] keeping the score in EXACT 1e-4 units
+    * (score4) — the form the model-eval panel aggregates without ever
+    * touching a float. */
+  private def lexiconScored4Of(docs: DataFrame, lex: DataFrame): DataFrame = {
     val prior = lex.agg(
       (sum("c_cur") + count(lit(1))).as("pn"),
       (sum("c_rest") + count(lit(1))).as("pd"))
@@ -157,8 +168,41 @@ object QualityModels {
       .select(
         col("doc_id"),
         col("n_toks"),
-        (halfUpDiv(col("s4"), col("n_toks")) / lit(10000.0)).as("score"),
+        halfUpDiv(col("s4"), col("n_toks")).as("score4"),
         (halfUpDiv(col("s4"), col("n_toks")) >= col("thr4")).cast("int").as("pred"))
+  }
+
+  /** #191 `quality_model_eval`: the confusion/calibration panel for the
+    * trained lexicon gate itself, using the curated-source membership as
+    * ground truth — the quality-model twin of docs_lang_confusion: a
+    * classifier that silently gates the corpus deserves its own error
+    * accounting before anything downstream trusts `pred`. Per
+    * (label, pred) cell: docs, ratio4 label-row share (the diagonal
+    * shares are per-class recall; the pred-column shares derivable from
+    * the 4 rows are precision), and the exact mean score in 1e-4 units
+    * (cells aggregate score4 — the panel never averages floats).
+    *
+    * Shape: the one training scan + one scoring pass quality_lexicon_score
+    * already pays, then an O(4)-row rollup; label totals broadcast back
+    * onto the checkpointed cells. */
+  def modelEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").spread
+    val cells = lexiconScored4Of(
+        docs.select("doc_id", "text"),
+        lexiconTrain(spark, dir).localCheckpoint())
+      .join(docs.select(col("doc_id"),
+        isCurated(col("source")).cast("int").as("label")), "doc_id")
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("n_docs"), sum("score4").as("s4"))
+      .localCheckpoint()
+    val tot = cells.groupBy("label").agg(sum("n_docs").as("nl"))
+    cells.join(broadcast(tot), "label")
+      .select(col("label"), col("pred"), col("n_docs"),
+        ratio4(col("n_docs"), col("nl")).as("label_share"),
+        halfUpDiv(col("s4"), col("n_docs")).as("mean_score4"),
+        (col("label") === col("pred")).as("correct"))
+      .orderBy("label", "pred")
   }
 
   /** Incremental lexicon training: merge a new batch's class counts

@@ -119,6 +119,29 @@ class QualityModelsSpec extends SparkSpec {
     assert(key3(dsirFold) == key3(QualityModels.dsirBucketTable(spark, sf)))
   }
 
+  test("quality_model_eval reconciles with lexiconScore x curated labels") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> (if (curated(r.getString(1))) 1 else 0)).toMap
+    val scored = QualityModels.lexiconScore(spark, sf).collect()
+      .map(r => (labels(r.getLong(0)), r.getInt(3),
+        math.round(r.getDouble(2) * 10000)))
+    val expected = scored.groupBy(s => (s._1, s._2)).map { case ((l, p), xs) =>
+      val n = xs.length.toLong
+      (l, p, n, ratio4Model(n, scored.count(_._1 == l).toLong),
+        (xs.map(_._3).sum + n / 2) / n, l == p)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = QualityModels.modelEval(spark, sf).collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got == expected)
+    // all four cells populated and each label row closes to 1.0
+    assert(got.map(g => (g._1, g._2)).toSet.size == got.size)
+    got.groupBy(_._1).values.foreach(rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 2e-4))
+  }
+
   test("TTL retirement inverts the merge: windowed models forget expired data exactly") {
     import org.apache.spark.sql.functions._
     val all = graft.Tables.documents(spark, sf)
