@@ -184,6 +184,7 @@ object SparkEntry {
     "pipeline_epoch_plan" -> ((s, d) => graft.operators.Curation.epochPlan(s, d)),
     "docs_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "quality_model_eval" -> ((s, d) => graft.operators.QualityModels.modelEval(s, d)),
+    "docs_pii_prevalence" -> ((s, d) => TextAnalysis.piiPrevalence(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -927,6 +928,30 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '[0-9]{7,}', 0)) AS BIGINT) AS n_long_nums,
          |  ${H64("regexp_replace(regexp_replace(regexp_replace(text, '${graft.operators.TextAnalysis.UrlRe}', '<URL>', 'g'), '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g')")} AS scrubbed_digest
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "docs_pii_prevalence" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.UrlRe}', 0)) AS BIGINT) AS u,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', 0)) AS BIGINT) AS e,
+         |    CAST(len(regexp_extract_all(text, '[0-9]{7,}', 0)) AS BIGINT) AS d
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_url,
+         |    CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+         |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_long_num,
+         |    CAST(sum(u) AS BIGINT) AS n_urls,
+         |    CAST(sum(e) AS BIGINT) AS n_emails,
+         |    CAST(sum(d) AS BIGINT) AS n_long_nums
+         |  FROM per GROUP BY source)
+         |SELECT source, n_docs, docs_url, docs_email, docs_long_num,
+         |  n_urls, n_emails, n_long_nums,
+         |  ${ratio4Sql("docs_url", "n_docs")} AS url_doc_share,
+         |  ${ratio4Sql("docs_email", "n_docs")} AS email_doc_share,
+         |  ${ratio4Sql("docs_long_num", "n_docs")} AS num_doc_share
+         |FROM agg ORDER BY source""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -224,6 +224,46 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** #192 `docs_pii_prevalence`: the per-SOURCE privacy audit over the
+    * scrub patterns — before a corpus trains anything, which feeds are
+    * how contaminated with emails / URLs / long digit runs, and how
+    * widely (docs affected vs total occurrence mass — one viral pasted
+    * dump vs endemic presence read differently)? Per source: docs,
+    * docs containing ≥1 hit per class, total hits per class, and
+    * ratio4 affected-doc shares. The redaction pass (#65 text_scrub)
+    * says WHAT was removed per doc; this panel says WHERE the exposure
+    * concentrates, which is what decides per-source policy (drop the
+    * feed vs trust the scrub).
+    *
+    * Shape: one narrow scan (three codegen'd regex counts per row) into
+    * one O(sources) partial-aggregable shuffle — the panel costs the
+    * same as any per-source rollup at any corpus size. */
+  def piiPrevalence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("u"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(col("text"), lit(LongDigitsRe), lit(0))).cast("long").as("d"))
+      .spread
+    per.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("u") > 0L, 1L).otherwise(0L)).as("docs_url"),
+        sum(when(col("e") > 0L, 1L).otherwise(0L)).as("docs_email"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("docs_long_num"),
+        sum("u").as("n_urls"),
+        sum("e").as("n_emails"),
+        sum("d").as("n_long_nums"))
+      .select(col("source"), col("n_docs"),
+        col("docs_url"), col("docs_email"), col("docs_long_num"),
+        col("n_urls"), col("n_emails"), col("n_long_nums"),
+        ratio4(col("docs_url"), col("n_docs")).as("url_doc_share"),
+        ratio4(col("docs_email"), col("n_docs")).as("email_doc_share"),
+        ratio4(col("docs_long_num"), col("n_docs")).as("num_doc_share"))
+      .orderBy("source")
+  }
+
   /** TF-IDF top terms per document. The idf is the rational N/df (no
     * log) so scores are exact integer ratios in double precision —
     * deterministic across engines; ranking is what matters. Terms
