@@ -185,6 +185,7 @@ object SparkEntry {
     "docs_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "quality_model_eval" -> ((s, d) => graft.operators.QualityModels.modelEval(s, d)),
     "docs_pii_prevalence" -> ((s, d) => TextAnalysis.piiPrevalence(s, d)),
+    "pipeline_pack_curve" -> ((s, d) => graft.operators.Pipeline.packCurve(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1496,6 +1497,36 @@ object SparkEntry {
          |  start_tok // $L AS pack_id,
          |  (n_toks > 0 AND (start_tok + n_toks - 1) // $L <> start_tok // $L) AS straddles
          |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    // seqLen sweep over ONE prefix-sum frame — mirrors Pipeline.packCurve
+    "pipeline_pack_curve" -> {
+      val lens = graft.operators.Pipeline.PackLens
+      val sts = lens.map(l =>
+        s"""CAST(sum(CASE WHEN n_toks > 0
+           |  AND (start_tok + n_toks - 1) // $l <> start_tok // $l
+           |  THEN 1 ELSE 0 END) AS BIGINT) AS st_$l""".stripMargin).mkString(",\n|    ")
+      val rows = lens.map { l =>
+        val np = s"(total_toks + ${l - 1}) // $l"
+        s"""SELECT CAST($l AS BIGINT) AS seq_len, n_docs, total_toks,
+           |  $np AS n_packs, st_$l AS n_straddle,
+           |  ${ratio4Sql(s"st_$l", "n_docs")} AS straddle_share,
+           |  ${ratio4Sql(s"total_toks - ($np - 1) * $l", l.toString)} AS last_pack_fill
+           |FROM a""".stripMargin
+      }.mkString("\n|UNION ALL\n|")
+      s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, n_toks,
+         |  CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS total_toks,
+         |    $sts
+         |  FROM p)
+         |$rows
+         |ORDER BY seq_len""".stripMargin
     },
 
     // uniform-target mix weight = (total div nSources) / n_toks, exact

@@ -104,6 +104,52 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Candidate sequence lengths for [[packCurve]]. */
+  val PackLens: Seq[Long] = Seq(256L, 512L, 1024L, 2048L)
+
+  /** #193 `pipeline_pack_curve`: the seqLen-tuning curve for sequence
+    * packing — per candidate length: pack count, docs straddling a cut,
+    * ratio4 straddle share, and the last pack's fill ratio. The
+    * straddle share is THE cost of continuous packing (a straddled doc
+    * crosses an attention boundary); sweeping it against the pack count
+    * is how a pipeline picks seqLen vs document-boundary packing.
+    *
+    * One corpus pass: the global token offset (the native
+    * range-partitioned prefix sum — [[packOf]]'s, seqLen-INDEPENDENT)
+    * feeds ONE aggregate with a conditional straddle sum per candidate
+    * length, and the O(lens) rows unpivot from that single row (the
+    * stack discipline) — the whole sweep costs what one packOf costs. */
+  def packCurve(spark: SparkSession, dir: String,
+                lens: Seq[Long] = PackLens): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    val p = Ranking.globalPrefixSum(perDoc.select("doc_id", "n_toks"),
+      Seq(col("doc_id")), "n_toks", out = "start_tok")
+    def straddle(l: Long) =
+      sum(when(col("n_toks") > 0L &&
+        intDiv(col("start_tok") + col("n_toks") - 1L, lit(l)) =!=
+          intDiv(col("start_tok"), lit(l)), 1L).otherwise(0L)).as(s"st_$l")
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum("n_toks").as("total_toks")) ++ lens.map(straddle)
+    val one = p.agg(aggs.head, aggs.tail: _*)
+    val stacked = lens.map(l =>
+      s"${l}L, st_$l").mkString(s"stack(${lens.size}, ", ", ", ")")
+    one.select(col("n_docs"), col("total_toks"),
+        expr(s"$stacked as (seq_len, n_straddle)"))
+      .select(col("seq_len"), col("n_docs"), col("total_toks"),
+        intDiv(col("total_toks") + col("seq_len") - 1L, col("seq_len")).as("n_packs"),
+        col("n_straddle"),
+        ratio4(col("n_straddle"), col("n_docs")).as("straddle_share"),
+        ratio4(
+          col("total_toks") -
+            (intDiv(col("total_toks") + col("seq_len") - 1L, col("seq_len")) - 1L) *
+              col("seq_len"),
+          col("seq_len")).as("last_pack_fill"))
+      .orderBy("seq_len")
+  }
+
   /** #171 `pipeline_holdout_split`: deterministic hash-based
     * train/validation/test split panel — the assignment every training
     * pipeline makes before anything else, done by content-independent

@@ -103,6 +103,37 @@ class PipelineSpec extends SparkSpec {
     assert(got.exists { case (id, n, _, _, _) => ws.get(id).exists(_ != n) })
   }
 
+  test("packCurve reconciles with packSequences at each candidate length") {
+    import org.apache.spark.sql.functions._
+    val perDoc = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = perDoc.map(_._2).sum
+    val curve = Pipeline.packCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(curve.keySet == Pipeline.PackLens.toSet)
+    Pipeline.PackLens.foreach { l =>
+      // straddle count from first principles on the running offsets
+      var off = 0L
+      var straddle = 0L
+      perDoc.foreach { case (_, n) =>
+        if (n > 0 && (off + n - 1) / l != off / l) straddle += 1
+        off += n
+      }
+      val (nDocs, totalToks, nPacks, nStraddle) = curve(l)
+      assert(nDocs == perDoc.length.toLong)
+      assert(totalToks == total)
+      assert(nPacks == (total + l - 1) / l)
+      assert(nStraddle == straddle)
+    }
+    // the 512 row must agree with the registered pack_sequences output
+    val fromPack = Pipeline.packSequences(spark, sf).filter(col("straddles"))
+      .count()
+    assert(curve(Pipeline.PackSeqLen)._4 == fromPack)
+  }
+
   test("tokenBudget selects the greedy quality-ordered prefix") {
     val B = 2000L
     val got = Pipeline.tokenBudget(spark, sf, budget = B).collect().toSeq
