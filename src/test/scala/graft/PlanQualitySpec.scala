@@ -57,6 +57,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(hbCode.contains("Found 1 WholeStageCodegen subtrees"), hbCode.take(200))
   }
 
+  test("pipeline_pack_curve: native global rank feeds one partial-aggregated sweep") {
+    val p = plan("pipeline_pack_curve")
+    assert(p.contains("GlobalRank"), "prefix sum must be the native range-partitioned exec")
+    assert(p.contains("partial_count"), "the sweep aggregate must partial-aggregate map-side")
+    // the only unpartitioned exchange is the scalar aggregate's — the
+    // corpus itself never funnels through one partition
+    assert(!p.contains("Window"), "no window may replace the native rank")
+  }
+
+  test("docs_pii_prevalence: regex counts partial-aggregate before one source exchange") {
+    val p = plan("docs_pii_prevalence")
+    assert(p.contains("partial_count"))
+    assert(!p.contains("SinglePartition"), "rollup must shuffle on source, never to one partition")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the panel is a pure rollup — no join belongs in this plan")
+  }
+
   test("no registered query plans a cartesian product") {
     // crossJoin(broadcast(tiny)) plans as BroadcastNestedLoopJoin — fine;
     // CartesianProductExec means an unintended unbounded pair blow-up.
