@@ -314,7 +314,15 @@ object DocDedup {
       .join(norm.select(col("doc_id").as("d1"), col("nt").as("t1")), "d1")
       .join(norm.select(col("doc_id").as("d2"), col("nt").as("t2")), "d2")
       .select(col("d1"), col("d2"),
-        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        // byte-equal pair ⇒ distance 0 by definition: the O(len)
+        // equality check short-circuits the O(len²) DP. On a
+        // duplicate-heavy corpus (the very thing this operator hunts)
+        // most candidate pairs ARE exact copies — the 10× replica's
+        // K² exact-pair blow-up went 62 s → the cost of the few
+        // genuinely-differing pairs. Value-identical to the oracle's
+        // unconditional levenshtein (0 for equal strings).
+        when(col("t1") === col("t2"), lit(0L))
+          .otherwise(levenshtein(col("t1"), col("t2")).cast("long")).as("lev"),
         greatest(length(col("t1")), length(col("t2"))).cast("long").as("max_len"))
       .filter(col("lev") * 100L <= col("max_len") * maxPct.toLong)
       .select(col("d1"), col("d2"), col("lev"), col("max_len"),
