@@ -186,6 +186,7 @@ object SparkEntry {
     "quality_model_eval" -> ((s, d) => graft.operators.QualityModels.modelEval(s, d)),
     "docs_pii_prevalence" -> ((s, d) => TextAnalysis.piiPrevalence(s, d)),
     "pipeline_pack_curve" -> ((s, d) => graft.operators.Pipeline.packCurve(s, d)),
+    "dedup_normalization_curve" -> ((s, d) => DocDedup.normalizationCurve(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -953,6 +954,25 @@ object SparkEntry {
          |  ${ratio4Sql("docs_email", "n_docs")} AS email_doc_share,
          |  ${ratio4Sql("docs_long_num", "n_docs")} AS num_doc_share
          |FROM agg ORDER BY source""".stripMargin,
+
+    // normalization aggressiveness ladder — mirrors DocDedup.normalizationCurve
+    "dedup_normalization_curve" ->
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT ${H64("text")}) AS BIGINT) AS u_raw,
+         |    CAST(count(DISTINCT ${H64("trim(regexp_replace(text, '\\s+', ' ', 'g'))")}) AS BIGINT) AS u_ws,
+         |    CAST(count(DISTINCT ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")}) AS BIGINT) AS u_lower,
+         |    CAST(count(DISTINCT ${H64("regexp_replace(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g')")}) AS BIGINT) AS u_alnum
+         |  FROM documents),
+         |lv AS (
+         |  SELECT CAST(1 AS BIGINT) AS level_rank, 'raw' AS level, u_raw AS n_distinct, n_docs FROM a
+         |  UNION ALL SELECT 2, 'ws', u_ws, n_docs FROM a
+         |  UNION ALL SELECT 3, 'lower', u_lower, n_docs FROM a
+         |  UNION ALL SELECT 4, 'alnum', u_alnum, n_docs FROM a)
+         |SELECT level_rank, level, n_docs, n_distinct,
+         |  n_docs - n_distinct AS n_dup,
+         |  ${ratio4Sql("n_docs - n_distinct", "n_docs")} AS dup_share
+         |FROM lv ORDER BY level_rank""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -330,6 +330,44 @@ object DocDedup {
       .orderBy("d1", "d2")
   }
 
+  /** #195 `dedup_normalization_curve`: how many documents collapse into
+    * duplicates at each normalization aggressiveness level — raw bytes,
+    * whitespace-collapsed, +lowercased (the engine's canonical
+    * [[normalized]]), +punctuation-stripped. The ladder is the dedup
+    * POLICY decision: each step trades false negatives for false
+    * positives, and the marginal dup mass between steps says whether
+    * the next level is worth it on THIS corpus ("lowercasing finds 2%
+    * more dups; stripping punctuation only 0.1% — stop at lower").
+    * Per level: docs, distinct survivors, duplicates, ratio4 dup share;
+    * dup counts are non-decreasing down the ladder by construction
+    * (each level refines the previous equivalence — spec-pinned).
+    *
+    * Shape: ONE scan computing the four level digests per row, one
+    * multi-countDistinct aggregate (Expand ×4 — partial-aggregable,
+    * O(4N) expanded rows, digests not texts shuffle), O(4) rows out. */
+  def normalizationCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{h64, ratio4}
+    val ws = trim(regexp_replace(col("text"), "\\s+", " "))
+    val lw = lower(ws)
+    val al = regexp_replace(lw, "[^a-z0-9 ]", "")
+    val one = Tables.documents(spark, dir).select(col("text")).spread
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(h64(col("text"))).as("u_raw"),
+        countDistinct(h64(ws)).as("u_ws"),
+        countDistinct(h64(lw)).as("u_lower"),
+        countDistinct(h64(al)).as("u_alnum"))
+    one.select(col("n_docs"),
+        expr("""stack(4,
+          | 1L, 'raw',   u_raw,
+          | 2L, 'ws',    u_ws,
+          | 3L, 'lower', u_lower,
+          | 4L, 'alnum', u_alnum) as (level_rank, level, n_distinct)""".stripMargin))
+      .select(col("level_rank"), col("level"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup"),
+        ratio4(col("n_docs") - col("n_distinct"), col("n_docs")).as("dup_share"))
+      .orderBy("level_rank")
+  }
+
   /** #8: near-dup pairs by true n-gram Jaccard ≥ τ. Shuffles: one on
     * shingle (candidate generation), one on the pair key (intersection
     * count). Per-doc shingle counts join back onto the pairs (AQE

@@ -13,6 +13,23 @@ class DocDedupSpec extends SparkSpec {
     assert(out.filter(col("keep_id") >= 100000L).count() === 0)
   }
 
+  test("normalizationCurve: monotone ladder reconciling with direct distinct counts") {
+    import org.apache.spark.sql.functions._
+    val got = DocDedup.normalizationCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._2).toSeq == Seq("raw", "ws", "lower", "alnum"))
+    // coarser equivalence can only merge classes: dup counts non-decreasing
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted)
+    // the `lower` level is the engine's canonical normalized(): its
+    // distinct count must equal an independent distinct over normalized
+    val docs = graft.Tables.documents(spark, sf)
+    val wantLower = docs.select(DocDedup.normalized(col("text"))).distinct().count()
+    assert(got.find(_._2 == "lower").get._4 == wantLower)
+    val wantRaw = docs.select("text").distinct().count()
+    assert(got.find(_._2 == "raw").get._4 == wantRaw)
+    assert(got.forall(_._3 == docs.count()))
+  }
+
   test("ngramJaccard emits symmetric-free ordered pairs above tau") {
     val out = DocDedup.ngramJaccard(spark, sf, tau = 0.5).collect()
     assert(out.nonEmpty)
