@@ -187,6 +187,7 @@ object SparkEntry {
     "docs_pii_prevalence" -> ((s, d) => TextAnalysis.piiPrevalence(s, d)),
     "pipeline_pack_curve" -> ((s, d) => graft.operators.Pipeline.packCurve(s, d)),
     "dedup_normalization_curve" -> ((s, d) => DocDedup.normalizationCurve(s, d)),
+    "events_gap_histogram" -> ((s, d) => graft.operators.Analytics3.gapHistogram(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2090,6 +2091,31 @@ object SparkEntry {
          |  max(gap) AS max_gap_us, ${ratio4Sql("sum(gap)", "count(*)")} AS avg_gap_us
          |FROM g WHERE gap IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // human-scale gap buckets — mirrors Analytics3.gapHistogram
+    "events_gap_histogram" -> {
+      val bks = graft.operators.Analytics3.GapBuckets
+      val rankCase = bks.map { case (r, _, ub) => s"WHEN gap < $ub THEN $r" }
+        .mkString("CASE ", " ", s" ELSE ${bks.length + 1} END")
+      val labelCase = (bks.map { case (r, l, _) => s"WHEN $r THEN '$l'" })
+        .mkString("CASE bucket_rank ", " ", " ELSE '>24h' END")
+      s"""WITH ev AS ($EV),
+         |g AS (
+         |  SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+         |  FROM ev),
+         |b AS (SELECT CAST($rankCase AS BIGINT) AS bucket_rank
+         |      FROM g WHERE gap IS NOT NULL),
+         |c AS (SELECT bucket_rank, CAST(count(*) AS BIGINT) AS n_gaps
+         |      FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS t FROM c),
+         |cum AS (SELECT bucket_rank, n_gaps,
+         |          CAST(sum(n_gaps) OVER (ORDER BY bucket_rank) AS BIGINT) AS cum_gaps
+         |        FROM c)
+         |SELECT bucket_rank, $labelCase AS bucket, n_gaps,
+         |  ${ratio4Sql("n_gaps", "t")} AS share,
+         |  ${ratio4Sql("cum_gaps", "t")} AS cum_share
+         |FROM cum CROSS JOIN t ORDER BY bucket_rank""".stripMargin
+    },
 
     "lineitem_quantiles" ->
       s"""SELECT l_returnflag,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,6 +125,61 @@ object Analytics3 {
           .otherwise(col("regularity") <= lit(BotRegularityMax)))
       .select("user_id", "n_gaps", "mean_us", "mad_us", "regularity", "is_bot")
       .orderBy("user_id")
+  }
+
+  /** Human-scale gap buckets for [[gapHistogram]]: (rank, label,
+    * exclusive upper bound in µs). The ladder is the SESSIONIZATION
+    * evidence — the valley between the within-visit mass and the
+    * between-visit mass is where the session gap belongs. */
+  val GapBuckets: Seq[(Long, String, Long)] = Seq(
+    (1L, "0",     1L),
+    (2L, "<=1s",  1000000L),
+    (3L, "<=10s", 10000000L),
+    (4L, "<=60s", 60000000L),
+    (5L, "<=5m",  300000000L),
+    (6L, "<=30m", 1800000000L),
+    (7L, "<=1h",  3600000000L),
+    (8L, "<=6h",  21600000000L),
+    (9L, "<=24h", 86400000000L))
+
+  /** #196 `events_gap_histogram`: the inter-event gap distribution over
+    * human-scale buckets — per bucket: gaps, exact ratio4 share, and
+    * the cumulative share. This is the panel that JUSTIFIES the 30-min
+    * sessionization gap (#24) and the 12-h visit gap (#105): real
+    * traffic is bimodal (within-visit seconds vs between-visit hours)
+    * and the chosen gap must sit in the valley; a corpus whose
+    * histogram has no valley has no natural session boundary.
+    *
+    * Shape: the shared lag-window gap stage ([[gapsOf]] — one user_id
+    * shuffle), a CASE-ladder bucket per row (exact integer boundary
+    * compares — no float log binning whose edge rounding differs
+    * across engines), one O(buckets) partial-aggregable rollup, the
+    * cumulative window over the O(10) bucket rows only. */
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val bucketRank = GapBuckets.reverse.foldLeft(
+      lit(GapBuckets.length + 1L)) { case (acc, (r, _, ub)) =>
+        when(col("gap") < ub, lit(r)).otherwise(acc)
+      }
+    val labelOf = GapBuckets.map { case (r, l, _) => (r, l) } :+
+      ((GapBuckets.length + 1L, ">24h"))
+    val labelCol = labelOf.reverse.foldLeft(lit(">24h"): Column) {
+      case (acc, (r, l)) => when(col("bucket_rank") === r, lit(l)).otherwise(acc)
+    }
+    val cells = gapsOf(Dedup.eventsUs(spark, dir))
+      .withColumn("bucket_rank", bucketRank)
+      .groupBy("bucket_rank")
+      .agg(count(lit(1)).as("n_gaps"))
+      .localCheckpoint()
+    val tot = cells.agg(sum("n_gaps").as("t"))
+    val w = Window.orderBy("bucket_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("cum_gaps", sum("n_gaps").over(w))
+      .select(col("bucket_rank"), labelCol.as("bucket"), col("n_gaps"),
+        ratio4(col("n_gaps"), col("t")).as("share"),
+        ratio4(col("cum_gaps"), col("t")).as("cum_share"))
+      .orderBy("bucket_rank")
   }
 
   /** Inter-event gap statistics per user (lag window): gap count, sum

@@ -73,6 +73,31 @@ class Analytics3Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("gapHistogram matches an in-memory bucket model and closes to 1.0") {
+    val ev = Dedup.eventsUs(spark, sf)
+      .select("user_id", "ts_us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      ts.zip(ts.tail).map { case (a, b) => b - a }
+    }.toSeq
+    def rank(g: Long): Long =
+      Analytics3.GapBuckets.find(g < _._3).map(_._1)
+        .getOrElse(Analytics3.GapBuckets.length + 1L)
+    val byRank = gaps.groupBy(rank).view.mapValues(_.length.toLong).toMap
+    val t = gaps.length.toLong
+    def r4(n: Long) = ((n * 10000L + t / 2) / t) / 10000.0
+    val ranksSorted = byRank.keys.toSeq.sorted
+    val cum = ranksSorted.scanLeft(0L)((a, r) => a + byRank(r)).tail
+    val expected = ranksSorted.zip(cum).map { case (r, c) =>
+      (r, byRank(r), r4(byRank(r)), r4(c))
+    }
+    val got = Analytics3.gapHistogram(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got == expected)
+    assert(got.last._4 == 1.0, "cumulative share must close to 1.0")
+  }
+
   test("botRegularity matches an integer mean+MAD model and flags a planted bot") {
     import spark.implicits._
     def hu(a: Long, b: Long) = (a + b / 2) / b
