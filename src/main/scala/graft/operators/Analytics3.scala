@@ -155,7 +155,14 @@ object Analytics3 {
     * compares — no float log binning whose edge rounding differs
     * across engines), one O(buckets) partial-aggregable rollup, the
     * cumulative window over the O(10) bucket rows only. */
-  def gapHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def gapHistogram(spark: SparkSession, dir: String): DataFrame =
+    gapHistogramOf(gapsOf(Dedup.eventsUs(spark, dir)))
+
+  /** [[gapHistogram]] over ANY (user_id, gap) frame — batch lag-window
+    * gaps or the accumulated StreamRegularity gap stream produce the
+    * identical panel (the same two-layer parity contract as
+    * [[regularityOfGaps]]; StreamRegularitySpec pins it). */
+  def gapHistogramOf(gaps: DataFrame): DataFrame = {
     import graft.functions.Hashing.ratio4
     val bucketRank = GapBuckets.reverse.foldLeft(
       lit(GapBuckets.length + 1L)) { case (acc, (r, _, ub)) =>
@@ -166,7 +173,7 @@ object Analytics3 {
     val labelCol = labelOf.reverse.foldLeft(lit(">24h"): Column) {
       case (acc, (r, l)) => when(col("bucket_rank") === r, lit(l)).otherwise(acc)
     }
-    val cells = gapsOf(Dedup.eventsUs(spark, dir))
+    val cells = gaps
       .withColumn("bucket_rank", bucketRank)
       .groupBy("bucket_rank")
       .agg(count(lit(1)).as("n_gaps"))

@@ -42,6 +42,17 @@ class StreamRegularitySpec extends SparkSpec {
     assert(got == want, "streaming gaps must equal the batch lag window")
   }
 
+  test("gap histogram over the accumulated stream equals events_gap_histogram") {
+    import spark.implicits._
+    val gaps = streamedGaps().select("user_id", "gap")
+      .as[(Long, Long)].collect().toIndexedSeq
+      .toDF("user_id", "gap")
+    val got = Analytics3.gapHistogramOf(gaps).collect().map(_.toSeq).toSeq
+    val want = Analytics3.gapHistogram(spark, sf).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("regularity panel over the accumulated stream equals events_bot_regularity") {
     // materialize the sink view first: regularityOfGaps self-joins its
     // input, and two branches over the same MemoryPlan view trip the
