@@ -84,8 +84,16 @@ object Similarity {
   def buckets(spark: SparkSession, dir: String,
               numPlanes: Int = NumPlanes,
               planesPerBand: Int = PlanesPerBand): DataFrame =
-    vecs(spark, dir)
-      .select(col("vec_id"),
+    bucketsOf(vecs(spark, dir), numPlanes, planesPerBand)
+
+  /** [[buckets]] over any (vec_id, e) frame — the planes are
+    * deterministic functions of the band/plane index, so bucket ids
+    * never depend on WHICH corpus slice computes them (what lets the
+    * incremental index append path reuse this verbatim). */
+  def bucketsOf(v: DataFrame,
+                numPlanes: Int = NumPlanes,
+                planesPerBand: Int = PlanesPerBand): DataFrame =
+    v.select(col("vec_id"),
         posexplode(graft.plans.LshExpressions.hyperplaneBuckets(
           col("e"), numPlanes, planesPerBand, Dim)))
       .withColumnRenamed("pos", "band")
@@ -768,16 +776,42 @@ object Similarity {
     * so a search over loaded artifacts is spec-pinned EQUAL to the
     * in-session build (IndexStoreSpec). */
   def saveIndex(spark: SparkSession, dir: String, indexDir: String,
-                nCentroids: Int = 8, iters: Int = 2): Unit = {
-    val v = vecs(spark, dir)
+                nCentroids: Int = 8, iters: Int = 2): Unit =
+    saveIndexOf(vecs(spark, dir), indexDir, nCentroids, iters)
+
+  /** [[saveIndex]] over any (vec_id, e) corpus frame. */
+  def saveIndexOf(v: DataFrame, indexDir: String,
+                  nCentroids: Int = 8, iters: Int = 2): Unit = {
     val cent = kmeansCentroids(v, nCentroids, iters).localCheckpoint()
     val cb = pqCodebooksWithNorm(v).localCheckpoint()
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
     argmaxCellOf(v, cent).write.mode("overwrite").parquet(s"$indexDir/members")
     pqEncode(v, cb).write.mode("overwrite").parquet(s"$indexDir/codes")
-    buckets(spark, dir).filter(col("band") === 0)
+    bucketsOf(v).filter(col("band") === 0)
       .write.mode("overwrite").parquet(s"$indexDir/b0")
+  }
+
+  /** Incremental index maintenance: append a NEW vector batch to a
+    * saved index under FROZEN quantizers — the production append path
+    * (re-training the coarse centroids or PQ codebooks would invalidate
+    * every existing code, so platforms freeze the models and re-train
+    * only on drift, which the recall report and cluster-balance panel
+    * exist to detect). The batch is assigned to the EXISTING centroids,
+    * encoded with the EXISTING codebooks, and bucketed by the
+    * deterministic planes; the three per-vector artifact tables grow by
+    * exactly the batch. IndexStoreSpec pins the invariant: build-half +
+    * append-half == assign/encode the full corpus under the same frozen
+    * models, and every searchSaved* result over the appended index
+    * equals the frozen-model full search. */
+  def appendToIndex(spark: SparkSession, indexDir: String,
+                    newVecs: DataFrame): Unit = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    argmaxCellOf(newVecs, cent).write.mode("append").parquet(s"$indexDir/members")
+    pqEncode(newVecs, cb).write.mode("append").parquet(s"$indexDir/codes")
+    bucketsOf(newVecs).filter(col("band") === 0)
+      .write.mode("append").parquet(s"$indexDir/b0")
   }
 
   /** k-means-IVF search against a SAVED index — no training, no

@@ -39,4 +39,33 @@ class IndexStoreSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got == want)
   }
+
+  test("append path: build-half + append-half covers the corpus and is batch-order invariant") {
+    import org.apache.spark.sql.functions._
+    val full = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val halfA = full.filter(col("vec_id") % 2 === 0)
+    val halfB = full.filter(col("vec_id") % 2 =!= 0)
+    val dirA = Files.createTempDirectory("graft-annidx-a").toString
+    Similarity.saveIndexOf(halfA, dirA)
+    Similarity.appendToIndex(spark, dirA, halfB)
+    // every vector indexed exactly once after the append
+    val members = spark.read.parquet(s"$dirA/members")
+    assert(members.count() == full.count())
+    assert(members.select("vec_id").distinct().count() == full.count())
+    assert(spark.read.parquet(s"$dirA/codes").count() == full.count())
+    // appending in two sub-batches must yield identical searches
+    val dirB = Files.createTempDirectory("graft-annidx-b").toString
+    Similarity.saveIndexOf(halfA, dirB)
+    Similarity.appendToIndex(spark, dirB, halfB.filter(col("vec_id") % 4 === 1))
+    Similarity.appendToIndex(spark, dirB, halfB.filter(col("vec_id") % 4 === 3))
+    assert(rows(Similarity.searchSavedIvfKmeans(spark, sf, dirA)) ==
+      rows(Similarity.searchSavedIvfKmeans(spark, sf, dirB)))
+    assert(rows(Similarity.searchSavedIvfPq(spark, sf, dirA)) ==
+      rows(Similarity.searchSavedIvfPq(spark, sf, dirB)))
+    // LSH buckets have NO trained model (deterministic planes), so the
+    // appended index must reproduce the full-corpus search EXACTLY
+    assert(rows(Similarity.searchSavedLsh(spark, sf, dirA)) ==
+      rows(Similarity.lshTopK(spark, sf)))
+  }
 }
