@@ -17,9 +17,14 @@ object SparkEntry {
     "dedup_ignore_props" -> ((s, d) =>
       Dedup.firstOccurrence(Dedup.hashedStream(s, d, ignored = Seq("k")))),
     "dedup_tumbling" -> ((s, d) => Dedup.tumbling(Dedup.hashedStream(s, d))),
-    // xxhash64 fast path — no SQL oracle (driver rows-only check); the
-    // spec asserts its kept set equals the md5 path's.
-    "dedup_first_fast" -> ((s, d) => Dedup.firstOccurrence(Dedup.hashedStreamFast(s, d))),
+    // xxhash64 fast path. The digest is an implementation detail of the
+    // SAME identity equivalence classes, so the exported surface is the
+    // keeper rows only — which makes the query fully oracle-checkable:
+    // the keeper set must equal dedup_first's (DuckDB replays the md5
+    // formulation; hash-equal absent 60/64-bit collisions, which the
+    // reference itself deems sufficient, deduplication.ts:66-72).
+    "dedup_first_fast" -> ((s, d) =>
+      Dedup.firstOccurrence(Dedup.hashedStreamFast(s, d)).drop("digest")),
     "dedup_chain" -> ((s, d) => Dedup.chainNative(Dedup.hashedStream(s, d))),
     "dedup_bootstrap" -> ((s, d) => Dedup.bootstrap(Dedup.hashedStream(s, d))),
     "dedup_counters" -> ((s, d) => Dedup.counters(Dedup.hashedStream(s, d))),
@@ -626,6 +631,16 @@ object SparkEntry {
     "dedup_first" ->
       s"""WITH $DUP_CTE, ${hashedCte(CANON_K)}
          |SELECT $OUT_COLS FROM hashed
+         |QUALIFY row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) = 1
+         |ORDER BY event_id""".stripMargin,
+
+    // Keeper-set oracle for the xxhash64 fast path: digest choice is an
+    // implementation detail of the same equivalence classes, so the
+    // keepers must match the md5 formulation row-for-row (digest column
+    // excluded from the exported surface on both sides).
+    "dedup_first_fast" ->
+      s"""WITH $DUP_CTE, ${hashedCte(CANON_K)}
+         |SELECT event_id, ts_us, user_id, event_type, value, props FROM hashed
          |QUALIFY row_number() OVER (PARTITION BY digest ORDER BY ts_us, event_id) = 1
          |ORDER BY event_id""".stripMargin,
 

@@ -38,7 +38,13 @@ object Tables {
     */
   def tsUsCol(df: DataFrame, column: String = "ts"): Column =
     df.schema(column).dataType match {
-      case LongType      => expr(s"$column div 1000") // int64 nanos
+      case LongType =>
+        // int64 nanos → µs by FLOOR division ((n - pmod) is an exact
+        // multiple of 1000, so the truncating `div` equals floor even for
+        // pre-epoch negatives — matching DuckDB's floor-based epoch_us).
+        // The name is backtick-quoted so any legal column name parses.
+        val q = "`" + column.replace("`", "``") + "`"
+        expr(s"($q - pmod($q, 1000)) div 1000")
       case TimestampType => unix_micros(col(column))
       // unix_micros only accepts TIMESTAMP; the cast is a wall-clock
       // reinterpretation under the session's pinned UTC zone (GraftSession).

@@ -814,6 +814,16 @@ object Similarity {
       .write.mode("append").parquet(s"$indexDir/b0")
   }
 
+  /** Load a per-vector index artifact (members/codes/b0), collapsing any
+    * duplicated rows. A crash-replayed streaming append (StreamIndex) can
+    * land the same batch twice; its rows are bit-identical — pure
+    * functions of the vector under frozen quantizers — so set semantics
+    * over ALL columns restores exactly the once-appended artifact and
+    * keeps duplicates out of top-k rank slots. One narrow extra shuffle
+    * on a table the search would shuffle anyway. */
+  private def loadPerVec(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).dropDuplicates()
+
   /** k-means-IVF search against a SAVED index — no training, no
     * assignment pass; the corpus scan is only the nQueries probe rows. */
   def searchSavedIvfKmeans(spark: SparkSession, dir: String, indexDir: String,
@@ -821,7 +831,7 @@ object Similarity {
                            nprobe: Int = 2): DataFrame =
     ivfKmeansSearch(vecs(spark, dir),
       spark.read.parquet(s"$indexDir/centroids"),
-      spark.read.parquet(s"$indexDir/members"),
+      loadPerVec(spark, s"$indexDir/members"),
       k, nQueries, nprobe)
 
   /** IVF+PQ search against a SAVED index — training, assignment and
@@ -832,15 +842,15 @@ object Similarity {
     ivfPqSearch(vecs(spark, dir),
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebooks"),
-      spark.read.parquet(s"$indexDir/members"),
-      spark.read.parquet(s"$indexDir/codes"),
+      loadPerVec(spark, s"$indexDir/members"),
+      loadPerVec(spark, s"$indexDir/codes"),
       k, nQueries, nprobe)
 
   /** Single-bucket LSH search against the SAVED band-0 bucket map. */
   def searchSavedLsh(spark: SparkSession, dir: String, indexDir: String,
                      k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
     val v = vecs(spark, dir)
-    val b0 = spark.read.parquet(s"$indexDir/b0")
+    val b0 = loadPerVec(spark, s"$indexDir/b0")
     lshSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
   }
 

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
 class OracleGuardSpec extends SparkSpec {
 
   test("every registered query has an oracle or a documented rows-only exemption") {
-    // rows-only by design: xxhash64 has no DuckDB twin (spec pins its
-    // kept set == the md5 path), HLL++ is not replayable cross-engine
-    val exempt = Set("dedup_first_fast", "events_approx_users")
+    // rows-only by design: HLL++ is not replayable cross-engine (its
+    // error BOUND is spec-pinned instead — DedupSpec hll error test)
+    val exempt = Set("events_approx_users")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == exempt,
       s"queries without an oracle beyond the documented exemptions: ${missing -- exempt}")

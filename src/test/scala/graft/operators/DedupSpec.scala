@@ -118,6 +118,36 @@ class DedupSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("events_approx_users: HLL++ error bounded vs exact at sf0.01") {
+    // The one remaining rows-only query gets a QUANTITATIVE gate: the
+    // sketch is a deterministic function of the input set, so measured
+    // error vs the exact panel (events_distinct_hour) is a stable repo
+    // invariant. Per-hour cardinalities at sf0.01 are tiny (4–28), where
+    // relative rsd bounds are vacuous (error quantum 1/n) — so the
+    // per-bucket gate is ABSOLUTE (≤ max(3, 3·rsd·n); measured max = 3)
+    // and the corpus-level gate is the published rsd = 0.05 on the sum
+    // of the independent per-hour estimates (measured 0.0092).
+    import org.apache.spark.sql.functions.{abs => fabs, _}
+    val rsd = 0.05
+    val dir = "/root/testdata/sf0.01"
+    val approx = Dedup.eventsUs(spark, dir)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000L"))
+      .groupBy("hour_bucket")
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+    val exact = graft.operators.Analytics.distinctUsersHour(spark, dir)
+      .select("hour_bucket", "n_users")
+    val j = approx.join(exact, "hour_bucket")
+      .select(col("approx_users").cast("double").as("a"),
+        col("n_users").cast("double").as("e"))
+      .withColumn("bound", greatest(lit(3.0), lit(3 * rsd) * col("e")))
+    assert(j.filter(fabs(col("a") - col("e")) > col("bound")).isEmpty,
+      "an hour bucket's HLL++ estimate fell outside max(3, 3·rsd·n) of exact")
+    val Array(sa, se) = j.agg(sum("a"), sum("e")).collect().head
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(sa - se) / se <= rsd,
+      f"corpus-level HLL++ relative error ${math.abs(sa - se) / se}%.4f exceeds rsd $rsd")
+  }
+
   test("ignored properties widen the duplicate groups") {
     val strict = Dedup.firstOccurrence(hashed).count()
     val loose = Dedup.firstOccurrence(

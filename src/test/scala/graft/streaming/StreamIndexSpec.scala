@@ -53,4 +53,29 @@ class StreamIndexSpec extends SparkSpec {
     assert(Similarity.searchSavedIvfPq(spark, sf, streamDir).collect().toSeq ==
       Similarity.searchSavedIvfPq(spark, sf, batchDir).collect().toSeq)
   }
+
+  test("a crash-replayed append batch cannot change any saved-index search") {
+    // Worst-case delivery fault: a batch is appended, the commit marker is
+    // lost, and the whole batch replays — duplicating its per-vector rows.
+    // The read-side dedup in every searchSaved* loader must make the
+    // duplicate rows unobservable (they'd otherwise occupy rank slots).
+    import org.apache.spark.sql.functions.col
+    val full = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val halfA = full.filter(col("vec_id") % 2 === 0)
+    val halfB = full.filter(col("vec_id") % 2 =!= 0)
+    val dir = Files.createTempDirectory("graft-annidx-replay").toString
+    Similarity.saveIndexOf(halfA, dir)
+    Similarity.appendToIndex(spark, dir, halfB)
+    val before = Seq(
+      Similarity.searchSavedLsh(spark, sf, dir).collect().toSeq,
+      Similarity.searchSavedIvfKmeans(spark, sf, dir).collect().toSeq,
+      Similarity.searchSavedIvfPq(spark, sf, dir).collect().toSeq)
+    Similarity.appendToIndex(spark, dir, halfB) // the replay
+    val after = Seq(
+      Similarity.searchSavedLsh(spark, sf, dir).collect().toSeq,
+      Similarity.searchSavedIvfKmeans(spark, sf, dir).collect().toSeq,
+      Similarity.searchSavedIvfPq(spark, sf, dir).collect().toSeq)
+    assert(after == before)
+  }
 }
