@@ -434,6 +434,28 @@ object SparkEntry {
 
   /** Signed projection onto deterministic ±1 hyperplane p.p —
     * mirrors Similarity.ProjSql. */
+  /** Scale-derived LSH planes-per-band — mirrors
+    * Similarity.planesPerBandFor: ppb = max(4, bitLength(⌈N/64⌉ − 1)).
+    * floor(log2(m−1))+1 is the bit length; exact cross-engine because
+    * C99 log2 is exact on powers of two (the only inputs where a ±1ulp
+    * error could flip the floor). */
+  private val LSHP_CTE = {
+    val t = graft.operators.Similarity.TargetBucket
+    s"""lshp AS (
+       |  SELECT CASE WHEN m <= 1 THEN ${graft.operators.Similarity.PlanesPerBand}
+       |              ELSE greatest(${graft.operators.Similarity.PlanesPerBand},
+       |                            CAST(floor(log2(CAST(m - 1 AS DOUBLE))) AS INT) + 1) END AS ppb
+       |  FROM (SELECT (count(*) + ${t - 1}) // $t AS m FROM embeddings))""".stripMargin
+  }
+
+  /** Plane rows for ALL bands (p ∈ 0..2·ppb−1, band = p // ppb). */
+  private val LSH_PL_CTE =
+    "pl AS (SELECT ppb, unnest(generate_series(0, 2*ppb - 1)) AS p FROM lshp)"
+
+  /** Plane rows for band 0 only (p ∈ 0..ppb−1). */
+  private val LSH_PL0_CTE =
+    "pl0 AS (SELECT ppb, unnest(generate_series(0, ppb - 1)) AS p FROM lshp)"
+
   private val DUCK_PROJ =
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64),
        |      j -> CAST(e[j] AS DOUBLE) *
@@ -791,13 +813,15 @@ object SparkEntry {
 
     "dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL_CTE,
          |bits AS (
-         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM v, generate_series(0,7) p(p)
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl p
          |),
          |buckets AS (
-         |  SELECT vec_id, p//4 AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM bits GROUP BY vec_id, p//4
+         |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, p//ppb
          |),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
@@ -820,12 +844,14 @@ object SparkEntry {
 
     "ann_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL0_CTE,
          |bits AS (
-         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM v, generate_series(0,3) p(p)
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl0 p
          |),
          |b0 AS (
-         |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
+         |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM bits GROUP BY vec_id
          |),
          |p AS (
@@ -838,22 +864,26 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
          |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
-    // multi-probe: the query's bucket plus its four Hamming-1 neighbors
-    // (each candidate lives in exactly one bucket, so no pair repeats).
+    // multi-probe: the query's bucket plus its ppb Hamming-1 neighbors
+    // (each candidate lives in exactly one bucket, so no pair repeats;
+    // the probe fan tracks the scale-derived plane count).
     "ann_lsh_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL0_CTE,
          |bits AS (
-         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM v, generate_series(0,3) p(p)
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl0 p
          |),
          |b0 AS (
-         |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
+         |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM bits GROUP BY vec_id
          |),
          |qp AS (
          |  SELECT q.vec_id AS q_id, u.probe
-         |  FROM b0 q, unnest([q.bucket, xor(q.bucket, 1), xor(q.bucket, 2),
-         |                     xor(q.bucket, 4), xor(q.bucket, 8)]) u(probe)
+         |  FROM b0 q, lshp, unnest(list_prepend(q.bucket,
+         |         list_transform(generate_series(0, lshp.ppb - 1),
+         |                        i -> xor(q.bucket, CAST(1::BIGINT << i AS BIGINT))))) u(probe)
          |  WHERE q.vec_id < 20
          |),
          |p AS (
@@ -2686,13 +2716,15 @@ object SparkEntry {
     // same reachability closure the shingle-graph components oracle uses
     "dedup_semantic_components" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL_CTE,
          |bits AS (
-         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM v, generate_series(0,7) p(p)
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl p
          |),
          |buckets AS (
-         |  SELECT vec_id, p//4 AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM bits GROUP BY vec_id, p//4
+         |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, p//ppb
          |),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
@@ -2726,13 +2758,15 @@ object SparkEntry {
          |epr AS (SELECT eg.mn AS d1, eh.doc_id AS d2
          |        FROM eh JOIN eg ON eh.dg = eg.dg AND eh.doc_id > eg.mn),
          |sv AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL_CTE,
          |sbits AS (
-         |  SELECT vec_id, p.p, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM sv, generate_series(0,7) p(p)
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM sv, pl p
          |),
          |sbkt AS (
-         |  SELECT vec_id, p//4 AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%4)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM sbits GROUP BY vec_id, p//4
+         |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM sbits GROUP BY vec_id, p//ppb
          |),
          |scand AS (
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2

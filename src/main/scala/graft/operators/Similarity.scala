@@ -21,11 +21,38 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   val Dim = 64
-  val NumPlanes = 8   // 2 bands × 4 planes
+  val NumBands = 2
+  val NumPlanes = 8   // 2 bands × 4 planes (floor — see planesPerBandFor)
   val PlanesPerBand = 4
   val TopK = 5
   val NumQueries = 20
   val NearDupTau = 0.45
+
+  /** Expected bucket-population ceiling the plane derivation targets. */
+  val TargetBucket = 64L
+
+  /** Scale-derived planes per band: the smallest p with N/2^p ≤
+    * [[TargetBucket]], floored at [[PlanesPerBand]] for tiny corpora.
+    *
+    * This is THE LSH scale knob: bucket space per band is 2^p, so with a
+    * fixed p the expected bucket population grows linearly in N and the
+    * within-bucket pair join degrades toward quadratic. Deriving
+    * p = ⌈log2(N/target)⌉ keeps expected bucket size ≤ target at every
+    * corpus scale (a 1e9-vector corpus gets 24 planes, not 4) — widening
+    * the bucket space preserves recall structure, unlike a bucket-size
+    * cap, which on a tiny bucket space throws away true pairs.
+    *
+    * Pure INTEGER bit-length math (no floating log2, whose ulp behavior
+    * at exact powers of two differs across engines); the DuckDB oracle
+    * derives the same value from count(*) via floor(log2(m-1))+1, exact
+    * because C99 log2 is exact on powers of two. SimilaritySpec pins the
+    * agreement table and the scale-invariance of N/2^p. */
+  def planesPerBandFor(n: Long, targetBucket: Long = TargetBucket): Int = {
+    val m = (math.max(n, 1L) + targetBucket - 1) / targetBucket
+    val bits =
+      if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(PlanesPerBand, bits)
+  }
 
   /** Bounded 2-thread pool for overlapping INDEPENDENT index-build
     * pipelines (coarse quantizer vs PQ codebooks). Round 6 ran builds and
@@ -112,19 +139,22 @@ object Similarity {
   /** #11: embedding near-dup pairs — LSH band collision candidates
     * verified with exact cosine ≥ τ.
     *
-    * SCALE NOTE: the bucket space per band is 2^planesPerBand, so the
-    * expected bucket population is N / 2^planesPerBand and the
-    * candidate join does ~bands × N²/2^planesPerBand work. The scale
-    * lever is therefore planesPerBand ≈ log2(N / targetBucketSize)
-    * (defaults here are sized for the test corpus; a 1e9-vector corpus
-    * wants ~24 planes per band, not 4) — widening buckets preserves
-    * recall structure, unlike a bucket-size cap, which on a
-    * 16-bucket space would throw away most true pairs. */
+    * planesPerBand ≤ 0 (the default) derives the value from a cheap
+    * corpus count via [[planesPerBandFor]], so expected bucket
+    * population stays ≤ [[TargetBucket]] at EVERY corpus scale — the
+    * candidate join's work is ~bands × N × targetBucket, linear in N by
+    * construction (a fixed test-scale plane count would degrade it
+    * toward quadratic at 100× data). Explicit values remain for callers
+    * that pin a bucket layout (e.g. replaying a saved index's frozen
+    * quantizer). */
   def nearDupPairs(spark: SparkSession, dir: String, tau: Double = NearDupTau,
-                   numPlanes: Int = NumPlanes,
-                   planesPerBand: Int = PlanesPerBand): DataFrame = {
+                   numPlanes: Int = 0,
+                   planesPerBand: Int = 0): DataFrame = {
     val v = vecs(spark, dir)
-    val b = buckets(spark, dir, numPlanes, planesPerBand)
+    val ppb =
+      if (planesPerBand > 0) planesPerBand else planesPerBandFor(v.count())
+    val np = if (numPlanes > 0) numPlanes else NumBands * ppb
+    val b = buckets(spark, dir, np, ppb)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -636,20 +666,25 @@ object Similarity {
   def lshMultiProbeTopK(spark: SparkSession, dir: String,
                         k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
     val v = vecs(spark, dir)
-    val b0 = buckets(spark, dir).filter(col("band") === 0)
-    lshMultiProbeSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
+    val ppb = planesPerBandFor(v.count())
+    val b0 = buckets(spark, dir, NumBands * ppb, ppb).filter(col("band") === 0)
+    lshMultiProbeSearch(v, b0, b0.join(v, "vec_id"), k, nQueries, ppb)
   }
 
   /** Multi-probe search against ALREADY-BUILT band-0 buckets and the
     * (bucket, vec_id, e) candidate table — shared with [[lshTopK]]'s
-    * search in recallReport. */
+    * search in recallReport. Probes the query's own bucket plus its
+    * `ppb` Hamming-1 neighbors (the probe fan tracks the derived plane
+    * count, so probe coverage stays one bit-flip deep at any scale). */
   private def lshMultiProbeSearch(v: DataFrame, b0: DataFrame,
                                   candidates: DataFrame,
-                                  k: Int, nQueries: Int): DataFrame = {
+                                  k: Int, nQueries: Int,
+                                  ppb: Int = PlanesPerBand): DataFrame = {
+    val probeCols = col("bucket") +:
+      (0 until ppb).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
     val probes = b0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"),
-        explode(expr(
-          "array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)")).as("probe"))
+        explode(array(probeCols: _*)).as("probe"))
       .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     probes.join(candidates, col("probe") === col("bucket"))
@@ -725,9 +760,11 @@ object Similarity {
     // oracle-visible value changes — only the duplicate corpus passes
     // disappear. The four builds are independent; the bounded pool
     // overlaps them pairwise without oversubscribing the scheduler.
+    val ppb = planesPerBandFor(v.count())
     val fMembers = Future(argmaxCellOf(v, cent).localCheckpoint())
     val fCodes = Future(pqEncode(v, cb).localCheckpoint())
-    val fB0 = Future(buckets(spark, dir).filter(col("band") === 0).localCheckpoint())
+    val fB0 = Future(buckets(spark, dir, NumBands * ppb, ppb)
+      .filter(col("band") === 0).localCheckpoint())
     val fBrute = Future(topk(bruteTopK(spark, dir, k, nQueries)))
     val members = Await.result(fMembers, Duration.Inf)
     val codes = Await.result(fCodes, Duration.Inf)
@@ -744,7 +781,7 @@ object Similarity {
       "ann_ivf_kmeans" -> (() => ivfKmeansSearch(v, cent, members, k, nQueries, nprobe = 2)),
       "ann_ivf_topk" -> (() => ivfTopK(spark, dir, k, nQueries)),
       "ann_ivfpq_topk" -> (() => ivfPqSearch(v, cent, cb, members, codes, k, nQueries, nprobe = 2)),
-      "ann_lsh_multiprobe" -> (() => lshMultiProbeSearch(v, b0, candidates, k, nQueries)),
+      "ann_lsh_multiprobe" -> (() => lshMultiProbeSearch(v, b0, candidates, k, nQueries, ppb)),
       "ann_lsh_topk" -> (() => lshSearch(v, b0, candidates, k, nQueries)),
       "ann_pq_topk" -> (() => pqSearch(v, cb, codes, k, nQueries)))
     val rows = Await.result(
@@ -779,18 +816,37 @@ object Similarity {
                 nCentroids: Int = 8, iters: Int = 2): Unit =
     saveIndexOf(vecs(spark, dir), indexDir, nCentroids, iters)
 
-  /** [[saveIndex]] over any (vec_id, e) corpus frame. */
+  /** [[saveIndex]] over any (vec_id, e) corpus frame. The LSH plane
+    * count is scale-derived from the BUILD corpus ([[planesPerBandFor]])
+    * and persisted in the `meta` artifact — it is part of the frozen
+    * quantizer exactly like the centroids and codebooks: appends must
+    * bucket with the build's planes or their rows land in a different
+    * bucket space. */
   def saveIndexOf(v: DataFrame, indexDir: String,
                   nCentroids: Int = 8, iters: Int = 2): Unit = {
+    val ppb = planesPerBandFor(v.count())
     val cent = kmeansCentroids(v, nCentroids, iters).localCheckpoint()
     val cb = pqCodebooksWithNorm(v).localCheckpoint()
+    val spark = v.sparkSession
+    import spark.implicits._
+    Seq((ppb, NumBands * ppb)).toDF("planes_per_band", "num_planes")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
     cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
     cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
     argmaxCellOf(v, cent).write.mode("overwrite").parquet(s"$indexDir/members")
     pqEncode(v, cb).write.mode("overwrite").parquet(s"$indexDir/codes")
-    bucketsOf(v).filter(col("band") === 0)
+    bucketsOf(v, NumBands * ppb, ppb).filter(col("band") === 0)
       .write.mode("overwrite").parquet(s"$indexDir/b0")
   }
+
+  /** The saved index's frozen LSH plane layout (falls back to the
+    * static defaults for indexes written before `meta` existed). */
+  private def savedPlanes(spark: SparkSession, indexDir: String): (Int, Int) =
+    try {
+      val r = spark.read.parquet(s"$indexDir/meta")
+        .select("num_planes", "planes_per_band").head()
+      (r.getInt(0), r.getInt(1))
+    } catch { case _: Exception => (NumPlanes, PlanesPerBand) }
 
   /** Incremental index maintenance: append a NEW vector batch to a
     * saved index under FROZEN quantizers — the production append path
@@ -808,9 +864,10 @@ object Similarity {
                     newVecs: DataFrame): Unit = {
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val (np, ppb) = savedPlanes(spark, indexDir)
     argmaxCellOf(newVecs, cent).write.mode("append").parquet(s"$indexDir/members")
     pqEncode(newVecs, cb).write.mode("append").parquet(s"$indexDir/codes")
-    bucketsOf(newVecs).filter(col("band") === 0)
+    bucketsOf(newVecs, np, ppb).filter(col("band") === 0)
       .write.mode("append").parquet(s"$indexDir/b0")
   }
 
@@ -859,7 +916,8 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String,
               k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
     val v = vecs(spark, dir)
-    val b0 = buckets(spark, dir).filter(col("band") === 0)
+    val ppb = planesPerBandFor(v.count())
+    val b0 = buckets(spark, dir, NumBands * ppb, ppb).filter(col("band") === 0)
     lshSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
   }
 

@@ -5,6 +5,27 @@ import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
 
+  test("planesPerBandFor keeps expected LSH bucket size scale-invariant") {
+    import Similarity.{planesPerBandFor, PlanesPerBand, TargetBucket}
+    // agreement anchors (incl. the test SFs and the 1e9-vector corpus)
+    assert(planesPerBandFor(500) === 4)    // sf0.001 / sf0.01 — the floor
+    assert(planesPerBandFor(2000) === 5)   // sf0.1
+    assert(planesPerBandFor(4096) === 6)
+    assert(planesPerBandFor(20000) === 9)  // ≈sf1 replica
+    assert(planesPerBandFor(1000000000L) === 24)
+    // beyond the floor: N/2^p ≤ target, and p is the SMALLEST such
+    // width (one fewer plane would overflow the target) — i.e. the
+    // expected bucket population neither grows with N nor wastes
+    // bucket space
+    for (e <- 2 to 40) {
+      val n = 1L << e
+      val p = planesPerBandFor(n)
+      assert(n.toDouble / math.pow(2, p) <= TargetBucket, s"n=$n p=$p too coarse")
+      if (p > PlanesPerBand)
+        assert(n.toDouble / math.pow(2, p - 1) > TargetBucket, s"n=$n p=$p too fine")
+    }
+  }
+
   test("minhash candidates are a subset of true jaccard pairs at the same tau") {
     val lsh = MinHashLSH.nearDupPairs(spark, sf, tau = 0.5)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
