@@ -110,6 +110,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => graft.operators.Analytics3.funnel(s, d)),
     "events_retention" -> ((s, d) => graft.operators.Analytics3.retention(s, d)),
     "ann_recall_report" -> ((s, d) => Similarity.recallReport(s, d)),
+    "ann_appended_recall" -> ((s, d) => Similarity.appendedRecall(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
     "sample_weighted" -> ((s, d) => graft.operators.Curation.weightedSample(s, d)),
     "source_dup_rate" -> ((s, d) => graft.operators.Curation.sourceDupRate(s, d)),
@@ -468,14 +469,18 @@ object SparkEntry {
        | / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))), (x,y)->x+y))
        |  * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64), i -> $b[i] * $b[i])), (x,y)->x+y))))""".stripMargin
 
-  /** One Lloyd assignment pass — mirrors Similarity.ivfKmeansTopK.assign. */
-  private def kmAssignCte(cent: String, out: String): String =
+  /** One Lloyd assignment pass — mirrors Similarity.ivfKmeansTopK.assign.
+    * `src` selects which corpus assigns (training runs on the build
+    * half in the appended-recall oracle; the final pass on the full
+    * corpus). */
+  private def kmAssignCte(cent: String, out: String,
+                          src: String = "v"): String =
     s"""$out AS (
        |  SELECT vec_id, c_id AS cell, e, rn FROM (
-       |    SELECT v.vec_id, c.c_id, v.e,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${duckCosD("v.e", "c.ce")} DESC, c.c_id) AS rn
-       |    FROM v, $cent c)
+       |    SELECT x.vec_id, c.c_id, x.e,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${duckCosD("x.e", "c.ce")} DESC, c.c_id) AS rn
+       |    FROM $src x, $cent c)
        |)""".stripMargin
 
   /** One Lloyd update pass: exact DECIMAL component sums → double mean
@@ -621,7 +626,68 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     def sub(name: String) =
       s"(SELECT q_id, vec_id FROM (${baseOracles(name)}))"
-    baseOracles + ("ann_recall_report" ->
+    baseOracles + ("ann_appended_recall" ->
+      // Replays the grown index: quantizers trained on the BUILD half
+      // (even vec_ids — Lloyd seeds/iterations on vh; LSH plane count
+      // derived from vh's size), then applied frozen to the FULL corpus
+      // — exactly what saveIndexOf(half) + appendToIndex(half) leaves.
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |vh AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM vh WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1", "vh")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2", "vh")},
+         |${kmUpdateCte("a2", "c2")},
+         |${kmAssignCte("c2", "af", "v")},
+         |members AS (SELECT cell, vec_id, e FROM af WHERE rn = 1),
+         |qc AS (SELECT vec_id AS q_id, cell FROM af WHERE vec_id < 20 AND rn <= 2),
+         |pk AS (
+         |  SELECT qc.q_id, m.vec_id, ${duckCos("qv.e", "m.e")} AS cos
+         |  FROM qc JOIN members m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
+         |  JOIN v qv ON qv.vec_id = qc.q_id
+         |),
+         |kmtop AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pk) WHERE rank <= 5),
+         |lshp AS (
+         |  SELECT CASE WHEN m <= 1 THEN ${graft.operators.Similarity.PlanesPerBand}
+         |              ELSE greatest(${graft.operators.Similarity.PlanesPerBand},
+         |                            CAST(floor(log2(CAST(m - 1 AS DOUBLE))) AS INT) + 1) END AS ppb
+         |  FROM (SELECT (count(*) + ${graft.operators.Similarity.TargetBucket - 1})
+         |               // ${graft.operators.Similarity.TargetBucket} AS m
+         |        FROM embeddings WHERE vec_id % 2 = 0)),
+         |$LSH_PL0_CTE,
+         |bits AS (
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl0 p
+         |),
+         |b0 AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id
+         |),
+         |pls AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
+         |  FROM b0 q JOIN b0 b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+         |  JOIN v qv ON qv.vec_id = q.vec_id JOIN v bv ON bv.vec_id = b.vec_id
+         |  WHERE q.vec_id < 20
+         |),
+         |lshtop AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pls) WHERE rank <= 5),
+         |b AS (SELECT q_id, vec_id FROM ${sub("ann_brute_topk")}),
+         |hits AS (
+         |  SELECT 'saved_ivf_kmeans' AS variant, count(*) AS n_hits
+         |    FROM kmtop x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'saved_lsh', count(*) FROM lshtop x JOIN b USING (q_id, vec_id)
+         |)
+         |SELECT variant, n_hits,
+         |  ${ratio4Sql("n_hits",
+                (graft.operators.Similarity.TopK.toLong *
+                 graft.operators.Similarity.NumQueries).toString)} AS recall
+         |FROM hits ORDER BY variant""".stripMargin
+    ) + ("ann_recall_report" ->
       s"""WITH b AS ${sub("ann_brute_topk")},
          |hits AS (
          |  SELECT 'ann_ivf_kmeans' AS variant, count(*) AS n_hits

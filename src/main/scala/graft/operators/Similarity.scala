@@ -881,6 +881,40 @@ object Similarity {
   private def loadPerVec(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).dropDuplicates()
 
+  /** `ann_appended_recall`: the drift panel for GROWN saved indexes —
+    * builds the index on HALF the corpus (even vec_ids), appends the
+    * other half under the frozen quantizers through the real
+    * saveIndexOf/appendToIndex path, then measures recall@k of the
+    * saved searches against the full-corpus brute-force baseline.
+    *
+    * This is the number the freeze-and-append lifecycle is graded by:
+    * quantizers trained on half the data serve the full corpus, so any
+    * distribution drift between build and append shows up HERE as a
+    * recall drop (and triggers a re-train) — measured, not asserted.
+    * IndexStoreSpec pins the recall floor; the DuckDB oracle replays
+    * the half-trained quantizers (Lloyd on even ids, LSH plane count
+    * derived from the BUILD half's size) against the full corpus. */
+  def appendedRecall(spark: SparkSession, dir: String,
+                     k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-appended-recall").toString
+    saveIndexOf(v.filter(col("vec_id") % 2 === 0), idx)
+    appendToIndex(spark, idx, v.filter(col("vec_id") % 2 =!= 0))
+    val brute = bruteTopK(spark, dir, k, nQueries)
+      .select("q_id", "vec_id").localCheckpoint()
+    def row(name: String, tk: DataFrame): DataFrame =
+      tk.select("q_id", "vec_id")
+        .join(brute, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("variant"), col("n_hits"),
+          graft.functions.Hashing.ratio4(col("n_hits"),
+            lit(k.toLong * nQueries)).as("recall"))
+    row("saved_ivf_kmeans", searchSavedIvfKmeans(spark, dir, idx, k, nQueries))
+      .unionByName(row("saved_lsh", searchSavedLsh(spark, dir, idx, k, nQueries)))
+      .orderBy("variant")
+  }
+
   /** k-means-IVF search against a SAVED index — no training, no
     * assignment pass; the corpus scan is only the nQueries probe rows. */
   def searchSavedIvfKmeans(spark: SparkSession, dir: String, indexDir: String,

@@ -68,4 +68,22 @@ class IndexStoreSpec extends SparkSpec {
     assert(rows(Similarity.searchSavedLsh(spark, sf, dirA)) ==
       rows(Similarity.lshTopK(spark, sf)))
   }
+
+  test("appended-index recall floor: half-trained quantizers still serve the full corpus") {
+    // The drift panel (ann_appended_recall): quantizers frozen at the
+    // half-corpus build, other half appended, recall@5 vs full brute.
+    // Floors pin the panel's health on the test corpus (measured 0.85 /
+    // 0.15 — single-bucket LSH is intentionally the low-recall
+    // cheap path; its job here is detecting CHANGE, so the spec also
+    // pins determinism across runs).
+    val r1 = Similarity.appendedRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(r1("saved_ivf_kmeans") >= 0.7,
+      s"half-trained IVF recall collapsed: ${r1("saved_ivf_kmeans")}")
+    assert(r1("saved_lsh") >= 0.1,
+      s"frozen-plane LSH recall collapsed: ${r1("saved_lsh")}")
+    val r2 = Similarity.appendedRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(r1 == r2, "appended-recall panel must be deterministic")
+  }
 }
