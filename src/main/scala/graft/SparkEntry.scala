@@ -2559,16 +2559,21 @@ object SparkEntry {
          |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     // int64-exact PageRank over the near-dup graph, iterations unrolled
-    // to the same fixed depth the operator runs
+    // to the same fixed depth the operator runs. Every chain CTE is
+    // MATERIALIZED: each r$i is referenced TWICE (by c$(i+1) and
+    // r$(i+1)), so DuckDB's default inlining re-evaluates the whole
+    // upstream pair pipeline 2^iters times — at replica (K-fold copy)
+    // pair density that exhausted 100 GiB; materialized, the ≈sf1
+    // replay completes in ~50 s with full (not sampled) verification.
     "dedup_graph_rank" -> {
       val iters = graft.operators.MinHashLSH.CentralityIters
       val iterCtes = (1 to iters).map { i =>
-        s"""c$i AS (
+        s"""c$i AS MATERIALIZED (
            |  SELECT e.d2 AS node,
            |    sum(${halfUpSql("r.r * 85", "deg.outdeg * 100")}) AS in_c
            |  FROM edges e JOIN deg ON e.d1 = deg.d1 JOIN r${i - 1} r ON e.d1 = r.node
            |  GROUP BY 1),
-           |r$i AS (
+           |r$i AS MATERIALIZED (
            |  SELECT p.node, ${halfUpSql("15000000", "100 * nn.n")}
            |    + coalesce(c.in_c, 0) AS r
            |  FROM r${i - 1} p CROSS JOIN nn LEFT JOIN c$i c ON p.node = c.node)""".stripMargin
@@ -2576,10 +2581,10 @@ object SparkEntry {
       s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
          |$MH_PAIRS_CTE,
-         |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
-         |deg AS (SELECT d1, count(*) AS outdeg FROM edges GROUP BY 1),
-         |nn AS (SELECT count(*) AS n FROM deg),
-         |r0 AS (SELECT d1 AS node, 1000000 // nn.n AS r FROM deg CROSS JOIN nn),
+         |edges AS MATERIALIZED (SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+         |deg AS MATERIALIZED (SELECT d1, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+         |r0 AS MATERIALIZED (SELECT d1 AS node, 1000000 // nn.n AS r FROM deg CROSS JOIN nn),
          |$iterCtes
          |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_micro
          |FROM r$iters ORDER BY doc_id""".stripMargin
