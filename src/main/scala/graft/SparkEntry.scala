@@ -194,6 +194,12 @@ object SparkEntry {
     "pipeline_pack_curve" -> ((s, d) => graft.operators.Pipeline.packCurve(s, d)),
     "dedup_normalization_curve" -> ((s, d) => DocDedup.normalizationCurve(s, d)),
     "events_gap_histogram" -> ((s, d) => graft.operators.Analytics3.gapHistogram(s, d)),
+    // round 8: release-gate / versioning / mixture panels
+    "privacy_k_anonymity" -> ((s, d) => graft.operators.Privacy.kAnonymity(s, d)),
+    "events_forecast_error" -> ((s, d) => graft.operators.Analytics6.forecastError(s, d)),
+    "corpus_snapshot_diff" -> ((s, d) => graft.operators.Snapshot.snapshotDiff(s, d)),
+    "pipeline_shard_plan" -> ((s, d) => graft.operators.Pipeline.shardPlan(s, d)),
+    "source_divergence" -> ((s, d) => graft.operators.CorpusStats.sourceDivergence(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2226,6 +2232,130 @@ object SparkEntry {
          |  ${ratio4Sql("n_gaps", "t")} AS share,
          |  ${ratio4Sql("cum_gaps", "t")} AS cum_share
          |FROM cum CROSS JOIN t ORDER BY bucket_rank""".stripMargin
+    },
+
+    // k-anonymity class sizes — mirrors Privacy.kAnonymity
+    "privacy_k_anonymity" -> {
+      val P = graft.operators.Privacy
+      val rankCase = P.KBuckets.map { case (r, _, ub) => s"WHEN k < $ub THEN $r" }
+        .mkString("CASE ", " ", s" ELSE ${P.KBuckets.length + 1} END")
+      val labelCase = P.KBuckets.map { case (r, l, _) => s"WHEN $r THEN '$l'" }
+        .mkString("CASE bucket_rank ", " ", " ELSE 'k>=20' END")
+      s"""WITH ev AS ($EV),
+         |q AS (SELECT event_type, ts_us // ${P.UsPerDay} AS day,
+         |        CAST(ROUND(value*100) AS BIGINT) // ${P.SpendBandCents} AS band
+         |      FROM ev),
+         |cl AS (SELECT event_type, day, band, CAST(count(*) AS BIGINT) AS k
+         |       FROM q GROUP BY 1, 2, 3),
+         |b AS (SELECT CAST($rankCase AS BIGINT) AS bucket_rank, k FROM cl),
+         |c AS (SELECT bucket_rank, CAST(count(*) AS BIGINT) AS n_classes,
+         |        CAST(sum(k) AS BIGINT) AS n_rows FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM c),
+         |cum AS (SELECT bucket_rank, n_classes, n_rows,
+         |          CAST(sum(n_rows) OVER (ORDER BY bucket_rank) AS BIGINT) AS cum_rows
+         |        FROM c)
+         |SELECT bucket_rank, $labelCase AS bucket, n_classes, n_rows,
+         |  ${ratio4Sql("n_rows", "t")} AS row_share,
+         |  ${ratio4Sql("cum_rows", "t")} AS cum_share
+         |FROM cum CROSS JOIN t ORDER BY bucket_rank""".stripMargin
+    },
+
+    // seasonal-naive hourly backtest — mirrors Analytics6.forecastError
+    "events_forecast_error" ->
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT event_type, ts_us // ${graft.operators.Analytics6.UsPerHour} AS hour FROM ev),
+         |c AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+         |      FROM h GROUP BY 1, 2),
+         |rng AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+         |ty AS (SELECT DISTINCT event_type FROM h),
+         |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour
+         |         FROM ty CROSS JOIN rng),
+         |d AS (SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+         |      FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour),
+         |l AS (SELECT event_type, n,
+         |        lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS l24,
+         |        lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS l1
+         |      FROM d),
+         |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |          CAST(sum(n) AS BIGINT) AS total_events,
+         |          CAST(sum(abs(n - l24)) AS BIGINT) AS sae_seasonal,
+         |          CAST(sum(abs(n - l1)) AS BIGINT) AS sae_naive
+         |        FROM l WHERE l24 IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n_hours, total_events, sae_seasonal, sae_naive,
+         |  ${ratio4Sql("sae_seasonal", "n_hours")} AS mae4,
+         |  ${ratio4Sql("sae_seasonal", "greatest(sae_naive, 1)")} AS mase4
+         |FROM agg ORDER BY event_type""".stripMargin,
+
+    // snapshot version diff — mirrors Snapshot.snapshotDiff
+    "corpus_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, source, md5(text) AS dg
+         |      FROM documents WHERE doc_id % 3 <> 0),
+         |v2 AS (SELECT doc_id, source,
+         |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS dg
+         |      FROM documents WHERE doc_id % 5 <> 2),
+         |j AS (SELECT coalesce(v1.source, v2.source) AS source,
+         |        CASE WHEN v1.dg IS NULL THEN 'added'
+         |             WHEN v2.dg IS NULL THEN 'removed'
+         |             WHEN v1.dg <> v2.dg THEN 'changed'
+         |             ELSE 'unchanged' END AS change_class
+         |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+         |c AS (SELECT source, change_class, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM j GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS t FROM c GROUP BY 1)
+         |SELECT c.source AS source, change_class, n_docs,
+         |  ${ratio4Sql("n_docs", "t")} AS class_share
+         |FROM c JOIN t ON c.source = t.source
+         |ORDER BY c.source, change_class""".stripMargin,
+
+    // serpentine token-balanced sharding — mirrors Pipeline.shardPlan
+    "pipeline_shard_plan" -> {
+      val S = graft.operators.Pipeline.NumShards
+      s"""WITH tk AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_toks FROM documents),
+         |r AS (SELECT doc_id, n_toks,
+         |        row_number() OVER (ORDER BY n_toks DESC, doc_id) AS rn FROM tk),
+         |s AS (SELECT n_toks, (rn-1) // $S AS block, (rn-1) % $S AS pos FROM r),
+         |sh AS (SELECT n_toks,
+         |        CAST(CASE WHEN block % 2 = 0 THEN pos ELSE ${S - 1} - pos END AS BIGINT) AS shard
+         |       FROM s),
+         |a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
+         |        CAST(max(n_toks) AS BIGINT) AS max_doc_tokens
+         |      FROM sh GROUP BY 1),
+         |g AS (SELECT CAST(sum(n_toks) AS BIGINT) AS g FROM tk)
+         |SELECT shard, n_docs, shard_tokens, max_doc_tokens,
+         |  ${ratio4Sql("shard_tokens", "g")} AS token_share,
+         |  ${ratio4Sql(s"shard_tokens * $S", "g")} AS balance4
+         |FROM a CROSS JOIN g ORDER BY shard""".stripMargin
+    },
+
+    // pairwise per-source unigram TVD — mirrors CorpusStats.sourceDivergence
+    "source_divergence" -> {
+      val V = graft.operators.CorpusStats.DivVocab
+      s"""WITH toks AS (SELECT source, $TOKS AS t FROM documents),
+         |tk AS (SELECT source, unnest(t) AS term FROM toks),
+         |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |       FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+         |vocab AS (SELECT term FROM (
+         |    SELECT term, CAST(sum(c) AS BIGINT) AS g FROM st GROUP BY 1)
+         |  ORDER BY g DESC, term LIMIT $V),
+         |iv AS (SELECT t.source, v.term, coalesce(st.c, 0) AS c, t.n_s
+         |       FROM tot t CROSS JOIN vocab v
+         |       LEFT JOIN st ON st.source = t.source AND st.term = v.term),
+         |p AS (SELECT source, term,
+         |        CAST(${halfUpSql("c * 1000000", "n_s")} AS BIGINT) AS p6 FROM iv),
+         |oov AS (SELECT source, '<oov>' AS term,
+         |        CAST(greatest(1000000 - sum(p6), 0) AS BIGINT) AS p6
+         |        FROM p GROUP BY 1),
+         |dense AS (SELECT * FROM p UNION ALL SELECT * FROM oov),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        CAST(sum(abs(a.p6 - b.p6)) AS BIGINT) AS l1_ppm
+         |       FROM dense a JOIN dense b
+         |         ON a.term = b.term AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, l1_ppm,
+         |  ${halfUpSql("l1_ppm * 10000", "2000000")} / 10000.0 AS tvd4
+         |FROM pr ORDER BY source_a, source_b""".stripMargin
     },
 
     "lineitem_quantiles" ->

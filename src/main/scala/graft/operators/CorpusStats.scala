@@ -388,4 +388,65 @@ object CorpusStats {
           .as("jaccard"))
       .orderBy("s1", "s2")
   }
+
+  /** Vocabulary size for the [[sourceDivergence]] distribution support. */
+  val DivVocab = 256
+
+  /** #203 `source_divergence`: pairwise total-variation distance
+    * between per-source unigram distributions — the mixture-design
+    * panel that says which sources are interchangeable and which add
+    * genuinely different text (feeds the `pipeline_training_mix`
+    * weights the way DSIR feeds per-document weights). Distributions
+    * live on the corpus-level top-[[DivVocab]] vocabulary plus one
+    * out-of-vocabulary mass bucket, in exact per-million integer units
+    * (halfUp(c·10⁶ / n_source)), so TVD = Σ|p−q| / 2·10⁶ is a pure
+    * int64 rational — bit-identical cross-engine, unlike a KL whose
+    * logs would not be. TVD is a proper f-divergence; 0 = identical
+    * term mix, 1 = disjoint support.
+    *
+    * Shape: the (source, term) count is the only corpus-sized shuffle
+    * (partial-aggregable, the per-doc grain never ships raw tokens);
+    * the vocabulary head is a broadcast; the dense source×vocab grid
+    * (|S|·(V+1) rows), the pair join on term, and the O(|S|²) rollup
+    * are all bounded by constants, independent of corpus size. */
+  def sourceDivergence(spark: SparkSession, dir: String,
+                       vocabSize: Int = DivVocab): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val tk = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("t")).spread
+      .select(col("source"), explode(col("t")).as("term"))
+    val st = tk.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = st.groupBy("source").agg(sum("c").as("n_s"))
+    val vocab = st.groupBy("term").agg(sum("c").as("g"))
+      .orderBy(col("g").desc, col("term")).limit(vocabSize)
+      .select("term")
+    // dense per-million vector over vocab ∪ {<oov>} per source; the
+    // corpus-vocab-sized count frame is first narrowed to the vocab by
+    // a broadcast join, so the dense grid join touches |S|·V rows only
+    val stV = st.join(broadcast(vocab), Seq("term"))
+    val inVocab = totals.crossJoin(broadcast(vocab))
+      .join(stV, Seq("source", "term"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("p6", halfUpDiv(col("c") * 1000000L, col("n_s")))
+    // residual mass; floor-clamped at 0 (half-up per-term rounding can
+    // overshoot 10⁶ by ≤ V/2 ppm — both engines clamp identically)
+    val oov = inVocab.groupBy("source")
+      .agg(greatest(lit(1000000L) - sum("p6"), lit(0L)).as("p6"))
+      .select(col("source"), lit("<oov>").as("term"), col("p6"))
+    val dense = inVocab.select("source", "term", "p6").unionByName(oov)
+      .localCheckpoint()
+    val a = dense.select(col("source").as("source_a"), col("term"),
+      col("p6").as("pa"))
+    val b = dense.select(col("source").as("source_b"), col("term"),
+      col("p6").as("pb"))
+    a.join(b, Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(abs(col("pa") - col("pb"))).as("l1_ppm"))
+      .select(col("source_a"), col("source_b"), col("l1_ppm"),
+        (halfUpDiv(col("l1_ppm") * 10000L, lit(2000000L)) / lit(10000.0))
+          .as("tvd4"))
+      .orderBy("source_a", "source_b")
+  }
 }

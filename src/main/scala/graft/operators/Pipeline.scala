@@ -397,4 +397,47 @@ object Pipeline {
       .select("doc_id", "n_toks", "quality_score", "fingerprint")
       .orderBy("doc_id")
   }
+
+  /** Output shard count for [[shardPlan]]. */
+  val NumShards = 16
+
+  /** #202 `pipeline_shard_plan`: token-balanced output sharding — the
+    * write-side twin of sequence packing. Docs are ranked by
+    * (n_toks desc, doc_id) and dealt serpentine across [[NumShards]]
+    * shards (block b assigns ascending when b is even, descending when
+    * odd — the classic balanced-deal that pairs a block's largest doc
+    * with the previous block's smallest). The panel reports, per
+    * shard, doc/token totals, the largest doc, the exact token share,
+    * and `balance4` = shard_tokens · S / total (1.0 = perfectly even)
+    * — the number a writer checks before committing a layout where
+    * one hot shard would straggle every downstream read.
+    *
+    * Determinism: the deal is a pure function of the global rank, and
+    * the rank comes from the native GlobalRank pass (range-partitioned,
+    * no single-partition window). One token-count scan, one rank pass,
+    * one O(corpus)→O(S) rollup; nothing here widens at 100 TB. */
+  def shardPlan(spark: SparkSession, dir: String,
+                nShards: Int = NumShards): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    val dealt = Ranking.globalRowNumber(perDoc,
+        Seq(col("n_toks").desc, col("doc_id")), "rn")
+      .withColumn("block", intDiv(col("rn") - 1, lit(nShards.toLong)))
+      .withColumn("pos", pmod(col("rn") - 1, lit(nShards.toLong)))
+      .withColumn("shard",
+        when(pmod(col("block"), lit(2L)) === 0L, col("pos"))
+          .otherwise(lit(nShards - 1L) - col("pos")))
+    val tot = perDoc.agg(sum("n_toks").as("g"))
+    dealt.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_tokens"),
+        max("n_toks").as("max_doc_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        col("max_doc_tokens"),
+        ratio4(col("shard_tokens"), col("g")).as("token_share"),
+        ratio4(col("shard_tokens") * nShards, col("g")).as("balance4"))
+      .orderBy("shard")
+  }
 }
