@@ -200,6 +200,9 @@ object SparkEntry {
     "corpus_snapshot_diff" -> ((s, d) => graft.operators.Snapshot.snapshotDiff(s, d)),
     "pipeline_shard_plan" -> ((s, d) => graft.operators.Pipeline.shardPlan(s, d)),
     "source_divergence" -> ((s, d) => graft.operators.CorpusStats.sourceDivergence(s, d)),
+    "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "sample_kcenter" -> ((s, d) => Similarity.kcenterSample(s, d)),
+    "cluster_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -913,6 +916,93 @@ object SparkEntry {
          |SELECT q_id, rank, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
          |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // query-anchored LSH radius search — mirrors Similarity.rangeSearch
+    "ann_range_search" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL_CTE,
+         |bits AS (
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl p
+         |),
+         |buckets AS (
+         |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, p//ppb
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS vec_id
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |  WHERE x.vec_id < ${graft.operators.Similarity.NumQueries}
+         |)
+         |SELECT c.q_id AS q_id, c.vec_id AS vec_id, ${duckCos("a.e", "b.e")} AS cos
+         |FROM cand c JOIN v a ON a.vec_id = c.q_id JOIN v b ON b.vec_id = c.vec_id
+         |WHERE ${duckCos("a.e", "b.e")} >= ${graft.operators.Similarity.RangeTau}
+         |ORDER BY c.q_id, c.vec_id""".stripMargin,
+
+    // greedy farthest-point selection trace — mirrors Similarity.kcenterSample
+    // (materialized CTEs: each round is referenced twice, and default
+    // inlining would re-evaluate the whole chosen-set chain per round —
+    // the dedup_graph_rank lesson)
+    "sample_kcenter" -> {
+      val k = graft.operators.Similarity.KCenterK
+      val rounds = (2 to k).map { r =>
+        s"""c$r AS MATERIALIZED (
+           |  SELECT x.vec_id, x.e, max(${duckCos("x.e", "c.e")}) AS mc
+           |  FROM v x, ch${r - 1} c
+           |  WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+           |  GROUP BY x.vec_id, x.e),
+           |s$r AS MATERIALIZED (
+           |  SELECT CAST($r AS BIGINT) AS rank, vec_id, e, mc AS far_cos
+           |  FROM c$r ORDER BY mc, vec_id LIMIT 1),
+           |ch$r AS MATERIALIZED (
+           |  SELECT vec_id, e FROM ch${r - 1}
+           |  UNION ALL SELECT vec_id, e FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      val unioned = (1 to k)
+        .map(r => s"SELECT rank, vec_id, far_cos FROM s$r")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |s1 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, e, CAST(NULL AS DOUBLE) AS far_cos
+         |  FROM v ORDER BY vec_id LIMIT 1),
+         |ch1 AS MATERIALIZED (SELECT vec_id, e FROM s1),
+         |$rounds
+         |SELECT rank, vec_id, far_cos FROM ($unioned) ORDER BY rank""".stripMargin
+    },
+
+    // per-vector prototypicality — the cluster_kmeans train+assign CTEs,
+    // micro-lifted cosine, exact per-cluster mean, integer band ladder
+    "cluster_prototypicality" -> {
+      val ladder = graft.operators.Similarity.ProtoBands
+        .map { case (_, l, lb) => s"WHEN dev_u6 >= $lb THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'outlier' END")
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |fin AS (
+         |  SELECT vec_id, c_id, cos FROM (
+         |    SELECT v.vec_id, c.c_id, ${duckCosD("v.e", "c.ce")} AS cos,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckCosD("v.e", "c.ce")} DESC, c.c_id) AS rn
+         |    FROM v, c2 c) WHERE rn = 1
+         |),
+         |u AS (SELECT vec_id, c_id, CAST(ROUND(cos * 1000000) AS BIGINT) AS cu FROM fin),
+         |means AS (SELECT c_id,
+         |    CAST(${halfUpSql("CAST(sum(cu) AS BIGINT) + count(*) * 1000000",
+               "count(*)")} - 1000000 AS BIGINT) AS mean_u6
+         |  FROM u GROUP BY c_id),
+         |d AS (SELECT vec_id, c_id, cu, cu - mean_u6 AS dev_u6
+         |      FROM u JOIN means USING (c_id))
+         |SELECT vec_id, c_id AS cluster, cu AS cos_u6, dev_u6,
+         |  $ladder AS band
+         |FROM d ORDER BY vec_id""".stripMargin
+    },
 
     "ann_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

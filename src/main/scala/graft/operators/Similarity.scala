@@ -1004,6 +1004,149 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Radius threshold for [[rangeSearch]] — intentionally below
+    * [[NearDupTau]]: range search answers "everything at least this
+    * related", a retrieval contract, not a dedup one. */
+  val RangeTau = 0.3
+
+  /** #204 `ann_range_search`: radius (threshold) similarity search —
+    * ALL corpus neighbors of each query within cosine ≥ τ, the
+    * retrieval mode top-k can't express (RAG dedup windows, "collect
+    * every passage related to this eval prompt" decontamination
+    * sweeps). Candidates come from the scale-derived hyperplane-LSH
+    * buckets (any shared band bucket), then the exact cosine gate
+    * runs on candidates only — identical structure to the embedding
+    * near-dup pass (#11) but query-anchored and direction-free
+    * (a query's neighbor may have a smaller vec_id). Bounded recall
+    * is the documented trade (the same one #11 makes); the recall
+    * report family grades it.
+    *
+    * Shape: the bucket join ships (band, bucket, id) triples only,
+    * never vectors; vectors attach to the deduplicated candidate set
+    * by two co-partitioned id joins; per-bucket population is held
+    * scale-invariant by planesPerBandFor. */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = RangeTau,
+                  nQueries: Int = NumQueries,
+                  planesPerBand: Int = 0): DataFrame = {
+    val v = vecs(spark, dir)
+    val ppb =
+      if (planesPerBand > 0) planesPerBand else planesPerBandFor(v.count())
+    val b = buckets(spark, dir, NumBands * ppb, ppb)
+    val cand = b.filter(col("vec_id") < nQueries).as("x")
+      .join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("vec_id"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
+      .join(v, "vec_id")
+      .withColumn("cos", cosine("qe", "e"))
+      .filter(col("cos") >= tau)
+      .select("q_id", "vec_id", "cos")
+      .orderBy("q_id", "vec_id")
+  }
+
+  /** Selection size for [[kcenterSample]]. */
+  val KCenterK = 8
+
+  /** #205 `sample_kcenter`: greedy k-center (farthest-point) diversity
+    * selection over the embedding corpus — the coreset primitive
+    * behind diversity-aware data pruning: each round picks the vector
+    * farthest (minimal max-cosine) from everything chosen so far, so
+    * k points cover the corpus with the smallest possible "radius".
+    * The export is the selection TRACE: rank, vec_id, and the
+    * max-cosine to the prior selection at pick time (`far_cos`, null
+    * for the seed) — a decreasing-coverage curve that tells the
+    * curator when additional centers stop buying diversity.
+    *
+    * Determinism: seed = smallest vec_id; every round's argmin
+    * tie-breaks by vec_id. Like the Lloyd trainer, the chosen set is
+    * O(k) driver state re-broadcast each round (k−1 corpus scans, one
+    * partial-aggregable max per vector — no shuffle ever carries
+    * vectors); the oracle unrolls the same rounds as materialized
+    * CTEs. */
+  def kcenterSample(spark: SparkSession, dir: String,
+                    k: Int = KCenterK): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val v = vecs(spark, dir).localCheckpoint(true)
+    val seed = v.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), expr("transform(e, x -> cast(x as double))"))
+      .collect()(0)
+    var chosen = Vector[(Long, Long, Array[Double], Option[Double])](
+      (1L, seed.getLong(0), seed.getSeq[Double](1).toArray, None))
+    for (r <- 2 to k) {
+      val centDf = chosen.map { case (_, id, ce, _) => (id, ce.toSeq) }
+        .toDF("c_id", "ce")
+      val pick = v.filter(!col("vec_id").isInCollection(chosen.map(_._2)))
+        .crossJoin(broadcast(centDf))
+        .withColumn("cs",
+          graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+        .groupBy("vec_id")
+        .agg(max("cs").as("mc"))
+        .agg(min(struct(col("mc"), col("vec_id"))).as("m"))
+        .select(col("m.vec_id"), col("m.mc")).collect()(0)
+      val e = v.filter(col("vec_id") === pick.getLong(0))
+        .select(expr("transform(e, x -> cast(x as double))")).collect()(0)
+        .getSeq[Double](0).toArray
+      chosen :+= ((r.toLong, pick.getLong(0), e, Some(pick.getDouble(1))))
+    }
+    chosen.map { case (rank, id, _, fc) => (rank, id, fc) }
+      .toDF("rank", "vec_id", "far_cos").orderBy("rank")
+  }
+
+  /** Deviation-band ladder for [[prototypicality]] (1e-6 cosine units
+    * below the cluster mean; exact integer boundaries). */
+  val ProtoBands: Seq[(Long, String, Long)] = Seq(
+    (1L, "core", 0L), (2L, "typical", -100000L), (3L, "fringe", -250000L))
+
+  /** #206 `cluster_prototypicality`: per-vector prototypicality
+    * scoring — how close each vector sits to its trained cluster
+    * centroid, relative to the cluster's own mean (the D4/SemDeDup
+    * companion signal: prune fringe vectors for noise, or core
+    * vectors for redundancy, per Sorscher et al.'s "easy examples"
+    * axis). Exports, per vector: assigned cluster, the exact
+    * micro-unit assignment cosine, the deviation from the cluster
+    * mean (`dev_u6`, exact int64), and a CASE-ladder band (core ≥
+    * mean / typical / fringe / outlier) on fixed integer boundaries.
+    *
+    * Unlike a per-cluster rank (a k-way window sort — k partitions
+    * would bottleneck a 100 TB corpus), the band ladder needs only
+    * the O(k) per-cluster means broadcast back over one assignment
+    * scan — scale-free, and the downstream pruning join consumes
+    * bands exactly like it would rank quantiles. */
+  def prototypicality(spark: SparkSession, dir: String, nCentroids: Int = 8,
+                      iters: Int = 2): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val v = vecs(spark, dir)
+    val cent = kmeansCentroids(v, nCentroids, iters)
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cs")).as("ncs"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cluster"),
+        expr("cast(round(-m.ncs * 1000000.0D) as bigint)").as("cos_u6"))
+      .localCheckpoint()
+    // per-cluster mean in exact micro-units (the clusterBalance
+    // arithmetic: +1e6 shift keeps halfUpDiv's num ≥ 0 contract)
+    val means = assigned.groupBy("cluster")
+      .agg((halfUpDiv(sum("cos_u6") + count(lit(1)) * 1000000L,
+        count(lit(1))) - 1000000L).as("mean_u6"))
+    val bandCol = {
+      val dev = col("dev_u6")
+      ProtoBands.reverse.foldLeft(lit("outlier"): Column) {
+        case (acc, (_, l, lb)) => when(dev >= lb, lit(l)).otherwise(acc)
+      }
+    }
+    assigned.join(broadcast(means), "cluster")
+      .withColumn("dev_u6", col("cos_u6") - col("mean_u6"))
+      .select(col("vec_id"), col("cluster"), col("cos_u6"), col("dev_u6"),
+        bandCol.as("band"))
+      .orderBy("vec_id")
+  }
+
   /** Single-bucket search against ALREADY-BUILT band-0 buckets and
     * candidates — shared with the multi-probe variant in recallReport. */
   private def lshSearch(v: DataFrame, b0: DataFrame, candidates: DataFrame,

@@ -112,6 +112,81 @@ class Round8PanelsSpec extends SparkSpec {
     assert(got.forall(r => r._6 > 0.9 && r._6 < 1.1))
   }
 
+  private lazy val vecs: Seq[(Long, Array[Float])] =
+    graft.Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** Left-fold double cosine — the library's exact accumulation order. */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var (ab, aa, bb) = (0.0, 0.0, 0.0)
+    for (i <- a.indices) {
+      ab += a(i).toDouble * b(i).toDouble
+      aa += a(i).toDouble * a(i).toDouble
+      bb += b(i).toDouble * b(i).toDouble
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  test("kcenterSample matches the exact greedy farthest-point model") {
+    val byId = vecs.toMap
+    var chosen = Vector(vecs.map(_._1).min)
+    var trace = Vector[(Long, Long, Option[Double])]((1L, chosen.head, None))
+    for (r <- 2 to Similarity.KCenterK) {
+      val (id, mc) = vecs.filterNot(v => chosen.contains(v._1))
+        .map { case (id, e) => (id, chosen.map(c => cos(e, byId(c))).max) }
+        .minBy { case (id, mc) => (mc, id) }
+      chosen :+= id
+      trace :+= ((r.toLong, id, Some(mc)))
+    }
+    val got = Similarity.kcenterSample(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got == trace)
+    // the coverage radius only shrinks: far_cos is non-decreasing
+    val fc = got.flatMap(_._3)
+    assert(fc == fc.sorted)
+  }
+
+  test("rangeSearch returns only true neighbors (no false positives)") {
+    val got = Similarity.rangeSearch(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = vecs.toMap
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, v, c) =>
+      q < Similarity.NumQueries && v != q &&
+        c >= Similarity.RangeTau && c == cos(byId(q), byId(v))
+    })
+    // subset of the exhaustive threshold scan (LSH bounds recall, never
+    // precision)
+    val brute = (for {
+      (q, qe) <- vecs if q < Similarity.NumQueries
+      (v, ve) <- vecs if v != q && cos(qe, ve) >= Similarity.RangeTau
+    } yield (q, v)).toSet
+    assert(got.forall(r => brute.contains((r._1, r._2))))
+  }
+
+  test("prototypicality bands are exact deviations from cluster means") {
+    val got = Similarity.prototypicality(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.size == vecs.size)
+    // recompute each cluster's halfUp mean from the export itself
+    val means = got.groupBy(_._2).view.mapValues { rows =>
+      val n = rows.size.toLong
+      (rows.map(_._3).sum + n * 1000000L + n / 2) / n - 1000000L
+    }.toMap
+    assert(got.forall { case (_, cl, cu, dev, band) =>
+      dev == cu - means(cl) && band == (
+        if (dev >= 0L) "core"
+        else if (dev >= -100000L) "typical"
+        else if (dev >= -250000L) "fringe"
+        else "outlier")
+    })
+    // assignment agrees with the oracle-pinned clusterKmeans export
+    val km = Similarity.clusterKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, cl, _, _, _) => km(id) == cl })
+  }
+
   test("sourceDivergence matches the per-million TVD model") {
     val tk = docs.flatMap(d => toks(d._3).map((d._2, _)))
     val st = tk.groupBy(identity).view.mapValues(_.size.toLong).toMap
