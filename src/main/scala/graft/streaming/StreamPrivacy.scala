@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.operators.Privacy
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming k-threshold release gate — the online form of the
+  * k-anonymity policy the batch panel (`privacy_k_anonymity`) audits:
+  * a row is released only once its quasi-identifier class holds at
+  * least k rows, so no published row is ever identifiable among fewer
+  * than k−1 peers. Until a class reaches k its rows are BUFFERED in
+  * state; the k-th arrival flushes the buffer and opens the class
+  * (subsequent rows flow straight through with one O(1) state read).
+  *
+  * State per QI class: the open flag plus at most k−1 buffered rows —
+  * bounded by construction, hash-partitioned on the class key exactly
+  * like the batch panel's one shuffle, so 1000 executors shard the
+  * class space evenly (day+band split hot event types). Release-time
+  * semantics over any finite stream: the released set equals the batch
+  * filter "rows whose class count ≥ k" — the parity the spec pins.
+  */
+object StreamPrivacy {
+
+  /** Event with its QI class precomputed (same grain as the panel). */
+  case class Ev(event_id: Long, day: Long, band: Long, event_type: String)
+
+  /** open=class reached k; buf=rows awaiting the threshold (≤ k−1). */
+  case class GateState(open: Boolean, buf: List[Ev])
+
+  /** Attach the (event_type, day, band) QI columns to a canonical
+    * events frame — shared with the batch panel's grain. */
+  def withQi(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    ev.select(col("event_id"), col("event_type"),
+      intDiv(col("ts_us"), lit(Privacy.UsPerDay)).as("day"),
+      intDiv(round(col("value") * 100).cast("long"),
+        lit(Privacy.SpendBandCents)).as("band"))
+  }
+
+  /** The gate: releases each row of a QI class only once the class has
+    * seen at least k rows (the k-th arrival flushes the buffer). */
+  def thresholdRelease(events: Dataset[Ev], k: Int): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    events.groupByKey(e => (e.event_type, e.day, e.band))
+      .flatMapGroupsWithState[GateState, Ev](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val st = state.getOption.getOrElse(GateState(open = false, Nil))
+          if (st.open) rows
+          else {
+            val buf = st.buf ++ rows // arrival order, ≤ k−1 + batch rows
+            if (buf.size >= k) {
+              state.update(GateState(open = true, Nil))
+              buf.iterator
+            } else {
+              state.update(GateState(open = false, buf))
+              Iterator.empty
+            }
+          }
+      }
+  }
+}
