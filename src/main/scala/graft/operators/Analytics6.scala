@@ -31,9 +31,12 @@ object Analytics6 {
     import graft.functions.Hashing.{intDiv, ratio4}
     val ev = Dedup.eventsUs(spark, dir)
       .select(col("event_type"), intDiv(col("ts_us"), lit(UsPerHour)).as("hour"))
+    // one corpus pass: the hour range and the type set are re-derived
+    // from the O(types × hours) count frame, not extra event scans
     val counts = ev.groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
-    val rng = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
-    val types = ev.select("event_type").distinct()
+      .localCheckpoint()
+    val rng = counts.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val types = counts.select("event_type").distinct()
     val grid = types.crossJoin(broadcast(rng))
       .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
     val w = Window.partitionBy("event_type").orderBy("hour")

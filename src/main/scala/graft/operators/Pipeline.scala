@@ -418,26 +418,39 @@ object Pipeline {
     * one O(corpus)→O(S) rollup; nothing here widens at 100 TB. */
   def shardPlan(spark: SparkSession, dir: String,
                 nShards: Int = NumShards): DataFrame = {
-    import graft.functions.Hashing.{intDiv, ratio4}
-    val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread
-      .select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
-    val dealt = Ranking.globalRowNumber(perDoc,
-        Seq(col("n_toks").desc, col("doc_id")), "rn")
-      .withColumn("block", intDiv(col("rn") - 1, lit(nShards.toLong)))
-      .withColumn("pos", pmod(col("rn") - 1, lit(nShards.toLong)))
-      .withColumn("shard",
-        when(pmod(col("block"), lit(2L)) === 0L, col("pos"))
-          .otherwise(lit(nShards - 1L) - col("pos")))
-    val tot = perDoc.agg(sum("n_toks").as("g"))
-    dealt.groupBy("shard")
+    import graft.functions.Hashing.ratio4
+    // grand total re-derived from the O(S) rollup, not a second
+    // corpus tokenize pass (the gapHistogram cells→total pattern)
+    val cells = shardAssignments(spark, dir, nShards).groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("shard_tokens"),
         max("n_toks").as("max_doc_tokens"))
+      .localCheckpoint()
+    val tot = cells.agg(sum("shard_tokens").as("g"))
+    cells
       .crossJoin(broadcast(tot))
       .select(col("shard"), col("n_docs"), col("shard_tokens"),
         col("max_doc_tokens"),
         ratio4(col("shard_tokens"), col("g")).as("token_share"),
         ratio4(col("shard_tokens") * nShards, col("g")).as("balance4"))
       .orderBy("shard")
+  }
+
+  /** The per-doc shard assignment [[shardPlan]] summarizes — the frame
+    * the writer actually consumes (`df.write.partitionBy` on `shard`,
+    * or a repartition by it): doc_id, n_toks, global rank, shard. */
+  def shardAssignments(spark: SparkSession, dir: String,
+                       nShards: Int = NumShards): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    Ranking.globalRowNumber(perDoc,
+        Seq(col("n_toks").desc, col("doc_id")), "rn")
+      .withColumn("block", intDiv(col("rn") - 1, lit(nShards.toLong)))
+      .withColumn("pos", pmod(col("rn") - 1, lit(nShards.toLong)))
+      .withColumn("shard",
+        when(pmod(col("block"), lit(2L)) === 0L, col("pos"))
+          .otherwise(lit(nShards - 1L) - col("pos")))
+      .drop("block", "pos")
   }
 }

@@ -327,4 +327,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(scanCount(p, "documents") == 1,
       s"ctx/v2/join must reuse the checkpointed pair table:\n$p")
   }
+
+  test("shardAssignments: native global rank over one tokenize pass") {
+    val p = graft.operators.Pipeline.shardAssignments(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRank"), "the deal must ride the native range-partitioned rank")
+    assert(!p.contains("Window"), "no window may replace the native rank")
+    assert(scanCount(p, "documents") == 1, s"one tokenize pass only:\n$p")
+  }
+
+  test("pipeline_shard_plan: panel reads the checkpointed O(S) rollup only") {
+    val p = plan("pipeline_shard_plan")
+    assert(scanCount(p, "documents") == 0,
+      s"the grand total must come from the O(S) rollup, not a second tokenize:\n$p")
+    assert(p.contains("BroadcastExchange"), "the 1-row total must broadcast")
+  }
+
+  test("source_divergence: pair stage never rescans the corpus") {
+    val p = plan("source_divergence")
+    // the (source,term) count frame is narrowed to the vocab and
+    // checkpointed upstream — the visible pair join runs on bounded
+    // |S|·(V+1) frames and the corpus is aggregated exactly once
+    assert(scanCount(p, "documents") == 0, s"dense grid must be checkpointed:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross products")
+  }
+
+  test("cluster_prototypicality: means broadcast back over one assignment scan") {
+    val p = plan("cluster_prototypicality")
+    assert(p.contains("BroadcastHashJoin"), "O(k) means must broadcast, never shuffle the corpus")
+    assert(!p.contains("Window"), "banding must not introduce a per-cluster window sort")
+  }
+
+  test("events_forecast_error: grid, lags and rollup feed off the checkpointed count frame") {
+    val p = plan("events_forecast_error")
+    assert(scanCount(p, "events") == 0,
+      s"hour range and type set must derive from the count frame:\n$p")
+  }
+
+  test("ann_range_search: bucket-join candidates, no cartesian anywhere") {
+    val p = plan("ann_range_search")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be the equi-join on (band, bucket)")
+  }
 }
