@@ -1062,15 +1062,16 @@ object Similarity {
     *
     * Determinism: seed = smallest vec_id; every round's argmin
     * tie-breaks by vec_id. Like the Lloyd trainer, the chosen set is
-    * O(k) driver state re-broadcast each round (k−1 corpus scans, one
-    * partial-aggregable max per vector — no shuffle ever carries
-    * vectors); the oracle unrolls the same rounds as materialized
-    * CTEs. */
+    * O(k) driver state re-broadcast each round, and each round re-scans
+    * the two-column parquet slice rather than pinning the corpus in
+    * executor memory (k−1 scans, one partial-aggregable max per vector
+    * — no shuffle ever carries vectors); the oracle unrolls the same
+    * rounds as materialized CTEs. */
   def kcenterSample(spark: SparkSession, dir: String,
                     k: Int = KCenterK): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val v = vecs(spark, dir).localCheckpoint(true)
+    val v = vecs(spark, dir)
     val seed = v.orderBy("vec_id").limit(1)
       .select(col("vec_id"), expr("transform(e, x -> cast(x as double))"))
       .collect()(0)
