@@ -125,6 +125,14 @@ final class DocPipeline private (val df: DataFrame) {
       graft.operators.QualityModels.dsirScoreOf(df.select("doc_id", "text"), buckets)
         .select("doc_id", "importance"),
       "doc_id"))
+
+  /** Terminal: token-balanced serpentine shard assignment of the
+    * SURVIVING corpus (pipeline_shard_plan semantics) — the frame a
+    * writer feeds to `partitionBy("shard")` so no output shard
+    * straggles downstream reads. */
+  def sharded(nShards: Int = graft.operators.Pipeline.NumShards): DataFrame =
+    graft.operators.Pipeline.shardAssignmentsOf(
+      df.select("doc_id", "text"), nShards)
 }
 
 object DocPipeline {

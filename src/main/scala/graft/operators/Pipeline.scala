@@ -439,9 +439,16 @@ object Pipeline {
     * the writer actually consumes (`df.write.partitionBy` on `shard`,
     * or a repartition by it): doc_id, n_toks, global rank, shard. */
   def shardAssignments(spark: SparkSession, dir: String,
-                       nShards: Int = NumShards): DataFrame = {
+                       nShards: Int = NumShards): DataFrame =
+    shardAssignmentsOf(
+      Tables.documents(spark, dir).select("doc_id", "text").spread, nShards)
+
+  /** [[shardAssignments]] over any (doc_id, text) frame — the
+    * DocPipeline hook. */
+  def shardAssignmentsOf(docs: DataFrame,
+                         nShards: Int = NumShards): DataFrame = {
     import graft.functions.Hashing.intDiv
-    val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread
+    val perDoc = docs
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
     Ranking.globalRowNumber(perDoc,

@@ -35,6 +35,8 @@ class DocPipelineSpec extends SparkSpec {
       rows(graft.operators.Pipeline.packSequences(spark, sf)))
     assert(rows(DocPipeline(docs).mixReport) ===
       rows(graft.operators.Curation.sourceMixReport(spark, sf)))
+    assert(rows(DocPipeline(docs).sharded().orderBy("doc_id")) ===
+      rows(graft.operators.Pipeline.shardAssignments(spark, sf).orderBy("doc_id")))
     // and after a filtering stage the packing is over SURVIVORS only:
     // offsets re-base to the surviving corpus
     val packedFiltered = DocPipeline(docs)

@@ -141,4 +141,56 @@ class RandomizedModelSpec extends SparkSpec {
       assert(whole === truth, s"trial $trial vs ground truth")
     }
   }
+
+  test("IncrementalAgg: random append/retract interleavings equal the surviving-row aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // random rows over few keys → dense collisions; value in cents
+      val all = (0 until 300).map(i =>
+        (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(10000).toLong))
+      // append everything in random batch cuts, then retract a random subset
+      val cuts = all.grouped(1 + rnd.nextInt(80)).toSeq
+      val retracted = all.filter(_ => rnd.nextBoolean())
+      val empty = Seq.empty[(String, Long, Long)].toDF("k", "n", "sum_cents")
+      def df(rows: Seq[(Long, String, Long)]) = rows.toDF("id", "k", "cents")
+      var state = cuts.foldLeft(empty)((st, b) =>
+        IncrementalAgg.applyAppend(st, df(b), Seq("k"), col("cents")).localCheckpoint())
+      state = IncrementalAgg.applyRetract(state, df(retracted), Seq("k"), col("cents"))
+        .localCheckpoint()
+      val survivors = all.filterNot(retracted.toSet)
+      val want = survivors.groupBy(_._2).view
+        .mapValues(g => (g.size.toLong, g.map(_._3).sum)).toMap
+      val got = state.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("snapshotDiffOf: random membership/edit patterns equal the set model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    for (trial <- 1 to 3) {
+      val ids = (0L until 200L).filter(_ => rnd.nextBoolean())
+      val v1Rows = ids.filter(_ % 4 != 1).map(i => (i, s"s${i % 3}", s"text-$i"))
+      val v2Rows = ids.filter(_ % 5 != 2).map(i =>
+        (i, s"s${i % 3}", if (rnd.nextInt(3) == 0) s"text-$i!" else s"text-$i"))
+      val got = Snapshot.snapshotDiffOf(
+          v1Rows.toDF("doc_id", "source", "text"),
+          v2Rows.toDF("doc_id", "source", "text"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val m1 = v1Rows.map(r => r._1 -> r).toMap
+      val m2 = v2Rows.map(r => r._1 -> r).toMap
+      val want = (m1.keySet ++ m2.keySet).toSeq.map { id =>
+        val src = m1.get(id).orElse(m2.get(id)).get._2
+        val c =
+          if (!m1.contains(id)) "added"
+          else if (!m2.contains(id)) "removed"
+          else if (m1(id)._3 != m2(id)._3) "changed"
+          else "unchanged"
+        (src, c)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
 }
