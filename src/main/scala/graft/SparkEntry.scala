@@ -203,6 +203,7 @@ object SparkEntry {
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.kcenterSample(s, d)),
     "cluster_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
+    "contamination_semantic" -> ((s, d) => Similarity.semanticContamination(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -940,6 +941,41 @@ object SparkEntry {
          |FROM cand c JOIN v a ON a.vec_id = c.q_id JOIN v b ON b.vec_id = c.vec_id
          |WHERE ${duckCos("a.e", "b.e")} >= ${graft.operators.Similarity.RangeTau}
          |ORDER BY c.q_id, c.vec_id""".stripMargin,
+
+    // embedding-space decontamination — mirrors Similarity.semanticContamination
+    "contamination_semantic" -> {
+      val M = graft.operators.Similarity.EvalMod
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL_CTE,
+         |bits AS (
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl p
+         |),
+         |buckets AS (
+         |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, p//ppb
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS eval_id
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.vec_id % $M <> 0 AND y.vec_id % $M = 0
+         |),
+         |sc AS (
+         |  SELECT c.vec_id, c.eval_id, ${duckCos("a.e", "b.e")} AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.vec_id
+         |              JOIN v b ON b.vec_id = c.eval_id
+         |  WHERE ${duckCos("a.e", "b.e")} >= ${graft.operators.Similarity.RangeTau}
+         |),
+         |r AS (SELECT vec_id, eval_id, cos,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, eval_id) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_hits
+         |      FROM sc)
+         |SELECT vec_id, n_hits, cos AS max_cos, eval_id AS nearest_eval
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
 
     // greedy farthest-point selection trace — mirrors Similarity.kcenterSample
     // (materialized CTEs: each round is referenced twice, and default

@@ -1047,6 +1047,52 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
+  /** Deterministic pseudo-eval-set stride for [[semanticContamination]]
+    * (vec_id ≡ 0 mod 17 plays the held-out eval embedding set). */
+  val EvalMod = 17L
+
+  /** #211 `contamination_semantic`: embedding-space decontamination —
+    * the semantic complement of the lexical n-gram screen
+    * (`contamination_ngrams`): a training vector is flagged when it
+    * sits within cosine ≥ τ of ANY eval-set embedding, catching the
+    * paraphrased/translated eval leakage a token-overlap screen cannot
+    * see. Per flagged vector: how many eval items it collides with,
+    * the max cosine, and the nearest eval id (ties by smaller id) —
+    * the removal join consumes the vec_ids, the audit reads the rest.
+    *
+    * Candidates come from the scale-derived LSH buckets (train×eval
+    * restricted to shared band buckets — never all-pairs; the eval
+    * side is tiny, so bucket populations stay the corpus-side bound);
+    * the exact cosine gate runs on candidates only. Same bounded-recall
+    * trade as every LSH screen here, and the right default for a
+    * decontamination PASS over 100 TB — the brute `rangeSearch`
+    * baseline exists for spot audits. */
+  def semanticContamination(spark: SparkSession, dir: String,
+                            tau: Double = RangeTau,
+                            evalMod: Long = EvalMod,
+                            planesPerBand: Int = 0): DataFrame = {
+    val v = vecs(spark, dir)
+    val ppb =
+      if (planesPerBand > 0) planesPerBand else planesPerBandFor(v.count())
+    val b = buckets(spark, dir, NumBands * ppb, ppb)
+    val cand = b.filter(pmod(col("vec_id"), lit(evalMod)) =!= 0L).as("x")
+      .join(b.filter(pmod(col("vec_id"), lit(evalMod)) === 0L).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("eval_id"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id"), col("e")), "vec_id")
+      .join(v.select(col("vec_id").as("eval_id"), col("e").as("qe")), "eval_id")
+      .withColumn("cos", cosine("e", "qe"))
+      .filter(col("cos") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(struct((-col("cos")).as("nc"), col("eval_id"))).as("m"))
+      .select(col("vec_id"), col("n_hits"),
+        (-col("m.nc")).as("max_cos"), col("m.eval_id").as("nearest_eval"))
+      .orderBy("vec_id")
+  }
+
   /** Selection size for [[kcenterSample]]. */
   val KCenterK = 8
 

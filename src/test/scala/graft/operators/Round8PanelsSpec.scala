@@ -165,6 +165,26 @@ class Round8PanelsSpec extends SparkSpec {
     assert(got.forall(r => brute.contains((r._1, r._2))))
   }
 
+  test("semanticContamination flags only true eval neighbors, never eval rows") {
+    val got = Similarity.semanticContamination(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byId = vecs.toMap
+    val evalIds = vecs.map(_._1).filter(_ % Similarity.EvalMod == 0)
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 % Similarity.EvalMod != 0), "eval rows never flag")
+    // exhaustive screen: every flagged vector's stats must be consistent
+    // with SOME subset of its true eval neighbors (LSH bounds recall,
+    // never precision), and the reported nearest must be a true neighbor
+    val trueNbrs: Map[Long, Seq[(Long, Double)]] = got.map(_._1).distinct.map { v =>
+      v -> evalIds.map(e => (e, cos(byId(v), byId(e))))
+        .filter(_._2 >= Similarity.RangeTau)
+    }.toMap
+    assert(got.forall { case (v, nHits, maxCos, nearest) =>
+      val nbrs = trueNbrs(v)
+      nHits <= nbrs.size && nbrs.exists { case (e, c) => e == nearest && c == maxCos }
+    })
+  }
+
   test("prototypicality bands are exact deviations from cluster means") {
     val got = Similarity.prototypicality(spark, sf).collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
