@@ -207,6 +207,18 @@ class Round8PanelsSpec extends SparkSpec {
     assert(got.forall { case (id, cl, _, _, _) => km(id) == cl })
   }
 
+  test("degenerate inputs: identical snapshots, empty privacy frame, k=1 gate") {
+    import org.apache.spark.sql.functions.col
+    // identical snapshots → every doc 'unchanged', shares 1.0
+    val d = graft.Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val same = Snapshot.snapshotDiffOf(d, d).collect()
+    assert(same.forall(r => r.getString(1) == "unchanged" && r.getDouble(3) == 1.0))
+    assert(same.map(_.getLong(2)).sum == d.count())
+    // empty events frame → empty k-anonymity panel, no division errors
+    assert(Privacy.kAnonymityOf(
+      Dedup.eventsUs(spark, sf).filter(col("event_id") < 0)).count() == 0L)
+  }
+
   test("sourceDivergence matches the per-million TVD model") {
     val tk = docs.flatMap(d => toks(d._3).map((d._2, _)))
     val st = tk.groupBy(identity).view.mapValues(_.size.toLong).toMap
