@@ -204,6 +204,13 @@ object SparkEntry {
     "sample_kcenter" -> ((s, d) => Similarity.kcenterSample(s, d)),
     "cluster_prototypicality" -> ((s, d) => Similarity.prototypicality(s, d)),
     "contamination_semantic" -> ((s, d) => Similarity.semanticContamination(s, d)),
+    // round 8 wave 2: blocking, change-points, span/diversity panels
+    "dedup_sorted_neighborhood" -> ((s, d) => graft.operators.Blocking.sortedNeighborhood(s, d)),
+    "events_cusum_drift" -> ((s, d) => graft.operators.Analytics6.cusumDrift(s, d)),
+    "source_simpson_diversity" -> ((s, d) => graft.operators.CorpusStats.sourceSimpson(s, d)),
+    "docs_dup_span_coverage" -> ((s, d) => graft.operators.Spans.dupSpanCoverage(s, d)),
+    "ann_ivf_replicated" -> ((s, d) => Similarity.ivfReplicatedTopK(s, d)),
+    "embeddings_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3460,6 +3467,187 @@ object SparkEntry {
          |  ${halfUpSql("CAST(sum(c * w4) AS BIGINT)", "CAST(sum(c) AS BIGINT)")} / 10000.0
          |    AS importance
          |FROM pdb JOIN w USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ---- round 8 wave 2 -------------------------------------------------
+
+    // sorted-neighborhood blocking — mirrors Blocking.sortedNeighborhood
+    "dedup_sorted_neighborhood" -> {
+      val w = graft.operators.Blocking.SnWindow
+      val kl = graft.operators.Blocking.SnKeyLen
+      val tau = graft.operators.Blocking.SnTau
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, $kl) AS bkey
+         |  FROM documents),
+         |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bkey, doc_id) AS BIGINT) AS rn
+         |      FROM k),
+         |ts AS (SELECT doc_id, list_distinct($TOKS) AS ts FROM documents),
+         |pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, b.rn - a.rn AS gap
+         |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND ${w - 1}),
+         |j AS (
+         |  SELECT d1, d2, gap,
+         |    CAST(len(list_intersect(t1.ts, t2.ts)) AS BIGINT) AS inter,
+         |    CAST(len(t1.ts) + len(t2.ts) - len(list_intersect(t1.ts, t2.ts)) AS BIGINT) AS uni
+         |  FROM pr JOIN ts t1 ON t1.doc_id = pr.d1 JOIN ts t2 ON t2.doc_id = pr.d2)
+         |SELECT d1, d2, gap, jacc4 FROM (
+         |  SELECT d1, d2, gap, ${ratio4Sql("inter", "greatest(uni, 1)")} AS jacc4 FROM j)
+         |WHERE jacc4 >= $tau ORDER BY d1, d2""".stripMargin
+    },
+
+    // exact CUSUM drift panel — mirrors Analytics6.cusumDrift
+    "events_cusum_drift" -> {
+      val lam = graft.operators.Analytics6.CusumLambdaMeanHours
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT event_type, ts_us // ${graft.operators.Analytics6.UsPerHour} AS hour FROM ev),
+         |c AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+         |      FROM h GROUP BY 1, 2),
+         |rng AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+         |ty AS (SELECT DISTINCT event_type FROM h),
+         |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour
+         |         FROM ty CROSS JOIN rng),
+         |d AS (SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+         |      FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |        CAST(sum(n) AS BIGINT) AS total_events
+         |      FROM d GROUP BY 1),
+         |cc AS (
+         |  SELECT d.event_type, d.hour, t.n_hours, t.total_events,
+         |    CAST(sum(d.n * t.n_hours - t.total_events) OVER
+         |      (PARTITION BY d.event_type ORDER BY d.hour
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+         |  FROM d JOIN t USING (event_type)),
+         |s AS (
+         |  SELECT *, c2 - least(0, min(c2) OVER w) AS s_pos,
+         |    greatest(0, max(c2) OVER w) - c2 AS s_neg
+         |  FROM cc
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f AS (SELECT *, s_pos > total_events * $lam AS flagged FROM s),
+         |a1 AS (
+         |  SELECT event_type, min(n_hours) AS n_hours,
+         |    min(total_events) AS total_events,
+         |    max(s_pos) AS s_pos_max,
+         |    CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |    min(CASE WHEN flagged THEN hour END) AS first_flag_hour,
+         |    max(s_neg) AS s_neg_max
+         |  FROM f GROUP BY 1),
+         |pk AS (
+         |  SELECT f.event_type, min(f.hour) AS peak_hour
+         |  FROM f JOIN a1 USING (event_type) WHERE f.s_pos = a1.s_pos_max
+         |  GROUP BY 1)
+         |SELECT a1.event_type AS event_type, n_hours, total_events, s_pos_max,
+         |  peak_hour, n_flagged, first_flag_hour, s_neg_max
+         |FROM a1 JOIN pk USING (event_type) ORDER BY event_type""".stripMargin
+    },
+
+    // per-source Simpson concentration — mirrors CorpusStats.sourceSimpson
+    "source_simpson_diversity" ->
+      s"""WITH toks AS (SELECT source, $TOKS AS t FROM documents),
+         |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT source, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        CAST(count(*) AS BIGINT) AS vocab,
+         |        CAST(sum(c * (c - 1)) AS BIGINT) AS sum_c2,
+         |        CAST(max(c) AS BIGINT) AS top_tf
+         |      FROM tf GROUP BY 1)
+         |SELECT source, n_tokens, vocab,
+         |  ${ratio4Sql("sum_c2", "greatest(n_tokens * (n_tokens - 1), 1)")} AS simpson4,
+         |  ${ratio4Sql("top_tf", "greatest(n_tokens, 1)")} AS top_share4,
+         |  ${ratio4Sql("vocab", "greatest(n_tokens, 1)")} AS ttr4
+         |FROM a ORDER BY source""".stripMargin,
+
+    // duplicated-span coverage — mirrors Spans.dupSpanCoverage
+    "docs_dup_span_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, source, $TOKS AS t FROM documents),
+         |meta AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_toks FROM toks),
+         |pos AS (
+         |  SELECT doc_id, CAST(ps.p AS BIGINT) AS p, ${H64("ps.sh")} AS sh FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+         |      i -> {'p': i, 'sh': concat_ws(' ', t[i], t[i+1], t[i+2])})) AS ps
+         |    FROM toks WHERE len(t) >= 3)),
+         |dup AS (
+         |  SELECT doc_id, p, p + 2 AS e FROM (
+         |    SELECT doc_id, p,
+         |      min(doc_id) OVER (PARTITION BY sh) AS mn,
+         |      max(doc_id) OVER (PARTITION BY sh) AS mx
+         |    FROM pos)
+         |  WHERE mn <> mx),
+         |isl0 AS (
+         |  SELECT doc_id, p, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM dup),
+         |isl AS (
+         |  SELECT doc_id, p, e,
+         |    CAST(sum(CASE WHEN pme IS NULL OR p > pme THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY doc_id ORDER BY p
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+         |  FROM isl0),
+         |cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS covered FROM (
+         |  SELECT doc_id, island, max(e) - min(p) + 1 AS len FROM isl GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |per AS (
+         |  SELECT m.source, m.n_toks, coalesce(c.covered, 0) AS covered,
+         |    (coalesce(c.covered, 0) * 10) // greatest(m.n_toks, 1) AS band
+         |  FROM meta m LEFT JOIN cov c USING (doc_id))
+         |SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS tot_tokens,
+         |  CAST(sum(covered) AS BIGINT) AS dup_tokens,
+         |  ${ratio4Sql("CAST(sum(covered) AS BIGINT)",
+                        "greatest(CAST(sum(n_toks) AS BIGINT), 1)")} AS share4
+         |FROM per GROUP BY 1, 2 ORDER BY source, band""".stripMargin,
+
+    // SPANN-style boundary-replicated IVF — mirrors Similarity.ivfReplicatedTopK
+    "ann_ivf_replicated" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |rk AS (
+         |  SELECT x.vec_id, c.c_id, x.e, ${duckCosD("x.e", "c.ce")} AS cs,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${duckCosD("x.e", "c.ce")} DESC, c.c_id) AS rn
+         |  FROM v x, c2 c),
+         |a AS (
+         |  SELECT r1.vec_id, r1.e, r1.c_id AS cell1, r1.cs AS cs1,
+         |         r2.c_id AS cell2, r2.cs AS cs2
+         |  FROM rk r1 JOIN rk r2 ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+         |members AS (
+         |  SELECT vec_id, cell1 AS cell, e FROM a
+         |  UNION ALL
+         |  SELECT vec_id, cell2, e FROM a
+         |  WHERE cs2 >= cs1 - ${graft.operators.Similarity.ReplicaEps}),
+         |p AS (
+         |  SELECT qa.vec_id AS q_id, m.vec_id, ${duckCos("qa.e", "m.e")} AS cos
+         |  FROM a qa JOIN members m ON m.cell = qa.cell1 AND m.vec_id <> qa.vec_id
+         |  WHERE qa.vec_id < 20)
+         |SELECT q_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM p) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // per-dimension moment audit — mirrors Similarity.dimStats
+    "embeddings_dim_stats" ->
+      s"""WITH v AS (SELECT embedding AS e FROM embeddings),
+         |x AS (
+         |  SELECT CAST(g.i - 1 AS BIGINT) AS dim,
+         |    CAST(ROUND(CAST(e[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS u6,
+         |    CAST(ROUND(CAST(e[g.i] AS DOUBLE) * 1000.0) AS BIGINT) AS u3
+         |  FROM v, generate_series(1, 64) g(i)),
+         |a AS (
+         |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(u6) AS BIGINT) AS sum_u6,
+         |    min(u6) AS min_u6, max(u6) AS max_u6,
+         |    CAST(sum(CASE WHEN u6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |    CAST(sum(u3 * u3) AS BIGINT) AS sumsq_u3
+         |  FROM x GROUP BY 1)
+         |SELECT dim, n, sum_u6, min_u6, max_u6, n_zero,
+         |  CAST(sum_u6 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_u6,
+         |  CAST(sumsq_u3 AS DOUBLE) / CAST(n AS DOUBLE) AS meansq_u6
+         |FROM a ORDER BY dim""".stripMargin,
   )
 
   /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */

@@ -9,6 +9,37 @@ object Analytics6 {
 
   val UsPerHour = 3600000000L
 
+  /** DENSE per-type hourly count grid (missing hours count 0) over the
+    * corpus hour range — the shared substrate of every hourly
+    * time-series panel here (lag-k and cumulative-sum windows over a
+    * sparse frame would silently compare non-adjacent hours). One
+    * (type, hour) groupBy is the only corpus-sized shuffle; the hour
+    * range and the type set are re-derived from the O(types × hours)
+    * count frame, not extra event scans. */
+  def denseHourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    densify(sparseHourlyCounts(spark, dir))
+
+  /** The raw (event_type, hour, n) count frame — the state a streaming
+    * monitor maintains incrementally (counts are a ℤ-group: folding
+    * micro-batch deltas equals recounting; StreamDrift). */
+  def sparseHourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    Dedup.eventsUs(spark, dir)
+      .select(col("event_type"), intDiv(col("ts_us"), lit(UsPerHour)).as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+  }
+
+  /** Sparse (event_type, hour, n) → the dense grid. */
+  def densify(counts0: DataFrame): DataFrame = {
+    val counts = counts0.localCheckpoint()
+    val rng = counts.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val types = counts.select("event_type").distinct()
+    types.crossJoin(broadcast(rng))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+      .join(counts, Seq("event_type", "hour"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
   /** #200 `events_forecast_error`: seasonal-naive backtest of the
     * hourly event-count series, per event type. Forecast for hour h is
     * the count at h−24 (period-24 seasonal naive — the standard
@@ -28,20 +59,10 @@ object Analytics6 {
     * is floor-guarded at 1 (a constant series has zero persistence
     * error; the guard only fires when MASE is meaningless anyway). */
   def forecastError(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Hashing.{intDiv, ratio4}
-    val ev = Dedup.eventsUs(spark, dir)
-      .select(col("event_type"), intDiv(col("ts_us"), lit(UsPerHour)).as("hour"))
-    // one corpus pass: the hour range and the type set are re-derived
-    // from the O(types × hours) count frame, not extra event scans
-    val counts = ev.groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val rng = counts.agg(min("hour").as("h0"), max("hour").as("h1"))
-    val types = counts.select("event_type").distinct()
-    val grid = types.crossJoin(broadcast(rng))
-      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    import graft.functions.Hashing.ratio4
+    val grid = denseHourlyCounts(spark, dir)
     val w = Window.partitionBy("event_type").orderBy("hour")
-    grid.join(counts, Seq("event_type", "hour"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
+    grid
       .withColumn("l24", lag("n", 24).over(w))
       .withColumn("l1", lag("n", 1).over(w))
       .filter(col("l24").isNotNull)
@@ -54,6 +75,75 @@ object Analytics6 {
         col("sae_seasonal"), col("sae_naive"),
         ratio4(col("sae_seasonal"), col("n_hours")).as("mae4"),
         ratio4(col("sae_seasonal"), greatest(col("sae_naive"), lit(1L))).as("mase4"))
+      .orderBy("event_type")
+  }
+
+  /** CUSUM drift threshold, in mean-hours of cumulative excess: a
+    * drift fires once a type's event rate has run a cumulative
+    * [[CusumLambdaMeanHours]]·mean events above its corpus-lifetime
+    * mean since the last reset. */
+  val CusumLambdaMeanHours = 3L
+
+  /** #214 `events_cusum_drift`: exact one-sided CUSUM change-point
+    * panel over the dense per-type hourly count series.
+    *
+    * Let H = #hours, T = total events of the type, and the scaled
+    * residual r_h = n_h·H − T (integer, mean exactly 0 over the
+    * range — no rational target, no rounding anywhere). The classic
+    * recursive CUSUM S_h = max(0, S_{h−1} + r_h) is not a window
+    * aggregate, but its closed form is: S_h = C_h − min(0, min_{j≤h}
+    * C_j) with C the running sum of r (the 0 is the empty prefix —
+    * dropping it understates every excursion that starts at hour
+    * one) — one cumulative sum plus one running min (and the
+    * mirrored running max for the downward side), all ordinary
+    * per-type windows. A drift flags when
+    * S_h > λ·T·… — in these units λ mean-hours of excess is exactly
+    * λ·T·1 (one hour at 2×mean contributes T) — so the whole panel is
+    * int64 arithmetic, bit-identical on any engine and cluster layout.
+    *
+    * Shape: the grid's (type, hour) groupBy is the only corpus-sized
+    * shuffle; every window partitions by event_type over O(types ×
+    * hours) rows. Overflow: |C| ≤ T·H — safe to T·H < 9e18 (at 10¹²
+    * events over 10⁵ hours: 10¹⁷, still inside int64).
+    *
+    * Output per type: peak upward excursion and its earliest peak
+    * hour, flagged-hour count, earliest flagged hour (NULL when the
+    * type never drifts), and the peak downward excursion. */
+  def cusumDrift(spark: SparkSession, dir: String,
+                 lambdaMeanHours: Long = CusumLambdaMeanHours): DataFrame =
+    cusumOfCounts(sparseHourlyCounts(spark, dir), lambdaMeanHours)
+
+  /** [[cusumDrift]] core over ANY sparse (event_type, hour, n) counts
+    * frame — the folded state of a streaming monitor (StreamDrift)
+    * evaluates on the same path as the batch panel. */
+  def cusumOfCounts(counts: DataFrame,
+                    lambdaMeanHours: Long = CusumLambdaMeanHours): DataFrame = {
+    val grid = densify(counts)
+    val tot = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("n").as("total_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = grid.join(broadcast(tot), "event_type")
+      .withColumn("r", col("n") * col("n_hours") - col("total_events"))
+      .withColumn("c", sum("r").over(w))
+      .withColumn("s_pos", col("c") - least(lit(0L), min("c").over(w)))
+      .withColumn("s_neg", greatest(lit(0L), max("c").over(w)) - col("c"))
+      .withColumn("flagged",
+        col("s_pos") > col("total_events") * lambdaMeanHours)
+    s.groupBy("event_type")
+      .agg(
+        first("n_hours").as("n_hours"),
+        first("total_events").as("total_events"),
+        max("s_pos").as("s_pos_max"),
+        // earliest hour attaining the peak — deterministic argmax as a
+        // partial-aggregable min-struct, no extra window pass
+        min(struct((-col("s_pos")).as("neg_s"), col("hour"))).as("pk"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        min(when(col("flagged"), col("hour"))).as("first_flag_hour"),
+        max("s_neg").as("s_neg_max"))
+      .select(col("event_type"), col("n_hours"), col("total_events"),
+        col("s_pos_max"), col("pk.hour").as("peak_hour"), col("n_flagged"),
+        col("first_flag_hour"), col("s_neg_max"))
       .orderBy("event_type")
   }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Partitioning._
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
+  * the third candidate-generation family next to shingle-LSH and
+  * embedding-LSH. Sort the corpus ONCE by a cheap normalized blocking
+  * key and compare each document only to its `window−1` successors in
+  * that order. Candidate volume is exactly `(N−1)+(N−2)+…` capped at
+  * `N·(window−1)` — linear in the corpus BY CONSTRUCTION, with no
+  * per-key hot-bucket hazard at all (the failure mode the LSH families
+  * need df/bucket caps for). The price is recall limited to pairs the
+  * sort key co-locates, which is why real pipelines run it as a cheap
+  * complementary pass, not a replacement.
+  */
+object Blocking {
+
+  /** Neighborhood width: each doc is compared to the `Window−1` docs
+    * that follow it in blocking-key order. */
+  val SnWindow = 4
+
+  /** Exact-Jaccard accept threshold, in the same τ=0.5 the shingle
+    * near-dup families use. */
+  val SnTau = 0.5
+
+  /** Blocking-key length: the first characters of the normalized text.
+    * Near-identical docs normalize to near-identical prefixes, so they
+    * sort adjacent; 16 chars keeps the sort key narrow. */
+  val SnKeyLen = 16
+
+  /** #213 `dedup_sorted_neighborhood`: candidate pairs from a sorted
+    * neighborhood of width [[SnWindow]] over the normalized-prefix
+    * blocking key, verified by exact distinct-token Jaccard ≥ [[SnTau]].
+    *
+    * Shape: ONE global sort (the native range-partitioned
+    * [[Ranking.globalRowNumber]] pass — no single-partition window),
+    * then a rank-adjacency equi-join: each doc explodes to `window−1`
+    * (rn, rn+k) probes and joins the rank frame on the integer rank —
+    * hash-partitioned, uniformly distributed keys by construction.
+    * Token sets join in by doc_id (co-partitioned both sides). At
+    * 100 TB: sort = one range exchange of (key, doc_id) rows only,
+    * probes = 3 narrow int-key joins; nothing quadratic anywhere.
+    *
+    * Output: one row per accepted pair with the rank gap and the exact
+    * HALF_UP 1e-4 Jaccard. */
+  def sortedNeighborhood(spark: SparkSession, dir: String,
+                         window: Int = SnWindow, tau: Double = SnTau): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
+    val keyed = docs.select(col("doc_id"),
+      substring(DocDedup.normalized(col("text")), 1, SnKeyLen).as("bkey"))
+    val ranked = Ranking.globalRowNumber(keyed, Seq(col("bkey"), col("doc_id")))
+      .select("rn", "doc_id", "bkey")
+    val probes = ranked
+      .withColumn("k", explode(sequence(lit(1L), lit(window - 1L))))
+      .select(col("doc_id").as("d1"), (col("rn") + col("k")).as("rn_b"),
+        col("k").as("gap"))
+    val pairs = probes.join(
+      ranked.select(col("rn").as("rn_b"), col("doc_id").as("d2")), "rn_b")
+    val ts = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
+    pairs
+      .join(ts.select(col("doc_id").as("d1"), col("ts").as("ts1")), "d1")
+      .join(ts.select(col("doc_id").as("d2"), col("ts").as("ts2")), "d2")
+      .withColumn("inter", size(array_intersect(col("ts1"), col("ts2"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ts1")) + size(col("ts2"))).cast("long") - col("inter"))
+      .withColumn("jacc4", ratio4(col("inter"), greatest(col("uni"), lit(1L))))
+      .filter(col("jacc4") >= tau)
+      .select("d1", "d2", "gap", "jacc4")
+      .orderBy("d1", "d2")
+  }
+}

@@ -449,4 +449,37 @@ object CorpusStats {
           .as("tvd4"))
       .orderBy("source_a", "source_b")
   }
+
+  /** #215 `source_simpson_diversity`: per-source lexical concentration
+    * panel — Simpson repeat probability (the chance two tokens drawn
+    * without replacement are the same type: Σc·(c−1) / (n·(n−1)), the
+    * complement of Gini–Simpson diversity), top-term share, and
+    * type–token ratio. All three are exact int64 rationals (no
+    * entropy-style logarithms, whose float rounding is not
+    * cross-engine-stable), HALF_UP at 1e-4.
+    *
+    * Shape: (source, term) → (source) — two partial-aggregable
+    * shuffles, output O(sources). Overflow: Σc·(c−1) and n·(n−1) reach
+    * int64 limits near n ≈ 3·10⁹ tokens per source; past that the
+    * numerator/denominator pair needs the ppm-scaled formulation (the
+    * sourceDivergence p6 path) rather than raw products. */
+  def sourceSimpson(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("t")).spread
+      .select(col("source"), explode(col("t")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    tf.groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c") * (col("c") - 1L)).as("sum_c2"),
+        max("c").as("top_tf"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        ratio4(col("sum_c2"),
+          greatest(col("n_tokens") * (col("n_tokens") - 1L), lit(1L)))
+          .as("simpson4"),
+        ratio4(col("top_tf"), greatest(col("n_tokens"), lit(1L)))
+          .as("top_share4"),
+        ratio4(col("vocab"), greatest(col("n_tokens"), lit(1L))).as("ttr4"))
+      .orderBy("source")
+  }
 }

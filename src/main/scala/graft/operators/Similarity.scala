@@ -448,6 +448,61 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Boundary-closeness gate for [[ivfReplicatedTopK]]: a vector is
+    * replicated into its second cell when cos₂ ≥ cos₁ − ε. */
+  val ReplicaEps = 0.05
+
+  /** #217 `ann_ivf_replicated`: IVF with SPANN-style boundary
+    * replication — the OTHER way to recover boundary recall. Plain IVF
+    * buys recall at QUERY time (nprobe > 1 multiplies per-query work);
+    * here the INDEX absorbs the cost instead: a vector lying near a
+    * cell boundary (second-best assignment cosine within [[ReplicaEps]]
+    * of the best) is stored in BOTH cells, and queries probe exactly
+    * one cell. That trade is the right one when queries outnumber
+    * index builds — the common serving shape — and the duplication is
+    * bounded by construction (≤ 2 postings per vector; in practice
+    * only the boundary shell replicates).
+    *
+    * Shape: training is the shared integer-micro-unit Lloyd pass;
+    * the top-2 assignment is ONE partial-aggregable aggregation (the
+    * min-struct argmax carries rank-1 + the vector, a sorted
+    * collect_list of (−cos, c_id) pairs — nCentroids tiny bounded
+    * structs — yields rank-2; no corpus-wide window, no extra
+    * exchange vs plain IVF). Search is the same broadcast-probe join
+    * as ivfKmeansTopK with nprobe=1. Candidates cannot duplicate: a
+    * query probes one cell and each vector appears at most once per
+    * cell. */
+  def ivfReplicatedTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                        nQueries: Int = NumQueries, nCentroids: Int = 8,
+                        iters: Int = 2, eps: Double = ReplicaEps): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = kmeansCentroids(v, nCentroids, iters)
+    val top2 = v.crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cs")).as("ncs"), col("c_id"), col("e"))).as("m1"),
+        element_at(array_sort(collect_list(
+          struct((-col("cs")).as("ncs"), col("c_id")))), 2).as("m2"))
+      .select(col("vec_id"), col("m1.e").as("e"),
+        col("m1.c_id").as("cell1"), (-col("m1.ncs")).as("cs1"),
+        col("m2.c_id").as("cell2"), (-col("m2.ncs")).as("cs2"))
+    val members = top2.select(col("vec_id"), col("cell1").as("cell"), col("e"))
+      .unionAll(top2.filter(col("cs2") >= col("cs1") - eps)
+        .select(col("vec_id"), col("cell2").as("cell"), col("e")))
+    val q = top2.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("cell1").as("cell"),
+        col("e").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    q.join(members, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine("qe", "e"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   // ---- Product quantization (ann_pq_topk) ------------------------------
 
   val PqSubspaces = 8
@@ -1002,6 +1057,41 @@ object Similarity {
       .select("label", "n_vecs", "n_null", "n_bad_dim", "n_zero",
         "min_norm2_u6", "max_norm2_u6", "mean_norm2_u6")
       .orderBy("label")
+  }
+
+  /** #220 `embeddings_dim_stats`: per-DIMENSION distribution audit of
+    * the embedding corpus — the whitening / dead-dimension panel read
+    * before trusting cosine geometry at scale (a dimension that is
+    * constant, near-zero, or wildly off-center distorts every
+    * similarity the engine computes; PCA-whitening decisions start
+    * from exactly these moments).
+    *
+    * All statistics are exact integer micro-unit lifts (the Lloyd
+    * primitive, order-independent sums): per dim — count, Σ/min/max of
+    * round(x·10⁶), zero-component count, and Σ round(x·10³)² (the
+    * second moment at 10⁻³ quantization so the square's sum stays in
+    * int64 past 10¹² components). The two exported means are ONE IEEE
+    * long→double division each — bit-identical cross-engine. Shape:
+    * one posexplode scan, one partial-aggregable groupBy(dim),
+    * output = Dim rows. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    v.select(posexplode(col("e")))
+      .select(col("pos").cast("long").as("dim"),
+        round(col("col").cast("double") * 1000000d).cast("long").as("u6"),
+        round(col("col").cast("double") * 1000d).cast("long").as("u3"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("u6").as("sum_u6"),
+        min("u6").as("min_u6"),
+        max("u6").as("max_u6"),
+        sum(when(col("u6") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("u3") * col("u3")).as("sumsq_u3"))
+      .select(col("dim"), col("n"), col("sum_u6"), col("min_u6"),
+        col("max_u6"), col("n_zero"),
+        (col("sum_u6").cast("double") / col("n").cast("double")).as("mean_u6"),
+        (col("sumsq_u3").cast("double") / col("n").cast("double")).as("meansq_u6"))
+      .orderBy("dim")
   }
 
   /** Radius threshold for [[rangeSearch]] — intentionally below

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Partitioning._
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicated-SPAN analysis: how much of each document's token stream
+  * is covered by passages that also occur in other documents — the
+  * per-document diagnostic behind exact-substring dedup (train-data
+  * dedup removes or down-weights such spans; this panel measures how
+  * much there is and where). Distinct from `corpus_dup_ngram_share`
+  * (corpus-level shingle mass) and `dedup_passages` (passage-grain
+  * candidates): here overlapping duplicated n-grams are MERGED into
+  * maximal intervals per document, so a doc quoting one long passage
+  * counts its true covered length, not an n-gram-inflated multiple.
+  */
+object Spans {
+
+  /** Span grain: token 3-grams (the corpus-wide shingle grain). */
+  val SpanN = 3
+
+  /** #216 `docs_dup_span_coverage`: per-source histogram of per-doc
+    * duplicated-token coverage.
+    *
+    * Every positioned 3-gram occurring in ≥2 distinct documents marks
+    * its token interval [p, p+2] duplicated; a document's covered
+    * token count is the length of the UNION of its marked intervals —
+    * the classic islands merge, computed with one per-doc window (an
+    * interval starts an island when its start exceeds the running max
+    * end of all earlier intervals). Coverage bands are exact integer
+    * deciles (band = ⌊10·covered/n_tokens⌋, 10 = fully duplicated).
+    *
+    * Shape: positions explode to corpus token volume once; cross-doc
+    * duplication is a min≠max window over the shingle hash (linear —
+    * no pair join, so no hot-shingle quadratic hazard and no df cap
+    * needed); the islands merge shuffles once on doc_id. At 100 TB:
+    * two hash exchanges of narrow (id, int) rows, each on uniform
+    * keys. Zero-coverage docs (no duplicated span, or fewer than 3
+    * tokens) stay in the panel via the left join — band 0 counts them. */
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{h64, intDiv, ratio4}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).spread
+    val base = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokens(col("text")).as("t"))
+    val meta = base.select(col("doc_id"), col("source"),
+      size(col("t")).cast("long").as("n_toks"))
+    // positioned (NOT distinct) shingles: one row per start position;
+    // the shingle itself rides as a 60-bit hash — the window only needs
+    // equality, and 8 bytes beat re-shuffling the raw trigram text
+    val pos = base
+      .filter(size(col("t")) >= SpanN)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (SpanN - 1)), i =>
+          struct(i.cast("long").as("p"),
+            h64(concat_ws(" ",
+              element_at(col("t"), i),
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2))).as("sh")))).as("ps"))
+      .select(col("doc_id"), col("ps.p").as("p"), col("ps.sh").as("sh"))
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val dup = pos
+      .withColumn("cross_doc",
+        min("doc_id").over(wSh) =!= max("doc_id").over(wSh))
+      .filter(col("cross_doc"))
+      .select(col("doc_id"), col("p"), (col("p") + (SpanN - 1)).as("e"))
+      // a position can mark only one interval, but equal (doc, p) rows
+      // cannot arise anyway: p is unique within a doc
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val prev = wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val covered = dup
+      .withColumn("prev_max_e", max("e").over(prev))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("p") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg((max("e") - min("p") + 1L).as("len"))
+      .groupBy("doc_id")
+      .agg(sum("len").as("covered"))
+    meta.join(covered, Seq("doc_id"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .withColumn("band",
+        intDiv(col("covered") * 10L, greatest(col("n_toks"), lit(1L))))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("tot_tokens"),
+        sum("covered").as("dup_tokens"))
+      .withColumn("share4",
+        ratio4(col("dup_tokens"), greatest(col("tot_tokens"), lit(1L))))
+      .orderBy("source", "band")
+  }
+}

@@ -61,11 +61,102 @@ object TxnParquet {
   }
 
   /** All committed rows (torn, uncommitted batch directories are never
-    * read). One scan over the committed directories — the paths are
-    * explicit, so a torn directory costs nothing at plan time either. */
+    * read). One scan over the explicit committed paths: the latest
+    * committed compaction (if any) stands in for the batches it covers,
+    * plus every committed batch appended since — so a torn directory
+    * (batch or compaction) costs nothing even at plan time. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val ids = committedBatches(spark, dir)
-    require(ids.nonEmpty, s"no committed batches under $dir")
-    spark.read.parquet(ids.map(id => s"$dir/batch=$id"): _*)
+    val paths = latestCompaction(spark, dir) match {
+      case Some((gen, covered)) =>
+        s"$dir/compact=$gen" +:
+          ids.filterNot(covered).map(id => s"$dir/batch=$id")
+      case None => ids.map(id => s"$dir/batch=$id")
+    }
+    require(paths.nonEmpty, s"no committed batches under $dir")
+    spark.read.parquet(paths: _*)
   }
+
+  // ---- compaction -------------------------------------------------------
+  // A long-lived append stream leaves one small parquet directory per
+  // micro-batch — the classic small-file problem (a 100 TB table fed by
+  // minutely batches is a million directories and a planner stall).
+  // `compact` rewrites everything `read` currently sees into ONE
+  // consolidated directory under the same marker protocol:
+  //
+  //   compact=<gen>/part-*.parquet    -- consolidated data
+  //   _compactions/<gen>              -- marker, written AFTER the data;
+  //                                      its CONTENT lists the covered
+  //                                      batch ids (the manifest)
+  //
+  // Readers take the LATEST committed generation plus batches appended
+  // after it; a torn compaction (data without marker) is invisible
+  // exactly like a torn batch. Covered batch MARKERS are never deleted —
+  // they are what keeps late retries of an already-compacted append
+  // idempotent — but covered DATA directories become dead weight and
+  // `vacuum` reclaims them. Single compactor at a time, same as the
+  // single-writer-per-batch-id contract.
+
+  private def compactionsDir(dir: String) = new Path(s"$dir/_compactions")
+
+  /** Latest committed (generation, covered batch-id set), if any. */
+  def latestCompaction(spark: SparkSession,
+                       dir: String): Option[(Long, Set[Long])] = {
+    val f = fs(spark, dir)
+    val cd = compactionsDir(dir)
+    if (!f.exists(cd)) None
+    else f.listStatus(cd).map(_.getPath)
+      .filter(_.getName.forall(_.isDigit)) // in-flight .tmp markers are invisible
+      .sortBy(-_.getName.toLong)
+      .headOption.map { p =>
+        val in = f.open(p)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val covered = content.split(",").filter(_.nonEmpty).map(_.toLong).toSet
+        (p.getName.toLong, covered)
+      }
+  }
+
+  /** Rewrite the current committed view into one consolidated
+    * generation; returns the new generation id. The data lands first,
+    * the manifest marker second — a crash in between leaves the old
+    * view fully readable. `numFiles` bounds the rewrite's output files
+    * (a coalesce, not a shuffle). */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 1): Long = {
+    val f = fs(spark, dir)
+    val prior = latestCompaction(spark, dir)
+    val gen = prior.map(_._1 + 1).getOrElse(0L)
+    val covered = committedBatches(spark, dir).toSet ++
+      prior.map(_._2).getOrElse(Set.empty)
+    read(spark, dir).coalesce(numFiles)
+      .write.mode("overwrite").parquet(s"$dir/compact=$gen")
+    // manifest lands by atomic RENAME: a crash mid-write leaves only an
+    // invisible .tmp (a torn manifest read as committed would make
+    // `read` plan compact=gen AND some covered batches — double rows)
+    val tmp = new Path(s"$dir/_compactions/.$gen.tmp")
+    val out = f.create(tmp, true)
+    try out.write(covered.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    f.rename(tmp, new Path(s"$dir/_compactions/$gen"))
+    gen
+  }
+
+  /** Delete data made dead by the latest committed compaction: covered
+    * batch DIRECTORIES (their markers stay — idempotence outlives the
+    * data) and superseded compact generations. Safe any time after the
+    * compaction committed; `read` never plans those paths again. */
+  def vacuum(spark: SparkSession, dir: String): Unit =
+    latestCompaction(spark, dir).foreach { case (gen, covered) =>
+      val f = fs(spark, dir)
+      covered.foreach { id =>
+        val p = new Path(s"$dir/batch=$id")
+        if (f.exists(p)) f.delete(p, true)
+      }
+      (0L until gen).foreach { g =>
+        val p = new Path(s"$dir/compact=$g")
+        if (f.exists(p)) f.delete(p, true)
+        val m = new Path(s"$dir/_compactions/$g")
+        if (f.exists(m)) f.delete(m, false)
+      }
+    }
 }

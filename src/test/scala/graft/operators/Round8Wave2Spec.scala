@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Round-8 wave-2 panels vs independent in-memory models at sf0.001:
+  * dedup_sorted_neighborhood, events_cusum_drift,
+  * source_simpson_diversity, docs_dup_span_coverage,
+  * ann_ivf_replicated.
+  */
+class Round8Wave2Spec extends SparkSpec {
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    graft.Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private lazy val events: Seq[(Long, String)] =
+    Dedup.eventsUs(spark, sf).select("ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def toks(text: String): Seq[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def normalized(text: String): String =
+    text.replaceAll("\\s+", " ").trim.toLowerCase
+
+  test("sortedNeighborhood matches the rank-window + exact-Jaccard model") {
+    val keyed = docs.map(d => (d._1, normalized(d._3).take(Blocking.SnKeyLen)))
+      .sortBy(d => (d._2, d._1))
+    val ts = docs.map(d => d._1 -> toks(d._3).distinct.toSet).toMap
+    val expected = (for {
+      i <- keyed.indices
+      k <- 1 until Blocking.SnWindow
+      if i + k < keyed.size
+    } yield {
+      val d1 = keyed(i)._1; val d2 = keyed(i + k)._1
+      val inter = (ts(d1) & ts(d2)).size.toLong
+      val uni = ts(d1).size.toLong + ts(d2).size.toLong - inter
+      (d1, d2, k.toLong, ratio4Model(inter, math.max(uni, 1L)))
+    }).filter(_._4 >= Blocking.SnTau).sortBy(p => (p._1, p._2))
+    val got = Blocking.sortedNeighborhood(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // candidate volume is linear by construction: accepted pairs can
+    // never exceed N·(window−1)
+    assert(got.size <= docs.size * (Blocking.SnWindow - 1))
+  }
+
+  test("cusumDrift matches the recursive max(0, S+r) definition") {
+    val byTh = events.groupBy { case (ts, et) => (et, ts / Analytics6.UsPerHour) }
+      .view.mapValues(_.size.toLong).toMap
+    val h0 = events.map(_._1 / Analytics6.UsPerHour).min
+    val h1 = events.map(_._1 / Analytics6.UsPerHour).max
+    val lam = Analytics6.CusumLambdaMeanHours
+    val expected = events.map(_._2).distinct.sorted.map { et =>
+      val hours = (h0 to h1).toSeq
+      val series = hours.map(h => byTh.getOrElse((et, h), 0L))
+      val nH = hours.size.toLong
+      val tot = series.sum
+      // the panel's closed form must equal the textbook recursion —
+      // the model runs the RECURSION, not the closed form
+      var sPos = 0L; var sNeg = 0L
+      val states = series.map { n =>
+        val r = n * nH - tot
+        sPos = math.max(0L, sPos + r)
+        sNeg = math.max(0L, sNeg - r)
+        (sPos, sNeg)
+      }
+      val sMax = states.map(_._1).max
+      val peak = hours(states.indexWhere(_._1 == sMax))
+      val flagged = hours.zip(states).filter(_._2._1 > tot * lam)
+      (et, nH, tot, sMax, peak, flagged.size.toLong,
+        flagged.headOption.map(_._1), states.map(_._2).max)
+    }
+    val got = Analytics6.cusumDrift(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getLong(7)))
+    assert(got == expected)
+  }
+
+  test("sourceSimpson matches the term-count model") {
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(d => toks(d._3)).groupBy(identity)
+        .view.mapValues(_.size.toLong).values.toSeq
+      val n = counts.sum
+      val sumC2 = counts.map(c => c * (c - 1)).sum
+      (src, n, counts.size.toLong,
+        ratio4Model(sumC2, math.max(n * (n - 1), 1L)),
+        ratio4Model(counts.max, math.max(n, 1L)),
+        ratio4Model(counts.size.toLong, math.max(n, 1L)))
+    }
+    val got = CorpusStats.sourceSimpson(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got == expected)
+  }
+
+  test("dupSpanCoverage matches the interval-union model") {
+    // per-doc covered length via brute-force position marking — the
+    // straightforward O(tokens) model the islands merge must equal
+    val posIndex = docs.flatMap { case (id, _, text) =>
+      val t = toks(text)
+      (0 to t.size - Spans.SpanN).map(p => (t.slice(p, p + Spans.SpanN).mkString(" "), id, p))
+    }
+    val crossDoc = posIndex.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+    val coveredByDoc = posIndex.filter(p => crossDoc(p._1))
+      .groupBy(_._2).view.mapValues { ps =>
+        ps.flatMap(p => p._3 until (p._3 + Spans.SpanN)).distinct.size.toLong
+      }.toMap
+    val per = docs.map { case (id, src, text) =>
+      val n = toks(text).size.toLong
+      val cov = coveredByDoc.getOrElse(id, 0L)
+      (src, cov * 10L / math.max(n, 1L), n, cov)
+    }
+    val expected = per.groupBy(p => (p._1, p._2)).toSeq
+      .sortBy(_._1).map { case ((src, band), rows) =>
+        val tot = rows.map(_._3).sum; val dup = rows.map(_._4).sum
+        (src, band, rows.size.toLong, tot, dup, ratio4Model(dup, math.max(tot, 1L)))
+      }
+    val got = Spans.dupSpanCoverage(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got == expected)
+  }
+
+  test("dimStats matches the micro-unit moment model") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def u(x: Float, scale: Long): Long =
+      new JBD(x.toDouble * scale).setScale(0, RoundingMode.HALF_UP).longValueExact()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+    val dims = vecs.head.size
+    val expected = (0 until dims).map { d =>
+      val u6 = vecs.map(v => u(v(d), 1000000L))
+      val u3 = vecs.map(v => u(v(d), 1000L))
+      (d.toLong, vecs.size.toLong, u6.sum, u6.min, u6.max,
+        u6.count(_ == 0L).toLong,
+        u6.sum.toDouble / vecs.size, u3.map(x => x * x).sum.toDouble / vecs.size)
+    }
+    val got = Similarity.dimStats(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(got == expected)
+  }
+
+  test("ivfReplicatedTopK never loses recall vs the same-quantizer nprobe-1 IVF") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val repl = Similarity.ivfReplicatedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val plain1 = Similarity.ivfKmeansTopK(spark, sf, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the replicated index's candidate set per query is a SUPERSET of
+    // the plain nprobe-1 candidate set (same trained centroids), and a
+    // true global-top-k candidate can only be displaced by another
+    // global-top-k candidate — so per-query hits are monotone
+    val hitsRepl = (repl & brute).size
+    val hitsPlain = (plain1 & brute).size
+    assert(hitsRepl >= hitsPlain,
+      s"replication lost recall: $hitsRepl < $hitsPlain")
+    assert(repl.size == brute.size) // full top-5 per query emitted
+  }
+}

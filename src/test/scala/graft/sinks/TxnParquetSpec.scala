@@ -42,4 +42,50 @@ class TxnParquetSpec extends SparkSpec {
     assert(rows == (0L to 4L).map(i => (i, s"v$i")).toSet)
     intercept[IllegalArgumentException](TxnParquet.read(spark, freshDir()))
   }
+
+  test("compact preserves the committed view and keeps append idempotent") {
+    val dir = freshDir()
+    (0L to 4L).foreach(i => TxnParquet.append(Seq((i, s"v$i")).toDF("id", "v"), dir, i))
+    val before = TxnParquet.read(spark, dir).as[(Long, String)].collect().toSet
+    val gen = TxnParquet.compact(spark, dir)
+    assert(gen == 0L)
+    assert(TxnParquet.read(spark, dir).as[(Long, String)].collect().toSet == before)
+    // a late replay of a covered batch id must STILL no-op — its marker
+    // outlives its data
+    assert(!TxnParquet.append(Seq((99L, "dup")).toDF("id", "v"), dir, 2L))
+    assert(TxnParquet.read(spark, dir).as[(Long, String)].collect().toSet == before)
+    // appends after the compaction are visible alongside it
+    TxnParquet.append(Seq((5L, "v5")).toDF("id", "v"), dir, 5L)
+    assert(TxnParquet.read(spark, dir).as[(Long, String)].collect().toSet ==
+      before + ((5L, "v5")))
+  }
+
+  test("vacuum reclaims covered data; a second compact supersedes the first") {
+    val dir = freshDir()
+    (0L to 2L).foreach(i => TxnParquet.append(Seq((i, s"v$i")).toDF("id", "v"), dir, i))
+    TxnParquet.compact(spark, dir)
+    TxnParquet.append(Seq((3L, "v3")).toDF("id", "v"), dir, 3L)
+    val gen1 = TxnParquet.compact(spark, dir)
+    assert(gen1 == 1L)
+    assert(TxnParquet.latestCompaction(spark, dir).map(_._2) ==
+      Some(Set(0L, 1L, 2L, 3L)))
+    TxnParquet.vacuum(spark, dir)
+    // covered batch dirs and the superseded generation are gone…
+    assert(!new java.io.File(s"$dir/batch=0").exists())
+    assert(!new java.io.File(s"$dir/compact=0").exists())
+    // …but the view and the idempotence contract survive
+    val rows = TxnParquet.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(rows == (0L to 3L).map(i => (i, s"v$i")).toSet)
+    assert(!TxnParquet.append(Seq((42L, "x")).toDF("id", "v"), dir, 0L))
+  }
+
+  test("a torn compaction (data without manifest) is invisible") {
+    val dir = freshDir()
+    (0L to 1L).foreach(i => TxnParquet.append(Seq((i, s"v$i")).toDF("id", "v"), dir, i))
+    // crash simulation: consolidated data lands, the manifest never does
+    TxnParquet.read(spark, dir).write.mode("overwrite").parquet(s"$dir/compact=0")
+    assert(TxnParquet.latestCompaction(spark, dir).isEmpty)
+    val rows = TxnParquet.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(rows == Set((0L, "v0"), (1L, "v1"))) // no double counting
+  }
 }
