@@ -52,8 +52,12 @@ object Blocking {
     val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
     val keyed = docs.select(col("doc_id"),
       substring(DocDedup.normalized(col("text")), 1, SnKeyLen).as("bkey"))
+    // both sides of the adjacency join read the rank frame — checkpoint
+    // so the global sort pass runs ONCE (two GlobalRank subtrees don't
+    // exchange-reuse); the key itself is dropped first (only the rank
+    // survives it)
     val ranked = Ranking.globalRowNumber(keyed, Seq(col("bkey"), col("doc_id")))
-      .select("rn", "doc_id", "bkey")
+      .select("rn", "doc_id").localCheckpoint()
     val probes = ranked
       .withColumn("k", explode(sequence(lit(1L), lit(window - 1L))))
       .select(col("doc_id").as("d1"), (col("rn") + col("k")).as("rn_b"),

@@ -490,9 +490,14 @@ object Similarity {
     val members = top2.select(col("vec_id"), col("cell1").as("cell"), col("e"))
       .unionAll(top2.filter(col("cs2") >= col("cs1") - eps)
         .select(col("vec_id"), col("cell2").as("cell"), col("e")))
-    val q = top2.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("cell1").as("cell"),
-        col("e").as("qe"))
+    // the query frame re-derives its probe cell from the FILTERED corpus
+    // (nQueries rows × broadcast centroids — a narrow pass), not from
+    // top2: reading top2 here would re-run the corpus aggregation a
+    // third time AND defeat the broadcast (aggregate outputs carry no
+    // tight size estimate, so the probe join planned sort-merge)
+    val q = broadcast(
+      argmaxCellOf(v.filter(col("vec_id") < nQueries), cent)
+        .select(col("vec_id").as("q_id"), col("cell"), col("e").as("qe")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     q.join(members, "cell")
       .filter(col("vec_id") =!= col("q_id"))

@@ -74,6 +74,36 @@ class PlanQualitySpec extends SparkSpec {
       "the panel is a pure rollup — no join belongs in this plan")
   }
 
+  test("dedup_sorted_neighborhood: no corpus window; adjacency joins stay hash joins") {
+    val p = plan("dedup_sorted_neighborhood")
+    // the global sort lives in the (checkpointed, once-executed) rank
+    // pass — the pair pipeline itself must carry no window at all
+    assert(!p.contains("Window"), "no window belongs in the pair pipeline")
+    assert(!p.contains("SortMergeJoin"), "rank/token joins must hash-join")
+  }
+
+  test("docs_dup_span_coverage: windows partitioned, rollup joins broadcast") {
+    val p = plan("docs_dup_span_coverage")
+    assert(!p.contains("SortMergeJoin"))
+    // both the islands groupBys ride the doc_id window's partitioning —
+    // the rollup is the only aggregate exchange after them
+    assert(p.contains("partial_count"), "rollup must partial-aggregate map-side")
+  }
+
+  test("embeddings_dim_stats: one partial-aggregated pass, no joins") {
+    val p = plan("embeddings_dim_stats")
+    assert(p.contains("partial_sum"), "moments must partial-aggregate map-side")
+    assert(!p.contains("Join"), "the audit is a pure rollup")
+    assert(!p.contains("SinglePartition"), "dim rollup shuffles on dim, never to one partition")
+  }
+
+  test("ann_ivf_replicated: probe join broadcasts the query side") {
+    val p = plan("ann_ivf_replicated")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the 20-row query frame must broadcast, not sort-merge")
+  }
+
   test("no registered query plans a cartesian product") {
     // crossJoin(broadcast(tiny)) plans as BroadcastNestedLoopJoin — fine;
     // CartesianProductExec means an unintended unbounded pair blow-up.
