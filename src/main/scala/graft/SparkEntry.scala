@@ -211,6 +211,7 @@ object SparkEntry {
     "docs_dup_span_coverage" -> ((s, d) => graft.operators.Spans.dupSpanCoverage(s, d)),
     "ann_ivf_replicated" -> ((s, d) => Similarity.ivfReplicatedTopK(s, d)),
     "embeddings_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
+    "events_autocorrelation" -> ((s, d) => graft.operators.Analytics6.autocorrelation(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3648,6 +3649,35 @@ object SparkEntry {
          |  CAST(sum_u6 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_u6,
          |  CAST(sumsq_u3 AS DOUBLE) / CAST(n AS DOUBLE) AS meansq_u6
          |FROM a ORDER BY dim""".stripMargin,
+
+    // exact integer ACF — mirrors Analytics6.autocorrelation
+    "events_autocorrelation" ->
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT event_type, ts_us // ${graft.operators.Analytics6.UsPerHour} AS hour FROM ev),
+         |c AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+         |      FROM h GROUP BY 1, 2),
+         |rng AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+         |ty AS (SELECT DISTINCT event_type FROM h),
+         |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour
+         |         FROM ty CROSS JOIN rng),
+         |d AS (SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+         |      FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS h,
+         |        CAST(sum(n) AS BIGINT) AS t FROM d GROUP BY 1),
+         |r AS (SELECT d.event_type, d.hour,
+         |        d.n - ((t.t + t.h // 2) // t.h) AS r
+         |      FROM d JOIN t USING (event_type)),
+         |den AS (SELECT event_type, CAST(sum(r * r) AS BIGINT) AS den
+         |        FROM r GROUP BY 1),
+         |l AS (SELECT event_type, hour + g.lag_h AS hour, g.lag_h, r AS r0
+         |      FROM r, generate_series(1, ${graft.operators.Analytics6.MaxAcfLag}) g(lag_h)),
+         |p AS (SELECT l.event_type, l.lag_h, CAST(count(*) AS BIGINT) AS n_pairs,
+         |        CAST(sum(l.r0 * r.r) AS BIGINT) AS num
+         |      FROM l JOIN r ON r.event_type = l.event_type AND r.hour = l.hour
+         |      GROUP BY 1, 2)
+         |SELECT p.event_type AS event_type, lag_h, n_pairs, num, den,
+         |  CAST(num AS DOUBLE) / CAST(greatest(den, 1) AS DOUBLE) AS acf
+         |FROM p JOIN den USING (event_type) ORDER BY event_type, lag_h""".stripMargin,
   )
 
   /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */

@@ -146,4 +146,56 @@ object Analytics6 {
         col("first_flag_hour"), col("s_neg_max"))
       .orderBy("event_type")
   }
+
+  /** ACF horizon: hourly lags 1..36 cover the daily cycle (24) with
+    * margin on both sides. */
+  val MaxAcfLag = 36
+
+  /** #221 `events_autocorrelation`: exact integer autocorrelation of
+    * the dense per-type hourly count series at lags 1..[[MaxAcfLag]] —
+    * the panel that JUSTIFIES (or refutes) the period-24 choice baked
+    * into the seasonal-naive backtest (#200) and the seasonality
+    * profile: a real daily cycle shows as the ACF peaking at lag 24.
+    *
+    * Exactness: residuals r_h = n_h − m with m the HALF_UP integer
+    * mean (the ≤½-per-hour centering bias is bounded and identical on
+    * every engine — the alternative exact centering n·H−T squares to
+    * overflow at large scale); numerator Σ r_h·r_{h+L} and denominator
+    * Σ r² are exact int64 sums, and the exported ACF is ONE IEEE
+    * long→double division (bit-identical cross-engine, like the
+    * dim-stats means). Overflow bound: Σr² ≤ H·max(n)² — inside int64
+    * through 10⁹ events/hour over 10⁵ hours.
+    *
+    * Shape: the lag pairing is an equi-join of the O(types × hours ×
+    * lags) exploded frame against the O(types × hours) residual frame
+    * on (type, hour) — hash-partitioned, never a window per lag (36
+    * window passes) and never a cross join; the residual frame is
+    * checkpointed once and feeds both join sides and the denominator. */
+  def autocorrelation(spark: SparkSession, dir: String,
+                      maxLag: Int = MaxAcfLag): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val grid = denseHourlyCounts(spark, dir)
+    val tot = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("h"), sum("n").as("t"))
+    val r = grid.join(broadcast(tot), "event_type")
+      .withColumn("m", halfUpDiv(col("t"), col("h")))
+      .select(col("event_type"), col("hour"), (col("n") - col("m")).as("r"))
+      .localCheckpoint()
+    val den = r.groupBy("event_type")
+      .agg(sum(col("r") * col("r")).as("den"))
+    val shifted = r
+      .withColumn("lag_h", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .select(col("event_type"), (col("hour") + col("lag_h")).as("hour"),
+        col("lag_h"), col("r").as("r0"))
+    shifted.join(r, Seq("event_type", "hour"))
+      .groupBy("event_type", "lag_h")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("r0") * col("r")).as("num"))
+      .join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag_h"), col("n_pairs"), col("num"),
+        col("den"),
+        (col("num").cast("double") /
+          greatest(col("den"), lit(1L)).cast("double")).as("acf"))
+      .orderBy("event_type", "lag_h")
+  }
 }

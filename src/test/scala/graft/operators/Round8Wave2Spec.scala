@@ -123,6 +123,37 @@ class Round8Wave2Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("autocorrelation matches the integer-residual ACF model") {
+    val byTh = events.groupBy { case (ts, et) => (et, ts / Analytics6.UsPerHour) }
+      .view.mapValues(_.size.toLong).toMap
+    val h0 = events.map(_._1 / Analytics6.UsPerHour).min
+    val h1 = events.map(_._1 / Analytics6.UsPerHour).max
+    val expected = events.map(_._2).distinct.sorted.flatMap { et =>
+      val series = (h0 to h1).map(h => byTh.getOrElse((et, h), 0L))
+      val nH = series.size.toLong
+      val m = (series.sum + nH / 2) / nH
+      val r = series.map(_ - m)
+      val den = r.map(x => x * x).sum
+      (1 to Analytics6.MaxAcfLag).map { lag =>
+        val pairs = r.dropRight(lag).zip(r.drop(lag))
+        val num = pairs.map { case (a, b) => a * b }.sum
+        (et, lag.toLong, pairs.size.toLong, num, den,
+          num.toDouble / math.max(den, 1L).toDouble)
+      }
+    }
+    val got = Analytics6.autocorrelation(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got == expected)
+    // structural invariants, data-independent: |acf| ≤ 1 (Cauchy–Schwarz
+    // on the truncated overlap) and each lag pairs exactly H−lag hours
+    val nHours = h1 - h0 + 1
+    got.foreach { case (et, lag, nPairs, _, _, acf) =>
+      assert(math.abs(acf) <= 1.0, s"$et lag $lag acf $acf out of range")
+      assert(nPairs == nHours - lag, s"$et lag $lag pairs $nPairs")
+    }
+  }
+
   test("dimStats matches the micro-unit moment model") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     def u(x: Float, scale: Long): Long =
