@@ -212,6 +212,7 @@ object SparkEntry {
     "ann_ivf_replicated" -> ((s, d) => Similarity.ivfReplicatedTopK(s, d)),
     "embeddings_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "events_autocorrelation" -> ((s, d) => graft.operators.Analytics6.autocorrelation(s, d)),
+    "orders_basket_pairs" -> ((s, d) => graft.operators.Analytics6.basketPairs(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3678,6 +3679,22 @@ object SparkEntry {
          |SELECT p.event_type AS event_type, lag_h, n_pairs, num, den,
          |  CAST(num AS DOUBLE) / CAST(greatest(den, 1) AS DOUBLE) AS acf
          |FROM p JOIN den USING (event_type) ORDER BY event_type, lag_h""".stripMargin,
+
+    // market-basket pair lift — mirrors Analytics6.basketPairs
+    "orders_basket_pairs" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+         |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS supp
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+         |f AS (SELECT * FROM pairs
+         |      WHERE supp >= ${graft.operators.Analytics6.BasketMinSupport})
+         |SELECT p1, p2, supp, sa.s AS s1, sb.s AS s2,
+         |  ${ratio4Sql("supp * n.n_orders", "sa.s * sb.s")} AS lift4
+         |FROM f JOIN supp sa ON sa.p = f.p1 JOIN supp sb ON sb.p = f.p2
+         |CROSS JOIN n
+         |ORDER BY p1, p2""".stripMargin,
   )
 
   /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */

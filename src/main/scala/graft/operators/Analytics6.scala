@@ -198,4 +198,45 @@ object Analytics6 {
           greatest(col("den"), lit(1L)).cast("double")).as("acf"))
       .orderBy("event_type", "lag_h")
   }
+
+  /** Minimum pair support for [[basketPairs]] — singleton pairs carry
+    * no co-occurrence signal and dominate the output volume. */
+  val BasketMinSupport = 2L
+
+  /** #223 `orders_basket_pairs`: market-basket part co-occurrence —
+    * every pair of parts bought together in ≥ [[BasketMinSupport]]
+    * orders, with per-part supports and the exact-rational LIFT
+    * (N·supp(a,b) / (supp(a)·supp(b)), HALF_UP 1e-4 — lift > 1 ⇔ the
+    * parts co-occur more than independence predicts; the association
+    * signal behind "frequently bought together").
+    *
+    * Shape: pairs come from the lineitem SELF-join on l_orderkey —
+    * co-partitioned on the order key and bounded per order by the
+    * order's own line count (≤7 in TPC-H-shaped data; order size is a
+    * data-model invariant, not a corpus-scale variable, so the pair
+    * blow-up is a constant factor, never quadratic in the corpus).
+    * Per-part supports are one partial-aggregable groupBy; they attach
+    * to the surviving (support-filtered) pair frame by two joins of an
+    * O(parts) frame. Lift overflow bound: supp(a,b)·N·10⁴ must fit
+    * int64 — past ~10⁹ orders the ratio needs the ppm formulation. */
+  def basketPairs(spark: SparkSession, dir: String,
+                  minSupport: Long = BasketMinSupport): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val items = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint()
+    val nOrders = items.agg(countDistinct("o").as("n_orders"))
+    val supp = items.groupBy("p").agg(count(lit(1)).as("s"))
+    val a = items.select(col("o"), col("p").as("p1"))
+    val b = items.select(col("o"), col("p").as("p2"))
+    a.join(b, Seq("o")).filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minSupport)
+      .join(supp.select(col("p").as("p1"), col("s").as("s1")), "p1")
+      .join(supp.select(col("p").as("p2"), col("s").as("s2")), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("supp"), col("s1"), col("s2"),
+        ratio4(col("supp") * col("n_orders"), col("s1") * col("s2")).as("lift4"))
+      .orderBy("p1", "p2")
+  }
 }

@@ -47,9 +47,16 @@ object Blocking {
     * Output: one row per accepted pair with the rank gap and the exact
     * HALF_UP 1e-4 Jaccard. */
   def sortedNeighborhood(spark: SparkSession, dir: String,
-                         window: Int = SnWindow, tau: Double = SnTau): DataFrame = {
+                         window: Int = SnWindow, tau: Double = SnTau): DataFrame =
+    sortedNeighborhoodOf(
+      Tables.documents(spark, dir).select("doc_id", "text").spread,
+      window, tau)
+
+  /** [[sortedNeighborhood]] core over any (doc_id, text) frame. */
+  def sortedNeighborhoodOf(docs: DataFrame,
+                           window: Int = SnWindow,
+                           tau: Double = SnTau): DataFrame = {
     import graft.functions.Hashing.ratio4
-    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
     val keyed = docs.select(col("doc_id"),
       substring(DocDedup.normalized(col("text")), 1, SnKeyLen).as("bkey"))
     // both sides of the adjacency join read the rank frame — checkpoint

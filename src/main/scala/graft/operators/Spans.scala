@@ -38,10 +38,13 @@ object Spans {
     * two hash exchanges of narrow (id, int) rows, each on uniform
     * keys. Zero-coverage docs (no duplicated span, or fewer than 3
     * tokens) stay in the panel via the left join — band 0 counts them. */
-  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCoverageOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).spread)
+
+  /** [[dupSpanCoverage]] core over any (doc_id, source, text) frame. */
+  def dupSpanCoverageOf(docs: DataFrame): DataFrame = {
     import graft.functions.Hashing.{h64, intDiv, ratio4}
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text")).spread
     val base = docs.select(col("doc_id"), col("source"),
       TextAnalysis.tokens(col("text")).as("t"))
     val meta = base.select(col("doc_id"), col("source"),

@@ -174,6 +174,58 @@ class Round8Wave2Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("basketPairs matches the exhaustive pair model") {
+    val items = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val nOrders = items.map(_._1).distinct.size.toLong
+    val supp = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val byOrder = items.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairSupp = byOrder.toSeq
+      .flatMap(ps => for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairSupp.toSeq
+      .filter(_._2 >= Analytics6.BasketMinSupport)
+      .map { case ((p1, p2), s12) =>
+        (p1, p2, s12, supp(p1), supp(p2),
+          ratio4Model(s12 * nOrders, supp(p1) * supp(p2)))
+      }.sortBy(p => (p._1, p._2))
+    val got = Analytics6.basketPairs(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got == expected)
+    // independence sanity: lift is positive and supports bound the pair
+    assert(got.forall(p => p._6 > 0 && p._3 <= math.min(p._4, p._5)))
+  }
+
+  test("degenerate inputs: singleton corpus, dup-free spans, one-hour series") {
+    import spark.implicits._
+    // a single document has no neighborhood → zero pairs, no errors
+    val one = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Blocking.sortedNeighborhoodOf(one).count() == 0L)
+    // identical docs sort adjacent → every in-window pair accepted at 1.0
+    val same = Seq.tabulate(3)(i => (i.toLong, "same tokens here please"))
+      .toDF("doc_id", "text")
+    val pairs = Blocking.sortedNeighborhoodOf(same).collect()
+    assert(pairs.length == 3 && pairs.forall(_.getDouble(3) == 1.0))
+    // no cross-doc trigram → all docs in band 0 with zero covered tokens
+    val disjoint = Seq((1L, "s", "a b c d"), (2L, "s", "e f g h"))
+      .toDF("doc_id", "source", "text")
+    val cov = Spans.dupSpanCoverageOf(disjoint).collect()
+    assert(cov.length == 1 && cov.head.getLong(1) == 0L &&
+      cov.head.getLong(4) == 0L)
+    // two identical docs → fully covered, band 10, share 1.0
+    val twin = Seq((1L, "s", "a b c d"), (2L, "s", "a b c d"))
+      .toDF("doc_id", "source", "text")
+    val cov2 = Spans.dupSpanCoverageOf(twin).collect()
+    assert(cov2.length == 1 && cov2.head.getLong(1) == 10L &&
+      cov2.head.getDouble(5) == 1.0)
+    // a one-hour series: residual exactly 0, no excursion, no flags
+    val oneHour = Seq(("t", 5L, 7L)).toDF("event_type", "hour", "n")
+    val row = Analytics6.cusumOfCounts(oneHour).collect().head
+    assert(row.getLong(3) == 0L && row.getLong(5) == 0L && row.isNullAt(6))
+  }
+
   test("ivfReplicatedTopK never loses recall vs the same-quantizer nprobe-1 IVF") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
