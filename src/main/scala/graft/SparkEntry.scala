@@ -213,6 +213,7 @@ object SparkEntry {
     "embeddings_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "events_autocorrelation" -> ((s, d) => graft.operators.Analytics6.autocorrelation(s, d)),
     "orders_basket_pairs" -> ((s, d) => graft.operators.Analytics6.basketPairs(s, d)),
+    "corpus_dataset_card" -> ((s, d) => graft.operators.DatasetCard.card(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3695,6 +3696,58 @@ object SparkEntry {
          |FROM f JOIN supp sa ON sa.p = f.p1 JOIN supp sb ON sb.p = f.p2
          |CROSS JOIN n
          |ORDER BY p1, p2""".stripMargin,
+
+    // the dataset card — mirrors DatasetCard.card (composes the digest,
+    // language-vote and quality-key fragments of the panels it summarizes)
+    "corpus_dataset_card" -> {
+      val short = graft.operators.DatasetCard.ShortDocToks
+      s"""WITH q AS (
+         |  SELECT doc_id, source, md5(text) AS digest, $TOKS AS toks,
+         |    CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents),
+         |q2 AS (
+         |  SELECT doc_id, source, digest, len_no_ws,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+         |    $LANG_CNTS_SQL
+         |  FROM q),
+         |q3 AS (SELECT *, $LANG_CASE_SQL AS lang,
+         |         ${qKeySql("n_toks", "n_stop", "len_no_ws")} AS qkey
+         |       FROM q2),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+         |    CAST(sum(CASE WHEN n_toks < $short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs,
+         |    CAST(sum(qkey) AS BIGINT) AS sum_qkey
+         |  FROM q3),
+         |ts AS (SELECT CAST(max(c) AS BIGINT) AS top_source_docs FROM (
+         |  SELECT count(*) AS c FROM q3 GROUP BY source)),
+         |sel AS (SELECT * FROM a CROSS JOIN ts)
+         |SELECT metric, n, r4 FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS n, CAST(NULL AS DOUBLE) AS r4 FROM sel
+         |  UNION ALL SELECT 'n_tokens', n_tokens, CAST(NULL AS DOUBLE) FROM sel
+         |  UNION ALL SELECT 'n_sources', n_sources, CAST(NULL AS DOUBLE) FROM sel
+         |  UNION ALL SELECT 'n_langs_pred', n_langs, CAST(NULL AS DOUBLE) FROM sel
+         |  UNION ALL SELECT 'n_unique_texts', n_unique, CAST(NULL AS DOUBLE) FROM sel
+         |  UNION ALL SELECT 'top_source_docs', top_source_docs, CAST(NULL AS DOUBLE) FROM sel
+         |  UNION ALL SELECT 'dup_share4', CAST(NULL AS BIGINT),
+         |    ${ratio4Sql("n_docs - n_unique", "n_docs")} FROM sel
+         |  UNION ALL SELECT 'mean_tokens4', CAST(NULL AS BIGINT),
+         |    ${ratio4Sql("n_tokens", "n_docs")} FROM sel
+         |  UNION ALL SELECT 'short_share4', CAST(NULL AS BIGINT),
+         |    ${ratio4Sql("n_short", "n_docs")} FROM sel
+         |  UNION ALL SELECT 'en_share4', CAST(NULL AS BIGINT),
+         |    ${ratio4Sql("n_en_docs", "n_docs")} FROM sel
+         |  UNION ALL SELECT 'mean_quality4', CAST(NULL AS BIGINT),
+         |    ${halfUpSql("sum_qkey", "n_docs")} / 10000.0 FROM sel
+         |  UNION ALL SELECT 'top_source_share4', CAST(NULL AS BIGINT),
+         |    ${ratio4Sql("top_source_docs", "n_docs")} FROM sel)
+         |ORDER BY metric""".stripMargin
+    },
   )
 
   /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */

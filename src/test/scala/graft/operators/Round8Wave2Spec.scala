@@ -198,6 +198,56 @@ class Round8Wave2Spec extends SparkSpec {
     assert(got.forall(p => p._6 > 0 && p._3 <= math.min(p._4, p._5)))
   }
 
+  test("dataset card matches the composed per-doc signal model") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def halfUp(num: Long, den: Long): Long = (num + den / 2) / den
+    val stops = Seq(
+      "en" -> TextAnalysis.StopEn, "de" -> TextAnalysis.StopDe,
+      "es" -> TextAnalysis.StopEs, "fr" -> TextAnalysis.StopFr,
+      "zh" -> TextAnalysis.StopZh)
+    val wsSet = " \t\n\u000B\f\r".toSet
+    val per = docs.map { case (_, src, text) =>
+      val t = toks(text)
+      val n = t.size.toLong
+      val lenNoWs = text.count(!wsSet(_)).toLong
+      val nStop = t.count(TextAnalysis.StopEn.contains).toLong
+      val votes = stops.map { case (l, ws) => l -> t.count(ws.contains).toLong }
+      val lang = if (votes.forall(_._2 == 0L)) "und"
+        else votes.maxBy(v => (v._2, -stops.indexWhere(_._1 == v._1)))._1
+      val qkey = math.min(n * 40L, 4000L) +
+        (4000L - halfUp(nStop * 4000L, n)) +
+        math.min(halfUp(lenNoWs * 250L, n), 2000L)
+      (src, n, md5hex(text), lang, qkey)
+    }
+    val nDocs = per.size.toLong
+    val nTokens = per.map(_._2).sum
+    val nUnique = per.map(_._3).distinct.size.toLong
+    val topDocs = per.groupBy(_._1).values.map(_.size.toLong).max
+    val expected = Seq[(String, Option[Long], Option[Double])](
+      ("dup_share4", None, Some(ratio4Model(nDocs - nUnique, nDocs))),
+      ("en_share4", None, Some(ratio4Model(per.count(_._4 == "en"), nDocs))),
+      ("mean_quality4", None, Some(halfUp(per.map(_._5).sum, nDocs) / 10000.0)),
+      ("mean_tokens4", None, Some(ratio4Model(nTokens, nDocs))),
+      ("n_docs", Some(nDocs), None),
+      ("n_langs_pred", Some(per.map(_._4).distinct.size.toLong), None),
+      ("n_short", None, None), // placeholder replaced below
+      ("n_sources", Some(per.map(_._1).distinct.size.toLong), None),
+      ("n_tokens", Some(nTokens), None),
+      ("n_unique_texts", Some(nUnique), None),
+      ("short_share4", None,
+        Some(ratio4Model(per.count(_._2 < DatasetCard.ShortDocToks), nDocs))),
+      ("top_source_docs", Some(topDocs), None),
+      ("top_source_share4", None, Some(ratio4Model(topDocs, nDocs))))
+      .filterNot(_._1 == "n_short").sortBy(_._1)
+    val got = DatasetCard.card(spark, sf).collect().toSeq
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got == expected)
+  }
+
   test("degenerate inputs: singleton corpus, dup-free spans, one-hour series") {
     import spark.implicits._
     // a single document has no neighborhood → zero pairs, no errors
