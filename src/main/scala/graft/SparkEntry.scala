@@ -214,6 +214,7 @@ object SparkEntry {
     "events_autocorrelation" -> ((s, d) => graft.operators.Analytics6.autocorrelation(s, d)),
     "orders_basket_pairs" -> ((s, d) => graft.operators.Analytics6.basketPairs(s, d)),
     "corpus_dataset_card" -> ((s, d) => graft.operators.DatasetCard.card(s, d)),
+    "dedup_graph_triangles" -> ((s, d) => MinHashLSH.graphTriangles(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3748,6 +3749,32 @@ object SparkEntry {
          |    ${ratio4Sql("top_source_docs", "n_docs")} FROM sel)
          |ORDER BY metric""".stripMargin
     },
+
+    // exact triangle census over the near-dup graph (degree-ordered
+    // orientation) — mirrors MinHashLSH.graphTriangles
+    "dedup_graph_triangles" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |p2 AS (SELECT d1, d2 FROM pairs),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT d1 AS node FROM p2 UNION ALL SELECT d2 FROM p2) GROUP BY 1),
+         |e AS (
+         |  SELECT CASE WHEN (ga.degree, d1) < (gb.degree, d2) THEN d1 ELSE d2 END AS u,
+         |         CASE WHEN (ga.degree, d1) < (gb.degree, d2) THEN d2 ELSE d1 END AS v
+         |  FROM p2 JOIN deg ga ON ga.node = p2.d1 JOIN deg gb ON gb.node = p2.d2),
+         |w AS (SELECT a.u AS u, a.v AS x, b.v AS y
+         |      FROM e a JOIN e b ON a.u = b.u AND a.v < b.v),
+         |tri AS (SELECT u, x, y FROM w
+         |        WHERE EXISTS (SELECT 1 FROM p2 WHERE p2.d1 = w.x AND p2.d2 = w.y)),
+         |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |  SELECT u AS node FROM tri UNION ALL SELECT x FROM tri
+         |  UNION ALL SELECT y FROM tri) GROUP BY 1)
+         |SELECT deg.node AS node, deg.degree AS degree,
+         |  coalesce(tn.triangles, 0) AS triangles,
+         |  ${ratio4Sql("coalesce(tn.triangles, 0) * 2",
+                        "greatest(deg.degree * (deg.degree - 1), 1)")} AS coeff4
+         |FROM deg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin,
   )
 
   /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */

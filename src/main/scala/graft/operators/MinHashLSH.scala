@@ -399,4 +399,58 @@ object MinHashLSH {
         coalesce(col("in_semantic"), lit(false)).as("in_semantic"))
       .orderBy("doc_id")
   }
+
+  /** #225 `dedup_graph_triangles`: local clustering structure of the
+    * near-dup graph — per node its degree, triangle count, and exact
+    * local clustering coefficient 2·tri/(deg·(deg−1)). The panel
+    * separates COMMUNITY duplication (dense clusters of mutual
+    * near-dups — triangles everywhere, coefficient near 1: one family
+    * to collapse) from STAR duplication (a template hub touching many
+    * otherwise-unrelated docs — high degree, coefficient near 0: the
+    * hub is the artifact, the leaves may be keepers), which degree or
+    * PageRank (#114) alone cannot distinguish.
+    *
+    * Exact triangle counting with DEGREE-ORDERED ORIENTATION: every
+    * edge points from its (deg, id)-smaller endpoint to the larger,
+    * wedges form only at each edge's LOW endpoint, and a wedge closes
+    * iff its two tips are themselves a pair. Work is Σ outdeg(u)² ≤
+    * O(m^1.5) for ANY graph (the arboricity bound) — the hub whose
+    * naive wedge join would be quadratic has out-degree ≈ 0 under
+    * this orientation, so no hub cap is needed and the count stays
+    * exact. All joins are hash joins on node ids; the pair list is
+    * checkpointed once and feeds orientation, wedge closure and the
+    * degree rollup. */
+  def graphTriangles(spark: SparkSession, dir: String,
+                     tau: Double = 0.5): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val pairs = nearDupPairs(spark, dir, tau).select("d1", "d2")
+      .localCheckpoint()
+    val deg = pairs.select(col("d1").as("node"))
+      .unionAll(pairs.select(col("d2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    val low = struct(col("g1"), col("d1")) < struct(col("g2"), col("d2"))
+    val e = pairs
+      .join(deg.select(col("node").as("d1"), col("degree").as("g1")), "d1")
+      .join(deg.select(col("node").as("d2"), col("degree").as("g2")), "d2")
+      .select(when(low, col("d1")).otherwise(col("d2")).as("u"),
+        when(low, col("d2")).otherwise(col("d1")).as("v"))
+      .localCheckpoint()
+    // wedge tips ordered by id so the closing lookup hits the pair
+    // list's canonical (d1 < d2) form directly
+    val wedges = e.as("a").join(e.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("u"), col("a.v").as("x"), col("b.v").as("y"))
+    val tri = wedges.join(pairs,
+      col("x") === col("d1") && col("y") === col("d2"), "left_semi")
+    val triPerNode = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .select(col("node"), col("degree"), col("triangles"),
+        ratio4(col("triangles") * 2L,
+          greatest(col("degree") * (col("degree") - 1L), lit(1L))).as("coeff4"))
+      .orderBy("node")
+  }
 }

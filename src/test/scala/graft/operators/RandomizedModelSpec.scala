@@ -193,4 +193,57 @@ class RandomizedModelSpec extends SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("cusum closed form equals the textbook recursion on random bursty series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      // bursty: long quiet stretches + random spikes — the shape that
+      // exposes a missing zero anchor or an off-by-one window frame
+      val h = 20 + rnd.nextInt(60)
+      val counts = (0 until h).map { i =>
+        (s"t$trial", i.toLong + 100L,
+          if (rnd.nextInt(4) == 0) rnd.nextInt(50).toLong else rnd.nextInt(3).toLong)
+      }
+      val got = Analytics6.cusumOfCounts(
+        counts.toDF("event_type", "hour", "n")).collect().head
+      val series = counts.map(_._3)
+      val nH = h.toLong; val tot = series.sum
+      var sPos = 0L; var sNeg = 0L
+      val states = series.map { n =>
+        val r = n * nH - tot
+        sPos = math.max(0L, sPos + r); sNeg = math.max(0L, sNeg - r)
+        (sPos, sNeg)
+      }
+      assert(got.getLong(3) == states.map(_._1).max, s"trial $trial s_pos_max")
+      assert(got.getLong(4) == 100L + states.indexWhere(_._1 == states.map(_._1).max),
+        s"trial $trial peak_hour")
+      assert(got.getLong(7) == states.map(_._2).max, s"trial $trial s_neg_max")
+    }
+  }
+
+  test("islands merge equals brute position-marking on random overlap patterns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 5) {
+      // tiny vocab → dense cross-doc trigram collisions and heavily
+      // overlapping duplicated intervals per doc
+      val docs = (0 until 30).map { id =>
+        (id.toLong, "s",
+          Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Spans.dupSpanCoverageOf(docs.toDF("doc_id", "source", "text"))
+        .agg(sum("dup_tokens")).collect().head.getLong(0)
+      val pos = docs.flatMap { case (id, _, text) =>
+        val t = text.split(" ").toSeq
+        (0 to t.size - 3).map(p => (t.slice(p, p + 3).mkString(" "), id, p))
+      }
+      val crossDoc = pos.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+      val want = pos.filter(p => crossDoc(p._1)).groupBy(_._2).values.map { ps =>
+        ps.flatMap(p => p._3 until (p._3 + 3)).distinct.size.toLong
+      }.sum
+      assert(got == want, s"trial $trial")
+    }
+  }
 }

@@ -248,6 +248,28 @@ class Round8Wave2Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graphTriangles matches the brute-force triangle census") {
+    val edges = MinHashLSH.nearDupPairs(spark, sf).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    def isEdge(a: Long, b: Long) =
+      edges((math.min(a, b), math.max(a, b)))
+    val nodes = adj.keys.toSeq.sorted
+    val expected = nodes.map { n =>
+      val nb = adj(n).toSeq.sorted
+      val tri = (for (i <- nb.indices; j <- i + 1 until nb.size
+                      if isEdge(nb(i), nb(j))) yield 1).size.toLong
+      val d = nb.size.toLong
+      (n, d, tri, ratio4Model(2L * tri, math.max(d * (d - 1L), 1L)))
+    }
+    val got = MinHashLSH.graphTriangles(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // handshake invariant: total triangle incidences divide by 3
+    assert(got.map(_._3).sum % 3 == 0)
+  }
+
   test("degenerate inputs: singleton corpus, dup-free spans, one-hour series") {
     import spark.implicits._
     // a single document has no neighborhood → zero pairs, no errors
