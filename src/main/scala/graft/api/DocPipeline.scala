@@ -133,6 +133,13 @@ final class DocPipeline private (val df: DataFrame) {
   def sharded(nShards: Int = graft.operators.Pipeline.NumShards): DataFrame =
     graft.operators.Pipeline.shardAssignmentsOf(
       df.select("doc_id", "text"), nShards)
+
+  /** Terminal: the dataset card of the SURVIVING corpus
+    * (corpus_dataset_card semantics) — the release datasheet a
+    * pipeline run ships next to its output; frames without a `source`
+    * column report one pseudo-source. */
+  def datasetCard: DataFrame =
+    graft.operators.DatasetCard.cardOf(df)
 }
 
 object DocPipeline {

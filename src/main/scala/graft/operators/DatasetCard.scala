@@ -31,10 +31,19 @@ object DatasetCard {
     * the only second aggregate, O(sources), crossJoined back as a
     * 1-row broadcast. The card unpivots via `stack` over the 1-row
     * frame — O(metrics) rows out. */
-  def card(spark: SparkSession, dir: String): DataFrame = {
+  def card(spark: SparkSession, dir: String): DataFrame =
+    cardOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).spread)
+
+  /** [[card]] core over any (doc_id, source, text) frame — a frame
+    * without `source` gets the single pseudo-source "all" (the
+    * DocPipeline terminal's shape). */
+  def cardOf(docs: DataFrame): DataFrame = {
     import graft.functions.Hashing.{halfUpDiv, ratio4}
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text")).spread
+    val withSource =
+      if (docs.columns.contains("source")) docs
+      else docs.withColumn("source", lit("all"))
+    val base = withSource
       .select(col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
         md5(col("text")).as("digest"),

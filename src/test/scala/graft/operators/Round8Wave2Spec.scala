@@ -246,6 +246,13 @@ class Round8Wave2Spec extends SparkSpec {
         if (r.isNullAt(1)) None else Some(r.getLong(1)),
         if (r.isNullAt(2)) None else Some(r.getDouble(2))))
     assert(got == expected)
+    // the DocPipeline terminal: a source-less frame reports one
+    // pseudo-source and the same metric set
+    val viaApi = graft.api.DocPipeline(
+      graft.Tables.documents(spark, sf).select("doc_id", "text")).datasetCard
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(viaApi.size == 12 && viaApi("n_sources").getLong(1) == 1L)
+    assert(viaApi("n_docs").getLong(1) == nDocs)
   }
 
   test("graphTriangles matches the brute-force triangle census") {
