@@ -6,12 +6,17 @@ import graft.sinks.TxnParquet
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.nio.file.Files
 
+/** Top-level so Spark can instantiate the encoder without an outer
+  * scope (the file-source restart test round-trips it through parquet). */
+case class DriftEv(event_type: String, ts_us: Long)
+
 /** StreamDrift vs the batch CUSUM panel: hourly deltas folded across
   * micro-batches evaluate to the IDENTICAL drift panel, batching
   * invariant, and compaction of the delta log changes nothing. */
 class StreamDriftSpec extends SparkSpec {
 
-  case class Ev(event_type: String, ts_us: Long)
+  type Ev = DriftEv
+  private def Ev(et: String, ts: Long) = DriftEv(et, ts)
 
   private lazy val events: Seq[Ev] =
     Dedup.eventsUs(spark, sf).select("event_type", "ts_us")
@@ -38,6 +43,26 @@ class StreamDriftSpec extends SparkSpec {
       assert(panelRows(StreamDrift.panel(spark, stateDir)) == want,
         s"panel drifted from batch at nBatches=$nBatches")
     }
+  }
+
+  test("monitor survives a restart: file-source + checkpoint, no double counts") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_drift_ckpt").toString
+    val (inDir, stateDir, ckpt) = (s"$base/in", s"$base/state", s"$base/ckpt")
+    val (half1, half2) = events.splitAt(events.size / 2)
+    def runOnce(chunk: Seq[Ev]): Unit = {
+      chunk.toDF().write.mode("append").parquet(inDir)
+      val src = spark.readStream.schema(chunk.toDF().schema).parquet(inDir)
+      val q = StreamDrift.monitor(src.toDF(), stateDir, Some(ckpt))
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce(half1) // first incarnation
+    runOnce(half2) // restarted from the same checkpoint
+    // the checkpoint prevents re-ingesting half1's files, and the
+    // TxnParquet batch-id idempotence backstops any replayed batch —
+    // the folded panel is exactly the batch panel, no double counting
+    assert(panelRows(StreamDrift.panel(spark, stateDir)) ==
+      panelRows(Analytics6.cusumDrift(spark, sf)))
   }
 
   test("compacting the delta log leaves the panel untouched") {
