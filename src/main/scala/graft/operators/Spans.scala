@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Partitioning._
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Duplicated-SPAN analysis: how much of each document's token stream
