@@ -45,10 +45,19 @@ object DatasetCard {
       else docs.withColumn("source", lit("all"))
     val base = withSource
       .select(col("source"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
+        // greatest(…, 0): NULL text → NULL token array → size −1; it
+        // must count as an empty doc. Same rationale for the 'und'
+        // language fallback (predLangCol of a NULL array is NULL).
+        greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(0L))
+          .as("n_toks"),
         md5(col("text")).as("digest"),
-        TextAnalysis.predLangCol(TextAnalysis.tokens(col("text"))).as("lang"),
-        TextAnalysis.qualityKeyFromText(col("text")).as("qkey"))
+        coalesce(TextAnalysis.predLangCol(TextAnalysis.tokens(col("text"))),
+          lit("und")).as("lang"),
+        // the quality key divides by the token count — token-less docs
+        // carry a NULL key (sum skips them) instead of an ANSI
+        // divide-by-zero
+        when(size(TextAnalysis.tokens(col("text"))) > 0,
+          TextAnalysis.qualityKeyFromText(col("text"))).as("qkey"))
     val agg = base.agg(
       count(lit(1)).as("n_docs"),
       sum("n_toks").as("n_tokens"),

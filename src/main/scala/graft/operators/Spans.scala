@@ -47,8 +47,10 @@ object Spans {
     import graft.functions.Hashing.{h64, intDiv, ratio4}
     val base = docs.select(col("doc_id"), col("source"),
       TextAnalysis.tokens(col("text")).as("t"))
+    // greatest(…, 0): a NULL text tokenizes to a NULL array whose size
+    // is −1 — it must count as an empty doc, not subtract from totals
     val meta = base.select(col("doc_id"), col("source"),
-      size(col("t")).cast("long").as("n_toks"))
+      greatest(size(col("t")).cast("long"), lit(0L)).as("n_toks"))
     // positioned (NOT distinct) shingles: one row per start position;
     // the shingle itself rides as a 60-bit hash — the window only needs
     // equality, and 8 bytes beat re-shuffling the raw trigram text

@@ -94,6 +94,46 @@ class NullRobustnessSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap == Map("src0" -> 2L, "srcB" -> 4L))
   }
 
+  test("round-8 doc panels tolerate null/empty/whitespace documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullw2").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "srcA", 30L),
+      (1L, null.asInstanceOf[String], "en", "srcA", 0L),
+      (2L, "", "en", "srcB", 0L),
+      (3L, "   \t  ", "en", "srcB", 6L),
+      (4L, "alpha beta gamma delta epsilon", "en", "srcB", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // sorted neighborhood: token-less docs can never reach τ — only the
+    // twin pair emits, at exactly 1.0
+    val sn = Blocking.sortedNeighborhood(spark, dir).collect()
+    assert(sn.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq ==
+      Seq((0L, 4L, 1.0)))
+    // span coverage: null text counts as an EMPTY doc (never −1 tokens);
+    // the twins are fully covered, everyone else band 0
+    val cov = Spans.dupSpanCoverage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(cov(("srcA", 0L)) == (1L, 0L) && cov(("srcA", 10L)) == (1L, 5L))
+    assert(cov(("srcB", 0L)) == (2L, 0L) && cov(("srcB", 10L)) == (1L, 5L))
+    // simpson: sources aggregate over token-bearing docs, no zero division
+    assert(CorpusStats.sourceSimpson(spark, dir).collect()
+      .forall(r => r.getLong(1) == 5L))
+    // dataset card: 5 docs, 10 total tokens (null/empty count 0), three
+    // short docs, en for the token-bearing docs and 'und' fallback rows
+    val card = DatasetCard.card(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card("n_docs").getLong(1) == 5L)
+    assert(card("n_tokens").getLong(1) == 10L)
+    assert(card("short_share4").getDouble(2) == 1.0) // every doc < 32 toks
+    assert(card("mean_tokens4").getDouble(2) == 2.0)
+    assert(card("n_langs_pred").getLong(1) == 2L) // en + und
+    // triangle census: a two-node graph has no triangles and coeff 0
+    val tri = MinHashLSH.graphTriangles(spark, dir).collect()
+    assert(tri.length == 2 && tri.forall(r =>
+      r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+  }
+
   test("chain dedup of an empty stream is empty, of one row is that row") {
     import spark.implicits._
     val schema = Seq((0L, 0L, 0L, "x", 0.0, "{}", 7L))
