@@ -215,6 +215,7 @@ object SparkEntry {
     "orders_basket_pairs" -> ((s, d) => graft.operators.Analytics6.basketPairs(s, d)),
     "corpus_dataset_card" -> ((s, d) => graft.operators.DatasetCard.card(s, d)),
     "dedup_graph_triangles" -> ((s, d) => MinHashLSH.graphTriangles(s, d)),
+    "dedup_blocking_agreement" -> ((s, d) => graft.operators.Blocking.blockingAgreement(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -630,6 +631,34 @@ object SparkEntry {
     * rounding broke events_gap_stats in r3. */
   private def ratio4Sql(num: String, den: String): String =
     s"${halfUpSql(s"($num) * 10000", den)} / 10000.0"
+
+  /** Sorted-neighborhood accepted pairs (`snacc`) — mirrors
+    * Blocking.sortedNeighborhoodOf; shared by the standalone query and
+    * the SN×LSH agreement panel so the two can never drift. */
+  private def SN_CTES: String = {
+    val w = graft.operators.Blocking.SnWindow
+    val kl = graft.operators.Blocking.SnKeyLen
+    val tau = graft.operators.Blocking.SnTau
+    s"""snk AS (
+       |  SELECT doc_id,
+       |    substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, $kl) AS bkey
+       |  FROM documents),
+       |snr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bkey, doc_id) AS BIGINT) AS rn
+       |        FROM snk),
+       |snt AS (SELECT doc_id, list_distinct($TOKS) AS ts FROM documents),
+       |snpr AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, b.rn - a.rn AS gap
+       |  FROM snr a JOIN snr b ON b.rn - a.rn BETWEEN 1 AND ${w - 1}),
+       |snj AS (
+       |  SELECT d1, d2, gap,
+       |    CAST(len(list_intersect(t1.ts, t2.ts)) AS BIGINT) AS inter,
+       |    CAST(len(t1.ts) + len(t2.ts) - len(list_intersect(t1.ts, t2.ts)) AS BIGINT) AS uni
+       |  FROM snpr JOIN snt t1 ON t1.doc_id = snpr.d1 JOIN snt t2 ON t2.doc_id = snpr.d2),
+       |snacc AS (
+       |  SELECT d1, d2, gap, jacc4 FROM (
+       |    SELECT d1, d2, gap, ${ratio4Sql("inter", "greatest(uni, 1)")} AS jacc4 FROM snj)
+       |  WHERE jacc4 >= $tau)""".stripMargin
+  }
 
   /** DuckDB twin of TextAnalysis.qualityKeyCol (exact int64 quality
     * key, 1e-4 units) — shared by every quality-scoring oracle. */
@@ -3475,29 +3504,29 @@ object SparkEntry {
     // ---- round 8 wave 2 -------------------------------------------------
 
     // sorted-neighborhood blocking — mirrors Blocking.sortedNeighborhood
-    "dedup_sorted_neighborhood" -> {
-      val w = graft.operators.Blocking.SnWindow
-      val kl = graft.operators.Blocking.SnKeyLen
-      val tau = graft.operators.Blocking.SnTau
-      s"""WITH k AS (
-         |  SELECT doc_id,
-         |    substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, $kl) AS bkey
-         |  FROM documents),
-         |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bkey, doc_id) AS BIGINT) AS rn
-         |      FROM k),
-         |ts AS (SELECT doc_id, list_distinct($TOKS) AS ts FROM documents),
-         |pr AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, b.rn - a.rn AS gap
-         |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND ${w - 1}),
-         |j AS (
-         |  SELECT d1, d2, gap,
-         |    CAST(len(list_intersect(t1.ts, t2.ts)) AS BIGINT) AS inter,
-         |    CAST(len(t1.ts) + len(t2.ts) - len(list_intersect(t1.ts, t2.ts)) AS BIGINT) AS uni
-         |  FROM pr JOIN ts t1 ON t1.doc_id = pr.d1 JOIN ts t2 ON t2.doc_id = pr.d2)
-         |SELECT d1, d2, gap, jacc4 FROM (
-         |  SELECT d1, d2, gap, ${ratio4Sql("inter", "greatest(uni, 1)")} AS jacc4 FROM j)
-         |WHERE jacc4 >= $tau ORDER BY d1, d2""".stripMargin
-    },
+    "dedup_sorted_neighborhood" ->
+      s"""WITH $SN_CTES
+         |SELECT d1, d2, gap, jacc4 FROM snacc ORDER BY d1, d2""".stripMargin,
+
+    // SN × LSH pair-set agreement — mirrors Blocking.blockingAgreement
+    // (composes the SN CTEs with the shared MinHash pair CTEs verbatim)
+    "dedup_blocking_agreement" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |$SN_CTES,
+         |snp AS (SELECT DISTINCT least(d1, d2) AS d1, greatest(d1, d2) AS d2
+         |        FROM snacc),
+         |mhp AS (SELECT d1, d2 FROM pairs),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+         |       FROM mhp WHERE EXISTS (SELECT 1 FROM snp
+         |         WHERE snp.d1 = mhp.d1 AND snp.d2 = mhp.d2)),
+         |am AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM mhp),
+         |bm AS (SELECT CAST(count(*) AS BIGINT) AS n_sn FROM snp)
+         |SELECT n_lsh, n_sn, n_common,
+         |  ${ratio4Sql("n_common", "greatest(n_lsh, 1)")} AS lsh_recall4,
+         |  ${ratio4Sql("n_common", "greatest(n_sn, 1)")} AS sn_confirmed4
+         |FROM am CROSS JOIN bm CROSS JOIN cm""".stripMargin,
 
     // exact CUSUM drift panel — mirrors Analytics6.cusumDrift
     "events_cusum_drift" -> {

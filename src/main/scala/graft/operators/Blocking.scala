@@ -84,4 +84,37 @@ object Blocking {
       .select("d1", "d2", "gap", "jacc4")
       .orderBy("d1", "d2")
   }
+
+  /** #226 `dedup_blocking_agreement`: cross-family agreement between
+    * the cheap sorted-neighborhood pass and the MinHash-LSH verified
+    * pair set — the panel that answers "what does the cheap pass
+    * miss, and is what it adds real": pair counts per family, the
+    * overlap, recall of the LSH set by the SN set and the share of SN
+    * pairs the LSH set confirms. The two families gate on DIFFERENT
+    * exact similarities (distinct-token vs shingle Jaccard), so this
+    * is agreement, not ground-truth recall — which is exactly what an
+    * operator tuning a multi-pass dedup needs to see.
+    *
+    * Shape: both pair sets are the operators' own outputs (SN pairs
+    * re-canonicalized to id order — its native orientation is sort
+    * order); the overlap is one join on the canonical pair key; output
+    * is ONE row. */
+  def blockingAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val mh = MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2")
+    val sn = sortedNeighborhood(spark, dir)
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"))
+      .distinct()
+    val common = mh.join(sn, Seq("d1", "d2"), "left_semi")
+    val a = mh.agg(count(lit(1)).as("n_lsh"))
+    val b = sn.agg(count(lit(1)).as("n_sn"))
+    val c = common.agg(count(lit(1)).as("n_common"))
+    a.crossJoin(b).crossJoin(c)
+      .select(col("n_lsh"), col("n_sn"), col("n_common"),
+        ratio4(col("n_common"), greatest(col("n_lsh"), lit(1L)))
+          .as("lsh_recall4"),
+        ratio4(col("n_common"), greatest(col("n_sn"), lit(1L)))
+          .as("sn_confirmed4"))
+  }
 }

@@ -277,6 +277,22 @@ class Round8Wave2Spec extends SparkSpec {
     assert(got.map(_._3).sum % 3 == 0)
   }
 
+  test("blockingAgreement equals the set algebra of its two pair sets") {
+    val mh = MinHashLSH.nearDupPairs(spark, sf).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sn = Blocking.sortedNeighborhood(spark, sf)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val common = (mh & sn).size.toLong
+    val got = Blocking.blockingAgreement(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      (mh.size.toLong, sn.size.toLong, common))
+    assert(got.getDouble(3) ==
+      ratio4Model(common, math.max(mh.size.toLong, 1L)))
+    assert(got.getDouble(4) ==
+      ratio4Model(common, math.max(sn.size.toLong, 1L)))
+  }
+
   test("degenerate inputs: singleton corpus, dup-free spans, one-hour series") {
     import spark.implicits._
     // a single document has no neighborhood → zero pairs, no errors
