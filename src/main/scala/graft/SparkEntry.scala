@@ -37,7 +37,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => SimHash.nearDupPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     // LLM-pipeline: similarity search
-    "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
+    "ann_brute_topk" -> ((s, d) =>
+      Similarity.bruteTopKShared(s, d).orderBy("q_id", "rank")),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -265,11 +266,11 @@ object SparkEntry {
     * TextAnalysis.predLangCol's countIn inputs; shared by the lang-ID
     * and lang-confusion oracles so the stop lists cannot drift. */
   private val LANG_CNTS_SQL =
-    s"""CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_en,
-       |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS n_de,
-       |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS BIGINT) AS n_es,
-       |    CAST(len(list_filter(toks, t -> t IN ('le','les','de','et','est'))) AS BIGINT) AS n_fr,
-       |    CAST(len(list_filter(toks, t -> t IN ('的','是','不'))) AS BIGINT) AS n_zh""".stripMargin
+    s"""coalesce(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT), 0) AS n_en,
+       |    coalesce(CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS BIGINT), 0) AS n_de,
+       |    coalesce(CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS BIGINT), 0) AS n_es,
+       |    coalesce(CAST(len(list_filter(toks, t -> t IN ('le','les','de','et','est'))) AS BIGINT), 0) AS n_fr,
+       |    coalesce(CAST(len(list_filter(toks, t -> t IN ('的','是','不'))) AS BIGINT), 0) AS n_zh""".stripMargin
 
   /** Deterministic-argmax language pick — mirrors TextAnalysis.predLangCol. */
   private val LANG_CASE_SQL =
@@ -3737,12 +3738,14 @@ object SparkEntry {
          |  FROM documents),
          |q2 AS (
          |  SELECT doc_id, source, digest, len_no_ws,
-         |    CAST(len(toks) AS BIGINT) AS n_toks,
-         |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+         |    coalesce(CAST(len(toks) AS BIGINT), 0) AS n_toks,
+         |    coalesce(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT), 0) AS n_stop,
          |    $LANG_CNTS_SQL
          |  FROM q),
          |q3 AS (SELECT *, $LANG_CASE_SQL AS lang,
-         |         ${qKeySql("n_toks", "n_stop", "len_no_ws")} AS qkey
+         |         CASE WHEN n_toks > 0
+         |           THEN ${qKeySql("n_toks", "n_stop", "len_no_ws")}
+         |           ELSE NULL END AS qkey
          |       FROM q2),
          |a AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -45,14 +45,13 @@ object DatasetCard {
       else docs.withColumn("source", lit("all"))
     val base = withSource
       .select(col("source"),
-        // greatest(…, 0): NULL text → NULL token array → size −1; it
-        // must count as an empty doc. Same rationale for the 'und'
-        // language fallback (predLangCol of a NULL array is NULL).
+        // greatest(…, 0): NULL text → NULL token array → negative/NULL
+        // size; it must count as an empty doc. The language vote handles
+        // NULL toks itself (predLangCol pins NULL ≡ empty ≡ 'und').
         greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(0L))
           .as("n_toks"),
         md5(col("text")).as("digest"),
-        coalesce(TextAnalysis.predLangCol(TextAnalysis.tokens(col("text"))),
-          lit("und")).as("lang"),
+        TextAnalysis.predLangCol(TextAnalysis.tokens(col("text"))).as("lang"),
         // the quality key divides by the token count — token-less docs
         // carry a NULL key (sum skips them) instead of an ANSI
         // divide-by-zero

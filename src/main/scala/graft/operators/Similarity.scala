@@ -204,6 +204,23 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Memoized, localCheckpointed [[bruteTopK]] per (session, dir, k,
+    * nQueries) — THE shared evaluation substrate: `ann_brute_topk`,
+    * `ann_recall_report` and `ann_appended_recall` all grade against
+    * the identical exact baseline, and Verify/Bench run them in one
+    * session, so without the memo the O(nQueries × corpus) scan runs
+    * three times per session for bit-identical output (the frame is a
+    * pure deterministic function of its key). Keyed by session
+    * identity: a checkpointed frame dies with its session, so a fresh
+    * session recomputes rather than touching a dead RDD. */
+  private val bruteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  def bruteTopKShared(spark: SparkSession, dir: String,
+                      k: Int = TopK, nQueries: Int = NumQueries): DataFrame =
+    bruteMemo.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|$k|$nQueries",
+      _ => bruteTopK(spark, dir, k, nQueries).localCheckpoint())
+
   /** IVF-style ANN: vectors are assigned to their nearest of
     * `nCentroids` coarse centroids (deterministically the first K
     * vectors — a k-means fit would slot in here unchanged), and a query
@@ -825,7 +842,7 @@ object Similarity {
     val fCodes = Future(pqEncode(v, cb).localCheckpoint())
     val fB0 = Future(buckets(spark, dir, NumBands * ppb, ppb)
       .filter(col("band") === 0).localCheckpoint())
-    val fBrute = Future(topk(bruteTopK(spark, dir, k, nQueries)))
+    val fBrute = Future(topk(bruteTopKShared(spark, dir, k, nQueries)))
     val members = Await.result(fMembers, Duration.Inf)
     val codes = Await.result(fCodes, Duration.Inf)
     val b0 = Await.result(fB0, Duration.Inf)
@@ -860,6 +877,24 @@ object Similarity {
   }
 
   // ---- Index persistence (build once / query many) ---------------------
+
+  /** A cluster-reachable scratch directory for in-panel index builds:
+    * `spark.graft.indexDir` if set (the adopter's shared index root),
+    * else a subdirectory of the SQL warehouse dir — both resolve
+    * through the hadoop FileSystem of the path, so on a real cluster
+    * the artifacts land on the shared FS every executor reads, never a
+    * driver-local java.io.tmpdir. The directory is cleared first:
+    * appendToIndex appends, so a stale prior run must not double the
+    * per-vector artifact tables. */
+  private def scratchIndexDir(spark: SparkSession, name: String): String = {
+    val base = spark.conf.getOption("spark.graft.indexDir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/graft-scratch-index")
+    val dir = s"$base/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    dir
+  }
 
   /** Persist every ANN index artifact the search paths consume — the
     * production lifecycle recallReport only simulates in-session with
@@ -957,12 +992,14 @@ object Similarity {
   def appendedRecall(spark: SparkSession, dir: String,
                      k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
     val v = vecs(spark, dir)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft-appended-recall").toString
+    // scratch index under a hadoop-compatible path (conf-overridable,
+    // warehouse-dir default) — NOT a driver-local temp dir, which
+    // executors on a real cluster could never read the artifacts from
+    val idx = scratchIndexDir(spark, "appended-recall")
     saveIndexOf(v.filter(col("vec_id") % 2 === 0), idx)
     appendToIndex(spark, idx, v.filter(col("vec_id") % 2 =!= 0))
-    val brute = bruteTopK(spark, dir, k, nQueries)
-      .select("q_id", "vec_id").localCheckpoint()
+    val brute = bruteTopKShared(spark, dir, k, nQueries)
+      .select("q_id", "vec_id")
     def row(name: String, tk: DataFrame): DataFrame =
       tk.select("q_id", "vec_id")
         .join(brute, Seq("q_id", "vec_id"), "left_semi")

@@ -73,7 +73,9 @@ object TextAnalysis {
     val n_es = countIn(toks, StopEs); val n_fr = countIn(toks, StopFr)
     val n_zh = countIn(toks, StopZh)
     val top = greatest(n_en, n_de, n_es, n_fr, n_zh)
-    when(top === 0, "und")
+    // NULL toks (null text) must classify like an empty doc, not fall
+    // through the when-chain to the 'zh' otherwise-branch
+    when(top.isNull || top === 0, "und")
       .when(n_en === top, "en")
       .when(n_de === top, "de")
       .when(n_es === top, "es")

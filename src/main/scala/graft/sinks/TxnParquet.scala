@@ -27,9 +27,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * append-only corpus needs (exactly-once per retried batch, atomic
   * visibility) without a table-format dependency: the marker directory
   * is O(batches) empty files, the data path is untouched parquet, and
-  * readers list one small directory before planning the scan. What it
-  * does NOT give — concurrent writers to the SAME batch id, row-level
-  * deletes, schema evolution — is documented out of scope.
+  * readers list one small directory before planning the scan. Additive
+  * column evolution is supported (`read(mergeSchema = true)`; `compact`
+  * always merges, so a compaction bakes the union schema into one
+  * generation). What it does NOT give — concurrent writers to the SAME
+  * batch id, row-level deletes, column removal/retype (migrate those
+  * through a compaction rewrite) — is documented out of scope.
   */
 object TxnParquet {
 
@@ -64,18 +67,42 @@ object TxnParquet {
     * read). One scan over the explicit committed paths: the latest
     * committed compaction (if any) stands in for the batches it covers,
     * plus every committed batch appended since — so a torn directory
-    * (batch or compaction) costs nothing even at plan time. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val ids = committedBatches(spark, dir)
-    val paths = latestCompaction(spark, dir) match {
+    * (batch or compaction) costs nothing even at plan time.
+    *
+    * `mergeSchema = true` opts into ADDITIVE schema evolution: a long-
+    * lived append log accrues new columns over the years, and with the
+    * flag set the scan unions footers across batches, reading a column
+    * missing from older batches as null. Off by default because the
+    * footer merge costs one extra metadata pass per file — a compacted
+    * table (one generation + recent batches) pays almost nothing, which
+    * is the recommended posture: evolve additively, compact, read
+    * merged. Column REMOVAL or type change stays out of scope: migrate
+    * those through a compaction generation (rewrite with the target
+    * schema, then vacuum). */
+  def read(spark: SparkSession, dir: String,
+           mergeSchema: Boolean = false): DataFrame = {
+    val paths = committedPaths(spark, dir)
+    require(paths.nonEmpty, s"no committed batches under $dir")
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+  }
+
+  /** The exact path set a read of the current committed view plans:
+    * latest committed compaction (if any) + committed batches it does
+    * not cover. Factored out so `compact` can snapshot ONE listing and
+    * rewrite exactly those paths — calling `read` there would re-list
+    * and could pick up a concurrently committed batch absent from the
+    * manifest (double rows on every later read). */
+  private def committedPaths(spark: SparkSession, dir: String): Seq[String] =
+    pathsFor(dir, committedBatches(spark, dir), latestCompaction(spark, dir))
+
+  private def pathsFor(dir: String, ids: Seq[Long],
+                       compaction: Option[(Long, Set[Long])]): Seq[String] =
+    compaction match {
       case Some((gen, covered)) =>
         s"$dir/compact=$gen" +:
           ids.filterNot(covered).map(id => s"$dir/batch=$id")
       case None => ids.map(id => s"$dir/batch=$id")
     }
-    require(paths.nonEmpty, s"no committed batches under $dir")
-    spark.read.parquet(paths: _*)
-  }
 
   // ---- compaction -------------------------------------------------------
   // A long-lived append stream leaves one small parquet directory per
@@ -126,9 +153,17 @@ object TxnParquet {
     val f = fs(spark, dir)
     val prior = latestCompaction(spark, dir)
     val gen = prior.map(_._1 + 1).getOrElse(0L)
-    val covered = committedBatches(spark, dir).toSet ++
-      prior.map(_._2).getOrElse(Set.empty)
-    read(spark, dir).coalesce(numFiles)
+    // ONE listing snapshots the view; both the rewrite input and the
+    // manifest derive from it. A batch committed concurrently after this
+    // point (e.g. a live streaming appender) is neither rewritten nor
+    // covered — it simply remains an uncompacted batch the next read
+    // unions in, exactly as if it had arrived after the compaction.
+    val ids = committedBatches(spark, dir)
+    val covered = ids.toSet ++ prior.map(_._2).getOrElse(Set.empty)
+    val paths = pathsFor(dir, ids, prior)
+    require(paths.nonEmpty, s"no committed batches under $dir")
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .coalesce(numFiles)
       .write.mode("overwrite").parquet(s"$dir/compact=$gen")
     // manifest lands by atomic RENAME: a crash mid-write leaves only an
     // invisible .tmp (a torn manifest read as committed would make
@@ -137,7 +172,10 @@ object TxnParquet {
     val out = f.create(tmp, true)
     try out.write(covered.toSeq.sorted.mkString(",").getBytes("UTF-8"))
     finally out.close()
-    f.rename(tmp, new Path(s"$dir/_compactions/$gen"))
+    // HDFS signals a failed rename by returning false, not throwing — a
+    // swallowed false would report gen as committed with no manifest
+    require(f.rename(tmp, new Path(s"$dir/_compactions/$gen")),
+      s"manifest rename failed for gen=$gen under $dir")
     gen
   }
 

@@ -42,7 +42,8 @@ object StreamJoin {
     p.join(c,
         col("c_user") === col("user_id") &&
           col("click_ts") <= col("purchase_ts") &&
-          col("click_ts") >= col("purchase_ts") - expr("interval 30 minutes"))
+          col("click_ts") >=
+            col("purchase_ts") - expr(s"interval $JoinWindowUs microseconds"))
       .select(col("user_id"), col("purchase_id"),
         unix_micros(col("purchase_ts")).as("purchase_us"),
         col("click_id"), unix_micros(col("click_ts")).as("click_us"))

@@ -120,14 +120,23 @@ class NullRobustnessSpec extends SparkSpec {
     assert(CorpusStats.sourceSimpson(spark, dir).collect()
       .forall(r => r.getLong(1) == 5L))
     // dataset card: 5 docs, 10 total tokens (null/empty count 0), three
-    // short docs, en for the token-bearing docs and 'und' fallback rows
+    // short docs; every doc (stopword-free, empty, whitespace AND null
+    // text) votes 'und' — a null token array classifies like an empty
+    // doc, never falling through the vote to a real language
     val card = DatasetCard.card(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(card("n_docs").getLong(1) == 5L)
     assert(card("n_tokens").getLong(1) == 10L)
     assert(card("short_share4").getDouble(2) == 1.0) // every doc < 32 toks
     assert(card("mean_tokens4").getDouble(2) == 2.0)
-    assert(card("n_langs_pred").getLong(1) == 2L) // en + und
+    assert(card("n_langs_pred").getLong(1) == 1L) // und only
+    // the vote itself is pinned: null toks ≡ empty toks ≡ no-stopword
+    val votes = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "the of and is"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.predLangCol(TextAnalysis.tokens(col("text"))).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(votes == Map(1L -> "und", 2L -> "und", 3L -> "en"))
     // triangle census: a two-node graph has no triangles and coeff 0
     val tri = MinHashLSH.graphTriangles(spark, dir).collect()
     assert(tri.length == 2 && tri.forall(r =>
