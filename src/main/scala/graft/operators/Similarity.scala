@@ -1247,6 +1247,14 @@ object Similarity {
     * rounds as materialized CTEs. */
   def kcenterSample(spark: SparkSession, dir: String,
                     k: Int = KCenterK): DataFrame = {
+    // k−1 driver-coordinated rounds, each a full corpus scan with O(1)-
+    // row argmin collects (the Lloyd-trainer pattern: O(k) driver
+    // state, never a hot-path collect). Cost is therefore k·corpus —
+    // fine for coreset-sized k (≤ ~64); for hundreds of centers use
+    // the k-means trainer or an over-sampled k-center++ style pass
+    // instead of raising k here.
+    require(k <= 64, s"kcenterSample runs k-1 corpus scans; k=$k is past " +
+      "the coreset regime (use kmeansCentroids for large center counts)")
     val spark0 = spark
     import spark0.implicits._
     val v = vecs(spark, dir)

@@ -88,4 +88,42 @@ class TxnParquetSpec extends SparkSpec {
     val rows = TxnParquet.read(spark, dir).as[(Long, String)].collect().toSet
     assert(rows == Set((0L, "v0"), (1L, "v1"))) // no double counting
   }
+
+  test("a batch committed concurrently with compact is read exactly once") {
+    val dir = freshDir()
+    (0L to 1L).foreach(i => TxnParquet.append(Seq((i, s"v$i")).toDF("id", "v"), dir, i))
+    val gen = TxnParquet.compact(spark, dir)
+    // the race the manifest protocol must survive: an appender lands a
+    // batch AFTER the compactor snapshotted its listing. Simulated by
+    // appending after compact() returns — the covered-set semantics are
+    // identical (batch 2 is not in gen's manifest), and reading must
+    // plan compact=gen PLUS batch=2, each exactly once.
+    TxnParquet.append(Seq((2L, "v2")).toDF("id", "v"), dir, 2L)
+    val rows = TxnParquet.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(rows == Set((0L, "v0"), (1L, "v1"), (2L, "v2")))
+    assert(TxnParquet.read(spark, dir).count() == 3L)
+    // and the NEXT compaction folds it in
+    val gen2 = TxnParquet.compact(spark, dir)
+    assert(gen2 == gen + 1)
+    assert(TxnParquet.latestCompaction(spark, dir).get._2 == Set(0L, 1L, 2L))
+    assert(TxnParquet.read(spark, dir).count() == 3L)
+  }
+
+  test("additive schema evolution: new column reads as null for old batches") {
+    val dir = freshDir()
+    TxnParquet.append(Seq((1L, "a")).toDF("id", "v"), dir, 0L)
+    TxnParquet.append(Seq((2L, "b", 9.5)).toDF("id", "v", "score"), dir, 1L)
+    // merged read sees the union schema, missing column as null
+    val merged = TxnParquet.read(spark, dir, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val byId = merged.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      Option(r.get(r.fieldIndex("score")))).toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(9.5))
+    // compaction bakes the union schema into one generation: the
+    // default (unmerged) read then sees it too
+    TxnParquet.compact(spark, dir)
+    val after = TxnParquet.read(spark, dir)
+    assert(after.columns.sorted.toSeq == Seq("id", "score", "v"))
+    assert(after.count() == 2L)
+  }
 }
