@@ -41,6 +41,7 @@ object SparkEntry {
       Similarity.bruteTopKShared(s, d).orderBy("q_id", "rank")),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
+    "ann_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
@@ -758,6 +759,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'ann_pq_topk', count(*)
          |    FROM ${sub("ann_pq_topk")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_graph_topk', count(*)
+         |    FROM ${sub("ann_graph_topk")} x JOIN b USING (q_id, vec_id)
          |)
          |SELECT variant, n_hits,
          |  ${ratio4Sql("n_hits",
@@ -1102,6 +1106,77 @@ object SparkEntry {
          |SELECT q_id, rank, vec_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p
          |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // NSW-style graph search — mirrors Similarity.graphTopK: the same
+    // deterministic edge build (all-band bucket mates + ring + hashed
+    // shortcut, top-M by cosine, symmetrized) and the beam walk
+    // unrolled as one MATERIALIZED CTE per hop (the sample_kcenter
+    // round-unrolling pattern).
+    "ann_graph_topk" -> {
+      val m = graft.operators.Similarity.GraphM
+      val beam = graft.operators.Similarity.GraphBeam
+      val hops = graft.operators.Similarity.GraphHops
+      val ents = graft.operators.Similarity.GraphEntries
+      val nq = graft.operators.Similarity.NumQueries
+      val k = graft.operators.Similarity.TopK
+      val hopCtes = (1 to hops).map { r =>
+        s"""f$r AS MATERIALIZED (
+           |  SELECT q_id, vec_id, cos FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+           |    FROM (SELECT DISTINCT q_id, vec_id, cos FROM (
+           |      SELECT q_id, vec_id, cos FROM f${r - 1}
+           |      UNION ALL
+           |      SELECT f.q_id, ed.dst AS vec_id, ${duckCos("q.qe", "b.e")} AS cos
+           |      FROM f${r - 1} f JOIN edges ed ON ed.src = f.vec_id
+           |        JOIN v b ON b.vec_id = ed.dst JOIN q ON q.q_id = f.q_id))
+           |  ) WHERE rnk <= $beam)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL_CTE,
+         |bits AS (
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl p
+         |),
+         |buckets AS (
+         |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, p//ppb
+         |),
+         |mates AS (
+         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |ord AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM v),
+         |ring AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst FROM ord a, nn, ord b
+         |  WHERE b.rn = a.rn % nn.n + 1 AND a.vec_id <> b.vec_id),
+         |lng AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst FROM ord a, nn, ord b
+         |  WHERE b.rn = (${H64("concat('ge:', CAST(a.vec_id AS VARCHAR))")} % nn.n) + 1
+         |    AND a.vec_id <> b.vec_id),
+         |cand AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT * FROM mates UNION ALL SELECT * FROM ring UNION ALL SELECT * FROM lng)),
+         |scored AS (
+         |  SELECT c.src, c.dst, ${duckCos("a.e", "b.e")} AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.src JOIN v b ON b.vec_id = c.dst),
+         |sel AS (SELECT src, dst FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+         |  FROM scored) WHERE rnk <= $m),
+         |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM sel UNION ALL SELECT dst AS src, src AS dst FROM sel)),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < $nq),
+         |ent AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $ents),
+         |f0 AS MATERIALIZED (
+         |  SELECT q.q_id, ent.vec_id, ${duckCos("q.qe", "ent.e")} AS cos FROM q, ent),
+         |$hopCtes
+         |SELECT q_id, rank, vec_id, cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM f$hops WHERE vec_id <> q_id
+         |) WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+    },
 
     // multi-probe: the query's bucket plus its ppb Hamming-1 neighbors
     // (each candidate lives in exactly one bucket, so no pair repeats;

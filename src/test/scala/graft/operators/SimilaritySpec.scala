@@ -142,6 +142,12 @@ class SimilaritySpec extends SparkSpec {
     info(rec.map { case (v, h, r) => s"$v: $h hits (recall $r)" }.mkString("; "))
     val pq = rec.find(_._1 == "ann_pq_topk").get
     assert(pq._3 >= 0.2, s"PQ recall ${pq._3} below floor")
+    // the small-world graph walk is the high-recall family member:
+    // floor 0.7 even on the 500-vector corpus (measured 0.95 / 0.93 at
+    // sf0.001 / sf0.01 — the beam covers a large fraction of a tiny
+    // corpus's true neighborhoods)
+    val g = rec.find(_._1 == "ann_graph_topk").get
+    assert(g._3 >= 0.7, s"graph recall ${g._3} below floor")
     // sanity: every PQ row ranks a real vector with a finite score
     val out = Similarity.pqTopK(spark, sf).collect()
     assert(out.length == Similarity.TopK * Similarity.NumQueries)
