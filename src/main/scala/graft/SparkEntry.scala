@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Analytics2, AsOfJoin, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Analytics2, AsOfJoin, CorpusStats, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -42,6 +42,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "ann_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
+    "ann_graph_degree_stats" -> ((s, d) => Similarity.graphDegreeStats(s, d)),
+    "docs_cross_lang_dup" -> ((s, d) => MinHashLSH.crossLangDup(s, d)),
+    "corpus_token_gini" -> ((s, d) => CorpusStats.tokenGini(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
@@ -486,6 +489,49 @@ object SparkEntry {
        |      j -> CAST(e[j] AS DOUBLE) *
        |           ((${H64("concat('pl:', CAST(p.p AS VARCHAR), ':', CAST(j AS VARCHAR))")} % 2)*2 - 1))),
        |    (x,y)->x+y)""".stripMargin
+
+  /** Small-world graph edge build — mirrors Similarity.graphEdgesOf;
+    * ONE definition shared by the `ann_graph_topk` walk and the
+    * `ann_graph_degree_stats` health panel so the two oracles can
+    * never drift. Expects a CTE `v(vec_id, e)` in scope; exposes
+    * `edges(src, dst)`. */
+  private lazy val GRAPH_EDGE_CTES: String = {
+    val m = graft.operators.Similarity.GraphM
+    s"""$LSHP_CTE,
+       |$LSH_PL_CTE,
+       |bits AS (
+       |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM v, pl p
+       |),
+       |buckets AS (
+       |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY vec_id, p//ppb
+       |),
+       |mates AS (
+       |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+       |),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       |ord AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM v),
+       |ring AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst FROM ord a, nn, ord b
+       |  WHERE b.rn = a.rn % nn.n + 1 AND a.vec_id <> b.vec_id),
+       |lng AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst FROM ord a, nn, ord b
+       |  WHERE b.rn = (${H64("concat('ge:', CAST(a.vec_id AS VARCHAR))")} % nn.n) + 1
+       |    AND a.vec_id <> b.vec_id),
+       |cand AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT * FROM mates UNION ALL SELECT * FROM ring UNION ALL SELECT * FROM lng)),
+       |scored AS (
+       |  SELECT c.src, c.dst, ${duckCos("a.e", "b.e")} AS cos
+       |  FROM cand c JOIN v a ON a.vec_id = c.src JOIN v b ON b.vec_id = c.dst),
+       |sel AS (SELECT src, dst FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM scored) WHERE rnk <= $m),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM sel UNION ALL SELECT dst AS src, src AS dst FROM sel))""".stripMargin
+  }
 
   /** cosine(float vec a, double centroid b) — mirrors Similarity.cosD. */
   private def duckCosD(a: String, b: String): String =
@@ -932,6 +978,42 @@ object SparkEntry {
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM cand
          |WHERE bit_count(xor(s1, s2)) <= 4 ORDER BY d1, d2""".stripMargin,
 
+    // near-dup pairs rolled up by unordered lang-label pair — mirrors
+    // MinHashLSH.crossLangDup over the SAME shared MinHash pair CTEs
+    "docs_cross_lang_dup" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |lp AS (
+         |  SELECT least(a.lang, b.lang) AS lang_a, greatest(a.lang, b.lang) AS lang_b
+         |  FROM pairs p JOIN documents a ON a.doc_id = p.d1
+         |               JOIN documents b ON b.doc_id = p.d2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lp)
+         |SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  ${ratio4Sql("CAST(count(*) AS BIGINT)", "t")} AS share4
+         |FROM lp, tot GROUP BY lang_a, lang_b, t
+         |ORDER BY lang_a, lang_b""".stripMargin,
+
+    // per-source token-count Gini — mirrors CorpusStats.tokenGini
+    "corpus_token_gini" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    coalesce(CAST(len($TOKS) AS BIGINT), 0) AS n_toks
+         |  FROM documents),
+         |r AS (SELECT source, n_toks,
+         |        row_number() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS r
+         |      FROM d),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_toks) AS BIGINT) AS total_toks,
+         |        CAST(sum(r * n_toks) AS BIGINT) AS s1
+         |      FROM r GROUP BY 1)
+         |SELECT source, n_docs, total_toks,
+         |  CASE WHEN total_toks > 0
+         |    THEN ${ratio4Sql("2 * s1 - (n_docs + 1) * total_toks",
+                              "n_docs * total_toks")}
+         |    ELSE NULL END AS gini4
+         |FROM a ORDER BY source""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
          |$LSHP_CTE,
@@ -1113,7 +1195,6 @@ object SparkEntry {
     // unrolled as one MATERIALIZED CTE per hop (the sample_kcenter
     // round-unrolling pattern).
     "ann_graph_topk" -> {
-      val m = graft.operators.Similarity.GraphM
       val beam = graft.operators.Similarity.GraphBeam
       val hops = graft.operators.Similarity.GraphHops
       val ents = graft.operators.Similarity.GraphEntries
@@ -1132,40 +1213,7 @@ object SparkEntry {
            |  ) WHERE rnk <= $beam)""".stripMargin
       }.mkString(",\n")
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |$LSHP_CTE,
-         |$LSH_PL_CTE,
-         |bits AS (
-         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM v, pl p
-         |),
-         |buckets AS (
-         |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM bits GROUP BY vec_id, p//ppb
-         |),
-         |mates AS (
-         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-         |  FROM buckets x JOIN buckets y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
-         |),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
-         |ord AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM v),
-         |ring AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst FROM ord a, nn, ord b
-         |  WHERE b.rn = a.rn % nn.n + 1 AND a.vec_id <> b.vec_id),
-         |lng AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst FROM ord a, nn, ord b
-         |  WHERE b.rn = (${H64("concat('ge:', CAST(a.vec_id AS VARCHAR))")} % nn.n) + 1
-         |    AND a.vec_id <> b.vec_id),
-         |cand AS (SELECT DISTINCT src, dst FROM (
-         |  SELECT * FROM mates UNION ALL SELECT * FROM ring UNION ALL SELECT * FROM lng)),
-         |scored AS (
-         |  SELECT c.src, c.dst, ${duckCos("a.e", "b.e")} AS cos
-         |  FROM cand c JOIN v a ON a.vec_id = c.src JOIN v b ON b.vec_id = c.dst),
-         |sel AS (SELECT src, dst FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
-         |  FROM scored) WHERE rnk <= $m),
-         |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |  SELECT src, dst FROM sel UNION ALL SELECT dst AS src, src AS dst FROM sel)),
+         |$GRAPH_EDGE_CTES,
          |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < $nq),
          |ent AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $ents),
          |f0 AS MATERIALIZED (
@@ -1177,6 +1225,21 @@ object SparkEntry {
          |  FROM f$hops WHERE vec_id <> q_id
          |) WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
     },
+
+    // graph-index health panel — mirrors Similarity.graphDegreeStats
+    // over the SAME shared edge-build CTEs as the walk
+    "ann_graph_degree_stats" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$GRAPH_EDGE_CTES,
+         |sc2 AS (
+         |  SELECT e.src, CAST(ROUND(${duckCos("a.e", "b.e")} * 1000000) AS BIGINT) AS cu
+         |  FROM edges e JOIN v a ON a.vec_id = e.src JOIN v b ON b.vec_id = e.dst),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree,
+         |               CAST(sum(cu) AS BIGINT) AS s
+         |        FROM sc2 GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  ${halfUpSql("CAST(sum(s) AS BIGINT)", "degree * CAST(count(*) AS BIGINT)")} AS mean_cos_u6
+         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
 
     // multi-probe: the query's bucket plus its ppb Hamming-1 neighbors
     // (each candidate lives in exactly one bucket, so no pair repeats;

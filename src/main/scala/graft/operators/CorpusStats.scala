@@ -482,4 +482,38 @@ object CorpusStats {
         ratio4(col("vocab"), greatest(col("n_tokens"), lit(1L))).as("ttr4"))
       .orderBy("source")
   }
+
+  /** `corpus_token_gini`: per-source Gini coefficient of the document
+    * token-count distribution — the inequality summary of document
+    * length. A packing/sharding plan tuned on mean length silently
+    * degrades when a source's mass concentrates in a few giant docs
+    * (gini → 1) or when a scraper floods it with empty stubs; this is
+    * the one-number alarm the length-survival curve (#169) details.
+    *
+    * Exact integer form of the rank formula over ascending token
+    * counts: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), reported HALF_UP in
+    * 1e-4 units (gini4). The rank window partitions by source — never
+    * a global sort. int64 bound: per-source n·Σx and 2·Σ i·xᵢ must stay
+    * below 2^63, which holds through ~1e8 docs × 500 mean tokens per
+    * source; beyond that shard the source before the panel (same
+    * documented-ceiling discipline as the corpus-total invariants). */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).spread
+      .select(col("doc_id"), col("source"),
+        greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(0L))
+          .as("n_toks"))
+    val w = Window.partitionBy("source").orderBy("n_toks", "doc_id")
+    docs.withColumn("r", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_toks"),
+        sum(col("r") * col("n_toks")).as("s1"))
+      .select(col("source"), col("n_docs"), col("total_toks"),
+        when(col("total_toks") > 0L,
+          graft.functions.Hashing.ratio4(
+            lit(2L) * col("s1") - (col("n_docs") + 1L) * col("total_toks"),
+            col("n_docs") * col("total_toks"))).as("gini4"))
+      .orderBy("source")
+  }
 }

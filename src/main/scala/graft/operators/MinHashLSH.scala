@@ -453,4 +453,31 @@ object MinHashLSH {
           greatest(col("degree") * (col("degree") - 1L), lit(1L))).as("coeff4"))
       .orderBy("node")
   }
+
+  /** `docs_cross_lang_dup`: the verified near-dup pair set (#9) rolled
+    * up by UNORDERED language-label pair — the same-language diagonal
+    * vs the cross-language off-diagonal. A training corpus's near-dups
+    * are supposed to be same-language (re-posts, templates); an
+    * off-diagonal mass means either mislabeled languages (the #188
+    * confusion panel's failure mode showing up INSIDE duplicate
+    * families, where it silently defeats per-language dedup sharding)
+    * or machine-translated boilerplate. One broadcast-sized label join
+    * on each side of the pair list, O(langs²) output. */
+  def crossLangDup(spark: SparkSession, dir: String,
+                   tau: Double = 0.5): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val lab = graft.Tables.documents(spark, dir).select("doc_id", "lang").spread
+    val lp = nearDupPairs(spark, dir, tau)
+      .join(lab.select(col("doc_id").as("d1"), col("lang").as("l1")), "d1")
+      .join(lab.select(col("doc_id").as("d2"), col("lang").as("l2")), "d2")
+      .select(least(col("l1"), col("l2")).as("lang_a"),
+        greatest(col("l1"), col("l2")).as("lang_b"))
+      .localCheckpoint()
+    val tot = lp.agg(count(lit(1)).as("t"))
+    lp.groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang_a"), col("lang_b"), col("n_pairs"),
+        ratio4(col("n_pairs"), col("t")).as("share4"))
+      .orderBy("lang_a", "lang_b")
+  }
 }

@@ -842,7 +842,7 @@ object Similarity {
     val fCodes = Future(pqEncode(v, cb).localCheckpoint())
     val fB0 = Future(buckets(spark, dir, NumBands * ppb, ppb)
       .filter(col("band") === 0).localCheckpoint())
-    val fEdges = Future(graphEdgesOf(v).localCheckpoint())
+    val fEdges = Future(graphEdgesShared(spark, dir))
     val fBrute = Future(topk(bruteTopKShared(spark, dir, k, nQueries)))
     val members = Await.result(fMembers, Duration.Inf)
     val codes = Await.result(fCodes, Duration.Inf)
@@ -1116,15 +1116,24 @@ object Similarity {
       .distinct()
   }
 
+  /** Memoized, localCheckpointed [[graphEdgesOf]] per (session, dir) —
+    * the graph index artifact `ann_graph_topk`, `ann_recall_report` and
+    * the degree-stats panel all consume; same rationale and lifetime as
+    * [[bruteTopKShared]] (pure deterministic function of the corpus,
+    * one build per session). */
+  private val edgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  def graphEdgesShared(spark: SparkSession, dir: String): DataFrame =
+    edgesMemo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir",
+      _ => graphEdgesOf(vecs(spark, dir)).localCheckpoint())
+
   /** `ann_graph_topk`: greedy beam search over the small-world graph —
     * every query advances one hop per relational pass (frontier ⋈
     * edges, re-score, keep beam), so hop count bounds the whole search
     * at O(hops) joins regardless of query count. */
   def graphTopK(spark: SparkSession, dir: String, k: Int = TopK,
-                nQueries: Int = NumQueries): DataFrame = {
-    val v = vecs(spark, dir)
-    graphTopKOf(v, graphEdgesOf(v).localCheckpoint(), k, nQueries)
-  }
+                nQueries: Int = NumQueries): DataFrame =
+    graphTopKOf(vecs(spark, dir), graphEdgesShared(spark, dir), k, nQueries)
 
   /** [[graphTopK]] over prebuilt edges — the recall-report entry point
     * (build once, search many). */
@@ -1159,6 +1168,30 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
+  }
+
+  /** `ann_graph_degree_stats`: health panel for the graph index (the
+    * cluster_balance_report twin for the graph family) — per out-degree:
+    * node count and exact mean incident-edge cosine in 1e-6 micro-units
+    * (HALF_UP on the summed integer lift). Degree collapse (everyone at
+    * 2M) means the bucket candidates saturated top-M; a low-degree band
+    * with low mean cosine is the poorly-connected fringe whose recall
+    * the walk will drop first — the re-build trigger, measured. */
+  def graphDegreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val scored = graphEdgesShared(spark, dir)
+      .join(v.select(col("vec_id").as("src"), col("e").as("se")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("e").as("de")), "dst")
+      .withColumn("cu", round(cosine("se", "de") * 1000000d).cast("long"))
+      .select("src", "cu")
+    scored.groupBy("src")
+      .agg(count(lit(1)).as("degree"), sum("cu").as("s"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"), sum("s").as("sc"))
+      .select(col("degree"), col("n_nodes"),
+        graft.functions.Hashing.halfUpDiv(col("sc"),
+          col("degree") * col("n_nodes")).as("mean_cos_u6"))
+      .orderBy("degree")
   }
 
   /** #13: LSH top-k — neighbors ranked only within the query's band-0
