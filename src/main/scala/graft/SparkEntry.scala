@@ -45,6 +45,8 @@ object SparkEntry {
     "ann_graph_degree_stats" -> ((s, d) => Similarity.graphDegreeStats(s, d)),
     "docs_cross_lang_dup" -> ((s, d) => MinHashLSH.crossLangDup(s, d)),
     "corpus_token_gini" -> ((s, d) => CorpusStats.tokenGini(s, d)),
+    "embeddings_pq_error" -> ((s, d) => Similarity.pqErrorStats(s, d)),
+    "pipeline_dedup_cascade" -> ((s, d) => graft.operators.Curation.dedupCascade(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_language_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
@@ -633,6 +635,24 @@ object SparkEntry {
     private def nsAt(s: Int) = s"nns.ns[${s * PqCodebook} + x.code$s + 1]"
     val adot: String = (0 until PqSubspaces).map(dsAt).reduceLeft((a, b) => s"($a + $b)")
     val xn: String = (0 until PqSubspaces).map(nsAt).reduceLeft((a, b) => s"($a + $b)")
+    /** Per-subspace squared reconstruction error in 1e-6 micro-units —
+      * mirrors Similarity.pqErrorStats' fixed left-to-right fold. */
+    lazy val errCtes: String = {
+      val per = (0 until PqSubspaces).map { s =>
+        s"""er$s AS (
+           |  SELECT CAST($s AS BIGINT) AS sub, cd$s.code,
+           |    CAST(ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform(generate_series(1,$PqSubDim),
+           |        i -> (CAST(sv.e[i] AS DOUBLE) - c.ce[i]) * (CAST(sv.e[i] AS DOUBLE) - c.ce[i]))),
+           |      (x,y)->x+y) * 1000000.0) AS BIGINT) AS eu
+           |  FROM sv$s sv JOIN cd$s ON cd$s.vec_id = sv.vec_id
+           |       JOIN c1$s c ON c.c_id = cd$s.code)""".stripMargin
+      }.mkString(",\n")
+      s"""$per,
+         |errs AS (${(0 until PqSubspaces)
+             .map(s => s"SELECT sub, code, eu FROM er$s")
+             .mkString(" UNION ALL ")})""".stripMargin
+    }
     lazy val ctes: String =
       s"""$subCtes,
          |x AS (SELECT cd0.vec_id, $wide FROM cd0 $cdJoin),
@@ -977,6 +997,54 @@ object SparkEntry {
          |)
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM cand
          |WHERE bit_count(xor(s1, s2)) <= 4 ORDER BY d1, d2""".stripMargin,
+
+    // staged dedup funnel — mirrors Curation.dedupCascade: exact
+    // keep-min, then greedy drop-the-larger-id over the shared MinHash
+    // pair set, then the same over containment pairs; each stage's
+    // pair test applies only between rows still alive
+    "pipeline_dedup_cascade" ->
+      s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+         |k1 AS MATERIALIZED (SELECT doc_id FROM (
+         |    SELECT doc_id, md5(text) AS dg,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM docs0)
+         |  WHERE dg IS NULL OR rn = 1),
+         |$SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |k2 AS MATERIALIZED (SELECT doc_id FROM k1 WHERE doc_id NOT IN (
+         |  SELECT p.d2 FROM pairs p
+         |  WHERE p.d1 IN (SELECT doc_id FROM k1)
+         |    AND p.d2 IN (SELECT doc_id FROM k1))),
+         |shd AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= ${graft.operators.DocDedup.MaxShingleDf}),
+         |nct AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |cp AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cpf AS (
+         |  SELECT d1, d2 FROM cp
+         |  JOIN nct n1 ON cp.d1 = n1.doc_id JOIN nct n2 ON cp.d2 = n2.doc_id
+         |  WHERE greatest(shared / n1.n, shared / n2.n) >= 0.8),
+         |k3 AS MATERIALIZED (SELECT doc_id FROM k2 WHERE doc_id NOT IN (
+         |  SELECT p.d2 FROM cpf p
+         |  WHERE p.d1 IN (SELECT doc_id FROM k2)
+         |    AND p.d2 IN (SELECT doc_id FROM k2))),
+         |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs0),
+         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k1),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k2),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k3)
+         |SELECT stage, stage_name, rows_in, rows_in - rows_out AS dropped,
+         |  rows_out, ${ratio4Sql("rows_in - rows_out", "rows_in")} AS drop_share4
+         |FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'exact' AS stage_name,
+         |    c0.n AS rows_in, c1.n AS rows_out FROM c0, c1
+         |  UNION ALL SELECT 2, 'near_dup', c1.n, c2.n FROM c1, c2
+         |  UNION ALL SELECT 3, 'containment', c2.n, c3.n FROM c2, c3)
+         |ORDER BY stage""".stripMargin,
 
     // near-dup pairs rolled up by unordered lang-label pair — mirrors
     // MinHashLSH.crossLangDup over the SAME shared MinHash pair CTEs
@@ -3320,6 +3388,26 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
          |WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank""".stripMargin,
+
+    // per-subspace PQ quantization error — mirrors
+    // Similarity.pqErrorStats over the SAME trained-codebook CTEs
+    "embeddings_pq_error" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |${PqOracleCtes.ctes},
+         |${PqOracleCtes.errCtes},
+         |a1 AS (SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+         |         CAST(sum(eu) AS BIGINT) AS s,
+         |         CAST(max(eu) AS BIGINT) AS max_err_u6
+         |       FROM errs GROUP BY 1),
+         |a2 AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS c
+         |       FROM errs GROUP BY 1, 2),
+         |a3 AS (SELECT sub, CAST(count(*) AS BIGINT) AS cells_used,
+         |         CAST(max(c) AS BIGINT) AS top
+         |       FROM a2 GROUP BY 1)
+         |SELECT a1.sub AS sub, n_vecs, cells_used,
+         |  ${ratio4Sql("top", "n_vecs")} AS top_cell_share4,
+         |  ${halfUpSql("s", "n_vecs")} AS mean_err_u6, max_err_u6
+         |FROM a1 JOIN a3 ON a3.sub = a1.sub ORDER BY sub""".stripMargin,
 
     // IVF+PQ: the same trained codebooks and code table as ann_pq_topk,
     // but a query ADC-scores only the members of its nprobe k-means

@@ -509,4 +509,55 @@ object Curation {
       .orderBy(col("df").desc, col("term"))
       .limit(topN)
   }
+
+  /** `pipeline_dedup_cascade`: the staged-funnel summary of a
+    * multi-pass dedup — exact (md5 text digest, keep-min) → verified
+    * MinHash near-dup (#9's pair set) → shingle containment (#100's
+    * pair set), each stage a GREEDY pair pass over the rows still
+    * alive: a doc is dropped when it is the larger id of a pair whose
+    * smaller id also survived the earlier stages. Greedy-per-pair is
+    * the documented semantic (the cascade a curation run actually
+    * executes); full transitive closure is #42/#186's job — this
+    * panel reports what each marginal stage COSTS, which is the
+    * number that decides whether a stage stays in the production
+    * cascade. Per stage: rows_in, dropped, rows_out, drop_share4.
+    *
+    * Scale shape: the pair families are the capped bucket joins they
+    * already are; the alive-filters are semi/anti joins on the
+    * survivor id set (partitioned on the id); the counts are 1-row
+    * aggregates crossJoined into the 3-row output. */
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .localCheckpoint()
+    // exact: keep-min per digest; NULL-text docs have no digest and
+    // all survive (a null is not a duplicate of another null)
+    val w = Window.partitionBy("dg").orderBy("doc_id")
+    val s1 = docs.withColumn("dg", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("dg").isNull || col("rn") === 1)
+      .select("doc_id").localCheckpoint()
+    def survivors(prev: DataFrame, pairs: DataFrame): DataFrame = {
+      val alive = pairs
+        .join(prev.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+        .join(prev.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+      prev.join(alive.select(col("d2").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+    val s2 = survivors(s1, MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2"))
+    val s3 = survivors(s2, DocDedup.containmentPairs(spark, dir).select("d1", "d2"))
+    def row(stage: Long, name: String, in: DataFrame, out: DataFrame) =
+      in.agg(count(lit(1)).as("rows_in"))
+        .crossJoin(out.agg(count(lit(1)).as("rows_out")))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("rows_in"), (col("rows_in") - col("rows_out")).as("dropped"),
+          col("rows_out"),
+          ratio4(col("rows_in") - col("rows_out"), col("rows_in"))
+            .as("drop_share4"))
+    row(1L, "exact", docs, s1)
+      .unionByName(row(2L, "near_dup", s1, s2))
+      .unionByName(row(3L, "containment", s2, s3))
+      .orderBy("stage")
+  }
 }

@@ -663,6 +663,54 @@ object Similarity {
                          nQueries: Int): DataFrame =
     pqSearch(v, cb, pqEncode(v, cb), k, nQueries)
 
+  /** `embeddings_pq_error`: quantization-health panel for the PQ
+    * codebooks — per subspace: vectors, codebook cells actually used,
+    * the hottest cell's share (collapse = that subspace carries no
+    * information), and mean/max squared reconstruction error
+    * ‖x_sub − c‖² in exact 1e-6 micro-units. This is the number that
+    * says WHEN the frozen codebooks (appendToIndex keeps them frozen
+    * by design) have drifted off the data and ADC recall loss is
+    * coming — per subspace, so a single dead/drifted subspace is
+    * visible before the global recall panel moves. One assignment pass
+    * (broadcast codebooks), one broadcast join back for the chosen
+    * centroid, two partial-aggregable shuffles on (sub[, code]). */
+  def pqErrorStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cb = pqCodebooksWithNorm(v)
+    val assigned = v.crossJoin(broadcast(cb))
+      .withColumn("cs", graft.plans.VectorExpressions.mixedCosine(
+        slice(col("e"), col("sub") * lit(PqSubDim) + lit(1), lit(PqSubDim)),
+        col("ce")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct((-col("cs")).as("ncs"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+    // the squared error is a fixed left-to-right fold (never a
+    // groupBy-sum of doubles); only its integer micro-lift aggregates
+    val err = assigned
+      .join(broadcast(cb.select("sub", "code", "ce")), Seq("sub", "code"))
+      .join(v, "vec_id")
+      .withColumn("eu", round(expr(
+        s"""aggregate(zip_with(slice(e, sub * $PqSubDim + 1, $PqSubDim), ce,
+           |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+           |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+        * 1000000d).cast("long"))
+      .select("sub", "code", "eu")
+    val a1 = err.groupBy("sub")
+      .agg(count(lit(1)).as("n_vecs"), sum("eu").as("s"), max("eu").as("max_err_u6"))
+    val a2 = err.groupBy("sub", "code").agg(count(lit(1)).as("c"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("cells_used"), max("c").as("top"))
+    a1.join(a2, "sub")
+      .select(col("sub").cast("long").as("sub"), col("n_vecs"),
+        col("cells_used"),
+        graft.functions.Hashing.ratio4(col("top"), col("n_vecs"))
+          .as("top_cell_share4"),
+        graft.functions.Hashing.halfUpDiv(col("s"), col("n_vecs"))
+          .as("mean_err_u6"),
+        col("max_err_u6"))
+      .orderBy("sub")
+  }
+
   /** Exhaustive ADC against an ALREADY-ENCODED code table — lets
     * recallReport encode the corpus once and share the codes with the
     * IVF+PQ row. */

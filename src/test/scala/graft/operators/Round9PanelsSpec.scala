@@ -35,6 +35,48 @@ class Round9PanelsSpec extends SparkSpec {
     m.foreach(t => assert(math.abs(t._4 - t._3 / tot) <= 1e-4 + 1e-12))
   }
 
+  test("pqErrorStats is a complete per-subspace census with sane bounds") {
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val rows = Similarity.pqErrorStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0L until Similarity.PqSubspaces.toLong))
+    rows.foreach { case (_, nVecs, cells, topShare, mean, mx) =>
+      assert(nVecs == n)                        // every vector encoded
+      assert(cells >= 1 && cells <= Similarity.PqCodebook)
+      assert(topShare * 10000 >= (10000.0 / Similarity.PqCodebook).floor)
+      assert(mean >= 0 && mean <= mx)           // squared error, HALF_UP mean
+    }
+  }
+
+  test("dedupCascade funnel equals an independently computed greedy cascade") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    // stage 1: keep-min per text (null texts all survive)
+    val s1 = docs.groupBy(_._2).toSeq.flatMap {
+      case (None, xs) => xs.map(_._1).toSeq
+      case (Some(_), xs) => Seq(xs.map(_._1).min)
+    }.toSet
+    def greedy(prev: Set[Long], pairs: Array[(Long, Long)]): Set[Long] =
+      prev -- pairs.collect {
+        case (d1, d2) if prev(d1) && prev(d2) => d2 }
+    val mh = MinHashLSH.nearDupPairs(spark, sf).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val s2 = greedy(s1, mh)
+    val ct = DocDedup.containmentPairs(spark, sf).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val s3 = greedy(s2, ct)
+    val got = graft.operators.Curation.dedupCascade(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "exact", docs.length.toLong, docs.length - s1.size.toLong, s1.size.toLong),
+      (2L, "near_dup", s1.size.toLong, s1.size - s2.size.toLong, s2.size.toLong),
+      (3L, "containment", s2.size.toLong, s2.size - s3.size.toLong, s3.size.toLong)))
+    // the funnel actually funnels on this corpus
+    assert(s3.size < docs.length)
+  }
+
   test("tokenGini matches hand-computed values on a fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gini").toString
