@@ -1093,6 +1093,28 @@ object Similarity {
     lshSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
   }
 
+  /** Persist the small-world graph index (edge list) — the graph
+    * family's build-once/query-many artifact. Deliberately NOT part of
+    * [[saveIndex]]/[[appendToIndex]]'s frozen-quantizer protocol: a
+    * graph index has no frozen model under which appended rows encode
+    * independently — a new node changes its neighbors' top-M edge
+    * sets, so appends require re-linking the affected neighborhood
+    * (HNSW-family property, not an implementation gap). The honest
+    * append path is: accumulate a batch, rebuild edges, persist a new
+    * generation — which TxnParquet's compaction protocol already
+    * gives. */
+  def saveGraphIndex(spark: SparkSession, dir: String,
+                     indexDir: String): Unit =
+    graphEdgesShared(spark, dir)
+      .write.mode("overwrite").parquet(s"$indexDir/graph_edges")
+
+  /** Beam walk against a SAVED edge list — no build pass; the corpus
+    * scan is only the probe rows + per-hop score joins. */
+  def searchSavedGraph(spark: SparkSession, dir: String, indexDir: String,
+                       k: Int = TopK, nQueries: Int = NumQueries): DataFrame =
+    graphTopKOf(vecs(spark, dir),
+      loadPerVec(spark, s"$indexDir/graph_edges"), k, nQueries)
+
   // ---- Graph-family ANN (deterministic NSW-style small-world graph) ----
   // The index class IVF/PQ/LSH don't cover: a navigable neighbor GRAPH
   // searched greedily — the HNSW-family idea, re-expressed as Spark

@@ -40,6 +40,15 @@ class IndexStoreSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("saved graph search equals the in-session build") {
+    val d = Files.createTempDirectory("graft-graphidx").toString
+    Similarity.saveGraphIndex(spark, sf, d)
+    val got = rows(Similarity.searchSavedGraph(spark, sf, d))
+    val want = rows(Similarity.graphTopK(spark, sf))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("append path: build-half + append-half covers the corpus and is batch-order invariant") {
     import org.apache.spark.sql.functions._
     val full = graft.Tables.embeddings(spark, sf)
