@@ -216,10 +216,20 @@ object Similarity {
   private val bruteMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
   def bruteTopKShared(spark: SparkSession, dir: String,
-                      k: Int = TopK, nQueries: Int = NumQueries): DataFrame =
+                      k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    evictStale(bruteMemo)
     bruteMemo.computeIfAbsent(
       s"${System.identityHashCode(spark)}|$dir|$k|$nQueries",
       _ => bruteTopK(spark, dir, k, nQueries).localCheckpoint())
+  }
+
+  /** Bounded eviction for the session-keyed memo maps: a long-lived JVM
+    * cycling many sessions (test harness, notebook server) must not
+    * pin dead sessions' checkpointed frames forever. Clearing wholesale
+    * is safe — the frames are pure caches; the cost of a rare
+    * recompute beats an unbounded leak. */
+  private def evictStale(m: java.util.concurrent.ConcurrentHashMap[String, DataFrame]): Unit =
+    if (m.size > 8) m.clear()
 
   /** IVF-style ANN: vectors are assigned to their nearest of
     * `nCentroids` coarse centroids (deterministically the first K
@@ -1193,9 +1203,11 @@ object Similarity {
     * one build per session). */
   private val edgesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-  def graphEdgesShared(spark: SparkSession, dir: String): DataFrame =
+  def graphEdgesShared(spark: SparkSession, dir: String): DataFrame = {
+    evictStale(edgesMemo)
     edgesMemo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir",
       _ => graphEdgesOf(vecs(spark, dir)).localCheckpoint())
+  }
 
   /** `ann_graph_topk`: greedy beam search over the small-world graph —
     * every query advances one hop per relational pass (frontier ⋈

@@ -142,9 +142,27 @@ write("events", {
     "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, N_EV)]})
 
 # ---- documents --------------------------------------------------------
+# Wide enough core vocabulary + long enough docs that CHANCE shingle
+# overlap can't create near-dup pairs: with a tiny vocab and 8-token
+# docs, a 50k corpus percolates into giant jaccard-0.5 components that
+# no real web corpus has (and that blow up any transitive-closure
+# oracle quadratically). Engineered dups below remain the only real
+# near-dup signal.
 CORE = ("spark column row line query big fast data stream window table "
         "order customer part vector small merge value batch sort hash "
-        "scan group agg filter key slow a the of and to in is").split()
+        "scan group agg filter key slow a the of and to in is "
+        "plan stage task node disk memory cache spill core shuffle "
+        "broadcast join scanrate page block footer codec schema field "
+        "type null string double float int long array map struct list "
+        "read write append commit marker atomic retry batchid offset "
+        "topic queue log segment index seek flush sync close open "
+        "token text corpus dedup shingle band bucket signature digest "
+        "cluster center metric cosine norm encode decode label model "
+        "train eval split gate score weight sample pack shard epoch "
+        "source mix ratio share count total mean exact rational unit "
+        "micro lift fold left right ascend descend tie break canon "
+        "grain span chunk passage window2 gap session user event hour "
+        "day week burst drift alarm panel report card audit health").split()
 # Heaps-style growing tail vocabulary: zipfian draws over a pool that
 # scales with the corpus — distinct-token growth is native, not capped
 TAIL_POOL = max(1000, N_DOC // 5)
@@ -153,7 +171,7 @@ zipf_w = 1.0 / np.arange(1, TAIL_POOL + 1)
 zipf_p = zipf_w / zipf_w.sum()
 langs = np.array(["en", "de", "es", "fr", "zh"])[
     rng.choice(5, N_DOC, p=[0.41, 0.14, 0.15, 0.15, 0.15])]
-doc_len = rng.integers(8, 75, N_DOC)
+doc_len = rng.integers(30, 150, N_DOC)
 texts = []
 for i in range(N_DOC):
     n = int(doc_len[i])
