@@ -1118,12 +1118,51 @@ object Similarity {
     graphEdgesShared(spark, dir)
       .write.mode("overwrite").parquet(s"$indexDir/graph_edges")
 
+  // Generation protocol for graph rebuilds (the TxnParquet marker
+  // discipline): each rebuild lands `graph_edges_gen=<g>` FIRST, then
+  // the empty marker `_graph_commits/<g>` — a torn rebuild (crash
+  // between the two) is invisible, readers always see the latest
+  // COMMITTED generation, and a live search session never observes a
+  // half-written edge list. This is the graph family's append story:
+  // accumulate new vectors, rebuild, commit a generation.
+
+  private def graphCommits(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_graph_commits")
+
+  /** Latest committed edge generation, if any. */
+  def latestGraphGen(spark: SparkSession, indexDir: String): Option[Long] = {
+    val cd = graphCommits(indexDir)
+    val f = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(cd)) None
+    else f.listStatus(cd).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).sorted.lastOption
+  }
+
+  /** Rebuild the edge list from the CURRENT corpus as the next
+    * committed generation; returns the generation id. */
+  def saveGraphIndexGen(spark: SparkSession, dir: String,
+                        indexDir: String): Long = {
+    val g = latestGraphGen(spark, indexDir).map(_ + 1).getOrElse(0L)
+    graphEdgesShared(spark, dir)
+      .write.mode("overwrite").parquet(s"$indexDir/graph_edges_gen=$g")
+    val f = graphCommits(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$indexDir/_graph_commits/$g"),
+      true).close()
+    g
+  }
+
   /** Beam walk against a SAVED edge list — no build pass; the corpus
-    * scan is only the probe rows + per-hop score joins. */
+    * scan is only the probe rows + per-hop score joins. Prefers the
+    * latest COMMITTED generation; falls back to the flat
+    * `graph_edges` layout for indexes written by [[saveGraphIndex]]. */
   def searchSavedGraph(spark: SparkSession, dir: String, indexDir: String,
-                       k: Int = TopK, nQueries: Int = NumQueries): DataFrame =
-    graphTopKOf(vecs(spark, dir),
-      loadPerVec(spark, s"$indexDir/graph_edges"), k, nQueries)
+                       k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val path = latestGraphGen(spark, indexDir)
+      .map(g => s"$indexDir/graph_edges_gen=$g")
+      .getOrElse(s"$indexDir/graph_edges")
+    graphTopKOf(vecs(spark, dir), loadPerVec(spark, path), k, nQueries)
+  }
 
   // ---- Graph-family ANN (deterministic NSW-style small-world graph) ----
   // The index class IVF/PQ/LSH don't cover: a navigable neighbor GRAPH

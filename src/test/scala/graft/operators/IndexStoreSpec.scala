@@ -49,6 +49,25 @@ class IndexStoreSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("graph generations: latest committed wins, torn rebuild invisible") {
+    val d = Files.createTempDirectory("graft-graphgen").toString
+    assert(Similarity.latestGraphGen(spark, d).isEmpty)
+    assert(Similarity.saveGraphIndexGen(spark, sf, d) == 0L)
+    assert(Similarity.latestGraphGen(spark, d).contains(0L))
+    val want = rows(Similarity.searchSavedGraph(spark, sf, d))
+    assert(want == rows(Similarity.graphTopK(spark, sf)))
+    // torn rebuild: data for gen 1 lands, the marker never does —
+    // the search must keep serving gen 0
+    spark.read.parquet(s"$d/graph_edges_gen=0").limit(10)
+      .write.parquet(s"$d/graph_edges_gen=1")
+    assert(Similarity.latestGraphGen(spark, d).contains(0L))
+    assert(rows(Similarity.searchSavedGraph(spark, sf, d)) == want)
+    // a committed rebuild takes over
+    assert(Similarity.saveGraphIndexGen(spark, sf, d) == 1L)
+    assert(Similarity.latestGraphGen(spark, d).contains(1L))
+    assert(rows(Similarity.searchSavedGraph(spark, sf, d)) == want)
+  }
+
   test("append path: build-half + append-half covers the corpus and is batch-order invariant") {
     import org.apache.spark.sql.functions._
     val full = graft.Tables.embeddings(spark, sf)
