@@ -368,7 +368,7 @@ object SparkEntry {
   /** tokens + distinct 3-shingles — mirrors DocDedup.docShingles. */
   private val SH_CTE =
     s"""toks AS (SELECT doc_id, $TOKS AS t FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, len(t)-2),
        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
@@ -380,7 +380,7 @@ object SparkEntry {
     * MinHashLSH.nearDupPairsOf. Shared by every oracle that consumes
     * near-dup candidates. */
   private val MH_CAND_CTE =
-    s"""mh AS (
+    s"""mh AS MATERIALIZED (
        |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
        |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
        |),
@@ -394,7 +394,7 @@ object SparkEntry {
        |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bsz FROM bands)
        |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
        |),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM capped x JOIN capped y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
        |)""".stripMargin
@@ -429,7 +429,7 @@ object SparkEntry {
        |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
        |  GROUP BY 1, 2
        |),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT d1, d2, shared / (n1.n + n2.n - shared) AS jaccard
        |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
        |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
@@ -3329,7 +3329,7 @@ object SparkEntry {
          |  ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS dg
          |  FROM documents),
          |eg AS (SELECT dg, min(doc_id) AS mn FROM eh GROUP BY dg),
-         |epr AS (SELECT eg.mn AS d1, eh.doc_id AS d2
+         |epr AS MATERIALIZED (SELECT eg.mn AS d1, eh.doc_id AS d2
          |        FROM eh JOIN eg ON eh.dg = eg.dg AND eh.doc_id > eg.mn),
          |sv AS (SELECT vec_id, embedding AS e FROM embeddings),
          |$LSHP_CTE,
@@ -3346,15 +3346,15 @@ object SparkEntry {
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
          |  FROM sbkt x JOIN sbkt y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
          |),
-         |sp AS (
+         |sp AS MATERIALIZED (
          |  SELECT c.v1, c.v2
          |  FROM scand c JOIN sv a ON a.vec_id = c.v1 JOIN sv b ON b.vec_id = c.v2
          |  WHERE ${duckCos("a.e", "b.e")} >= ${graft.operators.Similarity.NearDupTau}
          |),
-         |ae AS (SELECT d1, d2 FROM pairs
+         |ae AS MATERIALIZED (SELECT d1, d2 FROM pairs
          |       UNION SELECT d1, d2 FROM epr
          |       UNION SELECT v1, v2 FROM sp),
-         |edges AS (SELECT d1, d2 FROM ae UNION SELECT d2, d1 FROM ae),
+         |edges AS MATERIALIZED (SELECT d1, d2 FROM ae UNION SELECT d2, d1 FROM ae),
          |reach(a, b) AS (
          |  SELECT d1, d1 FROM edges
          |  UNION
@@ -3943,7 +3943,7 @@ object SparkEntry {
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
          |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS supp
          |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
          |f AS (SELECT * FROM pairs

@@ -13,6 +13,7 @@ of the shipped library.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -36,12 +37,21 @@ def norm_rows(rows, cols):
 
 
 def main(sf_dir, out_dir):
+    # Optional resume support: COMPARE_SKIP_FILE lists query names (one
+    # per line) to skip — lets a long replay resume after an oracle-SQL
+    # hardening without re-running the already-passed set.
+    skip = set()
+    sf = os.environ.get("COMPARE_SKIP_FILE")
+    if sf:
+        skip = {l.strip() for l in open(sf) if l.strip()}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            continue
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = [c.lower() for c in got_rel.columns]
