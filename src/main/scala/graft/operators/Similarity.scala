@@ -204,32 +204,89 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Memoized, localCheckpointed [[bruteTopK]] per (session, dir, k,
-    * nQueries) — THE shared evaluation substrate: `ann_brute_topk`,
-    * `ann_recall_report` and `ann_appended_recall` all grade against
-    * the identical exact baseline, and Verify/Bench run them in one
-    * session, so without the memo the O(nQueries × corpus) scan runs
-    * three times per session for bit-identical output (the frame is a
-    * pure deterministic function of its key). Keyed by session
-    * identity: a checkpointed frame dies with its session, so a fresh
-    * session recomputes rather than touching a dead RDD. */
-  private val bruteMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-  def bruteTopKShared(spark: SparkSession, dir: String,
-                      k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
-    evictStale(bruteMemo)
-    bruteMemo.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$k|$nQueries",
-      _ => bruteTopK(spark, dir, k, nQueries).localCheckpoint())
+  /** Session-scoped memo for the expensive, pure, localCheckpointed
+    * build artifacts ([[bruteTopKShared]], [[graphEdgesShared]]).
+    *
+    * Keyed on the SparkSession OBJECT through a WeakHashMap: entries die
+    * with their session (a GC'd session's map is collected with it), and
+    * a fresh session can never inherit a dead session's checkpointed
+    * frames — the previous identityHashCode string key could collide
+    * after the old session was GC'd and hand a new session a frame bound
+    * to a stopped SparkContext. Each key also carries a corpus-version
+    * token ([[corpusVersion]]) so data regenerated under the SAME dir
+    * within one session recomputes instead of serving stale results.
+    *
+    * Bounded: a per-session map past [[MemoCap]] entries is unpersisted
+    * (checkpoint blocks released immediately rather than waiting for the
+    * ContextCleaner's GC cycle) and cleared — only THAT session's
+    * frames, never another live session's. The cap is generous versus
+    * the ≤6 distinct keys the ANN panels use per corpus, so eviction
+    * only fires in a many-corpus session where the dropped frames are no
+    * longer in flight. */
+  private val MemoCap = 16
+  private val sessionMemos =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, MemoEntry]]
+  private case class MemoEntry(df: DataFrame,
+                               blocks: Option[org.apache.spark.rdd.RDD[_]])
+
+  /** The persisted RDD behind a localCheckpointed frame — what an
+    * eviction must unpersist to release the blocks eagerly. */
+  private def blocksOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Cheap corpus-version token for `dir`: names + lengths + mtimes of
+    * the embeddings artifact, one driver-side FS listing. */
+  private def corpusVersion(spark: SparkSession, dir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).map(s =>
+            s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString(",").hashCode.toString
+      else s"${st.getLen}:${st.getModificationTime}"
+    } catch { case _: Exception => "na" }
+
+  private def memoized(spark: SparkSession, key: String)
+                      (build: => DataFrame): DataFrame = {
+    val m = sessionMemos.synchronized {
+      var mm = sessionMemos.get(spark)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]
+        sessionMemos.put(spark, mm)
+      }
+      mm
+    }
+    if (m.size > MemoCap) m.synchronized {
+      if (m.size > MemoCap) {
+        m.values.forEach(e =>
+          e.blocks.foreach(r => try r.unpersist(false)
+                                catch { case _: Exception => () }))
+        m.clear()
+      }
+    }
+    m.computeIfAbsent(key, _ => {
+      val df = build.localCheckpoint()
+      MemoEntry(df, blocksOf(df))
+    }).df
   }
 
-  /** Bounded eviction for the session-keyed memo maps: a long-lived JVM
-    * cycling many sessions (test harness, notebook server) must not
-    * pin dead sessions' checkpointed frames forever. Clearing wholesale
-    * is safe — the frames are pure caches; the cost of a rare
-    * recompute beats an unbounded leak. */
-  private def evictStale(m: java.util.concurrent.ConcurrentHashMap[String, DataFrame]): Unit =
-    if (m.size > 8) m.clear()
+  /** Memoized, localCheckpointed [[bruteTopK]] per (session, corpus
+    * version, dir, k, nQueries) — THE shared evaluation substrate:
+    * `ann_brute_topk`, `ann_recall_report` and `ann_appended_recall`
+    * all grade against the identical exact baseline, and Verify/Bench
+    * run them in one session, so without the memo the
+    * O(nQueries × corpus) scan runs three times per session for
+    * bit-identical output (the frame is a pure deterministic function
+    * of its key). */
+  def bruteTopKShared(spark: SparkSession, dir: String,
+                      k: Int = TopK, nQueries: Int = NumQueries): DataFrame =
+    memoized(spark, s"brute|${corpusVersion(spark, dir)}|$dir|$k|$nQueries")(
+      bruteTopK(spark, dir, k, nQueries))
 
   /** IVF-style ANN: vectors are assigned to their nearest of
     * `nCentroids` coarse centroids (deterministically the first K
@@ -948,14 +1005,28 @@ object Similarity {
     * appendToIndex appends, so a stale prior run must not double the
     * per-vector artifact tables. */
   private def scratchIndexDir(spark: SparkSession, name: String): String = {
+    // Scoped per RUN (applicationId is unique per SparkContext): a
+    // user's own artifact saved at the bare panel name under a shared
+    // spark.graft.indexDir is never deleted, and two concurrent
+    // sessions running the same panel against one shared index root
+    // get disjoint scratch dirs instead of racing delete-vs-read.
     val base = spark.conf.getOption("spark.graft.indexDir")
       .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/graft-scratch-index")
-    val dir = s"$base/$name"
+    val dir = s"$base/scratch-${spark.sparkContext.applicationId}/$name"
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(p)) f.delete(p, true)
+    if (f.exists(p)) f.delete(p, true) // same-session re-run: appends must not double
     dir
   }
+
+  /** Best-effort removal of a [[scratchIndexDir]] after its panel has
+    * MATERIALIZED its O(1)-row result (the searches read the artifacts
+    * lazily, so cleanup before materialization would break them). */
+  private def dropScratchDir(spark: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: Exception => () }
 
   /** Persist every ANN index artifact the search paths consume — the
     * production lifecycle recallReport only simulates in-session with
@@ -1068,9 +1139,13 @@ object Similarity {
         .select(lit(name).as("variant"), col("n_hits"),
           graft.functions.Hashing.ratio4(col("n_hits"),
             lit(k.toLong * nQueries)).as("recall"))
-    row("saved_ivf_kmeans", searchSavedIvfKmeans(spark, dir, idx, k, nQueries))
-      .unionByName(row("saved_lsh", searchSavedLsh(spark, dir, idx, k, nQueries)))
-      .orderBy("variant")
+    val out =
+      row("saved_ivf_kmeans", searchSavedIvfKmeans(spark, dir, idx, k, nQueries))
+        .unionByName(row("saved_lsh", searchSavedLsh(spark, dir, idx, k, nQueries)))
+        .orderBy("variant")
+        .localCheckpoint() // eager 2-row frame — the scratch index is now dead
+    dropScratchDir(spark, idx)
+    out
   }
 
   /** k-means-IVF search against a SAVED index — no training, no
@@ -1235,18 +1310,14 @@ object Similarity {
       .distinct()
   }
 
-  /** Memoized, localCheckpointed [[graphEdgesOf]] per (session, dir) —
-    * the graph index artifact `ann_graph_topk`, `ann_recall_report` and
-    * the degree-stats panel all consume; same rationale and lifetime as
-    * [[bruteTopKShared]] (pure deterministic function of the corpus,
-    * one build per session). */
-  private val edgesMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-  def graphEdgesShared(spark: SparkSession, dir: String): DataFrame = {
-    evictStale(edgesMemo)
-    edgesMemo.computeIfAbsent(s"${System.identityHashCode(spark)}|$dir",
-      _ => graphEdgesOf(vecs(spark, dir)).localCheckpoint())
-  }
+  /** Memoized, localCheckpointed [[graphEdgesOf]] per (session, corpus
+    * version, dir) — the graph index artifact `ann_graph_topk`,
+    * `ann_recall_report` and the degree-stats panel all consume; same
+    * rationale and lifetime as [[bruteTopKShared]] (pure deterministic
+    * function of the corpus, one build per session). */
+  def graphEdgesShared(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"edges|${corpusVersion(spark, dir)}|$dir")(
+      graphEdgesOf(vecs(spark, dir)))
 
   /** `ann_graph_topk`: greedy beam search over the small-world graph —
     * every query advances one hop per relational pass (frontier ⋈
@@ -1264,10 +1335,24 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val entries = v.orderBy("vec_id").limit(GraphEntries).select("vec_id", "e")
     val wq = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    // Each hop's frontier is localCheckpointed so the iterated plan never
+    // grows superlinearly; the PREVIOUS hop's checkpoint blocks are
+    // unpersisted as soon as the next hop's checkpoint replaces them
+    // (the replacement is materialized, so nothing downstream still
+    // reads the old blocks) — a long-lived session running many graph
+    // searches must not accumulate GraphHops+1 block sets per call.
     var frontier = q.crossJoin(broadcast(entries))
       .withColumn("cos", cosine("qe", "e"))
       .select("q_id", "vec_id", "cos")
       .localCheckpoint()
+    var frontierBlocks = blocksOf(frontier)
+    def replaceFrontier(next: DataFrame): Unit = {
+      val c = next.localCheckpoint() // eager: old blocks now unreferenced
+      frontierBlocks.foreach(r => try r.unpersist(false)
+                                  catch { case _: Exception => () })
+      frontier = c
+      frontierBlocks = blocksOf(c)
+    }
     (1 to GraphHops).foreach { _ =>
       val nbrs = frontier.select("q_id", "vec_id")
         .join(edges.withColumnRenamed("src", "vec_id"), "vec_id")
@@ -1277,18 +1362,23 @@ object Similarity {
         .join(q, "q_id")
         .withColumn("cos", cosine("qe", "e"))
         .select("q_id", "vec_id", "cos")
-      frontier = frontier.unionByName(nbrs)
+      replaceFrontier(frontier.unionByName(nbrs)
         .dropDuplicates("q_id", "vec_id")
         .withColumn("rnk", row_number().over(wq))
         .filter(col("rnk") <= GraphBeam)
-        .select("q_id", "vec_id", "cos")
-        .localCheckpoint()
+        .select("q_id", "vec_id", "cos"))
     }
-    frontier.filter(col("vec_id") =!= col("q_id"))
+    // Materialize the O(k × queries) result eagerly so the final
+    // frontier's blocks can be released before returning.
+    val out = frontier.filter(col("vec_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(wq).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
       .orderBy("q_id", "rank")
+      .localCheckpoint()
+    frontierBlocks.foreach(r => try r.unpersist(false)
+                                catch { case _: Exception => () })
+    out
   }
 
   /** `ann_graph_degree_stats`: health panel for the graph index (the
