@@ -197,7 +197,42 @@ write("documents", {
     "source": np.array([f"src{i}" for i in range(20)])[
         rng.integers(0, 20, N_DOC)],
     "lang": langs,
-    "text": texts})
+    "text": texts,
+    "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+
+# ---- chance-near-dup probe (fails loudly) -----------------------------
+# Guards the vocabulary/length distribution above: if CHANCE shingle
+# overlap among NON-engineered docs can reach near-dup thresholds, the
+# corpus percolates into giant jaccard components that (a) no real web
+# corpus has and (b) make any transitive-closure oracle quadratic.
+# MinHash estimate over a sample; own RNG so the main stream (and thus
+# every table for a fixed seed) is untouched by probe-size changes.
+prng = np.random.default_rng(99)
+n_eng = n_exact + n_near
+sample = prng.choice(N_DOC - n_eng, min(2000, N_DOC - n_eng),
+                     replace=False)
+P = np.uint64((1 << 61) - 1)
+ha = prng.integers(1, P, 32, dtype=np.uint64)
+hb = prng.integers(0, P, 32, dtype=np.uint64)
+sigs = np.empty((len(sample), 32), dtype=np.uint64)
+for si, di in enumerate(sample):
+    t = texts[di].split()
+    sh = np.array([hash((t[j], t[j + 1], t[j + 2])) & 0x7FFFFFFFFFFFFFFF
+                   for j in range(len(t) - 2)], dtype=np.uint64)
+    sigs[si] = ((sh[:, None] * ha + hb) % P).min(axis=0)
+bad = 0
+for i0 in range(0, len(sample), 256):
+    blk = sigs[i0:i0 + 256]
+    eq = (blk[:, None, :] == sigs[None, :, :]).sum(axis=2)
+    for bi, gi in np.argwhere(eq >= 16):          # est jaccard >= 0.5
+        if i0 + bi < gi:
+            bad += 1
+if bad:
+    raise SystemExit(
+        f"PROBE FAIL: {bad} chance near-dup pairs (est jaccard>=0.5) in a "
+        f"{len(sample)}-doc sample of non-engineered docs — vocabulary or "
+        "length distribution has regressed (see module docstring)")
+print(f"probe: 0 chance near-dup pairs in {len(sample)}-doc sample")
 
 # ---- embeddings -------------------------------------------------------
 DIM = 64
