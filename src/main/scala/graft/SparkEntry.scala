@@ -32,10 +32,12 @@ object SparkEntry {
     "dedup_exact_docs" -> ((s, d) => DocDedup.exactDocs(s, d)),
     "sample_per_source" -> ((s, d) => DocDedup.samplePerSource(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccard(s, d)),
+    "dedup_ngram_summary" -> ((s, d) => DocDedup.ngramJaccardSummary(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashLSH.nearDupPairs(s, d)),
     "dedup_components" -> ((s, d) => MinHashLSH.nearDupComponents(s, d)),
     "dedup_simhash" -> ((s, d) => SimHash.nearDupPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.nearDupPairs(s, d)),
+    "dedup_embedding_summary" -> ((s, d) => Similarity.nearDupSummary(s, d)),
     // LLM-pipeline: similarity search
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteTopKShared(s, d).orderBy("q_id", "rank")),
@@ -952,6 +954,43 @@ object SparkEntry {
          |WHERE shared / (n1.n + n2.n - shared) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
 
+    // aggregated export form of the pair list: per doc, partner count +
+    // highest-jaccard exemplar (ties -> smallest partner id) — mirrors
+    // DocDedup.ngramJaccardSummary
+    "dedup_ngram_summary" ->
+      s"""WITH $SH_CTE,
+         |shd AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= ${graft.operators.DocDedup.MaxShingleDf}
+         |),
+         |n AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         |  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT d1, d2, shared / (n1.n + n2.n - shared) AS jaccard
+         |  FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
+         |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
+         |),
+         |sym AS (
+         |  SELECT d1 AS doc_id, d2 AS partner, jaccard FROM pairs
+         |  UNION ALL
+         |  SELECT d2, d1, jaccard FROM pairs
+         |),
+         |r AS (
+         |  SELECT doc_id, partner, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, partner) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_partners
+         |  FROM sym
+         |)
+         |SELECT doc_id, n_partners, partner AS best_partner,
+         |  jaccard AS max_jaccard
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
@@ -1102,6 +1141,45 @@ object SparkEntry {
          |FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2
          |WHERE ${duckCos("a.e", "b.e")} >= 0.45
          |ORDER BY v1, v2""".stripMargin,
+
+    // aggregated export form of the pair list: per vector, partner
+    // count + strongest-cosine exemplar (ties -> smallest partner id)
+    // — mirrors Similarity.nearDupSummary
+    "dedup_embedding_summary" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$LSHP_CTE,
+         |$LSH_PL_CTE,
+         |bits AS (
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl p
+         |),
+         |buckets AS (
+         |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, p//ppb
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |),
+         |pairs AS (
+         |  SELECT c.v1, c.v2, ${duckCos("a.e", "b.e")} AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2
+         |  WHERE ${duckCos("a.e", "b.e")} >= 0.45
+         |),
+         |sym AS (
+         |  SELECT v1 AS vec_id, v2 AS partner, cos FROM pairs
+         |  UNION ALL
+         |  SELECT v2, v1, cos FROM pairs
+         |),
+         |r AS (
+         |  SELECT vec_id, partner, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, partner) AS rn,
+         |    count(*) OVER (PARTITION BY vec_id) AS n_partners
+         |  FROM sym
+         |)
+         |SELECT vec_id, n_partners, partner AS best_partner, cos AS max_cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "ann_brute_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

@@ -397,4 +397,25 @@ object DocDedup {
       .select("d1", "d2", "shared", "jaccard")
       .orderBy("d1", "d2")
   }
+
+  /** Aggregated export form of [[ngramJaccard]] — per document instead
+    * of per pair (O(docs-with-a-partner) output where the raw pair list
+    * is O(pairs)): partner count plus the highest-jaccard partner as an
+    * exemplar (ties break to the smallest partner id). Same candidate
+    * generation as the pair export, one extra struct-max groupBy. */
+  def ngramJaccardSummary(spark: SparkSession, dir: String,
+                          tau: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, tau)
+    val sym = pairs
+      .select(col("d1").as("doc_id"), col("d2").as("partner"), col("jaccard"))
+      .unionByName(pairs
+        .select(col("d2").as("doc_id"), col("d1").as("partner"), col("jaccard")))
+    sym.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_partners"),
+        max(struct(col("jaccard"), negate(col("partner")).as("np"),
+          col("partner"))).as("m"))
+      .select(col("doc_id"), col("n_partners"),
+        col("m.partner").as("best_partner"), col("m.jaccard").as("max_jaccard"))
+      .orderBy("doc_id")
+  }
 }

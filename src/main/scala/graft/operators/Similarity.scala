@@ -169,6 +169,30 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** Aggregated export form of [[nearDupPairs]] — the 100 TB posture:
+    * the raw pair list is O(pairs) (itself a dataset on a clustered
+    * corpus) while THIS is O(docs-with-a-partner): per vector, its
+    * partner count, plus the strongest partner as an exemplar (ties on
+    * cosine break to the smallest partner id). Shares the identical
+    * candidate generation, so the pair-grain and aggregate-grain
+    * exports can never disagree. One extra groupBy over the pairs —
+    * the max-by is a single struct-max aggregate, no window shuffle. */
+  def nearDupSummary(spark: SparkSession, dir: String,
+                     tau: Double = NearDupTau): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, tau)
+    val sym = pairs
+      .select(col("v1").as("vec_id"), col("v2").as("partner"), col("cos"))
+      .unionByName(pairs
+        .select(col("v2").as("vec_id"), col("v1").as("partner"), col("cos")))
+    sym.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_partners"),
+        max(struct(col("cos"), negate(col("partner")).as("np"),
+          col("partner"))).as("m"))
+      .select(col("vec_id"), col("n_partners"),
+        col("m.partner").as("best_partner"), col("m.cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Transitive SEMANTIC dedup groups: connected components over the
     * embedding near-dup graph (cosine ≥ τ pairs) — the meaning-level
     * analog of the shingle-graph components, catching paraphrase

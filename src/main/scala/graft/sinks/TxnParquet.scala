@@ -121,10 +121,43 @@ object TxnParquet {
   // exactly like a torn batch. Covered batch MARKERS are never deleted —
   // they are what keeps late retries of an already-compacted append
   // idempotent — but covered DATA directories become dead weight and
-  // `vacuum` reclaims them. Single compactor at a time, same as the
-  // single-writer-per-batch-id contract.
+  // `vacuum` reclaims them. One compactor at a time is ENFORCED by a
+  // lease marker (see `compact`); single-writer-per-batch-id remains a
+  // convention.
 
   private def compactionsDir(dir: String) = new Path(s"$dir/_compactions")
+
+  private def leasePath(dir: String) = new Path(s"$dir/_compactions/_lease")
+
+  /** Acquire the single-compactor lease, or throw. Atomic-create of an
+    * empty-until-written marker file (`create(overwrite = false)` is the
+    * one conditional primitive every HDFS-compatible store offers);
+    * content records the holder's applicationId for diagnostics. A lease
+    * whose mtime is older than `ttlMs` is presumed crashed and stolen —
+    * two concurrent stealers race delete-then-create, and the
+    * conditional create picks exactly one winner. */
+  private def acquireLease(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                           holder: String, ttlMs: Long): Unit = {
+    val lp = leasePath(dir)
+    def tryAcquire(): Boolean =
+      try {
+        val out = f.create(lp, false)
+        try out.write(holder.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale =
+        try System.currentTimeMillis() -
+          f.getFileStatus(lp).getModificationTime > ttlMs
+        catch { case _: java.io.FileNotFoundException => true }
+      val acquired = stale && { f.delete(lp, false); tryAcquire() }
+      if (!acquired) throw new IllegalStateException(
+        s"another compactor holds the lease under $dir (marker " +
+          s"$lp, ttl ${ttlMs}ms); concurrent compactions would race " +
+          "generation ids — wait for it, or delete the marker if its " +
+          "holder is known dead")
+    }
+  }
 
   /** Latest committed (generation, covered batch-id set), if any. */
   def latestCompaction(spark: SparkSession,
@@ -148,9 +181,25 @@ object TxnParquet {
     * generation; returns the new generation id. The data lands first,
     * the manifest marker second — a crash in between leaves the old
     * view fully readable. `numFiles` bounds the rewrite's output files
-    * (a coalesce, not a shuffle). */
-  def compact(spark: SparkSession, dir: String, numFiles: Int = 1): Long = {
+    * (a coalesce, not a shuffle).
+    *
+    * ONE compactor at a time, ENFORCED: a lease marker under
+    * `_compactions/` is taken by conditional create before any work and
+    * released after the manifest lands (or on failure), so a second
+    * concurrent `compact` fails fast instead of racing generation ids.
+    * A crashed holder's lease expires after `leaseTtlMs` and is stolen
+    * by the next caller. */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
+              leaseTtlMs: Long = 15 * 60 * 1000L): Long = {
     val f = fs(spark, dir)
+    acquireLease(f, dir, spark.sparkContext.applicationId, leaseTtlMs)
+    try compactHoldingLease(spark, f, dir, numFiles)
+    finally f.delete(leasePath(dir), false)
+  }
+
+  private def compactHoldingLease(spark: SparkSession,
+                                  f: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, numFiles: Int): Long = {
     val prior = latestCompaction(spark, dir)
     val gen = prior.map(_._1 + 1).getOrElse(0L)
     // ONE listing snapshots the view; both the rewrite input and the

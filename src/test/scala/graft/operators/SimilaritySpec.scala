@@ -148,6 +148,17 @@ class SimilaritySpec extends SparkSpec {
     // corpus's true neighborhoods)
     val g = rec.find(_._1 == "ann_graph_topk").get
     assert(g._3 >= 0.7, s"graph recall ${g._3} below floor")
+    // ... and at sf0.01 (the driver's correctness scale) — pinned at
+    // BOTH scales so an edge-build change can't silently degrade the
+    // walk at one scale while passing at the other (measured 0.93)
+    val dir01 = "/root/testdata/sf0.01"
+    val brute01 = Similarity.bruteTopKShared(spark, dir01)
+      .select("q_id", "vec_id")
+    val hits01 = Similarity.graphTopK(spark, dir01)
+      .select("q_id", "vec_id").intersect(brute01).count()
+    val recall01 = hits01.toDouble / brute01.count()
+    info(f"graph recall@5 at sf0.01 = $recall01%.3f")
+    assert(recall01 >= 0.7, f"sf0.01 graph recall $recall01%.3f below floor")
     // sanity: every PQ row ranks a real vector with a finite score
     val out = Similarity.pqTopK(spark, sf).collect()
     assert(out.length == Similarity.TopK * Similarity.NumQueries)

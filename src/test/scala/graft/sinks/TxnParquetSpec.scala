@@ -126,4 +126,33 @@ class TxnParquetSpec extends SparkSpec {
     assert(after.columns.sorted.toSeq == Seq("id", "score", "v"))
     assert(after.count() == 2L)
   }
+
+  test("a second concurrent compactor fails fast while the lease is held") {
+    val dir = freshDir()
+    TxnParquet.append(Seq((1L, "a")).toDF("id", "v"), dir, 0L)
+    // simulate a live holder: the lease marker exists and is fresh
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/_compactions/_lease")
+    val f = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(lease, false); out.write("holder".getBytes); out.close()
+    val e = intercept[IllegalStateException](TxnParquet.compact(spark, dir))
+    assert(e.getMessage.contains("another compactor holds the lease"))
+    assert(TxnParquet.latestCompaction(spark, dir).isEmpty) // no torn gen
+    // holder finishes and releases -> the next compact proceeds
+    f.delete(lease, false)
+    assert(TxnParquet.compact(spark, dir) == 0L)
+    assert(!f.exists(lease)) // released after commit
+  }
+
+  test("a crashed compactor's stale lease is stolen after the ttl") {
+    val dir = freshDir()
+    TxnParquet.append(Seq((1L, "a")).toDF("id", "v"), dir, 0L)
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/_compactions/_lease")
+    val f = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(lease, false); out.write("dead".getBytes); out.close()
+    val old = System.currentTimeMillis() - 60 * 60 * 1000L
+    f.setTimes(lease, old, old) // crashed an hour ago
+    assert(TxnParquet.compact(spark, dir) == 0L) // default ttl 15 min: stolen
+    assert(TxnParquet.read(spark, dir).count() == 1L)
+    assert(!f.exists(lease))
+  }
 }

@@ -105,4 +105,52 @@ class StreamPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((1L, s(0), s(0))), s"got $got")
   }
+
+  test("BOTH operators' state survives a query restart via checkpoint") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sp_ckpt").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    // incarnation 1: the originals through 16s; incarnation 2: BOTH
+    // duplicates (each of a digest seen only BEFORE the restart — their
+    // drop depends entirely on recovered dedup state), the late session
+    // openers, and the watermark sentinel. Recovery must restore the
+    // dedup digest set AND the open session windows. Each incarnation's
+    // batch is duplicate-free internally: within one micro-batch a file
+    // source guarantees no row order, so keep-first-OBSERVED is only
+    // deterministic across batches.
+    val (batch1, batch2) = fixture.partition(m =>
+      m.ts_us <= s(16) && m.event_id != 3L)
+
+    def runOnce(msgs: Seq[Msg]): Unit = {
+      msgs.toDF().write.mode("append").parquet(inDir)
+      val src = spark.readStream.schema(msgs.toDF().schema).parquet(inDir)
+      val q = StreamPipeline.dedupSessionize(src, Wm, GapUs)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce(batch1)
+    runOnce(batch2 :+ sentinel)
+
+    val got = spark.read.parquet(outDir).filter(col("user_id") =!= 99L)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("n_events")),
+        r.getLong(r.fieldIndex("start_us")),
+        r.getLong(r.fieldIndex("end_us")),
+        r.getDouble(r.fieldIndex("sum_value"))))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val w = Window.partitionBy("digest").orderBy("ts_us", "event_id")
+    val deduped = fixture.toDS().toDF()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val want = StreamSession.sessionize(deduped, GapUs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got == want, s"restarted=$got batch=$want")
+    // user 2's post-restart duplicate (24s, digest 202) was dropped by
+    // RECOVERED dedup state, so its session still closes at 16s — and
+    // the session window itself was recovered open (3 events, not 1)
+    assert(got.contains((2L, 3L, s(0), s(16), 5.0)))
+  }
 }
