@@ -48,6 +48,8 @@ object SparkEntry {
     "docs_cross_lang_dup" -> ((s, d) => MinHashLSH.crossLangDup(s, d)),
     "corpus_token_gini" -> ((s, d) => CorpusStats.tokenGini(s, d)),
     "embeddings_pq_error" -> ((s, d) => Similarity.pqErrorStats(s, d)),
+    "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(s, d)),
+    "embeddings_sq_error" -> ((s, d) => Similarity.sqErrorStats(s, d)),
     "pipeline_dedup_cascade" -> ((s, d) => graft.operators.Curation.dedupCascade(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -537,6 +539,29 @@ object SparkEntry {
        |  SELECT src, dst FROM sel UNION ALL SELECT dst AS src, src AS dst FROM sel))""".stripMargin
   }
 
+  /** SQ8 codebook + code table + dequantized corpus — mirrors
+    * Similarity.sqStats/sqEncode/sqDecode; ONE definition shared by
+    * `ann_sq_topk` and `embeddings_sq_error`. Expects a CTE
+    * `v(vec_id, e)` in scope; exposes `sqst(mn, mx)` (1-based lists),
+    * `sqx(vec_id, code)` and `sqh(vec_id, xh)`. */
+  private lazy val SQ_CTES: String =
+    s"""sqst AS (
+       |  SELECT list(mn ORDER BY j) AS mn, list(mx ORDER BY j) AS mx FROM (
+       |    SELECT j, min(CAST(e[j] AS DOUBLE)) AS mn, max(CAST(e[j] AS DOUBLE)) AS mx
+       |    FROM v, (SELECT unnest(generate_series(1, 64)) AS j) s GROUP BY j)),
+       |sqx AS (
+       |  SELECT vec_id, list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN st.mx[j] = st.mn[j] THEN 0
+       |         ELSE CAST(round((CAST(e[j] AS DOUBLE) - st.mn[j]) * 255.0 /
+       |                         (st.mx[j] - st.mn[j])) AS INT) END) AS code
+       |  FROM v, sqst st),
+       |sqh AS (
+       |  SELECT vec_id, list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN st.mx[j] = st.mn[j] THEN st.mn[j]
+       |         ELSE st.mn[j] + CAST(code[j] AS DOUBLE) * (st.mx[j] - st.mn[j]) / 255.0
+       |         END) AS xh
+       |  FROM sqx, sqst st)""".stripMargin
+
   /** cosine(float vec a, double centroid b) — mirrors Similarity.cosD. */
   private def duckCosD(a: String, b: String): String =
     s"""(list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE) * $b[i])), (x,y)->x+y)
@@ -827,6 +852,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'ann_pq_topk', count(*)
          |    FROM ${sub("ann_pq_topk")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_sq_topk', count(*)
+         |    FROM ${sub("ann_sq_topk")} x JOIN b USING (q_id, vec_id)
          |  UNION ALL
          |  SELECT 'ann_graph_topk', count(*)
          |    FROM ${sub("ann_graph_topk")} x JOIN b USING (q_id, vec_id)
@@ -3486,6 +3514,46 @@ object SparkEntry {
          |  ${ratio4Sql("top", "n_vecs")} AS top_cell_share4,
          |  ${halfUpSql("s", "n_vecs")} AS mean_err_u6, max_err_u6
          |FROM a1 JOIN a3 ON a3.sub = a1.sub ORDER BY sub""".stripMargin,
+
+    // SQ8: per-dim min/max codebook, byte codes, asymmetric search of
+    // the exact float query against the dequantized corpus — mirrors
+    // Similarity.sqTopK over the shared SQ CTEs
+    "ann_sq_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$SQ_CTES,
+         |p AS (
+         |  SELECT q.vec_id AS q_id, h.vec_id, ${duckCosD("q.e", "h.xh")} AS approx_cos
+         |  FROM v q JOIN sqh h ON h.vec_id <> q.vec_id
+         |  WHERE q.vec_id < ${graft.operators.Similarity.NumQueries})
+         |SELECT q_id, rank, vec_id, approx_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
+         |WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank""".stripMargin,
+
+    // per-dimension SQ8 quantization error — mirrors
+    // Similarity.sqErrorStats over the SAME stats CTE
+    "embeddings_sq_error" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |$SQ_CTES,
+         |errs AS (
+         |  SELECT j - 1 AS dim, vec_id,
+         |    CASE WHEN st.mx[j] = st.mn[j] THEN 0
+         |         ELSE CAST(round((CAST(e[j] AS DOUBLE) - st.mn[j]) * 255.0 /
+         |                         (st.mx[j] - st.mn[j])) AS INT) END AS c,
+         |    CASE WHEN st.mx[j] = st.mn[j] THEN st.mn[j]
+         |         ELSE st.mn[j] + CAST(c AS DOUBLE) * (st.mx[j] - st.mn[j]) / 255.0
+         |         END AS xh,
+         |    CAST(round((CAST(e[j] AS DOUBLE) - xh) * (CAST(e[j] AS DOUBLE) - xh)
+         |               * 1000000.0) AS BIGINT) AS eu
+         |  FROM v, sqst st, (SELECT unnest(generate_series(1, 64)) AS j) s),
+         |a1 AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         |         CAST(sum(eu) AS BIGINT) AS s, CAST(max(eu) AS BIGINT) AS max_err_u6
+         |       FROM errs GROUP BY 1),
+         |a2 AS (SELECT dim, CAST(count(DISTINCT c) AS BIGINT) AS codes_used
+         |       FROM errs GROUP BY 1)
+         |SELECT a1.dim AS dim, n_vecs, codes_used,
+         |  ${halfUpSql("s", "n_vecs")} AS mean_err_u6, max_err_u6
+         |FROM a1 JOIN a2 ON a2.dim = a1.dim ORDER BY dim""".stripMargin,
 
     // IVF+PQ: the same trained codebooks and code table as ann_pq_topk,
     // but a query ADC-scores only the members of its nprobe k-means

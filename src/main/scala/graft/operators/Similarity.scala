@@ -811,6 +811,116 @@ object Similarity {
     adcScore(codes, pqLut(qs, cb), qs, k)
   }
 
+  // ---- Scalar quantization (ann_sq_topk) -------------------------------
+
+  /** SQ8 levels: codes 0..255, one byte per dimension. */
+  val SqLevels = 255
+
+  /** The SQ8 "codebook": per-dimension corpus [min, max] — ONE
+    * all-column aggregate row (Dim min/max pairs in a single corpus
+    * pass, partial-aggregable), broadcast everywhere it's used. */
+  private[operators] def sqStats(v: DataFrame): DataFrame =
+    v.agg(
+      array((0 until Dim).map(j =>
+        min(col("e").getItem(j).cast("double"))): _*).as("mn"),
+      array((0 until Dim).map(j =>
+        max(col("e").getItem(j).cast("double"))): _*).as("mx"))
+
+  /** Encode: x_j → round((x_j − mn_j) · 255 / (mx_j − mn_j)) ∈ 0..255
+    * (a constant dimension maps to code 0). One narrow corpus pass;
+    * the code table is Dim bytes/vector vs 4·Dim float bytes — the
+    * 4× index-size cut is the whole point of the family. */
+  private[operators] def sqEncode(v: DataFrame, st: DataFrame): DataFrame =
+    v.crossJoin(broadcast(st))
+      .withColumn("code", expr(
+        s"""transform(e, (x, j) -> CASE WHEN mx[j] = mn[j] THEN 0
+           |  ELSE CAST(round((CAST(x AS DOUBLE) - mn[j]) * ${SqLevels}.0D /
+           |                  (mx[j] - mn[j])) AS INT) END)""".stripMargin))
+      .select("vec_id", "code")
+
+  /** Dequantized corpus from CODES ALONE (+ the broadcast stats row):
+    * x̂_j = mn_j + code_j · (mx_j − mn_j) / 255 — the search never
+    * touches raw corpus vectors, like the PQ ADC path. */
+  private def sqDecode(codes: DataFrame, st: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(st))
+      .withColumn("xh", expr(
+        s"""transform(code, (c, j) -> CASE WHEN mx[j] = mn[j] THEN mn[j]
+           |  ELSE mn[j] + CAST(c AS DOUBLE) * (mx[j] - mn[j]) / ${SqLevels}.0D
+           |  END)""".stripMargin))
+      .select("vec_id", "xh")
+
+  /** `ann_sq_topk`: SQ8 asymmetric search — exact float query against
+    * the dequantized byte corpus (MixedCosine, the same fused fold the
+    * k-means assignment uses). Exhaustive over CODES by design, like
+    * pqTopK (SQ is a compression technique, not a pruning one — the
+    * win is scanning 1-byte dims instead of 4-byte floats; compose
+    * with IVF cells for pruning, exactly as PQ does). Bounded to the
+    * nQueries probe set like the brute baseline. */
+  def sqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+             nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    val st = sqStats(v)
+    sqSearch(v, st, sqEncode(v, st), k, nQueries)
+  }
+
+  /** SQ8 search against an ALREADY-ENCODED code table. */
+  private def sqSearch(v: DataFrame, st: DataFrame, codes: DataFrame,
+                       k: Int, nQueries: Int): DataFrame = {
+    require(nQueries <= 1000,
+      s"sqTopK scans all codes per query; got nQueries=$nQueries")
+    val xh = sqDecode(codes, st)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vec_id"))
+    q.crossJoin(xh)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos",
+        graft.plans.VectorExpressions.mixedCosine(col("qe"), col("xh")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "approx_cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** `embeddings_sq_error`: quantization-health panel for SQ8 — per
+    * dimension: vectors, distinct codes used (collapse = the dimension
+    * carries no information at 8 bits), and mean/max squared
+    * reconstruction error (x_j − x̂_j)² in exact 1e-6 micro-units.
+    * The per-dim grain is the drift alarm a frozen [mn,mx] range needs:
+    * one out-of-range dimension (codes pinned at 0/255) shows here
+    * before global recall moves. Squared error is a scalar per
+    * (vec, dim) — only the integer micro-lift aggregates. */
+  def sqErrorStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val st = sqStats(v)
+    val err = v.crossJoin(broadcast(st))
+      .select(col("vec_id"), col("mn"), col("mx"), posexplode(col("e")))
+      .withColumn("c", expr(
+        s"""CASE WHEN mx[pos] = mn[pos] THEN 0
+           |  ELSE CAST(round((CAST(col AS DOUBLE) - mn[pos]) * ${SqLevels}.0D /
+           |                  (mx[pos] - mn[pos])) AS INT) END""".stripMargin))
+      .withColumn("xh", expr(
+        s"""CASE WHEN mx[pos] = mn[pos] THEN mn[pos]
+           |  ELSE mn[pos] + CAST(c AS DOUBLE) * (mx[pos] - mn[pos]) / ${SqLevels}.0D
+           |  END""".stripMargin))
+      .withColumn("eu", round(
+        expr("(CAST(col AS DOUBLE) - xh) * (CAST(col AS DOUBLE) - xh)")
+          * 1000000d).cast("long"))
+      .select(col("pos").as("dim"), col("c"), col("eu"))
+    val a1 = err.groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("eu").as("s"),
+        max("eu").as("max_err_u6"))
+    val a2 = err.groupBy("dim", "c").agg(count(lit(1)).as("n"))
+      .groupBy("dim").agg(count(lit(1)).as("codes_used"))
+    a1.join(a2, "dim")
+      .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+        col("codes_used"),
+        graft.functions.Hashing.halfUpDiv(col("s"), col("n_vecs"))
+          .as("mean_err_u6"),
+        col("max_err_u6"))
+      .orderBy("dim")
+  }
+
   /** IVF+PQ composed index: the coarse k-means quantizer assigns every
     * code to a cell, and a query ADC-scores ONLY the codes in its
     * `nprobe` probed cells — the missing piece that makes pqTopK scale:
@@ -983,8 +1093,13 @@ object Similarity {
       .filter(col("band") === 0).localCheckpoint())
     val fEdges = Future(graphEdgesShared(spark, dir))
     val fBrute = Future(topk(bruteTopKShared(spark, dir, k, nQueries)))
+    val fSq = Future {
+      val st = sqStats(v).localCheckpoint()
+      (st, sqEncode(v, st).localCheckpoint())
+    }
     val members = Await.result(fMembers, Duration.Inf)
     val codes = Await.result(fCodes, Duration.Inf)
+    val (sqSt, sqCodes) = Await.result(fSq, Duration.Inf)
     val b0 = Await.result(fB0, Duration.Inf)
     val candidates = b0.join(v, "vec_id").localCheckpoint()
     val edges = Await.result(fEdges, Duration.Inf)
@@ -1002,6 +1117,7 @@ object Similarity {
       "ann_lsh_multiprobe" -> (() => lshMultiProbeSearch(v, b0, candidates, k, nQueries, ppb)),
       "ann_lsh_topk" -> (() => lshSearch(v, b0, candidates, k, nQueries)),
       "ann_pq_topk" -> (() => pqSearch(v, cb, codes, k, nQueries)),
+      "ann_sq_topk" -> (() => sqSearch(v, sqSt, sqCodes, k, nQueries)),
       "ann_graph_topk" -> (() => graphTopKOf(v, edges, k, nQueries)))
     val rows = Await.result(
       Future.sequence(variants.map { case (name, f) =>

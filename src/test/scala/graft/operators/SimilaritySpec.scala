@@ -148,6 +148,10 @@ class SimilaritySpec extends SparkSpec {
     // corpus's true neighborhoods)
     val g = rec.find(_._1 == "ann_graph_topk").get
     assert(g._3 >= 0.7, s"graph recall ${g._3} below floor")
+    // SQ8 is near-lossless for cosine ranking (8 bits/dim): hold it to
+    // a far higher floor than the pruning families
+    val sq = rec.find(_._1 == "ann_sq_topk").get
+    assert(sq._3 >= 0.9, s"SQ8 recall ${sq._3} below floor")
     // ... and at sf0.01 (the driver's correctness scale) — pinned at
     // BOTH scales so an edge-build change can't silently degrade the
     // walk at one scale while passing at the other (measured 0.93)
