@@ -210,6 +210,7 @@ object SparkEntry {
     "events_forecast_error" -> ((s, d) => graft.operators.Analytics6.forecastError(s, d)),
     "corpus_snapshot_diff" -> ((s, d) => graft.operators.Snapshot.snapshotDiff(s, d)),
     "pipeline_shard_plan" -> ((s, d) => graft.operators.Pipeline.shardPlan(s, d)),
+    "pipeline_zorder_plan" -> ((s, d) => graft.operators.Layout.zorderPlan(s, d)),
     "source_divergence" -> ((s, d) => graft.operators.CorpusStats.sourceDivergence(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.kcenterSample(s, d)),
@@ -2805,6 +2806,36 @@ object SparkEntry {
          |  ${ratio4Sql("shard_tokens", "g")} AS token_share,
          |  ${ratio4Sql(s"shard_tokens * $S", "g")} AS balance4
          |FROM a CROSS JOIN g ORDER BY shard""".stripMargin
+    },
+
+    // z-order layout manifest — mirrors Layout.zorderPlan: equi-width
+    // buckets, Morton interleave, global rank cut into equal files
+    "pipeline_zorder_plan" -> {
+      val F = graft.operators.Layout.NumFiles
+      val zi = (0 until graft.operators.Layout.ZBits).map(i =>
+        s"(((b1 >> $i) & 1) << ${2 * i + 1}) + (((b2 >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+         |             min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi,
+         |             CAST(count(*) AS BIGINT) AS n FROM lineitem),
+         |b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |        (l_partkey - pk_lo) * 1024 // (pk_hi - pk_lo + 1) AS b1,
+         |        (l_suppkey - sk_lo) * 1024 // (sk_hi - sk_lo + 1) AS b2,
+         |        pk_lo, pk_hi, sk_lo, sk_hi, n
+         |      FROM lineitem, d),
+         |z AS (SELECT *, $zi AS z FROM b),
+         |r AS (SELECT *, row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) AS rn FROM z),
+         |f AS (SELECT *, (rn - 1) * $F // n AS file_id FROM r),
+         |a AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |        min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         |        min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+         |        min(pk_lo) AS pk_lo, min(pk_hi) AS pk_hi,
+         |        min(sk_lo) AS sk_lo, min(sk_hi) AS sk_hi
+         |      FROM f GROUP BY 1)
+         |SELECT file_id, n_rows, pk_min, pk_max, sk_min, sk_max,
+         |  ${ratio4Sql("pk_max - pk_min + 1", "pk_hi - pk_lo + 1")} AS pk_span_share4,
+         |  ${ratio4Sql("sk_max - sk_min + 1", "sk_hi - sk_lo + 1")} AS sk_span_share4
+         |FROM a ORDER BY file_id""".stripMargin
     },
 
     // pairwise per-source unigram TVD — mirrors CorpusStats.sourceDivergence

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Partitioning._
+import graft.Tables
+import graft.functions.Hashing.{intDiv, ratio4}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order data-layout planning — the write-side clustering that makes
+  * 100 TB scans prunable. A table laid out in arrival order answers a
+  * two-dimensional predicate (`part X AND supplier Y`) by reading every
+  * file; interleaving the two key dimensions' bucket bits into one sort
+  * key (Morton order) and cutting the sorted order into equal files
+  * gives every file a TIGHT min/max envelope on BOTH dimensions at
+  * once — the footer stats any parquet reader already prunes by.
+  *
+  * The planner is deliberately a PLAN, not a rewrite: it emits the
+  * per-file skipping manifest (file id → row count + per-dimension
+  * min/max + span shares) a writer commits to, and the span-share
+  * columns grade the layout (span_share ≈ 1/√files per dimension for a
+  * 2-D z-order vs ≈ 1 for arrival order — the measurable pruning win).
+  *
+  * Scale shape: one O(1)-row domain aggregate (broadcast), one narrow
+  * bucket/interleave pass (pure per-row integer bit math, no shuffle),
+  * ONE range-partitioned global rank (the native GlobalRank pass — no
+  * single-partition window), one O(rows)→O(files) rollup. The sort that
+  * a real rewrite would pay is exactly the rank pass; nothing else
+  * widens at 100×.
+  */
+object Layout {
+
+  /** Bits per dimension: 1024 buckets — z-values fit 20 bits. */
+  val ZBits = 10
+
+  /** Output file count for the plan (a real writer derives this from
+    * target file bytes; the panel pins it for determinism). */
+  val NumFiles = 64
+
+  /** Equi-width bucket of `v` in the CLOSED domain [lo, hi] — exact
+    * int64 math: (v − lo) · 2^bits div (hi − lo + 1) ∈ [0, 2^bits).
+    * Equi-width (not rank-based) keeps the pass shuffle-free; a skewed
+    * dimension would swap in the quantile machinery lineitem_quantiles
+    * already has. */
+  private def bucket(v: Column, lo: Column, hi: Column): Column =
+    intDiv((v - lo) * lit(1L << ZBits), hi - lo + lit(1L))
+
+  /** Morton interleave of two [[ZBits]]-bit buckets: b1's bits land at
+    * odd positions, b2's at even — bit i of b1 → bit 2i+1 of z. */
+  private def zInterleave(b1: Column, b2: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** The per-row assignment [[zorderPlan]] summarizes — what a writer
+    * actually consumes (`repartitionByRange` on file_id, or
+    * write.partitionBy): row keys + z-value + target file. */
+  def zorderAssignments(spark: SparkSession, dir: String,
+                        nFiles: Int = NumFiles): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").spread
+    val dom = li.agg(
+      min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+      min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi"),
+      count(lit(1)).as("n"))
+    val z = li.crossJoin(broadcast(dom))
+      .withColumn("b1", bucket(col("l_partkey"), col("pk_lo"), col("pk_hi")))
+      .withColumn("b2", bucket(col("l_suppkey"), col("sk_lo"), col("sk_hi")))
+      .withColumn("z", zInterleave(col("b1"), col("b2")))
+    Ranking.globalRowNumber(z,
+        Seq(col("z"), col("l_orderkey"), col("l_linenumber")), "rn")
+      .withColumn("file_id", intDiv((col("rn") - 1) * nFiles, col("n")))
+  }
+
+  /** `pipeline_zorder_plan`: the O(files) skipping manifest — per
+    * target file: rows, min/max envelope of both clustered dimensions,
+    * and each envelope's share of its dimension's domain (ratio4; the
+    * self-grading column — z-order holds it near 1/√files, arrival
+    * order near 1). */
+  def zorderPlan(spark: SparkSession, dir: String,
+                 nFiles: Int = NumFiles): DataFrame =
+    zorderAssignments(spark, dir, nFiles)
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+        min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"),
+        // the domain rides every row (broadcast join output) — min is
+        // just "the constant", keeping the rollup one pass
+        min("pk_lo").as("pk_lo"), min("pk_hi").as("pk_hi"),
+        min("sk_lo").as("sk_lo"), min("sk_hi").as("sk_hi"))
+      .select(col("file_id"), col("n_rows"),
+        col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+        ratio4(col("pk_max") - col("pk_min") + 1,
+          col("pk_hi") - col("pk_lo") + 1).as("pk_span_share4"),
+        ratio4(col("sk_max") - col("sk_min") + 1,
+          col("sk_hi") - col("sk_lo") + 1).as("sk_span_share4"))
+      .orderBy("file_id")
+}
