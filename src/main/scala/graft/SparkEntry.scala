@@ -713,6 +713,49 @@ object SparkEntry {
     * RE2's `\\s` lacks U+000B, so a bare `\\s` is not cross-engine. */
   private val WS = s"[${graft.operators.TextAnalysis.WsClass}]"
 
+  /** Scale-safe transitive-closure oracle: unrolled min-label
+    * propagation + pointer jumping over a SYMMETRIC `edges($a, $b)`
+    * CTE already in scope; emits chained CTEs ending in
+    * `comp($node, $label)` — labels converge to each component's min
+    * node id, the same fixpoint the engine's O(diameter) propagation
+    * (MinHashLSH.components) computes.
+    *
+    * WHY not `WITH RECURSIVE reach`: reach materializes every
+    * reachable PAIR — Σ size² rows, and each iteration's join is
+    * |edges| × avg-component-size. On dense components (embedding
+    * clusters: a 14k-doc component at native sf1) that is tens of
+    * billions of intermediate rows — the oracle dies while the engine
+    * (linear per round) is fine. Label propagation is O(rounds·|edges|).
+    *
+    * Each round = one propagate (min over neighbors' labels) + one
+    * pointer jump (lab ← lab(lab), sound because labels are always
+    * node ids of the endpoint set). [[LabelPropRounds]] rounds cover
+    * diameter ≥ 2^rounds; an under-converged closure FAILS the compare
+    * loudly (labels ≠ engine fixpoint), never passes silently. */
+  private val LabelPropRounds = 6
+  private def labelPropCtes(node: String = "doc_id",
+                            label: String = "component_id",
+                            a: String = "d1", b: String = "d2"): String = {
+    val sb = new StringBuilder
+    sb.append(s"lp0 AS MATERIALIZED (SELECT DISTINCT $a AS node, $a AS lab FROM edges)")
+    var prev = "lp0"
+    for (k <- 1 to LabelPropRounds) {
+      sb.append(s""",
+         |pp$k AS MATERIALIZED (
+         |  SELECT n.node, least(n.lab, coalesce(m.ml, n.lab)) AS lab
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.$a AS node, min(l.lab) AS ml
+         |    FROM edges e JOIN $prev l ON l.node = e.$b GROUP BY 1) m
+         |  ON m.node = n.node),
+         |lp$k AS MATERIALIZED (
+         |  SELECT x.node, y.lab FROM pp$k x JOIN pp$k y ON y.node = x.lab)""".stripMargin)
+      prev = s"lp$k"
+    }
+    sb.append(s""",
+       |comp AS (SELECT node AS $node, lab AS $label FROM $prev)""".stripMargin)
+    sb.toString
+  }
+
   private def moneySum(exprSql: String): String =
     s"CAST(ROUND(SUM($exprSql),2) AS DOUBLE)"
 
@@ -1027,19 +1070,15 @@ object SparkEntry {
          |SELECT d1, d2, jaccard FROM pairs
          |ORDER BY d1, d2""".stripMargin,
 
-    // transitive dedup groups: same minhash pair CTEs, then reachability
-    // closure (recursive UNION dedups → terminates) and min per node.
+    // transitive dedup groups: same minhash pair CTEs, then the
+    // scale-safe label-propagation closure (see labelPropCtes).
     "dedup_components" ->
-      s"""WITH RECURSIVE $SH_CTE,
+      s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
          |$MH_PAIRS_CTE,
          |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT d1, d1 FROM edges
-         |  UNION
-         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
-         |)
-         |SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+         |${labelPropCtes()}
+         |SELECT doc_id, component_id FROM comp ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $SH_CTE,
@@ -2998,17 +3037,12 @@ object SparkEntry {
          |FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "dedup_manifest" ->
+    "dedup_manifest" -> // RECURSIVE is for the fixpoint `chase`, not the closure
       s"""WITH RECURSIVE $SH_CTE,
          |$MH_CAND_CTE,
          |$MH_PAIRS_CTE,
          |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT d1, d1 FROM edges
-         |  UNION
-         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
-         |),
-         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |${labelPropCtes()},
          |ex AS (
          |  SELECT doc_id,
          |    min(doc_id) OVER (PARTITION BY
@@ -3084,16 +3118,11 @@ object SparkEntry {
          |ORDER BY d1, d2""".stripMargin,
 
     "dedup_best_quality" ->
-      s"""WITH RECURSIVE $SH_CTE,
+      s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
          |$MH_PAIRS_CTE,
          |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT d1, d1 FROM edges
-         |  UNION
-         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
-         |),
-         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |${labelPropCtes()},
          |q AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_toks,
          |        CAST(len(list_filter($TOKS,
          |          t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
@@ -3263,16 +3292,11 @@ object SparkEntry {
          |FROM per ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_sizes" ->
-      s"""WITH RECURSIVE $SH_CTE,
+      s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
          |$MH_PAIRS_CTE,
          |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT d1, d1 FROM edges
-         |  UNION
-         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
-         |),
-         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |${labelPropCtes()},
          |szs AS (SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id)
          |SELECT sz, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
          |FROM szs GROUP BY sz ORDER BY sz""".stripMargin,
@@ -3426,7 +3450,7 @@ object SparkEntry {
     // embedding-graph components: the dedup_embedding pair CTEs + the
     // same reachability closure the shingle-graph components oracle uses
     "dedup_semantic_components" ->
-      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
          |$LSHP_CTE,
          |$LSH_PL_CTE,
          |bits AS (
@@ -3447,19 +3471,15 @@ object SparkEntry {
          |  WHERE ${duckCos("a.e", "b.e")} >= ${graft.operators.Similarity.NearDupTau}
          |),
          |edges AS (SELECT v1, v2 FROM p UNION SELECT v2, v1 FROM p),
-         |reach(a, b) AS (
-         |  SELECT v1, v1 FROM edges
-         |  UNION
-         |  SELECT e.v1, r.b FROM edges e JOIN reach r ON e.v2 = r.a
-         |)
-         |SELECT a AS vec_id, min(b) AS component_id FROM reach GROUP BY a
+         |${labelPropCtes(node = "vec_id", a = "v1", b = "v2")}
+         |SELECT vec_id, component_id FROM comp
          |ORDER BY vec_id""".stripMargin,
 
     // multi-signal components: exact-digest ∪ verified-lexical ∪
     // semantic pairs, one reachability closure, per-signal node flags
     // (semantic CTEs renamed s* to avoid colliding with the lexical set)
     "dedup_multi_signal" ->
-      s"""WITH RECURSIVE $SH_CTE,
+      s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
          |$MH_PAIRS_CTE,
          |eh AS (SELECT doc_id,
@@ -3492,12 +3512,7 @@ object SparkEntry {
          |       UNION SELECT d1, d2 FROM epr
          |       UNION SELECT v1, v2 FROM sp),
          |edges AS MATERIALIZED (SELECT d1, d2 FROM ae UNION SELECT d2, d1 FROM ae),
-         |reach(a, b) AS (
-         |  SELECT d1, d1 FROM edges
-         |  UNION
-         |  SELECT e.d1, r.b FROM edges e JOIN reach r ON e.d2 = r.a
-         |),
-         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+         |${labelPropCtes()},
          |exn AS (SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id FROM epr UNION ALL SELECT d2 FROM epr) q),
          |lxn AS (SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs) q),
          |smn AS (SELECT DISTINCT doc_id FROM (SELECT v1 AS doc_id FROM sp UNION ALL SELECT v2 FROM sp) q)
