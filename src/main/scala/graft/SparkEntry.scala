@@ -731,8 +731,12 @@ object SparkEntry {
     * pointer jump (lab ← lab(lab), sound because labels are always
     * node ids of the endpoint set). [[LabelPropRounds]] rounds cover
     * diameter ≥ 2^rounds; an under-converged closure FAILS the compare
-    * loudly (labels ≠ engine fixpoint), never passes silently. */
-  private val LabelPropRounds = 6
+    * loudly (labels ≠ engine fixpoint), never passes silently. 12
+    * rounds (distance ~2^12) bound the diameter of every graph this
+    * suite builds — a near-threshold LSH component at native sf1 spans
+    * 14k nodes through chain-like bridges, where 6 rounds measurably
+    * under-converged; each extra round costs one O(|edges|) join. */
+  private val LabelPropRounds = 12
   private def labelPropCtes(node: String = "doc_id",
                             label: String = "component_id",
                             a: String = "d1", b: String = "d2"): String = {
