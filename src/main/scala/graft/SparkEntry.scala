@@ -542,19 +542,23 @@ object SparkEntry {
 
   /** SQ8 codebook + code table + dequantized corpus — mirrors
     * Similarity.sqStats/sqEncode/sqDecode; ONE definition shared by
-    * `ann_sq_topk` and `embeddings_sq_error`. Expects a CTE
-    * `v(vec_id, e)` in scope; exposes `sqst(mn, mx)` (1-based lists),
-    * `sqx(vec_id, code)` and `sqh(vec_id, xh)`. */
-  private lazy val SQ_CTES: String =
+    * `ann_sq_topk`, `embeddings_sq_error` and the appended-recall
+    * saved_sq replay. Expects a CTE `v(vec_id, e)` in scope; exposes
+    * `sqst(mn, mx)` (1-based lists), `sqx(vec_id, code)` and
+    * `sqh(vec_id, xh)`. `statsSrc` selects which corpus TRAINS the
+    * per-dim [mn,mx] (the appended-recall oracle trains on the build
+    * half and applies frozen to the full corpus). */
+  private def sqCtes(statsSrc: String = "v"): String =
     s"""sqst AS (
        |  SELECT list(mn ORDER BY j) AS mn, list(mx ORDER BY j) AS mx FROM (
        |    SELECT j, min(CAST(e[j] AS DOUBLE)) AS mn, max(CAST(e[j] AS DOUBLE)) AS mx
-       |    FROM v, (SELECT unnest(generate_series(1, 64)) AS j) s GROUP BY j)),
+       |    FROM $statsSrc, (SELECT unnest(generate_series(1, 64)) AS j) s GROUP BY j)),
        |sqx AS (
        |  SELECT vec_id, list_transform(generate_series(1, 64), j ->
        |    CASE WHEN st.mx[j] = st.mn[j] THEN 0
-       |         ELSE CAST(round((CAST(e[j] AS DOUBLE) - st.mn[j]) * 255.0 /
-       |                         (st.mx[j] - st.mn[j])) AS INT) END) AS code
+       |         ELSE least(255, greatest(0,
+       |           CAST(round((CAST(e[j] AS DOUBLE) - st.mn[j]) * 255.0 /
+       |                      (st.mx[j] - st.mn[j])) AS INT))) END) AS code
        |  FROM v, sqst st),
        |sqh AS (
        |  SELECT vec_id, list_transform(generate_series(1, 64), j ->
@@ -868,12 +872,22 @@ object SparkEntry {
          |lshtop AS (SELECT q_id, vec_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM pls) WHERE rank <= 5),
+         |${sqCtes(statsSrc = "vh")},
+         |psq AS (
+         |  SELECT q.vec_id AS q_id, h.vec_id, ${duckCosD("q.e", "h.xh")} AS approx_cos
+         |  FROM v q JOIN sqh h ON h.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20),
+         |sqtop AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx_cos DESC, vec_id) AS rank FROM psq) WHERE rank <= 5),
          |b AS (SELECT q_id, vec_id FROM ${sub("ann_brute_topk")}),
          |hits AS (
          |  SELECT 'saved_ivf_kmeans' AS variant, count(*) AS n_hits
          |    FROM kmtop x JOIN b USING (q_id, vec_id)
          |  UNION ALL
          |  SELECT 'saved_lsh', count(*) FROM lshtop x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'saved_sq', count(*) FROM sqtop x JOIN b USING (q_id, vec_id)
          |)
          |SELECT variant, n_hits,
          |  ${ratio4Sql("n_hits",
@@ -3570,7 +3584,7 @@ object SparkEntry {
     // Similarity.sqTopK over the shared SQ CTEs
     "ann_sq_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |$SQ_CTES,
+         |${sqCtes()},
          |p AS (
          |  SELECT q.vec_id AS q_id, h.vec_id, ${duckCosD("q.e", "h.xh")} AS approx_cos
          |  FROM v q JOIN sqh h ON h.vec_id <> q.vec_id
@@ -3584,12 +3598,13 @@ object SparkEntry {
     // Similarity.sqErrorStats over the SAME stats CTE
     "embeddings_sq_error" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |$SQ_CTES,
+         |${sqCtes()},
          |errs AS (
          |  SELECT j - 1 AS dim, vec_id,
          |    CASE WHEN st.mx[j] = st.mn[j] THEN 0
-         |         ELSE CAST(round((CAST(e[j] AS DOUBLE) - st.mn[j]) * 255.0 /
-         |                         (st.mx[j] - st.mn[j])) AS INT) END AS c,
+         |         ELSE least(255, greatest(0,
+         |           CAST(round((CAST(e[j] AS DOUBLE) - st.mn[j]) * 255.0 /
+         |                      (st.mx[j] - st.mn[j])) AS INT))) END AS c,
          |    CASE WHEN st.mx[j] = st.mn[j] THEN st.mn[j]
          |         ELSE st.mn[j] + CAST(c AS DOUBLE) * (st.mx[j] - st.mn[j]) / 255.0
          |         END AS xh,

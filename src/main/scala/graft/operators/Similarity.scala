@@ -826,16 +826,20 @@ object Similarity {
       array((0 until Dim).map(j =>
         max(col("e").getItem(j).cast("double"))): _*).as("mx"))
 
-  /** Encode: x_j → round((x_j − mn_j) · 255 / (mx_j − mn_j)) ∈ 0..255
-    * (a constant dimension maps to code 0). One narrow corpus pass;
-    * the code table is Dim bytes/vector vs 4·Dim float bytes — the
-    * 4× index-size cut is the whole point of the family. */
+  /** Encode: x_j → round((x_j − mn_j) · 255 / (mx_j − mn_j)) CLAMPED
+    * to 0..255 (a constant dimension maps to code 0). The clamp is the
+    * byte-storage semantic — under a FROZEN [mn,mx] (append path) an
+    * out-of-range vector pins at 0/255, the drift the error panel
+    * surfaces. One narrow corpus pass; the code table is Dim
+    * bytes/vector vs 4·Dim float bytes — the 4× index-size cut is the
+    * whole point of the family. */
   private[operators] def sqEncode(v: DataFrame, st: DataFrame): DataFrame =
     v.crossJoin(broadcast(st))
       .withColumn("code", expr(
         s"""transform(e, (x, j) -> CASE WHEN mx[j] = mn[j] THEN 0
-           |  ELSE CAST(round((CAST(x AS DOUBLE) - mn[j]) * ${SqLevels}.0D /
-           |                  (mx[j] - mn[j])) AS INT) END)""".stripMargin))
+           |  ELSE least($SqLevels, greatest(0,
+           |    CAST(round((CAST(x AS DOUBLE) - mn[j]) * ${SqLevels}.0D /
+           |               (mx[j] - mn[j])) AS INT))) END)""".stripMargin))
       .select("vec_id", "code")
 
   /** Dequantized corpus from CODES ALONE (+ the broadcast stats row):
@@ -897,8 +901,9 @@ object Similarity {
       .select(col("vec_id"), col("mn"), col("mx"), posexplode(col("e")))
       .withColumn("c", expr(
         s"""CASE WHEN mx[pos] = mn[pos] THEN 0
-           |  ELSE CAST(round((CAST(col AS DOUBLE) - mn[pos]) * ${SqLevels}.0D /
-           |                  (mx[pos] - mn[pos])) AS INT) END""".stripMargin))
+           |  ELSE least($SqLevels, greatest(0,
+           |    CAST(round((CAST(col AS DOUBLE) - mn[pos]) * ${SqLevels}.0D /
+           |               (mx[pos] - mn[pos])) AS INT))) END""".stripMargin))
       .withColumn("xh", expr(
         s"""CASE WHEN mx[pos] = mn[pos] THEN mn[pos]
            |  ELSE mn[pos] + CAST(c AS DOUBLE) * (mx[pos] - mn[pos]) / ${SqLevels}.0D
@@ -1204,6 +1209,11 @@ object Similarity {
     pqEncode(v, cb).write.mode("overwrite").parquet(s"$indexDir/codes")
     bucketsOf(v, NumBands * ppb, ppb).filter(col("band") === 0)
       .write.mode("overwrite").parquet(s"$indexDir/b0")
+    // SQ8 joins the frozen-quantizer set: the per-dim [mn,mx] row is a
+    // model artifact exactly like the centroids/codebooks
+    val st = sqStats(v).localCheckpoint()
+    st.write.mode("overwrite").parquet(s"$indexDir/sqstats")
+    sqEncode(v, st).write.mode("overwrite").parquet(s"$indexDir/sqcodes")
   }
 
   /** The saved index's frozen LSH plane layout (falls back to the
@@ -1236,6 +1246,11 @@ object Similarity {
     pqEncode(newVecs, cb).write.mode("append").parquet(s"$indexDir/codes")
     bucketsOf(newVecs, np, ppb).filter(col("band") === 0)
       .write.mode("append").parquet(s"$indexDir/b0")
+    // frozen [mn,mx]: an out-of-range appended vector clamps to code
+    // 0/255 (sqEncode's byte clamp) — the drift embeddings_sq_error
+    // exists to surface
+    sqEncode(newVecs, spark.read.parquet(s"$indexDir/sqstats"))
+      .write.mode("append").parquet(s"$indexDir/sqcodes")
   }
 
   /** Load a per-vector index artifact (members/codes/b0), collapsing any
@@ -1282,6 +1297,7 @@ object Similarity {
     val out =
       row("saved_ivf_kmeans", searchSavedIvfKmeans(spark, dir, idx, k, nQueries))
         .unionByName(row("saved_lsh", searchSavedLsh(spark, dir, idx, k, nQueries)))
+        .unionByName(row("saved_sq", searchSavedSq(spark, dir, idx, k, nQueries)))
         .orderBy("variant")
         .localCheckpoint() // eager 2-row frame — the scratch index is now dead
     dropScratchDir(spark, idx)
@@ -1309,6 +1325,14 @@ object Similarity {
       loadPerVec(spark, s"$indexDir/members"),
       loadPerVec(spark, s"$indexDir/codes"),
       k, nQueries, nprobe)
+
+  /** SQ8 search against a SAVED index: frozen [mn,mx] stats row +
+    * persisted byte codes; the corpus scan is only the probe rows. */
+  def searchSavedSq(spark: SparkSession, dir: String, indexDir: String,
+                    k: Int = TopK, nQueries: Int = NumQueries): DataFrame =
+    sqSearch(vecs(spark, dir),
+      spark.read.parquet(s"$indexDir/sqstats"),
+      loadPerVec(spark, s"$indexDir/sqcodes"), k, nQueries)
 
   /** Single-bucket LSH search against the SAVED band-0 bucket map. */
   def searchSavedLsh(spark: SparkSession, dir: String, indexDir: String,

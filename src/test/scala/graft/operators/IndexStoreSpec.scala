@@ -33,6 +33,13 @@ class IndexStoreSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("saved sq8 search equals the in-session build") {
+    val got = rows(Similarity.searchSavedSq(spark, sf, indexDir))
+    val want = rows(Similarity.sqTopK(spark, sf))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("saved lsh search equals the in-session build") {
     val got = rows(Similarity.searchSavedLsh(spark, sf, indexDir))
     val want = rows(Similarity.lshTopK(spark, sf))
@@ -91,6 +98,9 @@ class IndexStoreSpec extends SparkSpec {
       rows(Similarity.searchSavedIvfKmeans(spark, sf, dirB)))
     assert(rows(Similarity.searchSavedIvfPq(spark, sf, dirA)) ==
       rows(Similarity.searchSavedIvfPq(spark, sf, dirB)))
+    assert(spark.read.parquet(s"$dirA/sqcodes").count() == full.count())
+    assert(rows(Similarity.searchSavedSq(spark, sf, dirA)) ==
+      rows(Similarity.searchSavedSq(spark, sf, dirB)))
     // LSH buckets have NO trained model (deterministic planes), so the
     // appended index must reproduce the full-corpus search EXACTLY
     assert(rows(Similarity.searchSavedLsh(spark, sf, dirA)) ==
@@ -110,6 +120,10 @@ class IndexStoreSpec extends SparkSpec {
       s"half-trained IVF recall collapsed: ${r1("saved_ivf_kmeans")}")
     assert(r1("saved_lsh") >= 0.1,
       s"frozen-plane LSH recall collapsed: ${r1("saved_lsh")}")
+    // SQ8 under a frozen half-corpus [mn,mx]: out-of-range appendees
+    // clamp, but cosine ranking stays near-lossless
+    assert(r1("saved_sq") >= 0.9,
+      s"frozen-range SQ8 recall collapsed: ${r1("saved_sq")}")
     val r2 = Similarity.appendedRecall(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(r1 == r2, "appended-recall panel must be deterministic")
