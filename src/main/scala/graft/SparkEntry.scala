@@ -49,6 +49,7 @@ object SparkEntry {
     "corpus_token_gini" -> ((s, d) => CorpusStats.tokenGini(s, d)),
     "embeddings_pq_error" -> ((s, d) => Similarity.pqErrorStats(s, d)),
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(s, d)),
+    "ann_ivfsq_topk" -> ((s, d) => Similarity.ivfSqTopK(s, d)),
     "embeddings_sq_error" -> ((s, d) => Similarity.sqErrorStats(s, d)),
     "pipeline_dedup_cascade" -> ((s, d) => graft.operators.Curation.dedupCascade(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -917,6 +918,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'ann_sq_topk', count(*)
          |    FROM ${sub("ann_sq_topk")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_ivfsq_topk', count(*)
+         |    FROM ${sub("ann_ivfsq_topk")} x JOIN b USING (q_id, vec_id)
          |  UNION ALL
          |  SELECT 'ann_graph_topk', count(*)
          |    FROM ${sub("ann_graph_topk")} x JOIN b USING (q_id, vec_id)
@@ -3619,6 +3623,32 @@ object SparkEntry {
          |SELECT a1.dim AS dim, n_vecs, codes_used,
          |  ${halfUpSql("s", "n_vecs")} AS mean_err_u6, max_err_u6
          |FROM a1 JOIN a2 ON a2.dim = a1.dim ORDER BY dim""".stripMargin,
+
+    // IVF×SQ: the ann_ivf_kmeans coarse quantizer prunes to nprobe
+    // cells, scoring reads the dequantized SQ codes — mirrors
+    // Similarity.ivfSqTopK
+    "ann_ivfsq_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |${kmAssignCte("c2", "af")},
+         |members AS (SELECT cell, vec_id FROM af WHERE rn = 1),
+         |qc AS (SELECT vec_id AS q_id, cell FROM af
+         |       WHERE vec_id < ${graft.operators.Similarity.NumQueries} AND rn <= 2),
+         |${sqCtes()},
+         |p AS (
+         |  SELECT qc.q_id, h.vec_id, ${duckCosD("qv.e", "h.xh")} AS approx_cos
+         |  FROM qc JOIN members m ON m.cell = qc.cell
+         |  JOIN sqh h ON h.vec_id = m.vec_id AND h.vec_id <> qc.q_id
+         |  JOIN v qv ON qv.vec_id = qc.q_id)
+         |SELECT q_id, rank, vec_id, approx_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
+         |WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank""".stripMargin,
 
     // IVF+PQ: the same trained codebooks and code table as ann_pq_topk,
     // but a query ADC-scores only the members of its nprobe k-means

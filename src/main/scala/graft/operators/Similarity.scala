@@ -886,6 +886,53 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** `ann_ivfsq_topk` — IVF×SQ composition, the missing-cell of the
+    * pruning/compression matrix (IVF+PQ is its codebook twin): the
+    * coarse k-means quantizer prunes the scan to the query's `nprobe`
+    * cells, and the scan itself reads 1-byte SQ codes instead of raw
+    * floats — ~N·nprobe/nCentroids code rows touched per query, no
+    * vector bytes moved at query time. Coarse training is the SAME
+    * Lloyd run ann_ivf_kmeans persists (no-residual composition, so
+    * codes stay cell-independent and the oracle replays exactly). */
+  def ivfSqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                nQueries: Int = NumQueries, nCentroids: Int = 8,
+                iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val v = vecs(spark, dir)
+    val cent = kmeansCentroids(v, nCentroids, iters)
+    val st = sqStats(v)
+    ivfSqSearch(v, cent, argmaxCellOf(v, cent), st, sqEncode(v, st),
+      k, nQueries, nprobe)
+  }
+
+  /** IVF-pruned SQ search over ALREADY-BUILT artifacts. */
+  private def ivfSqSearch(v: DataFrame, cent: DataFrame,
+                          membersFull: DataFrame, st: DataFrame,
+                          codes: DataFrame, k: Int, nQueries: Int,
+                          nprobe: Int): DataFrame = {
+    val members = membersFull.select("vec_id", "cell")
+    val xh = sqDecode(codes, st).join(members, "vec_id")
+    val wq = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id"))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("approx_cos").desc, col("vec_id"))
+    broadcast(probes).join(xh, "cell")
+      .join(broadcast(q), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos",
+        graft.plans.VectorExpressions.mixedCosine(col("qe"), col("xh")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "approx_cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** `embeddings_sq_error`: quantization-health panel for SQ8 — per
     * dimension: vectors, distinct codes used (collapse = the dimension
     * carries no information at 8 bits), and mean/max squared
@@ -1123,6 +1170,8 @@ object Similarity {
       "ann_lsh_topk" -> (() => lshSearch(v, b0, candidates, k, nQueries)),
       "ann_pq_topk" -> (() => pqSearch(v, cb, codes, k, nQueries)),
       "ann_sq_topk" -> (() => sqSearch(v, sqSt, sqCodes, k, nQueries)),
+      "ann_ivfsq_topk" -> (() =>
+        ivfSqSearch(v, cent, members, sqSt, sqCodes, k, nQueries, nprobe = 2)),
       "ann_graph_topk" -> (() => graphTopKOf(v, edges, k, nQueries)))
     val rows = Await.result(
       Future.sequence(variants.map { case (name, f) =>

@@ -152,6 +152,10 @@ class SimilaritySpec extends SparkSpec {
     // a far higher floor than the pruning families
     val sq = rec.find(_._1 == "ann_sq_topk").get
     assert(sq._3 >= 0.9, s"SQ8 recall ${sq._3} below floor")
+    // IVF×SQ loses only what the cell prune loses: hold it to the
+    // kmeans-IVF floor (SQ adds no measurable loss at 8 bits/dim)
+    val ivfsq = rec.find(_._1 == "ann_ivfsq_topk").get
+    assert(ivfsq._3 >= 0.5, s"IVF+SQ recall ${ivfsq._3} below floor")
     // ... and at sf0.01 (the driver's correctness scale) — pinned at
     // BOTH scales so an edge-build change can't silently degrade the
     // walk at one scale while passing at the other (measured 0.93)
