@@ -79,6 +79,7 @@ object SparkEntry {
     "q22_idle_customers" -> ((s, d) => Analytics2.q22(s, d)),
     "events_theta_users" -> ((s, d) => graft.operators.Sketches.thetaUsersPerHour(s, d)),
     "events_theta_daily" -> ((s, d) => graft.operators.Sketches.thetaUsersDaily(s, d)),
+    "events_theta_overlap" -> ((s, d) => graft.operators.Sketches.thetaOverlapDaily(s, d)),
     "events_kmv_quantiles" -> ((s, d) => graft.operators.Sketches.kmvQuantiles(s, d)),
     "source_term_cm" -> ((s, d) => graft.operators.Sketches.sourceTermCm(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
@@ -1900,6 +1901,54 @@ object SparkEntry {
          |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE), 4)
          |  END AS est_users
          |FROM s ORDER BY day_bucket""".stripMargin,
+
+    // theta-sketch day-pair intersection graded against the exact
+    // overlap — mirrors Sketches.thetaOverlapDaily (including the
+    // deterministic estimate column)
+    "events_theta_overlap" -> {
+      val k = graft.operators.Sketches.ThetaK
+      s"""WITH ev AS ($EV),
+         |hh AS (
+         |  SELECT DISTINCT ts_us // 86400000000 AS day_bucket, user_id,
+         |    ${H64("concat('u:', CAST(user_id AS VARCHAR))")} AS h
+         |  FROM ev
+         |),
+         |mk AS (
+         |  SELECT day_bucket, h,
+         |    row_number() OVER (PARTITION BY day_bucket ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT day_bucket, h FROM hh) q
+         |),
+         |s AS (SELECT day_bucket, h FROM mk WHERE rn <= $k),
+         |th AS (
+         |  SELECT day_bucket, CAST(count(*) AS BIGINT) AS n_sk,
+         |    CASE WHEN count(*) < $k THEN 1152921504606846976
+         |         ELSE max(h) END AS theta
+         |  FROM s GROUP BY 1),
+         |pair AS (
+         |  SELECT a.day_bucket, a.n_sk AS n_a, b.n_sk AS n_b,
+         |    least(a.theta, b.theta) AS theta_c
+         |  FROM th a JOIN th b ON b.day_bucket = a.day_bucket + 1),
+         |i AS (
+         |  SELECT p.day_bucket, CAST(count(*) AS BIGINT) AS inter
+         |  FROM pair p JOIN s x ON x.day_bucket = p.day_bucket
+         |  JOIN s y ON y.day_bucket = p.day_bucket + 1 AND y.h = x.h
+         |  WHERE x.h < p.theta_c
+         |  GROUP BY 1),
+         |ex AS (
+         |  SELECT d.day_bucket, CAST(count(*) AS BIGINT) AS exact_overlap
+         |  FROM (SELECT DISTINCT day_bucket, user_id FROM hh) d
+         |  JOIN (SELECT DISTINCT day_bucket, user_id FROM hh) e
+         |    ON e.day_bucket = d.day_bucket + 1 AND e.user_id = d.user_id
+         |  GROUP BY 1)
+         |SELECT p.day_bucket, p.n_a, p.n_b,
+         |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         |  ROUND(CAST(coalesce(i.inter, 0) AS DOUBLE) * 1152921504606846976.0
+         |        / CAST(p.theta_c AS DOUBLE), 4) AS est_overlap,
+         |  CAST(coalesce(ex.exact_overlap, 0) AS BIGINT) AS exact_overlap
+         |FROM pair p LEFT JOIN i ON i.day_bucket = p.day_bucket
+         |LEFT JOIN ex ON ex.day_bucket = p.day_bucket
+         |ORDER BY p.day_bucket""".stripMargin
+    },
 
     // deterministic KMV sample (min-256 hashes of the event ids) →
     // positional quantiles of the sorted sampled cents: exact integers.

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Hashing.{h64, valueCents}
 import graft.plans.{ThetaSketch, ThetaSketchFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-tier queries: deterministic KMV/theta sketches (see
@@ -47,6 +47,59 @@ object Sketches {
         size(col("mk")).cast("long").as("n_sketch"),
         element_at(col("mk"), size(col("mk"))).as("kth_hash"),
         graft.streaming.StreamSketch.thetaEstimate(col("mk"), k).as("est_users"))
+      .orderBy("day_bucket")
+  }
+
+  /** `events_theta_overlap`: day-over-day audience overlap estimated
+    * from the SKETCHES ALONE (theta-style set intersection) and graded
+    * against the exact overlap in the same row — the sketch-set-algebra
+    * member of the sketch tier: union rollup is thetaUsersDaily, THIS
+    * is intersection, the operation that answers "how much of
+    * yesterday's audience returned?" from k longs per day instead of a
+    * self-join of raw events.
+    *
+    * Estimator (standard theta intersection): θ_C = min(θ_A, θ_B)
+    * where θ_X = kth hash (or the full 2^60 space when the sketch is
+    * exhaustive); the intersection sample = {h ∈ mkA ∩ mkB : h < θ_C};
+    * est = |sample| · 2^60 / θ_C — exactly |sample| when both days'
+    * sketches are exhaustive. Deterministic (pure function of the
+    * min-k sets), so the DuckDB oracle replays it hash-exactly,
+    * INCLUDING the estimate column — approximate answers, exact
+    * verification. At 100 TB the per-day shuffle stays ≤ k longs per
+    * partition (mergeable ThetaSketchAgg); only the exact-overlap
+    * grading column touches the distinct (day, user) set. */
+  def thetaOverlapDaily(spark: SparkSession, dir: String,
+                        k: Int = ThetaK): DataFrame = {
+    val space = 1152921504606846976L // 2^60, the h64 hash space
+    val base = Dedup.eventsUs(spark, dir)
+      .select(expr("ts_us div 86400000000L").as("day_bucket"),
+        col("user_id"),
+        h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+    val sk = base.groupBy("day_bucket")
+      .agg(ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
+    val paired = sk.select(col("day_bucket"), col("mk").as("mka"))
+      .join(sk.select((col("day_bucket") - 1).as("day_bucket"),
+        col("mk").as("mkb")), "day_bucket")
+    def theta(mk: Column) =
+      when(size(mk) < k, lit(space)).otherwise(element_at(mk, k))
+    val days = base.select("day_bucket", "user_id").distinct()
+    val exact = days.join(
+        days.select((col("day_bucket") - 1).as("day_bucket"), col("user_id")),
+        Seq("day_bucket", "user_id"), "left_semi")
+      .groupBy("day_bucket").agg(count(lit(1)).as("exact_overlap"))
+    paired
+      .withColumn("theta_c", least(theta(col("mka")), theta(col("mkb"))))
+      .withColumn("inter", size(expr(
+        "filter(array_intersect(mka, mkb), x -> x < theta_c)")).cast("long"))
+      .withColumn("est_overlap", round(
+        col("inter").cast("double") * lit(ThetaSketch.HashSpace)
+          / col("theta_c").cast("double"), 4))
+      .join(exact, Seq("day_bucket"), "left")
+      .select(col("day_bucket"),
+        size(col("mka")).cast("long").as("n_a"),
+        size(col("mkb")).cast("long").as("n_b"),
+        col("inter"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
       .orderBy("day_bucket")
   }
 

@@ -27,6 +27,25 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta intersection: exact when exhaustive, bounded error when estimating") {
+    val rows = Sketches.thetaOverlapDaily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(1), r.getLong(2))
+      val (est, exact) = (r.getDouble(4), r.getLong(5))
+      if (na < Sketches.ThetaK && nb < Sketches.ThetaK)
+        // both sketches exhaustive → the intersection sample IS the
+        // exact overlap and θ_C is the full space: estimate == truth
+        assert(est === exact.toDouble, s"day ${r.getLong(0)}")
+      else if (exact > 0) {
+        // intersection RSE is worse than the union's (fewer retained
+        // hashes below θ_C) — generous deterministic-in-practice bound
+        val rel = math.abs(est - exact) / exact
+        assert(rel < 1.0, s"day ${r.getLong(0)}: est $est vs $exact")
+      }
+    }
+  }
+
   test("sketch edge cases: empty input, single row, all-duplicate keys") {
     import spark.implicits._
     import graft.plans.ThetaSketchFunctions._
