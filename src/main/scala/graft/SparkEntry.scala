@@ -209,6 +209,7 @@ object SparkEntry {
     "events_gap_histogram" -> ((s, d) => graft.operators.Analytics3.gapHistogram(s, d)),
     // round 8: release-gate / versioning / mixture panels
     "privacy_k_anonymity" -> ((s, d) => graft.operators.Privacy.kAnonymity(s, d)),
+    "privacy_l_diversity" -> ((s, d) => graft.operators.Privacy.lDiversity(s, d)),
     "events_forecast_error" -> ((s, d) => graft.operators.Analytics6.forecastError(s, d)),
     "corpus_snapshot_diff" -> ((s, d) => graft.operators.Snapshot.snapshotDiff(s, d)),
     "pipeline_shard_plan" -> ((s, d) => graft.operators.Pipeline.shardPlan(s, d)),
@@ -2836,6 +2837,37 @@ object SparkEntry {
          |        CAST(ROUND(value*100) AS BIGINT) // ${P.SpendBandCents} AS band
          |      FROM ev),
          |cl AS (SELECT event_type, day, band, CAST(count(*) AS BIGINT) AS k
+         |       FROM q GROUP BY 1, 2, 3),
+         |b AS (SELECT CAST($rankCase AS BIGINT) AS bucket_rank, k FROM cl),
+         |c AS (SELECT bucket_rank, CAST(count(*) AS BIGINT) AS n_classes,
+         |        CAST(sum(k) AS BIGINT) AS n_rows FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM c),
+         |cum AS (SELECT bucket_rank, n_classes, n_rows,
+         |          CAST(sum(n_rows) OVER (ORDER BY bucket_rank) AS BIGINT) AS cum_rows
+         |        FROM c)
+         |SELECT bucket_rank, $labelCase AS bucket, n_classes, n_rows,
+         |  ${ratio4Sql("n_rows", "t")} AS row_share,
+         |  ${ratio4Sql("cum_rows", "t")} AS cum_share
+         |FROM cum CROSS JOIN t ORDER BY bucket_rank""".stripMargin
+    },
+
+    // l-diversity histogram — mirrors Privacy.lDiversity (same QI
+    // classes, measure = distinct users per class)
+    "privacy_l_diversity" -> {
+      val P = graft.operators.Privacy
+      val rankCase = P.KBuckets.map { case (r, _, ub) => s"WHEN m < $ub THEN $r" }
+        .mkString("CASE ", " ", s" ELSE ${P.KBuckets.length + 1} END")
+      val labelCase = P.KBuckets
+        .map { case (r, l, _) => s"WHEN $r THEN '${l.replace("k", "l")}'" }
+        .mkString("CASE bucket_rank ", " ", " ELSE 'l>=20' END")
+      s"""WITH ev AS ($EV),
+         |q AS (SELECT event_type, ts_us // ${P.UsPerDay} AS day,
+         |        CAST(ROUND(value*100) AS BIGINT) // ${P.SpendBandCents} AS band,
+         |        user_id
+         |      FROM ev),
+         |cl AS (SELECT event_type, day, band,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS m,
+         |         CAST(count(*) AS BIGINT) AS k
          |       FROM q GROUP BY 1, 2, 3),
          |b AS (SELECT CAST($rankCase AS BIGINT) AS bucket_rank, k FROM cl),
          |c AS (SELECT bucket_rank, CAST(count(*) AS BIGINT) AS n_classes,

@@ -4,6 +4,7 @@ import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.{intDiv, ratio4}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Z-order data-layout planning — the write-side clustering that makes
@@ -52,6 +53,17 @@ object Layout {
         shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
 
+  /** The clustered dimensions' domain row — the frozen-quantizer state
+    * of a committed layout (persist it with the manifest; re-deriving
+    * from data + appends would re-bucket every existing file). */
+  def domain(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").spread
+      .agg(
+        min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+        min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi"),
+        count(lit(1)).as("n"))
+
   /** The per-row assignment [[zorderPlan]] summarizes — what a writer
     * actually consumes (`repartitionByRange` on file_id, or
     * write.partitionBy): row keys + z-value + target file. */
@@ -59,17 +71,61 @@ object Layout {
                         nFiles: Int = NumFiles): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").spread
-    val dom = li.agg(
-      min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
-      min("l_suppkey").as("sk_lo"), max("l_suppkey").as("sk_hi"),
-      count(lit(1)).as("n"))
-    val z = li.crossJoin(broadcast(dom))
+    val z = li.crossJoin(broadcast(domain(spark, dir)))
       .withColumn("b1", bucket(col("l_partkey"), col("pk_lo"), col("pk_hi")))
       .withColumn("b2", bucket(col("l_suppkey"), col("sk_lo"), col("sk_hi")))
       .withColumn("z", zInterleave(col("b1"), col("b2")))
     Ranking.globalRowNumber(z,
         Seq(col("z"), col("l_orderkey"), col("l_linenumber")), "rn")
       .withColumn("file_id", intDiv((col("rn") - 1) * nFiles, col("n")))
+  }
+
+  /** Incremental twin of the planner: route NEW rows to the files of
+    * an EXISTING manifest without re-sorting the table — the append
+    * path a z-ordered 100 TB table actually runs between periodic
+    * re-layouts. Each new row recomputes its z-value under the
+    * manifest's FROZEN domain (the [lo, hi] and file z-boundaries are
+    * quantizer state, exactly like the ANN families' frozen models:
+    * re-deriving them from data+appends would re-shuffle every
+    * existing file) and lands in the file whose z-range contains it —
+    * a broadcast range join against O(files) boundaries, no global
+    * sort, no shuffle of existing data. Drift (appends outside the
+    * frozen domain clamp into the edge buckets; envelopes widen) is
+    * what the span-share columns of a re-run [[zorderPlan]] surface —
+    * the re-layout trigger. */
+  def assignToManifest(newRows: DataFrame, manifest: DataFrame,
+                       dom: DataFrame): DataFrame = {
+    val bounds = manifest.select(col("file_id"), col("z_lo"), col("z_hi"))
+    newRows.crossJoin(broadcast(dom))
+      .withColumn("b1", bucket(
+        greatest(col("pk_lo"), least(col("pk_hi"), col("l_partkey"))),
+        col("pk_lo"), col("pk_hi")))
+      .withColumn("b2", bucket(
+        greatest(col("sk_lo"), least(col("sk_hi"), col("l_suppkey"))),
+        col("sk_lo"), col("sk_hi")))
+      .withColumn("z", zInterleave(col("b1"), col("b2")))
+      .join(broadcast(bounds),
+        col("z") >= col("z_lo") && col("z") <= col("z_hi"))
+      .select((newRows.columns.map(col) :+ col("z") :+ col("file_id")): _*)
+  }
+
+  /** The frozen-quantizer form of the manifest [[assignToManifest]]
+    * consumes: per file, the COVERING z-range (z_lo = this file's min
+    * z, z_hi = next file's min z − 1; the last file extends to the max
+    * z-value) — ranges partition the z-space, so every future z lands
+    * in exactly one file. */
+  def zRangeManifest(spark: SparkSession, dir: String,
+                     nFiles: Int = NumFiles): DataFrame = {
+    val za = zorderAssignments(spark, dir, nFiles)
+    val perFile = za.groupBy("file_id").agg(min("z").as("z_min"))
+    val w = Window.orderBy("file_id") // O(files) rows
+    perFile
+      .withColumn("z_lo",
+        when(col("file_id") === 0L, lit(0L)).otherwise(col("z_min")))
+      .withColumn("z_hi",
+        coalesce(lead(col("z_min"), 1).over(w) - 1L,
+          lit((1L << (2 * ZBits)) - 1L)))
+      .select("file_id", "z_lo", "z_hi")
   }
 
   /** `pipeline_zorder_plan`: the O(files) skipping manifest — per

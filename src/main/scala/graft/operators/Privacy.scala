@@ -44,22 +44,55 @@ object Privacy {
     kAnonymityOf(Dedup.eventsUs(spark, dir))
 
   /** [[kAnonymity]] over any canonical events frame (ts_us µs). */
-  def kAnonymityOf(ev: DataFrame): DataFrame = {
-    import graft.functions.Hashing.{intDiv, ratio4}
-    val classes = ev
-      .select(col("event_type"),
+  def kAnonymityOf(ev: DataFrame): DataFrame =
+    riskHistogram(
+      qiClasses(ev).agg(count(lit(1)).as("m"), count(lit(1)).as("k")), "k")
+
+  /** #243 `privacy_l_diversity`: the companion gate k-anonymity alone
+    * can't provide — a class can be large (high k) yet carry ONE
+    * sensitive value, re-identifying by association. Sensitive
+    * attribute here: user_id (how many distinct people hide inside
+    * each quasi-identifier class). Same histogram surface as #199 —
+    * classes bucketed by l = distinct users, with exact ratio4 row
+    * shares and the cumulative curve a release policy (suppress l<5)
+    * reads directly. Same shape/scale: the only corpus-sized shuffle
+    * is the QI groupBy (distinct-count is partial-aggregable per
+    * class). */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Dedup.eventsUs(spark, dir))
+
+  /** [[lDiversity]] over any canonical events frame. */
+  def lDiversityOf(ev: DataFrame): DataFrame =
+    riskHistogram(
+      qiClasses(ev).agg(countDistinct(col("user_id")).as("m"),
+        count(lit(1)).as("k")), "l")
+
+  /** The shared QI grouping: (event_type, day, band) classes carrying
+    * user_id for sensitive-attribute measures. */
+  private def qiClasses(ev: DataFrame) = {
+    import graft.functions.Hashing.intDiv
+    ev.select(col("event_type"),
         intDiv(col("ts_us"), lit(UsPerDay)).as("day"),
         intDiv(round(col("value") * 100).cast("long"), lit(SpendBandCents))
-          .as("band"))
+          .as("band"),
+        col("user_id"))
       .groupBy("event_type", "day", "band")
-      .agg(count(lit(1)).as("k"))
+  }
+
+  /** Bucket classes by measure `m` (class size k, or distinct-user l)
+    * into the shared [[KBuckets]] ranges; `prefix` names the measure in
+    * the labels (k=1 / l=1). `k` stays the per-class ROW count so
+    * row_share always means "share of exported rows". */
+  private def riskHistogram(classes: DataFrame, prefix: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
     val bucketRank = KBuckets.reverse.foldLeft(
       lit(KBuckets.length + 1L)) { case (acc, (r, _, ub)) =>
-        when(col("k") < ub, lit(r)).otherwise(acc)
+        when(col("m") < ub, lit(r)).otherwise(acc)
       }
-    val labelOf = KBuckets.map { case (r, l, _) => (r, l) } :+
-      ((KBuckets.length + 1L, "k>=20"))
-    val labelCol = labelOf.reverse.foldLeft(lit("k>=20"): Column) {
+    val top = s"$prefix>=20"
+    val labelOf = KBuckets.map { case (r, l, _) =>
+      (r, l.replace("k", prefix)) } :+ ((KBuckets.length + 1L, top))
+    val labelCol = labelOf.reverse.foldLeft(lit(top): Column) {
       case (acc, (r, l)) => when(col("bucket_rank") === r, lit(l)).otherwise(acc)
     }
     val cells = classes

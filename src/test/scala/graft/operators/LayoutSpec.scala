@@ -19,6 +19,45 @@ class LayoutSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("frozen z-range manifest routes appends without re-sorting") {
+    import org.apache.spark.sql.functions._
+    val ranges = Layout.zRangeManifest(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    // ranges partition the whole z-space: start at 0, contiguous, end
+    // at 2^20-1 — every future z lands in exactly one file
+    assert(ranges.head.getLong(1) == 0L)
+    assert(ranges.last.getLong(2) == (1L << (2 * Layout.ZBits)) - 1L)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) == a.getLong(2) + 1L, s"gap after file ${a.getLong(0)}")
+    case _ => ()
+    }
+    // routing the ORIGINAL rows through the frozen manifest reproduces
+    // the planned file for all but boundary-tie rows (a z shared
+    // across a rank-cut boundary routes wholly to the later file)
+    val dom = Layout.domain(spark, sf)
+    val manifest = Layout.zRangeManifest(spark, sf)
+    val rows = Layout.zorderAssignments(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "file_id")
+    val routed = Layout.assignToManifest(
+      rows.drop("file_id"), manifest, dom)
+    assert(routed.count() == rows.count()) // disjoint cover: no dup/loss
+    val agree = routed.withColumnRenamed("file_id", "routed_file")
+      .join(rows, Seq("l_orderkey", "l_linenumber"))
+      .filter(col("routed_file") === col("file_id")).count()
+    // the sf0.001 corpus has only ~2000 distinct z-values over 6000
+    // rows, so nearly every rank-cut boundary splits a tie (~1 row per
+    // boundary re-routes); at real scale z-values outnumber rows per
+    // file and the disagreement vanishes
+    assert(agree >= (rows.count() * 0.98).toLong,
+      s"only $agree of ${rows.count()} rows reproduced their planned file")
+    // an out-of-domain append clamps into the edge buckets and still
+    // routes to exactly one file
+    import spark.implicits._
+    val wild = Seq((9999999L, 1, 99999999L, -5L)).toDF(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    assert(Layout.assignToManifest(wild, manifest, dom).count() == 1L)
+  }
+
   test("z-order envelopes are tight on BOTH dimensions") {
     val m = Layout.zorderPlan(spark, sf).collect()
     def meanShare(c: String) =
