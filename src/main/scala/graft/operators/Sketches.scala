@@ -70,36 +70,49 @@ object Sketches {
     * grading column touches the distinct (day, user) set. */
   def thetaOverlapDaily(spark: SparkSession, dir: String,
                         k: Int = ThetaK): DataFrame = {
-    val space = 1152921504606846976L // 2^60, the h64 hash space
     val base = Dedup.eventsUs(spark, dir)
       .select(expr("ts_us div 86400000000L").as("day_bucket"),
         col("user_id"),
         h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
     val sk = base.groupBy("day_bucket")
       .agg(ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
-    val paired = sk.select(col("day_bucket"), col("mk").as("mka"))
-      .join(sk.select((col("day_bucket") - 1).as("day_bucket"),
-        col("mk").as("mkb")), "day_bucket")
-    def theta(mk: Column) =
-      when(size(mk) < k, lit(space)).otherwise(element_at(mk, k))
     val days = base.select("day_bucket", "user_id").distinct()
     val exact = days.join(
         days.select((col("day_bucket") - 1).as("day_bucket"), col("user_id")),
         Seq("day_bucket", "user_id"), "left_semi")
       .groupBy("day_bucket").agg(count(lit(1)).as("exact_overlap"))
-    paired
+    thetaOverlapOfSketches(sk, k)
+      .join(exact, Seq("day_bucket"), "left")
+      .select(col("day_bucket"), col("n_a"), col("n_b"),
+        col("inter"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .orderBy("day_bucket")
+  }
+
+  /** The sketch-TABLE form of the overlap panel: given only the
+    * persisted (day_bucket, mk) sketches — exactly what a streaming
+    * per-day aggregation maintains, k longs per day — produce every
+    * consecutive-day intersection estimate. No raw events touched;
+    * this is the production shape, with [[thetaOverlapDaily]] the
+    * exact-graded batch twin (StreamSketchSpec pins stream-maintained
+    * sketches feed THIS and match the batch panel's estimate columns). */
+  def thetaOverlapOfSketches(sk: DataFrame, k: Int = ThetaK): DataFrame = {
+    val space = 1152921504606846976L // 2^60, the h64 hash space
+    def theta(mk: Column) =
+      when(size(mk) < k, lit(space)).otherwise(element_at(mk, k))
+    sk.select(col("day_bucket"), col("mk").as("mka"))
+      .join(sk.select((col("day_bucket") - 1).as("day_bucket"),
+        col("mk").as("mkb")), "day_bucket")
       .withColumn("theta_c", least(theta(col("mka")), theta(col("mkb"))))
       .withColumn("inter", size(expr(
         "filter(array_intersect(mka, mkb), x -> x < theta_c)")).cast("long"))
       .withColumn("est_overlap", round(
         col("inter").cast("double") * lit(ThetaSketch.HashSpace)
           / col("theta_c").cast("double"), 4))
-      .join(exact, Seq("day_bucket"), "left")
       .select(col("day_bucket"),
         size(col("mka")).cast("long").as("n_a"),
         size(col("mkb")).cast("long").as("n_b"),
-        col("inter"), col("est_overlap"),
-        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+        col("inter"), col("est_overlap"))
       .orderBy("day_bucket")
   }
 

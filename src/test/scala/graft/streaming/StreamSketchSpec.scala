@@ -39,6 +39,41 @@ class StreamSketchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-maintained daily sketches feed the overlap panel, matching batch") {
+    import graft.functions.Hashing.h64
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Dedup.eventsUs(spark, sf)
+      .select("ts_us", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val name = s"sko_${System.nanoTime()}"
+    // the streaming query maintains ONLY the per-day sketch table
+    // (k longs per day of state)
+    val q = mem.toDF().toDF("ts_us", "user_id")
+      .select(expr("ts_us div 86400000000L").as("day_bucket"),
+        h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .groupBy("day_bucket")
+      .agg(graft.plans.ThetaSketchFunctions
+        .thetaSketch(col("h"), Sketches.ThetaK).as("mk"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // overlap computed from the MAINTAINED sketch table alone equals
+    // the batch panel's sketch-derived columns (exact grading column
+    // aside — that one needs raw events by definition)
+    val got = Sketches.thetaOverlapOfSketches(spark.table(name)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val want = Sketches.thetaOverlapDaily(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming MG candidates keep the heavy-hitter guarantee across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
