@@ -160,6 +160,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "dedup_minhash_quality" -> ((s, d) => MinHashLSH.minhashQuality(s, d)),
     "multimodal_dedup" -> ((s, d) => Multimodal.exactDedup(s, d)),
+    "multimodal_phash_dedup" -> ((s, d) => Multimodal.nearDupPairs(s, d)),
     "events_trimmed_mean" -> ((s, d) => graft.operators.Analytics4.trimmedMean(s, d)),
     "profile_events" -> ((s, d) => graft.operators.Analytics4.profileEvents(s, d)),
     "dedup_semantic_components" -> ((s, d) => Similarity.semanticComponents(s, d)),
@@ -3512,6 +3513,43 @@ object SparkEntry {
          |FROM shared s JOIN est e ON s.d1 = e.d1 AND s.d2 = e.d2
          |  JOIN n n1 ON s.d1 = n1.doc_id JOIN n n2 ON s.d2 = n2.doc_id
          |ORDER BY s.d1, s.d2""".stripMargin,
+
+    // binary-grain near-dup: content-defined sampled byte shingles
+    // (hex windows) through the SAME simhash/band/hamming chain as
+    // dedup_simhash — mirrors Multimodal.nearDupPairsOf
+    "multimodal_phash_dedup" ->
+      s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |             octet_length(encode(text)) AS nb FROM documents),
+         |sh AS (
+         |  SELECT doc_id, u AS shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, nb - 7),
+         |      i -> substring(hx, 2 * (i - 1) + 1, 16))) AS u
+         |    FROM p WHERE nb >= 8) q
+         |  WHERE ${H64("u")} % ${graft.operators.Multimodal.SampleMod} = 0
+         |),
+         |th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
+         |bits AS (
+         |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, generate_series(0,63) b(b) GROUP BY doc_id, b.b
+         |),
+         |simh AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, simhash, band, byte FROM (
+         |    SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte,
+         |      count(*) OVER (PARTITION BY g.g, (simhash >> (8*g.g)) & 255) AS bsz
+         |    FROM simh, generate_series(0,7) g(g))
+         |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
+         |)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM cand
+         |WHERE bit_count(xor(s1, s2)) <= ${graft.operators.SimHash.HammingMax}
+         |ORDER BY d1, d2""".stripMargin,
 
     // binary-grain exact dedup: payload is the UTF-8 text bytes, so
     // md5(payload) == md5(text) and byte length == strlen(text); the

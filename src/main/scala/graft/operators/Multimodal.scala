@@ -57,6 +57,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Content-defined byte-shingle window (bytes) and sampling modulus
+    * for [[nearDupPairs]]: every W-byte window is hashed, and a window
+    * is a FEATURE iff h64 % SampleMod == 0 — selection depends only on
+    * window CONTENT, so an insertion that shifts every later byte
+    * still selects the same features from the unchanged regions (the
+    * winnowing/CDC property fixed-stride sampling lacks). */
+  val ShingleBytes = 8
+  val SampleMod = 8
+
+  /** `multimodal_phash_dedup`: near-dup pairs at the BINARY grain —
+    * the approximate member of the multimodal dedup tier (#129 is the
+    * exact one). Pipeline: content-defined sampled byte shingles →
+    * the SAME 64-bit SimHash + byte-banded blocking + exact Hamming
+    * verify the token tier uses (SimHash.nearDupPairsOfShingles —
+    * proven kernel, new feature space). A ~10% byte-level edit leaves
+    * ~90% of selected features intact → small Hamming distance; real
+    * deployments swap the byte shingles for decoded-frame perceptual
+    * features at this exact seam (decodeKernel is the stub), keeping
+    * every downstream stage unchanged.
+    *
+    * Cost: O(total payload bytes) window hashes (one narrow pass, no
+    * shuffle until the per-doc signature groupBy); the signature is
+    * one int64/doc; blocking is the capped byte-band join. */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsOf(withPayload(spark, dir).select("doc_id", "payload"))
+
+  /** [[nearDupPairs]] over any (doc_id, payload) frame. Shingles are
+    * hex-encoded byte windows (hex is cross-engine canonical; blob
+    * slicing is not). */
+  def nearDupPairsOf(assets: DataFrame): DataFrame = {
+    val w = ShingleBytes
+    val sh = assets
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).as("nb"))
+      .filter(col("nb") >= w)
+      .select(col("doc_id"), col("hx"),
+        explode(expr(s"sequence(1, nb - ${w - 1})")).as("i"))
+      .select(col("doc_id"),
+        expr(s"substring(hx, 2 * (i - 1) + 1, ${2 * w})").as("shingle"))
+      .filter(h64(col("shingle")) % SampleMod === 0)
+      .select("doc_id", "shingle")
+    SimHash.nearDupPairsOfShingles(sh)
+  }
+
   /** Decoded-asset schema a real media decoder would produce. */
   case class DecodedAsset(doc_id: Long, width: Int, height: Int,
                           format: String, n_frames: Int, ok: Boolean)

@@ -90,4 +90,22 @@ class MultimodalSpec extends SparkSpec {
       .agg(sum("n_bytes_in"), sum("n_bytes_out")).collect().head
     assert(total.getLong(1) <= total.getLong(0))
   }
+
+  test("phash near-dup: small byte edits pair, unrelated payloads don't") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val edited = base.updated(200, 'X').updated(400, 'Y') // 2-byte edit
+    val other = ("completely different payload content entirely " * 20).trim
+    val assets = Seq(
+      (1L, base), (2L, edited), (3L, other), (4L, base) // 4 = exact copy
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val pairs = Multimodal.nearDupPairsOf(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 4L)).contains(0L), "exact copy must pair at hd=0")
+    assert(pairs.contains((1L, 2L)), "2-byte edit must survive as near-dup")
+    assert(pairs((1L, 2L)) <= SimHash.HammingMax)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated payloads must not pair")
+  }
 }
