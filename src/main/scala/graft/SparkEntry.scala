@@ -80,6 +80,7 @@ object SparkEntry {
     "events_theta_users" -> ((s, d) => graft.operators.Sketches.thetaUsersPerHour(s, d)),
     "events_theta_daily" -> ((s, d) => graft.operators.Sketches.thetaUsersDaily(s, d)),
     "events_theta_overlap" -> ((s, d) => graft.operators.Sketches.thetaOverlapDaily(s, d)),
+    "events_uniques_sliding" -> ((s, d) => graft.operators.Sketches.slidingUniques(s, d)),
     "events_kmv_quantiles" -> ((s, d) => graft.operators.Sketches.kmvQuantiles(s, d)),
     "source_term_cm" -> ((s, d) => graft.operators.Sketches.sourceTermCm(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "events_pattern_sessions" -> ((s, d) => graft.operators.Analytics3.patternSessions(s, d)),
     "docs_source_quantiles" -> ((s, d) => graft.operators.QualitySignals.sourceLengthStats(s, d)),
     "dedup_chunks" -> ((s, d) => DocDedup.chunkDedup(s, d)),
+    "dedup_cdc_chunks" -> ((s, d) => DocDedup.cdcChunkDedup(s, d)),
     "dedup_passages" -> ((s, d) => DocDedup.passageDedup(s, d)),
     "pipeline_decontaminated" -> ((s, d) => graft.operators.Curation.decontaminated(s, d)),
     "pipeline_pack_sequences" -> ((s, d) => graft.operators.Pipeline.packSequences(s, d)),
@@ -1952,6 +1954,56 @@ object SparkEntry {
          |ORDER BY p.day_bucket""".stripMargin
     },
 
+    // trailing-7-day distinct users from merged daily sketches (KMV
+    // merge = explode + re-min-k) — mirrors Sketches.slidingUniques
+    "events_uniques_sliding" -> {
+      val k = graft.operators.Sketches.ThetaK
+      val w = graft.operators.Sketches.SlideDays
+      s"""WITH ev AS ($EV),
+         |hh AS (
+         |  SELECT DISTINCT ts_us // 86400000000 AS day, user_id,
+         |    ${H64("concat('u:', CAST(user_id AS VARCHAR))")} AS h
+         |  FROM ev
+         |),
+         |daily AS (
+         |  SELECT day, h FROM (
+         |    SELECT day, h,
+         |      row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT day, h FROM hh) q)
+         |  WHERE rn <= $k),
+         |md AS (SELECT max(day) AS max_day FROM daily),
+         |expanded AS (
+         |  SELECT unnest(generate_series(day, least(day + ${w - 1}, max_day))) AS day_bucket,
+         |    day, h
+         |  FROM daily, md),
+         |mrank AS (
+         |  SELECT day_bucket, h, row_number() OVER (
+         |    PARTITION BY day_bucket ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT day_bucket, h FROM expanded) q),
+         |nd AS (
+         |  SELECT day_bucket, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+         |  FROM expanded GROUP BY 1),
+         |sk AS (
+         |  SELECT m.day_bucket, nd.n_days,
+         |    CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+         |  FROM mrank m JOIN nd ON nd.day_bucket = m.day_bucket
+         |  WHERE rn <= $k GROUP BY 1, 2),
+         |exd AS (
+         |  SELECT unnest(generate_series(day, least(day + ${w - 1}, max_day))) AS day_bucket,
+         |    user_id
+         |  FROM (SELECT DISTINCT day, user_id FROM hh) d, md),
+         |ex AS (
+         |  SELECT day_bucket, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM exd GROUP BY 1)
+         |SELECT sk.day_bucket AS day_bucket, n_days, n_sketch,
+         |  CASE WHEN n_sketch < $k THEN CAST(n_sketch AS DOUBLE)
+         |       ELSE ROUND(${k - 1}.0 * 1152921504606846976.0
+         |                  / CAST(kth_hash AS DOUBLE), 4) END AS est_users,
+         |  exact_users
+         |FROM sk JOIN ex ON ex.day_bucket = sk.day_bucket
+         |ORDER BY day_bucket""".stripMargin
+    },
+
     // deterministic KMV sample (min-256 hashes of the event ids) →
     // positional quantiles of the sorted sampled cents: exact integers.
     "events_kmv_quantiles" ->
@@ -3268,6 +3320,53 @@ object SparkEntry {
          |  quantile_cont(n_chars, 0.5) AS p50,
          |  quantile_cont(n_chars, 0.75) AS p75
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // content-defined-chunk dedup manifest — mirrors
+    // DocDedup.cdcChunkDedup (boundaries from trailing-window hashes,
+    // chunks grouped by content hash, earlier-(doc,chunk) keeper rule)
+    "dedup_cdc_chunks" -> {
+      val w = graft.operators.DocDedup.CdcWindow
+      val m = graft.operators.DocDedup.CdcMod
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, CAST(len(t) AS BIGINT))) AS pos
+         |  FROM toks),
+         |fl AS (
+         |  -- nested CASE: the hash only evaluates for pos >= w (AND has
+         |  -- no short-circuit guarantee, and list_slice at pos < w gives
+         |  -- an empty list whose array_to_string is NULL -> '0x' cast)
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos >= $w THEN
+         |      CASE WHEN ${H64(s"array_to_string(list_slice(t, pos - ${w - 1}, pos), ' ')")} % $m = 0
+         |           THEN 1 ELSE 0 END
+         |    ELSE 0 END AS flag
+         |  FROM pos),
+         |ci AS (
+         |  SELECT doc_id, pos, CAST(coalesce(SUM(flag) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+         |  FROM fl),
+         |cb AS (SELECT doc_id, chunk_idx, min(pos) AS p0, max(pos) AS p1
+         |       FROM ci GROUP BY 1, 2),
+         |ch AS (
+         |  SELECT cb.doc_id, cb.chunk_idx,
+         |    ${H64("array_to_string(list_slice(t.t, cb.p0, cb.p1), ' ')")} AS chunk_h
+         |  FROM cb JOIN toks t ON t.doc_id = cb.doc_id),
+         |fd AS (
+         |  SELECT doc_id, chunk_idx,
+         |    first_value(doc_id) OVER wc AS k_doc,
+         |    first_value(chunk_idx) OVER wc AS k_idx
+         |  FROM ch
+         |  WINDOW wc AS (PARTITION BY chunk_h ORDER BY doc_id, chunk_idx)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(CASE WHEN k_doc <> doc_id OR k_idx <> chunk_idx
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+         |  FROM fd GROUP BY 1)
+         |SELECT doc_id, n_chunks, n_dup_chunks,
+         |  ${ratio4Sql("n_dup_chunks", "n_chunks")} AS dup_share4
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_chunks" -> {
       val w = graft.operators.DocDedup.ChunkTokens

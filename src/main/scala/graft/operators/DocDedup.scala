@@ -398,6 +398,62 @@ object DocDedup {
       .orderBy("d1", "d2")
   }
 
+  /** CDC boundary window (tokens) and modulus: a chunk boundary falls
+    * AFTER token i iff the h64 of the trailing [[CdcWindow]]-token
+    * window at i divides [[CdcMod]] — boundaries depend on local
+    * CONTENT, so an insertion resynchronizes within one window and
+    * every later chunk is byte-identical again (the property that
+    * makes fixed-width chunking (#108) miss shifted duplicates). */
+  val CdcWindow = 4
+  val CdcMod = 32
+
+  /** `dedup_cdc_chunks`: content-defined-chunk dedup manifest, per doc
+    * — the storage-dedup primitive at query level: how much of each
+    * document is made of chunks already seen elsewhere (earlier
+    * (doc, chunk) in lexicographic order), under boundaries that
+    * survive shifts. Output O(docs): n_chunks, duplicated-chunk count
+    * and exact dup_share4. The expensive grain (per-chunk rows) stays
+    * internal; one groupBy on the uniform chunk hash is the only
+    * corpus-sized shuffle, and the per-doc window partitions by
+    * doc_id (never global). */
+  def cdcChunkDedup(spark: SparkSession, dir: String,
+                    w: Int = CdcWindow, m: Int = CdcMod): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).spread
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    val pos = tk
+      .select(col("doc_id"), col("t"), posexplode(col("t")))
+      .select(col("doc_id"), col("t"), (col("pos") + 1).as("pos"))
+      .withColumn("flag",
+        when(col("pos") >= w &&
+          h64(concat_ws(" ", slice(col("t"), col("pos") - (w - 1), lit(w))))
+            % m === 0, 1L).otherwise(0L))
+      .withColumn("chunk_idx",
+        coalesce(sum("flag").over(
+          wdoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = pos.groupBy("doc_id", "chunk_idx")
+      .agg(min("pos").as("p0"), max("pos").as("p1"))
+      .join(tk, "doc_id")
+      .select(col("doc_id"), col("chunk_idx"),
+        h64(concat_ws(" ",
+          slice(col("t"), col("p0"), col("p1") - col("p0") + 1)))
+          .as("chunk_h"))
+    val wH = Window.partitionBy("chunk_h")
+    val flagged = chunks
+      .withColumn("keeper", min(struct(col("doc_id"), col("chunk_idx"))).over(wH))
+      .withColumn("is_dup",
+        col("keeper.doc_id") =!= col("doc_id") ||
+          col("keeper.chunk_idx") =!= col("chunk_idx"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        graft.functions.Hashing.ratio4(col("n_dup_chunks"), col("n_chunks"))
+          .as("dup_share4"))
+      .orderBy("doc_id")
+  }
+
   /** Aggregated export form of [[ngramJaccard]] — per document instead
     * of per pair (O(docs-with-a-partner) output where the raw pair list
     * is O(pairs)): partner count plus the highest-jaccard partner as an

@@ -89,6 +89,51 @@ object Sketches {
       .orderBy("day_bucket")
   }
 
+  /** `events_uniques_sliding`: trailing-7-day distinct users per day,
+    * answered from the DAILY sketch table — the window-query pattern
+    * sketches exist for at petabyte scale: precompute one k-long
+    * sketch per day, then ANY trailing window is a merge of ≤7
+    * sketches (KMV invariant: the union's true min-k lives inside the
+    * per-day min-k sets, so merge = explode + re-sketch, exact at the
+    * sketch level). Each output row carries the estimate AND the exact
+    * trailing-window distinct count as the grading column. Cost: the
+    * daily sketch pass (shuffle ≤ k longs/day) + an O(days × 7)
+    * merge; only the grading column revisits the (day, user) set. */
+  val SlideDays = 7
+
+  def slidingUniques(spark: SparkSession, dir: String,
+                     k: Int = ThetaK, win: Int = SlideDays): DataFrame = {
+    val base = Dedup.eventsUs(spark, dir)
+      .select(expr("ts_us div 86400000000L").as("day"),
+        col("user_id"),
+        h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+    val daily = base.groupBy("day")
+      .agg(ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
+    // a day's sketch serves every window ENDING in day .. day+win-1;
+    // clamp to observed days so no phantom trailing windows appear
+    val maxDay = daily.agg(max("day").as("max_day"))
+    val merged = daily.crossJoin(broadcast(maxDay))
+      .select(explode(expr(s"sequence(day, least(day + ${win - 1}, max_day))"))
+        .as("day_bucket"), col("day"), col("mk"))
+      .select(col("day_bucket"), col("day"), explode(col("mk")).as("h"))
+      .groupBy("day_bucket")
+      .agg(countDistinct(col("day")).as("n_days"),
+        ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
+    val days = base.select("day", "user_id").distinct()
+    val exact = days.crossJoin(broadcast(maxDay))
+      .select(explode(expr(s"sequence(day, least(day + ${win - 1}, max_day))"))
+        .as("day_bucket"), col("user_id"))
+      .groupBy("day_bucket")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "day_bucket")
+      .select(col("day_bucket"), col("n_days"),
+        size(col("mk")).cast("long").as("n_sketch"),
+        graft.streaming.StreamSketch.thetaEstimate(col("mk"), k)
+          .as("est_users"),
+        col("exact_users"))
+      .orderBy("day_bucket")
+  }
+
   /** The sketch-TABLE form of the overlap panel: given only the
     * persisted (day_bucket, mk) sketches — exactly what a streaming
     * per-day aggregation maintains, k longs per day — produce every

@@ -164,4 +164,24 @@ class DocDedupSpec extends SparkSpec {
     assert(rows(0).isEmpty)
     assert(rows(1) === Seq("a b c", "b c d"))
   }
+
+  test("CDC chunks resynchronize after an insertion (the anti-shift property)") {
+    import spark.implicits._
+    // 2 docs: b = a with ONE token inserted near the front. Fixed-width
+    // chunking would shift every later chunk; content-defined
+    // boundaries resync within a window, so most of b's chunks must be
+    // byte-identical to a's and flagged duplicated.
+    val a = (1 to 400).map(i => s"tok${i % 83}").mkString(" ")
+    val b = ("INSERTED" +: a.split(" ").toSeq).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    Seq((0L, a, "en", "s", a.length.toLong), (1L, b, "en", "s", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DocDedup.cdcChunkDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nb, dupB) = out(1L)
+    assert(nb >= 4, s"expected several chunks, got $nb")
+    assert(dupB.toDouble / nb >= 0.5,
+      s"only $dupB of $nb chunks deduplicated after a 1-token edit")
+  }
 }
