@@ -86,6 +86,29 @@ object TxnParquet {
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
+  /** Time travel: the committed view AS OF batch id `asOf` — exactly
+    * the rows a reader saw when `asOf` was the newest committed batch.
+    * The snapshot handle a training run records for reproducibility:
+    * re-reading with the same id returns the same rows however many
+    * batches landed since. A compaction generation stands in for its
+    * covered batches ONLY if it covers no batch newer than `asOf`
+    * (otherwise it would leak future rows); else the original batch
+    * directories are read — which `vacuum` may have reclaimed, so
+    * snapshot ids older than the last vacuumed compaction are out of
+    * retention and the read fails loudly on the missing path.
+    * `mergeSchema` composes as in [[read]]. */
+  def readAsOf(spark: SparkSession, dir: String, asOf: Long,
+               mergeSchema: Boolean = false): DataFrame = {
+    val ids = committedBatches(spark, dir).filter(_ <= asOf)
+    require(ids.nonEmpty, s"no batches committed at or before $asOf under $dir")
+    // newest generation that leaks no post-asOf rows; older generations
+    // remain usable until vacuum reclaims them
+    val usable = compactions(spark, dir)
+      .find { case (_, covered) => covered.forall(_ <= asOf) }
+    val paths = pathsFor(dir, ids, usable)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+  }
+
   /** The exact path set a read of the current committed view plans:
     * latest committed compaction (if any) + committed batches it does
     * not cover. Factored out so `compact` can snapshot ONE listing and
@@ -159,23 +182,28 @@ object TxnParquet {
     }
   }
 
-  /** Latest committed (generation, covered batch-id set), if any. */
-  def latestCompaction(spark: SparkSession,
-                       dir: String): Option[(Long, Set[Long])] = {
+  /** All committed (generation, covered batch-id set), newest first. */
+  def compactions(spark: SparkSession,
+                  dir: String): Seq[(Long, Set[Long])] = {
     val f = fs(spark, dir)
     val cd = compactionsDir(dir)
-    if (!f.exists(cd)) None
+    if (!f.exists(cd)) Seq.empty
     else f.listStatus(cd).map(_.getPath)
       .filter(_.getName.forall(_.isDigit)) // in-flight .tmp markers are invisible
       .sortBy(-_.getName.toLong)
-      .headOption.map { p =>
+      .map { p =>
         val in = f.open(p)
         val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
         val covered = content.split(",").filter(_.nonEmpty).map(_.toLong).toSet
         (p.getName.toLong, covered)
-      }
+      }.toSeq
   }
+
+  /** Latest committed (generation, covered batch-id set), if any. */
+  def latestCompaction(spark: SparkSession,
+                      dir: String): Option[(Long, Set[Long])] =
+    compactions(spark, dir).headOption
 
   /** Rewrite the current committed view into one consolidated
     * generation; returns the new generation id. The data lands first,

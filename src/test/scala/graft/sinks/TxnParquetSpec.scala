@@ -127,6 +127,29 @@ class TxnParquetSpec extends SparkSpec {
     assert(after.count() == 2L)
   }
 
+  test("readAsOf pins the snapshot a past reader saw, across later appends and compactions") {
+    val dir = freshDir()
+    (0L to 2L).foreach(i => TxnParquet.append(Seq((i, s"v$i")).toDF("id", "v"), dir, i))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(TxnParquet.readAsOf(spark, dir, 1L)) == Set(0L, 1L))
+    // a compaction covering batch 2 must NOT leak into the asOf=1 view
+    TxnParquet.compact(spark, dir)
+    TxnParquet.append(Seq((3L, "v3")).toDF("id", "v"), dir, 3L)
+    assert(ids(TxnParquet.readAsOf(spark, dir, 1L)) == Set(0L, 1L))
+    assert(ids(TxnParquet.readAsOf(spark, dir, 3L)) == Set(0L, 1L, 2L, 3L))
+    // a generation covering only <= asOf batches IS used: compact now
+    // (covers 0..3), then asOf=3 still reads exactly 0..3 via it
+    TxnParquet.compact(spark, dir)
+    assert(ids(TxnParquet.readAsOf(spark, dir, 3L)) == Set(0L, 1L, 2L, 3L))
+    // out-of-retention: vacuum kills covered batch dirs; a snapshot
+    // needing them now fails loudly instead of returning partial rows
+    TxnParquet.vacuum(spark, dir)
+    intercept[Exception](TxnParquet.readAsOf(spark, dir, 1L).collect())
+    // the current view (and asOf at the head) still reads fine
+    assert(ids(TxnParquet.read(spark, dir)) == Set(0L, 1L, 2L, 3L))
+  }
+
   test("a second concurrent compactor fails fast while the lease is held") {
     val dir = freshDir()
     TxnParquet.append(Seq((1L, "a")).toDF("id", "v"), dir, 0L)
