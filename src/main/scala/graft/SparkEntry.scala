@@ -177,6 +177,7 @@ object SparkEntry {
     // round 6: model-based filtering (trained quality/importance models)
     "text_lexical_diversity" -> ((s, d) => graft.operators.QualitySignals.lexicalDiversity(s, d)),
     "pipeline_training_mix" -> ((s, d) => graft.operators.Pipeline.trainingMix(s, d)),
+    "pipeline_gate_ablation" -> ((s, d) => graft.operators.Pipeline.gateAblation(s, d)),
     "mix_retention_report" -> ((s, d) => graft.operators.Pipeline.mixRetention(s, d)),
     "pipeline_pack_bpe" -> ((s, d) => graft.operators.Pipeline.packBpeSequences(s, d)),
     "corpus_heaps_curve" -> ((s, d) => graft.operators.CorpusStats.heapsCurve(s, d)),
@@ -4033,6 +4034,53 @@ object SparkEntry {
          |SELECT doc_id, source, n_toks, score, importance, start_tok,
          |  start_tok // ${graft.operators.Pipeline.PackSeqLen} AS pack_id
          |FROM tmp ORDER BY doc_id""".stripMargin,
+
+    // per-gate solo/marginal ablation over the same tm CTE chain —
+    // mirrors Pipeline.gateAblation (gate sets: NOT-IN-tmbad, tmkeep,
+    // tmscore; population = training split)
+    "pipeline_gate_ablation" -> {
+      val mod = graft.operators.Curation.EvalMod
+      s"""WITH $TM_CTES,
+         |p AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tmt
+         |      WHERE doc_id % $mod <> 0),
+         |gd AS (SELECT doc_id FROM p WHERE doc_id NOT IN (SELECT doc_id FROM tmbad)),
+         |gk AS (SELECT p.doc_id FROM p JOIN tmkeep k ON k.doc_id = p.doc_id),
+         |gl AS (SELECT p.doc_id FROM p JOIN tmscore s ON s.doc_id = p.doc_id),
+         |stk AS (SELECT doc_id FROM gd INTERSECT SELECT doc_id FROM gk
+         |        INTERSECT SELECT doc_id FROM gl),
+         |wo_d AS (SELECT doc_id FROM gk INTERSECT SELECT doc_id FROM gl),
+         |wo_k AS (SELECT doc_id FROM gd INTERSECT SELECT doc_id FROM gl),
+         |wo_l AS (SELECT doc_id FROM gd INTERSECT SELECT doc_id FROM gk),
+         |ap AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(coalesce(sum(n),0) AS BIGINT) AS t FROM p),
+         |ast AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(coalesce(sum(n),0) AS BIGINT) AS t
+         |        FROM p JOIN stk USING (doc_id)),
+         |ad AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(coalesce(sum(n),0) AS BIGINT) AS t
+         |       FROM p JOIN gd USING (doc_id)),
+         |ak AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(coalesce(sum(n),0) AS BIGINT) AS t
+         |       FROM p JOIN gk USING (doc_id)),
+         |al AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(coalesce(sum(n),0) AS BIGINT) AS t
+         |       FROM p JOIN gl USING (doc_id)),
+         |awd AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(coalesce(sum(n),0) AS BIGINT) AS t
+         |        FROM p JOIN wo_d USING (doc_id)),
+         |awk AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(coalesce(sum(n),0) AS BIGINT) AS t
+         |        FROM p JOIN wo_k USING (doc_id)),
+         |awl AS (SELECT CAST(count(*) AS BIGINT) AS c, CAST(coalesce(sum(n),0) AS BIGINT) AS t
+         |        FROM p JOIN wo_l USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT 'decontam' AS gate, ad.c AS docs_kept_solo, ad.t AS toks_kept_solo,
+         |    awd.c - ast.c AS docs_lost_marginal, awd.t - ast.t AS toks_lost_marginal
+         |  FROM ad, awd, ast
+         |  UNION ALL
+         |  SELECT 'exact_dedup', ak.c, ak.t, awk.c - ast.c, awk.t - ast.t
+         |  FROM ak, awk, ast
+         |  UNION ALL
+         |  SELECT 'lexicon', al.c, al.t, awl.c - ast.c, awl.t - ast.t
+         |  FROM al, awl, ast
+         |  UNION ALL
+         |  SELECT 'stack', ast.c, ast.t, ap.c - ast.c, ap.t - ast.t
+         |  FROM ast, ap
+         |) ORDER BY gate""".stripMargin
+    },
 
     // before/after panel over the same tm CTE chain: what the gate
     // stack did to the source mix — mirrors Curation.mixRetention.

@@ -363,6 +363,61 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** `pipeline_gate_ablation`: per-gate attribution of the training-mix
+    * stack's losses — for each gate (decontamination, exact dedup,
+    * lexicon quality), BOTH the solo view (docs/tokens the gate keeps
+    * applied alone) and the MARGINAL view (docs/tokens the full stack
+    * loses specifically because of this gate: kept by stack-minus-gate,
+    * dropped by the stack) over the training split. Solo says how
+    * aggressive a gate is; marginal says what it uniquely costs — the
+    * pair that decides whether a gate stays (#162 shows per-source
+    * WHAT changed, this shows per-gate WHY). Gate membership reuses
+    * the operators themselves (no re-derived predicates to drift);
+    * every aggregate is a semi-join + 1-row count over the
+    * checkpointed (doc, tokens) frame. */
+  def gateAblation(spark: SparkSession, dir: String): DataFrame = {
+    val mod = Curation.EvalMod
+    val p = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .filter(col("doc_id") % mod =!= 0)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .localCheckpoint()
+    val gDecon = Curation.decontaminated(spark, dir)
+      .select("doc_id").localCheckpoint()
+    val gDedup = Tables.documents(spark, dir).select("doc_id", "text").spread
+      .withColumn("digest", h64(DocDedup.normalized(col("text"))))
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").localCheckpoint()
+    val gLex = QualityModels.lexiconScore(spark, dir)
+      .filter(col("pred") === 1).select("doc_id").localCheckpoint()
+    def keptBy(sets: Seq[DataFrame]): DataFrame =
+      sets.foldLeft(p)((acc, s) => acc.join(s, Seq("doc_id"), "left_semi"))
+    def agg(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("c"), coalesce(sum("n_toks"), lit(0L)).as("t"))
+    val all = Seq(gDecon, gDedup, gLex)
+    val stack = agg(keptBy(all)).localCheckpoint()
+    def row(gate: String, solo: DataFrame, without: DataFrame): DataFrame =
+      agg(solo).crossJoin(broadcast(
+          agg(without).select(col("c").as("wc"), col("t").as("wt"))))
+        .crossJoin(broadcast(
+          stack.select(col("c").as("sc"), col("t").as("st"))))
+        .select(lit(gate).as("gate"),
+          col("c").as("docs_kept_solo"), col("t").as("toks_kept_solo"),
+          (col("wc") - col("sc")).as("docs_lost_marginal"),
+          (col("wt") - col("st")).as("toks_lost_marginal"))
+    row("decontam", keptBy(Seq(gDecon)), keptBy(Seq(gDedup, gLex)))
+      .unionByName(row("exact_dedup", keptBy(Seq(gDedup)), keptBy(Seq(gDecon, gLex))))
+      .unionByName(row("lexicon", keptBy(Seq(gLex)), keptBy(Seq(gDecon, gDedup))))
+      .unionByName(
+        agg(keptBy(all)).crossJoin(broadcast(
+            agg(p).select(col("c").as("pc"), col("t").as("pt"))))
+          .select(lit("stack").as("gate"),
+            col("c").as("docs_kept_solo"), col("t").as("toks_kept_solo"),
+            (col("pc") - col("c")).as("docs_lost_marginal"),
+            (col("pt") - col("t")).as("toks_lost_marginal")))
+      .orderBy("gate")
+  }
+
   /** SPEC-ONLY comparison target: the same pipeline as [[cleanDocs]]
     * built by composing the standalone operators, kept so
     * DocPipelineSpec can assert the fused production path is equivalent.
