@@ -400,4 +400,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "candidate generation must be the equi-join on (band, bucket)")
   }
+
+  test("pipeline_zorder_plan: native global rank; domain rides a 1-row broadcast") {
+    val p = plan("pipeline_zorder_plan")
+    assert(p.contains("GlobalRank"),
+      "file cut must use the native range-partitioned rank, not a global window")
+    assert(!p.contains("SortMergeJoin"),
+      "the only joins are 1-row domain broadcasts")
+  }
+
+  test("ann_sq_topk: probe-side broadcast scan over codes, no shuffled joins") {
+    val p = plan("ann_sq_topk")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded query set must broadcast over the code scan")
+  }
+
+  test("ann_ivfsq_topk: broadcast scoring; the one shuffle join is the vec_id code/cell zip") {
+    val p = plan("ann_ivfsq_topk")
+    assert(!p.contains("CartesianProduct"))
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"expected at most the code⋈cell zip as a shuffle join, got $smj:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "probes and queries must broadcast")
+  }
+
+  test("dedup_cdc_chunks: per-doc windows only; keeper rollup is a hash shuffle") {
+    val p = plan("dedup_cdc_chunks")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // every window sort is keyed (doc_id or chunk_h) — a global
+    // Window.orderBy would show as an exchange to a single partition
+    assert(!p.contains("SinglePartition"),
+      "no operator may funnel the corpus through one partition")
+  }
 }
