@@ -3617,14 +3617,15 @@ object SparkEntry {
     // binary-grain near-dup: content-defined sampled byte shingles
     // (hex windows) through the SAME simhash/band/hamming chain as
     // dedup_simhash — mirrors Multimodal.nearDupPairsOf
-    "multimodal_phash_dedup" ->
+    "multimodal_phash_dedup" -> {
+      val w = graft.operators.Multimodal.ShingleBytes
       s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
          |             octet_length(encode(text)) AS nb FROM documents),
          |sh AS (
          |  SELECT doc_id, u AS shingle FROM (
-         |    SELECT doc_id, unnest(list_transform(generate_series(1, nb - 7),
-         |      i -> substring(hx, 2 * (i - 1) + 1, 16))) AS u
-         |    FROM p WHERE nb >= 8) q
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, nb - ${w - 1}),
+         |      i -> substring(hx, 2 * (i - 1) + 1, ${2 * w}))) AS u
+         |    FROM p WHERE nb >= $w) q
          |  WHERE ${H64("u")} % ${graft.operators.Multimodal.SampleMod} = 0
          |),
          |th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
@@ -3649,7 +3650,8 @@ object SparkEntry {
          |)
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM cand
          |WHERE bit_count(xor(s1, s2)) <= ${graft.operators.SimHash.HammingMax}
-         |ORDER BY d1, d2""".stripMargin,
+         |ORDER BY d1, d2""".stripMargin
+    },
 
     // binary-grain exact dedup: payload is the UTF-8 text bytes, so
     // md5(payload) == md5(text) and byte length == strlen(text); the

@@ -83,10 +83,27 @@ object Multimodal {
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     nearDupPairsOf(withPayload(spark, dir).select("doc_id", "payload"))
 
-  /** [[nearDupPairs]] over any (doc_id, payload) frame. Shingles are
-    * hex-encoded byte windows (hex is cross-engine canonical; blob
-    * slicing is not). */
+  /** [[nearDupPairs]] over any (doc_id, payload) frame. The signature
+    * stage is the fused one-pass [[graft.functions.ByteSimHash]] kernel
+    * (bit-identical to the hex→explode-window→sample→vote pipeline it
+    * replaced, which the DuckDB oracle and ByteSimHashSpec's parity
+    * reference keep): zero row amplification, one codegen'd call per
+    * payload. Banding/Hamming reuse the proven SimHash stage. */
   def nearDupPairsOf(assets: DataFrame): DataFrame = {
+    import graft.functions.ByteSimHash
+    val sig = assets
+      .select(col("doc_id"),
+        ByteSimHash.byteSimHash(col("payload"), ShingleBytes, SampleMod)
+          .as("simhash"))
+      .filter(col("simhash") =!= ByteSimHash.NoSignature)
+    SimHash.nearDupPairsOfSignatures(sig)
+  }
+
+  /** SPEC-ONLY reference: the declarative explode-window signature
+    * pipeline the fused kernel replaced — kept so ByteSimHashSpec can
+    * pin bit-parity on real corpora. Do not use in queries: it
+    * materializes one row + one 2W-char substring per byte offset. */
+  private[graft] def explodedSignaturesOf(assets: DataFrame): DataFrame = {
     val w = ShingleBytes
     val sh = assets
       .select(col("doc_id"), hex(col("payload")).as("hx"),
@@ -98,7 +115,7 @@ object Multimodal {
         expr(s"substring(hx, 2 * (i - 1) + 1, ${2 * w})").as("shingle"))
       .filter(h64(col("shingle")) % SampleMod === 0)
       .select("doc_id", "shingle")
-    SimHash.nearDupPairsOfShingles(sh)
+    SimHash.signatures(sh)
   }
 
   /** Decoded-asset schema a real media decoder would produce. */

@@ -53,8 +53,14 @@ object SimHash {
 
   /** #10 over an arbitrary (doc_id, shingle) frame. */
   def nearDupPairsOfShingles(sh: DataFrame,
-                             maxBucket: Int = MinHashLSH.MaxBucketSize): DataFrame = {
-    val sig = signatures(sh)
+                             maxBucket: Int = MinHashLSH.MaxBucketSize): DataFrame =
+    nearDupPairsOfSignatures(signatures(sh), maxBucket)
+
+  /** Banding + exact-Hamming stage over a precomputed (doc_id, simhash)
+    * frame — the seam a fused signature kernel (ByteSimHash) plugs into
+    * without touching the proven candidate-generation code. */
+  def nearDupPairsOfSignatures(sig: DataFrame,
+                               maxBucket: Int = MinHashLSH.MaxBucketSize): DataFrame = {
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "byte")
     val bands = sig.withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
       .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
