@@ -417,28 +417,38 @@ object DocDedup {
     * corpus-sized shuffle, and the per-doc window partitions by
     * doc_id (never global). */
   def cdcChunkDedup(spark: SparkSession, dir: String,
-                    w: Int = CdcWindow, m: Int = CdcMod): DataFrame = {
+                    w: Int = CdcWindow, m: Int = CdcMod): DataFrame =
+    cdcChunkDedupOf(
+      graft.Tables.documents(spark, dir).select("doc_id", "text").spread, w, m)
+
+  /** [[cdcChunkDedup]] over any (doc_id, text) frame. The exploded rows
+    * carry ONLY (doc_id, pos, tok): the trailing boundary window is a
+    * w-row sliding collect over the per-doc sort (O(w) per token), and
+    * the chunk hash aggregates the same exploded rows per
+    * (doc, chunk_idx) — the full token array is never re-joined, so a
+    * length-L doc costs O(L log L) instead of the O(L²/w) array copies
+    * the slice-per-chunk formulation paid (each joined chunk row
+    * transiently copied the whole doc array). Hashes are identical:
+    * both forms hash the chunk's tokens joined by " ". */
+  def cdcChunkDedupOf(docs: DataFrame,
+                      w: Int = CdcWindow, m: Int = CdcMod): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tk = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).spread
     val wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    val pos = tk
-      .select(col("doc_id"), col("t"), posexplode(col("t")))
-      .select(col("doc_id"), col("t"), (col("pos") + 1).as("pos"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      // trailing w-token window, ordered by pos within the running frame
+      .withColumn("win",
+        concat_ws(" ", collect_list("tok").over(wdoc.rowsBetween(-(w - 1), 0))))
       .withColumn("flag",
-        when(col("pos") >= w &&
-          h64(concat_ws(" ", slice(col("t"), col("pos") - (w - 1), lit(w))))
-            % m === 0, 1L).otherwise(0L))
+        when(col("pos") >= w && h64(col("win")) % m === 0, 1L).otherwise(0L))
       .withColumn("chunk_idx",
         coalesce(sum("flag").over(
           wdoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val chunks = pos.groupBy("doc_id", "chunk_idx")
-      .agg(min("pos").as("p0"), max("pos").as("p1"))
-      .join(tk, "doc_id")
-      .select(col("doc_id"), col("chunk_idx"),
-        h64(concat_ws(" ",
-          slice(col("t"), col("p0"), col("p1") - col("p0") + 1)))
-          .as("chunk_h"))
+      .agg(h64(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chunk_h"))
     val wH = Window.partitionBy("chunk_h")
     val flagged = chunks
       .withColumn("keeper", min(struct(col("doc_id"), col("chunk_idx"))).over(wH))

@@ -184,4 +184,49 @@ class DocDedupSpec extends SparkSpec {
     assert(dupB.toDouble / nb >= 0.5,
       s"only $dupB of $nb chunks deduplicated after a 1-token edit")
   }
+
+  test("cdcChunkDedupOf matches a local model, including a 20k-token doc") {
+    import spark.implicits._
+    def h64m(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    val rnd = new scala.util.Random(7)
+    val longDoc = (1 to 20000).map(_ => s"w${rnd.nextInt(211)}").mkString(" ")
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, longDoc),
+      (2L, longDoc), // exact duplicate: every chunk of 2 must be a dup
+      (3L, ""), // tokenless: absent from the manifest
+      (4L, "x x x")) // shorter than the boundary window: one chunk
+    val got = DocDedup.cdcChunkDedupOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // local model of the whole manifest
+    val w = DocDedup.CdcWindow
+    val m = DocDedup.CdcMod
+    val chunksOf: Map[Long, Seq[Long]] = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) None
+      else {
+        val flags = toks.indices.map { i0 =>
+          val pos = i0 + 1
+          pos >= w && h64m(toks.slice(pos - w, pos).mkString(" ")) % m == 0
+        }
+        val idx = flags.scanLeft(0L)((a, f) => a + (if (f) 1L else 0L)).init
+        Some(id -> toks.zip(idx).groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (_, g) => h64m(g.map(_._1).mkString(" ")) })
+      }
+    }.toMap
+    val keeper = chunksOf.toSeq
+      .flatMap { case (id, hs) => hs.zipWithIndex.map { case (h, i) => (h, (id, i.toLong)) } }
+      .groupBy(_._1).map { case (h, g) => h -> g.map(_._2).min }
+    assert(got.keySet === chunksOf.keySet)
+    chunksOf.foreach { case (id, hs) =>
+      val nDup = hs.zipWithIndex.count { case (h, i) => keeper(h) != ((id, i.toLong)) }
+      assert(got(id) === ((hs.size.toLong, nDup.toLong,
+        ratio4Model(nDup.toLong, hs.size.toLong))), s"doc $id")
+    }
+    assert(got(2L)._2 === got(2L)._1) // the exact-dup doc is fully duplicated
+  }
 }
