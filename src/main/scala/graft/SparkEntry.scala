@@ -4079,6 +4079,20 @@ object SparkEntry {
          |  SELECT 'lexicon', al.c, al.t, awl.c - ast.c, awl.t - ast.t
          |  FROM al, awl, ast
          |  UNION ALL
+         |  -- overlap rows: kept by the pair jointly; dropped by BOTH
+         |  -- (inclusion-exclusion: p − a − b + a∩b). wo_l = gd∩gk etc.
+         |  SELECT 'overlap:decontam*exact_dedup', awl.c, awl.t,
+         |    ap.c - ad.c - ak.c + awl.c, ap.t - ad.t - ak.t + awl.t
+         |  FROM ap, ad, ak, awl
+         |  UNION ALL
+         |  SELECT 'overlap:decontam*lexicon', awk.c, awk.t,
+         |    ap.c - ad.c - al.c + awk.c, ap.t - ad.t - al.t + awk.t
+         |  FROM ap, ad, al, awk
+         |  UNION ALL
+         |  SELECT 'overlap:exact_dedup*lexicon', awd.c, awd.t,
+         |    ap.c - ak.c - al.c + awd.c, ap.t - ak.t - al.t + awd.t
+         |  FROM ap, ak, al, awd
+         |  UNION ALL
          |  SELECT 'stack', ast.c, ast.t, ap.c - ast.c, ap.t - ast.t
          |  FROM ast, ap
          |) ORDER BY gate""".stripMargin

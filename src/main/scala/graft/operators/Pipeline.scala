@@ -3,7 +3,7 @@ package graft.operators
 import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.h64
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data cleaning pipeline as ONE declarative
@@ -371,10 +371,17 @@ object Pipeline {
     * dropped by the stack) over the training split. Solo says how
     * aggressive a gate is; marginal says what it uniquely costs — the
     * pair that decides whether a gate stays (#162 shows per-source
-    * WHAT changed, this shows per-gate WHY). Gate membership reuses
-    * the operators themselves (no re-derived predicates to drift);
-    * every aggregate is a semi-join + 1-row count over the
-    * checkpointed (doc, tokens) frame. */
+    * WHAT changed, this shows per-gate WHY). The three `overlap:` rows
+    * complete the attribution algebra: the kept/solo columns hold
+    * docs/tokens kept by the pair applied JOINTLY, and the lost
+    * columns hold docs/tokens DROPPED BY BOTH gates of the pair — the
+    * double-counted mass that explains why the marginal losses sum to
+    * less than the stack's total loss. Gate membership reuses the
+    * operators themselves (no re-derived predicates to drift). All
+    * seven rows derive from EIGHT 1-row semi-join aggregates over the
+    * checkpointed (doc, tokens) frame — the overlap rows are
+    * inclusion-exclusion arithmetic over the pair aggregates, not
+    * extra corpus passes. */
   def gateAblation(spark: SparkSession, dir: String): DataFrame = {
     val mod = Curation.EvalMod
     val p = Tables.documents(spark, dir).select("doc_id", "text").spread
@@ -392,29 +399,39 @@ object Pipeline {
       .filter(col("pred") === 1).select("doc_id").localCheckpoint()
     def keptBy(sets: Seq[DataFrame]): DataFrame =
       sets.foldLeft(p)((acc, s) => acc.join(s, Seq("doc_id"), "left_semi"))
-    def agg(df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("c"), coalesce(sum("n_toks"), lit(0L)).as("t"))
-    val all = Seq(gDecon, gDedup, gLex)
-    val stack = agg(keptBy(all)).localCheckpoint()
-    def row(gate: String, solo: DataFrame, without: DataFrame): DataFrame =
-      agg(solo).crossJoin(broadcast(
-          agg(without).select(col("c").as("wc"), col("t").as("wt"))))
-        .crossJoin(broadcast(
-          stack.select(col("c").as("sc"), col("t").as("st"))))
-        .select(lit(gate).as("gate"),
-          col("c").as("docs_kept_solo"), col("t").as("toks_kept_solo"),
-          (col("wc") - col("sc")).as("docs_lost_marginal"),
-          (col("wt") - col("st")).as("toks_lost_marginal"))
-    row("decontam", keptBy(Seq(gDecon)), keptBy(Seq(gDedup, gLex)))
-      .unionByName(row("exact_dedup", keptBy(Seq(gDedup)), keptBy(Seq(gDecon, gLex))))
-      .unionByName(row("lexicon", keptBy(Seq(gLex)), keptBy(Seq(gDecon, gDedup))))
-      .unionByName(
-        agg(keptBy(all)).crossJoin(broadcast(
-            agg(p).select(col("c").as("pc"), col("t").as("pt"))))
-          .select(lit("stack").as("gate"),
-            col("c").as("docs_kept_solo"), col("t").as("toks_kept_solo"),
-            (col("pc") - col("c")).as("docs_lost_marginal"),
-            (col("pt") - col("t")).as("toks_lost_marginal")))
+    def agg1(df: DataFrame, pre: String): DataFrame =
+      df.agg(count(lit(1)).as(s"${pre}c"),
+        coalesce(sum("n_toks"), lit(0L)).as(s"${pre}t"))
+    // ONE 1-row stats frame: base + 3 solos + 3 pairs + stack
+    val stats = Seq(
+      agg1(keptBy(Seq(gDecon)), "d"), agg1(keptBy(Seq(gDedup)), "k"),
+      agg1(keptBy(Seq(gLex)), "l"),
+      agg1(keptBy(Seq(gDecon, gDedup)), "dk"),
+      agg1(keptBy(Seq(gDecon, gLex)), "dl"),
+      agg1(keptBy(Seq(gDedup, gLex)), "kl"),
+      agg1(keptBy(Seq(gDecon, gDedup, gLex)), "s"))
+      .foldLeft(agg1(p, "p"))((acc, a) => acc.crossJoin(broadcast(a)))
+      .localCheckpoint()
+    def row(gate: String, kc: Column, kt: Column,
+            lc: Column, lt: Column): DataFrame =
+      stats.select(lit(gate).as("gate"),
+        kc.as("docs_kept_solo"), kt.as("toks_kept_solo"),
+        lc.as("docs_lost_marginal"), lt.as("toks_lost_marginal"))
+    def c(n: String) = col(n + "c")
+    def t(n: String) = col(n + "t")
+    Seq(
+      row("decontam", c("d"), t("d"), c("kl") - c("s"), t("kl") - t("s")),
+      row("exact_dedup", c("k"), t("k"), c("dl") - c("s"), t("dl") - t("s")),
+      row("lexicon", c("l"), t("l"), c("dk") - c("s"), t("dk") - t("s")),
+      // dropped by BOTH gates of the pair = p − a − b + a∩b
+      row("overlap:decontam*exact_dedup", c("dk"), t("dk"),
+        c("p") - c("d") - c("k") + c("dk"), t("p") - t("d") - t("k") + t("dk")),
+      row("overlap:decontam*lexicon", c("dl"), t("dl"),
+        c("p") - c("d") - c("l") + c("dl"), t("p") - t("d") - t("l") + t("dl")),
+      row("overlap:exact_dedup*lexicon", c("kl"), t("kl"),
+        c("p") - c("k") - c("l") + c("kl"), t("p") - t("k") - t("l") + t("kl")),
+      row("stack", c("s"), t("s"), c("p") - c("s"), t("p") - t("s")))
+      .reduce(_ unionByName _)
       .orderBy("gate")
   }
 

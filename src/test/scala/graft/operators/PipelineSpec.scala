@@ -237,4 +237,32 @@ class PipelineSpec extends SparkSpec {
       assert(r.getDouble(6) == ratio4Model(r.getLong(2), r.getLong(1)))
     }
   }
+
+  test("gateAblation: overlap rows complete the inclusion-exclusion algebra") {
+    val rows = Pipeline.gateAblation(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("decontam", "exact_dedup", "lexicon",
+      "overlap:decontam*exact_dedup", "overlap:decontam*lexicon",
+      "overlap:exact_dedup*lexicon", "stack"))
+    val base = rows("stack")._1 + rows("stack")._3 // kept + lost = |p|
+    def keptDocs(g: String) = rows(g)._1
+    // each pair's joint-kept ≤ either solo-kept; dropped-by-both =
+    // p − a − b + a∩b must be the emitted loss column and nonnegative
+    def check(pair: String, a: String, b: String): Unit = {
+      val (kc, _, lc, _) = rows(pair)
+      assert(kc <= math.min(keptDocs(a), keptDocs(b)))
+      assert(lc === base - keptDocs(a) - keptDocs(b) + kc)
+      assert(lc >= 0L)
+      // dropped-by-both ≤ either gate's total drop
+      assert(lc <= math.min(base - keptDocs(a), base - keptDocs(b)))
+    }
+    check("overlap:decontam*exact_dedup", "decontam", "exact_dedup")
+    check("overlap:decontam*lexicon", "decontam", "lexicon")
+    check("overlap:exact_dedup*lexicon", "exact_dedup", "lexicon")
+    // marginal ≤ the gate's full drop; stack kept ≤ every pair's kept
+    Seq("decontam", "exact_dedup", "lexicon").foreach { g =>
+      assert(rows(g)._3 <= base - keptDocs(g))
+    }
+  }
 }
