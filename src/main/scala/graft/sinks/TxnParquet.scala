@@ -152,34 +152,94 @@ object TxnParquet {
 
   private def leasePath(dir: String) = new Path(s"$dir/_compactions/_lease")
 
-  /** Acquire the single-compactor lease, or throw. Atomic-create of an
-    * empty-until-written marker file (`create(overwrite = false)` is the
-    * one conditional primitive every HDFS-compatible store offers);
-    * content records the holder's applicationId for diagnostics. A lease
-    * whose mtime is older than `ttlMs` is presumed crashed and stolen —
-    * two concurrent stealers race delete-then-create, and the
-    * conditional create picks exactly one winner. */
-  private def acquireLease(f: org.apache.hadoop.fs.FileSystem, dir: String,
-                           holder: String, ttlMs: Long): Unit = {
+  /** Acquire the single-compactor lease; returns the holder's UNIQUE
+    * token (content of the marker — what [[holdsLease]] checks and
+    * [[releaseLease]] matches), or throws. Atomic-create of the marker
+    * file (`create(overwrite = false)` is the one conditional primitive
+    * every HDFS-compatible store offers). A lease whose mtime is older
+    * than `ttlMs` is presumed crashed and STOLEN ATOMICALLY: the
+    * stealer RENAMES the observed-stale marker to a per-stealer name —
+    * rename picks exactly one winner (the loser's source is gone), so
+    * two concurrent stealers can never both proceed the way the old
+    * delete-then-create race allowed (B deletes + recreates, then A's
+    * blind delete removes B's fresh lease). The winner then contends
+    * through the normal conditional create (a brand-new acquirer may
+    * still beat it — either way at most one holder exists). */
+  private[graft] def acquireLease(f: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, holder: String,
+                                  ttlMs: Long): String = {
     val lp = leasePath(dir)
+    val token = s"$holder#${java.util.UUID.randomUUID()}"
     def tryAcquire(): Boolean =
       try {
         val out = f.create(lp, false)
-        try out.write(holder.getBytes("UTF-8")) finally out.close()
+        try out.write(token.getBytes("UTF-8")) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def fail(): Nothing = throw new IllegalStateException(
+      s"another compactor holds the lease under $dir (marker " +
+        s"$lp, ttl ${ttlMs}ms); concurrent compactions would race " +
+        "generation ids — wait for it, or delete the marker if its " +
+        "holder is known dead")
     if (!tryAcquire()) {
       val stale =
-        try System.currentTimeMillis() -
-          f.getFileStatus(lp).getModificationTime > ttlMs
-        catch { case _: java.io.FileNotFoundException => true }
-      val acquired = stale && { f.delete(lp, false); tryAcquire() }
-      if (!acquired) throw new IllegalStateException(
-        s"another compactor holds the lease under $dir (marker " +
-          s"$lp, ttl ${ttlMs}ms); concurrent compactions would race " +
-          "generation ids — wait for it, or delete the marker if its " +
-          "holder is known dead")
+        try Some(System.currentTimeMillis() -
+          f.getFileStatus(lp).getModificationTime > ttlMs)
+        catch { case _: java.io.FileNotFoundException => None }
+      stale match {
+        case None => // holder released between create and stat: contend again
+          if (!tryAcquire()) fail()
+        case Some(false) => fail()
+        case Some(true) =>
+          val claim = new Path(
+            s"$dir/_compactions/.lease-steal-${java.util.UUID.randomUUID()}")
+          val won =
+            try f.rename(lp, claim) catch { case _: java.io.IOException => false }
+          if (won) f.delete(claim, false) // the stale marker, now fenced off
+          if (!won || !tryAcquire()) fail()
+      }
     }
+    token
+  }
+
+  /** True iff the lease marker exists and carries `token` — the fencing
+    * check a long-running compaction makes before committing. */
+  private[graft] def holdsLease(f: org.apache.hadoop.fs.FileSystem,
+                                dir: String, token: String): Boolean =
+    try {
+      val in = f.open(leasePath(dir))
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content == token
+    } catch { case _: Exception => false }
+
+  /** Release only OUR lease: a marker re-issued to a stealer after our
+    * TTL expired must not be deleted out from under its new holder. */
+  private[graft] def releaseLease(f: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, token: String): Unit =
+    if (holdsLease(f, dir, token)) f.delete(leasePath(dir), false)
+
+  /** Daemon renewal thread: bumps the lease mtime every ttl/3 while the
+    * rewrite runs, so a legitimate compaction SLOWER than the TTL keeps
+    * its lease instead of being presumed crashed and stolen mid-write.
+    * Stops renewing the moment the token no longer matches (stolen). */
+  private def startRenewer(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                           token: String, ttlMs: Long): Thread = {
+    val t = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(ttlMs / 3, 200L))
+          try {
+            if (holdsLease(f, dir, token))
+              f.setTimes(leasePath(dir), System.currentTimeMillis(), -1)
+          } catch { case _: Exception => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"txnparquet-lease-renewer-$dir")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   /** All committed (generation, covered batch-id set), newest first. */
@@ -211,23 +271,35 @@ object TxnParquet {
     * view fully readable. `numFiles` bounds the rewrite's output files
     * (a coalesce, not a shuffle).
     *
-    * ONE compactor at a time, ENFORCED: a lease marker under
-    * `_compactions/` is taken by conditional create before any work and
-    * released after the manifest lands (or on failure), so a second
-    * concurrent `compact` fails fast instead of racing generation ids.
-    * A crashed holder's lease expires after `leaseTtlMs` and is stolen
-    * by the next caller. */
+    * ONE compactor at a time, ENFORCED in depth: (1) a lease marker
+    * under `_compactions/` is taken by conditional create before any
+    * work, RENEWED every ttl/3 during the rewrite (a slow rewrite keeps
+    * its lease), stolen only by atomic rename after `leaseTtlMs`
+    * without renewal, and released-if-still-held afterwards; (2) the
+    * data lands in a per-attempt staging directory and is INSTALLED by
+    * renaming it to `compact=<gen>` — if a stolen-lease race ever does
+    * produce two compactors on the same generation, exactly one rename
+    * installs and the loser aborts before touching the manifest, so a
+    * loser's data can never land under a winner's committed manifest;
+    * (3) the manifest commit re-checks lease ownership (fencing) and
+    * itself lands by rename, which fails on an existing target. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
               leaseTtlMs: Long = 15 * 60 * 1000L): Long = {
     val f = fs(spark, dir)
-    acquireLease(f, dir, spark.sparkContext.applicationId, leaseTtlMs)
-    try compactHoldingLease(spark, f, dir, numFiles)
-    finally f.delete(leasePath(dir), false)
+    val token = acquireLease(f, dir, spark.sparkContext.applicationId, leaseTtlMs)
+    val renewer = startRenewer(f, dir, token, leaseTtlMs)
+    try compactHoldingLease(spark, f, dir, numFiles, token)
+    finally {
+      renewer.interrupt()
+      renewer.join(2000L)
+      releaseLease(f, dir, token)
+    }
   }
 
   private def compactHoldingLease(spark: SparkSession,
                                   f: org.apache.hadoop.fs.FileSystem,
-                                  dir: String, numFiles: Int): Long = {
+                                  dir: String, numFiles: Int,
+                                  token: String): Long = {
     val prior = latestCompaction(spark, dir)
     val gen = prior.map(_._1 + 1).getOrElse(0L)
     // ONE listing snapshots the view; both the rewrite input and the
@@ -239,21 +311,57 @@ object TxnParquet {
     val covered = ids.toSet ++ prior.map(_._2).getOrElse(Set.empty)
     val paths = pathsFor(dir, ids, prior)
     require(paths.nonEmpty, s"no committed batches under $dir")
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      .coalesce(numFiles)
-      .write.mode("overwrite").parquet(s"$dir/compact=$gen")
-    // manifest lands by atomic RENAME: a crash mid-write leaves only an
-    // invisible .tmp (a torn manifest read as committed would make
-    // `read` plan compact=gen AND some covered batches — double rows)
-    val tmp = new Path(s"$dir/_compactions/.$gen.tmp")
-    val out = f.create(tmp, true)
-    try out.write(covered.toSeq.sorted.mkString(",").getBytes("UTF-8"))
-    finally out.close()
-    // HDFS signals a failed rename by returning false, not throwing — a
-    // swallowed false would report gen as committed with no manifest
-    require(f.rename(tmp, new Path(s"$dir/_compactions/$gen")),
-      s"manifest rename failed for gen=$gen under $dir")
-    gen
+    // write to a per-attempt staging dir; installing it is one rename —
+    // the generation fence (see `compact` doc, point 2)
+    val staging = new Path(s"$dir/.compact-staging-${java.util.UUID.randomUUID()}")
+    val target = new Path(s"$dir/compact=$gen")
+    try {
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .coalesce(numFiles)
+        .write.mode("overwrite").parquet(staging.toString)
+      val installed = !f.exists(target) &&
+        (try f.rename(staging, target)
+         catch { case _: java.io.IOException => false })
+      // local/posix-style rename moves INTO an existing target dir: a
+      // racer creating the target between the exists check and our
+      // rename would nest the staging dir — detect and abort
+      val nested = new Path(target, staging.getName)
+      if (installed && f.exists(nested)) {
+        // the target we renamed into was created by a racer between our
+        // exists check and the rename: the target is THEIRS — remove
+        // only our nested staging data and abort
+        f.delete(nested, true)
+        throw new IllegalStateException(
+          s"concurrent compactor installed compact=$gen first under $dir")
+      }
+      if (!installed) throw new IllegalStateException(
+        s"could not install compact=$gen under $dir (a concurrent " +
+          "compactor won the generation)")
+      // FENCE: if our lease was stolen mid-rewrite (TTL expiry under a
+      // stalled renewer), do not commit — the stealer owns the table
+      // now. Remove OUR installed-but-uncommitted target (invisible to
+      // readers, but it would block the new holder's install rename).
+      if (!holdsLease(f, dir, token)) {
+        f.delete(target, true)
+        throw new IllegalStateException(
+          s"lease for $dir was stolen during the rewrite; aborting before " +
+            "the manifest commit (the new holder owns generation ids now)")
+      }
+      // manifest lands by atomic RENAME: a crash mid-write leaves only an
+      // invisible .tmp (a torn manifest read as committed would make
+      // `read` plan compact=gen AND some covered batches — double rows)
+      val tmp = new Path(s"$dir/_compactions/.$gen.tmp")
+      val out = f.create(tmp, true)
+      try out.write(covered.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+      // HDFS signals a failed rename by returning false, not throwing — a
+      // swallowed false would report gen as committed with no manifest
+      require(f.rename(tmp, new Path(s"$dir/_compactions/$gen")),
+        s"manifest rename failed for gen=$gen under $dir")
+      gen
+    } finally {
+      if (f.exists(staging)) f.delete(staging, true)
+    }
   }
 
   /** Delete data made dead by the latest committed compaction: covered

@@ -178,4 +178,80 @@ class TxnParquetSpec extends SparkSpec {
     assert(TxnParquet.read(spark, dir).count() == 1L)
     assert(!f.exists(lease))
   }
+
+  private def hadoopFs(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("steal is atomic: once one stealer renamed the stale marker, a second loses") {
+    val dir = freshDir()
+    val f = hadoopFs(dir)
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/_compactions/_lease")
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_compactions"))
+    val out = f.create(lease, false); out.write("dead".getBytes); out.close()
+    val old = System.currentTimeMillis() - 60 * 60 * 1000L
+    f.setTimes(lease, old, old)
+    // stealer A wins the rename and holds a fresh lease with ITS token
+    val tokenA = TxnParquet.acquireLease(f, dir, "A", 1000L)
+    assert(TxnParquet.holdsLease(f, dir, tokenA))
+    // stealer B observes a FRESH lease now (A's) — must NOT steal it:
+    // the old delete-then-create race would have blown A's lease away
+    val e = intercept[IllegalStateException](
+      TxnParquet.acquireLease(f, dir, "B", 1000L))
+    assert(e.getMessage.contains("another compactor holds the lease"))
+    assert(TxnParquet.holdsLease(f, dir, tokenA)) // A's lease intact
+  }
+
+  test("release only deletes the caller's own lease, never a stolen reissue") {
+    val dir = freshDir()
+    val f = hadoopFs(dir)
+    val tokenA = TxnParquet.acquireLease(f, dir, "A", 1000L)
+    // A's lease goes stale and B steals it
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/_compactions/_lease")
+    val old = System.currentTimeMillis() - 10 * 1000L
+    f.setTimes(lease, old, old)
+    val tokenB = TxnParquet.acquireLease(f, dir, "B", 1000L)
+    assert(!TxnParquet.holdsLease(f, dir, tokenA))
+    assert(TxnParquet.holdsLease(f, dir, tokenB))
+    // A's release is a no-op against B's lease
+    TxnParquet.releaseLease(f, dir, tokenA)
+    assert(TxnParquet.holdsLease(f, dir, tokenB))
+    TxnParquet.releaseLease(f, dir, tokenB)
+    assert(!f.exists(lease))
+  }
+
+  test("generation fence: a pre-installed compact=<gen> aborts the commit cleanly") {
+    val dir = freshDir()
+    TxnParquet.append(Seq((1L, "a")).toDF("id", "v"), dir, 0L)
+    // simulate a racing compactor that installed generation 0's data
+    // (no manifest yet): our compact must abort BEFORE any manifest
+    Seq((9L, "racer")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/compact=0")
+    val e = intercept[IllegalStateException](TxnParquet.compact(spark, dir))
+    assert(e.getMessage.contains("compact=0"))
+    assert(TxnParquet.latestCompaction(spark, dir).isEmpty) // no manifest
+    assert(TxnParquet.read(spark, dir).count() == 1L) // old view intact
+    // no staging litter and the lease was released on failure
+    val f = hadoopFs(dir)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .forall(!_.getPath.getName.startsWith(".compact-staging")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_compactions/_lease")))
+  }
+
+  test("a compaction slower than the ttl keeps its lease via renewal") {
+    val dir = freshDir()
+    val f = hadoopFs(dir)
+    val token = TxnParquet.acquireLease(f, dir, "slow", 600L)
+    // compact()'s renewer bumps the lease mtime every ttl/3; verify the
+    // PRIMITIVE it relies on: after a bump, a would-be stealer sees a
+    // fresh lease even though more than one ttl has elapsed since acquire
+    Thread.sleep(700L) // past the ttl without renewal the lease is stale
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/_compactions/_lease")
+    f.setTimes(lease, System.currentTimeMillis(), -1) // the renewer's bump
+    val e = intercept[IllegalStateException](
+      TxnParquet.acquireLease(f, dir, "thief", 600L))
+    assert(e.getMessage.contains("another compactor holds the lease"))
+    assert(TxnParquet.holdsLease(f, dir, token))
+    TxnParquet.releaseLease(f, dir, token)
+  }
 }
