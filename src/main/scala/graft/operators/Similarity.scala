@@ -231,31 +231,44 @@ object Similarity {
   /** Session-scoped memo for the expensive, pure, localCheckpointed
     * build artifacts ([[bruteTopKShared]], [[graphEdgesShared]]).
     *
-    * Keyed on the SparkSession OBJECT through a WeakHashMap: entries die
-    * with their session (a GC'd session's map is collected with it), and
-    * a fresh session can never inherit a dead session's checkpointed
-    * frames — the previous identityHashCode string key could collide
-    * after the old session was GC'd and hand a new session a frame bound
-    * to a stopped SparkContext. Each key also carries a corpus-version
+    * Keyed by the session's UUID (identity — a fresh session can never
+    * inherit a dead session's checkpointed frames), with the owning
+    * SparkContext held for LIVENESS: every call prunes memos whose
+    * context is stopped, dropping the last strong reference so the
+    * session object itself can be collected. (The previous WeakHashMap
+    * keying never collected anything: each memoized Dataset strongly
+    * references its SparkSession, so the weak key was always reachable
+    * through its own value — a driver-side leak in long-lived JVMs
+    * cycling many sessions.) Each key also carries a corpus-version
     * token ([[corpusVersion]]) so data regenerated under the SAME dir
     * within one session recomputes instead of serving stale results.
     *
-    * Bounded: a per-session map past [[MemoCap]] entries is unpersisted
-    * (checkpoint blocks released immediately rather than waiting for the
-    * ContextCleaner's GC cycle) and cleared — only THAT session's
-    * frames, never another live session's. The cap is generous versus
-    * the ≤6 distinct keys the ANN panels use per corpus, so eviction
-    * only fires in a many-corpus session where the dropped frames are no
-    * longer in flight. */
+    * Bounded: past [[MemoCap]] entries the OLDEST entries are dropped
+    * from the map — WITHOUT unpersisting. An evicted frame may be in
+    * flight in a concurrent consumer (recallReport builds via Futures),
+    * and localCheckpoint truncates lineage, so an eager unpersist would
+    * fail that consumer instead of recomputing; dropping the reference
+    * instead lets the ContextCleaner reclaim the blocks when the last
+    * consumer lets go. The cap is generous versus the ≤6 distinct keys
+    * the ANN panels use per corpus. */
   private val MemoCap = 16
+  private case class SessionMemo(
+      ctx: org.apache.spark.SparkContext,
+      entries: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      order: java.util.concurrent.ConcurrentLinkedQueue[String])
   private val sessionMemos =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, MemoEntry]]
-  private case class MemoEntry(df: DataFrame,
-                               blocks: Option[org.apache.spark.rdd.RDD[_]])
+    new java.util.concurrent.ConcurrentHashMap[String, SessionMemo]
 
-  /** The persisted RDD behind a localCheckpointed frame — what an
-    * eviction must unpersist to release the blocks eagerly. */
+  /** Identity key for a session: the classic session's UUID (stable,
+    * never reused — via Bridge; identityHashCode only as a fallback for
+    * exotic SparkSession implementations). */
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graft.Bridge.sessionUUID(spark)
+
+  /** The persisted RDD behind a localCheckpointed frame — what a
+    * SELF-OWNED eviction (the graph frontier loop, which is the sole
+    * consumer of its own frames) unpersists to release blocks eagerly.
+    * The shared memo deliberately does NOT use this (see above). */
   private def blocksOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -277,26 +290,28 @@ object Similarity {
 
   private def memoized(spark: SparkSession, key: String)
                       (build: => DataFrame): DataFrame = {
-    val m = sessionMemos.synchronized {
-      var mm = sessionMemos.get(spark)
-      if (mm == null) {
-        mm = new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]
-        sessionMemos.put(spark, mm)
-      }
-      mm
+    // liveness prune: a stopped context's frames are unusable anyway
+    sessionMemos.entrySet().removeIf(e => e.getValue.ctx.isStopped)
+    val sm = sessionMemos.computeIfAbsent(sessionKey(spark), _ =>
+      SessionMemo(spark.sparkContext,
+        new java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+        new java.util.concurrent.ConcurrentLinkedQueue[String]))
+    val df = sm.entries.computeIfAbsent(key, k => {
+      sm.order.add(k)
+      build.localCheckpoint()
+    })
+    // bound: drop oldest-inserted entries only; never the one just
+    // returned, never with an unpersist (see the memo doc above). The
+    // iteration bound makes concurrent-evict races terminate.
+    var spins = sm.entries.size + 1
+    while (sm.entries.size > MemoCap && spins > 0) {
+      spins -= 1
+      val oldest = sm.order.poll()
+      if (oldest == null) spins = 0 // queue drained by a concurrent evict
+      else if (oldest == key) sm.order.add(oldest) // keep the live key
+      else sm.entries.remove(oldest)
     }
-    if (m.size > MemoCap) m.synchronized {
-      if (m.size > MemoCap) {
-        m.values.forEach(e =>
-          e.blocks.foreach(r => try r.unpersist(false)
-                                catch { case _: Exception => () }))
-        m.clear()
-      }
-    }
-    m.computeIfAbsent(key, _ => {
-      val df = build.localCheckpoint()
-      MemoEntry(df, blocksOf(df))
-    }).df
+    df
   }
 
   /** Memoized, localCheckpointed [[bruteTopK]] per (session, corpus

@@ -21,6 +21,16 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Stable identity UUID of a session (classic.SparkSession.sessionUUID
+    * is private[sql]); falls back to identityHashCode for exotic
+    * SparkSession implementations. Never reused across sessions — the
+    * safe key for driver-side per-session caches. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark match {
+      case c: classic.SparkSession => c.sessionUUID
+      case s => "id@" + System.identityHashCode(s)
+    }
+
   /** Analyzed logical plan of a DataFrame. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

@@ -32,6 +32,7 @@ Structural signals the queries need, mirrored from the driver data:
    (statuses, priorities, flags, price/quantity/discount/tax ranges,
    1995..2001 date windows, shipdate = orderdate + 1..95 days).
 """
+import hashlib
 import json
 import os
 import sys
@@ -215,9 +216,14 @@ P = np.uint64((1 << 61) - 1)
 ha = prng.integers(1, P, 32, dtype=np.uint64)
 hb = prng.integers(0, P, 32, dtype=np.uint64)
 sigs = np.empty((len(sample), 32), dtype=np.uint64)
+def _shingle_hash(s):
+    # deterministic across processes: builtin hash() is salted by
+    # PYTHONHASHSEED and would make the probe gate flicker run-to-run
+    d = hashlib.blake2b(s.encode(), digest_size=8, key=b"probe").digest()
+    return int.from_bytes(d, "little") & 0x7FFFFFFFFFFFFFFF
 for si, di in enumerate(sample):
     t = texts[di].split()
-    sh = np.array([hash((t[j], t[j + 1], t[j + 2])) & 0x7FFFFFFFFFFFFFFF
+    sh = np.array([_shingle_hash(" ".join(t[j:j + 3]))
                    for j in range(len(t) - 2)], dtype=np.uint64)
     sigs[si] = ((sh[:, None] * ha + hb) % P).min(axis=0)
 bad = 0
