@@ -135,7 +135,41 @@ object Layout {
     * order near 1). */
   def zorderPlan(spark: SparkSession, dir: String,
                  nFiles: Int = NumFiles): DataFrame =
+    planOf(zorderAssignments(spark, dir, nFiles))
+
+  /** Physically INSTALL the plan — the write-side half the planner
+    * promises: each planned file's rows land as one parquet file under
+    * `outDir/file_id=<id>/`, sorted by z within the file, so the
+    * parquet FOOTER min/max of both clustered dimensions equal the
+    * manifest envelopes and any reader's pushed predicate skips
+    * non-intersecting files (row groups). Returns the manifest
+    * MEASURED FROM THE INSTALLED FILES (one narrow read-back scan) —
+    * identical to [[zorderPlan]] when the install preserved the
+    * assignment, which LayoutSpec pins.
+    *
+    * Scale shape: the assignment pass (domain broadcast + bit math +
+    * ONE native global rank) feeds one hash exchange on file_id (each
+    * id lives in exactly one task, so `partitionBy` emits exactly one
+    * file per id) and a per-partition sort; the manifest read-back is
+    * a narrow O(rows)→O(files) rollup over the freshly written files.
+    * Nothing re-sorts and no driver materialization anywhere. */
+  def writeLayout(spark: SparkSession, dir: String, outDir: String,
+                  nFiles: Int = NumFiles): DataFrame = {
     zorderAssignments(spark, dir, nFiles)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("z"), col("file_id"))
+      .repartition(nFiles, col("file_id"))
+      .sortWithinPartitions("file_id", "z", "l_orderkey", "l_linenumber")
+      .write.mode("overwrite").partitionBy("file_id").parquet(outDir)
+    planOf(spark.read.parquet(outDir)
+      .crossJoin(broadcast(domain(spark, dir))))
+  }
+
+  /** The O(files) manifest rollup over any assignment-shaped frame
+    * (rows carrying file_id, both dimension columns, and the broadcast
+    * domain constants). */
+  private def planOf(za: DataFrame): DataFrame =
+    za.withColumn("file_id", col("file_id").cast("long"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
