@@ -49,6 +49,7 @@ object SparkEntry {
     "corpus_token_gini" -> ((s, d) => CorpusStats.tokenGini(s, d)),
     "embeddings_pq_error" -> ((s, d) => Similarity.pqErrorStats(s, d)),
     "ann_sq_topk" -> ((s, d) => Similarity.sqTopK(s, d)),
+    "ann_sq_rerank" -> ((s, d) => Similarity.sqRerankTopK(s, d)),
     "ann_ivfsq_topk" -> ((s, d) => Similarity.ivfSqTopK(s, d)),
     "embeddings_sq_error" -> ((s, d) => Similarity.sqErrorStats(s, d)),
     "pipeline_dedup_cascade" -> ((s, d) => graft.operators.Curation.dedupCascade(s, d)),
@@ -3818,6 +3819,33 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY approx_cos DESC, vec_id) AS rank FROM p)
          |WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank""".stripMargin,
+
+    // two-stage SQ: byte-code scan selects k·RerankFactor candidates,
+    // exact float cosine reranks ONLY those — mirrors
+    // Similarity.sqRerankTopK over the shared SQ CTEs
+    "ann_sq_rerank" -> {
+      val kf = graft.operators.Similarity.TopK *
+        graft.operators.Similarity.RerankFactor
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |${sqCtes()},
+         |p AS (
+         |  SELECT q.vec_id AS q_id, h.vec_id, ${duckCosD("q.e", "h.xh")} AS approx_cos
+         |  FROM v q JOIN sqh h ON h.vec_id <> q.vec_id
+         |  WHERE q.vec_id < ${graft.operators.Similarity.NumQueries}),
+         |cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY approx_cos DESC, vec_id) AS arank FROM p)
+         |  WHERE arank <= $kf),
+         |r AS (
+         |  SELECT c.q_id, c.vec_id, ${duckCos("q.e", "x.e")} AS cos
+         |  FROM cand c JOIN v q ON q.vec_id = c.q_id
+         |              JOIN v x ON x.vec_id = c.vec_id)
+         |SELECT q_id, rank, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS rank FROM r)
+         |WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank""".stripMargin
+    },
 
     // per-dimension SQ8 quantization error — mirrors
     // Similarity.sqErrorStats over the SAME stats CTE

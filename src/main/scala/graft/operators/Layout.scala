@@ -53,6 +53,18 @@ object Layout {
         shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
 
+  /** Generic z-value of two numeric dimension columns under domain
+    * bounds riding the frame (broadcast 1-row aggregate): values are
+    * clamped into the domain (late rows outside a frozen domain land
+    * in the edge buckets), bucketed equi-width, Morton-interleaved.
+    * The reusable kernel behind the lineitem planner AND the z-ordered
+    * compaction rewrite (TxnParquet.compactZOrdered). */
+  def zValue(c1: Column, lo1: Column, hi1: Column,
+             c2: Column, lo2: Column, hi2: Column): Column =
+    zInterleave(
+      bucket(greatest(lo1, least(hi1, c1)), lo1, hi1),
+      bucket(greatest(lo2, least(hi2, c2)), lo2, hi2))
+
   /** The clustered dimensions' domain row — the frozen-quantizer state
     * of a committed layout (persist it with the manifest; re-deriving
     * from data + appends would re-bucket every existing file). */

@@ -901,6 +901,37 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Candidate multiplier for the two-stage SQ rerank search. */
+  val RerankFactor = 4
+
+  /** `ann_sq_rerank`: the production two-stage pattern the quantized
+    * families compose into — stage 1 scans the 1-byte CODE table for
+    * k·`factor` candidates per query (approximate cosine, no raw
+    * vector bytes touched), stage 2 fetches raw floats for ONLY those
+    * candidates (O(queries·k·factor) rows through the join) and
+    * reranks by EXACT cosine. Rank swaps the quantization introduced
+    * inside the candidate pool are corrected, so recall ≥ the
+    * one-stage scan at the cost of a candidate-sized vector fetch —
+    * the 100 TB shape: byte scan for selection, float reads bounded by
+    * the rerank set, never a full-corpus float scan. */
+  def sqRerankTopK(spark: SparkSession, dir: String, k: Int = TopK,
+                   nQueries: Int = NumQueries,
+                   factor: Int = RerankFactor): DataFrame = {
+    val v = vecs(spark, dir)
+    val st = sqStats(v)
+    val cand = sqSearch(v, st, sqEncode(v, st), k * factor, nQueries)
+      .select(col("q_id"), col("vec_id"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(v, "vec_id").join(broadcast(q), "q_id")
+      .withColumn("cos", cosine("qe", "e"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** `ann_ivfsq_topk` — IVF×SQ composition, the missing-cell of the
     * pruning/compression matrix (IVF+PQ is its codebook twin): the
     * coarse k-means quantizer prunes the scan to the query's `nprobe`

@@ -284,11 +284,44 @@ object TxnParquet {
     * (3) the manifest commit re-checks lease ownership (fencing) and
     * itself lands by rename, which fails on an existing target. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
-              leaseTtlMs: Long = 15 * 60 * 1000L): Long = {
+              leaseTtlMs: Long = 15 * 60 * 1000L): Long =
+    compactRewritten(spark, dir, leaseTtlMs)(_.coalesce(numFiles))
+
+  /** Z-ORDERED compaction: the consolidated generation is written
+    * clustered on two numeric dimensions (Morton-interleaved equi-width
+    * buckets over the view's own min/max domain, `numFiles` contiguous
+    * z-ranges via ONE range exchange, rows z-sorted within each file) —
+    * so the generation's parquet footers carry tight 2-D min/max
+    * envelopes and any reader's pushed predicate on either dimension
+    * skips most of the table. This closes the ingest story: streaming
+    * appends land in arrival order (cheap), and the periodic compaction
+    * pays exactly one range exchange to make the accumulated data
+    * prunable — the same rewrite cost the Layout planner budgets.
+    * Same lease + staging + fencing protocol as [[compact]]. */
+  def compactZOrdered(spark: SparkSession, dir: String,
+                      dim1: String, dim2: String, numFiles: Int = 16,
+                      leaseTtlMs: Long = 15 * 60 * 1000L): Long =
+    compactRewritten(spark, dir, leaseTtlMs) { df =>
+      import org.apache.spark.sql.functions._
+      val dom = df.agg(
+        min(dim1).as("__lo1"), max(dim1).as("__hi1"),
+        min(dim2).as("__lo2"), max(dim2).as("__hi2"))
+      df.crossJoin(broadcast(dom))
+        .withColumn("__z", graft.operators.Layout.zValue(
+          col(dim1), col("__lo1"), col("__hi1"),
+          col(dim2), col("__lo2"), col("__hi2")))
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__lo1", "__hi1", "__lo2", "__hi2", "__z")
+    }
+
+  private def compactRewritten(spark: SparkSession, dir: String,
+                               leaseTtlMs: Long)
+                              (rewrite: DataFrame => DataFrame): Long = {
     val f = fs(spark, dir)
     val token = acquireLease(f, dir, spark.sparkContext.applicationId, leaseTtlMs)
     val renewer = startRenewer(f, dir, token, leaseTtlMs)
-    try compactHoldingLease(spark, f, dir, numFiles, token)
+    try compactHoldingLease(spark, f, dir, rewrite, token)
     finally {
       renewer.interrupt()
       renewer.join(2000L)
@@ -298,7 +331,8 @@ object TxnParquet {
 
   private def compactHoldingLease(spark: SparkSession,
                                   f: org.apache.hadoop.fs.FileSystem,
-                                  dir: String, numFiles: Int,
+                                  dir: String,
+                                  rewrite: DataFrame => DataFrame,
                                   token: String): Long = {
     val prior = latestCompaction(spark, dir)
     val gen = prior.map(_._1 + 1).getOrElse(0L)
@@ -316,8 +350,7 @@ object TxnParquet {
     val staging = new Path(s"$dir/.compact-staging-${java.util.UUID.randomUUID()}")
     val target = new Path(s"$dir/compact=$gen")
     try {
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        .coalesce(numFiles)
+      rewrite(spark.read.option("mergeSchema", "true").parquet(paths: _*))
         .write.mode("overwrite").parquet(staging.toString)
       val installed = !f.exists(target) &&
         (try f.rename(staging, target)

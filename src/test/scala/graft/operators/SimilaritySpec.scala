@@ -156,6 +156,18 @@ class SimilaritySpec extends SparkSpec {
     // kmeans-IVF floor (SQ adds no measurable loss at 8 bits/dim)
     val ivfsq = rec.find(_._1 == "ann_ivfsq_topk").get
     assert(ivfsq._3 >= 0.5, s"IVF+SQ recall ${ivfsq._3} below floor")
+    // two-stage rerank: exact rerank of the SQ candidate pool can only
+    // help — recall ≥ the one-stage SQ scan, and clears the same floor
+    val brute = Similarity.bruteTopKShared(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("q_id", "vec_id").collect()
+        .count(r => brute((r.getLong(0), r.getLong(1)))).toDouble / brute.size
+    val sqR = recallOf(Similarity.sqTopK(spark, sf))
+    val rrR = recallOf(Similarity.sqRerankTopK(spark, sf))
+    info(f"sq one-stage recall $sqR%.3f; two-stage rerank $rrR%.3f")
+    assert(rrR >= sqR, s"rerank recall $rrR below one-stage $sqR")
+    assert(rrR >= 0.9, s"rerank recall $rrR below floor")
     // ... and at sf0.01 (the driver's correctness scale) — pinned at
     // BOTH scales so an edge-build change can't silently degrade the
     // walk at one scale while passing at the other (measured 0.93)

@@ -238,6 +238,50 @@ class TxnParquetSpec extends SparkSpec {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_compactions/_lease")))
   }
 
+  test("compactZOrdered: same rows, tight 2-D footer envelopes, prunable scan") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    val dir = freshDir()
+    val rnd = new scala.util.Random(3)
+    // 4 arrival-order batches over two uniform numeric dimensions
+    (0 until 4).foreach { b =>
+      val rows = (0 until 2000).map(i =>
+        (b * 2000L + i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      TxnParquet.append(rows.toDF("id", "k1", "k2"), dir, b.toLong)
+    }
+    val before = TxnParquet.read(spark, dir).collect().map(_.toString).sorted
+    val gen = TxnParquet.compactZOrdered(spark, dir, "k1", "k2", numFiles = 8)
+    assert(gen === 0L)
+    val after = TxnParquet.read(spark, dir).collect().map(_.toString).sorted
+    assert(after.toSeq === before.toSeq) // rewrite changed nothing semantically
+    // footer envelopes per generation file: tight on BOTH dims
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gd = new org.apache.hadoop.fs.Path(s"$dir/compact=$gen")
+    val parts = gd.getFileSystem(conf).listStatus(gd).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.length === 8)
+    val spans = parts.map { p =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        def span(cn: String): Double = {
+          val st = rd.getFooter.getBlocks.asScala.map(b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == cn).get.getStatistics)
+          val lo = st.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min
+          val hi = st.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max
+          (hi - lo + 1).toDouble / 1000.0
+        }
+        (span("k1"), span("k2"))
+      } finally rd.close()
+    }
+    val (mk1, mk2) = (spans.map(_._1).sum / 8, spans.map(_._2).sum / 8)
+    info(f"mean footer span: k1=$mk1%.3f k2=$mk2%.3f (arrival order ≈ 1.0)")
+    assert(mk1 < 0.7 && mk2 < 0.7, s"not clustered: $mk1 / $mk2")
+    // and a later append still reads exactly once alongside the generation
+    TxnParquet.append(Seq((99999L, 5L, 5L)).toDF("id", "k1", "k2"), dir, 9L)
+    assert(TxnParquet.read(spark, dir).count() === 8001L)
+  }
+
   test("a compaction slower than the ttl keeps its lease via renewal") {
     val dir = freshDir()
     val f = hadoopFs(dir)

@@ -44,6 +44,7 @@ def main(sf_dir, out_dir):
     sf = os.environ.get("COMPARE_SKIP_FILE")
     if sf:
         skip = {l.strip() for l in open(sf) if l.strip()}
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -61,6 +62,7 @@ def main(sf_dir, out_dir):
             exp = norm_rows(exp_rel.fetchall(), exp_cols)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            results[name] = {"pass": False, "detail": f"exception: {e}"}
             n_fail += 1
             continue
         got_types = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
@@ -72,26 +74,41 @@ def main(sf_dir, out_dir):
         }
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            results[name] = {"pass": False, "detail": "column mismatch"}
             n_fail += 1
         elif type_diff:
             detail = ", ".join(
                 f"{c}: spark={a} oracle={b}" for c, (a, b) in sorted(type_diff.items())
             )
             print(f"FAIL {name}: column types differ ({detail})")
+            results[name] = {"pass": False, "detail": f"types: {detail}"}
             n_fail += 1
         elif len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            results[name] = {"pass": False, "detail": f"rows {len(got)} vs {len(exp)}"}
             n_fail += 1
         elif got != exp:
             bad = next(i for i, (a, b) in enumerate(zip(got, exp)) if a != b)
             print(f"FAIL {name}: first diff at sorted row {bad}:")
             print(f"  spark : {got[bad]}")
             print(f"  oracle: {exp[bad]}")
+            results[name] = {"pass": False, "detail": f"value diff at sorted row {bad}"}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
+            results[name] = {"pass": True, "rows": len(got)}
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    # Optional machine-readable artifact (COMPARE_JSON_OUT=<path>):
+    # query -> pass/rows|detail, plus the run header — the committed
+    # evidence format for off-driver replays (e.g. native sf1).
+    out = os.environ.get("COMPARE_JSON_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "skipped": sorted(skip), "queries": results},
+                      fh, indent=1, sort_keys=True)
+        print(f"json -> {out}")
     return 1 if n_fail else 0
 
 
