@@ -926,6 +926,9 @@ object SparkEntry {
          |  SELECT 'ann_sq_topk', count(*)
          |    FROM ${sub("ann_sq_topk")} x JOIN b USING (q_id, vec_id)
          |  UNION ALL
+         |  SELECT 'ann_sq_rerank', count(*)
+         |    FROM ${sub("ann_sq_rerank")} x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
          |  SELECT 'ann_ivfsq_topk', count(*)
          |    FROM ${sub("ann_ivfsq_topk")} x JOIN b USING (q_id, vec_id)
          |  UNION ALL

@@ -919,7 +919,15 @@ object Similarity {
                    factor: Int = RerankFactor): DataFrame = {
     val v = vecs(spark, dir)
     val st = sqStats(v)
-    val cand = sqSearch(v, st, sqEncode(v, st), k * factor, nQueries)
+    sqRerankSearch(v, st, sqEncode(v, st), k, nQueries, factor)
+  }
+
+  /** Two-stage search over ALREADY-BUILT SQ artifacts (recallReport
+    * shares one encode pass across the SQ rows). */
+  private def sqRerankSearch(v: DataFrame, st: DataFrame, codes: DataFrame,
+                             k: Int, nQueries: Int,
+                             factor: Int): DataFrame = {
+    val cand = sqSearch(v, st, codes, k * factor, nQueries)
       .select(col("q_id"), col("vec_id"))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
@@ -1216,6 +1224,8 @@ object Similarity {
       "ann_lsh_topk" -> (() => lshSearch(v, b0, candidates, k, nQueries)),
       "ann_pq_topk" -> (() => pqSearch(v, cb, codes, k, nQueries)),
       "ann_sq_topk" -> (() => sqSearch(v, sqSt, sqCodes, k, nQueries)),
+      "ann_sq_rerank" -> (() =>
+        sqRerankSearch(v, sqSt, sqCodes, k, nQueries, RerankFactor)),
       "ann_ivfsq_topk" -> (() =>
         ivfSqSearch(v, cent, members, sqSt, sqCodes, k, nQueries, nprobe = 2)),
       "ann_graph_topk" -> (() => graphTopKOf(v, edges, k, nQueries)))
