@@ -30,9 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * readers list one small directory before planning the scan. Additive
   * column evolution is supported (`read(mergeSchema = true)`; `compact`
   * always merges, so a compaction bakes the union schema into one
-  * generation). What it does NOT give — concurrent writers to the SAME
-  * batch id, row-level deletes, column removal/retype (migrate those
-  * through a compaction rewrite) — is documented out of scope.
+  * generation). Row-level deletes are supported merge-on-read: a
+  * delete batch (`deletes=<id>` under the same marker namespace)
+  * carries KEY rows, [[readWithDeletes]] resolves them at read time
+  * (a delete hides every matching row committed BEFORE it; a later
+  * re-append of the key is visible again), and [[compactWithDeletes]]
+  * applies them physically. What it does NOT give — concurrent writers
+  * to the SAME batch id, column removal/retype (migrate those through
+  * a compaction rewrite) — is documented out of scope.
   */
 object TxnParquet {
 
@@ -54,6 +59,83 @@ object TxnParquet {
       true
     }
   }
+
+  /** Append a DELETE batch: `keys` rows (the delete's key columns)
+    * land under `deletes=<id>` in the SAME marker namespace as data
+    * batches — ids are never reused across kinds, retries are
+    * idempotent exactly like [[append]]. Semantics (merge-on-read): a
+    * delete hides every key-matching row committed BEFORE it; a later
+    * re-append of the key is visible again. Plain [[read]] ignores
+    * delete batches (raw union); [[readWithDeletes]] resolves them;
+    * [[compactWithDeletes]] applies them physically. */
+  def appendDeletes(keys: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = keys.sparkSession
+    val f = fs(spark, dir)
+    if (f.exists(marker(dir, batchId))) false
+    else {
+      keys.write.mode("overwrite").parquet(s"$dir/deletes=$batchId")
+      f.create(marker(dir, batchId), true).close()
+      true
+    }
+  }
+
+  private def isDeleteBatch(f: org.apache.hadoop.fs.FileSystem,
+                            dir: String, id: Long): Boolean =
+    f.exists(new Path(s"$dir/deletes=$id"))
+
+  /** The delete-resolved committed view: rows from data batches and the
+    * latest generation, minus rows whose key appears in a LATER delete
+    * batch (a generation's rows carry the max covered id, so deletes it
+    * already applied never re-apply and later deletes still do). Key
+    * columns must be non-null (null keys never match — use a sentinel).
+    * The tombstone side is O(deleted keys) and broadcast. */
+  def readWithDeletes(spark: SparkSession, dir: String,
+                      keyCols: Seq[String],
+                      mergeSchema: Boolean = false): DataFrame =
+    resolvedView(spark, dir, keyCols, mergeSchema,
+      committedBatches(spark, dir), latestCompaction(spark, dir))
+
+  private def resolvedView(spark: SparkSession, dir: String,
+                           keyCols: Seq[String], mergeSchema: Boolean,
+                           ids: Seq[Long],
+                           prior: Option[(Long, Set[Long])]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, dir)
+    val covered = prior.map(_._2).getOrElse(Set.empty[Long])
+    val live = ids.filterNot(covered)
+    def rd(p: String) =
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(p)
+    val dataParts =
+      prior.map { case (gen, cov) => (s"$dir/compact=$gen", cov.max) }.toSeq ++
+        live.filterNot(isDeleteBatch(f, dir, _)).map(id => (s"$dir/batch=$id", id))
+    require(dataParts.nonEmpty, s"no committed data batches under $dir")
+    val rows = dataParts
+      .map { case (p, bid) => rd(p).withColumn("__bid", lit(bid)) }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+    val delParts = live.filter(isDeleteBatch(f, dir, _)).map { id =>
+      rd(s"$dir/deletes=$id").select(keyCols.map(col): _*)
+        .withColumn("__did", lit(id))
+    }
+    if (delParts.isEmpty) rows.drop("__bid")
+    else {
+      val dels = delParts.reduce(_ unionByName _)
+      val cond = keyCols.map(k => rows(k) === dels(k)).reduce(_ && _) &&
+        dels("__did") > rows("__bid")
+      rows.join(broadcast(dels), cond, "left_anti").drop("__bid")
+    }
+  }
+
+  /** Compact with deletes APPLIED PHYSICALLY: the generation is the
+    * delete-resolved view, its manifest covers data AND delete batches
+    * (so applied tombstones never re-apply, and `vacuum` reclaims
+    * their directories). Same lease/staging/fencing as [[compact]]. */
+  def compactWithDeletes(spark: SparkSession, dir: String,
+                         keyCols: Seq[String], numFiles: Int = 1,
+                         leaseTtlMs: Long = 15 * 60 * 1000L): Long =
+    compactCore(spark, dir, leaseTtlMs) { (ids, prior) =>
+      resolvedView(spark, dir, keyCols, mergeSchema = true, ids, prior)
+        .coalesce(numFiles)
+    }
 
   /** Batch ids with a commit marker, ascending. */
   def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
@@ -105,7 +187,7 @@ object TxnParquet {
     // remain usable until vacuum reclaims them
     val usable = compactions(spark, dir)
       .find { case (_, covered) => covered.forall(_ <= asOf) }
-    val paths = pathsFor(dir, ids, usable)
+    val paths = pathsFor(fs(spark, dir), dir, ids, usable)
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
@@ -116,16 +198,23 @@ object TxnParquet {
     * and could pick up a concurrently committed batch absent from the
     * manifest (double rows on every later read). */
   private def committedPaths(spark: SparkSession, dir: String): Seq[String] =
-    pathsFor(dir, committedBatches(spark, dir), latestCompaction(spark, dir))
+    pathsFor(fs(spark, dir), dir, committedBatches(spark, dir),
+      latestCompaction(spark, dir))
 
-  private def pathsFor(dir: String, ids: Seq[Long],
-                       compaction: Option[(Long, Set[Long])]): Seq[String] =
+  /** Data paths only — committed DELETE batches are not data and are
+    * resolved exclusively by [[readWithDeletes]]; the raw union skips
+    * them (documented: plain `read` ignores tombstones). */
+  private def pathsFor(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                       ids: Seq[Long],
+                       compaction: Option[(Long, Set[Long])]): Seq[String] = {
+    def dataIds(xs: Seq[Long]) = xs.filterNot(isDeleteBatch(f, dir, _))
     compaction match {
       case Some((gen, covered)) =>
         s"$dir/compact=$gen" +:
-          ids.filterNot(covered).map(id => s"$dir/batch=$id")
-      case None => ids.map(id => s"$dir/batch=$id")
+          dataIds(ids.filterNot(covered)).map(id => s"$dir/batch=$id")
+      case None => dataIds(ids).map(id => s"$dir/batch=$id")
     }
+  }
 
   // ---- compaction -------------------------------------------------------
   // A long-lived append stream leaves one small parquet directory per
@@ -317,11 +406,20 @@ object TxnParquet {
 
   private def compactRewritten(spark: SparkSession, dir: String,
                                leaseTtlMs: Long)
-                              (rewrite: DataFrame => DataFrame): Long = {
+                              (rewrite: DataFrame => DataFrame): Long =
+    compactCore(spark, dir, leaseTtlMs) { (ids, prior) =>
+      val paths = pathsFor(fs(spark, dir), dir, ids, prior)
+      require(paths.nonEmpty, s"no committed batches under $dir")
+      rewrite(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+    }
+
+  private def compactCore(spark: SparkSession, dir: String,
+                          leaseTtlMs: Long)
+                         (view: (Seq[Long], Option[(Long, Set[Long])]) => DataFrame): Long = {
     val f = fs(spark, dir)
     val token = acquireLease(f, dir, spark.sparkContext.applicationId, leaseTtlMs)
     val renewer = startRenewer(f, dir, token, leaseTtlMs)
-    try compactHoldingLease(spark, f, dir, rewrite, token)
+    try compactHoldingLease(spark, f, dir, view, token)
     finally {
       renewer.interrupt()
       renewer.join(2000L)
@@ -332,7 +430,7 @@ object TxnParquet {
   private def compactHoldingLease(spark: SparkSession,
                                   f: org.apache.hadoop.fs.FileSystem,
                                   dir: String,
-                                  rewrite: DataFrame => DataFrame,
+                                  view: (Seq[Long], Option[(Long, Set[Long])]) => DataFrame,
                                   token: String): Long = {
     val prior = latestCompaction(spark, dir)
     val gen = prior.map(_._1 + 1).getOrElse(0L)
@@ -343,15 +441,12 @@ object TxnParquet {
     // unions in, exactly as if it had arrived after the compaction.
     val ids = committedBatches(spark, dir)
     val covered = ids.toSet ++ prior.map(_._2).getOrElse(Set.empty)
-    val paths = pathsFor(dir, ids, prior)
-    require(paths.nonEmpty, s"no committed batches under $dir")
     // write to a per-attempt staging dir; installing it is one rename —
     // the generation fence (see `compact` doc, point 2)
     val staging = new Path(s"$dir/.compact-staging-${java.util.UUID.randomUUID()}")
     val target = new Path(s"$dir/compact=$gen")
     try {
-      rewrite(spark.read.option("mergeSchema", "true").parquet(paths: _*))
-        .write.mode("overwrite").parquet(staging.toString)
+      view(ids, prior).write.mode("overwrite").parquet(staging.toString)
       val installed = !f.exists(target) &&
         (try f.rename(staging, target)
          catch { case _: java.io.IOException => false })
@@ -405,8 +500,10 @@ object TxnParquet {
     latestCompaction(spark, dir).foreach { case (gen, covered) =>
       val f = fs(spark, dir)
       covered.foreach { id =>
-        val p = new Path(s"$dir/batch=$id")
-        if (f.exists(p)) f.delete(p, true)
+        Seq(s"$dir/batch=$id", s"$dir/deletes=$id").foreach { d =>
+          val p = new Path(d)
+          if (f.exists(p)) f.delete(p, true)
+        }
       }
       (0L until gen).foreach { g =>
         val p = new Path(s"$dir/compact=$g")

@@ -238,6 +238,47 @@ class TxnParquetSpec extends SparkSpec {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_compactions/_lease")))
   }
 
+  test("merge-on-read deletes: ordering, re-append, physical apply, vacuum") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir()
+    def ids(d: String) = TxnParquet.readWithDeletes(spark, d, Seq("id"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    TxnParquet.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir, 0L)
+    // tombstone batch 1 hides id=2; idempotent like append
+    assert(TxnParquet.appendDeletes(Seq(Tuple1(2L)).toDF("id"), dir, 1L))
+    assert(!TxnParquet.appendDeletes(Seq(Tuple1(2L)).toDF("id"), dir, 1L))
+    assert(ids(dir) === Seq(1L, 3L))
+    // plain read ignores tombstones (raw union) and must not crash
+    assert(TxnParquet.read(spark, dir).count() === 3L)
+    // re-append of the deleted key AFTER the delete is visible again
+    TxnParquet.append(Seq((2L, "b2")).toDF("id", "v"), dir, 2L)
+    assert(ids(dir) === Seq(1L, 2L, 3L))
+    // a second delete hides id=1 everywhere (batch 0 < delete 3)
+    TxnParquet.appendDeletes(Seq(Tuple1(1L)).toDF("id"), dir, 3L)
+    assert(ids(dir) === Seq(2L, 3L))
+    // physical apply: the generation holds exactly the resolved rows
+    val gen = TxnParquet.compactWithDeletes(spark, dir, Seq("id"))
+    assert(ids(dir) === Seq(2L, 3L))
+    assert(spark.read.parquet(s"$dir/compact=$gen")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // the re-appended row survived (v = b2, not the deleted original)
+    assert(TxnParquet.readWithDeletes(spark, dir, Seq("id"))
+      .filter(col("id") === 2L).select("v").collect().head.getString(0) === "b2")
+    // a delete LANDING AFTER the compaction still applies (gen rows
+    // carry the max covered id; did 4 > that)
+    TxnParquet.appendDeletes(Seq(Tuple1(3L)).toDF("id"), dir, 4L)
+    assert(ids(dir) === Seq(2L))
+    // vacuum reclaims the covered tombstone directories too
+    TxnParquet.vacuum(spark, dir)
+    val f = hadoopFs(dir)
+    (0L to 3L).foreach { id =>
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=$id")))
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes=$id")))
+    }
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes=4"))) // live
+    assert(ids(dir) === Seq(2L)) // view unchanged by vacuum
+  }
+
   test("compactZOrdered: same rows, tight 2-D footer envelopes, prunable scan") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions._
