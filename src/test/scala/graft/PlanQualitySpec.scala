@@ -416,6 +416,17 @@ class PlanQualitySpec extends SparkSpec {
       "the bounded query set must broadcast over the code scan")
   }
 
+  test("ann_sq_rerank: candidate stage broadcasts; rerank fetch never a cartesian") {
+    val p = plan("ann_sq_rerank")
+    assert(!p.contains("CartesianProduct"))
+    // stage 1 is the same bounded broadcast code scan as ann_sq_topk;
+    // stage 2's raw-vector fetch joins the O(q·k·factor) candidate set,
+    // with the tiny query side broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the rerank's query-vector side must broadcast")
+  }
+
   test("ann_ivfsq_topk: broadcast scoring; the one shuffle join is the vec_id code/cell zip") {
     val p = plan("ann_ivfsq_topk")
     assert(!p.contains("CartesianProduct"))
