@@ -397,21 +397,31 @@ object Pipeline {
       .select("doc_id").localCheckpoint()
     val gLex = QualityModels.lexiconScore(spark, dir)
       .filter(col("pred") === 1).select("doc_id").localCheckpoint()
-    def keptBy(sets: Seq[DataFrame]): DataFrame =
-      sets.foldLeft(p)((acc, s) => acc.join(s, Seq("doc_id"), "left_semi"))
-    def agg1(df: DataFrame, pre: String): DataFrame =
-      df.agg(count(lit(1)).as(s"${pre}c"),
-        coalesce(sum("n_toks"), lit(0L)).as(s"${pre}t"))
+    // membership FLAGS instead of semi-join chains: three
+    // co-partitioned left joins tag each doc with its gate bits, and
+    // ONE conditional aggregate computes all eight (count, tokens)
+    // pairs — base, 3 solos, 3 pairs, stack — in a single corpus
+    // pass (the exchange on doc_id is planned once and reused by the
+    // join chain). Values identical to the semi-join formulation.
+    val flagged = p
+      .join(gDecon.withColumn("d0", lit(true)), Seq("doc_id"), "left")
+      .join(gDedup.withColumn("k0", lit(true)), Seq("doc_id"), "left")
+      .join(gLex.withColumn("l0", lit(true)), Seq("doc_id"), "left")
+      .select(col("n_toks"),
+        coalesce(col("d0"), lit(false)).as("fd"),
+        coalesce(col("k0"), lit(false)).as("fk"),
+        coalesce(col("l0"), lit(false)).as("fl"))
+    def cnt(cond: Column, pre: String): Seq[Column] = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"${pre}c"),
+      sum(when(cond, col("n_toks")).otherwise(0L)).as(s"${pre}t"))
+    val aggs = cnt(lit(true), "p") ++
+      cnt(col("fd"), "d") ++ cnt(col("fk"), "k") ++ cnt(col("fl"), "l") ++
+      cnt(col("fd") && col("fk"), "dk") ++
+      cnt(col("fd") && col("fl"), "dl") ++
+      cnt(col("fk") && col("fl"), "kl") ++
+      cnt(col("fd") && col("fk") && col("fl"), "s")
     // ONE 1-row stats frame: base + 3 solos + 3 pairs + stack
-    val stats = Seq(
-      agg1(keptBy(Seq(gDecon)), "d"), agg1(keptBy(Seq(gDedup)), "k"),
-      agg1(keptBy(Seq(gLex)), "l"),
-      agg1(keptBy(Seq(gDecon, gDedup)), "dk"),
-      agg1(keptBy(Seq(gDecon, gLex)), "dl"),
-      agg1(keptBy(Seq(gDedup, gLex)), "kl"),
-      agg1(keptBy(Seq(gDecon, gDedup, gLex)), "s"))
-      .foldLeft(agg1(p, "p"))((acc, a) => acc.crossJoin(broadcast(a)))
-      .localCheckpoint()
+    val stats = flagged.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     def row(gate: String, kc: Column, kt: Column,
             lc: Column, lt: Column): DataFrame =
       stats.select(lit(gate).as("gate"),
