@@ -926,13 +926,20 @@ object Similarity {
     * shares one encode pass across the SQ rows). */
   private def sqRerankSearch(v: DataFrame, st: DataFrame, codes: DataFrame,
                              k: Int, nQueries: Int,
-                             factor: Int): DataFrame = {
-    val cand = sqSearch(v, st, codes, k * factor, nQueries)
-      .select(col("q_id"), col("vec_id"))
+                             factor: Int): DataFrame =
+    rerankCandidates(v,
+      sqSearch(v, st, codes, k * factor, nQueries), k, nQueries)
+
+  /** Exact-cosine rerank of any (q_id, vec_id) candidate pool — the
+    * stage-2 kernel, factored out so the recall report can feed it the
+    * SAME widened code scan whose rank ≤ k prefix is the one-stage SQ
+    * row (one scan serving two variants). */
+  private def rerankCandidates(v: DataFrame, cand: DataFrame,
+                               k: Int, nQueries: Int): DataFrame = {
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cand.join(v, "vec_id").join(broadcast(q), "q_id")
+    cand.select("q_id", "vec_id").join(v, "vec_id").join(broadcast(q), "q_id")
       .withColumn("cos", cosine("qe", "e"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -1201,11 +1208,15 @@ object Similarity {
     val fBrute = Future(topk(bruteTopKShared(spark, dir, k, nQueries)))
     val fSq = Future {
       val st = sqStats(v).localCheckpoint()
-      (st, sqEncode(v, st).localCheckpoint())
+      val c = sqEncode(v, st).localCheckpoint()
+      // ONE widened code scan serves BOTH SQ variants: its rank ≤ k
+      // prefix IS the one-stage row (row_number prefix property), and
+      // the full pool is the rerank row's candidate set
+      (st, c, sqSearch(v, st, c, k * RerankFactor, nQueries).localCheckpoint())
     }
     val members = Await.result(fMembers, Duration.Inf)
     val codes = Await.result(fCodes, Duration.Inf)
-    val (sqSt, sqCodes) = Await.result(fSq, Duration.Inf)
+    val (sqSt, sqCodes, sqWide) = Await.result(fSq, Duration.Inf)
     val b0 = Await.result(fB0, Duration.Inf)
     val candidates = b0.join(v, "vec_id").localCheckpoint()
     val edges = Await.result(fEdges, Duration.Inf)
@@ -1223,9 +1234,8 @@ object Similarity {
       "ann_lsh_multiprobe" -> (() => lshMultiProbeSearch(v, b0, candidates, k, nQueries, ppb)),
       "ann_lsh_topk" -> (() => lshSearch(v, b0, candidates, k, nQueries)),
       "ann_pq_topk" -> (() => pqSearch(v, cb, codes, k, nQueries)),
-      "ann_sq_topk" -> (() => sqSearch(v, sqSt, sqCodes, k, nQueries)),
-      "ann_sq_rerank" -> (() =>
-        sqRerankSearch(v, sqSt, sqCodes, k, nQueries, RerankFactor)),
+      "ann_sq_topk" -> (() => sqWide.filter(col("rank") <= k)),
+      "ann_sq_rerank" -> (() => rerankCandidates(v, sqWide, k, nQueries)),
       "ann_ivfsq_topk" -> (() =>
         ivfSqSearch(v, cent, members, sqSt, sqCodes, k, nQueries, nprobe = 2)),
       "ann_graph_topk" -> (() => graphTopKOf(v, edges, k, nQueries)))
