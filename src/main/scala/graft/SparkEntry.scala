@@ -195,6 +195,7 @@ object SparkEntry {
     "corpus_pmi_pairs" -> ((s, d) => graft.operators.CorpusStats.pmiPairs(s, d)),
     "events_value_concentration" -> ((s, d) => graft.operators.Analytics4.valueConcentration(s, d)),
     "docs_boilerplate_prefix" -> ((s, d) => graft.operators.CorpusStats.boilerplatePrefix(s, d)),
+    "source_template_share" -> ((s, d) => graft.operators.CorpusStats.sourceTemplateShare(s, d)),
     "dedup_threshold_curve" -> ((s, d) => graft.operators.MinHashLSH.thresholdCurve(s, d)),
     "events_bot_regularity" -> ((s, d) => graft.operators.Analytics3.botRegularity(s, d)),
     "embeddings_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
@@ -2618,6 +2619,27 @@ object SparkEntry {
          |SELECT prefix, n_docs, n_sources, exemplar,
          |  ${ratio4Sql("n_docs", "n")} AS doc_share
          |FROM f CROSS JOIN tot ORDER BY n_docs DESC, prefix""".stripMargin
+    },
+
+    // per-source modal opening + its exact share — mirrors
+    // CorpusStats.sourceTemplateShare (same prefix grain as #174)
+    "source_template_share" -> {
+      val C = graft.operators.CorpusStats
+      s"""WITH tk AS (SELECT source, $TOKS AS t FROM documents),
+         |p AS (SELECT source,
+         |        array_to_string(t[1:${C.PrefixLen}], ' ') AS prefix
+         |      FROM tk WHERE len(t) >= 1),
+         |c AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS modal_count
+         |      FROM p GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |        FROM p GROUP BY 1),
+         |top AS (SELECT source, prefix, modal_count FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY modal_count DESC, prefix) AS rn FROM c) WHERE rn = 1)
+         |SELECT t.source AS source, n_docs, prefix AS modal_prefix,
+         |  modal_count, ${ratio4Sql("modal_count", "n_docs")} AS template_share4
+         |FROM top t JOIN tot ON tot.source = t.source
+         |ORDER BY source""".stripMargin
     },
 
     // τ-tuning curve over the capped-LSH candidates: exact integer

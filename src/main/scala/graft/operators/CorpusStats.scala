@@ -328,6 +328,43 @@ object CorpusStats {
       .orderBy(col("n_docs").desc, col("prefix"))
   }
 
+  /** `source_template_share`: the PER-SOURCE view of template
+    * pollution — for each source feed, its MODAL document opening (the
+    * most frequent first-[[PrefixLen]]-token prefix; ties break to the
+    * lexicographically smallest) and the exact share of the feed's
+    * docs that start with it. #174 finds the global boilerplate
+    * families; this panel answers the curation question one level up:
+    * WHICH FEED is template-dominated (a share near 1.0 means the
+    * scraper grabbed one page shape; near 1/n_docs means organic
+    * variety) — the per-feed number that decides whether a feed needs
+    * prefix-stripping before dedup.
+    *
+    * One narrow scan → one (source, prefix) groupBy (bounded by
+    * distinct openings), a per-SOURCE top-1 window over those O(feed
+    * openings) aggregate rows (never per-doc), and a broadcast-sized
+    * per-source total join. */
+  def sourceTemplateShare(spark: SparkSession, dir: String,
+                          k: Int = PrefixLen): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      .spread
+      .filter(size(col("t")) >= 1)
+      .select(col("source"), concat_ws(" ", slice(col("t"), 1, k)).as("prefix"))
+    val counts = pre.groupBy("source", "prefix")
+      .agg(count(lit(1)).as("modal_count"))
+    val totals = pre.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val wS = Window.partitionBy("source")
+      .orderBy(col("modal_count").desc, col("prefix"))
+    counts.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") === 1)
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("n_docs"),
+        col("prefix").as("modal_prefix"), col("modal_count"),
+        ratio4(col("modal_count"), col("n_docs")).as("template_share4"))
+      .orderBy("source")
+  }
+
   /** Near-dup cluster size histogram: for each component size, the
     * number of transitive near-dup clusters of that size and the total
     * documents they hold — the one-page answer to "how duplicated is

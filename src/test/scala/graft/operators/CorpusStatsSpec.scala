@@ -261,4 +261,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Seq(("X", "Y", 3L, 3L, 1L,
       ratio4Model(1, 3), ratio4Model(1, 3), ratio4Model(1, 5))))
   }
+
+  test("sourceTemplateShare matches a local modal-prefix model per source") {
+    val k = CorpusStats.PrefixLen
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val model = docs
+      .map { case (s, t) => s -> t.trim.split("\\s+").filter(_.nonEmpty) }
+      .filter(_._2.nonEmpty)
+      .map { case (s, toks) => s -> toks.take(k).mkString(" ") }
+      .groupBy(_._1).map { case (s, xs) =>
+        val counts = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        // top by (count desc, prefix asc) — the engine's tiebreak
+        val (prefix, c) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+        s -> ((xs.size.toLong, prefix, c, ratio4Model(c, xs.size.toLong)))
+      }
+    val got = CorpusStats.sourceTemplateShare(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === model)
+  }
 }
