@@ -220,6 +220,7 @@ object SparkEntry {
     "corpus_snapshot_diff" -> ((s, d) => graft.operators.Snapshot.snapshotDiff(s, d)),
     "pipeline_shard_plan" -> ((s, d) => graft.operators.Pipeline.shardPlan(s, d)),
     "pipeline_zorder_plan" -> ((s, d) => graft.operators.Layout.zorderPlan(s, d)),
+    "zorder_pruning_gain" -> ((s, d) => graft.operators.Layout.zorderPruningGain(s, d)),
     "source_divergence" -> ((s, d) => graft.operators.CorpusStats.sourceDivergence(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.kcenterSample(s, d)),
@@ -3058,6 +3059,58 @@ object SparkEntry {
          |  ${ratio4Sql("pk_max - pk_min + 1", "pk_hi - pk_lo + 1")} AS pk_span_share4,
          |  ${ratio4Sql("sk_max - sk_min + 1", "sk_hi - sk_lo + 1")} AS sk_span_share4
          |FROM a ORDER BY file_id""".stripMargin
+    },
+
+    // files a footer-stats reader touches for centered 2-D boxes:
+    // z-order manifest vs the same rows cut in arrival order —
+    // mirrors Layout.zorderPruningGain over the zorder-plan CTEs
+    "zorder_pruning_gain" -> {
+      val F = graft.operators.Layout.NumFiles
+      val zi = (0 until graft.operators.Layout.ZBits).map(i =>
+        s"(((b1 >> $i) & 1) << ${2 * i + 1}) + (((b2 >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      val pcts = graft.operators.Layout.GainPcts.mkString(", ")
+      val box =
+        """pk_min <= (pk_lo + pk_hi) // 2 + (pk_hi - pk_lo + 1) * pct // 200
+          | AND pk_max >= (pk_lo + pk_hi) // 2 - (pk_hi - pk_lo + 1) * pct // 200
+          | AND sk_min <= (sk_lo + sk_hi) // 2 + (sk_hi - sk_lo + 1) * pct // 200
+          | AND sk_max >= (sk_lo + sk_hi) // 2 - (sk_hi - sk_lo + 1) * pct // 200"""
+          .stripMargin.replace("\n", "")
+      s"""WITH d AS (SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+         |             min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi,
+         |             CAST(count(*) AS BIGINT) AS n FROM lineitem),
+         |b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |        (l_partkey - pk_lo) * 1024 // (pk_hi - pk_lo + 1) AS b1,
+         |        (l_suppkey - sk_lo) * 1024 // (sk_hi - sk_lo + 1) AS b2,
+         |        pk_lo, pk_hi, sk_lo, sk_hi, n
+         |      FROM lineitem, d),
+         |z AS (SELECT *, $zi AS z FROM b),
+         |zf AS (SELECT *, (row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) - 1)
+         |         * $F // n AS file_id FROM z),
+         |af AS (SELECT *, (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+         |         * $F // n AS file_id FROM b),
+         |zm AS (SELECT file_id, min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         |         min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+         |         min(pk_lo) AS pk_lo, min(pk_hi) AS pk_hi,
+         |         min(sk_lo) AS sk_lo, min(sk_hi) AS sk_hi
+         |       FROM zf GROUP BY 1),
+         |am AS (SELECT file_id, min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         |         min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+         |         min(pk_lo) AS pk_lo, min(pk_hi) AS pk_hi,
+         |         min(sk_lo) AS sk_lo, min(sk_hi) AS sk_hi
+         |       FROM af GROUP BY 1),
+         |p AS (SELECT CAST(unnest([$pcts]) AS BIGINT) AS pct),
+         |zt AS (SELECT pct, CAST(count(*) AS BIGINT) AS z_files
+         |       FROM p, zm WHERE $box GROUP BY 1),
+         |at AS (SELECT pct, CAST(count(*) AS BIGINT) AS arrival_files
+         |       FROM p, am WHERE $box GROUP BY 1)
+         |SELECT p.pct AS pct,
+         |  coalesce(z_files, 0) AS z_files,
+         |  ${ratio4Sql("coalesce(z_files, 0)", F.toString)} AS z_share4,
+         |  coalesce(arrival_files, 0) AS arrival_files,
+         |  ${ratio4Sql("coalesce(arrival_files, 0)", F.toString)} AS arrival_share4
+         |FROM p LEFT JOIN zt ON zt.pct = p.pct LEFT JOIN at ON at.pct = p.pct
+         |ORDER BY pct""".stripMargin
     },
 
     // pairwise per-source unigram TVD — mirrors CorpusStats.sourceDivergence

@@ -177,6 +177,77 @@ object Layout {
       .crossJoin(broadcast(domain(spark, dir))))
   }
 
+  /** Box-size percents probed by [[zorderPruningGain]]. */
+  val GainPcts: Seq[Int] = Seq(1, 5, 10, 25)
+
+  /** `zorder_pruning_gain`: the panel that turns the planner's span
+    * shares into the number an operator actually cares about — for a
+    * centered 2-D box predicate of side pct% of each dimension's
+    * domain, HOW MANY FILES does a footer-stats reader touch under
+    * the z-order layout vs the same row count cut in ARRIVAL order?
+    * Per pct: files whose envelope intersects the box (exact int64
+    * box arithmetic), as count and ratio4 share, for both layouts —
+    * z-order should touch a near-constant small share while arrival
+    * order touches ~every file (each arrival file spans the whole
+    * key domain). Cost: the two assignment passes (each ONE global
+    * rank) → two O(files) envelope rollups → constant-size box
+    * probes; nothing new widens at scale. */
+  def zorderPruningGain(spark: SparkSession, dir: String,
+                        nFiles: Int = NumFiles,
+                        pcts: Seq[Int] = GainPcts): DataFrame = {
+    def touched(m: DataFrame, outCol: String): DataFrame =
+      m.withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+        .withColumn("h1",
+          intDiv((col("pk_hi") - col("pk_lo") + 1) * col("pct"), lit(200L)))
+        .withColumn("h2",
+          intDiv((col("sk_hi") - col("sk_lo") + 1) * col("pct"), lit(200L)))
+        .withColumn("c1", intDiv(col("pk_lo") + col("pk_hi"), lit(2L)))
+        .withColumn("c2", intDiv(col("sk_lo") + col("sk_hi"), lit(2L)))
+        .filter(
+          col("pk_min") <= col("c1") + col("h1") &&
+          col("pk_max") >= col("c1") - col("h1") &&
+          col("sk_min") <= col("c2") + col("h2") &&
+          col("sk_max") >= col("c2") - col("h2"))
+        .groupBy("pct").agg(count(lit(1)).as(outCol))
+    val z = touched(envelopes(zorderAssignments(spark, dir, nFiles)), "z_files")
+    val a = touched(envelopes(arrivalAssignments(spark, dir, nFiles)),
+      "arrival_files")
+    domain(spark, dir)
+      .select(explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .join(broadcast(z), Seq("pct"), "left")
+      .join(broadcast(a), Seq("pct"), "left")
+      .select(col("pct"),
+        coalesce(col("z_files"), lit(0L)).as("z_files"),
+        ratio4(coalesce(col("z_files"), lit(0L)), lit(nFiles.toLong))
+          .as("z_share4"),
+        coalesce(col("arrival_files"), lit(0L)).as("arrival_files"),
+        ratio4(coalesce(col("arrival_files"), lit(0L)), lit(nFiles.toLong))
+          .as("arrival_share4"))
+      .orderBy("pct")
+  }
+
+  /** The same keys cut into `nFiles` equal files in ARRIVAL order
+    * ((l_orderkey, l_linenumber)) — the un-clustered baseline the
+    * pruning-gain panel compares against. */
+  private def arrivalAssignments(spark: SparkSession, dir: String,
+                                 nFiles: Int): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").spread
+      .crossJoin(broadcast(domain(spark, dir)))
+    Ranking.globalRowNumber(li,
+        Seq(col("l_orderkey"), col("l_linenumber")), "rn")
+      .withColumn("file_id", intDiv((col("rn") - 1) * nFiles, col("n")))
+  }
+
+  /** O(files) envelope rollup (no shares) shared by the gain panel. */
+  private def envelopes(za: DataFrame): DataFrame =
+    za.groupBy("file_id").agg(
+      count(lit(1)).as("n_rows"),
+      min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+      min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"),
+      min("pk_lo").as("pk_lo"), min("pk_hi").as("pk_hi"),
+      min("sk_lo").as("sk_lo"), min("sk_hi").as("sk_hi"))
+
   /** The O(files) manifest rollup over any assignment-shaped frame
     * (rows carrying file_id, both dimension columns, and the broadcast
     * domain constants). */

@@ -70,6 +70,21 @@ class LayoutSpec extends SparkSpec {
     assert(sk < 0.5, f"sk envelope $sk%.3f not clustered")
   }
 
+  test("pruning gain: z-order touches a small file share, arrival touches all") {
+    val rows = Layout.zorderPruningGain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Layout.GainPcts.map(_.toLong))
+    rows.foreach { case (pct, zf, zs, af, as_) =>
+      assert(zf <= af, s"pct=$pct: z-order touched MORE files than arrival")
+      assert(zs == ratio4Model(zf, Layout.NumFiles.toLong))
+      assert(as_ == ratio4Model(af, Layout.NumFiles.toLong))
+      // arrival-order files each span ~the whole uniform key domain
+      assert(as_ >= 0.9, s"pct=$pct: arrival share $as_ unexpectedly prunable")
+      assert(zs <= 0.5, s"pct=$pct: z-order share $zs not clustered")
+    }
+  }
+
   test("writeLayout installs the plan: parquet footers equal the manifest envelopes") {
     import scala.jdk.CollectionConverters._
     val out = java.nio.file.Files.createTempDirectory("zorder").toString
