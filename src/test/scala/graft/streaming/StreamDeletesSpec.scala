@@ -51,6 +51,29 @@ class StreamDeletesSpec extends SparkSpec {
     assert(view(dir) === Seq(1L -> "a2", 2L -> "b3"))
   }
 
+  test("CDC apply survives a query restart via checkpoint, exactly once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("scdc_ckpt").toString
+    val (inDir, tbl, ckpt) = (s"$base/in", s"$base/tbl", s"$base/ckpt")
+    def runOnce(batch: Seq[(Long, String, Long, String)]): Unit = {
+      batch.toDF("seq", "op", "id", "v").write.mode("append").parquet(inDir)
+      val src = spark.readStream
+        .schema(batch.toDF("seq", "op", "id", "v").schema).parquet(inDir)
+      val q = StreamDeletes.applyCdc(src, tbl, Seq("id"), Some(ckpt))
+      q.processAllAvailable(); q.stop()
+    }
+    // incarnation 1: two keys land
+    runOnce(Seq((1L, "upsert", 1L, "a"), (2L, "upsert", 2L, "b")))
+    // incarnation 2 (fresh query off the SAME checkpoint): the file
+    // source must resume AFTER the processed files — only the new
+    // epoch's delete+upsert applies, and nothing from epoch 0 doubles
+    runOnce(Seq((3L, "delete", 1L, null.asInstanceOf[String]),
+      (4L, "upsert", 2L, "b2")))
+    assert(view(tbl) === Seq(2L -> "b2"))
+    // exactly-once bookkeeping: 2 epochs -> ids 0..3, all committed once
+    assert(TxnParquet.committedBatches(spark, tbl) === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("within-batch resolution keeps only each key's last op by seq") {
     import spark.implicits._
     val b = Seq(
