@@ -80,6 +80,7 @@ object SparkEntry {
     "q22_idle_customers" -> ((s, d) => Analytics2.q22(s, d)),
     "events_theta_users" -> ((s, d) => graft.operators.Sketches.thetaUsersPerHour(s, d)),
     "events_theta_daily" -> ((s, d) => graft.operators.Sketches.thetaUsersDaily(s, d)),
+    "events_theta_accuracy" -> ((s, d) => graft.operators.Sketches.thetaAccuracyDaily(s, d)),
     "events_theta_overlap" -> ((s, d) => graft.operators.Sketches.thetaOverlapDaily(s, d)),
     "events_uniques_sliding" -> ((s, d) => graft.operators.Sketches.slidingUniques(s, d)),
     "events_kmv_quantiles" -> ((s, d) => graft.operators.Sketches.kmvQuantiles(s, d)),
@@ -1912,6 +1913,43 @@ object SparkEntry {
          |       ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE), 4)
          |  END AS est_users
          |FROM s ORDER BY day_bucket""".stripMargin,
+
+    // per-day sketch estimate next to the exact distinct count with
+    // IEEE error columns — mirrors Sketches.thetaAccuracyDaily over
+    // the SAME daily-sketch CTEs as events_theta_daily
+    "events_theta_accuracy" ->
+      s"""WITH ev AS ($EV),
+         |h AS (
+         |  SELECT DISTINCT ts_us // 86400000000 AS day_bucket,
+         |    ${H64("concat('u:', CAST(user_id AS VARCHAR))")} AS h
+         |  FROM ev
+         |),
+         |mk AS (
+         |  SELECT day_bucket, h,
+         |    row_number() OVER (PARTITION BY day_bucket ORDER BY h) AS rn
+         |  FROM h
+         |),
+         |s AS (
+         |  SELECT day_bucket, CAST(COUNT(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+         |  FROM mk WHERE rn <= 64 GROUP BY 1
+         |),
+         |e AS (
+         |  SELECT day_bucket, n_sketch,
+         |    CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+         |         ELSE ROUND(63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE), 4)
+         |    END AS est_users
+         |  FROM s
+         |),
+         |x AS (
+         |  SELECT ts_us // 86400000000 AS day_bucket,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM ev GROUP BY 1
+         |)
+         |SELECT e.day_bucket AS day_bucket, exact_users, n_sketch, est_users,
+         |  abs(est_users - CAST(exact_users AS DOUBLE)) AS abs_err,
+         |  abs(est_users - CAST(exact_users AS DOUBLE)) / CAST(exact_users AS DOUBLE) AS rel_err
+         |FROM e JOIN x ON x.day_bucket = e.day_bucket
+         |ORDER BY day_bucket""".stripMargin,
 
     // theta-sketch day-pair intersection graded against the exact
     // overlap — mirrors Sketches.thetaOverlapDaily (including the

@@ -50,6 +50,33 @@ object Sketches {
       .orderBy("day_bucket")
   }
 
+  /** `events_theta_accuracy`: the sketch-tier audit panel — per day,
+    * the EXACT distinct-user count next to the KMV estimate (the same
+    * rolled-up sketch thetaUsersDaily exports) with absolute and
+    * relative error. The sketch is a pure function of the input set,
+    * so BOTH columns replay hash-exactly in the oracle: the panel
+    * certifies the estimator's error empirically (expected rsd ≈
+    * 1/√(k−2) ≈ 13% at k=64) rather than asking the reader to trust
+    * the bound. Exact side is one (day, user) distinct aggregate;
+    * errors are IEEE arithmetic over already-deterministic doubles
+    * (no re-rounding — the estimate was rounded once at export). */
+  def thetaAccuracyDaily(spark: SparkSession, dir: String,
+                         k: Int = ThetaK): DataFrame = {
+    val est = thetaUsersDaily(spark, dir, k)
+      .select("day_bucket", "n_sketch", "est_users")
+    val exact = Dedup.eventsUs(spark, dir)
+      .select(expr("ts_us div 86400000000L").as("day_bucket"), col("user_id"))
+      .groupBy("day_bucket")
+      .agg(countDistinct("user_id").as("exact_users"))
+    est.join(exact, "day_bucket")
+      .select(col("day_bucket"), col("exact_users"), col("n_sketch"),
+        col("est_users"),
+        abs(col("est_users") - col("exact_users").cast("double")).as("abs_err"),
+        (abs(col("est_users") - col("exact_users").cast("double")) /
+          col("exact_users").cast("double")).as("rel_err"))
+      .orderBy("day_bucket")
+  }
+
   /** `events_theta_overlap`: day-over-day audience overlap estimated
     * from the SKETCHES ALONE (theta-style set intersection) and graded
     * against the exact overlap in the same row — the sketch-set-algebra

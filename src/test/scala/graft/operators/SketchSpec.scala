@@ -138,4 +138,20 @@ class SketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("theta accuracy panel: internally consistent, errors inside 5x rsd") {
+    val rows = Sketches.thetaAccuracyDaily(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val rsd = 1.0 / math.sqrt(Sketches.ThetaK - 2.0)
+    rows.foreach { case (day, exact, nSketch, est, absErr, relErr) =>
+      assert(absErr == math.abs(est - exact.toDouble), s"day $day abs")
+      assert(relErr == absErr / exact.toDouble, s"day $day rel")
+      // a non-saturated sketch IS the exact count; a saturated one
+      // must sit within a generous 5x of the estimator's rsd
+      if (nSketch < Sketches.ThetaK) assert(est == exact.toDouble)
+      else assert(relErr <= 5.0 * rsd, s"day $day rel_err $relErr vs rsd $rsd")
+    }
+  }
 }
