@@ -390,19 +390,41 @@ object TxnParquet {
   def compactZOrdered(spark: SparkSession, dir: String,
                       dim1: String, dim2: String, numFiles: Int = 16,
                       leaseTtlMs: Long = 15 * 60 * 1000L): Long =
-    compactRewritten(spark, dir, leaseTtlMs) { df =>
-      import org.apache.spark.sql.functions._
-      val dom = df.agg(
-        min(dim1).as("__lo1"), max(dim1).as("__hi1"),
-        min(dim2).as("__lo2"), max(dim2).as("__hi2"))
-      df.crossJoin(broadcast(dom))
-        .withColumn("__z", graft.operators.Layout.zValue(
-          col(dim1), col("__lo1"), col("__hi1"),
-          col(dim2), col("__lo2"), col("__hi2")))
-        .repartitionByRange(numFiles, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__lo1", "__hi1", "__lo2", "__hi2", "__z")
+    compactRewritten(spark, dir, leaseTtlMs)(
+      zorderRewrite(dim1, dim2, numFiles))
+
+  /** Composition capstone: tombstones applied physically AND the
+    * surviving rows written z-ordered — the periodic maintenance pass
+    * of a MUTABLE clustered table (CDC appends in arrival order →
+    * one compaction pays one range exchange and yields a
+    * delete-resolved, footer-prunable generation). */
+  def compactZOrderedWithDeletes(spark: SparkSession, dir: String,
+                                 keyCols: Seq[String],
+                                 dim1: String, dim2: String,
+                                 numFiles: Int = 16,
+                                 leaseTtlMs: Long = 15 * 60 * 1000L): Long =
+    compactCore(spark, dir, leaseTtlMs) { (ids, prior) =>
+      zorderRewrite(dim1, dim2, numFiles)(
+        resolvedView(spark, dir, keyCols, mergeSchema = true, ids, prior))
     }
+
+  /** The z-order rewrite applied by both clustered compactions: bucket
+    * both dimensions over the view's own min/max domain, ONE range
+    * exchange into `numFiles` contiguous z-ranges, z-sorted in-file. */
+  private def zorderRewrite(dim1: String, dim2: String, numFiles: Int)
+                           (df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dom = df.agg(
+      min(dim1).as("__lo1"), max(dim1).as("__hi1"),
+      min(dim2).as("__lo2"), max(dim2).as("__hi2"))
+    df.crossJoin(broadcast(dom))
+      .withColumn("__z", graft.operators.Layout.zValue(
+        col(dim1), col("__lo1"), col("__hi1"),
+        col(dim2), col("__lo2"), col("__hi2")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__lo1", "__hi1", "__lo2", "__hi2", "__z")
+  }
 
   private def compactRewritten(spark: SparkSession, dir: String,
                                leaseTtlMs: Long)

@@ -323,6 +323,51 @@ class TxnParquetSpec extends SparkSpec {
     assert(TxnParquet.read(spark, dir).count() === 8001L)
   }
 
+  test("compactZOrderedWithDeletes: resolved rows, clustered generation") {
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir()
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { b =>
+      val rows = (0 until 1500).map(i =>
+        (b * 1500L + i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      TxnParquet.append(rows.toDF("id", "k1", "k2"), dir, b.toLong)
+    }
+    // tombstone every id divisible by 3 (batch id 3 > all data batches)
+    val delKeys = (0L until 4500L).filter(_ % 3 == 0)
+    TxnParquet.appendDeletes(delKeys.map(Tuple1(_)).toDF("id"), dir, 3L)
+    val want = TxnParquet.readWithDeletes(spark, dir, Seq("id"))
+      .collect().map(_.toString).sorted
+    assert(want.length === 3000)
+    val gen = TxnParquet.compactZOrderedWithDeletes(
+      spark, dir, Seq("id"), "k1", "k2", numFiles = 8)
+    // resolved view unchanged; the generation holds exactly those rows
+    assert(TxnParquet.readWithDeletes(spark, dir, Seq("id"))
+      .collect().map(_.toString).sorted.toSeq === want.toSeq)
+    assert(spark.read.parquet(s"$dir/compact=$gen").count() === 3000)
+    // and the generation is clustered: tight footer spans on both dims
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gd = new org.apache.hadoop.fs.Path(s"$dir/compact=$gen")
+    val spans = gd.getFileSystem(conf).listStatus(gd).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map { p =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          def span(cn: String): Double = {
+            val st = rd.getFooter.getBlocks.asScala.map(b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == cn).get.getStatistics)
+            val lo = st.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min
+            val hi = st.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max
+            (hi - lo + 1).toDouble / 1000.0
+          }
+          (span("k1"), span("k2"))
+        } finally rd.close()
+      }
+    val (m1, m2) = (spans.map(_._1).sum / spans.length,
+      spans.map(_._2).sum / spans.length)
+    info(f"mean footer span after delete-resolving z-compact: k1=$m1%.3f k2=$m2%.3f")
+    assert(m1 < 0.7 && m2 < 0.7)
+  }
+
   test("a compaction slower than the ttl keeps its lease via renewal") {
     val dir = freshDir()
     val f = hadoopFs(dir)
