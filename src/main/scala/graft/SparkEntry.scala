@@ -1175,17 +1175,29 @@ object SparkEntry {
          |  SELECT p.d2 FROM cpf p
          |  WHERE p.d1 IN (SELECT doc_id FROM k2)
          |    AND p.d2 IN (SELECT doc_id FROM k2))),
-         |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs0),
-         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k1),
-         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k2),
-         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k3)
+         |tkc AS (SELECT doc_id, CAST(coalesce(len($TOKS), 0) AS BIGINT) AS nt
+         |        FROM documents),
+         |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) AS t FROM tkc),
+         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) AS t
+         |       FROM k1 JOIN tkc USING (doc_id)),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) AS t
+         |       FROM k2 JOIN tkc USING (doc_id)),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) AS t
+         |       FROM k3 JOIN tkc USING (doc_id))
          |SELECT stage, stage_name, rows_in, rows_in - rows_out AS dropped,
-         |  rows_out, ${ratio4Sql("rows_in - rows_out", "rows_in")} AS drop_share4
+         |  rows_out, ${ratio4Sql("rows_in - rows_out", "rows_in")} AS drop_share4,
+         |  toks_in, toks_in - toks_out AS toks_dropped,
+         |  ${ratio4Sql("toks_in - toks_out", "toks_in")} AS tok_drop_share4
          |FROM (
          |  SELECT CAST(1 AS BIGINT) AS stage, 'exact' AS stage_name,
-         |    c0.n AS rows_in, c1.n AS rows_out FROM c0, c1
-         |  UNION ALL SELECT 2, 'near_dup', c1.n, c2.n FROM c1, c2
-         |  UNION ALL SELECT 3, 'containment', c2.n, c3.n FROM c2, c3)
+         |    c0.n AS rows_in, c1.n AS rows_out,
+         |    c0.t AS toks_in, c1.t AS toks_out FROM c0, c1
+         |  UNION ALL SELECT 2, 'near_dup', c1.n, c2.n, c1.t, c2.t FROM c1, c2
+         |  UNION ALL SELECT 3, 'containment', c2.n, c3.n, c2.t, c3.t FROM c2, c3)
          |ORDER BY stage""".stripMargin,
 
     // near-dup pairs rolled up by unordered lang-label pair — mirrors

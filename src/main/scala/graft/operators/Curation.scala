@@ -547,14 +547,28 @@ object Curation {
     }
     val s2 = survivors(s1, MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2"))
     val s3 = survivors(s2, DocDedup.containmentPairs(spark, dir).select("d1", "d2"))
+    // per-stage TOKEN savings alongside doc counts — tokens are the
+    // unit training budgets are written in, so "what does each tier
+    // buy" must be answerable in both
+    val tk = docs.select(col("doc_id"),
+      coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
+        .cast("long").as("nt")).localCheckpoint()
+    def agg2(df: DataFrame, pre: String): DataFrame =
+      df.select("doc_id").join(tk, "doc_id")
+        .agg(count(lit(1)).as(s"${pre}_rows"),
+          coalesce(sum("nt"), lit(0L)).as(s"${pre}_toks"))
     def row(stage: Long, name: String, in: DataFrame, out: DataFrame) =
-      in.agg(count(lit(1)).as("rows_in"))
-        .crossJoin(out.agg(count(lit(1)).as("rows_out")))
+      agg2(in, "in").crossJoin(broadcast(agg2(out, "out")))
         .select(lit(stage).as("stage"), lit(name).as("stage_name"),
-          col("rows_in"), (col("rows_in") - col("rows_out")).as("dropped"),
-          col("rows_out"),
-          ratio4(col("rows_in") - col("rows_out"), col("rows_in"))
-            .as("drop_share4"))
+          col("in_rows").as("rows_in"),
+          (col("in_rows") - col("out_rows")).as("dropped"),
+          col("out_rows").as("rows_out"),
+          ratio4(col("in_rows") - col("out_rows"), col("in_rows"))
+            .as("drop_share4"),
+          col("in_toks").as("toks_in"),
+          (col("in_toks") - col("out_toks")).as("toks_dropped"),
+          ratio4(col("in_toks") - col("out_toks"), col("in_toks"))
+            .as("tok_drop_share4"))
     row(1L, "exact", docs, s1)
       .unionByName(row(2L, "near_dup", s1, s2))
       .unionByName(row(3L, "containment", s2, s3))
