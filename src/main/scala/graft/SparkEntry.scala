@@ -239,6 +239,11 @@ object SparkEntry {
     "corpus_dataset_card" -> ((s, d) => graft.operators.DatasetCard.card(s, d)),
     "dedup_graph_triangles" -> ((s, d) => MinHashLSH.graphTriangles(s, d)),
     "dedup_blocking_agreement" -> ((s, d) => graft.operators.Blocking.blockingAgreement(s, d)),
+    // round 11 continuation: spectral tier, privacy triad completion,
+    // Fellegi–Sunter linkage calibration
+    "embeddings_covariance" -> ((s, d) => graft.operators.Spectral.covariance(s, d)),
+    "privacy_t_closeness" -> ((s, d) => graft.operators.Privacy.tCloseness(s, d)),
+    "linkage_fs_weights" -> ((s, d) => graft.operators.Linkage.fsWeights(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -4712,6 +4717,100 @@ object SparkEntry {
          |  ${ratio4Sql("coalesce(tn.triangles, 0) * 2",
                         "greatest(deg.degree * (deg.degree - 1), 1)")} AS coeff4
          |FROM deg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin,
+
+    // exact upper-triangle second moments over the u3-quantized
+    // embeddings — mirrors Spectral.covariance (the oracle pays the
+    // unnest² pair form the engine's one-pass GramSumAgg avoids)
+    "embeddings_covariance" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |x AS (SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS i,
+         |        CAST(ROUND(CAST(e[g.i] AS DOUBLE) * 1000.0) AS BIGINT) AS u3
+         |      FROM v, generate_series(1, ${graft.operators.Similarity.Dim}) g(i))
+         |SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(a.u3) AS BIGINT) AS s_i, CAST(sum(b.u3) AS BIGINT) AS s_j,
+         |  CAST(sum(a.u3 * b.u3) AS BIGINT) AS p_ij
+         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ordered-EMD t-closeness over spend bands — mirrors
+    // Privacy.tCloseness (exact per-million cumulative arithmetic)
+    "privacy_t_closeness" -> {
+      val P = graft.operators.Privacy
+      s"""WITH ev AS ($EV),
+         |cells AS (SELECT event_type, ts_us // ${P.UsPerDay} AS day,
+         |            CAST(ROUND(value*100) AS BIGINT) // ${P.SpendBandCents} AS band,
+         |            CAST(count(*) AS BIGINT) AS c
+         |          FROM ev GROUP BY 1, 2, 3),
+         |g AS (SELECT band, CAST(sum(c) AS BIGINT) AS gb FROM cells GROUP BY 1),
+         |gc AS (SELECT band, CAST(sum(gb) OVER (ORDER BY band) AS BIGINT) AS cum_g
+         |       FROM g),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cells),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bands FROM g),
+         |cls AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS k
+         |        FROM cells GROUP BY 1, 2),
+         |grid AS (SELECT cls.event_type, cls.day, cls.k, gc.band, gc.cum_g,
+         |           coalesce(cells.c, 0) AS c
+         |         FROM cls CROSS JOIN gc
+         |         LEFT JOIN cells ON cells.event_type = cls.event_type
+         |           AND cells.day = cls.day AND cells.band = gc.band),
+         |cum AS (SELECT *, CAST(sum(c) OVER (PARTITION BY event_type, day
+         |          ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum_c FROM grid),
+         |df AS (SELECT event_type, day, k,
+         |         abs(${halfUpSql("cum_c * 1000000", "k")} -
+         |             ${halfUpSql("cum_g * 1000000", "n_total")}) AS diff_ppm
+         |       FROM cum CROSS JOIN tot),
+         |em AS (SELECT event_type, day, k, CAST(sum(diff_ppm) AS BIGINT) AS emd_sum
+         |       FROM df GROUP BY 1, 2, 3)
+         |SELECT event_type, day, k, n_bands,
+         |  CAST(${halfUpSql("emd_sum", "greatest(n_bands - 1, 1)")} AS BIGINT) AS t_ppm
+         |FROM em CROSS JOIN nb ORDER BY event_type, day""".stripMargin
+    },
+
+    // Fellegi–Sunter m/u calibration — mirrors Linkage.fsWeights
+    // (match class = the shared verified near-dup pair CTEs; u side
+    // from the per-value marginal, never enumerated)
+    "linkage_fs_weights" -> {
+      val L = graft.operators.Linkage
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |base AS (SELECT doc_id, source, lang,
+         |    CAST(n_chars // ${L.LenBandChars} AS VARCHAR) AS len_band,
+         |    lower(substr(trim(text), 1, ${L.PrefixChars})) AS prefix
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, 'same_source' AS signal, source AS v FROM base
+         |  UNION ALL SELECT doc_id, 'same_lang', lang FROM base
+         |  UNION ALL SELECT doc_id, 'same_len_band', len_band FROM base
+         |  UNION ALL SELECT doc_id, 'same_prefix', prefix FROM base),
+         |ag AS (SELECT signal, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS all_agree
+         |       FROM (SELECT signal, v, CAST(count(*) AS BIGINT) AS c
+         |             FROM sig GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ap AS (SELECT CAST(n * (n - 1) // 2 AS BIGINT) AS all_pairs FROM nn),
+         |ma AS (SELECT a.signal AS signal, CAST(count(*) AS BIGINT) AS match_pairs,
+         |         CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS match_agree
+         |       FROM pairs p JOIN sig a ON a.doc_id = p.d1
+         |                    JOIN sig b ON b.doc_id = p.d2 AND b.signal = a.signal
+         |       GROUP BY 1),
+         |fin AS (
+         |  SELECT signal, match_pairs, match_agree,
+         |    CAST(${halfUpSql("match_agree * 1000000", "greatest(match_pairs, 1)")}
+         |      AS BIGINT) AS m_ppm,
+         |    all_pairs - match_pairs AS nonmatch_pairs,
+         |    all_agree - match_agree AS nonmatch_agree,
+         |    CAST(${halfUpSql("(all_agree - match_agree) * 1000000",
+                               "greatest(all_pairs - match_pairs, 1)")}
+         |      AS BIGINT) AS u_ppm
+         |  FROM ma JOIN ag USING (signal) CROSS JOIN ap)
+         |SELECT signal, match_pairs, match_agree, m_ppm,
+         |  nonmatch_pairs, nonmatch_agree, u_ppm,
+         |  ${ratio4Sql("m_ppm", "greatest(u_ppm, 1)")} AS weight4
+         |FROM fin ORDER BY signal""".stripMargin
+    },
   )
 
   /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */

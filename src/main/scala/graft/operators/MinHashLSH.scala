@@ -308,13 +308,24 @@ object MinHashLSH {
   }
 
   /** #9: candidate pairs from band collisions, verified with true
-    * Jaccard ≥ τ on the shingle sets. */
+    * Jaccard ≥ τ on the shingle sets.
+    *
+    * Session-memoized (the bruteTopKShared discipline): the verified
+    * pair list is edge-sized but costs a full shingle+LSH+verify
+    * corpus pass, and a Verify/Bench session consumes it from ~10
+    * panels (components, rank, triangles, cluster sizes, cross-lang,
+    * best-quality, blocking agreement, multi-signal, clean-docs,
+    * cascade) — without the memo each re-ran the pipeline end-to-end.
+    * Keyed by the documents artifact version + exact tau; the
+    * arbitrary-frame form [[nearDupPairsOf]] stays uncached. */
   def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
-    nearDupPairsOf(
-      graft.Tables.documents(spark, dir)
-        .select("doc_id", "text")
-        .spread,
-      tau)
+    Similarity.memoized(spark,
+      s"lshpairs|${Similarity.artifactVersion(spark, dir, "documents.parquet")}|$dir|$tau")(
+      nearDupPairsOf(
+        graft.Tables.documents(spark, dir)
+          .select("doc_id", "text")
+          .spread,
+        tau))
 
   /** #9 over an arbitrary (doc_id, text) frame. */
   def nearDupPairsOf(docs: DataFrame, tau: Double = 0.5): DataFrame =

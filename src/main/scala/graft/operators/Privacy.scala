@@ -67,6 +67,64 @@ object Privacy {
       qiClasses(ev).agg(countDistinct(col("user_id")).as("m"),
         count(lit(1)).as("k")), "l")
 
+  /** #261 `privacy_t_closeness`: the third member of the release-gate
+    * triad — a class can be large (k) and diverse (l) yet still leak
+    * by DISTRIBUTION: if a (event_type, day) class's spend profile
+    * sits far from the corpus-wide profile, membership alone reveals
+    * spending behavior. Per class, the Earth Mover's Distance between
+    * its spend-band distribution and the global one over the ORDERED
+    * band scale: EMD = Σ_b |cumP_class(b) − cumP_global(b)| / (B−1),
+    * in exact per-million arithmetic (cumulative counts → halfUpDiv
+    * ppm → absolute-difference sum → halfUpDiv by B−1) so the gate
+    * value is bit-identical cross-engine. Band (the sensitive
+    * attribute here) leaves the quasi-identifier — t-closeness is
+    * about what the QI class reveals OF the sensitive column.
+    *
+    * Shape: the (type, day, band) count is the only corpus-sized
+    * shuffle (partial-aggregable); the global band marginal and its
+    * cumulative are O(B) and broadcast; the dense class×band grid,
+    * its per-class cumulative window and the final per-class rollup
+    * are all O(classes·B) — bounded by types × days × bands,
+    * independent of row count. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Dedup.eventsUs(spark, dir))
+
+  /** [[tCloseness]] over any canonical events frame. */
+  def tClosenessOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, intDiv}
+    val cells = ev.select(col("event_type"),
+        intDiv(col("ts_us"), lit(UsPerDay)).as("day"),
+        intDiv(round(col("value") * 100).cast("long"), lit(SpendBandCents))
+          .as("band"))
+      .groupBy("event_type", "day", "band")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val wg = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = cells.groupBy("band").agg(sum("c").as("g"))
+      .withColumn("cum_g", sum("g").over(wg))
+      .select("band", "cum_g")
+    val totals = cells.agg(sum("c").as("n_total"))
+    val classes = cells.groupBy("event_type", "day").agg(sum("c").as("k"))
+    val wc = Window.partitionBy("event_type", "day").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = classes.crossJoin(broadcast(global))
+      .join(cells, Seq("event_type", "day", "band"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_c", sum("c").over(wc))
+    val nBands = global.count()
+    grid.crossJoin(broadcast(totals))
+      .withColumn("diff_ppm",
+        abs(halfUpDiv(col("cum_c") * 1000000L, col("k")) -
+          halfUpDiv(col("cum_g") * 1000000L, col("n_total"))))
+      .groupBy("event_type", "day", "k")
+      .agg(sum("diff_ppm").as("emd_sum"))
+      .select(col("event_type"), col("day"), col("k"),
+        lit(nBands).as("n_bands"),
+        halfUpDiv(col("emd_sum"), lit(math.max(nBands - 1L, 1L))).as("t_ppm"))
+      .orderBy("event_type", "day")
+  }
+
   /** The shared QI grouping: (event_type, day, band) classes carrying
     * user_id for sensitive-attribute measures. */
   private def qiClasses(ev: DataFrame) = {

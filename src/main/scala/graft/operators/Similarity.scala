@@ -149,7 +149,20 @@ object Similarity {
     * quantizer). */
   def nearDupPairs(spark: SparkSession, dir: String, tau: Double = NearDupTau,
                    numPlanes: Int = 0,
-                   planesPerBand: Int = 0): DataFrame = {
+                   planesPerBand: Int = 0): DataFrame =
+    // Shared substrate (same discipline as bruteTopKShared): the
+    // verified pair list is edge-sized but its lineage is a full
+    // corpus pass, and a session (Verify/Bench run ~200 queries in
+    // one) consumes it from the summary, semantic-components,
+    // multi-signal and contamination panels — memoize per exact
+    // parameterization so the LSH+verify pipeline runs once.
+    memoized(spark,
+      s"embpairs|${corpusVersion(spark, dir)}|$dir|$tau|$numPlanes|$planesPerBand")(
+      nearDupPairsUncached(spark, dir, tau, numPlanes, planesPerBand))
+
+  private def nearDupPairsUncached(spark: SparkSession, dir: String,
+                                   tau: Double, numPlanes: Int,
+                                   planesPerBand: Int): DataFrame = {
     val v = vecs(spark, dir)
     val ppb =
       if (planesPerBand > 0) planesPerBand else planesPerBandFor(v.count())
@@ -249,9 +262,10 @@ object Similarity {
     * and localCheckpoint truncates lineage, so an eager unpersist would
     * fail that consumer instead of recomputing; dropping the reference
     * instead lets the ContextCleaner reclaim the blocks when the last
-    * consumer lets go. The cap is generous versus the ≤6 distinct keys
-    * the ANN panels use per corpus. */
-  private val MemoCap = 16
+    * consumer lets go. The cap is generous versus the distinct keys a
+    * full Verify/Bench session uses per corpus (≤6 ANN substrates plus
+    * the lexical/semantic pair frames — all edge- or k-sized). */
+  private val MemoCap = 32
   private case class SessionMemo(
       ctx: org.apache.spark.SparkContext,
       entries: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
@@ -277,8 +291,16 @@ object Similarity {
   /** Cheap corpus-version token for `dir`: names + lengths + mtimes of
     * the embeddings artifact, one driver-side FS listing. */
   private def corpusVersion(spark: SparkSession, dir: String): String =
+    artifactVersion(spark, dir, "embeddings.parquet")
+
+  /** [[corpusVersion]] generalized to any table artifact under `dir` —
+    * doc-grain memo keys version against `documents.parquet`, so a
+    * regenerated document corpus invalidates the lexical pair memo
+    * even when the embeddings file is untouched. */
+  private[operators] def artifactVersion(spark: SparkSession, dir: String,
+                                         artifact: String): String =
     try {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
       if (st.isDirectory)
@@ -288,8 +310,8 @@ object Similarity {
       else s"${st.getLen}:${st.getModificationTime}"
     } catch { case _: Exception => "na" }
 
-  private def memoized(spark: SparkSession, key: String)
-                      (build: => DataFrame): DataFrame = {
+  private[operators] def memoized(spark: SparkSession, key: String)
+                                 (build: => DataFrame): DataFrame = {
     // liveness prune: a stopped context's frames are unusable anyway
     sessionMemos.entrySet().removeIf(e => e.getValue.ctx.isStopped)
     val sm = sessionMemos.computeIfAbsent(sessionKey(spark), _ =>

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Spectral diagnostics over the embedding table — the covariance
+  * tier above the per-dimension marginals (#220 `embeddings_dim_stats`
+  * sees each dim alone; collapse, rotation drift and duplicated
+  * feature channels only show up in the CROSS moments).
+  *
+  * Scale shape: everything reduces to ONE [[graft.plans.GramSumAgg]]
+  * pass — a narrow scan folding each vector into a d(d+3)/2+1-long
+  * moment buffer, partial-aggregable so map-side combine does the
+  * heavy lifting and only O(d²) longs ever cross the wire. The d×d
+  * eigen-analysis then runs on the driver (d=64 here; at 4096-dim
+  * production embeddings the matrix is 16M doubles — still driver
+  * math, the same place every distributed PCA puts it).
+  */
+object Spectral {
+
+  import graft.operators.Similarity.Dim
+
+  /** Quantized u3 vector (round(x·1000) per the dim-stats discipline)
+    * — integer sums are order-independent, so the moment buffer is
+    * bit-identical across partitionings and engines. */
+  private def u3vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"), x =>
+        round(x.cast("double") * 1000d).cast("long")).as("u"))
+
+  /** #259 `embeddings_covariance`: the exact upper-triangle second
+    * moments of the quantized embedding corpus — per (i ≤ j): n, the
+    * two dimension sums and the cross-product sum, from which
+    * cov(i,j) = (n·p_ij − s_i·s_j)/n² derives exactly. Emitted as raw
+    * integers (the engine's cross-engine-determinism discipline);
+    * [[topComponent]] consumes the same rows for the eigen tier.
+    *
+    * Shape: one GramSumAgg scan → a single 2145-long row → an O(d²)
+    * driver-free explode into the 2080 entry rows. No join, no
+    * shuffle of vector data, no N·d² row blowup (the unnest² form
+    * this replaces is linear too but pays ~4096 generated rows per
+    * vector — the oracle keeps that form, the engine never does). */
+  def covariance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Dim
+    val g = u3vecs(spark, dir)
+      .agg(graft.plans.GramSumAggFunctions.gramSumAgg(col("u"), d).as("g"))
+    // entry offset for (i,j), i ≤ j: 1 + d + i·d − i(i−1)/2 + (j−i)
+    g.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${d - 1}), i ->
+           |  transform(sequence(i, ${d - 1}), j -> struct(
+           |    cast(i as bigint) as i, cast(j as bigint) as j,
+           |    g[0] as n, g[1 + i] as s_i, g[1 + j] as s_j,
+           |    g[${d + 1} + i * $d - (i * (i - 1)) div 2 + (j - i)] as p_ij))))"""
+          .stripMargin)).as("r"))
+      .select("r.*")
+      .orderBy("i", "j")
+  }
+
+  /** Dominant principal component of the embedding covariance by
+    * power iteration — the library tier over [[covariance]]'s moment
+    * rows (collected: exactly d(d+1)/2 entries, O(d²) driver state by
+    * design). Deterministic md5-seeded start vector; returns
+    * (eigenvalue, eigenvector) in u3² covariance units. The spec pins
+    * the eigen residual ‖Σv − λv‖ ≤ 1e-6·λ and dominance over probe
+    * directions. */
+  def topComponent(spark: SparkSession, dir: String,
+                   iters: Int = 20000): (Double, Array[Double]) = {
+    val d = Dim
+    val rows = covariance(spark, dir).collect()
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getLong(1).toInt
+      val n = r.getLong(2).toDouble
+      val c = (n * r.getLong(5) - r.getLong(3).toDouble * r.getLong(4)) / (n * n)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    powerIterate(cov, iters)
+  }
+
+  /** Power iteration on a symmetric PSD matrix with a deterministic
+    * seeded start (md5 of the index — never orthogonal to the top
+    * eigenvector in practice). `iters` caps the loop; convergence is
+    * checked every 50 steps and iteration stops once the residual
+    * ‖Σv − λv‖ drops under 1e-8·λ, an order tighter than the 1e-6·λ
+    * the spec pins — linear convergence at rate λ2/λ1 means a narrow
+    * spectral gap needs more steps than any fixed count, and the
+    * check costs one extra matvec per 50. */
+  def powerIterate(m: Array[Array[Double]], iters: Int): (Double, Array[Double]) = {
+    val d = m.length
+    var v = Array.tabulate(d) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pc:$i".getBytes("UTF-8"))
+      ((((md(0) & 0xffL) << 8) | (md(1) & 0xffL)).toDouble / 65535.0) + 0.5
+    }
+    def norm(x: Array[Double]) = math.sqrt(x.map(a => a * a).sum)
+    def mul(x: Array[Double]) = Array.tabulate(d) { i =>
+      var s = 0.0; var j = 0
+      while (j < d) { s += m(i)(j) * x(j); j += 1 }
+      s
+    }
+    def residual(x: Array[Double]): (Double, Double) = {
+      val ax = mul(x)
+      val lam = x.zip(ax).map { case (a, b) => a * b }.sum // Rayleigh
+      val r = math.sqrt(x.indices.map(i => { val e = ax(i) - lam * x(i); e * e }).sum)
+      (lam, r)
+    }
+    var k = 0
+    var done = false
+    while (k < iters && !done) {
+      val w = mul(v)
+      val nw = norm(w)
+      require(nw > 0, "power iteration collapsed to the zero vector")
+      v = w.map(_ / nw)
+      k += 1
+      if (k % 50 == 0) {
+        val (lam, r) = residual(v)
+        done = lam > 0 && r <= 1e-8 * lam
+      }
+    }
+    val (lambda, _) = residual(v)
+    (lambda, v)
+  }
+}

@@ -268,17 +268,25 @@ object TextAnalysis {
 
   /** TF-IDF top terms per document. The idf is the rational N/df (no
     * log) so scores are exact integer ratios in double precision —
-    * deterministic across engines; ranking is what matters. Terms
-    * shuffle once for tf, once for df; both df and the corpus size
-    * broadcast back onto the term rows. */
+    * deterministic across engines; ranking is what matters.
+    *
+    * One tokenization pass: tf is the only corpus-grain aggregate, and
+    * both df (documents containing a term = tf rows per term — the tf
+    * grain IS (doc, term)-distinct) and N derive from the checkpointed
+    * tf frame as plain partial-aggregable counts. The naive form paid
+    * three tokenize+explode passes and a (term, doc_id)
+    * distinct-shuffle for df; at sf1 the vocabulary grows Heaps-style
+    * on top of the 10× rows, so those redundant passes dominated
+    * (9.2× scale ratio — the registry's worst). */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val tk = Tables.documents(spark, dir)
       .select("doc_id", "text")
       .spread
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tk.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val n = tk.agg(countDistinct("doc_id").as("n"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct("doc_id").as("n"))
     val score = (col("tf") * col("n")).cast("double") / col("df")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))

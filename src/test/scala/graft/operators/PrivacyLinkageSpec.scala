@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** t-closeness EMD arithmetic on a hand-computed fixture, and the
+  * Fellegi–Sunter calibration's structural invariants on the real
+  * sf0.001 corpus. */
+class PrivacyLinkageSpec extends SparkSpec {
+
+  test("tClosenessOf reproduces the hand-computed EMD fixture") {
+    import spark.implicits._
+    val day = Privacy.UsPerDay
+    // bands via value: 5.0 → band 0, 15.0 → band 1, 25.0 → band 2
+    def rows(tpe: String, vs: Double*) = vs.map(v => (tpe, day + 1L, v))
+    val ev = (rows("a", 5.0, 5.0, 15.0, 15.0) ++
+      rows("b", 25.0, 25.0, 25.0, 25.0) ++
+      rows("c", 5.0, 15.0, 25.0, 25.0)).toDF("event_type", "ts_us", "value")
+    val got = Privacy.tClosenessOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // global: bands (3,3,6)/12 → cum ppm 250000, 500000, 1000000
+    // class a (2,2,0)/4 → cum 500000, 1000000, 1000000 → EMD 750000/2
+    // class b (0,0,4)/4 → cum 0, 0, 1000000        → EMD 750000/2
+    // class c (1,1,2)/4 → matches global exactly    → t = 0
+    assert(got.toSeq === Seq(
+      ("a", 4L, 3L, 375000L),
+      ("b", 4L, 3L, 375000L),
+      ("c", 4L, 3L, 0L)))
+  }
+
+  test("a class mirroring the global distribution scores t = 0") {
+    import spark.implicits._
+    val ev = Seq(("x", 10L, 5.0), ("x", 10L, 15.0),
+      ("y", 10L, 5.0), ("y", 10L, 15.0)).toDF("event_type", "ts_us", "value")
+    val ts = Privacy.tClosenessOf(ev).collect()
+    assert(ts.forall(_.getLong(4) === 0L))
+  }
+
+  test("fsWeights: one row per signal, consistent pair algebra") {
+    val rows = Linkage.fsWeights(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("same_lang", "same_len_band", "same_prefix", "same_source"))
+    val n = graft.Tables.documents(spark, sf).count()
+    val allPairs = n * (n - 1) / 2
+    val matchPairs = MinHashLSH.nearDupPairs(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === matchPairs) // every signal scores every match pair
+      assert(r.getLong(1) + r.getLong(4) === allPairs)
+      assert(r.getLong(2) <= r.getLong(1)) // agreements bounded by pairs
+      assert(r.getLong(5) >= 0L) // marginal subtraction never negative
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L)
+    }
+    // discriminative signals: near-dups agree on prefix/len-band far
+    // more often than random pairs do (the whole point of the weights)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("same_prefix").getLong(3) > byName("same_prefix").getLong(6))
+    assert(byName("same_len_band").getLong(3) > byName("same_len_band").getLong(6))
+    assert(byName("same_prefix").getDouble(7) >= byName("same_lang").getDouble(7))
+  }
+
+  test("verified pair frames are session-memoized per parameterization") {
+    val a = MinHashLSH.nearDupPairs(spark, sf)
+    val b = MinHashLSH.nearDupPairs(spark, sf)
+    assert(a eq b) // same checkpointed frame, not a rebuilt pipeline
+    val c = MinHashLSH.nearDupPairs(spark, sf, tau = 0.7)
+    assert(!(a eq c)) // tau participates in the key
+    val e1 = Similarity.nearDupPairs(spark, sf)
+    val e2 = Similarity.nearDupPairs(spark, sf)
+    assert(e1 eq e2)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Spectral tier over the embedding corpus: the one-pass moment rows
+  * against a naive driver model, and the power-iteration eigenpair's
+  * defining properties (residual + dominance). */
+class SpectralSpec extends SparkSpec {
+
+  private val d = Similarity.Dim
+
+  /** Driver model: collect the sf0.001 embeddings (500 × 64) and fold
+    * the same u3 quantization by hand. */
+  private lazy val u3: Array[Array[Long]] =
+    Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(x => math.round(x.toDouble * 1000d)))
+
+  test("covariance moment rows equal the naive driver model") {
+    val rows = Spectral.covariance(spark, sf).collect()
+    assert(rows.length === d * (d + 1) / 2)
+    val n = u3.length.toLong
+    // spot-check a deterministic spread of cells incl. the triangle edges
+    val picks = Seq((0, 0), (0, 1), (0, d - 1), (3, 17), (31, 32), (d - 1, d - 1))
+    val byIj = rows.map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r)).toMap
+    picks.foreach { case (i, j) =>
+      val r = byIj((i, j))
+      assert(r.getLong(2) === n)
+      assert(r.getLong(3) === u3.map(_(i)).sum, s"s_i at ($i,$j)")
+      assert(r.getLong(4) === u3.map(_(j)).sum, s"s_j at ($i,$j)")
+      assert(r.getLong(5) === u3.map(v => v(i) * v(j)).sum, s"p_ij at ($i,$j)")
+    }
+  }
+
+  test("covariance plan is one aggregate pass: no join, no corpus explode") {
+    val plan = Spectral.covariance(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("gram_sum_agg"))
+    assert(!plan.contains("Join"))
+  }
+
+  test("topComponent satisfies the eigen residual and dominates probes") {
+    val (lambda, v) = Spectral.topComponent(spark, sf)
+    assert(lambda > 0)
+    // rebuild the covariance matrix the same way topComponent does
+    val n = u3.length.toDouble
+    val s = Array.tabulate(d)(i => u3.map(_(i)).sum.toDouble)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      (n * u3.map(r => r(i) * r(j)).sum - s(i) * s(j)) / (n * n)
+    }
+    def mul(x: Array[Double]) =
+      Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * x(j)).sum)
+    val av = mul(v)
+    val resid = math.sqrt(v.indices.map(i => math.pow(av(i) - lambda * v(i), 2)).sum)
+    assert(resid <= 1e-6 * lambda, s"residual $resid vs λ=$lambda")
+    // Rayleigh dominance: λ beats every axis-aligned probe direction
+    for (i <- 0 until d) assert(lambda >= cov(i)(i) - 1e-9 * lambda)
+  }
+
+  test("power iteration is deterministic") {
+    val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
+    val (l1, v1) = Spectral.powerIterate(m, 100)
+    val (l2, v2) = Spectral.powerIterate(m, 100)
+    assert(l1 === l2)
+    assert(v1.toSeq === v2.toSeq)
+    // known top eigenvalue of [[4,1],[1,3]]: (7+√5)/2
+    assert(math.abs(l1 - (7 + math.sqrt(5)) / 2) < 1e-9)
+  }
+}
