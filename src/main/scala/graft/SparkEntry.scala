@@ -244,6 +244,8 @@ object SparkEntry {
     "embeddings_covariance" -> ((s, d) => graft.operators.Spectral.covariance(s, d)),
     "privacy_t_closeness" -> ((s, d) => graft.operators.Privacy.tCloseness(s, d)),
     "linkage_fs_weights" -> ((s, d) => graft.operators.Linkage.fsWeights(s, d)),
+    "linkage_pattern_precision" -> ((s, d) => graft.operators.Linkage.patternPrecision(s, d)),
+    "linkage_entity_clusters" -> ((s, d) => graft.operators.Linkage.entityClusters(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -777,6 +779,52 @@ object SparkEntry {
     }
     sb.append(s""",
        |comp AS (SELECT node AS $node, lab AS $label FROM $prev)""".stripMargin)
+    sb.toString
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") as unrolled
+    * materialized CTEs — the closure for graphs whose DIAMETER grows
+    * with the corpus (sorted-neighborhood chains), where
+    * [[labelPropCtes]]'s per-round one-hop propagation would need
+    * O(diameter) rounds (measured: the sf0.01 entity graph still had 5
+    * components after 40 label-prop rounds; star contraction closes it
+    * in 7). Each round rewrites the O(E) canonical edge list; at
+    * fixpoint every component is a star rooted at its min node and
+    * further rounds are no-ops, so the fixed unroll is safe margin,
+    * not a semantic knob. Consumes a canonical edge CTE `ee (d1, d2)`
+    * and emits `comp (doc_id, component_id)` over all edge-touched
+    * nodes. */
+  private val StarRounds = 12
+  private def starContractionCtes(): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "se0 AS MATERIALIZED (SELECT DISTINCT least(d1, d2) AS a, " +
+        "greatest(d1, d2) AS b FROM ee WHERE d1 <> d2)")
+    var prev = "se0"
+    for (k <- 1 to StarRounds) {
+      sb.append(s""",
+         |ssym$k AS (SELECT a AS u, b AS v FROM $prev
+         |           UNION ALL SELECT b, a FROM $prev),
+         |smn$k AS (SELECT u, least(min(v), u) AS m FROM ssym$k GROUP BY u),
+         |sls$k AS MATERIALIZED (
+         |  SELECT DISTINCT least(m, v) AS a, greatest(m, v) AS b
+         |  FROM ssym$k JOIN smn$k USING (u)
+         |  WHERE v > u AND m <> v),
+         |ssym2_$k AS (SELECT a AS u, b AS v FROM sls$k
+         |             UNION ALL SELECT b, a FROM sls$k),
+         |sle$k AS (SELECT u, v FROM ssym2_$k WHERE v < u),
+         |smn2_$k AS (SELECT u, min(v) AS m FROM sle$k GROUP BY u),
+         |sss$k AS MATERIALIZED (
+         |  SELECT DISTINCT m AS a, x AS b FROM (
+         |    SELECT l.m, q.v AS x FROM sle$k q JOIN smn2_$k l USING (u)
+         |    UNION ALL
+         |    SELECT m, u AS x FROM smn2_$k) WHERE m <> x)""".stripMargin)
+      prev = s"sss$k"
+    }
+    sb.append(s""",
+       |comp AS (SELECT b AS doc_id, a AS component_id FROM $prev
+       |         UNION SELECT DISTINCT a, a FROM $prev)""".stripMargin)
     sb.toString
   }
 
@@ -4811,6 +4859,67 @@ object SparkEntry {
          |  ${ratio4Sql("m_ppm", "greatest(u_ppm, 1)")} AS weight4
          |FROM fin ORDER BY signal""".stripMargin
     },
+
+    // per-pattern precision over the UNFILTERED sorted-neighborhood
+    // candidate stream — mirrors Linkage.patternPrecision (the SN
+    // candidate CTEs are the shared #213 chain, pre-accept-gate)
+    "linkage_pattern_precision" -> {
+      val L = graft.operators.Linkage
+      val tau = graft.operators.Blocking.SnTau
+      s"""WITH $SN_CTES,
+         |lpc AS (SELECT d1, d2,
+         |          ${ratio4Sql("inter", "greatest(uni, 1)")} AS jacc4 FROM snj),
+         |lps AS (SELECT doc_id, source, lang,
+         |          n_chars // ${L.LenBandChars} AS len_band,
+         |          lower(substr(trim(text), 1, ${L.PrefixChars})) AS prefix
+         |        FROM documents),
+         |lpp AS (SELECT
+         |    (CASE WHEN a.source = b.source THEN '1' ELSE '0' END ||
+         |     CASE WHEN a.lang = b.lang THEN '1' ELSE '0' END ||
+         |     CASE WHEN a.len_band = b.len_band THEN '1' ELSE '0' END ||
+         |     CASE WHEN a.prefix = b.prefix THEN '1' ELSE '0' END) AS pattern,
+         |    jacc4
+         |  FROM lpc JOIN lps a ON a.doc_id = lpc.d1
+         |           JOIN lps b ON b.doc_id = lpc.d2),
+         |lpg AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_cand,
+         |          CAST(sum(CASE WHEN jacc4 >= $tau THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_match
+         |        FROM lpp GROUP BY 1)
+         |SELECT pattern, n_cand, n_match,
+         |  ${ratio4Sql("n_match", "n_cand")} AS prec4
+         |FROM lpg ORDER BY pattern""".stripMargin
+    },
+
+    // entity resolution over the UNION of the LSH and SN verified pair
+    // families — mirrors Linkage.entityClusters (shared MH + SN CTE
+    // chains, full-outer provenance join, label-prop closure)
+    "linkage_entity_clusters" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |$SN_CTES,
+         |lshp AS (SELECT d1, d2 FROM pairs),
+         |snp AS (SELECT least(d1, d2) AS d1, greatest(d1, d2) AS d2 FROM snacc),
+         |ee AS MATERIALIZED (
+         |  SELECT coalesce(l.d1, s.d1) AS d1, coalesce(l.d2, s.d2) AS d2,
+         |    CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
+         |    CASE WHEN s.d1 IS NOT NULL THEN 1 ELSE 0 END AS in_sn
+         |  FROM lshp l FULL OUTER JOIN snp s ON s.d1 = l.d1 AND s.d2 = l.d2),
+         |${starContractionCtes()},
+         |ns AS (SELECT component_id AS entity_id,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |       FROM comp JOIN documents USING (doc_id) GROUP BY 1),
+         |es AS (SELECT c.component_id AS entity_id,
+         |         CAST(sum(CASE WHEN in_lsh = 1 AND in_sn = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS e_lsh_only,
+         |         CAST(sum(CASE WHEN in_sn = 1 AND in_lsh = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS e_sn_only,
+         |         CAST(sum(CASE WHEN in_lsh = 1 AND in_sn = 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS e_both
+         |       FROM ee JOIN comp c ON c.doc_id = ee.d1 GROUP BY 1)
+         |SELECT entity_id, n_docs, n_sources, e_lsh_only, e_sn_only, e_both
+         |FROM ns JOIN es USING (entity_id) ORDER BY entity_id""".stripMargin,
   )
 
   /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */

@@ -55,7 +55,19 @@ object Blocking {
   /** [[sortedNeighborhood]] core over any (doc_id, text) frame. */
   def sortedNeighborhoodOf(docs: DataFrame,
                            window: Int = SnWindow,
-                           tau: Double = SnTau): DataFrame = {
+                           tau: Double = SnTau): DataFrame =
+    snCandidatesOf(docs, window)
+      .filter(col("jacc4") >= tau)
+      .select("d1", "d2", "gap", "jacc4")
+      .orderBy("d1", "d2")
+
+  /** The UNFILTERED sorted-neighborhood candidate frame — every window
+    * adjacency with its exact Jaccard, before the τ accept gate. The
+    * verified pass ([[sortedNeighborhoodOf]]) filters it; the linkage
+    * calibration tier ([[Linkage.patternPrecision]]) consumes it whole,
+    * because rejected candidates are exactly the negative class a
+    * decision rule is calibrated against. */
+  def snCandidatesOf(docs: DataFrame, window: Int = SnWindow): DataFrame = {
     import graft.functions.Hashing.ratio4
     val keyed = docs.select(col("doc_id"),
       substring(DocDedup.normalized(col("text")), 1, SnKeyLen).as("bkey"))
@@ -80,9 +92,7 @@ object Blocking {
       .withColumn("uni",
         (size(col("ts1")) + size(col("ts2"))).cast("long") - col("inter"))
       .withColumn("jacc4", ratio4(col("inter"), greatest(col("uni"), lit(1L))))
-      .filter(col("jacc4") >= tau)
       .select("d1", "d2", "gap", "jacc4")
-      .orderBy("d1", "d2")
   }
 
   /** #226 `dedup_blocking_agreement`: cross-family agreement between

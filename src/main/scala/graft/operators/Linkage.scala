@@ -82,4 +82,107 @@ object Linkage {
         greatest(col("u_ppm"), lit(1L))))
       .orderBy("signal")
   }
+
+  /** #264 `linkage_pattern_precision`: the decision-rule table the
+    * Fellegi–Sunter weights ([[fsWeights]]) feed — over the LINEAR
+    * sorted-neighborhood candidate stream (every window adjacency,
+    * rejected candidates included: they are the negative class), group
+    * pairs by their 4-bit signal agreement PATTERN (source, lang,
+    * len-band, prefix — '1' = both docs agree) and report, per
+    * pattern: candidate count, how many pass the exact-Jaccard match
+    * gate, and the exact ratio4 precision. A linkage deployment reads
+    * accept/review/reject thresholds straight off this table — the
+    * empirical version of the FS likelihood-ratio decision rule.
+    *
+    * Shape: candidates are [[Blocking.snCandidatesOf]]'s output —
+    * O(N·window) BY CONSTRUCTION (one native global-rank sort, int-key
+    * adjacency joins; no block-size hazard). The per-doc signal tuple
+    * joins on twice by doc_id (co-partitioned int keys); the pattern
+    * rollup is a ≤16-group partial-aggregable count. Nothing here
+    * scales worse than the SN pass itself. */
+  def patternPrecision(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .spread
+    val sig = docs.select(col("doc_id"), col("source"), col("lang"),
+        intDivCol(col("n_chars"), LenBandChars).as("len_band"),
+        lower(substring(trim(col("text")), 1, PrefixChars)).as("prefix"))
+      .localCheckpoint()
+    val cand = Blocking.snCandidatesOf(
+      docs.select("doc_id", "text"))
+    def a(c: String) = col(s"a.$c")
+    def b(c: String) = col(s"b.$c")
+    def bit(cond: org.apache.spark.sql.Column) = when(cond, "1").otherwise("0")
+    cand
+      .join(sig.as("a"), col("d1") === a("doc_id"))
+      .join(sig.as("b"), col("d2") === b("doc_id"))
+      .withColumn("pattern", concat(
+        bit(a("source") === b("source")), bit(a("lang") === b("lang")),
+        bit(a("len_band") === b("len_band")), bit(a("prefix") === b("prefix"))))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("jacc4") >= Blocking.SnTau, 1L).otherwise(0L)).as("n_match"))
+      .withColumn("prec4", ratio4(col("n_match"), col("n_cand")))
+      .orderBy("pattern")
+  }
+
+  /** Exact integer division as a Column (the div the band signals
+    * share with the oracle side). */
+  private def intDivCol(n: org.apache.spark.sql.Column, d: Long) =
+    graft.functions.Hashing.intDiv(n, lit(d))
+
+  /** #267 `linkage_entity_clusters`: entity resolution over the UNION
+    * of the two verified candidate families — LSH shingle pairs and
+    * sorted-neighborhood pairs — closed transitively into entities,
+    * with per-entity edge provenance. The panel answers the multi-pass
+    * blocking question directly: how many entities exist only because
+    * the families compose (an SN edge bridging two LSH clusters and
+    * vice versa), and which entities span sources (the cross-feed
+    * merges a single-family pass misses). Per entity (min-doc label):
+    * doc count, distinct sources, and edge counts by provenance
+    * (LSH-only / SN-only / both).
+    *
+    * Shape: both pair lists are the memoized/linear operators' own
+    * outputs (edge-sized); the full-outer provenance join is
+    * edge-on-edge; closure is the shared O(diameter)-round min-label
+    * engine; rollups are O(nodes)+O(edges) partial-aggregable
+    * groupBys. Output O(entities). */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val lsh = MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2")
+    val sn = graft.operators.Blocking.sortedNeighborhood(spark, dir)
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"))
+    val edges = lsh.withColumn("in_lsh", lit(1L))
+      .join(sn.withColumn("in_sn", lit(1L)), Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"),
+        coalesce(col("in_lsh"), lit(0L)).as("in_lsh"),
+        coalesce(col("in_sn"), lit(0L)).as("in_sn"))
+      .localCheckpoint()
+    // star contraction, not one-hop label prop: SN adjacency CHAINS
+    // give this union graph a corpus-growing diameter (50+ label-prop
+    // rounds measured at sf0.01; star contraction closes it in ~7)
+    val comp = MinHashLSH.componentsStar(edges.select("d1", "d2"))
+      .localCheckpoint()
+    val nodeStats = comp
+      .join(Tables.documents(spark, dir).select("doc_id", "source").spread,
+        col("node") === col("doc_id"))
+      .groupBy(col("label").as("entity_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"))
+    val edgeStats = edges
+      .join(comp, col("d1") === col("node"))
+      .groupBy(col("label").as("entity_id"))
+      .agg(
+        sum(when(col("in_lsh") === 1L && col("in_sn") === 0L, 1L)
+          .otherwise(0L)).as("e_lsh_only"),
+        sum(when(col("in_sn") === 1L && col("in_lsh") === 0L, 1L)
+          .otherwise(0L)).as("e_sn_only"),
+        sum(when(col("in_lsh") === 1L && col("in_sn") === 1L, 1L)
+          .otherwise(0L)).as("e_both"))
+    nodeStats.join(edgeStats, "entity_id")
+      .select("entity_id", "n_docs", "n_sources",
+        "e_lsh_only", "e_sn_only", "e_both")
+      .orderBy("entity_id")
+  }
 }

@@ -123,6 +123,53 @@ object MinHashLSH {
     labels
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * closure for graphs whose diameter GROWS with the corpus.
+    * [[components]]' per-round one-hop min-label propagation is right
+    * for near-dup graphs (tiny clusters, 2-3 rounds) but needs
+    * O(diameter) rounds on chain-shaped graphs — sorted-neighborhood
+    * adjacency chains measured 50+ rounds at sf0.01. Each star round
+    * rewrites the O(E) canonical edge list twice (large-star hangs
+    * every larger neighbor onto the neighborhood min, small-star
+    * re-roots the smaller ones), converging in O(log²) rounds to
+    * stars rooted at component minima; the edge list never grows
+    * beyond O(E), every step is a groupBy + join on uniform int
+    * keys, and per-round lineage is cut with a local checkpoint. */
+  def componentsStar(pairs: DataFrame): DataFrame = {
+    var e = pairs
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val mn = sym.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+      val ls = sym.join(mn, "u")
+        .filter(col("v") > col("u") && col("m") =!= col("v"))
+        .select(least(col("m"), col("v")).as("a"),
+          greatest(col("m"), col("v")).as("b"))
+        .distinct()
+      val sym2 = ls.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(ls.select(col("b").as("u"), col("a").as("v")))
+      val le = sym2.filter(col("v") < col("u"))
+      val mn2 = le.groupBy("u").agg(min("v").as("m"))
+      val ss = le.join(mn2, "u").select(col("m"), col("v").as("x"))
+        .unionAll(mn2.select(col("m"), col("u").as("x")))
+        .filter(col("m") =!= col("x"))
+        .select(col("m").as("a"), col("x").as("b")).distinct()
+        .localCheckpoint(true)
+      // fixpoint = the canonical edge set is unchanged (stars reached)
+      converged = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
+      e = ss
+    }
+    e.select(col("b").as("node"), col("a").as("label"))
+      .unionAll(e.select(col("a").as("node"), col("a").as("label")))
+      .distinct()
+  }
+
   /** Fixed iteration count for [[graphCentrality]] — unrolled in the
     * oracle, so the two sides always agree on depth. */
   val CentralityIters = 3

@@ -81,6 +81,104 @@ object Spectral {
     powerIterate(cov, iters)
   }
 
+  /** #265 (lib): the FULL eigen-spectrum of the embedding covariance —
+    * eigenvalues descending plus the orthonormal eigenvector matrix
+    * (columns), by cyclic Jacobi rotation on the driver-side d×d
+    * matrix built from [[covariance]]'s moment rows. Jacobi is the
+    * right tool at this size: unconditionally convergent on symmetric
+    * matrices, no shift heuristics, deterministic sweep order — the
+    * spectrum is reproducible bit-for-bit across runs.
+    *
+    * The spectrum is what the collapse diagnostics read: effective
+    * rank ([[effectiveRank]]), variance-explained curves, whitening
+    * matrices. One distributed pass (the GramSumAgg scan) feeds all of
+    * them. */
+  def spectrum(spark: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) = {
+    val d = Dim
+    val rows = covariance(spark, dir).collect()
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getLong(1).toInt
+      val n = r.getLong(2).toDouble
+      val c = (n * r.getLong(5) - r.getLong(3).toDouble * r.getLong(4)) / (n * n)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    jacobiEigen(cov)
+  }
+
+  /** Participation-ratio effective rank (Σλ)²/Σλ² — how many
+    * directions the corpus REALLY spans: d for isotropic spectra, → 1
+    * as the embedding collapses onto one axis. The scalar a drift
+    * monitor tracks per corpus snapshot. */
+  def effectiveRank(eigs: Array[Double]): Double = {
+    val pos = eigs.map(math.max(_, 0d))
+    val s = pos.sum
+    val s2 = pos.map(x => x * x).sum
+    if (s2 == 0d) 0d else s * s / s2
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: sweeps of
+    * (p,q) rotations in fixed row-major order until the off-diagonal
+    * Frobenius mass falls under `tol` relative to the diagonal mass.
+    * Returns (eigenvalues descending, eigenvectors as COLUMNS aligned
+    * with them). Deterministic: fixed sweep order, no randomization. */
+  def jacobiEigen(mIn: Array[Array[Double]], tol: Double = 1e-24,
+                  maxSweeps: Int = 128): (Array[Double], Array[Array[Double]]) = {
+    val d = mIn.length
+    val a = Array.tabulate(d, d)((i, j) => mIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offMass = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    def diagMass = {
+      var s = 0.0
+      for (i <- 0 until d) s += a(i)(i) * a(i)(i)
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offMass > tol * math.max(diagMass, 1e-300)) {
+      for (p <- 0 until d; q <- p + 1 until d) {
+        val apq = a(p)(q)
+        if (apq != 0.0) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          var k = 0
+          while (k < d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+            k += 1
+          }
+          k = 0
+          while (k < d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+            k += 1
+          }
+          k = 0
+          while (k < d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+            k += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val eigs = order.map(i => a(i)(i)).toArray
+    val vecs = Array.tabulate(d, d)((r, cIdx) => v(r)(order(cIdx)))
+    (eigs, vecs)
+  }
+
   /** Power iteration on a symmetric PSD matrix with a deterministic
     * seeded start (md5 of the index — never orthogonal to the top
     * eigenvector in practice). `iters` caps the loop; convergence is

@@ -58,6 +58,27 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(byName("same_prefix").getDouble(7) >= byName("same_lang").getDouble(7))
   }
 
+  test("star contraction equals label propagation on the near-dup graph") {
+    val pairs = MinHashLSH.nearDupPairs(spark, sf).select("d1", "d2")
+    val star = MinHashLSH.componentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = MinHashLSH.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star === prop)
+  }
+
+  test("star contraction closes a 300-node chain (the label-prop worst case)") {
+    import spark.implicits._
+    // path graph with ids shuffled so the min is mid-chain: worst case
+    // for one-hop propagation, closed by star contraction in O(log²)
+    val ids = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle((0L until 300L).toVector)
+    val chain = ids.sliding(2).map(w => (w(0), w(1))).toSeq
+    val comp = MinHashLSH.componentsStar(chain.toDF("d1", "d2")).collect()
+    assert(comp.length === 300)
+    assert(comp.map(_.getLong(1)).toSet === Set(0L))
+  }
+
   test("verified pair frames are session-memoized per parameterization") {
     val a = MinHashLSH.nearDupPairs(spark, sf)
     val b = MinHashLSH.nearDupPairs(spark, sf)

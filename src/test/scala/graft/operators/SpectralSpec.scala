@@ -57,6 +57,48 @@ class SpectralSpec extends SparkSpec {
     for (i <- 0 until d) assert(lambda >= cov(i)(i) - 1e-9 * lambda)
   }
 
+  test("jacobi spectrum: orthonormal, residual-tight, trace-complete") {
+    val (eigs, vecs) = Spectral.spectrum(spark, sf)
+    assert(eigs.length === d)
+    // descending order
+    assert(eigs.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    // rebuild the covariance matrix from the driver model
+    val n = u3.length.toDouble
+    val s = Array.tabulate(d)(i => u3.map(_(i)).sum.toDouble)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      (n * u3.map(r => r(i) * r(j)).sum - s(i) * s(j)) / (n * n)
+    }
+    val scale = eigs.map(math.abs).max
+    // eigen residual per pair: ‖A v_k − λ_k v_k‖ small relative to λ_max
+    for (k <- 0 until d) {
+      val vk = Array.tabulate(d)(r => vecs(r)(k))
+      val av = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * vk(j)).sum)
+      val resid = math.sqrt(
+        (0 until d).map(i => math.pow(av(i) - eigs(k) * vk(i), 2)).sum)
+      assert(resid <= 1e-8 * scale, s"residual $resid for eig $k = ${eigs(k)}")
+    }
+    // orthonormal columns
+    for (k <- 0 until d; l <- k until d) {
+      val dot = (0 until d).map(r => vecs(r)(k) * vecs(r)(l)).sum
+      val want = if (k == l) 1.0 else 0.0
+      assert(math.abs(dot - want) <= 1e-10, s"gram ($k,$l) = $dot")
+    }
+    // trace identity: Σλ == Σ cov_ii
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(math.abs(eigs.sum - trace) <= 1e-6 * math.abs(trace))
+    // the power-iteration top component agrees with the Jacobi top
+    val (lambda, _) = Spectral.topComponent(spark, sf)
+    assert(math.abs(lambda - eigs(0)) <= 1e-6 * eigs(0))
+  }
+
+  test("effectiveRank: isotropic → d, collapsed → 1, corpus in between") {
+    assert(math.abs(Spectral.effectiveRank(Array.fill(8)(3.0)) - 8.0) < 1e-12)
+    assert(math.abs(Spectral.effectiveRank(Array(5.0, 0, 0, 0)) - 1.0) < 1e-12)
+    val (eigs, _) = Spectral.spectrum(spark, sf)
+    val er = Spectral.effectiveRank(eigs)
+    assert(er > 1.0 && er <= d.toDouble)
+  }
+
   test("power iteration is deterministic") {
     val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
     val (l1, v1) = Spectral.powerIterate(m, 100)
