@@ -246,6 +246,8 @@ object SparkEntry {
     "linkage_fs_weights" -> ((s, d) => graft.operators.Linkage.fsWeights(s, d)),
     "linkage_pattern_precision" -> ((s, d) => graft.operators.Linkage.patternPrecision(s, d)),
     "linkage_entity_clusters" -> ((s, d) => graft.operators.Linkage.entityClusters(s, d)),
+    "embeddings_label_scatter" -> ((s, d) => graft.operators.Spectral.labelScatter(s, d)),
+    "embeddings_outliers" -> ((s, d) => graft.operators.Spectral.outliers(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -4920,7 +4922,64 @@ object SparkEntry {
          |       FROM ee JOIN comp c ON c.doc_id = ee.d1 GROUP BY 1)
          |SELECT entity_id, n_docs, n_sources, e_lsh_only, e_sn_only, e_both
          |FROM ns JOIN es USING (entity_id) ORDER BY entity_id""".stripMargin,
+
+    // per-label cluster geometry off the u3-quantized grouped moments —
+    // mirrors Spectral.labelScatter (shifted halfUp centroids so every
+    // divide stays positive: Spark div trunc == DuckDB // floor)
+    "embeddings_label_scatter" -> {
+      val K = graft.operators.Spectral.CentShift
+      s"""WITH $EMB_U3_CTE,
+         |bl AS (SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(u3) AS BIGINT) AS s,
+         |         CAST(sum(u3 * u3) AS BIGINT) AS p
+         |       FROM embu3 GROUP BY 1, 2),
+         |gl AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(u3) AS BIGINT) AS s
+         |       FROM embu3 GROUP BY 1),
+         |per AS (SELECT bl.label AS label, bl.n AS n,
+         |    ${halfUpSql(s"(bl.s + $K * bl.n) * 1000", "bl.n")} AS cl,
+         |    ${halfUpSql(s"(gl.s + $K * gl.n) * 1000", "gl.n")} AS cg,
+         |    ${halfUpSql("(bl.n * bl.p - bl.s * bl.s) * 100", "bl.n * bl.n")}
+         |      * 10000 AS w
+         |  FROM bl JOIN gl USING (i)),
+         |lab AS (SELECT label, min(n) AS n_vecs,
+         |          CAST(sum((cl - cg) * (cl - cg)) AS BIGINT) AS dist2_micro,
+         |          CAST(sum(w) AS BIGINT) AS within_trace_micro
+         |        FROM per GROUP BY 1)
+         |SELECT label, n_vecs, dist2_micro, within_trace_micro,
+         |  ${ratio4Sql("dist2_micro", "greatest(within_trace_micro, 1)")} AS sep4
+         |FROM lab ORDER BY label""".stripMargin
+    },
+
+    // top-k vectors by exact squared distance to the shifted global
+    // quantized centroid — mirrors Spectral.outliers
+    "embeddings_outliers" -> {
+      val K = graft.operators.Spectral.CentShift
+      s"""WITH $EMB_U3_CTE,
+         |gl AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(u3) AS BIGINT) AS s
+         |       FROM embu3 GROUP BY 1),
+         |cc AS (SELECT i, ${halfUpSql(s"(s + $K * n) * 1000", "n")} AS c FROM gl),
+         |d2 AS (SELECT embu3.vec_id AS vec_id,
+         |         CAST(sum(((u3 + $K) * 1000 - c) * ((u3 + $K) * 1000 - c))
+         |           AS BIGINT) AS d2_micro
+         |       FROM embu3 JOIN cc USING (i) GROUP BY 1)
+         |SELECT vec_id, d2_micro FROM d2
+         |ORDER BY d2_micro DESC, vec_id LIMIT 20""".stripMargin
+    },
   )
+
+  /** u3-quantized (vec_id, label, dim, value) long grain over the
+    * embedding table — the DuckDB twin of the engine's
+    * `round(x·1000)::long` transform, shared by the spectral oracles. */
+  private def EMB_U3_CTE: String =
+    s"""embu3 AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    CAST(g.i - 1 AS BIGINT) AS i,
+       |    CAST(ROUND(CAST(e[g.i] AS DOUBLE) * 1000.0) AS BIGINT) AS u3
+       |  FROM (SELECT vec_id, label, embedding AS e FROM embeddings) v,
+       |       generate_series(1, ${graft.operators.Similarity.Dim}) g(i))"""
+      .stripMargin
 
   /** SQL list of [[graft.operators.QualityModels.CuratedSources]]. */
   private def CUR_IN: String =

@@ -81,6 +81,107 @@ object Spectral {
     powerIterate(cov, iters)
   }
 
+  /** #268 `embeddings_label_scatter`: per-label cluster geometry in
+    * exact integer arithmetic — the supervised companion to the
+    * unsupervised spectrum. Per label: vector count, the squared
+    * offset of the label centroid from the global centroid
+    * (micro-u3² units: per-dim centroids are halfUpDiv(s_i·1000, n)
+    * int64s, the offset is Σ_i (c_i^L − c_i)²) and the within-label
+    * variance trace (Σ_i halfUpDiv(p_ii·10⁶, n_L) − (c_i^L)²), plus
+    * the ratio4 separation (between/within) a clustering-quality gate
+    * reads directly. Labels far from center with small within-trace
+    * are tight, well-separated clusters; sep4 ≈ 0 means the labels
+    * carry no geometry.
+    *
+    * Shape: ONE grouped GramSumAgg pass — the same mergeable moment
+    * buffer, one per label (O(labels·d²) state, partial-aggregable);
+    * the global row broadcasts; everything downstream is O(labels·d)
+    * explode-free array math on the buffers. */
+  def labelScatter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, ratio4}
+    val d = Dim
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * 1000d).cast("long")).as("u"))
+    val byLabel = vecs.groupBy("label")
+      .agg(graft.plans.GramSumAggFunctions.gramSumAgg(col("u"), d).as("g"))
+    val global = vecs.agg(
+      graft.plans.GramSumAggFunctions.gramSumAgg(col("u"), d).as("gg"))
+    // SHIFTED centroid (micro-u3) per dim i: halfUp((s_i + K·n)·1000, n)
+    // — the +K·n shift keeps the halfUp numerator positive (negative
+    // dimension sums would hit the truncate-vs-floor integer-division
+    // split between engines) and cancels EXACTLY in centroid
+    // differences (K·n·1000 div n = K·1000, an exact multiple).
+    // p_ii sits at buffer offset 1 + d + i·d − i(i−1)/2.
+    def cent(buf: String, i: String, n: String) =
+      s"((($buf[1 + $i] + ${CentShift}L * ($n)) * 1000 + ($n) div 2) div ($n))"
+    def pii(buf: String, i: String) =
+      s"$buf[${d + 1} + ($i) * $d - (($i) * (($i) - 1)) div 2]"
+    byLabel.crossJoin(broadcast(global))
+      .withColumn("n_vecs", expr("g[0]"))
+      .withColumn("dist2_micro", expr(
+        s"""aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
+           |  acc + (${cent("g", "i", "g[0]")} - ${cent("gg", "i", "gg[0]")})
+           |      * (${cent("g", "i", "g[0]")} - ${cent("gg", "i", "gg[0]")}))"""
+          .stripMargin))
+      // within-variance per dim as (n·p_ii − s_i²)/n² — the scatter
+      // form is non-negative by Cauchy–Schwarz, so the halfUp numerator
+      // never goes negative; scaled ×100 before the divide and ×10⁴
+      // after (full ×10⁶ pre-scaling overflows int64 once n·p_ii
+      // passes ~10¹⁷ — centi-u3² rounding keeps headroom to ~10⁵×
+      // this corpus, the documented knob)
+      .withColumn("within_trace_micro", expr(
+        s"""aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
+           |  acc + (((g[0] * ${pii("g", "i")} - g[1 + i] * g[1 + i]) * 100
+           |          + (g[0] * g[0]) div 2) div (g[0] * g[0])) * 10000)"""
+          .stripMargin))
+      .select(col("label"), col("n_vecs"), col("dist2_micro"),
+        col("within_trace_micro"),
+        ratio4(col("dist2_micro"),
+          greatest(col("within_trace_micro"), lit(1L))).as("sep4"))
+      .orderBy("label")
+  }
+
+  /** Positivity shift for quantized-centroid arithmetic: added per dim
+    * before the halfUp divide, cancelled exactly in differences. Any
+    * bound above max |u3| works; 10⁶ covers |x| < 1000 — far past any
+    * real embedding scale. */
+  val CentShift = 1000000L
+
+  /** #269 `embeddings_outliers`: the top-k vectors by exact squared
+    * distance to the global quantized centroid — the "broken vector"
+    * audit (all-zero rows, mis-scaled batches and encoder NaN-fills
+    * land at the extremes of this ranking). Score is Σ_i (u3_i·1000 −
+    * c_i)² in micro-u3² int64 (deterministic ties broken by vec_id);
+    * both sides carry the [[CentShift]] positivity shift (cancels in
+    * the difference, keeps every halfUp divide floor==trunc so Spark
+    * `div` and DuckDB `//` agree on negative dimension sums).
+    *
+    * Shape: the centroid comes off ONE aggregation row broadcast to a
+    * narrow second pass (zip-free per-row array fold); top-k is a
+    * TakeOrdered — no global sort materialized, no pair math. */
+  def outliers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val d = Dim
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * 1000d).cast("long")).as("u"))
+    val global = vecs.agg(
+      graft.plans.GramSumAggFunctions.gramSumAgg(col("u"), d).as("gg"))
+      .select(expr(s"""transform(sequence(0, ${d - 1}), i ->
+        |  ((gg[1 + i] + ${CentShift}L * gg[0]) * 1000 + gg[0] div 2) div gg[0])"""
+        .stripMargin).as("c"))
+    vecs.crossJoin(broadcast(global))
+      .withColumn("d2_micro", expr(
+        s"""aggregate(sequence(0, ${d - 1}), 0L, (acc, i) ->
+           |  acc + ((u[i] + ${CentShift}L) * 1000 - c[i])
+           |      * ((u[i] + ${CentShift}L) * 1000 - c[i]))""".stripMargin))
+      .select("vec_id", "d2_micro")
+      .orderBy(col("d2_micro").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** #265 (lib): the FULL eigen-spectrum of the embedding covariance —
     * eigenvalues descending plus the orthonormal eigenvector matrix
     * (columns), by cyclic Jacobi rotation on the driver-side d×d

@@ -99,6 +99,72 @@ class SpectralSpec extends SparkSpec {
     assert(er > 1.0 && er <= d.toDouble)
   }
 
+  /** Driver model with labels and ids, same u3 quantization. */
+  private lazy val labeled: Array[(Long, Long, Array[Long])] =
+    Tables.embeddings(spark, sf).select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray.map(x => math.round(x.toDouble * 1000d))))
+
+  private val K = Spectral.CentShift
+
+  /** Shifted halfUp centroid per dim — positive numerator, so Scala
+    * Long `/` (trunc) == floor == both engines. */
+  private def cents(n: Long, s: Array[Long]): Array[Long] =
+    s.map(si => ((si + K * n) * 1000 + n / 2) / n)
+
+  test("labelScatter equals the exact-integer driver model") {
+    val rows = Spectral.labelScatter(spark, sf).collect()
+    val gN = labeled.length.toLong
+    val gS = Array.tabulate(d)(i => labeled.map(_._3(i)).sum)
+    val cg = cents(gN, gS)
+    val byLabel = labeled.groupBy(_._2)
+    assert(rows.length === byLabel.size)
+    rows.foreach { r =>
+      val vs = byLabel(r.getLong(0)).map(_._3)
+      val n = vs.length.toLong
+      assert(r.getLong(1) === n, s"n_vecs for label ${r.getLong(0)}")
+      val s = Array.tabulate(d)(i => vs.map(_(i)).sum)
+      val p = Array.tabulate(d)(i => vs.map(v => v(i) * v(i)).sum)
+      val cl = cents(n, s)
+      val dist2 = (0 until d).map(i => (cl(i) - cg(i)) * (cl(i) - cg(i))).sum
+      assert(r.getLong(2) === dist2, s"dist2 for label ${r.getLong(0)}")
+      val within = (0 until d).map { i =>
+        ((n * p(i) - s(i) * s(i)) * 100 + (n * n) / 2) / (n * n) * 10000
+      }.sum
+      assert(r.getLong(3) === within, s"within for label ${r.getLong(0)}")
+      val den = math.max(within, 1L)
+      val sep4 = ((dist2 * 10000 + den / 2) / den) / 10000.0
+      assert(r.getDouble(4) === sep4, s"sep4 for label ${r.getLong(0)}")
+    }
+  }
+
+  test("labelScatter plan: one grouped moment pass, global row broadcast") {
+    val plan = Spectral.labelScatter(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("gram_sum_agg"))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
+  test("outliers equals the exact-integer driver model top-k") {
+    val gN = labeled.length.toLong
+    val gS = Array.tabulate(d)(i => labeled.map(_._3(i)).sum)
+    val c = cents(gN, gS)
+    val scored = labeled.map { case (id, _, u) =>
+      (id, (0 until d).map(i =>
+        ((u(i) + K) * 1000 - c(i)) * ((u(i) + K) * 1000 - c(i))).sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Spectral.outliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === scored.toSeq)
+  }
+
+  test("outliers plan: TakeOrdered over a broadcast centroid, no pair join") {
+    val plan = Spectral.outliers(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("power iteration is deterministic") {
     val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
     val (l1, v1) = Spectral.powerIterate(m, 100)
