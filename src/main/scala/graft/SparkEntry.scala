@@ -248,6 +248,7 @@ object SparkEntry {
     "linkage_entity_clusters" -> ((s, d) => graft.operators.Linkage.entityClusters(s, d)),
     "embeddings_label_scatter" -> ((s, d) => graft.operators.Spectral.labelScatter(s, d)),
     "embeddings_outliers" -> ((s, d) => graft.operators.Spectral.outliers(s, d)),
+    "multimodal_dedup_savings" -> ((s, d) => Multimodal.dedupSavings(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -4967,6 +4968,28 @@ object SparkEntry {
          |SELECT vec_id, d2_micro FROM d2
          |ORDER BY d2_micro DESC, vec_id LIMIT 20""".stripMargin
     },
+
+    // per-source storage savings over the exact binary-dedup grain —
+    // mirrors Multimodal.dedupSavings (copy = not the min-doc_id keeper
+    // of its checksum group, attributed to the COPY's source)
+    "multimodal_dedup_savings" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, source, md5(text) AS checksum,
+         |    CAST(strlen(text) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |k AS (SELECT *,
+         |        doc_id <> min(doc_id) OVER (PARTITION BY checksum) AS is_copy
+         |      FROM a),
+         |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_assets,
+         |        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |        CAST(sum(CASE WHEN is_copy THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS dup_assets,
+         |        CAST(sum(CASE WHEN is_copy THEN n_bytes ELSE 0 END) AS BIGINT)
+         |          AS dup_bytes
+         |      FROM k GROUP BY 1)
+         |SELECT source, n_assets, total_bytes, dup_assets, dup_bytes,
+         |  ${ratio4Sql("dup_bytes", "greatest(total_bytes, 1)")} AS savings4
+         |FROM r ORDER BY source""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

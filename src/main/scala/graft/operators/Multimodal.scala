@@ -57,6 +57,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** `multimodal_dedup_savings`: the storage-planning rollup over the
+    * exact binary-dedup grain — per source feed: asset count, total
+    * payload bytes, duplicate assets/bytes (every byte-identical copy
+    * beyond the min-doc_id keeper) and the ratio4 share of the feed's
+    * bytes dedup reclaims. At a 100 TB media lake this table IS the
+    * dedup business case: which feeds re-ship the same assets (CDN
+    * mirrors, re-crawls) and how many bytes a content-addressed store
+    * saves per feed. Two shuffles, both uniform keys: the checksum
+    * window (same grain as [[exactDedup]]) and the O(sources) rollup. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("checksum")
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("payload")).as("checksum"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("is_copy", col("doc_id") =!= min("doc_id").over(wC))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum("n_bytes").as("total_bytes"),
+        sum(when(col("is_copy"), 1L).otherwise(0L)).as("dup_assets"),
+        sum(when(col("is_copy"), col("n_bytes")).otherwise(0L)).as("dup_bytes"))
+      .select(col("source"), col("n_assets"), col("total_bytes"),
+        col("dup_assets"), col("dup_bytes"),
+        ratio4(col("dup_bytes"), greatest(col("total_bytes"), lit(1L)))
+          .as("savings4"))
+      .orderBy("source")
+  }
+
   /** Content-defined byte-shingle window (bytes) and sampling modulus
     * for [[nearDupPairs]]: every W-byte window is hashed, and a window
     * is a FEATURE iff h64 % SampleMod == 0 — selection depends only on

@@ -31,4 +31,20 @@ object StreamSpectral {
   def gramMoments(vecs: DataFrame, dim: Int): DataFrame =
     vecs.agg(GramSumAggFunctions.gramSumAgg(col("u"), dim).as("g"))
       .select(element_at(col("g"), 1).as("n_vecs"), col("g"))
+
+  /** Per-LABEL running Gram moments over a `(label, u)` frame — the
+    * streaming maintenance of the supervised scatter tier
+    * ([[graft.operators.Spectral.labelScatter]]): state is one moment
+    * buffer PER LABEL (O(labels·d²) longs total, independent of stream
+    * volume), each merged by the same element-wise add. A monitor
+    * derives between/within scatter per trigger from the emitted
+    * buffers alone — no second look at the data — so label-geometry
+    * drift (a class collapsing into another) is visible as the corpus
+    * streams in. Same purity argument as [[gramMoments]]: the grouped
+    * buffer is a pure function of each label's row set, so
+    * streaming-after-any-prefix equals the batch groupBy. */
+  def labelMoments(vecs: DataFrame, dim: Int): DataFrame =
+    vecs.groupBy("label")
+      .agg(GramSumAggFunctions.gramSumAgg(col("u"), dim).as("g"))
+      .select(col("label"), element_at(col("g"), 1).as("n_vecs"), col("g"))
 }

@@ -39,6 +39,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dedupSavings equals a driver model over the byte-identical groups") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keep = docs.groupBy(_._3).values
+      .flatMap(g => g.map(d => d._1 -> g.map(_._1).min)).toMap
+    val want = docs.groupBy(_._2).map { case (src, g) =>
+      val total = g.map(_._3.getBytes("UTF-8").length.toLong).sum
+      val dups = g.filter(d => keep(d._1) != d._1)
+      val dupBytes = dups.map(_._3.getBytes("UTF-8").length.toLong).sum
+      val den = math.max(total, 1L)
+      src -> (g.length.toLong, total, dups.length.toLong, dupBytes,
+        ((dupBytes * 10000 + den / 2) / den) / 10000.0)
+    }
+    val got = Multimodal.dedupSavings(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val w = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)) == w, s"source ${r.getString(0)}")
+    }
+  }
+
   test("decode: one deterministic asset per doc, stable across runs") {
     val a = Multimodal.decode(spark, sf).collect().sortBy(_.getLong(0))
     val b = Multimodal.decode(spark, sf).collect().sortBy(_.getLong(0))

@@ -36,6 +36,31 @@ class StreamSpectralSpec extends SparkSpec {
     assert(got.getSeq[Long](1) === batch.getSeq[Long](1))
   }
 
+  test("streamed per-label buffers equal the batch groupBy over the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong,
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000d)).toSeq))
+    val mem = MemoryStream[(Long, Seq[Long])]
+    val name = s"lgram_${System.nanoTime()}"
+    val q = StreamSpectral.labelMoments(mem.toDF().toDF("label", "u"), d)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val want = StreamSpectral.labelMoments(rows.toSeq.toDF("label", "u"), d)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(got.keySet === rows.map(_._1).toSet)
+    assert(got === want)
+  }
+
   test("spectrum off the streamed buffer matches the covariance query's") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
