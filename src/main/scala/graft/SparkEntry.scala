@@ -249,6 +249,9 @@ object SparkEntry {
     "embeddings_label_scatter" -> ((s, d) => graft.operators.Spectral.labelScatter(s, d)),
     "embeddings_outliers" -> ((s, d) => graft.operators.Spectral.outliers(s, d)),
     "multimodal_dedup_savings" -> ((s, d) => Multimodal.dedupSavings(s, d)),
+    "events_benford" -> ((s, d) => graft.operators.Analytics4.benford(s, d)),
+    "privacy_generalization_ladder" ->
+      ((s, d) => graft.operators.Privacy.generalizationLadder(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -4990,6 +4993,71 @@ object SparkEntry {
          |SELECT source, n_assets, total_bytes, dup_assets, dup_bytes,
          |  ${ratio4Sql("dup_bytes", "greatest(total_bytes, 1)")} AS savings4
          |FROM r ORDER BY source""".stripMargin,
+
+    // Benford first-digit audit — mirrors Analytics4.benford (leading
+    // digit off the cents STRING head, never log10; dense 9-digit grid)
+    "events_benford" -> {
+      val ben = graft.operators.Analytics4.BenfordPpm.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${p})" }.mkString(", ")
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents
+         |      FROM ev),
+         |dg AS (SELECT event_type,
+         |         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |       FROM c WHERE cents > 0),
+         |cnt AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+         |        FROM dg GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+         |        FROM cnt GROUP BY 1),
+         |ben AS (SELECT CAST(digit AS BIGINT) AS digit,
+         |          CAST(benford_ppm AS BIGINT) AS benford_ppm
+         |        FROM (VALUES $ben) b(digit, benford_ppm)),
+         |grid AS (SELECT tot.event_type, ben.digit, tot.total,
+         |           ben.benford_ppm, coalesce(cnt.n, 0) AS n
+         |         FROM tot CROSS JOIN ben
+         |         LEFT JOIN cnt ON cnt.event_type = tot.event_type
+         |           AND cnt.digit = ben.digit)
+         |SELECT event_type, digit, n,
+         |  ${halfUpSql("n * 1000000", "total")} AS share_ppm, benford_ppm,
+         |  abs(${halfUpSql("n * 1000000", "total")} - benford_ppm) AS dev_ppm
+         |FROM grid ORDER BY event_type, digit""".stripMargin
+    },
+
+    // suppression-cost ladder over coarsening QI grains — mirrors
+    // Privacy.generalizationLadder (every rung re-aggregates the ONE
+    // materialized fine-grain class frame)
+    "privacy_generalization_ladder" -> {
+      val P = graft.operators.Privacy
+      val rungs = (for {
+        (tg, days) <- P.GenTimeLadder
+        bw <- P.GenBandLadder
+      } yield {
+        val units = bw / P.SpendBandCents
+        s"""SELECT '$tg' AS time_grain, CAST($bw AS BIGINT) AS band_cents,
+           |  CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(sum(k) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN k < ${P.GenKThreshold} THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS suppressed_classes,
+           |  CAST(sum(CASE WHEN k < ${P.GenKThreshold} THEN k ELSE 0 END)
+           |    AS BIGINT) AS suppressed_rows
+           |FROM (SELECT event_type, day // $days AS t, band // $units AS b,
+           |        CAST(sum(k) AS BIGINT) AS k
+           |      FROM fine GROUP BY 1, 2, 3)""".stripMargin
+      }).mkString("\n|UNION ALL\n|".stripMargin)
+      s"""WITH ev AS ($EV),
+         |fine AS MATERIALIZED (
+         |  SELECT event_type, ts_us // ${P.UsPerDay} AS day,
+         |    CAST(ROUND(value*100) AS BIGINT) // ${P.SpendBandCents} AS band,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM ev GROUP BY 1, 2, 3),
+         |rungs AS (
+         |$rungs)
+         |SELECT time_grain, band_cents, n_classes, n_rows,
+         |  suppressed_classes, suppressed_rows,
+         |  ${ratio4Sql("suppressed_rows", "greatest(n_rows, 1)")}
+         |    AS suppressed_share4
+         |FROM rungs ORDER BY time_grain, band_cents""".stripMargin
+    },
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

@@ -48,6 +48,52 @@ object Analytics4 {
       .orderBy("event_type", "hour")
   }
 
+  /** Benford first-digit expectation, round(log10(1 + 1/d)·10⁶) ppm
+    * for d = 1…9 — the standard published table; the nine entries sum
+    * to exactly 1,000,000, so the engine carries them as fixed int64
+    * literals (no libm at query time). */
+  val BenfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  /** `events_benford`: the first-digit audit — per (event_type, digit
+    * 1–9), how many positive cent values lead with that digit, the
+    * exact ppm share within the type, the Benford expectation, and the
+    * absolute deviation. Organic transaction amounts spanning several
+    * orders of magnitude track Benford closely; a synthetic or
+    * manipulated feed (fixed price points, fabricated rows) shows up
+    * as large dev_ppm concentrated on a few digits — the classic
+    * forensic-accounting screen, applied as a data-quality gate.
+    *
+    * Shape: leading digit via one string head over the cents int (no
+    * log10 — engines' libm may differ in the last ulp near decade
+    * boundaries); ONE partial-aggregable (type, digit) count shuffle;
+    * the dense 9-digit grid and Benford constants join at O(types·9)
+    * rows. Missing digits emit n = 0 rows so the panel's shape is
+    * fixed. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val counts = Dedup.eventsUs(spark, dir)
+      .select(col("event_type"), valueCents(col("value")).as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("event_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("total"))
+    val digitBen = spark.range(1, 10).select(
+      col("id").as("digit"),
+      element_at(array(BenfordPpm.map(lit): _*), col("id").cast("int"))
+        .as("benford_ppm"))
+    totals.crossJoin(broadcast(digitBen))
+      .join(counts, Seq("event_type", "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("share_ppm", halfUpDiv(col("n") * 1000000L, col("total")))
+      .select(col("event_type"), col("digit"), col("n"), col("share_ppm"),
+        col("benford_ppm"),
+        abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
+      .orderBy("event_type", "digit")
+  }
+
   /** Top event-type trigram paths: the `topN` most frequent 3-step
     * event-type sequences across user timelines (the path-mining
     * summary behind funnel design). Two lead windows ride ONE user_id

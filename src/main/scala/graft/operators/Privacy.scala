@@ -127,6 +127,64 @@ object Privacy {
 
   /** The shared QI grouping: (event_type, day, band) classes carrying
     * user_id for sensitive-attribute measures. */
+  /** Suppression threshold for the generalization ladder: classes with
+    * k below this must be suppressed before release. */
+  val GenKThreshold = 5L
+
+  /** Band-width rungs (cents) — each a multiple of [[SpendBandCents]]
+    * so every coarser cell is an exact union of fine cells. */
+  val GenBandLadder: Seq[Long] = Seq(1000L, 5000L, 10000L)
+
+  /** Time-grain rungs: label and days-per-bucket. */
+  val GenTimeLadder: Seq[(String, Long)] = Seq(("day", 1L), ("week", 7L))
+
+  /** `privacy_generalization_ladder`: the cost curve behind the triad's
+    * verdicts — if k-anonymity fails at the fine grain, HOW MUCH
+    * generalization buys an affordable suppression rate? Per ladder
+    * rung (time grain × spend-band width): class count, row count,
+    * classes/rows below [[GenKThreshold]], and the exact ratio4 share
+    * of rows suppression would drop. A release reviewer reads the
+    * cheapest rung whose suppressed share clears policy.
+    *
+    * Shape: ONE corpus-sized shuffle total — the finest-grain QI class
+    * frame (k per (type, day, band)) is computed once and
+    * localCheckpointed; every coarser rung re-aggregates those
+    * O(classes) rows (coarse cells are exact unions of fine cells
+    * because the ladders are integer multiples), so adding rungs costs
+    * O(classes) each, never another scan. */
+  def generalizationLadder(spark: SparkSession, dir: String): DataFrame =
+    generalizationLadderOf(Dedup.eventsUs(spark, dir))
+
+  /** [[generalizationLadder]] over any canonical events frame. */
+  def generalizationLadderOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val fine = ev.select(col("event_type"),
+        intDiv(col("ts_us"), lit(UsPerDay)).as("day"),
+        intDiv(round(col("value") * 100).cast("long"), lit(SpendBandCents))
+          .as("band"))
+      .groupBy("event_type", "day", "band").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val rungs = for {
+      (tg, days) <- GenTimeLadder
+      bw <- GenBandLadder
+    } yield fine
+      .groupBy(col("event_type"), intDiv(col("day"), lit(days)).as("t"),
+        intDiv(col("band"), lit(bw / SpendBandCents)).as("b"))
+      .agg(sum("k").as("k"))
+      .agg(count(lit(1)).as("n_classes"), sum("k").as("n_rows"),
+        sum(when(col("k") < GenKThreshold, 1L).otherwise(0L))
+          .as("suppressed_classes"),
+        sum(when(col("k") < GenKThreshold, col("k")).otherwise(0L))
+          .as("suppressed_rows"))
+      .select(lit(tg).as("time_grain"), lit(bw).as("band_cents"),
+        col("n_classes"), col("n_rows"), col("suppressed_classes"),
+        col("suppressed_rows"))
+    rungs.reduce(_.unionByName(_))
+      .withColumn("suppressed_share4",
+        ratio4(col("suppressed_rows"), greatest(col("n_rows"), lit(1L))))
+      .orderBy("time_grain", "band_cents")
+  }
+
   private def qiClasses(ev: DataFrame) = {
     import graft.functions.Hashing.intDiv
     ev.select(col("event_type"),

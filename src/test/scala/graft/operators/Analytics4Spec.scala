@@ -180,6 +180,37 @@ class Analytics4Spec extends SparkSpec {
     assert(got.map(_._5).distinct.sorted == (1L to 5L))
   }
 
+  test("benford: ppm table is exact, panel matches a first-digit model") {
+    // the nine published constants partition 1e6 exactly
+    assert(Analytics4.BenfordPpm.sum === 1000000L)
+    assert(Analytics4.BenfordPpm.length === 9)
+    val pos = events.map(e => (e._4, cents(e._5))).filter(_._2 > 0)
+    val byType = pos.groupBy(_._1)
+    val want = byType.flatMap { case (t, rows) =>
+      val total = rows.length.toLong
+      val digitCounts = rows.groupBy(_._2.toString.head.asDigit.toLong)
+        .map { case (d, g) => d -> g.length.toLong }
+      (1L to 9L).map { d =>
+        val n = digitCounts.getOrElse(d, 0L)
+        val share = (n * 1000000L + total / 2) / total
+        val ben = Analytics4.BenfordPpm(d.toInt - 1)
+        (t, d) -> (n, share, ben, math.abs(share - ben))
+      }
+    }
+    val got = Analytics4.benford(spark, sf).collect()
+    assert(got.length === byType.size * 9)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        === want(key), s"at $key")
+    }
+    // shares within a type sum to ~1e6 (off only by halfUp rounding)
+    got.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(math.abs(s - 1000000L) <= 9, s"share sum for $t = $s")
+    }
+  }
+
   test("attribution matches a per-user last-click scan model") {
     val expected = events.groupBy(_._3).values.flatMap { rows =>
       var lastClick: Option[(Long, Long)] = None // (click_id, click_ts)

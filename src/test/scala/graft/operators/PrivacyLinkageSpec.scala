@@ -35,6 +35,39 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(ts.forall(_.getLong(4) === 0L))
   }
 
+  test("generalizationLadder: hand fixture + monotone coarsening invariants") {
+    import spark.implicits._
+    val day = Privacy.UsPerDay
+    // type "a", day 0: 6 rows in band 0 (k=6 survives everywhere);
+    // type "b": 2 rows band 0 day 0, 2 rows band 4 day 1, 1 row band 10
+    // day 8 — at (day, $10) all three b-classes are k<5; at (week, $50)
+    // the first two merge to k=4 (still suppressed), the day-8 row
+    // stays its own week AND its own $100 cell
+    val ev = (Seq.fill(6)(("a", 1L, 5.0)) ++
+      Seq(("b", 1L, 5.0), ("b", 2L, 5.0),
+        ("b", day + 1L, 45.0), ("b", day + 2L, 45.0),
+        ("b", 8 * day + 1L, 105.0)))
+      .toDF("event_type", "ts_us", "value")
+    val got = Privacy.generalizationLadderOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(got.size === Privacy.GenTimeLadder.size * Privacy.GenBandLadder.size)
+    // finest rung: classes a0 (k=6) + b's three (2,2,1) → 3 suppressed
+    assert(got(("day", 1000L)) === ((4L, 11L, 3L, 5L, 0.4545)))
+    // (week, $50): b's day-0/1 $0-50 cells merge to k=4 — still short
+    assert(got(("week", 5000L)) === ((3L, 11L, 2L, 5L, 0.4545)))
+    // rows are conserved on every rung; suppression never increases
+    // when ONLY one axis coarsens (cells are unions of finer cells)
+    got.values.foreach { case (_, rows, _, _, _) => assert(rows === 11L) }
+    for (bw <- Privacy.GenBandLadder)
+      assert(got(("week", bw))._4 <= got(("day", bw))._4, s"band $bw")
+    for ((tg, _) <- Privacy.GenTimeLadder) {
+      assert(got((tg, 5000L))._4 <= got((tg, 1000L))._4, tg)
+      assert(got((tg, 10000L))._4 <= got((tg, 5000L))._4, tg)
+    }
+  }
+
   test("fsWeights: one row per signal, consistent pair algebra") {
     val rows = Linkage.fsWeights(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ===
