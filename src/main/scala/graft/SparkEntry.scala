@@ -252,6 +252,8 @@ object SparkEntry {
     "events_benford" -> ((s, d) => graft.operators.Analytics4.benford(s, d)),
     "privacy_generalization_ladder" ->
       ((s, d) => graft.operators.Privacy.generalizationLadder(s, d)),
+    "docs_length_quality_grid" ->
+      ((s, d) => graft.operators.Analytics5.lengthQualityGrid(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5058,6 +5060,36 @@ object SparkEntry {
          |    AS suppressed_share4
          |FROM rungs ORDER BY time_grain, band_cents""".stripMargin
     },
+
+    // joint (length decile × quality decile) grid — mirrors
+    // Analytics5.lengthQualityGrid (same exact decile formula as
+    // events_spend_deciles; same quality key as docs_quality_histogram)
+    "docs_length_quality_grid" ->
+      s"""WITH q AS (SELECT doc_id, n_chars, $TOKS AS toks,
+         |  CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents),
+         |kk AS (SELECT doc_id, n_chars, ${qKeySql(
+             "CAST(len(toks) AS BIGINT)",
+             "CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)",
+             "len_no_ws")} AS qkey FROM q),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kk),
+         |lr AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS lrn
+         |       FROM kk),
+         |qr AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY qkey, doc_id) AS BIGINT) AS qrn
+         |       FROM kk),
+         |d AS (SELECT lr.doc_id,
+         |        CAST((lrn - 1) * 10 // n + 1 AS BIGINT) AS ldec,
+         |        CAST((qrn - 1) * 10 // n + 1 AS BIGINT) AS qdec
+         |      FROM lr JOIN qr USING (doc_id) CROSS JOIN nn),
+         |g AS (SELECT ldec, qdec, CAST(count(*) AS BIGINT) AS n_docs
+         |      FROM d GROUP BY 1, 2),
+         |rt AS (SELECT ldec, CAST(sum(n_docs) AS BIGINT) AS row_total
+         |       FROM g GROUP BY 1)
+         |SELECT g.ldec AS ldec, g.qdec AS qdec, n_docs,
+         |  ${ratio4Sql("n_docs", "row_total")} AS row_share4
+         |FROM g JOIN rt USING (ldec) ORDER BY ldec, qdec""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

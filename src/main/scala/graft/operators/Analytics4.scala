@@ -71,14 +71,21 @@ object Analytics4 {
     * the dense 9-digit grid and Benford constants join at O(types·9)
     * rows. Missing digits emit n = 0 rows so the panel's shape is
     * fixed. */
-  def benford(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Hashing.halfUpDiv
-    val counts = Dedup.eventsUs(spark, dir)
-      .select(col("event_type"), valueCents(col("value")).as("cents"))
+  /** The count stage of [[benford]] over any events frame with
+    * (event_type, value) — per (type, leading digit of the positive
+    * cents), the row count. Works unchanged as a streaming grouped
+    * aggregation (counts are pure functions of the input set), which
+    * is how [[graft.streaming.StreamQuality.benfordCounts]] runs it. */
+  def firstDigitCounts(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), valueCents(col("value")).as("cents"))
       .filter(col("cents") > 0)
       .select(col("event_type"),
         substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val counts = firstDigitCounts(Dedup.eventsUs(spark, dir))
     val totals = counts.groupBy("event_type").agg(sum("n").as("total"))
     val digitBen = spark.range(1, 10).select(
       col("id").as("digit"),

@@ -66,6 +66,44 @@ object Analytics5 {
       .orderBy("bucket")
   }
 
+  /** `docs_length_quality_grid`: the JOINT (length decile × quality
+    * decile) distribution — the bias audit for any length-based gate:
+    * #169 (length survival) and #143 (quality histogram) each see one
+    * marginal, but whether "drop short docs" ALSO drops the quality
+    * tail only shows in the joint grid (mass on the diagonal = the
+    * two signals are near-redundant; a flat grid = length carries no
+    * quality information and a length gate is quality-neutral). Per
+    * occupied (ldec, qdec) cell: doc count and the exact ratio4 share
+    * within the length decile (rows of the grid each sum to 1).
+    *
+    * Deciles are the exact int64 rank formula ((rn−1)·10 div N + 1,
+    * ties broken by doc_id) over TWO native GlobalRank passes — each
+    * one range exchange, never a single-partition window — joined on
+    * the uniform int doc key; the grid rollup is O(100) rows. */
+  def lengthQualityGrid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.qualityKeyFromText(col("text")).as("qkey"))
+      .localCheckpoint(true)
+    val n = base.count()
+    def decile(rn: org.apache.spark.sql.Column) =
+      intDiv((rn - 1L) * 10L, lit(n)) + 1L
+    val ld = Ranking.globalRowNumber(base.select("doc_id", "n_chars"),
+        Seq(col("n_chars"), col("doc_id")), "lrn")
+      .select(col("doc_id"), decile(col("lrn")).as("ldec"))
+    val qd = Ranking.globalRowNumber(base.select("doc_id", "qkey"),
+        Seq(col("qkey"), col("doc_id")), "qrn")
+      .select(col("doc_id"), decile(col("qrn")).as("qdec"))
+    val grid = ld.join(qd, "doc_id")
+      .groupBy("ldec", "qdec").agg(count(lit(1)).as("n_docs"))
+    val rowTot = grid.groupBy("ldec").agg(sum("n_docs").as("row_total"))
+    grid.join(rowTot, "ldec")
+      .select(col("ldec"), col("qdec"), col("n_docs"),
+        ratio4(col("n_docs"), col("row_total")).as("row_share4"))
+      .orderBy("ldec", "qdec")
+  }
+
   /** Calendar-grain revenue trend: per (year, month) of l_shipdate,
     * decimal-exact discounted revenue and row count, with the previous
     * OBSERVED month's revenue delta in exact cents. The only

@@ -52,6 +52,35 @@ class Analytics5Spec extends SparkSpec {
     assert(got.map(_._2).sum == scores.length)
   }
 
+  test("lengthQualityGrid matches a double-rank model; rows sum to 1") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.qualityKeyFromText(col("text")).as("qkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.length.toLong
+    val ldec = docs.sortBy(d => (d._2, d._1)).zipWithIndex
+      .map { case (d, i) => d._1 -> (i.toLong * 10 / n + 1) }.toMap
+    val qdec = docs.sortBy(d => (d._3, d._1)).zipWithIndex
+      .map { case (d, i) => d._1 -> (i.toLong * 10 / n + 1) }.toMap
+    val cells = docs.groupBy(d => (ldec(d._1), qdec(d._1)))
+      .view.mapValues(_.length.toLong).toMap
+    val rowTot = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val got = Analytics5.lengthQualityGrid(spark, sf).collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === cells(key), s"count at $key")
+      assert(r.getDouble(3) ===
+        ratio4Model(cells(key), rowTot(key._1)), s"share at $key")
+    }
+    // each length decile's shares sum to 1 (exactly, up to halfUp slack)
+    got.groupBy(_.getLong(0)).foreach { case (l, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) <= 0.001, s"row $l sums to $s")
+    }
+  }
+
   test("monthlyRevenue matches an exact-decimal calendar model") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val rows = graft.Tables.lineitem(spark, sf)

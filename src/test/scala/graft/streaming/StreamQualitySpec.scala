@@ -12,6 +12,31 @@ case class DqEv(id: Long, v: Double, t: String)
   * counts for the same data — one check definition, two runtimes. */
 class StreamQualitySpec extends SparkSpec {
 
+  test("streamed benford counts equal the batch kernel over the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.operators.Dedup.eventsUs(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val mem = MemoryStream[(String, Double)]
+    val name = s"ben_${System.nanoTime()}"
+    val q = StreamQuality.benfordCounts(mem.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = graft.operators.Analytics4
+      .firstDigitCounts(rows.toDF("event_type", "value")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("observed per-batch violation counts sum to the batch tableChecks counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
