@@ -443,4 +443,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       "no operator may funnel the corpus through one partition")
   }
+
+  test("events_benford: one corpus aggregate; grid/constant joins all broadcast") {
+    val p = plan("events_benford")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the O(types·9) grid joins must broadcast")
+  }
+
+  test("generalization ladder: rungs re-aggregate the checkpoint, never rescan") {
+    val p = plan("privacy_generalization_ladder")
+    // the fine class frame is localCheckpointed once; the 6-rung union
+    // must read it (Scan ExistingRDD), not re-scan the events parquet
+    assert(!p.contains("FileScan"),
+      "a rung re-scanned the corpus instead of the class checkpoint")
+    assert(p.contains("Union"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("length-quality grid rides two native GlobalRank passes") {
+    val p = plan("docs_length_quality_grid")
+    assert("GlobalRank".r.findAllIn(p).length >= 2,
+      "both decile axes must use the range-partitioned native rank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"),
+      "deciles must never funnel the corpus through one partition")
+  }
 }
