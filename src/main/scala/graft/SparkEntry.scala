@@ -254,6 +254,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Privacy.generalizationLadder(s, d)),
     "docs_length_quality_grid" ->
       ((s, d) => graft.operators.Analytics5.lengthQualityGrid(s, d)),
+    "dedup_survivorship_quality" ->
+      ((s, d) => graft.operators.Analytics5.dedupSurvivorship(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5090,6 +5092,39 @@ object SparkEntry {
          |SELECT g.ldec AS ldec, g.qdec AS qdec, n_docs,
          |  ${ratio4Sql("n_docs", "row_total")} AS row_share4
          |FROM g JOIN rt USING (ldec) ORDER BY ldec, qdec""".stripMargin,
+
+    // quality-decile drop shares under min-keeper near-dup dedup —
+    // mirrors Analytics5.dedupSurvivorship (shared pair + closure CTEs
+    // with dedup_components; same quality-key/decile algebra as the
+    // joint grid)
+    "dedup_survivorship_quality" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |${labelPropCtes()},
+         |q AS (SELECT doc_id, $TOKS AS toks,
+         |  CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents),
+         |kk AS (SELECT doc_id, ${qKeySql(
+             "CAST(len(toks) AS BIGINT)",
+             "CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)",
+             "len_no_ws")} AS qkey FROM q),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kk),
+         |qr AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY qkey, doc_id) AS BIGINT) AS qrn
+         |       FROM kk),
+         |dd AS (SELECT doc_id, CAST((qrn - 1) * 10 // n + 1 AS BIGINT) AS qdec
+         |       FROM qr CROSS JOIN nn),
+         |drp AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+         |SELECT dd.qdec AS qdec, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN drp.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  ${ratio4Sql(
+             "sum(CASE WHEN drp.doc_id IS NOT NULL THEN 1 ELSE 0 END)",
+             "count(*)")} AS drop_share4
+         |FROM dd LEFT JOIN drp ON drp.doc_id = dd.doc_id
+         |GROUP BY 1 ORDER BY qdec""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

@@ -104,6 +104,43 @@ object Analytics5 {
       .orderBy("ldec", "qdec")
   }
 
+  /** `dedup_survivorship_quality`: does near-dup dedup BIAS the
+    * corpus? Per exact quality decile: doc count, docs a
+    * min-keeper near-dup dedup would drop (non-keeper members of the
+    * LSH components — the #42 grain, dropped = doc_id ≠ component_id
+    * since min-label components label by the min doc), and the ratio4
+    * drop share. A flat drop_share4 row means dedup is
+    * quality-neutral; drops concentrated in the top deciles mean the
+    * near-dup gate is silently eating the best documents (templated
+    * high-quality families) and the keeper rule should switch to
+    * best-quality (#104).
+    *
+    * Shape: ONE GlobalRank pass for the deciles + the memoized
+    * verified-pair components (shared with the ~10 other consumers —
+    * no new corpus pass in a warm session); the join is uniform
+    * int doc keys, the rollup O(10) rows. */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityKeyFromText(col("text")).as("qkey"))
+      .localCheckpoint(true)
+    val n = base.count()
+    val qd = Ranking.globalRowNumber(base, Seq(col("qkey"), col("doc_id")), "qrn")
+      .select(col("doc_id"),
+        (intDiv((col("qrn") - 1L) * 10L, lit(n)) + 1L).as("qdec"))
+    val dropped = MinHashLSH.nearDupComponents(spark, dir)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"), lit(true).as("is_dropped"))
+    qd.join(dropped, Seq("doc_id"), "left")
+      .groupBy("qdec")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("qdec"), col("n_docs"), col("n_dropped"),
+        ratio4(col("n_dropped"), col("n_docs")).as("drop_share4"))
+      .orderBy("qdec")
+  }
+
   /** Calendar-grain revenue trend: per (year, month) of l_shipdate,
     * decimal-exact discounted revenue and row count, with the previous
     * OBSERVED month's revenue delta in exact cents. The only

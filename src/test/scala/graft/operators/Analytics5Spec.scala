@@ -81,6 +81,22 @@ class Analytics5Spec extends SparkSpec {
     }
   }
 
+  test("dedupSurvivorship conserves docs and matches the components drop set") {
+    val got = Analytics5.dedupSurvivorship(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(got.map(_.getLong(1)).sum === total)
+    // dropped total equals the non-keeper count of the #42 grain
+    // (whose own spec pins it against a driver model)
+    val comp = MinHashLSH.nearDupComponents(spark, sf).collect()
+    val nDropped = comp.count(r => r.getLong(0) != r.getLong(1)).toLong
+    assert(nDropped > 0, "fixture corpus must contain near-dup groups")
+    assert(got.map(_.getLong(2)).sum === nDropped)
+    got.foreach { r =>
+      assert(r.getDouble(3) === ratio4Model(r.getLong(2), r.getLong(1)))
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 10)
+    }
+  }
+
   test("monthlyRevenue matches an exact-decimal calendar model") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val rows = graft.Tables.lineitem(spark, sf)
