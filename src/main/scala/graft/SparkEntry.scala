@@ -256,6 +256,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics5.lengthQualityGrid(s, d)),
     "dedup_survivorship_quality" ->
       ((s, d) => graft.operators.Analytics5.dedupSurvivorship(s, d)),
+    "orders_fulfillment_lag" ->
+      ((s, d) => graft.operators.Analytics3.fulfillmentLag(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5125,6 +5127,23 @@ object SparkEntry {
              "count(*)")} AS drop_share4
          |FROM dd LEFT JOIN drp ON drp.doc_id = dd.doc_id
          |GROUP BY 1 ORDER BY qdec""".stripMargin,
+
+    // per-month ship-lag quantiles — mirrors Analytics3.fulfillmentLag
+    // (integer day lags at binary-fraction positions: quantile_cont
+    // reproduces Spark's percentile bit-for-bit)
+    "orders_fulfillment_lag" ->
+      s"""WITH lg AS (
+         |  SELECT o_orderdate,
+         |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag_days
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+         |  CAST(month(o_orderdate) AS INTEGER) AS month,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  quantile_cont(lag_days, 0.25) AS p25,
+         |  quantile_cont(lag_days, 0.5) AS p50,
+         |  quantile_cont(lag_days, 0.75) AS p75,
+         |  CAST(max(lag_days) AS BIGINT) AS max_lag
+         |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

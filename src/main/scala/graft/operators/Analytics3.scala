@@ -444,4 +444,38 @@ object Analytics3 {
         element_at(col("q"), 2).as("p50"),
         element_at(col("q"), 3).as("p75"))
       .orderBy("l_returnflag")
+
+  /** `orders_fulfillment_lag`: the operational latency panel — per
+    * order month, item count, exact p25/p50/p75 of the ship lag in
+    * whole days (l_shipdate − o_orderdate) and the worst straggler.
+    * A drifting p75 with a flat p50 is the classic tail-degradation
+    * signature; max_lag names the month to audit.
+    *
+    * Shape: ONE shuffle join on the uniform order key (THE fact-join
+    * this schema is bucketed for — see Bucketing for the co-located
+    * form), then the grouped exact `percentile` at binary-fraction
+    * positions over integer day lags (interpolated doubles reproduce
+    * bit-for-bit in DuckDB quantile_cont — the lineitem_quantiles
+    * discipline). Exact percentile buffers its group's values on the
+    * reducer: at O(10⁹)-row months switch the panel to the sketch
+    * path (events_kmv_quantiles) — the documented trade. */
+  def fulfillmentLag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("lag_days"))
+      .groupBy("year", "month")
+      .agg(count(lit(1)).as("n_items"),
+        expr("percentile(lag_days, array(0.25D, 0.5D, 0.75D))").as("q"),
+        max("lag_days").as("max_lag"))
+      .select(col("year"), col("month"), col("n_items"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("max_lag"))
+      .orderBy("year", "month")
 }

@@ -177,4 +177,43 @@ class Analytics3Spec extends SparkSpec {
       assert(r.getDouble(3) == q(v, 0.75))
     }
   }
+
+  test("fulfillmentLag matches a joined day-lag model per month") {
+    import org.apache.spark.sql.functions.col
+    def ld(v: Any): java.time.LocalDate = v match {
+      case d: java.sql.Date => d.toLocalDate
+      case d: java.time.LocalDate => d
+      case t: java.time.LocalDateTime => t.toLocalDate
+    }
+    val orders = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date")).collect()
+      .map(r => r.getLong(0) -> ld(r.get(1))).toMap
+    val lags = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date")).collect()
+      .map { r =>
+        val od = orders(r.getLong(0))
+        ((od.getYear, od.getMonthValue),
+          java.time.temporal.ChronoUnit.DAYS.between(od,
+            ld(r.get(1))).toDouble)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def q(v: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (v.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < v.length) v(lo) + frac * (v(lo + 1) - v(lo)) else v(lo)
+    }
+    val got = Analytics3.fulfillmentLag(spark, sf).collect()
+    assert(got.length === lags.size)
+    got.foreach { r =>
+      val v = lags((r.getInt(0), r.getInt(1)))
+      assert(r.getLong(2) === v.length.toLong)
+      assert(r.getDouble(3) == q(v, 0.25) && r.getDouble(4) == q(v, 0.5)
+        && r.getDouble(5) == q(v, 0.75))
+      assert(r.getLong(6) === v.last.toLong)
+      // NOTE: the synthetic generator draws ship dates independently of
+      // order dates, so negative lags occur here (min observed ≈ −37d);
+      // on physical data the dq_report contract monitors lag ≥ 0
+    }
+  }
 }
