@@ -258,6 +258,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics5.dedupSurvivorship(s, d)),
     "orders_fulfillment_lag" ->
       ((s, d) => graft.operators.Analytics3.fulfillmentLag(s, d)),
+    "events_theta_new_users" ->
+      ((s, d) => graft.operators.Sketches.thetaNewUsersDaily(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5144,6 +5146,55 @@ object SparkEntry {
          |  quantile_cont(lag_days, 0.75) AS p75,
          |  CAST(max(lag_days) AS BIGINT) AS max_lag
          |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // theta-sketch set DIFFERENCE (day's users minus yesterday's) —
+    // mirrors Sketches.thetaNewUsersDaily; the estimate replays
+    // hash-exactly (pure function of the min-k sets)
+    "events_theta_new_users" -> {
+      val k = graft.operators.Sketches.ThetaK
+      s"""WITH ev AS ($EV),
+         |hh AS (
+         |  SELECT DISTINCT ts_us // 86400000000 AS day_bucket, user_id,
+         |    ${H64("concat('u:', CAST(user_id AS VARCHAR))")} AS h
+         |  FROM ev
+         |),
+         |mk AS (
+         |  SELECT day_bucket, h,
+         |    row_number() OVER (PARTITION BY day_bucket ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT day_bucket, h FROM hh) q
+         |),
+         |s AS (SELECT day_bucket, h FROM mk WHERE rn <= $k),
+         |th AS (
+         |  SELECT day_bucket, CAST(count(*) AS BIGINT) AS n_sk,
+         |    CASE WHEN count(*) < $k THEN 1152921504606846976
+         |         ELSE max(h) END AS theta
+         |  FROM s GROUP BY 1),
+         |pair AS (
+         |  SELECT a.day_bucket, a.n_sk AS n_a, b.n_sk AS n_b,
+         |    least(a.theta, b.theta) AS theta_c
+         |  FROM th a JOIN th b ON b.day_bucket = a.day_bucket - 1),
+         |i AS (
+         |  SELECT p.day_bucket, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM pair p JOIN s x ON x.day_bucket = p.day_bucket
+         |  LEFT JOIN s y ON y.day_bucket = p.day_bucket - 1 AND y.h = x.h
+         |  WHERE x.h < p.theta_c AND y.h IS NULL
+         |  GROUP BY 1),
+         |ex AS (
+         |  SELECT d.day_bucket, CAST(count(*) AS BIGINT) AS exact_new
+         |  FROM (SELECT DISTINCT day_bucket, user_id FROM hh) d
+         |  LEFT JOIN (SELECT DISTINCT day_bucket, user_id FROM hh) e
+         |    ON e.day_bucket = d.day_bucket - 1 AND e.user_id = d.user_id
+         |  WHERE e.user_id IS NULL
+         |  GROUP BY 1)
+         |SELECT p.day_bucket, p.n_a, p.n_b,
+         |  CAST(coalesce(i.n_new, 0) AS BIGINT) AS n_new_sample,
+         |  ROUND(CAST(coalesce(i.n_new, 0) AS DOUBLE) * 1152921504606846976.0
+         |        / CAST(p.theta_c AS DOUBLE), 4) AS est_new,
+         |  CAST(coalesce(ex.exact_new, 0) AS BIGINT) AS exact_new
+         |FROM pair p LEFT JOIN i ON i.day_bucket = p.day_bucket
+         |LEFT JOIN ex ON ex.day_bucket = p.day_bucket
+         |ORDER BY p.day_bucket""".stripMargin
+    },
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

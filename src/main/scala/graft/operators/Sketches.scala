@@ -188,6 +188,52 @@ object Sketches {
       .orderBy("day_bucket")
   }
 
+  /** `events_theta_new_users`: set DIFFERENCE — the third member of
+    * the sketch algebra (union = thetaUsersDaily's rollup,
+    * intersection = thetaOverlapDaily): per day, the estimated count
+    * of users NOT seen the previous day, from the two days' k-long
+    * sketches alone. Estimator: sample = {h ∈ mkA \ mkB : h < θ_C}
+    * (θ_C = min of the two thresholds), est = |sample| · 2⁶⁰/θ_C —
+    * the acquisition twin of the overlap panel's retention, answered
+    * without touching raw events twice. Deterministic (pure function
+    * of the min-k sets), so the oracle replays the estimate
+    * hash-exactly; the exact new-user count rides the same row as
+    * grading (one distinct (day,user) anti-join). Identity pinned in
+    * spec: inter + diff = |{h ∈ mkA : h < θ_C}| — the two estimators
+    * partition the same sample. */
+  def thetaNewUsersDaily(spark: SparkSession, dir: String,
+                         k: Int = ThetaK): DataFrame = {
+    val base = Dedup.eventsUs(spark, dir)
+      .select(expr("ts_us div 86400000000L").as("day_bucket"),
+        col("user_id"),
+        h64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+    val sk = base.groupBy("day_bucket")
+      .agg(ThetaSketchFunctions.thetaSketch(col("h"), k).as("mk"))
+    val days = base.select("day_bucket", "user_id").distinct()
+    val exact = days.join(
+        days.select((col("day_bucket") + 1).as("day_bucket"), col("user_id")),
+        Seq("day_bucket", "user_id"), "left_anti")
+      .groupBy("day_bucket").agg(count(lit(1)).as("exact_new"))
+    val space = graft.plans.ThetaSketch.HashSpace
+    def theta(mk: Column) =
+      when(size(mk) < k, lit(space)).otherwise(element_at(mk, k))
+    sk.select(col("day_bucket"), col("mk").as("mka"))
+      .join(sk.select((col("day_bucket") + 1).as("day_bucket"),
+        col("mk").as("mkb")), "day_bucket")
+      .withColumn("theta_c", least(theta(col("mka")), theta(col("mkb"))))
+      .withColumn("n_new_sample", size(expr(
+        "filter(array_except(mka, mkb), x -> x < theta_c)")).cast("long"))
+      .withColumn("est_new", round(
+        col("n_new_sample").cast("double") * lit(space)
+          / col("theta_c").cast("double"), 4))
+      .join(exact, Seq("day_bucket"), "left")
+      .select(col("day_bucket"), size(col("mka")).cast("long").as("n_a"),
+        size(col("mkb")).cast("long").as("n_b"),
+        col("n_new_sample"), col("est_new"),
+        coalesce(col("exact_new"), lit(0L)).as("exact_new"))
+      .orderBy("day_bucket")
+  }
+
   /** source_term_cm: Count-Min term-frequency estimates per source —
     * the frequency member of the sketch trio. The counter matrix is
     * d·w longs per source regardless of vocabulary size; probe-term

@@ -46,6 +46,54 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta difference: exact when both sketches are exhaustive") {
+    val rows = Sketches.thetaNewUsersDaily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(1), r.getLong(2))
+      val (est, exact) = (r.getDouble(4), r.getLong(5))
+      if (na < Sketches.ThetaK && nb < Sketches.ThetaK)
+        // both sketches exhaustive → θ_C is the full space, the
+        // difference sample IS today's users minus yesterday's
+        assert(est === exact.toDouble, s"day ${r.getLong(0)}")
+      else if (exact > 0)
+        assert(math.abs(est - exact) / exact < 1.0,
+          s"day ${r.getLong(0)}: est $est vs $exact")
+      // the retained difference sample never exceeds the day's sketch
+      assert(r.getLong(3) <= na, s"day ${r.getLong(0)}: sample > sketch")
+      assert(est >= 0d)
+    }
+    // intersection + difference partition the retained sample on the
+    // SAME (A=day d, B=day d−1) pairing: re-derive overlap with B as
+    // yesterday via the shared helper and check the identity per day
+    val base = Dedup.eventsUs(spark, sf)
+      .select(expr("ts_us div 86400000000L").as("day_bucket"), col("user_id"),
+        graft.functions.Hashing.h64(
+          concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+    val sk = base.groupBy("day_bucket")
+      .agg(graft.plans.ThetaSketchFunctions.thetaSketch(
+        col("h"), Sketches.ThetaK).as("mk"))
+    // overlap helper pairs (d, d+1); shift its key to compare at day d+1
+    val inter = Sketches.thetaOverlapOfSketches(sk, Sketches.ThetaK)
+      .select((col("day_bucket") + 1).as("day_bucket"), col("inter")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val retained = sk.select(col("day_bucket"), col("mk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      // θ_C from the two days' sketches (full space when below k)
+      def th(day: Long) = {
+        val mk = retained(day)
+        if (mk.length < Sketches.ThetaK) graft.plans.ThetaSketch.HashSpace
+        else mk.last
+      }
+      val thetaC = math.min(th(d), th(d - 1))
+      val below = retained(d).count(_ < thetaC).toLong
+      assert(inter(d) + r.getLong(3) === below,
+        s"day $d: inter ${inter(d)} + diff ${r.getLong(3)} != retained $below")
+    }
+  }
+
   test("sketch edge cases: empty input, single row, all-duplicate keys") {
     import spark.implicits._
     import graft.plans.ThetaSketchFunctions._
