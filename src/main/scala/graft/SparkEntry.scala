@@ -260,6 +260,7 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics3.fulfillmentLag(s, d)),
     "events_theta_new_users" ->
       ((s, d) => graft.operators.Sketches.thetaNewUsersDaily(s, d)),
+    "events_key_skew" -> ((s, d) => graft.operators.Skew.keySkew(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5195,6 +5196,20 @@ object SparkEntry {
          |LEFT JOIN ex ON ex.day_bucket = p.day_bucket
          |ORDER BY p.day_bucket""".stripMargin
     },
+
+    // per-type hot-key skew panel — mirrors Skew.keySkew
+    "events_key_skew" ->
+      s"""WITH ev AS ($EV),
+         |pu AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM ev GROUP BY 1, 2),
+         |r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_rows,
+         |        CAST(count(*) AS BIGINT) AS n_users,
+         |        CAST(max(n) AS BIGINT) AS top_user_rows
+         |      FROM pu GROUP BY 1)
+         |SELECT event_type, n_rows, n_users, top_user_rows,
+         |  ${ratio4Sql("top_user_rows", "n_rows")} AS top_share4,
+         |  ${ratio4Sql("top_user_rows * n_users", "n_rows")} AS skew_x4
+         |FROM r ORDER BY event_type""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

@@ -32,4 +32,36 @@ object Skew {
       .agg(sum(col("pn")).as("n"), money2(sum(col("psum"))).as("sum_value"))
       .orderBy("event_type")
   }
+
+  /** `events_key_skew`: the DECISION TABLE behind the salting knob —
+    * per event_type (the low-cardinality aggregation key of this
+    * stream): row count, distinct sub-keys (users), the hottest user's
+    * row count, its exact ratio4 share of the type, and the hotness
+    * MULTIPLE vs a uniform spread (top·users/rows, ratio4). A type
+    * whose skew_x4 is ≈ 1 aggregates safely on the raw key; tens or
+    * hundreds means one reducer owns the key's traffic and the
+    * operator should go through [[saltedEventAgg]]'s two-stage plan
+    * (or rely on AQE skew splitting for joins). Reading this panel IS
+    * the capacity-planning step a 100 TB aggregation does before
+    * picking a partitioning.
+    *
+    * Shape: one partial-aggregable (type, user) shuffle, then an
+    * O(types) rollup — max/count/sum are all map-side combinable.
+    * skew_x4's int64 product top·users·10⁴ bounds the panel at
+    * ~9·10¹⁴ per type (top rows × users) — past that, pre-divide the
+    * uniform expectation (documented knob). */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    Dedup.eventsUs(spark, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_users"),
+        max("n").as("top_user_rows"))
+      .select(col("event_type"), col("n_rows"), col("n_users"),
+        col("top_user_rows"),
+        ratio4(col("top_user_rows"), col("n_rows")).as("top_share4"),
+        ratio4(col("top_user_rows") * col("n_users"), col("n_rows"))
+          .as("skew_x4"))
+      .orderBy("event_type")
+  }
 }

@@ -34,6 +34,27 @@ class AsOfSkewSpec extends SparkSpec {
     assert(salted.toSeq === direct.toSeq)
   }
 
+  test("keySkew matches a per-(type,user) count model") {
+    val rows = Dedup.eventsUs(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (t, g) =>
+      val byUser = g.groupBy(_._2).view.mapValues(_.length.toLong)
+      val (nRows, nUsers) = (g.length.toLong, byUser.size.toLong)
+      val top = byUser.values.max
+      def r4(num: Long, den: Long) = ((num * 10000 + den / 2) / den) / 10000.0
+      t -> (nRows, nUsers, top, r4(top, nRows), r4(top * nUsers, nRows))
+    }
+    val got = Skew.keySkew(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5)) === want(r.getString(0)), r.getString(0))
+      // skew multiple is ≥ the uniform floor of 1 by definition of max
+      assert(r.getDouble(5) >= 0.9999, s"${r.getString(0)} below uniform")
+    }
+  }
+
   test("sourceSimilarity: estimates are within [0,1] and symmetric-free") {
     val out = MinHashLSH.sourceSimilarity(spark, sf).collect()
     assert(out.nonEmpty)
