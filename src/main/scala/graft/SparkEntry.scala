@@ -261,6 +261,8 @@ object SparkEntry {
     "events_theta_new_users" ->
       ((s, d) => graft.operators.Sketches.thetaNewUsersDaily(s, d)),
     "events_key_skew" -> ((s, d) => graft.operators.Skew.keySkew(s, d)),
+    "dedup_lsh_bucket_profile" ->
+      ((s, d) => MinHashLSH.lshBucketProfile(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5210,6 +5212,25 @@ object SparkEntry {
          |  ${ratio4Sql("top_user_rows", "n_rows")} AS top_share4,
          |  ${ratio4Sql("top_user_rows * n_users", "n_rows")} AS skew_x4
          |FROM r ORDER BY event_type""".stripMargin,
+
+    // per-band LSH bucket-size profile — mirrors
+    // MinHashLSH.lshBucketProfile (shared banded-signature CTEs)
+    "dedup_lsh_bucket_profile" -> {
+      val cap = graft.operators.MinHashLSH.MaxBucketSize
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |bsz AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS c
+         |        FROM bands GROUP BY 1, 2)
+         |SELECT band, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(c) AS BIGINT) AS max_bucket,
+         |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pairs_raw,
+         |  CAST(sum(CASE WHEN c > $cap THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hot_buckets,
+         |  CAST(sum(CASE WHEN c <= $cap THEN c * (c - 1) // 2 ELSE 0 END)
+         |    AS BIGINT) AS pairs_capped
+         |FROM bsz GROUP BY 1 ORDER BY band""".stripMargin
+    },
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

@@ -384,6 +384,38 @@ object MinHashLSH {
   def lshCandidates(docs: DataFrame): DataFrame =
     candidatesFromBands(bandSignatures(docs))
 
+  /** `dedup_lsh_bucket_profile`: the EMPIRICAL capacity check behind
+    * the LSH candidate join — per band: banded docs, distinct buckets,
+    * the largest bucket, the raw candidate-pair mass Σ C(c,2), buckets
+    * over [[MaxBucketSize]] (the hot set the cap drops) and the pair
+    * mass that survives the cap. This panel turns the design claim
+    * "the bucket join is capped, never quadratic" into a measured
+    * number per band — the dedup twin of `events_key_skew`: read it
+    * BEFORE running the pair join on a new corpus, because a template
+    * family that collapses a band into one giant bucket shows up here
+    * as pairs_raw ≫ pairs_capped (the cap saving the join) rather than
+    * as a mysteriously skewed shuffle.
+    *
+    * Shape: one (band, sig) partial-aggregable count shuffle over the
+    * banded signatures (fused signature kernel in the scan stage),
+    * then an O(bands) rollup — strictly cheaper than the candidate
+    * join it profiles. */
+  def lshBucketProfile(spark: SparkSession, dir: String): DataFrame = {
+    val bs = bandSignatures(
+        graft.Tables.documents(spark, dir).select("doc_id", "text"))
+      .groupBy(col("band").cast("long").as("band"), col("sig"))
+      .agg(count(lit(1)).as("c"))
+    bs.groupBy("band")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("pairs_raw"),
+        sum(when(col("c") > MaxBucketSize, 1L).otherwise(0L))
+          .as("hot_buckets"),
+        sum(when(col("c") <= MaxBucketSize, expr("c * (c - 1) div 2"))
+          .otherwise(0L)).as("pairs_capped"))
+      .orderBy("band")
+  }
+
   /** Banded signatures → distinct capped candidate pairs. */
   private def candidatesFromBands(allBands: DataFrame): DataFrame = {
     // Hot-bucket cap (see MaxBucketSize): the size window hash-partitions

@@ -156,6 +156,36 @@ class DocDedupSpec extends SparkSpec {
     assert(got.exists { case (_, _, fe, fl, fs) => fs && !fe && !fl })
   }
 
+  test("lshBucketProfile matches a driver model over the banded signatures") {
+    import org.apache.spark.sql.functions.col
+    val bands = MinHashLSH.bandSignatures(
+        graft.Tables.documents(spark, sf).select("doc_id", "text"))
+      .select(col("band").cast("long"), col("sig")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cap = MinHashLSH.MaxBucketSize
+    val want = bands.groupBy(_._1).map { case (b, g) =>
+      val sizes = g.groupBy(_._2).values.map(_.length.toLong).toSeq
+      b -> (g.length.toLong, sizes.length.toLong, sizes.max,
+        sizes.map(c => c * (c - 1) / 2).sum,
+        sizes.count(_ > cap).toLong,
+        sizes.filter(_ <= cap).map(c => c * (c - 1) / 2).sum)
+    }
+    val got = MinHashLSH.lshBucketProfile(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) === want(r.getLong(0)),
+        s"band ${r.getLong(0)}")
+      // capping never grows the pair mass
+      assert(r.getLong(6) <= r.getLong(4))
+    }
+    // the profile upper-bounds the actual candidate join: distinct
+    // candidate pairs ≤ the capped pair mass summed over bands
+    val nCand = MinHashLSH.lshCandidates(
+      graft.Tables.documents(spark, sf).select("doc_id", "text")).count()
+    assert(nCand <= got.map(_.getLong(6)).sum)
+  }
+
   test("shingles3 of a short doc is empty, of 'a b c d' has two shingles") {
     import spark.implicits._
     val df = Seq("a b", "a b c d").toDF("text")
