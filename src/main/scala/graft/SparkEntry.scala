@@ -263,6 +263,7 @@ object SparkEntry {
     "events_key_skew" -> ((s, d) => graft.operators.Skew.keySkew(s, d)),
     "dedup_lsh_bucket_profile" ->
       ((s, d) => MinHashLSH.lshBucketProfile(s, d)),
+    "ann_ivf_cell_profile" -> ((s, d) => Similarity.ivfCellProfile(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5231,6 +5232,28 @@ object SparkEntry {
          |    AS BIGINT) AS pairs_capped
          |FROM bsz GROUP BY 1 ORDER BY band""".stripMargin
     },
+
+    // per-cell IVF balance profile — mirrors Similarity.ivfCellProfile
+    // (same assignment rule as ann_ivf_topk's shared CTE)
+    "ann_ivf_cell_profile" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT v.vec_id, cent.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckCos("v.e", "cent.ce")} DESC, cent.c_id) AS rn
+         |    FROM v, cent
+         |  ) WHERE rn = 1
+         |),
+         |c AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+         |      FROM assign GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t,
+         |        CAST(count(*) AS BIGINT) AS nc FROM c)
+         |SELECT cell, n_vecs,
+         |  ${ratio4Sql("n_vecs", "t")} AS share4,
+         |  ${ratio4Sql("n_vecs * nc", "t")} AS skew_x4
+         |FROM c CROSS JOIN t ORDER BY cell""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

@@ -378,6 +378,39 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** `ann_ivf_cell_profile`: the IVF twin of the LSH bucket profile
+    * (#281) and the key-skew table (#280) — per coarse cell: vector
+    * count, exact ratio4 share of the corpus, and the balance MULTIPLE
+    * vs a uniform spread (n·cells/total). Probe cost under nprobe=1 IS
+    * the queried cell's size, so this panel is the query-latency
+    * predictability read: skew_x4 ≈ 1 means flat per-query cost,
+    * a hot cell means either re-train centroids (the #49 k-means path
+    * whose Lloyd objective equalizes mass) or raise nprobe. Same
+    * assignment rule as ann_ivf_topk (argmin struct over broadcast
+    * centroids — partial-aggregable, no corpus sort).
+    *
+    * Shape: one broadcast-centroid pass + a (cell) count shuffle of
+    * O(cells) groups; the rollup is O(cells) rows. */
+  def ivfCellProfile(spark: SparkSession, dir: String,
+                     nCentroids: Int = 8): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val v = vecs(spark, dir)
+    val cent = v.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val cells = v.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine("e", "ce"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cos_c")).as("nc"), col("c_id"))).as("m"))
+      .select(col("m.c_id").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum("n_vecs").as("t"), count(lit(1)).as("nc"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        ratio4(col("n_vecs"), col("t")).as("share4"),
+        ratio4(col("n_vecs") * col("nc"), col("t")).as("skew_x4"))
+      .orderBy("cell")
+  }
+
   /** IVF with k-means-TRAINED centroids and multi-cell probing.
     *
     * Lloyd iterations, fully deterministic and cluster-size independent:

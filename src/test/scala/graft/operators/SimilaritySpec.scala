@@ -247,6 +247,36 @@ class SimilaritySpec extends SparkSpec {
     assert(kmRecall >= naiveRecall - 0.05)
   }
 
+  test("ivfCellProfile matches a driver argmax model and conserves vectors") {
+    import org.apache.spark.sql.functions.col
+    val vs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = vs.filter(_._1 < 8)
+    val assign = vs.map { case (_, e) =>
+      cents.map { case (cid, ce) => (-cos(e, ce), cid) }.min._2
+    }
+    val want = assign.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Similarity.ivfCellProfile(spark, sf).collect()
+    assert(got.length === want.size)
+    assert(got.map(_.getLong(1)).sum === vs.length.toLong)
+    got.foreach { r =>
+      assert(r.getLong(1) === want(r.getLong(0)), s"cell ${r.getLong(0)}")
+      val t = vs.length.toLong
+      val nc = want.size.toLong
+      def r4(num: Long, den: Long) = ((num * 10000 + den / 2) / den) / 10000.0
+      assert(r.getDouble(2) === r4(r.getLong(1), t))
+      assert(r.getDouble(3) === r4(r.getLong(1) * nc, t))
+    }
+  }
+
   test("bruteTopK: k ranked neighbors per query, cos non-increasing, no self") {
     val out = Similarity.bruteTopK(spark, sf).collect()
       .groupBy(_.getAs[Long]("q_id"))
