@@ -264,6 +264,8 @@ object SparkEntry {
     "dedup_lsh_bucket_profile" ->
       ((s, d) => MinHashLSH.lshBucketProfile(s, d)),
     "ann_ivf_cell_profile" -> ((s, d) => Similarity.ivfCellProfile(s, d)),
+    "docs_shingle_df_profile" ->
+      ((s, d) => DocDedup.shingleDfProfile(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5254,6 +5256,31 @@ object SparkEntry {
          |  ${ratio4Sql("n_vecs", "t")} AS share4,
          |  ${ratio4Sql("n_vecs * nc", "t")} AS skew_x4
          |FROM c CROSS JOIN t ORDER BY cell""".stripMargin,
+
+    // shingle document-frequency capacity profile — mirrors
+    // DocDedup.shingleDfProfile (the MaxShingleDf cap's measured form)
+    "docs_shingle_df_profile" -> {
+      val cap = graft.operators.DocDedup.MaxShingleDf
+      s"""WITH $SH_CTE,
+         |dfs AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |        FROM sh GROUP BY 1),
+         |bk AS (SELECT
+         |    CASE WHEN df = 1 THEN 1 WHEN df <= 4 THEN 2 WHEN df <= 9 THEN 3
+         |         WHEN df <= 19 THEN 4 WHEN df <= $cap THEN 5 ELSE 6 END
+         |      AS bucket_rank,
+         |    CASE WHEN df = 1 THEN 'df=1' WHEN df <= 4 THEN 'df=2-4'
+         |         WHEN df <= 9 THEN 'df=5-9' WHEN df <= 19 THEN 'df=10-19'
+         |         WHEN df <= $cap THEN 'df=20-$cap' ELSE 'df>$cap' END
+         |      AS bucket,
+         |    df
+         |  FROM dfs)
+         |SELECT CAST(bucket_rank AS BIGINT) AS bucket_rank, bucket,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(df) AS BIGINT) AS posting_mass,
+         |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass,
+         |  bucket_rank = 6 AS capped_out
+         |FROM bk GROUP BY bucket_rank, bucket ORDER BY bucket_rank""".stripMargin
+    },
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

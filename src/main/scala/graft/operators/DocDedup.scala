@@ -368,6 +368,37 @@ object DocDedup {
       .orderBy("level_rank")
   }
 
+  /** `docs_shingle_df_profile`: the capacity panel behind the
+    * [[MaxShingleDf]] cap (the shingle-join member of the trio that
+    * #280/#281/#282 form for aggregation keys, LSH buckets and IVF
+    * cells): shingles bucketed by document frequency, per bucket the
+    * shingle count, the posting mass Σdf (rows entering the self-join)
+    * and the pair mass Σ C(df,2) (candidate pairs those postings
+    * would emit). The top bucket (df > cap) is exactly what
+    * [[cappedShingles]] drops — its pair_mass is the quadratic
+    * explosion the cap prevents, now a measured number instead of a
+    * design assertion. One (shingle) count shuffle (uniform key) +
+    * an O(6) rollup. */
+  def shingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cap = MaxShingleDf
+    docShingles(spark, dir)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .select(
+        when(col("df") === 1, 1L).when(col("df") <= 4, 2L)
+          .when(col("df") <= 9, 3L).when(col("df") <= 19, 4L)
+          .when(col("df") <= cap, 5L).otherwise(6L).as("bucket_rank"),
+        when(col("df") === 1, "df=1").when(col("df") <= 4, "df=2-4")
+          .when(col("df") <= 9, "df=5-9").when(col("df") <= 19, "df=10-19")
+          .when(col("df") <= cap, s"df=20-$cap").otherwise(s"df>$cap")
+          .as("bucket"),
+        col("df"))
+      .groupBy("bucket_rank", "bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("posting_mass"),
+        sum(expr("df * (df - 1) div 2")).as("pair_mass"))
+      .withColumn("capped_out", col("bucket_rank") === 6L)
+      .orderBy("bucket_rank")
+  }
+
   /** #8: near-dup pairs by true n-gram Jaccard ≥ τ. Shuffles: one on
     * shingle (candidate generation), one on the pair key (intersection
     * count). Per-doc shingle counts join back onto the pairs (AQE

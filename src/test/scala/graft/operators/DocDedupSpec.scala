@@ -186,6 +186,28 @@ class DocDedupSpec extends SparkSpec {
     assert(nCand <= got.map(_.getLong(6)).sum)
   }
 
+  test("shingleDfProfile matches a driver df-bucket model") {
+    val sh = DocDedup.docShingles(spark, sf)
+      .select("shingle").collect().map(_.getString(0))
+    val cap = DocDedup.MaxShingleDf
+    def rank(df: Long) =
+      if (df == 1) 1L else if (df <= 4) 2L else if (df <= 9) 3L
+      else if (df <= 19) 4L else if (df <= cap) 5L else 6L
+    val want = sh.groupBy(identity).values.map(_.length.toLong).toSeq
+      .groupBy(rank).view.mapValues { dfs =>
+        (dfs.length.toLong, dfs.sum, dfs.map(d => d * (d - 1) / 2).sum)
+      }.toMap
+    val got = DocDedup.shingleDfProfile(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      assert((r.getLong(2), r.getLong(3), r.getLong(4))
+        === want(r.getLong(0)), s"bucket ${r.getString(1)}")
+      assert(r.getBoolean(5) === (r.getLong(0) == 6L))
+    }
+    // posting conservation: Σ posting_mass == total (doc, shingle) rows
+    assert(got.map(_.getLong(3)).sum === sh.length.toLong)
+  }
+
   test("shingles3 of a short doc is empty, of 'a b c d' has two shingles") {
     import spark.implicits._
     val df = Seq("a b", "a b c d").toDF("text")
