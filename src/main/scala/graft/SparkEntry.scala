@@ -266,6 +266,8 @@ object SparkEntry {
     "ann_ivf_cell_profile" -> ((s, d) => Similarity.ivfCellProfile(s, d)),
     "docs_shingle_df_profile" ->
       ((s, d) => DocDedup.shingleDfProfile(s, d)),
+    "dedup_pair_audit_sample" ->
+      ((s, d) => MinHashLSH.pairAuditSample(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5281,6 +5283,25 @@ object SparkEntry {
          |  bucket_rank = 6 AS capped_out
          |FROM bk GROUP BY bucket_rank, bucket ORDER BY bucket_rank""".stripMargin
     },
+
+    // deterministic per-band pair audit sample — mirrors
+    // MinHashLSH.pairAuditSample (shared verified-pair CTEs)
+    "dedup_pair_audit_sample" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |smp AS (
+         |  SELECT CAST(floor(jaccard * 20) AS BIGINT) AS band, d1, d2, jaccard,
+         |    ${H64("concat('audit:', CAST(d1 AS VARCHAR), ':', CAST(d2 AS VARCHAR))")}
+         |      AS akey
+         |  FROM pairs),
+         |rk AS (
+         |  SELECT band, d1, d2, jaccard,
+         |    CAST(row_number() OVER (PARTITION BY band ORDER BY akey, d1, d2)
+         |      AS BIGINT) AS rank
+         |  FROM smp)
+         |SELECT band, rank, d1, d2, jaccard FROM rk
+         |WHERE rank <= 5 ORDER BY band, rank""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

@@ -378,6 +378,31 @@ object MinHashLSH {
   def nearDupPairsOf(docs: DataFrame, tau: Double = 0.5): DataFrame =
     verifyCandidates(lshCandidates(docs), DocDedup.docShinglesOf(docs), tau)
 
+  /** `dedup_pair_audit_sample`: the human-QA workflow for the near-dup
+    * gate — per 0.05 similarity band, a DETERMINISTIC k-pair sample
+    * (bottom-k by a seeded pair hash, the [[graft.streaming.StreamSample]]
+    * discipline) from the verified pair set. Reviewers grade a fixed,
+    * replay-stable sample per band instead of eyeballing a 2.7M-row
+    * pair dump; because the sample is a pure function of the pair set,
+    * a re-run after a pipeline change re-samples the SAME pairs where
+    * they survived — diffs show real gate movement, not sampling
+    * noise. Banding floors the (hash-proven deterministic) jaccard
+    * double at 0.05 steps; the window partitions by band (O(bands)
+    * partitions over the edge-sized pair list — never corpus rows). */
+  def pairAuditSample(spark: SparkSession, dir: String,
+                      k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band").orderBy(col("akey"), col("d1"), col("d2"))
+    nearDupPairs(spark, dir)
+      .withColumn("band", floor(col("jaccard") * 20).cast("long"))
+      .withColumn("akey", h64(concat(lit("audit:"), col("d1").cast("string"),
+        lit(":"), col("d2").cast("string"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("band", "rank", "d1", "d2", "jaccard")
+      .orderBy("band", "rank")
+  }
+
   /** Distinct banded-LSH candidate pairs (d1 < d2) — the shared
     * linear-volume candidate source for every near-dup verifier
     * (Jaccard, containment-on-candidates, edit distance). */

@@ -208,6 +208,33 @@ class DocDedupSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).sum === sh.length.toLong)
   }
 
+  test("pairAuditSample: per-band bottom-k by seeded hash, inside the pair set") {
+    val pairs = MinHashLSH.nearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    def akey(d1: Long, d2: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"audit:$d1:$d2".getBytes("UTF-8"))
+      // h64 = first 15 hex chars as int64 (60 bits) — mirror via bytes
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val want = pairs.groupBy(p => math.floor(p._3 * 20).toLong)
+      .view.mapValues(_.sortBy(p => (akey(p._1, p._2), p._1, p._2)).take(5))
+      .toMap
+    val got = MinHashLSH.pairAuditSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (band, rows) =>
+      val w = want(band)
+      assert(rows.length === w.length, s"band $band size")
+      rows.sortBy(_._2).zip(w).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g._2 === i + 1L, s"rank gap in band $band")
+        assert((g._3, g._4, g._5) === e, s"band $band rank ${i + 1}")
+      }
+    }
+  }
+
   test("shingles3 of a short doc is empty, of 'a b c d' has two shingles") {
     import spark.implicits._
     val df = Seq("a b", "a b c d").toDF("text")
