@@ -268,6 +268,8 @@ object SparkEntry {
       ((s, d) => DocDedup.shingleDfProfile(s, d)),
     "dedup_pair_audit_sample" ->
       ((s, d) => MinHashLSH.pairAuditSample(s, d)),
+    "embeddings_exact_dups" ->
+      ((s, d) => graft.operators.Spectral.exactDups(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5302,6 +5304,19 @@ object SparkEntry {
          |  FROM smp)
          |SELECT band, rank, d1, d2, jaccard FROM rk
          |WHERE rank <= 5 ORDER BY band, rank""".stripMargin,
+
+    // byte-identical vector manifest — mirrors Spectral.exactDups
+    // (md5 over the comma-joined u3 coordinates)
+    "embeddings_exact_dups" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, md5(array_to_string(list_transform(embedding, x ->
+         |    CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
+         |    ',')) AS checksum
+         |  FROM embeddings)
+         |SELECT vec_id, checksum,
+         |  min(vec_id) OVER (PARTITION BY checksum) AS keep_vec,
+         |  vec_id <> min(vec_id) OVER (PARTITION BY checksum) AS is_copy
+         |FROM c ORDER BY vec_id""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

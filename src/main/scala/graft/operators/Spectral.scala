@@ -182,6 +182,30 @@ object Spectral {
       .limit(k)
   }
 
+  /** `embeddings_exact_dups`: byte-identical vector audit — the
+    * embedding twin of the multimodal exact manifest (#129): per
+    * vector, the md5 checksum of its u3-quantized coordinates, the
+    * group keeper (min vec_id over identical vectors) and the copy
+    * flag. Exact vector duplicates are an ENCODER pathology (cache
+    * collisions, truncated batches re-emitted, all-zero failure fills)
+    * that cosine near-dup screens blur past — at τ < 1 they're just
+    * "very similar", but a training pipeline wants them surfaced as
+    * the infrastructure bug they are. Full-md5 checksum per the #129
+    * collision discipline (a silent 60-bit merge here would fabricate
+    * a pathology). One uniform checksum shuffle. */
+  def exactDups(spark: SparkSession, dir: String): DataFrame = {
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("checksum")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        md5(expr(s"""array_join(transform(embedding, x ->
+          |  cast(cast(round(cast(x as double) * 1000) as bigint) as string)),
+          |  ',')""".stripMargin)).as("checksum"))
+      .withColumn("keep_vec", min("vec_id").over(wC))
+      .select(col("vec_id"), col("checksum"), col("keep_vec"),
+        (col("vec_id") =!= col("keep_vec")).as("is_copy"))
+      .orderBy("vec_id")
+  }
+
   /** #265 (lib): the FULL eigen-spectrum of the embedding covariance —
     * eigenvalues descending plus the orthonormal eigenvector matrix
     * (columns), by cyclic Jacobi rotation on the driver-side d×d

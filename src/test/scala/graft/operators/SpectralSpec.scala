@@ -165,6 +165,18 @@ class SpectralSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("exactDups groups byte-identical u3 vectors under the min keeper") {
+    val byU3 = labeled.map { case (id, _, u) => (id, u.mkString(",")) }
+    val keep = byU3.groupBy(_._2).values
+      .flatMap(g => g.map(v => v._1 -> g.map(_._1).min)).toMap
+    val got = Spectral.exactDups(spark, sf).collect()
+    assert(got.length === labeled.length)
+    got.foreach { r =>
+      assert(r.getLong(2) === keep(r.getLong(0)), s"vec ${r.getLong(0)}")
+      assert(r.getBoolean(3) === (r.getLong(0) != keep(r.getLong(0))))
+    }
+  }
+
   test("power iteration is deterministic") {
     val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
     val (l1, v1) = Spectral.powerIterate(m, 100)
