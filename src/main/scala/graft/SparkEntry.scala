@@ -270,6 +270,8 @@ object SparkEntry {
       ((s, d) => MinHashLSH.pairAuditSample(s, d)),
     "embeddings_exact_dups" ->
       ((s, d) => graft.operators.Spectral.exactDups(s, d)),
+    "orders_backlog_curve" ->
+      ((s, d) => graft.operators.Analytics3.backlogCurve(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5317,6 +5319,29 @@ object SparkEntry {
          |  min(vec_id) OVER (PARTITION BY checksum) AS keep_vec,
          |  vec_id <> min(vec_id) OVER (PARTITION BY checksum) AS is_copy
          |FROM c ORDER BY vec_id""".stripMargin,
+
+    // daily ordered/shipped counts + running backlog — mirrors
+    // Analytics3.backlogCurve (epoch-day integer export)
+    "orders_backlog_curve" ->
+      s"""WITH j AS (
+         |  SELECT CAST(datediff('day', DATE '1970-01-01',
+         |           CAST(o_orderdate AS DATE)) AS BIGINT) AS od,
+         |         CAST(datediff('day', DATE '1970-01-01',
+         |           CAST(l_shipdate AS DATE)) AS BIGINT) AS sd
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |o AS (SELECT od AS day_epoch, CAST(count(*) AS BIGINT) AS n_ordered
+         |      FROM j GROUP BY 1),
+         |s AS (SELECT sd AS day_epoch, CAST(count(*) AS BIGINT) AS n_shipped
+         |      FROM j GROUP BY 1),
+         |f AS (SELECT coalesce(o.day_epoch, s.day_epoch) AS day_epoch,
+         |        coalesce(n_ordered, 0) AS n_ordered,
+         |        coalesce(n_shipped, 0) AS n_shipped
+         |      FROM o FULL OUTER JOIN s ON s.day_epoch = o.day_epoch)
+         |SELECT day_epoch, n_ordered, n_shipped,
+         |  CAST(sum(n_ordered - n_shipped) OVER (ORDER BY day_epoch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS backlog
+         |FROM f ORDER BY day_epoch""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

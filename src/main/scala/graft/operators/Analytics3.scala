@@ -445,6 +445,44 @@ object Analytics3 {
         element_at(col("q"), 3).as("p75"))
       .orderBy("l_returnflag")
 
+  /** `orders_backlog_curve`: the open-work inventory over time — per
+    * calendar day (exported as epoch days, the integer-export
+    * discipline): line items entering the backlog (their order's
+    * date), items leaving it (ship date), and the running backlog =
+    * cum(ordered) − cum(shipped). The complement of
+    * [[fulfillmentLag]]'s per-item latency: lag says how long ONE item
+    * waits, THIS says how much work is in flight — the curve capacity
+    * planning reads (a rising backlog with flat lag quantiles means
+    * arrival outruns throughput before latency shows it).
+    *
+    * Shape: the order-key fact join once, then two O(days) daily
+    * aggregates full-outer-joined on day and ONE cumulative window
+    * over the O(days) frame (the sparse-window-over-aggregate
+    * discipline — never raw lineitem through a single partition). */
+  def backlogCurve(spark: SparkSession, dir: String): DataFrame = {
+    def epochDay(c: Column) = datediff(c.cast("date"), lit("1970-01-01")).cast("long")
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val withOrder = li.join(Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")), "l_orderkey")
+    val ordered = withOrder
+      .groupBy(epochDay(col("o_orderdate")).as("day_epoch"))
+      .agg(count(lit(1)).as("n_ordered"))
+    // shipped from the SAME joined frame: an orphaned line item (no
+    // order row) must not leave a backlog it never entered
+    val shipped = withOrder
+      .groupBy(epochDay(col("l_shipdate")).as("day_epoch"))
+      .agg(count(lit(1)).as("n_shipped"))
+    val w = Window.orderBy("day_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered.join(shipped, Seq("day_epoch"), "full_outer")
+      .withColumn("n_ordered", coalesce(col("n_ordered"), lit(0L)))
+      .withColumn("n_shipped", coalesce(col("n_shipped"), lit(0L)))
+      .withColumn("backlog",
+        sum(col("n_ordered") - col("n_shipped")).over(w))
+      .select("day_epoch", "n_ordered", "n_shipped", "backlog")
+      .orderBy("day_epoch")
+  }
+
   /** `orders_fulfillment_lag`: the operational latency panel — per
     * order month, item count, exact p25/p50/p75 of the ship lag in
     * whole days (l_shipdate − o_orderdate) and the worst straggler.

@@ -157,6 +157,37 @@ class Analytics3Spec extends SparkSpec {
     assert(got.last._5 == span.size.toLong)
   }
 
+  test("backlogCurve: daily flows match a driver model; backlog closes at zero") {
+    import org.apache.spark.sql.functions.col
+    def ld(v: Any): java.time.LocalDate = v match {
+      case d: java.sql.Date => d.toLocalDate
+      case t: java.time.LocalDateTime => t.toLocalDate
+    }
+    val epoch = java.time.LocalDate.ofEpochDay(0)
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) ->
+        java.time.temporal.ChronoUnit.DAYS.between(epoch, ld(r.get(1)))).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date")).collect()
+      .map(r => (orders(r.getLong(0)),
+        java.time.temporal.ChronoUnit.DAYS.between(epoch, ld(r.get(1)))))
+    val byOrd = li.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byShip = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Analytics3.backlogCurve(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet === (byOrd.keySet ++ byShip.keySet))
+    var run = 0L
+    got.sortBy(_.getLong(0)).foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) === byOrd.getOrElse(d, 0L), s"ordered day $d")
+      assert(r.getLong(2) === byShip.getOrElse(d, 0L), s"shipped day $d")
+      run += r.getLong(1) - r.getLong(2)
+      assert(r.getLong(3) === run, s"backlog day $d")
+    }
+    // every ordered item eventually ships: the curve closes at zero
+    assert(run === 0L)
+  }
+
   test("quantiles matches the standard linear-interpolation definition") {
     val byFlag = graft.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_quantity").collect()
