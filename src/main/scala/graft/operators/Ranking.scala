@@ -37,6 +37,57 @@ object Ranking {
                       out: String = "prefix"): DataFrame =
     nativeRank(df, sort, Some(valueCol), out)
 
+  /** Exact PER-GROUP quantiles with NO per-group buffering — the scale
+    * path the grouped `percentile` aggregate lacks: that aggregate
+    * collects each group's values into one reducer buffer, so a
+    * billion-row group is executor-memory-bound. This form never
+    * buffers a group: ONE [[globalRowNumber]] pass over
+    * (group, value, tie) — range partitioning splits big groups across
+    * partitions — then an O(groups) stats aggregate gives each group's
+    * start rank and count, and the quantile positions are fetched by a
+    * broadcast join against the O(groups·|ps|) position frame. Output:
+    * one row per (group, p) with the SAME inclusive linear
+    * interpolation as Spark's `percentile` / DuckDB's quantile_cont
+    * (lowerVal·(hi−pos) + higherVal·(pos−lo) — replicated exactly so
+    * results are bit-equal; spec-pinned against the aggregate).
+    *
+    * `sortTie` must make (group, value, tie) a total order; ties on
+    * the value don't affect the result (equal values interpolate to
+    * themselves) but determinism of the rank pass requires the key. */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, sortTie: Seq[String],
+                       ps: Seq[Double], out: String = "q"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(ps.nonEmpty, "need at least one quantile position")
+    val gcols = groupCols.map(col)
+    val sort = (gcols :+ col(valueCol)) ++ sortTie.map(col)
+    val ranked = nativeRank(df, sort, None, "_grn")
+    val stats = ranked.groupBy(gcols: _*)
+      .agg(min("_grn").as("_gstart"), count(lit(1)).as("_gn"))
+    val positions = stats
+      .withColumn("_p", explode(array(ps.map(lit): _*)))
+      .withColumn("_pos", col("_p") * (col("_gn") - 1).cast("double"))
+      .withColumn("_lo", floor(col("_pos")).cast("long"))
+      .withColumn("_hi", ceil(col("_pos")).cast("long"))
+    val hit = ranked
+      .join(broadcast(positions), groupCols)
+      .withColumn("_within", col("_grn") - col("_gstart"))
+      .filter(col("_within") === col("_lo") || col("_within") === col("_hi"))
+    hit
+      .groupBy((gcols ++ Seq(col("_p"), col("_pos"), col("_lo"), col("_hi"))): _*)
+      .agg(
+        max(when(col("_within") === col("_lo"),
+          col(valueCol).cast("double"))).as("_vlo"),
+        max(when(col("_within") === col("_hi"),
+          col(valueCol).cast("double"))).as("_vhi"))
+      .select((gcols :+ col("_p").as("p")) :+
+        when(col("_lo") === col("_hi"), col("_vlo"))
+          .otherwise(col("_vlo") * (col("_hi").cast("double") - col("_pos")) +
+            col("_vhi") * (col("_pos") - col("_lo").cast("double")))
+          .as(out): _*)
+      .orderBy((gcols :+ col("p")): _*)
+  }
+
   private def nativeRank(df: DataFrame, sort: Seq[Column],
                          valueCol: Option[String], out: String): DataFrame = {
     require(sort.nonEmpty, "globalRowNumber/globalPrefixSum need sort keys")

@@ -77,6 +77,41 @@ class RankingSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("groupedQuantiles bit-equals the grouped percentile aggregate") {
+    import org.apache.spark.sql.functions._
+    val ps = Seq(0.25, 0.5, 0.75)
+    // axis 1: lineitem quantities per return flag (the #80 grain)
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+    val got = Ranking.groupedQuantiles(li, Seq("l_returnflag"), "l_quantity",
+        Seq("l_orderkey", "l_linenumber"), ps).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = Analytics3.quantiles(spark, sf).collect()
+      .flatMap(r => Seq((r.getString(0), 0.25) -> r.getDouble(1),
+        (r.getString(0), 0.5) -> r.getDouble(2),
+        (r.getString(0), 0.75) -> r.getDouble(3))).toMap
+    assert(got === want)
+    // axis 2: event cents per type, vs the percentile aggregate directly
+    val ev = Dedup.eventsUs(spark, sf).select(col("event_type"),
+      graft.functions.Hashing.valueCents(col("value")).as("cents"),
+      col("event_id"))
+    val got2 = Ranking.groupedQuantiles(ev, Seq("event_type"), "cents",
+        Seq("event_id"), Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want2 = ev.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5D)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2 === want2)
+    // the plan stays on the native rank — no per-group buffering agg,
+    // no single-partition window
+    val plan = Ranking.groupedQuantiles(li, Seq("l_returnflag"), "l_quantity",
+      Seq("l_orderkey", "l_linenumber"), ps)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRank"))
+    assert(!plan.contains("percentile"))
+  }
+
   test("incremental pack continuation equals the full-corpus pack") {
     import spark.implicits._
     val all = Seq((1L, 300L), (2L, 300L), (3L, 10L), (4L, 600L), (5L, 100L))
