@@ -272,6 +272,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Spectral.exactDups(s, d)),
     "orders_backlog_curve" ->
       ((s, d) => graft.operators.Analytics3.backlogCurve(s, d)),
+    "events_active_days_histogram" ->
+      ((s, d) => graft.operators.Analytics3.activeDaysHistogram(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5342,6 +5344,29 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS backlog
          |FROM f ORDER BY day_epoch""".stripMargin,
+
+    // engagement-depth histogram — mirrors Analytics3.activeDaysHistogram
+    "events_active_days_histogram" ->
+      s"""WITH ev AS ($EV),
+         |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS d
+         |       FROM (SELECT DISTINCT user_id, ts_us // 86400000000 AS day
+         |             FROM ev) q GROUP BY 1),
+         |bk AS (SELECT
+         |    CASE WHEN d = 1 THEN 1 WHEN d <= 4 THEN 2 WHEN d <= 9 THEN 3
+         |         WHEN d <= 19 THEN 4 ELSE 5 END AS bucket_rank,
+         |    CASE WHEN d = 1 THEN '1 day' WHEN d <= 4 THEN '2-4 days'
+         |         WHEN d <= 9 THEN '5-9 days' WHEN d <= 19 THEN '10-19 days'
+         |         ELSE '20+ days' END AS bucket,
+         |    d
+         |  FROM pu),
+         |h AS (SELECT bucket_rank, bucket,
+         |        CAST(count(*) AS BIGINT) AS n_users,
+         |        CAST(sum(d) AS BIGINT) AS n_user_days
+         |      FROM bk GROUP BY bucket_rank, bucket),
+         |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS t FROM h)
+         |SELECT CAST(bucket_rank AS BIGINT) AS bucket_rank, bucket, n_users,
+         |  n_user_days, ${ratio4Sql("n_users", "t")} AS user_share4
+         |FROM h CROSS JOIN t ORDER BY bucket_rank""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

@@ -445,6 +445,37 @@ object Analytics3 {
         element_at(col("q"), 3).as("p75"))
       .orderBy("l_returnflag")
 
+  /** `events_active_days_histogram`: the engagement-DEPTH distribution
+    * — users bucketed by how many distinct days they were active, per
+    * bucket the user count, total user-days, and exact ratio4 user
+    * share. The flux panel (#182) shows per-day arrivals/churn; THIS
+    * shows how the user base splits between drive-by (1 day) and
+    * habitual (20+) — the retention shape a DAU/WAU ratio (#113)
+    * summarizes into one number. One distinct (user, day) frame, a
+    * user-keyed count (both partial-aggregable), O(5) rollup. */
+  def activeDaysHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val perUser = Dedup.eventsUs(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000L").as("day"))
+      .distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("d"))
+    val hist = perUser.select(
+        when(col("d") === 1, 1L).when(col("d") <= 4, 2L)
+          .when(col("d") <= 9, 3L).when(col("d") <= 19, 4L)
+          .otherwise(5L).as("bucket_rank"),
+        when(col("d") === 1, "1 day").when(col("d") <= 4, "2-4 days")
+          .when(col("d") <= 9, "5-9 days").when(col("d") <= 19, "10-19 days")
+          .otherwise("20+ days").as("bucket"),
+        col("d"))
+      .groupBy("bucket_rank", "bucket")
+      .agg(count(lit(1)).as("n_users"), sum("d").as("n_user_days"))
+    val tot = hist.agg(sum("n_users").as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("bucket_rank"), col("bucket"), col("n_users"),
+        col("n_user_days"), ratio4(col("n_users"), col("t")).as("user_share4"))
+      .orderBy("bucket_rank")
+  }
+
   /** `orders_backlog_curve`: the open-work inventory over time — per
     * calendar day (exported as epoch days, the integer-export
     * discipline): line items entering the backlog (their order's

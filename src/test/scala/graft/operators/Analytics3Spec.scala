@@ -188,6 +188,28 @@ class Analytics3Spec extends SparkSpec {
     assert(run === 0L)
   }
 
+  test("activeDaysHistogram matches a distinct-day driver model") {
+    val perUser = Dedup.eventsUs(spark, sf)
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000L)).distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def rank(d: Long) =
+      if (d == 1) 1L else if (d <= 4) 2L else if (d <= 9) 3L
+      else if (d <= 19) 4L else 5L
+    val want = perUser.values.groupBy(rank).view.mapValues { ds =>
+      (ds.size.toLong, ds.sum)
+    }.toMap
+    val total = perUser.size.toLong
+    val got = Analytics3.activeDaysHistogram(spark, sf).collect()
+    assert(got.length === want.size)
+    assert(got.map(_.getLong(2)).sum === total)
+    got.foreach { r =>
+      assert((r.getLong(2), r.getLong(3)) === want(r.getLong(0)),
+        s"bucket ${r.getString(1)}")
+      assert(r.getDouble(4) === ratio4Model(r.getLong(2), total))
+    }
+  }
+
   test("quantiles matches the standard linear-interpolation definition") {
     val byFlag = graft.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_quantity").collect()
