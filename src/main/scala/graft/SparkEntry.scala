@@ -274,6 +274,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics3.backlogCurve(s, d)),
     "events_active_days_histogram" ->
       ((s, d) => graft.operators.Analytics3.activeDaysHistogram(s, d)),
+    "events_transition_quantiles" ->
+      ((s, d) => graft.operators.Analytics3.transitionQuantiles(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5367,6 +5369,24 @@ object SparkEntry {
          |SELECT CAST(bucket_rank AS BIGINT) AS bucket_rank, bucket, n_users,
          |  n_user_days, ${ratio4Sql("n_users", "t")} AS user_share4
          |FROM h CROSS JOIN t ORDER BY bucket_rank""".stripMargin,
+
+    // per-transition gap quantiles — mirrors
+    // Analytics3.transitionQuantiles (groupedQuantiles replicates the
+    // inclusive interpolation, so quantile_cont replays it exactly)
+    "events_transition_quantiles" ->
+      s"""WITH ev AS ($EV),
+         |tr AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER w AS to_type,
+         |    lead(ts_us) OVER w - ts_us AS gap_us
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         |SELECT from_type, to_type,
+         |  CAST(count(*) AS BIGINT) AS n_transitions,
+         |  quantile_cont(gap_us, 0.25) AS p25,
+         |  quantile_cont(gap_us, 0.5) AS p50,
+         |  quantile_cont(gap_us, 0.75) AS p75
+         |FROM tr WHERE to_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

@@ -445,6 +445,43 @@ object Analytics3 {
         element_at(col("q"), 3).as("p75"))
       .orderBy("l_returnflag")
 
+  /** `events_transition_quantiles`: the TIMING companion to
+    * `events_markov` (#98 says where users go next; THIS says how
+    * fast): per (from_type, to_type) consecutive-event transition on
+    * a user's timeline, the count and the exact p25/p50/p75 of the
+    * gap in µs. A funnel whose click→purchase p75 stretches while p50
+    * holds is losing its slow tail — the same tail-degradation read
+    * as #277, applied to behavior.
+    *
+    * Shape: ONE user-keyed lead window builds the transition frame;
+    * the quantiles ride [[Ranking.groupedQuantiles]] — the native
+    * GlobalRank path, NO per-group percentile buffering — so the
+    * panel holds even when one transition pair dominates the stream
+    * (the hot (browse, browse) cell is exactly the case the buffering
+    * aggregate dies on at scale). */
+  def transitionQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = Dedup.eventsUs(spark, dir)
+      .select("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_ts", lead("ts_us", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type"),
+        (col("next_ts") - col("ts_us")).as("gap_us"), col("event_id"))
+      .localCheckpoint(true)
+    val counts = trans.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    Ranking.groupedQuantiles(trans, Seq("from_type", "to_type"), "gap_us",
+        Seq("event_id"), Seq(0.25, 0.5, 0.75))
+      .groupBy("from_type", "to_type")
+      .agg(max(when(col("p") === 0.25, col("q"))).as("p25"),
+        max(when(col("p") === 0.5, col("q"))).as("p50"),
+        max(when(col("p") === 0.75, col("q"))).as("p75"))
+      .join(counts, Seq("from_type", "to_type"))
+      .select("from_type", "to_type", "n_transitions", "p25", "p50", "p75")
+      .orderBy("from_type", "to_type")
+  }
+
   /** `events_active_days_histogram`: the engagement-DEPTH distribution
     * — users bucketed by how many distinct days they were active, per
     * bucket the user count, total user-days, and exact ratio4 user

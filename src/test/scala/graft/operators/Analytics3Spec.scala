@@ -210,6 +210,32 @@ class Analytics3Spec extends SparkSpec {
     }
   }
 
+  test("transitionQuantiles matches a per-pair sorted-gap model") {
+    val evs = Dedup.eventsUs(spark, sf)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(a, b) => ((a._4, b._4), (b._2 - a._2).toDouble)
+      }
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def q(v: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (v.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) v(lo) else v(lo) * (hi - pos) + v(hi) * (pos - lo)
+    }
+    val got = Analytics3.transitionQuantiles(spark, sf).collect()
+    assert(got.length === trans.size)
+    got.foreach { r =>
+      val v = trans((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === v.length.toLong)
+      assert(r.getDouble(3) == q(v, 0.25) && r.getDouble(4) == q(v, 0.5)
+        && r.getDouble(5) == q(v, 0.75),
+        s"${r.getString(0)}->${r.getString(1)}")
+    }
+  }
+
   test("quantiles matches the standard linear-interpolation definition") {
     val byFlag = graft.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_quantity").collect()
