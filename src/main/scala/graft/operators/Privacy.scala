@@ -155,15 +155,28 @@ object Privacy {
   def generalizationLadder(spark: SparkSession, dir: String): DataFrame =
     generalizationLadderOf(Dedup.eventsUs(spark, dir))
 
-  /** [[generalizationLadder]] over any canonical events frame. */
-  def generalizationLadderOf(ev: DataFrame): DataFrame = {
-    import graft.functions.Hashing.{intDiv, ratio4}
-    val fine = ev.select(col("event_type"),
+  /** The finest-grain QI class frame: k per (event_type, day, band).
+    * Works unchanged as a streaming grouped aggregation (counts are
+    * pure functions of the input set) — which is how
+    * [[graft.streaming.StreamPrivacy]] maintains it; the batch ladder
+    * and the streaming monitor share this one definition. */
+  def fineClasses(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    ev.select(col("event_type"),
         intDiv(col("ts_us"), lit(UsPerDay)).as("day"),
         intDiv(round(col("value") * 100).cast("long"), lit(SpendBandCents))
           .as("band"))
       .groupBy("event_type", "day", "band").agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+  }
+
+  /** [[generalizationLadder]] over any canonical events frame. */
+  def generalizationLadderOf(ev: DataFrame): DataFrame =
+    ladderOfFine(fineClasses(ev).localCheckpoint())
+
+  /** The 6-rung ladder derived from a (event_type, day, band, k) fine
+    * class frame — batch or one emitted by the streaming maintenance. */
+  def ladderOfFine(fine: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
     val rungs = for {
       (tg, days) <- GenTimeLadder
       bw <- GenBandLadder

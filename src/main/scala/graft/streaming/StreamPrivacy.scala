@@ -61,4 +61,19 @@ object StreamPrivacy {
           }
       }
   }
+
+  /** Streaming maintenance of the generalization-ladder's fine class
+    * frame ([[graft.operators.Privacy.fineClasses]] — the SAME
+    * definition, run as a streaming grouped aggregation): state is one
+    * count per (type, day, band) QI class (O(classes) longs, bounded
+    * by types × days × bands however many rows stream through). A
+    * release reviewer derives the 6-rung suppression-cost ladder per
+    * trigger from the emitted counts alone
+    * (`Privacy.ladderOfFine(spark.table(sink))` on the complete-mode
+    * table), so the "can we already release at this grain?" question
+    * is answered continuously as an extract accumulates, not at a
+    * batch audit afterwards. Counts are pure functions of the input
+    * set → streaming-after-any-prefix equals the batch frame. */
+  def qiClassCounts(ev: DataFrame): DataFrame =
+    graft.operators.Privacy.fineClasses(ev)
 }

@@ -50,4 +50,38 @@ class StreamPrivacySpec extends SparkSpec {
     val got7 = released(batches = 7).toSet
     assert(got1 == got7)
   }
+
+  test("streamed QI class counts equal batch; ladder off the stream equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Dedup.eventsUs(spark, sf)
+      .select("event_type", "ts_us", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val mem = MemoryStream[(String, Long, Double)]
+    val name = s"qic_${System.nanoTime()}"
+    val q = StreamPrivacy
+      .qiClassCounts(mem.toDF().toDF("event_type", "ts_us", "value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val batchFine = graft.operators.Privacy
+      .fineClasses(Dedup.eventsUs(spark, sf))
+    assert(asMap(spark.table(name)) === asMap(batchFine))
+    // the 6-rung ladder derived from the STREAMED counts equals the
+    // batch generalization ladder — the monitor answers the release
+    // question continuously from emitted state alone
+    val fromStream = graft.operators.Privacy
+      .ladderOfFine(spark.table(name).localCheckpoint()).collect()
+      .map(_.toSeq).toSeq
+    val fromBatch = graft.operators.Privacy
+      .generalizationLadder(spark, sf).collect().map(_.toSeq).toSeq
+    assert(fromStream === fromBatch)
+  }
 }
