@@ -276,6 +276,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics3.activeDaysHistogram(s, d)),
     "events_transition_quantiles" ->
       ((s, d) => graft.operators.Analytics3.transitionQuantiles(s, d)),
+    "quality_calibration_curve" ->
+      ((s, d) => graft.operators.QualityModels.calibrationCurve(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5387,6 +5389,42 @@ object SparkEntry {
          |  quantile_cont(gap_us, 0.75) AS p75
          |FROM tr WHERE to_type IS NOT NULL
          |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // score-decile reliability diagram — mirrors
+    // QualityModels.calibrationCurve (shared scoring CTEs with
+    // quality_lexicon_score)
+    "quality_calibration_curve" ->
+      s"""WITH $LEX_CTES,
+         |prior AS (SELECT ${halfUpSql("(CAST(sum(c_cur) AS BIGINT) + count(*)) * 10000",
+                                       "CAST(sum(c_rest) AS BIGINT) + count(*)")} AS thr4
+         |          FROM lex),
+         |pdt AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |    CAST(sum(c * coalesce(aff4, thr4)) AS BIGINT) AS s4
+         |  FROM pdt LEFT JOIN w USING (term) CROSS JOIN prior GROUP BY doc_id),
+         |sc2 AS (SELECT doc_id,
+         |          CAST(${halfUpSql("s4", "n_toks")} AS BIGINT) AS score4
+         |        FROM sc),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc2),
+         |rk AS (SELECT doc_id, score4,
+         |         CAST(row_number() OVER (ORDER BY score4, doc_id) AS BIGINT)
+         |           AS rn
+         |       FROM sc2),
+         |dd AS (SELECT doc_id, score4,
+         |         CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile
+         |       FROM rk CROSS JOIN nn),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END AS label
+         |        FROM documents),
+         |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(label) AS BIGINT) AS n_pos,
+         |        CAST(sum(score4) AS BIGINT) AS ss4
+         |      FROM dd JOIN lab USING (doc_id) GROUP BY 1)
+         |SELECT decile, n_docs, n_pos,
+         |  ${ratio4Sql("n_pos", "n_docs")} AS pos_rate4,
+         |  CAST(${halfUpSql("ss4", "n_docs")} AS BIGINT) AS mean_score4
+         |FROM g ORDER BY decile""".stripMargin,
   )
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the

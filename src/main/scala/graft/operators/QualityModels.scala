@@ -123,6 +123,40 @@ object QualityModels {
     * Same-corpus scoring always hits the lexicon; the left join +
     * prior-ratio fallback keeps the operator total when applied to a
     * NEW corpus with out-of-vocabulary terms. */
+  /** `quality_calibration_curve`: the reliability diagram for the
+    * trained lexicon model — per exact score decile (int64 rank
+    * formula over score4, ties by doc_id): docs, curated-source
+    * positives, the observed positive ratio4 and the mean score4. A
+    * calibrated ranking shows pos_rate4 rising monotonically with the
+    * decile; a flat curve means the score carries no signal and the
+    * #250 gate is filtering noise. This is the panel that justifies a
+    * score THRESHOLD choice the same way #175 justifies a Jaccard τ.
+    *
+    * Shape: one scoring pass (shared lexiconScored4Of machinery), one
+    * native GlobalRank for the deciles (range-partitioned — no
+    * single-partition window), a uniform doc-key label join, O(10)
+    * rollup. All arithmetic exact int64. */
+  def calibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val scored = lexiconScored4Of(
+        Tables.documents(spark, dir).select("doc_id", "text").spread,
+        lexiconTrain(spark, dir).localCheckpoint())
+      .select("doc_id", "score4").localCheckpoint(true)
+    val n = scored.count()
+    Ranking.globalRowNumber(scored, Seq(col("score4"), col("doc_id")), "rn")
+      .select(col("doc_id"), col("score4"),
+        (intDiv((col("rn") - 1L) * 10L, lit(n)) + 1L).as("decile"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        isCurated(col("source")).cast("long").as("label")), "doc_id")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("label").as("n_pos"),
+        sum("score4").as("ss4"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        ratio4(col("n_pos"), col("n_docs")).as("pos_rate4"),
+        halfUpDiv(col("ss4"), col("n_docs")).as("mean_score4"))
+      .orderBy("decile")
+  }
+
   def lexiconScore(spark: SparkSession, dir: String): DataFrame =
     // The trained lexicon feeds three consumers (prior numerator,
     // prior denominator, scoring join); checkpointing the vocab-sized

@@ -142,6 +142,34 @@ class QualityModelsSpec extends SparkSpec {
       assert(math.abs(rows.map(_._4).sum - 1.0) < 2e-4))
   }
 
+  test("calibrationCurve: decile model reconciles and the ranking carries signal") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> (if (curated(r.getString(1))) 1L else 0L)).toMap
+    val scored = QualityModels.lexiconScore(spark, sf).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(2) * 10000)))
+    val n = scored.length.toLong
+    val decOf = scored.sortBy(s => (s._2, s._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i.toLong * 10 / n + 1) }.toMap
+    val want = scored.groupBy(s => decOf(s._1)).map { case (d, xs) =>
+      val nd = xs.length.toLong
+      val pos = xs.map(x => labels(x._1)).sum
+      d -> (nd, pos, ratio4Model(pos, nd),
+        (xs.map(_._2).sum + nd / 2) / nd)
+    }
+    val got = QualityModels.calibrationCurve(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+        === want(r.getLong(0)), s"decile ${r.getLong(0)}")
+    }
+    // the model ranks: the top decile is richer in curated docs than
+    // the bottom one
+    val byDec = got.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byDec(byDec.keySet.max) > byDec(byDec.keySet.min))
+  }
+
   test("TTL retirement inverts the merge: windowed models forget expired data exactly") {
     import org.apache.spark.sql.functions._
     val all = graft.Tables.documents(spark, sf)
