@@ -278,6 +278,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics3.transitionQuantiles(s, d)),
     "quality_calibration_curve" ->
       ((s, d) => graft.operators.QualityModels.calibrationCurve(s, d)),
+    "privacy_release_report" ->
+      ((s, d) => graft.operators.Privacy.releaseReport(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -867,6 +869,44 @@ object SparkEntry {
     * HALF_UP on the exact rational in integer arithmetic. */
   private def halfUpSql(num: String, den: String): String =
     s"((($num) + ($den) // 2) // ($den))"
+
+  /** The t-closeness EMD chain (cells → global cumulative → per-class
+    * cumulative → ppm diff → tfin(event_type, day, k, n_bands, t_ppm))
+    * — mirrors Privacy.tClosenessOf; shared by the standalone gate and
+    * the composed release report so the two can never drift. Expects an
+    * `ev` CTE in scope. */
+  private def TCLOSE_CTES: String = {
+    val P = graft.operators.Privacy
+    s"""cells AS (SELECT event_type, ts_us // ${P.UsPerDay} AS day,
+       |            CAST(ROUND(value*100) AS BIGINT) // ${P.SpendBandCents} AS band,
+       |            CAST(count(*) AS BIGINT) AS c
+       |          FROM ev GROUP BY 1, 2, 3),
+       |g AS (SELECT band, CAST(sum(c) AS BIGINT) AS gb FROM cells GROUP BY 1),
+       |gc AS (SELECT band, CAST(sum(gb) OVER (ORDER BY band) AS BIGINT) AS cum_g
+       |       FROM g),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cells),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bands FROM g),
+       |cls AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS k
+       |        FROM cells GROUP BY 1, 2),
+       |grid AS (SELECT cls.event_type, cls.day, cls.k, gc.band, gc.cum_g,
+       |           coalesce(cells.c, 0) AS c
+       |         FROM cls CROSS JOIN gc
+       |         LEFT JOIN cells ON cells.event_type = cls.event_type
+       |           AND cells.day = cls.day AND cells.band = gc.band),
+       |cum AS (SELECT *, CAST(sum(c) OVER (PARTITION BY event_type, day
+       |          ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cum_c FROM grid),
+       |df AS (SELECT event_type, day, k,
+       |         abs(${halfUpSql("cum_c * 1000000", "k")} -
+       |             ${halfUpSql("cum_g * 1000000", "n_total")}) AS diff_ppm
+       |       FROM cum CROSS JOIN tot),
+       |em AS (SELECT event_type, day, k, CAST(sum(diff_ppm) AS BIGINT) AS emd_sum
+       |       FROM df GROUP BY 1, 2, 3),
+       |tfin AS (SELECT event_type, day, k, n_bands,
+       |           CAST(${halfUpSql("emd_sum", "greatest(n_bands - 1, 1)")}
+       |             AS BIGINT) AS t_ppm
+       |         FROM em CROSS JOIN nb)""".stripMargin
+  }
 
   /** DuckDB twin of graft.functions.Hashing.ratio4: ROUND(num/den, 4)
     * computed HALF_UP on the exact rational in integer arithmetic —
@@ -4813,38 +4853,32 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // ordered-EMD t-closeness over spend bands — mirrors
-    // Privacy.tCloseness (exact per-million cumulative arithmetic)
-    "privacy_t_closeness" -> {
+    // Privacy.tCloseness (exact per-million cumulative arithmetic;
+    // chain shared with privacy_release_report via TCLOSE_CTES)
+    "privacy_t_closeness" ->
+      s"""WITH ev AS ($EV),
+         |$TCLOSE_CTES
+         |SELECT event_type, day, k, n_bands, t_ppm
+         |FROM tfin ORDER BY event_type, day""".stripMargin,
+
+    // the composed k/l/t release decision table — mirrors
+    // Privacy.releaseReport (same t chain, plus the distinct-user l)
+    "privacy_release_report" -> {
       val P = graft.operators.Privacy
       s"""WITH ev AS ($EV),
-         |cells AS (SELECT event_type, ts_us // ${P.UsPerDay} AS day,
-         |            CAST(ROUND(value*100) AS BIGINT) // ${P.SpendBandCents} AS band,
-         |            CAST(count(*) AS BIGINT) AS c
-         |          FROM ev GROUP BY 1, 2, 3),
-         |g AS (SELECT band, CAST(sum(c) AS BIGINT) AS gb FROM cells GROUP BY 1),
-         |gc AS (SELECT band, CAST(sum(gb) OVER (ORDER BY band) AS BIGINT) AS cum_g
-         |       FROM g),
-         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cells),
-         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bands FROM g),
-         |cls AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS k
-         |        FROM cells GROUP BY 1, 2),
-         |grid AS (SELECT cls.event_type, cls.day, cls.k, gc.band, gc.cum_g,
-         |           coalesce(cells.c, 0) AS c
-         |         FROM cls CROSS JOIN gc
-         |         LEFT JOIN cells ON cells.event_type = cls.event_type
-         |           AND cells.day = cls.day AND cells.band = gc.band),
-         |cum AS (SELECT *, CAST(sum(c) OVER (PARTITION BY event_type, day
-         |          ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |          AS BIGINT) AS cum_c FROM grid),
-         |df AS (SELECT event_type, day, k,
-         |         abs(${halfUpSql("cum_c * 1000000", "k")} -
-         |             ${halfUpSql("cum_g * 1000000", "n_total")}) AS diff_ppm
-         |       FROM cum CROSS JOIN tot),
-         |em AS (SELECT event_type, day, k, CAST(sum(diff_ppm) AS BIGINT) AS emd_sum
-         |       FROM df GROUP BY 1, 2, 3)
-         |SELECT event_type, day, k, n_bands,
-         |  CAST(${halfUpSql("emd_sum", "greatest(n_bands - 1, 1)")} AS BIGINT) AS t_ppm
-         |FROM em CROSS JOIN nb ORDER BY event_type, day""".stripMargin
+         |$TCLOSE_CTES,
+         |ll AS (SELECT event_type, ts_us // ${P.UsPerDay} AS day,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS l
+         |       FROM ev GROUP BY 1, 2)
+         |SELECT tfin.event_type AS event_type, tfin.day AS day, k, l, t_ppm,
+         |  k >= ${P.GenKThreshold} AS pass_k,
+         |  l >= ${P.ReleaseL} AS pass_l,
+         |  t_ppm <= ${P.ReleaseTppm} AS pass_t,
+         |  (k >= ${P.GenKThreshold} AND l >= ${P.ReleaseL}
+         |   AND t_ppm <= ${P.ReleaseTppm}) AS releasable
+         |FROM tfin JOIN ll ON ll.event_type = tfin.event_type
+         |  AND ll.day = tfin.day
+         |ORDER BY event_type, day""".stripMargin
     },
 
     // Fellegi–Sunter m/u calibration — mirrors Linkage.fsWeights

@@ -125,6 +125,46 @@ object Privacy {
       .orderBy("event_type", "day")
   }
 
+  /** Release-policy constants for [[releaseReport]]: a (type, day)
+    * extract class releases only if it is large enough (k), diverse
+    * enough (l distinct users) and distributionally close enough to
+    * the corpus (t). The values are the panel's defaults — a deployer
+    * reads the columns and applies their own policy. */
+  val ReleaseL = 3L
+  val ReleaseTppm = 400000L
+
+  /** `privacy_release_report`: the triad composed into the ONE table a
+    * release reviewer actually reads — per (event_type, day) extract
+    * class: k (rows), l (distinct users), t_ppm (ordered EMD to the
+    * corpus spend profile), the three policy verdicts
+    * (k ≥ [[GenKThreshold]], l ≥ [[ReleaseL]], t ≤ [[ReleaseTppm]])
+    * and the combined releasable flag. #199/#243/#261 each grade ONE
+    * axis; a class can pass any two and still leak on the third, so
+    * the decision is the conjunction — this panel materializes it.
+    *
+    * Shape: the t-closeness chain (one corpus-sized (type, day, band)
+    * shuffle, O(classes·B) downstream) plus ONE distinct-user
+    * aggregate joined on the O(classes) key. */
+  def releaseReport(spark: SparkSession, dir: String): DataFrame =
+    releaseReportOf(Dedup.eventsUs(spark, dir))
+
+  /** [[releaseReport]] over any canonical events frame. */
+  def releaseReportOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val l = ev.select(col("event_type"),
+        intDiv(col("ts_us"), lit(UsPerDay)).as("day"), col("user_id"))
+      .groupBy("event_type", "day").agg(countDistinct("user_id").as("l"))
+    tClosenessOf(ev)
+      .join(l, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("k"), col("l"), col("t_ppm"),
+        (col("k") >= GenKThreshold).as("pass_k"),
+        (col("l") >= ReleaseL).as("pass_l"),
+        (col("t_ppm") <= ReleaseTppm).as("pass_t"))
+      .withColumn("releasable",
+        col("pass_k") && col("pass_l") && col("pass_t"))
+      .orderBy("event_type", "day")
+  }
+
   /** The shared QI grouping: (event_type, day, band) classes carrying
     * user_id for sensitive-attribute measures. */
   /** Suppression threshold for the generalization ladder: classes with

@@ -68,6 +68,29 @@ class PrivacyLinkageSpec extends SparkSpec {
     }
   }
 
+  test("releaseReport composes the triad: verdicts reconcile with the members") {
+    val t = Privacy.tCloseness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    val l = Dedup.eventsUs(spark, sf)
+      .select("event_type", "ts_us", "user_id").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / Privacy.UsPerDay), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val got = Privacy.releaseReport(spark, sf).collect()
+    assert(got.length === t.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val (k, tppm) = t(key)
+      assert(r.getLong(2) === k && r.getLong(4) === tppm, s"$key k/t")
+      assert(r.getLong(3) === l(key), s"$key l")
+      assert(r.getBoolean(5) === (k >= Privacy.GenKThreshold))
+      assert(r.getBoolean(6) === (r.getLong(3) >= Privacy.ReleaseL))
+      assert(r.getBoolean(7) === (tppm <= Privacy.ReleaseTppm))
+      assert(r.getBoolean(8) ===
+        (r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7)))
+    }
+  }
+
   test("fsWeights: one row per signal, consistent pair algebra") {
     val rows = Linkage.fsWeights(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ===
