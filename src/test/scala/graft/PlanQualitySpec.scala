@@ -470,4 +470,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       "deciles must never funnel the corpus through one partition")
   }
+
+  test("capacity/audit panels: keyed shuffles only, no corpus funnel") {
+    // the wave-11..16 panels all roll up through uniform keyed shuffles;
+    // none may plan a cartesian or push the corpus through one partition
+    // (the O(days)/O(bands) final sorts on AGGREGATE rows are exempt —
+    // they show as a global Sort over report-sized frames, not corpus)
+    Seq("events_key_skew", "dedup_lsh_bucket_profile",
+        "docs_shingle_df_profile", "embeddings_exact_dups").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("transition quantiles and calibration ride the native rank path") {
+    Seq("events_transition_quantiles", "quality_calibration_curve").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalRank"),
+        s"$q must use the range-partitioned native rank")
+      assert(!p.contains("percentile"),
+        s"$q must not fall back to the buffering percentile aggregate")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("release report: one broadcast-composed privacy chain, no cartesian") {
+    val p = plan("privacy_release_report")
+    assert(!p.contains("CartesianProduct"))
+    // the O(bands) global marginal and 1-row totals ride broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
 }
