@@ -233,6 +233,51 @@ object Spectral {
     jacobiEigen(cov)
   }
 
+  /** Whitening transform (lib): y = Wᵀ(x − μ) with W = V·diag(1/√λ)·Vᵀ
+    * (ZCA whitening) computed from [[spectrum]]'s driver-side
+    * eigendecomposition — the classic decorrelation step before
+    * hyperplane LSH or quantization (correlated dimensions waste
+    * hyperplanes; whitened space spends them evenly). Eigenvalues
+    * below `eps`·λmax are clipped to the floor (their directions carry
+    * no variance — dividing by √λ→0 would amplify noise unboundedly).
+    *
+    * Shape: the d×d matrix and the mean are DRIVER math off the one
+    * GramSumAgg pass, then broadcast as plan literals into a single
+    * narrow per-row map (one fused projection, no shuffle, no join) —
+    * exactly how a production whitener ships: train once, apply as a
+    * stateless column transform. Output in raw u3 units. */
+  def whiten(spark: SparkSession, dir: String,
+             eps: Double = 1e-6): DataFrame = {
+    val d = Dim
+    val (eigs, v) = spectrum(spark, dir)
+    // mean per dim from the SAME moment rows (diagonal entries carry s_i)
+    val head = covariance(spark, dir).filter(col("i") === col("j"))
+      .orderBy("i").collect()
+    val n = head.head.getLong(2).toDouble
+    val mu = Array.tabulate(d)(i => head(i).getLong(3).toDouble / n)
+    val lmax = eigs.map(math.abs).max
+    val inv = eigs.map(l => 1.0 / math.sqrt(math.max(l, eps * lmax)))
+    // W = V diag(inv) Vt — symmetric d×d
+    val w = Array.tabulate(d, d) { (r, c) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += v(r)(k) * inv(k) * v(c)(k); k += 1 }
+      s
+    }
+    val wLit = typedlit(w.map(_.toSeq).toSeq)
+    val muLit = typedlit(mu.toSeq)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * 1000d)).as("u"))
+      .withColumn("w", transform(sequence(lit(0), lit(d - 1)), r =>
+        aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (acc, c) =>
+          acc + element_at(element_at(wLit, r.cast("int") + 1),
+              c.cast("int") + 1) *
+            (element_at(col("u"), c.cast("int") + 1) -
+              element_at(muLit, c.cast("int") + 1)))))
+      .select("vec_id", "w")
+  }
+
   /** Participation-ratio effective rank (Σλ)²/Σλ² — how many
     * directions the corpus REALLY spans: d for isotropic spectra, → 1
     * as the embedding collapses onto one axis. The scalar a drift

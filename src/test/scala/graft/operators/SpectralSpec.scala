@@ -177,6 +177,27 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("whiten: the whitened corpus has (near-)identity covariance") {
+    val rows = Spectral.whiten(spark, sf).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    assert(rows.length === labeled.length)
+    val n = rows.length.toDouble
+    val mean = Array.tabulate(d)(i => rows.map(_(i)).sum / n)
+    // whitened mean is ~0 (centering happened inside the transform)
+    mean.foreach(m => assert(math.abs(m) < 1e-6, s"mean $m"))
+    val (eigs, _) = Spectral.spectrum(spark, sf)
+    val lmax = eigs.max
+    for (i <- 0 until d; j <- i until d) {
+      val cij = rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      // directions clipped at eps·λmax can't reach unit variance; on
+      // this corpus all eigenvalues clear the clip, so the identity
+      // must hold tightly everywhere
+      assert(eigs(d - 1) > 1e-6 * lmax, "fixture spectrum unexpectedly rank-deficient")
+      assert(math.abs(cij - want) < 1e-6, s"cov($i,$j) = $cij")
+    }
+  }
+
   test("power iteration is deterministic") {
     val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
     val (l1, v1) = Spectral.powerIterate(m, 100)
