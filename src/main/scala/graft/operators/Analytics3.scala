@@ -225,20 +225,24 @@ object Analytics3 {
 
   /** Tukey-fence value anomalies per event type: rows above
     * p75 + 3·(p75 − p25) of their type's value (in exact integer
-    * cents). The fences come from the exact percentile aggregate at
-    * binary-exact positions, so the outlier boundary is bit-identical
-    * across engines — no mean/stddev floating-point edge. Two passes
-    * over events (fence aggregate ⋈ rows), fence table broadcast. */
+    * cents). The fences ride [[Ranking.groupedQuantiles]] — binary-exact
+    * positions make the boundary bit-identical across engines (no
+    * mean/stddev floating-point edge) and the native GlobalRank path
+    * never buffers a type's values on one reducer (tiny type
+    * cardinality × huge population is exactly the shape the grouped
+    * `percentile` aggregate OOMs on at 100×). Two passes over events
+    * (fence quantiles ⋈ rows), fence table broadcast. */
   def valueAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val ev = Dedup.eventsUs(spark, dir)
       .select(col("event_id"), col("event_type"),
         graft.functions.Hashing.valueCents(col("value")).as("cents"))
-    val fences = ev.groupBy("event_type")
-      .agg(expr("percentile(cents, array(0.25D, 0.75D))").as("q"))
+    val fences = Ranking.groupedQuantiles(ev, Seq("event_type"), "cents",
+        Seq("event_id"), Seq(0.25, 0.75))
+      .groupBy("event_type")
+      .agg(max(when(col("p") === 0.25, col("q"))).as("p25"),
+        max(when(col("p") === 0.75, col("q"))).as("p75"))
       .select(col("event_type"),
-        (element_at(col("q"), 2) +
-          lit(3.0) * (element_at(col("q"), 2) - element_at(col("q"), 1)))
-          .as("fence"))
+        (col("p75") + lit(3.0) * (col("p75") - col("p25"))).as("fence"))
     ev.join(broadcast(fences), "event_type")
       .filter(col("cents") > col("fence"))
       .select("event_id", "event_type", "cents", "fence")
@@ -431,18 +435,23 @@ object Analytics3 {
   }
 
   /** Exact grouped quantiles (p25/p50/p75 of l_quantity per return
-    * flag) via the exact `percentile` aggregate — linear-interpolation
+    * flag) via [[Ranking.groupedQuantiles]] — linear-interpolation
     * positions 0.25/0.5/0.75 are exact binary fractions over
     * integer-valued quantities, so the interpolated doubles reproduce
-    * bit-for-bit in DuckDB's quantile_cont. */
+    * bit-for-bit in DuckDB's quantile_cont. The native GlobalRank path
+    * range-partitions each flag's rows instead of buffering them on
+    * one reducer: with 3 flags over the whole fact table, a grouped
+    * `percentile` puts ~a third of the corpus in one ArrayBuffer. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Ranking.groupedQuantiles(
+        Tables.lineitem(spark, dir)
+          .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+        Seq("l_returnflag"), "l_quantity",
+        Seq("l_orderkey", "l_linenumber"), Seq(0.25, 0.5, 0.75))
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"))
-      .select(col("l_returnflag"),
-        element_at(col("q"), 1).as("p25"),
-        element_at(col("q"), 2).as("p50"),
-        element_at(col("q"), 3).as("p75"))
+      .agg(max(when(col("p") === 0.25, col("q"))).as("p25"),
+        max(when(col("p") === 0.5, col("q"))).as("p50"),
+        max(when(col("p") === 0.75, col("q"))).as("p75"))
       .orderBy("l_returnflag")
 
   /** `events_transition_quantiles`: the TIMING companion to
@@ -559,29 +568,35 @@ object Analytics3 {
     *
     * Shape: ONE shuffle join on the uniform order key (THE fact-join
     * this schema is bucketed for — see Bucketing for the co-located
-    * form), then the grouped exact `percentile` at binary-fraction
-    * positions over integer day lags (interpolated doubles reproduce
-    * bit-for-bit in DuckDB quantile_cont — the lineitem_quantiles
-    * discipline). Exact percentile buffers its group's values on the
-    * reducer: at O(10⁹)-row months switch the panel to the sketch
-    * path (events_kmv_quantiles) — the documented trade. */
-  def fulfillmentLag(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    * form), localCheckpointed once, then [[Ranking.groupedQuantiles]]
+    * at binary-fraction positions over integer day lags (interpolated
+    * doubles reproduce bit-for-bit in DuckDB quantile_cont — the
+    * lineitem_quantiles discipline). The native GlobalRank path
+    * range-partitions each month's lags across the cluster — a
+    * O(10⁹)-row month never lands in one reducer buffer, closing the
+    * trade the grouped `percentile` form documented. */
+  def fulfillmentLag(spark: SparkSession, dir: String): DataFrame = {
+    val lags = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
       .join(Tables.orders(spark, dir)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
         "l_orderkey")
       .select(year(col("o_orderdate")).as("year"),
         month(col("o_orderdate")).as("month"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
-          .as("lag_days"))
+          .as("lag_days"),
+        col("l_orderkey"), col("l_linenumber"))
+      .localCheckpoint(true)
+    val stats = lags.groupBy("year", "month")
+      .agg(count(lit(1)).as("n_items"), max("lag_days").as("max_lag"))
+    Ranking.groupedQuantiles(lags, Seq("year", "month"), "lag_days",
+        Seq("l_orderkey", "l_linenumber"), Seq(0.25, 0.5, 0.75))
       .groupBy("year", "month")
-      .agg(count(lit(1)).as("n_items"),
-        expr("percentile(lag_days, array(0.25D, 0.5D, 0.75D))").as("q"),
-        max("lag_days").as("max_lag"))
-      .select(col("year"), col("month"), col("n_items"),
-        element_at(col("q"), 1).as("p25"),
-        element_at(col("q"), 2).as("p50"),
-        element_at(col("q"), 3).as("p75"),
-        col("max_lag"))
+      .agg(max(when(col("p") === 0.25, col("q"))).as("p25"),
+        max(when(col("p") === 0.5, col("q"))).as("p50"),
+        max(when(col("p") === 0.75, col("q"))).as("p75"))
+      .join(stats, Seq("year", "month"))
+      .select("year", "month", "n_items", "p25", "p50", "p75", "max_lag")
       .orderBy("year", "month")
+  }
 }

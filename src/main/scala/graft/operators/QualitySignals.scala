@@ -54,20 +54,25 @@ object QualitySignals {
 
   /** Per-source document-length profile: count plus exact p25/p50/p75
     * of n_chars — the composition panel a curation dashboard shows per
-    * ingest feed. The exact percentile aggregate at binary-exact
+    * ingest feed. [[Ranking.groupedQuantiles]] at binary-exact
     * positions over integer lengths interpolates to bit-reproducible
-    * doubles (the lineitem_quantiles discipline); one shuffle on the
-    * (tiny) source key. */
-  def sourceLengthStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * doubles (the lineitem_quantiles discipline) while
+    * range-partitioning each source's rows — a 20-source corpus never
+    * funnels 5% of its documents through one reducer buffer the way
+    * the grouped `percentile` aggregate does. */
+  def sourceLengthStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("source", "n_chars", "doc_id")
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    Ranking.groupedQuantiles(d, Seq("source"), "n_chars", Seq("doc_id"),
+        Seq(0.25, 0.5, 0.75))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("q"))
-      .select(col("source"), col("n_docs"),
-        element_at(col("q"), 1).as("p25"),
-        element_at(col("q"), 2).as("p50"),
-        element_at(col("q"), 3).as("p75"))
+      .agg(max(when(col("p") === 0.25, col("q"))).as("p25"),
+        max(when(col("p") === 0.5, col("q"))).as("p50"),
+        max(when(col("p") === 0.75, col("q"))).as("p75"))
+      .join(counts, "source")
+      .select("source", "n_docs", "p25", "p50", "p75")
       .orderBy("source")
+  }
 
   /** Corpus-relative novelty: the fraction of a document's distinct
     * 3-token shingles that occur in NO other document (document

@@ -495,6 +495,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("all quantile panels are percentile-free (no reducer group buffering)") {
+    // tiny group cardinality × huge population is the executor-OOM
+    // shape of the grouped `percentile` aggregate; every quantile
+    // panel must ride the range-partitioned Ranking.groupedQuantiles
+    Seq("events_anomalies", "lineitem_quantiles",
+        "orders_fulfillment_lag", "docs_source_quantiles").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GlobalRank"),
+        s"$q must use the range-partitioned native rank")
+      assert(!p.contains("percentile"),
+        s"$q must not fall back to the buffering percentile aggregate")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("release report: one broadcast-composed privacy chain, no cartesian") {
     val p = plan("privacy_release_report")
     assert(!p.contains("CartesianProduct"))
