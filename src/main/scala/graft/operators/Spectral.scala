@@ -218,19 +218,31 @@ object Spectral {
     * rank ([[effectiveRank]]), variance-explained curves, whitening
     * matrices. One distributed pass (the GramSumAgg scan) feeds all of
     * them. */
-  def spectrum(spark: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) = {
+  def spectrum(spark: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) =
+    jacobiEigen(momentSnapshot(spark, dir)._3)
+
+  /** ONE collected moment pass shared by every driver-side consumer:
+    * (n, per-dim sums, exact covariance matrix). [[spectrum]] reads the
+    * matrix; [[whiten]] additionally needs μ = s/n — which sits in the
+    * very rows the matrix came from, so whitening costs exactly one
+    * GramSumAgg job (spec-asserted), not two. */
+  private def momentSnapshot(spark: SparkSession, dir: String)
+      : (Double, Array[Double], Array[Array[Double]]) = {
     val d = Dim
     val rows = covariance(spark, dir).collect()
     val cov = Array.ofDim[Double](d, d)
+    val sums = Array.ofDim[Double](d)
+    var n = 0.0
     rows.foreach { r =>
       val i = r.getLong(0).toInt
       val j = r.getLong(1).toInt
-      val n = r.getLong(2).toDouble
+      n = r.getLong(2).toDouble
+      if (i == j) sums(i) = r.getLong(3).toDouble
       val c = (n * r.getLong(5) - r.getLong(3).toDouble * r.getLong(4)) / (n * n)
       cov(i)(j) = c
       cov(j)(i) = c
     }
-    jacobiEigen(cov)
+    (n, sums, cov)
   }
 
   /** Whitening transform (lib): y = Wᵀ(x − μ) with W = V·diag(1/√λ)·Vᵀ
@@ -249,12 +261,10 @@ object Spectral {
   def whiten(spark: SparkSession, dir: String,
              eps: Double = 1e-6): DataFrame = {
     val d = Dim
-    val (eigs, v) = spectrum(spark, dir)
-    // mean per dim from the SAME moment rows (diagonal entries carry s_i)
-    val head = covariance(spark, dir).filter(col("i") === col("j"))
-      .orderBy("i").collect()
-    val n = head.head.getLong(2).toDouble
-    val mu = Array.tabulate(d)(i => head(i).getLong(3).toDouble / n)
+    // one GramSumAgg job: eigen-decomposition AND μ off the same collect
+    val (n, sums, cov) = momentSnapshot(spark, dir)
+    val (eigs, v) = jacobiEigen(cov)
+    val mu = sums.map(_ / n)
     val lmax = eigs.map(math.abs).max
     val inv = eigs.map(l => 1.0 / math.sqrt(math.max(l, eps * lmax)))
     // W = V diag(inv) Vt — symmetric d×d
@@ -315,7 +325,13 @@ object Spectral {
         val apq = a(p)(q)
         if (apq != 0.0) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          // equal diagonal (theta == 0): signum would yield t = 0 — an
+          // identity rotation that never reduces the off-diagonal mass
+          // (exactly duplicated feature channels produce this block);
+          // the standard branch takes the 45° rotation t = 1 instead
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
           val c = 1.0 / math.sqrt(t * t + 1.0)
           val s = t * c
           var k = 0
@@ -343,6 +359,13 @@ object Spectral {
       }
       sweep += 1
     }
+    // a silent non-converged return would feed wrong eigenvalues into
+    // the whitening matrix — fail loudly instead (quadratic convergence
+    // makes maxSweeps=128 unreachable for any real symmetric input)
+    if (offMass > tol * math.max(diagMass, 1e-300))
+      throw new IllegalStateException(
+        s"Jacobi eigendecomposition did not converge in $maxSweeps sweeps " +
+          s"(off-diagonal mass $offMass vs diagonal $diagMass, tol $tol)")
     val order = (0 until d).sortBy(i => -a(i)(i))
     val eigs = order.map(i => a(i)(i)).toArray
     val vecs = Array.tabulate(d, d)((r, cIdx) => v(r)(order(cIdx)))

@@ -54,6 +54,14 @@ object TxnParquet {
     val f = fs(spark, dir)
     if (f.exists(marker(dir, batchId))) false
     else {
+      // batch KIND is classified by directory name (batch= vs deletes=),
+      // so a torn opposite-kind attempt at the same id (deletes=<id>
+      // written, crash before its marker) must be removed BEFORE this
+      // id commits as data — otherwise both directories exist under one
+      // marker and every read misclassifies the committed data batch as
+      // a delete batch and silently drops it
+      val orphan = new Path(s"$dir/deletes=$batchId")
+      if (f.exists(orphan)) f.delete(orphan, true)
       df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
       f.create(marker(dir, batchId), true).close()
       true
@@ -73,6 +81,11 @@ object TxnParquet {
     val f = fs(spark, dir)
     if (f.exists(marker(dir, batchId))) false
     else {
+      // mirror of append: a torn DATA attempt at this id must not
+      // survive next to the committed delete directory (kind is
+      // classified by directory name — see append)
+      val orphan = new Path(s"$dir/batch=$batchId")
+      if (f.exists(orphan)) f.delete(orphan, true)
       keys.write.mode("overwrite").parquet(s"$dir/deletes=$batchId")
       f.create(marker(dir, batchId), true).close()
       true
@@ -178,7 +191,13 @@ object TxnParquet {
     * directories are read — which `vacuum` may have reclaimed, so
     * snapshot ids older than the last vacuumed compaction are out of
     * retention and the read fails loudly on the missing path.
-    * `mergeSchema` composes as in [[read]]. */
+    * `mergeSchema` composes as in [[read]].
+    *
+    * NOTE: like plain [[read]], this is the RAW (tombstone-unresolved)
+    * view — delete batches committed at or before `asOf` are NOT
+    * applied. For the delete-resolved snapshot a reader of
+    * [[readWithDeletes]] would have seen at `asOf`, use
+    * [[readAsOfWithDeletes]]. */
   def readAsOf(spark: SparkSession, dir: String, asOf: Long,
                mergeSchema: Boolean = false): DataFrame = {
     val ids = committedBatches(spark, dir).filter(_ <= asOf)
@@ -189,6 +208,23 @@ object TxnParquet {
       .find { case (_, covered) => covered.forall(_ <= asOf) }
     val paths = pathsFor(fs(spark, dir), dir, ids, usable)
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+  }
+
+  /** Delete-resolved time travel: exactly the rows [[readWithDeletes]]
+    * returned when `asOf` was the newest committed batch — data batches
+    * `<= asOf` minus keys tombstoned by a delete batch `<= asOf` that is
+    * NEWER than the row's batch. The reproducibility handle for a
+    * MUTABLE table (a raw [[readAsOf]] of a CDC-fed corpus replays
+    * rows that were already deleted at snapshot time). Same retention
+    * caveat as [[readAsOf]]: vacuumed batch directories fail loudly. */
+  def readAsOfWithDeletes(spark: SparkSession, dir: String, asOf: Long,
+                          keyCols: Seq[String],
+                          mergeSchema: Boolean = false): DataFrame = {
+    val ids = committedBatches(spark, dir).filter(_ <= asOf)
+    require(ids.nonEmpty, s"no batches committed at or before $asOf under $dir")
+    val usable = compactions(spark, dir)
+      .find { case (_, covered) => covered.forall(_ <= asOf) }
+    resolvedView(spark, dir, keyCols, mergeSchema, ids, usable)
   }
 
   /** The exact path set a read of the current committed view plans:
@@ -430,7 +466,24 @@ object TxnParquet {
                                leaseTtlMs: Long)
                               (rewrite: DataFrame => DataFrame): Long =
     compactCore(spark, dir, leaseTtlMs) { (ids, prior) =>
-      val paths = pathsFor(fs(spark, dir), dir, ids, prior)
+      val f = fs(spark, dir)
+      // FAIL FAST on unapplied tombstones: the raw rewrite has no key
+      // columns, so it cannot apply them — but the manifest would mark
+      // them covered, after which readWithDeletes stops applying them
+      // (deleted rows RESURRECT in the new generation) and vacuum
+      // permanently reclaims the delete directories. Excluding them
+      // from the manifest wouldn't help either: generation rows carry
+      // the manifest's max id, so a pre-existing tombstone (__did <
+      // generation __bid) would never match the rewritten rows it must
+      // hide. The only safe raw compaction is one with no live deletes.
+      val covered = prior.map(_._2).getOrElse(Set.empty[Long])
+      val liveDeletes = ids.filterNot(covered).filter(isDeleteBatch(f, dir, _))
+      if (liveDeletes.nonEmpty) throw new IllegalStateException(
+        s"raw compaction would drop ${liveDeletes.size} unapplied delete " +
+          s"batch(es) ${liveDeletes.mkString("[", ",", "]")} under $dir — " +
+          "use compactWithDeletes/compactZOrderedWithDeletes (they apply " +
+          "tombstones physically) or vacuum after a WithDeletes pass")
+      val paths = pathsFor(f, dir, ids, prior)
       require(paths.nonEmpty, s"no committed batches under $dir")
       rewrite(spark.read.option("mergeSchema", "true").parquet(paths: _*))
     }

@@ -18,7 +18,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * lower tombstone id means they hide exactly the rows of earlier
   * epochs, never the epoch's own inserts. Consequences:
   *  - a restart that replays an epoch is a committed no-op (both ids
-  *    idempotent — exactly-once end to end);
+  *    idempotent — exactly-once end to end). Exactly-once covers the
+  *    SETTLED view, not the instant between the epoch's two commits: a
+  *    readWithDeletes racing between the tombstone commit (2e) and the
+  *    data commit (2e+1) — or after a crash between them, until the
+  *    epoch replays — sees the epoch's deletes applied without its
+  *    upserts, so upserted keys transiently DISAPPEAR rather than show
+  *    a stale version. The id-ordering semantics force this order
+  *    (inserts-first would need tombstones to outrank same-epoch
+  *    inserts they must not hide); readers needing a consistent
+  *    snapshot during live ingest should read as-of the last settled
+  *    epoch (readAsOfWithDeletes at id 2e−1) instead of the head;
   *  - TxnParquet.readWithDeletes resolves cross-epoch order by id:
   *    epoch e's tombstones (2e) hide every earlier epoch's versions,
   *    its inserts (2e+1) stand until a LATER epoch touches the key —

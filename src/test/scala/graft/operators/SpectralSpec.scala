@@ -198,6 +198,59 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("jacobi converges on equal-diagonal blocks (duplicated channels)") {
+    // a(p)(p) == a(q)(q) with a nonzero off-diagonal makes theta = 0;
+    // signum(0) = 0 would pick the identity rotation and stall the
+    // sweep loop — the 45° branch (t = 1) must zero the entry instead.
+    // [[1,1],[1,1]] is the exactly-duplicated-channel covariance.
+    val (e1, v1) = Spectral.jacobiEigen(Array(Array(1.0, 1.0), Array(1.0, 1.0)))
+    assert(math.abs(e1(0) - 2.0) < 1e-12 && math.abs(e1(1)) < 1e-12, e1.toSeq)
+    // eigenvectors stay orthonormal through the 45° rotations
+    val dot = v1(0)(0) * v1(0)(1) + v1(1)(0) * v1(1)(1)
+    assert(math.abs(dot) < 1e-12)
+    // equal-diagonal blocks embedded in a larger matrix converge too
+    val m = Array(
+      Array(3.0, 1.0, 0.0, 0.5),
+      Array(1.0, 3.0, 0.2, 0.0),
+      Array(0.0, 0.2, 3.0, 1.0),
+      Array(0.5, 0.0, 1.0, 3.0))
+    val (e4, v4) = Spectral.jacobiEigen(m)
+    assert(math.abs(e4.sum - 12.0) < 1e-9) // trace preserved
+    // residual check: M v = λ v for every pair
+    for (c <- 0 until 4) {
+      val r = (0 until 4).map { i =>
+        val mv = (0 until 4).map(j => m(i)(j) * v4(j)(c)).sum
+        math.abs(mv - e4(c) * v4(i)(c))
+      }.max
+      assert(r < 1e-9, s"column $c residual $r")
+    }
+  }
+
+  test("whiten runs exactly one distributed moment pass") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    def jobsDuring(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      counter.set(0)
+      try { body; Thread.sleep(300); counter.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val one = jobsDuring { Spectral.covariance(spark, sf).collect() }
+    // whiten's DRIVER work (eigen + μ) must cost exactly the one
+    // GramSumAgg collect — a second covariance() scan for the mean
+    // would DOUBLE the job count (building the returned frame launches
+    // no job). AQE splits a collect into a variable ±1 job count, so
+    // the pin is the doubling guard, not exact equality.
+    val w = jobsDuring { Spectral.whiten(spark, sf) }
+    assert(w <= one + 1, s"whiten launched $w jobs vs $one for one moment pass")
+    assert(w < 2 * one, s"whiten re-ran the corpus scan: $w jobs vs $one")
+    assert(w > 0, "whiten must have collected the moment rows")
+  }
+
   test("power iteration is deterministic") {
     val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
     val (l1, v1) = Spectral.powerIterate(m, 100)

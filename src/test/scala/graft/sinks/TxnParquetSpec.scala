@@ -384,4 +384,71 @@ class TxnParquetSpec extends SparkSpec {
     assert(TxnParquet.holdsLease(f, dir, token))
     TxnParquet.releaseLease(f, dir, token)
   }
+
+  test("raw compact fails fast on unapplied tombstones (no silent resurrection)") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir()
+    def ids(d: String) = TxnParquet.readWithDeletes(spark, d, Seq("id"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    TxnParquet.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, 0L)
+    TxnParquet.appendDeletes(Seq(Tuple1(2L)).toDF("id"), dir, 1L)
+    assert(ids(dir) === Seq(1L))
+    // a raw rewrite cannot apply the tombstone but WOULD mark it covered
+    // — deleted rows would resurrect and vacuum would reclaim the delete
+    // directory; both raw entry points must refuse instead
+    val e1 = intercept[IllegalStateException](TxnParquet.compact(spark, dir))
+    assert(e1.getMessage.contains("unapplied delete"))
+    val e2 = intercept[IllegalStateException](
+      TxnParquet.compactZOrdered(spark, dir, "id", "id"))
+    assert(e2.getMessage.contains("unapplied delete"))
+    // the refused attempts left no committed generation and the view intact
+    assert(TxnParquet.latestCompaction(spark, dir).isEmpty)
+    assert(ids(dir) === Seq(1L))
+    // the WithDeletes pass applies the tombstone; raw compact is legal after
+    TxnParquet.compactWithDeletes(spark, dir, Seq("id"))
+    assert(ids(dir) === Seq(1L))
+    TxnParquet.append(Seq((3L, "c")).toDF("id", "v"), dir, 2L)
+    val gen = TxnParquet.compact(spark, dir)
+    assert(gen === 1L)
+    assert(ids(dir) === Seq(1L, 3L))
+  }
+
+  test("a torn opposite-kind directory is removed when the id commits") {
+    val dir = freshDir()
+    val f = hadoopFs(dir)
+    // torn appendDeletes attempt: deletes=0 lands, crash before marker
+    Seq(Tuple1(7L)).toDF("id").write.parquet(s"$dir/deletes=0")
+    // the id then commits as DATA: the orphan must not survive, or every
+    // read would misclassify the committed data batch as a delete batch
+    assert(TxnParquet.append(Seq((7L, "a"), (8L, "b")).toDF("id", "v"), dir, 0L))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes=0")))
+    assert(TxnParquet.read(spark, dir).count() === 2L)
+    assert(TxnParquet.readWithDeletes(spark, dir, Seq("id")).count() === 2L)
+    // mirror: torn data attempt, then the id commits as a DELETE batch
+    Seq((9L, "torn")).toDF("id", "v").write.parquet(s"$dir/batch=1")
+    assert(TxnParquet.appendDeletes(Seq(Tuple1(8L)).toDF("id"), dir, 1L))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=1")))
+    assert(TxnParquet.readWithDeletes(spark, dir, Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(7L))
+  }
+
+  test("readAsOfWithDeletes pins the delete-resolved snapshot") {
+    val dir = freshDir()
+    def idsAsOf(asOf: Long) =
+      TxnParquet.readAsOfWithDeletes(spark, dir, asOf, Seq("id"))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    TxnParquet.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, 0L)
+    TxnParquet.appendDeletes(Seq(Tuple1(2L)).toDF("id"), dir, 1L)
+    TxnParquet.append(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), dir, 2L)
+    TxnParquet.appendDeletes(Seq(Tuple1(1L)).toDF("id"), dir, 3L)
+    assert(idsAsOf(0L) === Seq(1L, 2L))       // before any delete
+    assert(idsAsOf(1L) === Seq(1L))           // delete of 2 applied
+    assert(idsAsOf(2L) === Seq(1L, 2L, 3L))   // re-append visible again
+    assert(idsAsOf(3L) === Seq(2L, 3L))       // delete of 1 applied
+    // raw readAsOf at the same snapshot is documented tombstone-blind
+    assert(TxnParquet.readAsOf(spark, dir, 3L).count() === 4L)
+    // snapshots stay pinned across a later physical apply
+    TxnParquet.compactWithDeletes(spark, dir, Seq("id"))
+    assert(idsAsOf(1L) === Seq(1L))
+  }
 }
