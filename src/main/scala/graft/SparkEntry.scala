@@ -246,6 +246,8 @@ object SparkEntry {
     "linkage_fs_weights" -> ((s, d) => graft.operators.Linkage.fsWeights(s, d)),
     "linkage_pattern_precision" -> ((s, d) => graft.operators.Linkage.patternPrecision(s, d)),
     "linkage_entity_clusters" -> ((s, d) => graft.operators.Linkage.entityClusters(s, d)),
+    // round 12: the APPLY half of the FS tier — calibrated pair scoring
+    "linkage_score_pairs" -> ((s, d) => graft.operators.Linkage.scorePairs(s, d)),
     "embeddings_label_scatter" -> ((s, d) => graft.operators.Spectral.labelScatter(s, d)),
     "embeddings_outliers" -> ((s, d) => graft.operators.Spectral.outliers(s, d)),
     "multimodal_dedup_savings" -> ((s, d) => Multimodal.dedupSavings(s, d)),
@@ -941,6 +943,45 @@ object SparkEntry {
        |  SELECT d1, d2, gap, jacc4 FROM (
        |    SELECT d1, d2, gap, ${ratio4Sql("inter", "greatest(uni, 1)")} AS jacc4 FROM snj)
        |  WHERE jacc4 >= $tau)""".stripMargin
+  }
+
+  /** Fellegi–Sunter calibration chain (base/sig/ag/nn/ap/ma/fin) —
+    * mirrors Linkage.fsWeights; shared by the weights panel and the
+    * pair scorer so the two can never drift. Expects the MH chain
+    * (sh/cand/pairs) in scope for the match class. */
+  private def FS_CTES: String = {
+    val L = graft.operators.Linkage
+    s"""base AS (SELECT doc_id, source, lang,
+       |    CAST(n_chars // ${L.LenBandChars} AS VARCHAR) AS len_band,
+       |    lower(substr(trim(text), 1, ${L.PrefixChars})) AS prefix
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, 'same_source' AS signal, source AS v FROM base
+       |  UNION ALL SELECT doc_id, 'same_lang', lang FROM base
+       |  UNION ALL SELECT doc_id, 'same_len_band', len_band FROM base
+       |  UNION ALL SELECT doc_id, 'same_prefix', prefix FROM base),
+       |ag AS (SELECT signal, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS all_agree
+       |       FROM (SELECT signal, v, CAST(count(*) AS BIGINT) AS c
+       |             FROM sig GROUP BY 1, 2)
+       |       GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |ap AS (SELECT CAST(n * (n - 1) // 2 AS BIGINT) AS all_pairs FROM nn),
+       |ma AS (SELECT a.signal AS signal, CAST(count(*) AS BIGINT) AS match_pairs,
+       |         CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS match_agree
+       |       FROM pairs p JOIN sig a ON a.doc_id = p.d1
+       |                    JOIN sig b ON b.doc_id = p.d2 AND b.signal = a.signal
+       |       GROUP BY 1),
+       |fin AS (
+       |  SELECT signal, match_pairs, match_agree,
+       |    CAST(${halfUpSql("match_agree * 1000000", "greatest(match_pairs, 1)")}
+       |      AS BIGINT) AS m_ppm,
+       |    all_pairs - match_pairs AS nonmatch_pairs,
+       |    all_agree - match_agree AS nonmatch_agree,
+       |    CAST(${halfUpSql("(all_agree - match_agree) * 1000000",
+                             "greatest(all_pairs - match_pairs, 1)")}
+       |      AS BIGINT) AS u_ppm
+       |  FROM ma JOIN ag USING (signal) CROSS JOIN ap)""".stripMargin
   }
 
   /** DuckDB twin of TextAnalysis.qualityKeyCol (exact int64 quality
@@ -4884,46 +4925,59 @@ object SparkEntry {
     // Fellegi–Sunter m/u calibration — mirrors Linkage.fsWeights
     // (match class = the shared verified near-dup pair CTEs; u side
     // from the per-value marginal, never enumerated)
-    "linkage_fs_weights" -> {
-      val L = graft.operators.Linkage
+    "linkage_fs_weights" ->
       s"""WITH $SH_CTE,
          |$MH_CAND_CTE,
          |$MH_PAIRS_CTE,
-         |base AS (SELECT doc_id, source, lang,
-         |    CAST(n_chars // ${L.LenBandChars} AS VARCHAR) AS len_band,
-         |    lower(substr(trim(text), 1, ${L.PrefixChars})) AS prefix
-         |  FROM documents),
-         |sig AS (
-         |  SELECT doc_id, 'same_source' AS signal, source AS v FROM base
-         |  UNION ALL SELECT doc_id, 'same_lang', lang FROM base
-         |  UNION ALL SELECT doc_id, 'same_len_band', len_band FROM base
-         |  UNION ALL SELECT doc_id, 'same_prefix', prefix FROM base),
-         |ag AS (SELECT signal, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS all_agree
-         |       FROM (SELECT signal, v, CAST(count(*) AS BIGINT) AS c
-         |             FROM sig GROUP BY 1, 2)
-         |       GROUP BY 1),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         |ap AS (SELECT CAST(n * (n - 1) // 2 AS BIGINT) AS all_pairs FROM nn),
-         |ma AS (SELECT a.signal AS signal, CAST(count(*) AS BIGINT) AS match_pairs,
-         |         CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
-         |           AS match_agree
-         |       FROM pairs p JOIN sig a ON a.doc_id = p.d1
-         |                    JOIN sig b ON b.doc_id = p.d2 AND b.signal = a.signal
-         |       GROUP BY 1),
-         |fin AS (
-         |  SELECT signal, match_pairs, match_agree,
-         |    CAST(${halfUpSql("match_agree * 1000000", "greatest(match_pairs, 1)")}
-         |      AS BIGINT) AS m_ppm,
-         |    all_pairs - match_pairs AS nonmatch_pairs,
-         |    all_agree - match_agree AS nonmatch_agree,
-         |    CAST(${halfUpSql("(all_agree - match_agree) * 1000000",
-                               "greatest(all_pairs - match_pairs, 1)")}
-         |      AS BIGINT) AS u_ppm
-         |  FROM ma JOIN ag USING (signal) CROSS JOIN ap)
+         |$FS_CTES
          |SELECT signal, match_pairs, match_agree, m_ppm,
          |  nonmatch_pairs, nonmatch_agree, u_ppm,
          |  ${ratio4Sql("m_ppm", "greatest(u_ppm, 1)")} AS weight4
-         |FROM fin ORDER BY signal""".stripMargin
+         |FROM fin ORDER BY signal""".stripMargin,
+
+    // FS scorer over the SN ∪ LSH candidate stream — mirrors
+    // Linkage.scorePairs (shared FS calibration chain, both candidate
+    // families' shared CTEs, half-of-total accept rule)
+    "linkage_score_pairs" -> {
+      val tau = graft.operators.Blocking.SnTau
+      val k = graft.operators.Linkage.ScoreAcceptNum
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |$SN_CTES,
+         |$FS_CTES,
+         |w AS (SELECT
+         |    max(CASE WHEN signal = 'same_source' THEN wgt END) AS w_source,
+         |    max(CASE WHEN signal = 'same_lang' THEN wgt END) AS w_lang,
+         |    max(CASE WHEN signal = 'same_len_band' THEN wgt END) AS w_len,
+         |    max(CASE WHEN signal = 'same_prefix' THEN wgt END) AS w_prefix
+         |  FROM (SELECT signal,
+         |          CAST(${halfUpSql("m_ppm * 10000", "greatest(u_ppm, 1)")}
+         |            AS BIGINT) AS wgt FROM fin)),
+         |lc AS (SELECT d1, d2,
+         |    (shared / (n1.n + n2.n - shared) >= 0.5) AS lsh_ok
+         |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id),
+         |snc AS (SELECT least(d1, d2) AS d1, greatest(d1, d2) AS d2,
+         |    (${ratio4Sql("inter", "greatest(uni, 1)")} >= $tau) AS sn_ok
+         |  FROM snj),
+         |cnd AS (SELECT coalesce(l.d1, s.d1) AS d1, coalesce(l.d2, s.d2) AS d2,
+         |    CAST(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_lsh,
+         |    CAST(CASE WHEN s.d1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_sn,
+         |    (coalesce(lsh_ok, false) OR coalesce(sn_ok, false)) AS is_match
+         |  FROM lc l FULL OUTER JOIN snc s ON s.d1 = l.d1 AND s.d2 = l.d2),
+         |sc AS (SELECT c.d1, c.d2, c.in_lsh, c.in_sn, c.is_match,
+         |    CAST(CASE WHEN a.source = b.source THEN w_source ELSE 0 END
+         |       + CASE WHEN a.lang = b.lang THEN w_lang ELSE 0 END
+         |       + CASE WHEN a.len_band = b.len_band THEN w_len ELSE 0 END
+         |       + CASE WHEN a.prefix = b.prefix THEN w_prefix ELSE 0 END
+         |      AS BIGINT) AS score4,
+         |    CAST(w_source + w_lang + w_len + w_prefix AS BIGINT) AS total4
+         |  FROM cnd c JOIN base a ON a.doc_id = c.d1
+         |             JOIN base b ON b.doc_id = c.d2
+         |  CROSS JOIN w)
+         |SELECT d1, d2, in_lsh, in_sn, score4,
+         |  (score4 * $k >= total4) AS accept, is_match
+         |FROM sc ORDER BY d1, d2""".stripMargin
     },
 
     // per-pattern precision over the UNFILTERED sorted-neighborhood

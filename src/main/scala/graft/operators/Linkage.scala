@@ -132,6 +132,85 @@ object Linkage {
   private def intDivCol(n: org.apache.spark.sql.Column, d: Long) =
     graft.functions.Hashing.intDiv(n, lit(d))
 
+  /** Half-of-total accept rule for [[scorePairs]]: accept iff
+    * 2·score4 ≥ Σ weights — data-derived (the threshold moves with the
+    * calibration, no magic constant) and exact in int64. */
+  val ScoreAcceptNum = 2L
+
+  /** `linkage_score_pairs`: the APPLY half of the Fellegi–Sunter tier —
+    * score every SN ∪ LSH candidate pair by the summed calibrated
+    * agreement weights from [[fsWeights]] (exact int64 fixed-point
+    * 1e-4 units, log-free: sums of the rational weight4 numerators
+    * stay cross-engine-exact where log-space sums would not), and emit
+    * the threshold decision NEXT TO the true verify outcome — the
+    * daily panel a linkage deployment reads: accepted-but-unverified
+    * pairs are the review queue, rejected-but-verified pairs are the
+    * recall the rule is leaving behind. Train (#262) → decision table
+    * (#264) → entities (#267) existed; this is the operator that
+    * actually SCORES pairs with the calibrated weights.
+    *
+    * Per pair: candidate provenance (in_lsh/in_sn), score4 = Σ of the
+    * agreeing signals' weights, accept = 2·score4 ≥ Σ all weights (the
+    * half-of-total likelihood rule — data-derived, scale-adaptive),
+    * is_match = the pair passes its own family's exact verify gate
+    * (shingle Jaccard ≥ τ for LSH candidates, distinct-token Jaccard ≥
+    * τ for SN candidates — OR when both families proposed it).
+    *
+    * Shape: both candidate frames are the linear operators' own
+    * outputs (edge-sized); the provenance merge is one full-outer join
+    * on the canonical pair key; the 4-row weight table pivots to ONE
+    * broadcast row; signals join on by doc_id. Nothing exceeds the
+    * candidate volume. */
+  def scorePairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .spread
+    val sig = docs.select(col("doc_id"), col("source"), col("lang"),
+        intDivCol(col("n_chars"), LenBandChars).as("len_band"),
+        lower(substring(trim(col("text")), 1, PrefixChars)).as("prefix"))
+      .localCheckpoint()
+    // the 4-row calibration pivoted to one broadcastable row of exact
+    // int64 weights (weight4's pre-divide fixed-point numerator)
+    val w = fsWeights(spark, dir)
+      .select(col("signal"),
+        halfUpDiv(col("m_ppm") * 10000L, greatest(col("u_ppm"), lit(1L)))
+          .as("wgt"))
+      .groupBy()
+      .pivot("signal",
+        Seq("same_source", "same_lang", "same_len_band", "same_prefix"))
+      .agg(first("wgt"))
+      .select(col("same_source").as("w_source"), col("same_lang").as("w_lang"),
+        col("same_len_band").as("w_len"), col("same_prefix").as("w_prefix"))
+    val lshC = MinHashLSH.candidateJaccard(docs.select("doc_id", "text"))
+      .select(col("d1"), col("d2"), (col("jaccard") >= 0.5).as("lsh_ok"))
+    val snC = Blocking.snCandidatesOf(docs.select("doc_id", "text"))
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"),
+        (col("jacc4") >= Blocking.SnTau).as("sn_ok"))
+    val cand = lshC.join(snC, Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"),
+        when(col("lsh_ok").isNotNull, 1L).otherwise(0L).as("in_lsh"),
+        when(col("sn_ok").isNotNull, 1L).otherwise(0L).as("in_sn"),
+        (coalesce(col("lsh_ok"), lit(false)) ||
+          coalesce(col("sn_ok"), lit(false))).as("is_match"))
+    def a(c: String) = col(s"a.$c")
+    def b(c: String) = col(s"b.$c")
+    cand
+      .join(sig.as("a"), col("d1") === a("doc_id"))
+      .join(sig.as("b"), col("d2") === b("doc_id"))
+      .crossJoin(broadcast(w))
+      .withColumn("score4",
+        when(a("source") === b("source"), col("w_source")).otherwise(0L) +
+          when(a("lang") === b("lang"), col("w_lang")).otherwise(0L) +
+          when(a("len_band") === b("len_band"), col("w_len")).otherwise(0L) +
+          when(a("prefix") === b("prefix"), col("w_prefix")).otherwise(0L))
+      .withColumn("accept", col("score4") * ScoreAcceptNum >=
+        col("w_source") + col("w_lang") + col("w_len") + col("w_prefix"))
+      .select("d1", "d2", "in_lsh", "in_sn", "score4", "accept", "is_match")
+      .orderBy("d1", "d2")
+  }
+
   /** #267 `linkage_entity_clusters`: entity resolution over the UNION
     * of the two verified candidate families — LSH shingle pairs and
     * sorted-neighborhood pairs — closed transitively into entities,

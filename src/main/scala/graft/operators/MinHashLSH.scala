@@ -161,8 +161,16 @@ object MinHashLSH {
         .filter(col("m") =!= col("x"))
         .select(col("m").as("a"), col("x").as("b")).distinct()
         .localCheckpoint(true)
-      // fixpoint = the canonical edge set is unchanged (stars reached)
-      converged = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
+      // fixpoint = the canonical edge set is unchanged (stars reached).
+      // ONE action per round: both sides are distinct canonical sets, so
+      // set equality is "no edge tagged by only one side" — a single
+      // keyed aggregate over the two checkpointed frames (the twin
+      // exceptAll().isEmpty form cost two full shuffles + two actions)
+      converged = e.select(col("a"), col("b"), lit(1L).as("s"))
+        .unionAll(ss.select(col("a"), col("b"), lit(2L).as("s")))
+        .groupBy("a", "b").agg(sum("s").as("m"))
+        .filter(col("m") =!= 3L)
+        .isEmpty
       e = ss
     }
     e.select(col("b").as("node"), col("a").as("label"))
@@ -336,6 +344,17 @@ object MinHashLSH {
         col("pairs_at_tau"), col("docs_at_tau"))
       .orderBy("band")
   }
+
+  /** Every LSH candidate pair sharing ≥ 1 shingle, with its exact
+    * Jaccard ingredients (shared/n1/n2) — the UNFILTERED frame the
+    * verified pass gates at τ and the linkage scorer consumes whole
+    * (rejected candidates are its negative class, the
+    * [[Blocking.snCandidatesOf]] discipline). Cost: the same
+    * capped-bucket candidate join + shingle verify as the verified
+    * pass — linear in candidate volume. */
+  def candidateJaccard(docs: DataFrame): DataFrame =
+    jaccardPairs(lshCandidates(docs), DocDedup.docShinglesOf(docs))
+      .select("d1", "d2", "jaccard")
 
   private def jaccardPairs(cand: DataFrame, shAll: DataFrame): DataFrame = {
     val ids = cand.select(col("d1").as("doc_id"))

@@ -114,6 +114,61 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(byName("same_prefix").getDouble(7) >= byName("same_lang").getDouble(7))
   }
 
+  test("scorePairs: exact agreement-weight sums and gate consistency") {
+    import graft.Partitioning._
+    import org.apache.spark.sql.functions._
+    // driver model of the calibration: weight = halfUp(m_ppm·1e4 / u_ppm)
+    val w = Linkage.fsWeights(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3) * 10000L + math.max(r.getLong(6), 1L) / 2) /
+          math.max(r.getLong(6), 1L))).toMap
+    val total = w.values.sum
+    // driver model of the signals
+    val sig = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        Math.floorDiv(r.getLong(3), Linkage.LenBandChars),
+        r.getString(4).trim.toLowerCase.take(Linkage.PrefixChars)))).toMap
+    val got = Linkage.scorePairs(spark, sf).collect()
+    assert(got.nonEmpty)
+    // candidate universe = canonicalized SN ∪ LSH candidate sets
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").spread
+    val snSet = Blocking.snCandidatesOf(docs)
+      .select(least(col("d1"), col("d2")), greatest(col("d1"), col("d2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSet = MinHashLSH.candidateJaccard(docs)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === (snSet ++ lshSet))
+    // verified matches (both families' own gates) drive is_match
+    val lshOk = MinHashLSH.nearDupPairs(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snOk = Blocking.sortedNeighborhood(spark, sf)
+      .select(least(col("d1"), col("d2")), greatest(col("d1"), col("d2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === (if (lshSet(pair)) 1L else 0L), s"$pair in_lsh")
+      assert(r.getLong(3) === (if (snSet(pair)) 1L else 0L), s"$pair in_sn")
+      val (s1, s2) = (sig(pair._1), sig(pair._2))
+      val want =
+        (if (s1._1 == s2._1) w("same_source") else 0L) +
+          (if (s1._2 == s2._2) w("same_lang") else 0L) +
+          (if (s1._3 == s2._3) w("same_len_band") else 0L) +
+          (if (s1._4 == s2._4) w("same_prefix") else 0L)
+      assert(r.getLong(4) === want, s"$pair score")
+      assert(r.getBoolean(5) ===
+        (r.getLong(4) * Linkage.ScoreAcceptNum >= total), s"$pair accept")
+      assert(r.getBoolean(6) === (lshOk(pair) || snOk(pair)), s"$pair is_match")
+    }
+    // the rule must actually discriminate on this corpus: matches
+    // accept at a higher rate than non-matches
+    val (m, nm) = got.partition(_.getBoolean(6))
+    def rate(rs: Array[org.apache.spark.sql.Row]) =
+      rs.count(_.getBoolean(5)).toDouble / math.max(rs.length, 1)
+    assert(rate(m) > rate(nm), s"accept rates: match=${rate(m)} non=${rate(nm)}")
+  }
+
   test("star contraction equals label propagation on the near-dup graph") {
     val pairs = MinHashLSH.nearDupPairs(spark, sf).select("d1", "d2")
     val star = MinHashLSH.componentsStar(pairs).collect()

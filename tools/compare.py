@@ -98,7 +98,33 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(got)} rows)")
             results[name] = {"pass": True, "rows": len(got)}
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    # Queries dumped by Verify with NO oracle SQL are rows-only BY DESIGN
+    # (e.g. events_approx_users: approximate counts have no deterministic
+    # SQL oracle). Emit a TYPED record — "rows_only": true with the row
+    # count — so the artifact distinguishes by-design from broken: a
+    # future regression that drops the dump (or its rows) shows up as
+    # rows 0 / a missing entry, not as the same shape as the designed
+    # state.
+    n_rows_only = 0
+    for name in sorted(os.listdir(out_dir)):
+        if name in oracle or name in skip or name.startswith("oracle_sql"):
+            continue
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            continue
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name}: rows-only dump unreadable: {e}")
+            results[name] = {"pass": False, "rows_only": True, "detail": f"exception: {e}"}
+            n_fail += 1
+            continue
+        ok = n > 0
+        print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only by design, {n} rows)")
+        results[name] = {"pass": ok, "rows_only": True, "rows": n}
+        n_rows_only += 1
+        if not ok:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     # Optional machine-readable artifact (COMPARE_JSON_OUT=<path>):
     # query -> pass/rows|detail, plus the run header — the committed
     # evidence format for off-driver replays (e.g. native sf1).
