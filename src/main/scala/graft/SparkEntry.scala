@@ -42,6 +42,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteTopKShared(s, d).orderBy("q_id", "rank")),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_whitened_topk" -> ((s, d) => Similarity.whitenedLshTopK(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.lshMultiProbeTopK(s, d)),
     "ann_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "ann_graph_degree_stats" -> ((s, d) => Similarity.graphDegreeStats(s, d)),
@@ -997,10 +998,29 @@ object SparkEntry {
     * plus the brute baseline as subqueries (DuckDB allows WITH inside a
     * derived table), so the report's oracle can never drift from the
     * per-variant oracles it grades. */
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = oracleSqlFor(None)
+
+  /** The dumped oracle map. `ctx` (session + sf dir) unlocks the
+    * whitened-LSH entries, whose SQL embeds the engine's own
+    * driver-computed (μ, W) doubles as literals — those are
+    * data-dependent, so they exist only where a corpus is in hand.
+    * graft.Verify always passes ctx (the dumped oracle_sql.json the
+    * driver replays is the full map); the parameterless [[oracleSql]]
+    * keeps the driver contract intact for any ctx-less consumer. */
+  def oracleSqlFor(ctx: Option[(org.apache.spark.sql.SparkSession, String)])
+      : Map[String, String] = {
     def sub(name: String) =
       s"(SELECT q_id, vec_id FROM (${baseOracles(name)}))"
-    baseOracles + ("ann_appended_recall" ->
+    val whitenedSql = ctx.map { case (s, d) => whitenedTopkSql(s, d) }
+    val whitenedRow = whitenedSql.map { sql =>
+      s"""
+         |  UNION ALL
+         |  SELECT 'ann_lsh_whitened', count(*)
+         |    FROM (SELECT q_id, vec_id FROM ($sql)) x JOIN b USING (q_id, vec_id)"""
+        .stripMargin
+    }.getOrElse("")
+    baseOracles ++
+      whitenedSql.map("ann_whitened_topk" -> _) + ("ann_appended_recall" ->
       // Replays the grown index: quantizers trained on the BUILD half
       // (even vec_ids — Lloyd seeds/iterations on vh; LSH plane count
       // derived from vh's size), then applied frozen to the FULL corpus
@@ -1102,13 +1122,67 @@ object SparkEntry {
          |    FROM ${sub("ann_ivfsq_topk")} x JOIN b USING (q_id, vec_id)
          |  UNION ALL
          |  SELECT 'ann_graph_topk', count(*)
-         |    FROM ${sub("ann_graph_topk")} x JOIN b USING (q_id, vec_id)
+         |    FROM ${sub("ann_graph_topk")} x JOIN b USING (q_id, vec_id)$whitenedRow
          |)
          |SELECT variant, n_hits,
          |  ${ratio4Sql("n_hits",
                 (graft.operators.Similarity.TopK.toLong *
                  graft.operators.Similarity.NumQueries).toString)} AS recall
          |FROM hits ORDER BY variant""".stripMargin)
+  }
+
+  /** Whitened-hyperplane LSH top-k oracle — mirrors
+    * Similarity.whitenedLshTopK: the engine's OWN driver-computed
+    * (μ, W) (Spectral.whitenParams — the identical doubles the plan
+    * embeds via typedlit) printed as SQL literals (Double.toString
+    * round-trips; DuckDB parses shortest-repr decimals back to the
+    * same bits), then the projection replayed with the exact engine
+    * fold order: u = round(x·1000), w_r = Σ_c W[r][c]·(u_c − μ_c)
+    * left-to-right, plane projection Σ_j ±1(p,j)·w_j left-to-right.
+    * Candidates come from the whitened band-0 bucket; RANKING is
+    * exact original-space cosine (what makes the recall-report
+    * comparison apples-to-apples). */
+  private def whitenedTopkSql(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    val (mu, w) = graft.operators.Spectral.whitenParams(spark, dir)
+    def lit(x: Double): String = {
+      require(!x.isNaN && !x.isInfinite, s"non-finite whitening coefficient $x")
+      x.toString
+    }
+    val muL = mu.map(lit).mkString("[", ",", "]")
+    val wL = w.map(_.map(lit).mkString("[", ",", "]")).mkString("[", ",", "]")
+    val d = graft.operators.Similarity.Dim
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |$LSHP_CTE,
+       |$LSH_PL0_CTE,
+       |wmu AS (SELECT $muL::DOUBLE[] AS mu, $wL::DOUBLE[][] AS wm),
+       |wv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(generate_series(1, $d), r ->
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, $d), c ->
+       |        wm[r][c] * (ROUND(CAST(e[c] AS DOUBLE) * 1000.0) - mu[c]))),
+       |      (x, y) -> x + y)) AS wvec
+       |  FROM v, wmu),
+       |wbits AS (
+       |  SELECT vec_id, p.p, p.ppb,
+       |    CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, $d), j -> wvec[j] *
+       |        ((${H64("concat('pl:', CAST(p.p AS VARCHAR), ':', CAST(j AS VARCHAR))")} % 2)*2 - 1))),
+       |      (x, y) -> x + y) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM wv, pl0 p),
+       |wb0 AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM wbits GROUP BY vec_id),
+       |pw AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
+       |  FROM wb0 q JOIN wb0 b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+       |  JOIN v qv ON qv.vec_id = q.vec_id JOIN v bv ON bv.vec_id = b.vec_id
+       |  WHERE q.vec_id < ${graft.operators.Similarity.NumQueries}
+       |)
+       |SELECT q_id, rank, vec_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM pw
+       |) WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank"""
+      .stripMargin
   }
 
   private def baseOracles: Map[String, String] = Map(

@@ -60,7 +60,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // ctx-ful oracle map: the whitened-LSH entries embed (μ, W) doubles
+    // computed from THIS sfDir — the same literals the engine plans bake
+    val json = SparkEntry.oracleSqlFor(Some((spark, sfDir)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1259,6 +1259,8 @@ object Similarity {
     val fCodes = Future(pqEncode(v, cb).localCheckpoint())
     val fB0 = Future(buckets(spark, dir, NumBands * ppb, ppb)
       .filter(col("band") === 0).localCheckpoint())
+    val fWb0 = Future(whitenedBuckets(spark, dir, NumBands * ppb, ppb)
+      .filter(col("band") === 0).localCheckpoint())
     val fEdges = Future(graphEdgesShared(spark, dir))
     val fBrute = Future(topk(bruteTopKShared(spark, dir, k, nQueries)))
     val fSq = Future {
@@ -1274,6 +1276,8 @@ object Similarity {
     val (sqSt, sqCodes, sqWide) = Await.result(fSq, Duration.Inf)
     val b0 = Await.result(fB0, Duration.Inf)
     val candidates = b0.join(v, "vec_id").localCheckpoint()
+    val wb0 = Await.result(fWb0, Duration.Inf)
+    val wCandidates = wb0.join(v, "vec_id").localCheckpoint()
     val edges = Await.result(fEdges, Duration.Inf)
     val brute = Await.result(fBrute, Duration.Inf)
     // every variant is a SMALL job over the prebuilt artifacts. Round 6
@@ -1288,6 +1292,7 @@ object Similarity {
       "ann_ivfpq_topk" -> (() => ivfPqSearch(v, cent, cb, members, codes, k, nQueries, nprobe = 2)),
       "ann_lsh_multiprobe" -> (() => lshMultiProbeSearch(v, b0, candidates, k, nQueries, ppb)),
       "ann_lsh_topk" -> (() => lshSearch(v, b0, candidates, k, nQueries)),
+      "ann_lsh_whitened" -> (() => lshSearch(v, wb0, wCandidates, k, nQueries)),
       "ann_pq_topk" -> (() => pqSearch(v, cb, codes, k, nQueries)),
       "ann_sq_topk" -> (() => sqWide.filter(col("rank") <= k)),
       "ann_sq_rerank" -> (() => rerankCandidates(v, sqWide, k, nQueries)),
@@ -1746,6 +1751,38 @@ object Similarity {
     val v = vecs(spark, dir)
     val ppb = planesPerBandFor(v.count())
     val b0 = buckets(spark, dir, NumBands * ppb, ppb).filter(col("band") === 0)
+    lshSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
+  }
+
+  /** WHITENED-hyperplane LSH buckets: the same deterministic ±1 planes
+    * applied in the ZCA-whitened space ([[Spectral.whiten]]) — the
+    * measured consumer of the whitening transform's pitch (correlated
+    * dimensions waste hyperplanes; whitened space spends them evenly,
+    * so bucket populations even out and same-bucket neighbors are
+    * nearer). The (μ, W) training is driver math off ONE GramSumAgg
+    * pass, broadcast into the projection as plan literals; the fused
+    * [[graft.plans.HyperplaneBuckets]] kernel reads the double-typed
+    * whitened vectors directly. */
+  def whitenedBuckets(spark: SparkSession, dir: String,
+                      numPlanes: Int, planesPerBand: Int): DataFrame =
+    Spectral.whiten(spark, dir)
+      .select(col("vec_id"),
+        posexplode(graft.plans.LshExpressions.hyperplaneBuckets(
+          col("w"), numPlanes, planesPerBand, Dim)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** `ann_whitened_topk`: LSH top-k with whitened-space CANDIDATE
+    * generation and exact ORIGINAL-space cosine ranking — candidate
+    * quality changes, the similarity being graded does not, so the
+    * recall@k comparison against [[lshTopK]] isolates exactly what
+    * whitening buys. Same per-query cost shape as lshTopK. */
+  def whitenedLshTopK(spark: SparkSession, dir: String,
+                      k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    val ppb = planesPerBandFor(v.count())
+    val b0 = whitenedBuckets(spark, dir, NumBands * ppb, ppb)
+      .filter(col("band") === 0)
     lshSearch(v, b0, b0.join(v, "vec_id"), k, nQueries)
   }
 

@@ -258,8 +258,12 @@ object Spectral {
     * narrow per-row map (one fused projection, no shuffle, no join) —
     * exactly how a production whitener ships: train once, apply as a
     * stateless column transform. Output in raw u3 units. */
-  def whiten(spark: SparkSession, dir: String,
-             eps: Double = 1e-6): DataFrame = {
+  /** The (μ, W) pair [[whiten]] bakes into its projection — exposed so
+    * the whitened-LSH oracle can embed the IDENTICAL driver-computed
+    * doubles as SQL literals (one definition, two runtimes — the FS_CTES
+    * discipline applied to a trained matrix). One GramSumAgg pass. */
+  def whitenParams(spark: SparkSession, dir: String, eps: Double = 1e-6)
+      : (Array[Double], Array[Array[Double]]) = {
     val d = Dim
     // one GramSumAgg job: eigen-decomposition AND μ off the same collect
     val (n, sums, cov) = momentSnapshot(spark, dir)
@@ -273,19 +277,25 @@ object Spectral {
       while (k < d) { s += v(r)(k) * inv(k) * v(c)(k); k += 1 }
       s
     }
-    val wLit = typedlit(w.map(_.toSeq).toSeq)
-    val muLit = typedlit(mu.toSeq)
+    (mu, w)
+  }
+
+  def whiten(spark: SparkSession, dir: String,
+             eps: Double = 1e-6): DataFrame = {
+    val (mu, w) = whitenParams(spark, dir, eps)
+    // fused kernel, not the transform×aggregate HOF chain: the nested
+    // element_at-over-typedlit formulation is CodegenFallback and
+    // measured ~75 ms PER ROW at d=64 — the ByteSimHash discipline
+    // applied the day a consumer (whitened-hyperplane LSH) landed.
+    // Arithmetic is term-for-term identical (same IEEE ops, same
+    // left-to-right fold), oracle-pinned by ann_whitened_topk.
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x =>
           round(x.cast("double") * 1000d)).as("u"))
-      .withColumn("w", transform(sequence(lit(0), lit(d - 1)), r =>
-        aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (acc, c) =>
-          acc + element_at(element_at(wLit, r.cast("int") + 1),
-              c.cast("int") + 1) *
-            (element_at(col("u"), c.cast("int") + 1) -
-              element_at(muLit, c.cast("int") + 1)))))
-      .select("vec_id", "w")
+      .select(col("vec_id"),
+        graft.plans.VectorExpressions.whitenProject(
+          col("u"), mu.toSeq, w.map(_.toSeq).toSeq).as("w"))
   }
 
   /** Participation-ratio effective rank (Σλ)²/Σλ² — how many

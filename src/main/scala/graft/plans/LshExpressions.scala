@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, U
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge.{column, expression}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Random-hyperplane LSH band buckets as one fused expression.
   *
@@ -58,6 +58,15 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int,
     }
   }
 
+  /** Element reader resolved ONCE from the child's array element type:
+    * float embeddings are the storage norm, double arrays are what the
+    * whitening transform emits — both project identically (the float
+    * path widened to double anyway). */
+  @transient private lazy val readsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   /** Per-row kernel shared by interpreted eval and generated code. */
   def compute(e: ArrayData): ArrayData = {
     if (e.numElements() != dim)
@@ -65,12 +74,18 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int,
         s"hyperplane_buckets: embedding has ${e.numElements()} elements, expected dim=$dim")
     val nBands = numPlanes / planesPerBand
     val buckets = new Array[Long](nBands)
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      x(j) = if (readsDouble) e.getDouble(j) else e.getFloat(j).toDouble
+      j += 1
+    }
     var p = 0
     while (p < numPlanes) {
       val s = signs(p)
       var proj = 0.0
-      var j = 0
-      while (j < dim) { proj += e.getFloat(j).toDouble * s(j); j += 1 }
+      j = 0
+      while (j < dim) { proj += x(j) * s(j); j += 1 }
       if (proj > 0) buckets(p / planesPerBand) |= (1L << (p % planesPerBand))
       p += 1
     }

@@ -136,6 +136,73 @@ case class MixedCosine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused whitening projection y_r = Σ_c W[r][c]·(u_c − μ_c) over a
+  * double-array column — the trained-matrix twin of HyperplaneBuckets'
+  * sign tables. The composable formulation (transform × aggregate over
+  * a nested typedlit) is a HigherOrderFunction chain: CodegenFallback,
+  * two interpreted element_at calls per multiply-add, measured ~75 ms
+  * PER ROW at d=64. This kernel is the same arithmetic as two fused
+  * loops: each term W[r][c]·(u_c − μ_c) is the identical IEEE multiply
+  * of the identical exact difference, accumulated in the identical
+  * left-to-right order — bit-equal output (oracle-pinned by
+  * ann_whitened_topk at three scales).
+  *
+  * (μ, W) are immutable constructor Seqs (plan-node equality stays
+  * structural); the kernel reads them through flattened arrays built
+  * once per expression instance. */
+case class WhitenProject(child: Expression, mu: Seq[Double],
+                         w: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "whiten_project"
+
+  @transient private lazy val muA: Array[Double] = mu.toArray
+  @transient private lazy val wA: Array[Array[Double]] = w.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${t.catalogString}")
+    }
+
+  /** Per-row kernel shared by interpreted eval and generated code. */
+  def compute(e: ArrayData): ArrayData = {
+    val d = muA.length
+    if (e.numElements() != d)
+      throw new IllegalArgumentException(
+        s"whiten_project: vector has ${e.numElements()} elements, expected $d")
+    val diff = new Array[Double](d)
+    var c = 0
+    while (c < d) { diff(c) = e.getDouble(c) - muA(c); c += 1 }
+    val out = new Array[Double](d)
+    var r = 0
+    while (r < d) {
+      val wr = wA(r)
+      var s = 0.0
+      c = 0
+      while (c < d) { s += wr(c) * diff(c); c += 1 }
+      out(r) = s
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("whitenProject", this, classOf[WhitenProject].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WhitenProject =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column API: cosine_similarity(a, b) for array<float> columns. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -144,4 +211,8 @@ object VectorExpressions {
   /** Column API: cosine for (array<float>, array<double>). */
   def mixedCosine(a: Column, b: Column): Column =
     column(MixedCosine(expression(a), expression(b)))
+
+  /** Column API: fused whitening projection Wᵀ(u − μ) over array<double>. */
+  def whitenProject(u: Column, mu: Seq[Double], w: Seq[Seq[Double]]): Column =
+    column(WhitenProject(expression(u), mu, w))
 }

@@ -12,11 +12,17 @@ class OracleGuardSpec extends SparkSpec {
     // rows-only by design: HLL++ is not replayable cross-engine (its
     // error BOUND is spec-pinned instead — DedupSpec hll error test)
     val exempt = Set("events_approx_users")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the ctx-ful form is what Verify dumps — guard THAT map (the
+    // whitened-LSH oracle exists only with a corpus in hand)
+    val oracles = SparkEntry.oracleSqlFor(Some((spark, sf))).keySet
+    val missing = SparkEntry.queries.keySet -- oracles
     assert(missing == exempt,
       s"queries without an oracle beyond the documented exemptions: ${missing -- exempt}")
-    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val orphaned = oracles -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without a registered query: $orphaned")
+    // the ctx-less contract form differs ONLY by the data-dependent
+    // whitened entries
+    assert(oracles -- SparkEntry.oracleSql.keySet == Set("ann_whitened_topk"))
   }
 
   test("events.props matches the {\"k\":N} shape CANON_K assumes") {
