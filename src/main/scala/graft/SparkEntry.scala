@@ -184,6 +184,7 @@ object SparkEntry {
     "mix_retention_report" -> ((s, d) => graft.operators.Pipeline.mixRetention(s, d)),
     "pipeline_pack_bpe" -> ((s, d) => graft.operators.Pipeline.packBpeSequences(s, d)),
     "corpus_heaps_curve" -> ((s, d) => graft.operators.CorpusStats.heapsCurve(s, d)),
+    "corpus_ingest_novelty" -> ((s, d) => graft.operators.CorpusStats.ingestNovelty(s, d)),
     "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "pipeline_token_budget" -> ((s, d) => graft.operators.Pipeline.tokenBudget(s, d)),
     "corpus_heavy_hitters" -> ((s, d) => graft.operators.CorpusStats.heavyHitters(s, d)),
@@ -253,6 +254,8 @@ object SparkEntry {
     "embeddings_outliers" -> ((s, d) => graft.operators.Spectral.outliers(s, d)),
     "multimodal_dedup_savings" -> ((s, d) => Multimodal.dedupSavings(s, d)),
     "events_benford" -> ((s, d) => graft.operators.Analytics4.benford(s, d)),
+    "events_burstiness" -> ((s, d) => graft.operators.Analytics4.burstiness(s, d)),
+    "events_type_drift" -> ((s, d) => graft.operators.Analytics4.typeDrift(s, d)),
     "privacy_generalization_ladder" ->
       ((s, d) => graft.operators.Privacy.generalizationLadder(s, d)),
     "docs_length_quality_grid" ->
@@ -3171,6 +3174,61 @@ object SparkEntry {
          |FROM g WHERE gap IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // per-user Fano factor of hourly counts over the global hour span —
+    // mirrors Analytics4.burstiness (var/mean = (H·Σc² − n²)/(H·n),
+    // exact int64, Cauchy–Schwarz keeps the numerator non-negative)
+    "events_burstiness" ->
+      s"""WITH ev AS ($EV),
+         |cells AS (
+         |  SELECT user_id, ts_us // ${graft.operators.Analytics4.HourUs} AS hour,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1, 2),
+         |span AS (SELECT max(hour) - min(hour) + 1 AS h FROM cells),
+         |u AS (
+         |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+         |    CAST(count(*) AS BIGINT) AS n_active_hours,
+         |    CAST(sum(c * c) AS BIGINT) AS s2
+         |  FROM cells GROUP BY 1)
+         |SELECT user_id, n_events, n_active_hours,
+         |  ${ratio4Sql("h * s2 - n_events * n_events", "h * n_events")} AS fano4
+         |FROM u CROSS JOIN span ORDER BY user_id""".stripMargin,
+
+    // week-over-week type-mix L1 shift in exact ppm with the top mover
+    // — mirrors Analytics4.typeDrift (dense grid built from the
+    // aggregate so absent cells contribute their full ppm)
+    "events_type_drift" ->
+      s"""WITH ev AS ($EV),
+         |wk AS (
+         |  SELECT ts_us // ${graft.operators.Analytics4.WeekUs} AS week, event_type,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1, 2),
+         |tot AS (SELECT week, CAST(sum(c) AS BIGINT) AS t FROM wk GROUP BY 1),
+         |ppm AS (
+         |  SELECT week, event_type,
+         |    CAST(${halfUpSql("c * 1000000", "t")} AS BIGINT) AS ppm
+         |  FROM wk JOIN tot USING (week)),
+         |grid AS (
+         |  SELECT w.week, e.event_type
+         |  FROM (SELECT DISTINCT week FROM wk) w
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM wk) e),
+         |dense AS (
+         |  SELECT g.week, g.event_type, coalesce(p.ppm, 0) AS ppm
+         |  FROM grid g LEFT JOIN ppm p
+         |    ON p.week = g.week AND p.event_type = g.event_type),
+         |diffs AS (
+         |  SELECT week, event_type,
+         |    abs(ppm - lag(ppm) OVER (PARTITION BY event_type ORDER BY week)) AS d
+         |  FROM dense QUALIFY d IS NOT NULL),
+         |agg AS (SELECT week, CAST(sum(d) AS BIGINT) AS l1_ppm,
+         |          CAST(max(d) AS BIGINT) AS top_delta_ppm
+         |        FROM diffs GROUP BY week),
+         |pick AS (SELECT week, event_type FROM (
+         |    SELECT week, event_type,
+         |      row_number() OVER (PARTITION BY week ORDER BY d DESC, event_type DESC) AS rn
+         |    FROM diffs) WHERE rn = 1)
+         |SELECT week, l1_ppm, event_type AS top_mover, top_delta_ppm
+         |FROM agg JOIN pick USING (week) ORDER BY week""".stripMargin,
+
     // human-scale gap buckets — mirrors Analytics3.gapHistogram
     "events_gap_histogram" -> {
       val bks = graft.operators.Analytics3.GapBuckets
@@ -4531,6 +4589,31 @@ object SparkEntry {
          |FROM bt LEFT JOIN nb USING (bucket)
          |WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
          |ORDER BY bucket""".stripMargin,
+
+    // shingle-level diminishing-returns curve — mirrors
+    // CorpusStats.ingestNovelty (heapsCurve bucket cuts, shingle grain)
+    "corpus_ingest_novelty" ->
+      s"""WITH $SH_CTE,
+         |mx AS (SELECT max(doc_id) AS m FROM documents),
+         |shd AS (SELECT doc_id, shingle, (doc_id * 10) // (m + 1) AS decile
+         |        FROM sh CROSS JOIN mx),
+         |dp AS (SELECT (doc_id * 10) // (m + 1) AS decile,
+         |         CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents CROSS JOIN mx GROUP BY 1),
+         |inst AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_instances,
+         |           CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+         |         FROM shd GROUP BY 1),
+         |np AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_new FROM
+         |         (SELECT shingle, min(decile) AS decile FROM shd GROUP BY 1)
+         |       GROUP BY 1)
+         |SELECT dp.decile, n_docs,
+         |  coalesce(n_instances, 0) AS n_instances,
+         |  coalesce(n_distinct, 0) AS n_distinct,
+         |  coalesce(n_new, 0) AS n_new,
+         |  ${ratio4Sql("coalesce(n_new, 0)", "greatest(coalesce(n_distinct, 0), 1)")}
+         |    AS new_share4
+         |FROM dp LEFT JOIN inst USING (decile) LEFT JOIN np USING (decile)
+         |ORDER BY decile""".stripMargin,
 
     "text_lexical_diversity" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

@@ -299,4 +299,81 @@ object Analytics4 {
         (col("ts_us") - col("click_ts")).as("gap_us"))
       .orderBy("event_id")
   }
+
+  /** One hour in µs — the grain [[burstiness]] counts on. */
+  val HourUs = 3600000000L
+
+  /** One calendar-free week in µs — [[typeDrift]]'s comparison grain. */
+  val WeekUs = 7L * 86400000000L
+
+  /** `events_burstiness`: per-user Fano factor of hourly event counts
+    * over the corpus observation window — the DISPERSION companion to
+    * `events_bot_regularity` (#177 reads gap variance; THIS reads
+    * count dispersion): Fano = var/mean of the user's per-hour counts
+    * across ALL H observed hours (zero hours included — they are what
+    * distinguishes bursty from steady). Fano ≈ 1 is Poisson-like
+    * human arrival; ≪ 1 is metronome-regular (bots); ≫ 1 is bursty
+    * (sessions, scripted batches). Exact int64 end to end:
+    * var/mean = (H·Σc² − n²)/(H·n), exported as ratio4 — the
+    * numerator is ≥ 0 by Cauchy–Schwarz, so halfUp stays in the
+    * floor==trunc regime on both engines.
+    *
+    * Shape: one (user, hour) keyed count, one user rollup (both
+    * partial-aggregable), the 1-row hour span broadcast. O(users)
+    * output. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val hours = Dedup.eventsUs(spark, dir)
+      .select(col("user_id"), intDiv(col("ts_us"), lit(HourUs)).as("hour"))
+    val cells = hours.groupBy("user_id", "hour").agg(count(lit(1)).as("c"))
+    val span = hours.agg((max("hour") - min("hour") + 1L).as("h"))
+    cells.groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_active_hours"),
+        sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), col("n_events"), col("n_active_hours"),
+        ratio4(col("h") * col("s2") - col("n_events") * col("n_events"),
+          col("h") * col("n_events")).as("fano4"))
+      .orderBy("user_id")
+  }
+
+  /** `events_type_drift`: week-over-week event-type mix shift — per
+    * week (except the first), the L1 distance between this week's and
+    * the previous week's type distribution in exact ppm, plus the
+    * single type that moved most (the headline a drift alert prints).
+    * The behavioral-mix twin of `events_cusum_drift` (#214 watches a
+    * LEVEL; this watches the COMPOSITION): a product launch, a bot
+    * campaign or an instrumentation change all show as an L1 spike
+    * with the culprit type named.
+    *
+    * Shape: one (week, type) keyed count, ppm against the week total,
+    * zero-filled over the dense O(weeks·types) grid built FROM THE
+    * AGGREGATE (absent cells must contribute their full ppm to the
+    * L1, not vanish), one lag window per type over aggregate rows.
+    * Nothing touches raw events twice. */
+  def typeDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val wk = Dedup.eventsUs(spark, dir)
+      .select(intDiv(col("ts_us"), lit(WeekUs)).as("week"), col("event_type"))
+      .groupBy("week", "event_type").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = wk.groupBy("week").agg(sum("c").as("t"))
+    val ppm = wk.join(tot, "week")
+      .select(col("week"), col("event_type"),
+        halfUpDiv(col("c") * 1000000L, col("t")).as("ppm"))
+    val grid = wk.select("week").distinct()
+      .crossJoin(broadcast(wk.select("event_type").distinct()))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    val diffs = grid.join(ppm, Seq("week", "event_type"), "left")
+      .withColumn("ppm", coalesce(col("ppm"), lit(0L)))
+      .withColumn("prev", lag("ppm", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("d", abs(col("ppm") - col("prev")))
+    diffs.groupBy("week")
+      .agg(sum("d").as("l1_ppm"),
+        max(struct(col("d"), col("event_type"))).as("m"))
+      .select(col("week"), col("l1_ppm"),
+        col("m.event_type").as("top_mover"), col("m.d").as("top_delta_ppm"))
+      .orderBy("week")
+  }
 }

@@ -85,6 +85,49 @@ object CorpusStats {
       .orderBy("bucket")
   }
 
+  /** `corpus_ingest_novelty`: the SHINGLE-level diminishing-returns
+    * curve — [[heapsCurve]] asks "does more data add vocabulary"; THIS
+    * asks "does more data add CONTENT": per ingest-order decile
+    * ((doc_id·10) div (max_id+1), the heapsCurve cut discipline), the
+    * document count, total per-doc distinct 3-shingle instances, the
+    * decile's distinct shingles, how many of those are NEW (first
+    * occurrence lands in this decile) and the exact ratio4 new share.
+    * A flattening new_share4 is the empirical "we are re-crawling the
+    * same content" signal that caps a crawl budget — the marginal
+    * value curve an acquisition roadmap reads.
+    *
+    * Shape: one shingle scan feeds both rollups (decile instances;
+    * shingle → min decile → new-per-decile) — the heapsCurve shape
+    * lifted from terms to shingles: keyed shuffles on the uniform
+    * shingle, O(10) outputs, the 1-row max broadcast. */
+  def ingestNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val mx = Tables.documents(spark, dir).agg(max("doc_id").as("m"))
+    def bucketOf(id: org.apache.spark.sql.Column) =
+      intDiv(id * 10L, col("m") + 1L)
+    val shd = DocDedup.docShingles(spark, dir)
+      .crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("shingle"), bucketOf(col("doc_id")).as("decile"))
+    val docsPer = Tables.documents(spark, dir).select("doc_id").spread
+      .crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("doc_id")).as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+    val inst = shd.groupBy("decile")
+      .agg(count(lit(1)).as("n_instances"),
+        countDistinct("shingle").as("n_distinct"))
+    val newPer = shd.groupBy("shingle").agg(min("decile").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_new"))
+    docsPer.join(inst, Seq("decile"), "left").join(newPer, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"),
+        coalesce(col("n_instances"), lit(0L)).as("n_instances"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        ratio4(coalesce(col("n_new"), lit(0L)),
+          greatest(coalesce(col("n_distinct"), lit(0L)), lit(1L)))
+          .as("new_share4"))
+      .orderBy("decile")
+  }
+
   val HhThreshold = 32L  // heavy hitter = count·threshold > total
 
   /** pmiPairs noise gate / head size. */

@@ -229,4 +229,40 @@ class Analytics4Spec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("burstiness matches the exact Fano model over the global hour span") {
+    val hours = events.map { case (_, ts, u, _, _) => (u, ts / Analytics4.HourUs) }
+    val h = hours.map(_._2).max - hours.map(_._2).min + 1
+    val expected = hours.groupBy(_._1).map { case (u, g) =>
+      val cells = g.groupBy(_._2).map(_._2.size.toLong)
+      val n = cells.sum
+      val s2 = cells.map(c => c * c).sum
+      (u, n, cells.size.toLong, ratio4Model(h * s2 - n * n, h * n))
+    }.toSeq.sortBy(_._1)
+    val got = Analytics4.burstiness(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // the statistic discriminates: not every user at the same value
+    assert(got.map(_._4).distinct.size > 1)
+  }
+
+  test("typeDrift matches the dense-grid ppm L1 model") {
+    def halfUp(n: Long, d: Long) = (n + d / 2) / d
+    val wk = events.map { case (_, ts, _, t, _) => (ts / Analytics4.WeekUs, t) }
+      .groupBy(identity).map { case ((w, t), g) => ((w, t), g.size.toLong) }
+    val weeks = wk.keys.map(_._1).toSeq.distinct.sorted
+    val types = wk.keys.map(_._2).toSeq.distinct
+    val tot = wk.groupBy(_._1._1).map { case (w, g) => (w, g.values.sum) }
+    val ppm = (for (w <- weeks; t <- types)
+      yield ((w, t), halfUp(wk.getOrElse((w, t), 0L) * 1000000L, tot(w)))).toMap
+    val expected = weeks.sliding(2).collect { case Seq(pw, w) =>
+      val ds = types.map(t => (t, math.abs(ppm((w, t)) - ppm((pw, t)))))
+      val top = ds.maxBy { case (t, d) => (d, t) }
+      (w, ds.map(_._2).sum, top._1, top._2)
+    }.toSeq
+    val got = Analytics4.typeDrift(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

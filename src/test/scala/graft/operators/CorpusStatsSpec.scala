@@ -282,4 +282,34 @@ class CorpusStatsSpec extends SparkSpec {
         ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(got === model)
   }
+
+  test("ingestNovelty matches the first-occurrence decile model") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val m = docs.map(_._1).max
+    def decile(id: Long) = id * 10 / (m + 1)
+    val shd = docs.flatMap { case (id, text) =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (t.length < 3) Seq.empty
+      else t.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        .map(s => (id, s, decile(id)))
+    }
+    val inst = shd.groupBy(_._3).map { case (d, g) =>
+      d -> ((g.size.toLong, g.map(_._2).distinct.size.toLong)) }
+    val fresh = shd.groupBy(_._2).map(_._2.map(_._3).min)
+      .groupBy(identity).map { case (d, g) => d -> g.size.toLong }
+    val expected = docs.map(d => decile(d._1)).groupBy(identity)
+      .map { case (d, g) =>
+        val (ni, nd) = inst.getOrElse(d, (0L, 0L))
+        val nn = fresh.getOrElse(d, 0L)
+        (d, g.size.toLong, ni, nd, nn, ratio4Model(nn, math.max(nd, 1L)))
+      }.toSeq.sortBy(_._1)
+    val got = CorpusStats.ingestNovelty(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got == expected)
+    // novelty declines from the first decile to the last (the curve's point)
+    assert(got.head._6 > got.last._6)
+  }
 }
