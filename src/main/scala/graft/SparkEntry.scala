@@ -241,6 +241,7 @@ object SparkEntry {
     "corpus_dataset_card" -> ((s, d) => graft.operators.DatasetCard.card(s, d)),
     "dedup_graph_triangles" -> ((s, d) => MinHashLSH.graphTriangles(s, d)),
     "dedup_blocking_agreement" -> ((s, d) => graft.operators.Blocking.blockingAgreement(s, d)),
+    "dedup_sn_multikey" -> ((s, d) => graft.operators.Blocking.snMultiKey(s, d)),
     // round 11 continuation: spectral tier, privacy triad completion,
     // Fellegi–Sunter linkage calibration
     "embeddings_covariance" -> ((s, d) => graft.operators.Spectral.covariance(s, d)),
@@ -921,33 +922,44 @@ object SparkEntry {
   private def ratio4Sql(num: String, den: String): String =
     s"${halfUpSql(s"($num) * 10000", den)} / 10000.0"
 
-  /** Sorted-neighborhood accepted pairs (`snacc`) — mirrors
-    * Blocking.sortedNeighborhoodOf; shared by the standalone query and
-    * the SN×LSH agreement panel so the two can never drift. */
-  private def SN_CTES: String = {
+  /** Normalized-prefix / normalized-suffix blocking keys — mirror
+    * Blocking.snKeyPrefix / snKeySuffix. */
+  private def SN_KEY_PREFIX: String =
+    s"substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, ${graft.operators.Blocking.SnKeyLen})"
+  private def SN_KEY_SUFFIX: String =
+    s"substr(reverse(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, ${graft.operators.Blocking.SnKeyLen})"
+
+  /** Sorted-neighborhood chain under an arbitrary blocking key with a
+    * CTE-name prefix — mirrors Blocking.snCandidatesKeyed + the accept
+    * gate; shared (via [[SN_CTES]]) by the standalone query, the SN×LSH
+    * agreement panel, the linkage tier and the multi-key panel so none
+    * can drift. Exposes `<p>j` (unfiltered with inter/uni) and
+    * `<p>acc` (accepted pairs). */
+  private def snCtesKeyed(p: String, keyExpr: String): String = {
     val w = graft.operators.Blocking.SnWindow
-    val kl = graft.operators.Blocking.SnKeyLen
     val tau = graft.operators.Blocking.SnTau
-    s"""snk AS (
-       |  SELECT doc_id,
-       |    substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, $kl) AS bkey
+    s"""${p}k AS (
+       |  SELECT doc_id, $keyExpr AS bkey
        |  FROM documents),
-       |snr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bkey, doc_id) AS BIGINT) AS rn
-       |        FROM snk),
-       |snt AS (SELECT doc_id, list_distinct($TOKS) AS ts FROM documents),
-       |snpr AS (
+       |${p}r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bkey, doc_id) AS BIGINT) AS rn
+       |        FROM ${p}k),
+       |${p}t AS (SELECT doc_id, list_distinct($TOKS) AS ts FROM documents),
+       |${p}pr AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, b.rn - a.rn AS gap
-       |  FROM snr a JOIN snr b ON b.rn - a.rn BETWEEN 1 AND ${w - 1}),
-       |snj AS (
+       |  FROM ${p}r a JOIN ${p}r b ON b.rn - a.rn BETWEEN 1 AND ${w - 1}),
+       |${p}j AS (
        |  SELECT d1, d2, gap,
        |    CAST(len(list_intersect(t1.ts, t2.ts)) AS BIGINT) AS inter,
        |    CAST(len(t1.ts) + len(t2.ts) - len(list_intersect(t1.ts, t2.ts)) AS BIGINT) AS uni
-       |  FROM snpr JOIN snt t1 ON t1.doc_id = snpr.d1 JOIN snt t2 ON t2.doc_id = snpr.d2),
-       |snacc AS (
+       |  FROM ${p}pr JOIN ${p}t t1 ON t1.doc_id = ${p}pr.d1 JOIN ${p}t t2 ON t2.doc_id = ${p}pr.d2),
+       |${p}acc AS (
        |  SELECT d1, d2, gap, jacc4 FROM (
-       |    SELECT d1, d2, gap, ${ratio4Sql("inter", "greatest(uni, 1)")} AS jacc4 FROM snj)
+       |    SELECT d1, d2, gap, ${ratio4Sql("inter", "greatest(uni, 1)")} AS jacc4 FROM ${p}j)
        |  WHERE jacc4 >= $tau)""".stripMargin
   }
+
+  /** The default (prefix-keyed) SN chain: `snj`/`snacc`. */
+  private def SN_CTES: String = snCtesKeyed("sn", SN_KEY_PREFIX)
 
   /** Fellegi–Sunter calibration chain (base/sig/ag/nn/ap/ma/fin) —
     * mirrors Linkage.fsWeights; shared by the weights panel and the
@@ -4736,6 +4748,22 @@ object SparkEntry {
     "dedup_sorted_neighborhood" ->
       s"""WITH $SN_CTES
          |SELECT d1, d2, gap, jacc4 FROM snacc ORDER BY d1, d2""".stripMargin,
+
+    // multi-pass SN gain: prefix key vs suffix key — mirrors
+    // Blocking.snMultiKey (the same keyed chain instantiated twice)
+    "dedup_sn_multikey" ->
+      s"""WITH $SN_CTES,
+         |${snCtesKeyed("sx", SN_KEY_SUFFIX)},
+         |pp AS (SELECT DISTINCT least(d1, d2) AS d1, greatest(d1, d2) AS d2 FROM snacc),
+         |ss AS (SELECT DISTINCT least(d1, d2) AS d1, greatest(d1, d2) AS d2 FROM sxacc),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_prefix FROM pp),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS n_suffix FROM ss),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+         |      FROM pp JOIN ss USING (d1, d2))
+         |SELECT n_prefix, n_suffix, n_common,
+         |  n_prefix + n_suffix - n_common AS n_union,
+         |  ${ratio4Sql("n_suffix - n_common", "greatest(n_prefix, 1)")} AS gain4
+         |FROM a CROSS JOIN b CROSS JOIN c""".stripMargin,
 
     // SN × LSH pair-set agreement — mirrors Blocking.blockingAgreement
     // (composes the SN CTEs with the shared MinHash pair CTEs verbatim)

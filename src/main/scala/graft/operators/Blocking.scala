@@ -61,16 +61,36 @@ object Blocking {
       .select("d1", "d2", "gap", "jacc4")
       .orderBy("d1", "d2")
 
+  /** The default blocking key: normalized-text PREFIX — near-identical
+    * docs normalize to near-identical openings, so they sort adjacent. */
+  def snKeyPrefix(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(DocDedup.normalized(text), 1, SnKeyLen)
+
+  /** The complementary blocking key: normalized-text SUFFIX (reversed
+    * prefix) — the standard multi-pass SN move: a doc pair whose
+    * openings diverge (different title, same body) sorts apart under
+    * the prefix key but adjacent under the ending. */
+  def snKeySuffix(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(reverse(DocDedup.normalized(text)), 1, SnKeyLen)
+
   /** The UNFILTERED sorted-neighborhood candidate frame — every window
     * adjacency with its exact Jaccard, before the τ accept gate. The
     * verified pass ([[sortedNeighborhoodOf]]) filters it; the linkage
     * calibration tier ([[Linkage.patternPrecision]]) consumes it whole,
     * because rejected candidates are exactly the negative class a
     * decision rule is calibrated against. */
-  def snCandidatesOf(docs: DataFrame, window: Int = SnWindow): DataFrame = {
+  def snCandidatesOf(docs: DataFrame, window: Int = SnWindow): DataFrame =
+    snCandidatesKeyed(docs, snKeyPrefix(col("text")), window)
+
+  /** [[snCandidatesOf]] under an ARBITRARY blocking key — what a
+    * multi-pass SN deployment varies between passes (prefix, suffix,
+    * phonetic key, …) while the sort/adjacency/verify machinery stays
+    * one implementation. */
+  def snCandidatesKeyed(docs: DataFrame,
+                        key: org.apache.spark.sql.Column,
+                        window: Int = SnWindow): DataFrame = {
     import graft.functions.Hashing.ratio4
-    val keyed = docs.select(col("doc_id"),
-      substring(DocDedup.normalized(col("text")), 1, SnKeyLen).as("bkey"))
+    val keyed = docs.select(col("doc_id"), key.as("bkey"))
     // both sides of the adjacency join read the rank frame — checkpoint
     // so the global sort pass runs ONCE (two GlobalRank subtrees don't
     // exchange-reuse); the key itself is dropped first (only the rank
@@ -109,6 +129,40 @@ object Blocking {
     * re-canonicalized to id order — its native orientation is sort
     * order); the overlap is one join on the canonical pair key; output
     * is ONE row. */
+  /** `dedup_sn_multikey`: the multi-pass SN recall panel — accepted
+    * pairs under the prefix key vs the complementary SUFFIX key, their
+    * overlap, the union, and the exact ratio4 gain the second pass
+    * adds over prefix-only. Sorted neighborhood's known blind spot is
+    * pairs the ONE sort key fails to co-locate; the standard fix is
+    * several cheap passes under different keys, and this panel is the
+    * evidence for (or against) paying for the second pass — the
+    * multi-pass twin of #226's SN×LSH agreement.
+    *
+    * Shape: two [[snCandidatesKeyed]] passes (each linear by
+    * construction), canonicalized pair keys, one semi-join for the
+    * overlap, ONE output row. */
+  def snMultiKey(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
+    def accepted(key: org.apache.spark.sql.Column) =
+      snCandidatesKeyed(docs, key)
+        .filter(col("jacc4") >= SnTau)
+        .select(least(col("d1"), col("d2")).as("d1"),
+          greatest(col("d1"), col("d2")).as("d2"))
+        .distinct()
+    val pre = accepted(snKeyPrefix(col("text"))).localCheckpoint()
+    val suf = accepted(snKeySuffix(col("text"))).localCheckpoint()
+    val a = pre.agg(count(lit(1)).as("n_prefix"))
+    val b = suf.agg(count(lit(1)).as("n_suffix"))
+    val c = pre.join(suf, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    a.crossJoin(b).crossJoin(c)
+      .select(col("n_prefix"), col("n_suffix"), col("n_common"),
+        (col("n_prefix") + col("n_suffix") - col("n_common")).as("n_union"),
+        ratio4(col("n_suffix") - col("n_common"),
+          greatest(col("n_prefix"), lit(1L))).as("gain4"))
+  }
+
   def blockingAgreement(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.ratio4
     val mh = MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2")

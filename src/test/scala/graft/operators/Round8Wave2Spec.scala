@@ -45,6 +45,37 @@ class Round8Wave2Spec extends SparkSpec {
     assert(got.size <= docs.size * (Blocking.SnWindow - 1))
   }
 
+  test("snMultiKey equals the set algebra of the two keyed passes") {
+    val ts = docs.map(d => d._1 -> toks(d._3).distinct.toSet).toMap
+    def pass(key: String => String): Set[(Long, Long)] = {
+      val keyed = docs.map(d => (d._1, key(normalized(d._3)))).sortBy(d => (d._2, d._1))
+      (for {
+        i <- keyed.indices
+        k <- 1 until Blocking.SnWindow
+        if i + k < keyed.size
+      } yield {
+        val d1 = keyed(i)._1; val d2 = keyed(i + k)._1
+        val inter = (ts(d1) & ts(d2)).size.toLong
+        val uni = ts(d1).size.toLong + ts(d2).size.toLong - inter
+        (math.min(d1, d2), math.max(d1, d2),
+          ratio4Model(inter, math.max(uni, 1L)))
+      }).filter(_._3 >= Blocking.SnTau).map(p => (p._1, p._2)).toSet
+    }
+    val pre = pass(_.take(Blocking.SnKeyLen))
+    val suf = pass(_.reverse.take(Blocking.SnKeyLen))
+    val common = (pre & suf).size.toLong
+    val r = Blocking.snMultiKey(spark, sf).collect().head
+    assert(r.getLong(0) === pre.size.toLong)
+    assert(r.getLong(1) === suf.size.toLong)
+    assert(r.getLong(2) === common)
+    assert(r.getLong(3) === (pre | suf).size.toLong)
+    assert(r.getDouble(4) ===
+      ratio4Model(suf.size - common, math.max(pre.size.toLong, 1L)))
+    // the second pass must actually ADD pairs on this corpus (the
+    // panel's reason to exist)
+    assert(r.getLong(3) > r.getLong(0))
+  }
+
   test("cusumDrift matches the recursive max(0, S+r) definition") {
     val byTh = events.groupBy { case (ts, et) => (et, ts / Analytics6.UsPerHour) }
       .view.mapValues(_.size.toLong).toMap
