@@ -1034,6 +1034,35 @@ object SparkEntry {
          |    FROM (SELECT q_id, vec_id FROM ($sql)) x JOIN b USING (q_id, vec_id)"""
         .stripMargin
     }.getOrElse("")
+    // the appended-recall replay's whitened row: (μ, W) trained on the
+    // BUILD half only (even vec_ids), applied frozen to the full corpus
+    // — exactly what saveIndexOf(half) + appendToIndex(half) leaves
+    val appendedWhitened = ctx.map { case (s, d) =>
+      import org.apache.spark.sql.functions.col
+      graft.operators.Spectral.whitenParamsOf(
+        graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("e"))
+          .filter(col("vec_id") % 2 === 0))
+    }
+    val appendedWhitenedCtes = appendedWhitened.map { case (mu, w) =>
+      s""",
+         |${whitenedBucketCtes(mu, w, "wb0a")},
+         |pw2 AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
+         |  FROM wb0a q JOIN wb0a b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+         |  JOIN v qv ON qv.vec_id = q.vec_id JOIN v bv ON bv.vec_id = b.vec_id
+         |  WHERE q.vec_id < ${graft.operators.Similarity.NumQueries}),
+         |whtop AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pw2) WHERE rank <= ${graft.operators.Similarity.TopK})"""
+        .stripMargin
+    }.getOrElse("")
+    val appendedWhitenedRow = if (appendedWhitened.isDefined)
+      s"""
+         |  UNION ALL
+         |  SELECT 'saved_whitened', count(*) FROM whtop x JOIN b USING (q_id, vec_id)"""
+        .stripMargin
+    else ""
     baseOracles ++
       whitenedSql.map("ann_whitened_topk" -> _) + ("ann_appended_recall" ->
       // Replays the grown index: quantizers trained on the BUILD half
@@ -1091,7 +1120,7 @@ object SparkEntry {
          |  WHERE q.vec_id < 20),
          |sqtop AS (SELECT q_id, vec_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY approx_cos DESC, vec_id) AS rank FROM psq) WHERE rank <= 5),
+         |    ORDER BY approx_cos DESC, vec_id) AS rank FROM psq) WHERE rank <= 5)$appendedWhitenedCtes,
          |b AS (SELECT q_id, vec_id FROM ${sub("ann_brute_topk")}),
          |hits AS (
          |  SELECT 'saved_ivf_kmeans' AS variant, count(*) AS n_hits
@@ -1099,7 +1128,7 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'saved_lsh', count(*) FROM lshtop x JOIN b USING (q_id, vec_id)
          |  UNION ALL
-         |  SELECT 'saved_sq', count(*) FROM sqtop x JOIN b USING (q_id, vec_id)
+         |  SELECT 'saved_sq', count(*) FROM sqtop x JOIN b USING (q_id, vec_id)$appendedWhitenedRow
          |)
          |SELECT variant, n_hits,
          |  ${ratio4Sql("n_hits",
@@ -1160,6 +1189,31 @@ object SparkEntry {
   private def whitenedTopkSql(spark: org.apache.spark.sql.SparkSession,
                               dir: String): String = {
     val (mu, w) = graft.operators.Spectral.whitenParams(spark, dir)
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |$LSHP_CTE,
+       |$LSH_PL0_CTE,
+       |${whitenedBucketCtes(mu, w, "wb0w")},
+       |pw AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
+       |  FROM wb0w q JOIN wb0w b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+       |  JOIN v qv ON qv.vec_id = q.vec_id JOIN v bv ON bv.vec_id = b.vec_id
+       |  WHERE q.vec_id < ${graft.operators.Similarity.NumQueries}
+       |)
+       |SELECT q_id, rank, vec_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM pw
+       |) WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank"""
+      .stripMargin
+  }
+
+  /** Whitened band-0 bucket CTE chain (wmu → wv → wbits → `<out>`)
+    * from explicit driver-computed (μ, W) literals; expects `v` and
+    * `pl0` in scope. Shared by the standalone whitened query and the
+    * appended-recall replay so the projection replay can never drift:
+    * u = round(x·1000), w_r = Σ_c W[r][c]·(u_c − μ_c) left-to-right,
+    * plane projection Σ_j ±1(p,j)·w_j left-to-right — the engine's
+    * exact fold order. */
+  private def whitenedBucketCtes(mu: Array[Double], w: Array[Array[Double]],
+                                 out: String): String = {
     def lit(x: Double): String = {
       require(!x.isNaN && !x.isInfinite, s"non-finite whitening coefficient $x")
       x.toString
@@ -1167,10 +1221,7 @@ object SparkEntry {
     val muL = mu.map(lit).mkString("[", ",", "]")
     val wL = w.map(_.map(lit).mkString("[", ",", "]")).mkString("[", ",", "]")
     val d = graft.operators.Similarity.Dim
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-       |$LSHP_CTE,
-       |$LSH_PL0_CTE,
-       |wmu AS (SELECT $muL::DOUBLE[] AS mu, $wL::DOUBLE[][] AS wm),
+    s"""wmu AS (SELECT $muL::DOUBLE[] AS mu, $wL::DOUBLE[][] AS wm),
        |wv AS MATERIALIZED (
        |  SELECT vec_id, list_transform(generate_series(1, $d), r ->
        |    list_reduce(list_prepend(0.0::DOUBLE,
@@ -1185,19 +1236,9 @@ object SparkEntry {
        |        ((${H64("concat('pl:', CAST(p.p AS VARCHAR), ':', CAST(j AS VARCHAR))")} % 2)*2 - 1))),
        |      (x, y) -> x + y) > 0 THEN 1 ELSE 0 END AS bit
        |  FROM wv, pl0 p),
-       |wb0 AS (
+       |$out AS (
        |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM wbits GROUP BY vec_id),
-       |pw AS (
-       |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
-       |  FROM wb0 q JOIN wb0 b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
-       |  JOIN v qv ON qv.vec_id = q.vec_id JOIN v bv ON bv.vec_id = b.vec_id
-       |  WHERE q.vec_id < ${graft.operators.Similarity.NumQueries}
-       |)
-       |SELECT q_id, rank, vec_id, cos FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM pw
-       |) WHERE rank <= ${graft.operators.Similarity.TopK} ORDER BY q_id, rank"""
-      .stripMargin
+       |  FROM wbits GROUP BY vec_id)""".stripMargin
   }
 
   private def baseOracles: Map[String, String] = Map(

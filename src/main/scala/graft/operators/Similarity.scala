@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Partitioning._
 import graft.Tables
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1389,6 +1390,16 @@ object Similarity {
     val st = sqStats(v).localCheckpoint()
     st.write.mode("overwrite").parquet(s"$indexDir/sqstats")
     sqEncode(v, st).write.mode("overwrite").parquet(s"$indexDir/sqcodes")
+    // whitening joins it too: (μ, W) trained on the BUILD corpus, one
+    // row per output dim (μ at r = −1) — parquet doubles round-trip
+    // bit-exactly, so the reloaded projection is the trained one
+    val (mu, wm) = Spectral.whitenParamsOf(v)
+    ((-1, mu.toSeq) +: wm.toSeq.zipWithIndex.map { case (r, i) => (i, r.toSeq) })
+      .toDF("r", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/whiten")
+    whitenedBucketsOf(v, mu.toSeq, wm.map(_.toSeq).toSeq, NumBands * ppb, ppb)
+      .filter(col("band") === 0)
+      .write.mode("overwrite").parquet(s"$indexDir/wb0")
   }
 
   /** The saved index's frozen LSH plane layout (falls back to the
@@ -1426,6 +1437,34 @@ object Similarity {
     // exists to surface
     sqEncode(newVecs, spark.read.parquet(s"$indexDir/sqstats"))
       .write.mode("append").parquet(s"$indexDir/sqcodes")
+    // frozen whitening: appended vectors project with the BUILD (μ, W)
+    // (indexes written before the whiten artifact existed skip the
+    // whitened table — searchSavedWhitened fails loudly on those)
+    val wz = new Path(s"$indexDir/whiten")
+    if (wz.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(wz)) {
+      val (mu, wm) = loadWhitenParams(spark, indexDir)
+      whitenedBucketsOf(newVecs, mu, wm, np, ppb).filter(col("band") === 0)
+        .write.mode("append").parquet(s"$indexDir/wb0")
+    }
+  }
+
+  /** Reload the frozen whitening transform from a saved index. */
+  private def loadWhitenParams(spark: SparkSession, indexDir: String)
+      : (Seq[Double], Seq[Seq[Double]]) = {
+    val rows = spark.read.parquet(s"$indexDir/whiten").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val mu = rows(-1)
+    val wm = (0 until mu.length).map(rows)
+    (mu, wm)
+  }
+
+  /** Whitened-bucket LSH search against the SAVED wb0 map — ranking by
+    * exact original-space cosine like every saved search. */
+  def searchSavedWhitened(spark: SparkSession, dir: String, indexDir: String,
+                          k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    val v = vecs(spark, dir)
+    val wb0 = loadPerVec(spark, s"$indexDir/wb0")
+    lshSearch(v, wb0, wb0.join(v, "vec_id"), k, nQueries)
   }
 
   /** Load a per-vector index artifact (members/codes/b0), collapsing any
@@ -1473,8 +1512,10 @@ object Similarity {
       row("saved_ivf_kmeans", searchSavedIvfKmeans(spark, dir, idx, k, nQueries))
         .unionByName(row("saved_lsh", searchSavedLsh(spark, dir, idx, k, nQueries)))
         .unionByName(row("saved_sq", searchSavedSq(spark, dir, idx, k, nQueries)))
+        .unionByName(
+          row("saved_whitened", searchSavedWhitened(spark, dir, idx, k, nQueries)))
         .orderBy("variant")
-        .localCheckpoint() // eager 2-row frame — the scratch index is now dead
+        .localCheckpoint() // eager 4-row frame — the scratch index is now dead
     dropScratchDir(spark, idx)
     out
   }
@@ -1769,6 +1810,22 @@ object Similarity {
       .select(col("vec_id"),
         posexplode(graft.plans.LshExpressions.hyperplaneBuckets(
           col("w"), numPlanes, planesPerBand, Dim)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** [[whitenedBuckets]] under EXPLICIT frozen (μ, W) over any
+    * (vec_id, e) frame — the saved-index form: the whitening transform
+    * is a trained quantizer artifact exactly like the centroids and
+    * codebooks, so appended vectors must project with the BUILD
+    * corpus's (μ, W) or their buckets live in a different space. */
+  def whitenedBucketsOf(v: DataFrame, mu: Seq[Double], w: Seq[Seq[Double]],
+                        numPlanes: Int, planesPerBand: Int): DataFrame =
+    v.select(col("vec_id"),
+        transform(col("e"), x => round(x.cast("double") * 1000d)).as("u"))
+      .select(col("vec_id"),
+        posexplode(graft.plans.LshExpressions.hyperplaneBuckets(
+          graft.plans.VectorExpressions.whitenProject(col("u"), mu, w),
+          numPlanes, planesPerBand, Dim)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 

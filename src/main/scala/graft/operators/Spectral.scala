@@ -30,6 +30,13 @@ object Spectral {
       .select(transform(col("embedding"), x =>
         round(x.cast("double") * 1000d).cast("long")).as("u"))
 
+  /** Same over an arbitrary (…, e: array) frame — what lets the
+    * whitening transform TRAIN on a corpus subset (the saved-index
+    * build half) instead of always the full table. */
+  private def u3of(v: DataFrame): DataFrame =
+    v.select(transform(col("e"), x =>
+      round(x.cast("double") * 1000d).cast("long")).as("u"))
+
   /** #259 `embeddings_covariance`: the exact upper-triangle second
     * moments of the quantized embedding corpus — per (i ≤ j): n, the
     * two dimension sums and the cross-product sum, from which
@@ -42,9 +49,15 @@ object Spectral {
     * shuffle of vector data, no N·d² row blowup (the unnest² form
     * this replaces is linear too but pays ~4096 generated rows per
     * vector — the oracle keeps that form, the engine never does). */
-  def covariance(spark: SparkSession, dir: String): DataFrame = {
+  def covariance(spark: SparkSession, dir: String): DataFrame =
+    covarianceRows(u3vecs(spark, dir))
+
+  /** [[covariance]] over an arbitrary (…, e) frame. */
+  def covarianceOf(v: DataFrame): DataFrame = covarianceRows(u3of(v))
+
+  private def covarianceRows(u3: DataFrame): DataFrame = {
     val d = Dim
-    val g = u3vecs(spark, dir)
+    val g = u3
       .agg(graft.plans.GramSumAggFunctions.gramSumAgg(col("u"), d).as("g"))
     // entry offset for (i,j), i ≤ j: 1 + d + i·d − i(i−1)/2 + (j−i)
     g.select(explode(expr(
@@ -227,9 +240,13 @@ object Spectral {
     * very rows the matrix came from, so whitening costs exactly one
     * GramSumAgg job (spec-asserted), not two. */
   private def momentSnapshot(spark: SparkSession, dir: String)
+      : (Double, Array[Double], Array[Array[Double]]) =
+    momentRows(covariance(spark, dir))
+
+  private def momentRows(covFrame: DataFrame)
       : (Double, Array[Double], Array[Array[Double]]) = {
     val d = Dim
-    val rows = covariance(spark, dir).collect()
+    val rows = covFrame.collect()
     val cov = Array.ofDim[Double](d, d)
     val sums = Array.ofDim[Double](d)
     var n = 0.0
@@ -263,10 +280,23 @@ object Spectral {
     * doubles as SQL literals (one definition, two runtimes — the FS_CTES
     * discipline applied to a trained matrix). One GramSumAgg pass. */
   def whitenParams(spark: SparkSession, dir: String, eps: Double = 1e-6)
+      : (Array[Double], Array[Array[Double]]) =
+    whitenParamsFrom(momentSnapshot(spark, dir), eps)
+
+  /** [[whitenParams]] trained on an arbitrary (…, e) frame — the
+    * saved-index build path trains on the BUILD corpus only, then
+    * freezes (μ, W) for every later append (the frozen-quantizer
+    * discipline applied to the whitening transform). */
+  def whitenParamsOf(v: DataFrame, eps: Double = 1e-6)
+      : (Array[Double], Array[Array[Double]]) =
+    whitenParamsFrom(momentRows(covarianceOf(v)), eps)
+
+  private def whitenParamsFrom(
+      snap: (Double, Array[Double], Array[Array[Double]]), eps: Double)
       : (Array[Double], Array[Array[Double]]) = {
     val d = Dim
     // one GramSumAgg job: eigen-decomposition AND μ off the same collect
-    val (n, sums, cov) = momentSnapshot(spark, dir)
+    val (n, sums, cov) = snap
     val (eigs, v) = jacobiEigen(cov)
     val mu = sums.map(_ / n)
     val lmax = eigs.map(math.abs).max

@@ -107,6 +107,38 @@ class IndexStoreSpec extends SparkSpec {
       rows(Similarity.lshTopK(spark, sf)))
   }
 
+  test("saved whitened search equals the in-session build (full-corpus W)") {
+    val got = rows(Similarity.searchSavedWhitened(spark, sf, indexDir))
+    val want = rows(Similarity.whitenedLshTopK(spark, sf))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("whitened append uses the FROZEN build-half transform") {
+    import org.apache.spark.sql.functions._
+    val full = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val halfA = full.filter(col("vec_id") % 2 === 0)
+    val halfB = full.filter(col("vec_id") % 2 =!= 0)
+    val d = Files.createTempDirectory("graft-annidx-w").toString
+    Similarity.saveIndexOf(halfA, d)
+    Similarity.appendToIndex(spark, d, halfB)
+    // invariant: build-half save + append == bucketing the FULL corpus
+    // under the half-trained frozen (μ, W) — NOT a re-trained full W
+    val (mu, wm) = Spectral.whitenParamsOf(halfA)
+    val ppb = Similarity.planesPerBandFor(halfA.count())
+    val want = Similarity.whitenedBucketsOf(full, mu.toSeq,
+        wm.map(_.toSeq).toSeq, Similarity.NumBands * ppb, ppb)
+      .filter(col("band") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = spark.read.parquet(s"$d/wb0")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == want)
+    // and it DIFFERS from a full-corpus-trained W (the freeze is real)
+    val (muF, wmF) = Spectral.whitenParamsOf(full)
+    assert(muF.toSeq != mu.toSeq || wmF.map(_.toSeq).toSeq != wm.map(_.toSeq).toSeq)
+  }
+
   test("appended-index recall floor: half-trained quantizers still serve the full corpus") {
     // The drift panel (ann_appended_recall): quantizers frozen at the
     // half-corpus build, other half appended, recall@5 vs full brute.
