@@ -85,6 +85,7 @@ object SparkEntry {
     "events_theta_overlap" -> ((s, d) => graft.operators.Sketches.thetaOverlapDaily(s, d)),
     "events_uniques_sliding" -> ((s, d) => graft.operators.Sketches.slidingUniques(s, d)),
     "events_kmv_quantiles" -> ((s, d) => graft.operators.Sketches.kmvQuantiles(s, d)),
+    "events_kmv_accuracy" -> ((s, d) => graft.operators.Sketches.kmvAccuracy(s, d)),
     "source_term_cm" -> ((s, d) => graft.operators.Sketches.sourceTermCm(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -300,6 +301,30 @@ object SparkEntry {
   /** events with µs event time (DuckDB reads the ns parquet at µs). */
   private val EV =
     "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events"
+
+  /** Deterministic per-type KMV bottom-k value sample (hash → dedup →
+    * bottom-k → sorted values) — mirrors Sketches.kmvQuantiles's
+    * KmvSampleAgg; shared by the quantile export and the accuracy
+    * panel so the two can never drift. Expects `ev` in scope; exposes
+    * `kmvs(event_type, n_sample, vs)`. */
+  private def KMV_SAMPLE_CTES: String =
+    s"""kh AS (
+       |  SELECT event_type,
+       |    ${H64("concat('e:', CAST(event_id AS VARCHAR))")} AS h,
+       |    CAST(ROUND(value*100) AS BIGINT) AS cents
+       |  FROM ev
+       |),
+       |kd AS (SELECT event_type, h, min(cents) AS cents FROM kh GROUP BY 1, 2),
+       |kmk AS (
+       |  SELECT event_type, h, cents,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM kd
+       |),
+       |kmvs AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+       |    list(cents ORDER BY cents) AS vs
+       |  FROM kmk WHERE rn <= ${graft.operators.Sketches.SampleK} GROUP BY 1
+       |)""".stripMargin
 
   /** Deterministic replica simulation — mirrors Dedup.withReplicas. */
   private val DUP_CTE =
@@ -2361,27 +2386,40 @@ object SparkEntry {
     // positional quantiles of the sorted sampled cents: exact integers.
     "events_kmv_quantiles" ->
       s"""WITH ev AS ($EV),
-         |h AS (
-         |  SELECT event_type,
-         |    ${H64("concat('e:', CAST(event_id AS VARCHAR))")} AS h,
-         |    CAST(ROUND(value*100) AS BIGINT) AS cents
-         |  FROM ev
-         |),
-         |d AS (SELECT event_type, h, min(cents) AS cents FROM h GROUP BY 1, 2),
-         |mk AS (
-         |  SELECT event_type, h, cents,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-         |  FROM d
-         |),
-         |s AS (
-         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
-         |    list(cents ORDER BY cents) AS vs
-         |  FROM mk WHERE rn <= 256 GROUP BY 1
-         |)
+         |$KMV_SAMPLE_CTES
          |SELECT event_type, n_sample,
          |  vs[CAST(ceil(0.5 * n_sample) AS BIGINT)] AS p50_cents,
          |  vs[CAST(ceil(0.9 * n_sample) AS BIGINT)] AS p90_cents
-         |FROM s ORDER BY event_type""".stripMargin,
+         |FROM kmvs ORDER BY event_type""".stripMargin,
+
+    // KMV sketch error vs the exact positional quantiles — mirrors
+    // Sketches.kmvAccuracy (shared sample chain; exact side = value at
+    // rank ceil(p·n), the same positional question both engines answer)
+    "events_kmv_accuracy" ->
+      s"""WITH ev AS ($EV),
+         |$KMV_SAMPLE_CTES,
+         |kq AS (SELECT event_type, n_sample,
+         |    vs[CAST(ceil(0.5 * n_sample) AS BIGINT)] AS p50_cents,
+         |    vs[CAST(ceil(0.9 * n_sample) AS BIGINT)] AS p90_cents
+         |  FROM kmvs),
+         |ex0 AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY CAST(ROUND(value*100) AS BIGINT), event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev),
+         |exq AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+         |    CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cents END)
+         |      AS BIGINT) AS exact_p50,
+         |    CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cents END)
+         |      AS BIGINT) AS exact_p90
+         |  FROM ex0 GROUP BY 1)
+         |SELECT event_type, n_events, n_sample, exact_p50, p50_cents,
+         |  CAST(${halfUpSql("abs(p50_cents - exact_p50) * 1000000",
+                             "greatest(abs(exact_p50), 1)")} AS BIGINT) AS err50_ppm,
+         |  exact_p90, p90_cents,
+         |  CAST(${halfUpSql("abs(p90_cents - exact_p90) * 1000000",
+                             "greatest(abs(exact_p90), 1)")} AS BIGINT) AS err90_ppm
+         |FROM kq JOIN exq USING (event_type) ORDER BY event_type""".stripMargin,
 
     "events_window" ->
       s"""WITH ev AS ($EV)

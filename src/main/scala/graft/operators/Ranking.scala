@@ -88,6 +88,33 @@ object Ranking {
       .orderBy((gcols :+ col("p")): _*)
   }
 
+  /** Exact PER-GROUP POSITIONAL quantiles (value at rank ⌈p·n⌉, the
+    * KMV-sample definition) with NO per-group buffering — the
+    * positional twin of [[groupedQuantiles]]: same one-GlobalRank-pass
+    * shape, but the answer is an ACTUAL group member (integer in,
+    * integer out), which is what a sketch-accuracy comparison wants —
+    * both sides answer the same positional question and the error is
+    * pure int64. Output one row per (group, p) with `out` = the
+    * group's ⌈p·n⌉-th smallest value. */
+  def groupedPositional(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, sortTie: Seq[String],
+                        ps: Seq[Double], out: String = "q"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(ps.nonEmpty, "need at least one quantile position")
+    val gcols = groupCols.map(col)
+    val sort = (gcols :+ col(valueCol)) ++ sortTie.map(col)
+    val ranked = nativeRank(df, sort, None, "_grn")
+    val stats = ranked.groupBy(gcols: _*)
+      .agg(min("_grn").as("_gstart"), count(lit(1)).as("_gn"))
+    val positions = stats
+      .withColumn("_p", explode(array(ps.map(lit): _*)))
+      .withColumn("_pos", ceil(col("_p") * col("_gn").cast("double")).cast("long"))
+    ranked.join(broadcast(positions), groupCols)
+      .filter(col("_grn") - col("_gstart") + 1L === col("_pos"))
+      .select((gcols :+ col("_p").as("p")) :+ col(valueCol).as(out): _*)
+      .orderBy((gcols :+ col("p")): _*)
+  }
+
   private def nativeRank(df: DataFrame, sort: Seq[Column],
                          valueCol: Option[String], out: String): DataFrame = {
     require(sort.nonEmpty, "globalRowNumber/globalPrefixSum need sort keys")

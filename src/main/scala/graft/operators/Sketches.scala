@@ -287,4 +287,43 @@ object Sketches {
         element_at(col("vs"), pos(0.9)).as("p90_cents"))
       .orderBy("event_type")
   }
+
+  /** `events_kmv_accuracy`: the error panel for [[kmvQuantiles]] — per
+    * event type, the KMV-sample p50/p90 NEXT TO the exact positional
+    * quantiles over the full population, with the ppm error. The same
+    * measured-not-asserted grading the theta family gets
+    * (events_theta_accuracy): a sketch whose error band drifts past
+    * the k-for-accuracy trade it was sized for is re-sized on
+    * evidence, not vibes. Both sides answer the SAME positional
+    * question (value at rank ⌈p·n⌉ — the exact side via
+    * [[Ranking.groupedPositional]]'s GlobalRank pass, never a
+    * buffering aggregate), so the error is pure int64 ppm.
+    *
+    * Shape: the sketch side is the mergeable KMV aggregate (O(k) per
+    * type); the exact side is one range-partitioned rank pass;
+    * O(types) output. */
+  def kmvAccuracy(spark: SparkSession, dir: String, k: Int = SampleK): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val ev = Dedup.eventsUs(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        valueCents(col("value")).as("cents"))
+    val exact = Ranking.groupedPositional(ev, Seq("event_type"), "cents",
+        Seq("event_id"), Seq(0.5, 0.9))
+      .groupBy("event_type")
+      .agg(max(when(col("p") === 0.5, col("q"))).as("exact_p50"),
+        max(when(col("p") === 0.9, col("q"))).as("exact_p90"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    def errPpm(est: String, ex: String) =
+      halfUpDiv(abs(col(est) - col(ex)) * 1000000L,
+        greatest(abs(col(ex)), lit(1L)))
+    kmvQuantiles(spark, dir, k)
+      .join(exact, "event_type")
+      .join(counts, "event_type")
+      .select(col("event_type"), col("n_events"), col("n_sample"),
+        col("exact_p50"), col("p50_cents"),
+        errPpm("p50_cents", "exact_p50").as("err50_ppm"),
+        col("exact_p90"), col("p90_cents"),
+        errPpm("p90_cents", "exact_p90").as("err90_ppm"))
+      .orderBy("event_type")
+  }
 }

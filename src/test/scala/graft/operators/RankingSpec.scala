@@ -112,6 +112,46 @@ class RankingSpec extends SparkSpec {
     assert(!plan.contains("percentile"))
   }
 
+  test("groupedPositional returns the exact rank-ceil(p*n) group member") {
+    import org.apache.spark.sql.functions._
+    val ev = Dedup.eventsUs(spark, sf).select(col("event_type"),
+      graft.functions.Hashing.valueCents(col("value")).as("cents"),
+      col("event_id"))
+    val got = Ranking.groupedPositional(ev, Seq("event_type"), "cents",
+        Seq("event_id"), Seq(0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // driver model: sorted group values, element at ceil(p·n) (1-based)
+    val byType = ev.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    byType.foreach { case (t, vs) =>
+      Seq(0.5, 0.9).foreach { p =>
+        val pos = math.ceil(p * vs.length.toDouble).toLong
+        assert(got((t, p)) === vs((pos - 1).toInt), s"$t p=$p")
+      }
+    }
+    // same scale posture as groupedQuantiles: native rank, no buffering
+    val plan = Ranking.groupedPositional(ev, Seq("event_type"), "cents",
+      Seq("event_id"), Seq(0.5)).queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRank"))
+    assert(!plan.contains("percentile"))
+  }
+
+  test("kmvAccuracy: exact side matches; sketch error stays inside the k bound") {
+    val rows = Sketches.kmvAccuracy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the sample is a uniform bottom-k: positional quantile error is
+      // O(1/√k) in RANK terms — on this corpus the value-space error
+      // stays well under 50% of the exact value; the panel exists to
+      // watch this number, the spec pins it is sane
+      assert(r.getLong(5) < 500000L, s"${r.getString(0)} p50 err")
+      assert(r.getLong(8) < 500000L, s"${r.getString(0)} p90 err")
+      assert(r.getLong(2) <= Sketches.SampleK.toLong)
+      assert(r.getLong(1) >= r.getLong(2))
+    }
+  }
+
   test("incremental pack continuation equals the full-corpus pack") {
     import spark.implicits._
     val all = Seq((1L, 300L), (2L, 300L), (3L, 10L), (4L, 600L), (5L, 100L))
