@@ -186,6 +186,7 @@ object SparkEntry {
     "pipeline_pack_bpe" -> ((s, d) => graft.operators.Pipeline.packBpeSequences(s, d)),
     "corpus_heaps_curve" -> ((s, d) => graft.operators.CorpusStats.heapsCurve(s, d)),
     "corpus_ingest_novelty" -> ((s, d) => graft.operators.CorpusStats.ingestNovelty(s, d)),
+    "source_originality" -> ((s, d) => graft.operators.CorpusStats.sourceOriginality(s, d)),
     "dedup_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "pipeline_token_budget" -> ((s, d) => graft.operators.Pipeline.tokenBudget(s, d)),
     "corpus_heavy_hitters" -> ((s, d) => graft.operators.CorpusStats.heavyHitters(s, d)),
@@ -4705,6 +4706,28 @@ object SparkEntry {
          |    AS new_share4
          |FROM dp LEFT JOIN inst USING (decile) LEFT JOIN np USING (decile)
          |ORDER BY decile""".stripMargin,
+
+    // first-occurrence shingle attribution per feed — mirrors
+    // CorpusStats.sourceOriginality (min-doc_id ownership)
+    "source_originality" ->
+      s"""WITH $SH_CTE,
+         |ds AS (SELECT doc_id, source FROM documents),
+         |shd AS (SELECT s.shingle, s.doc_id, d.source
+         |        FROM sh s JOIN ds d USING (doc_id)),
+         |dist AS (SELECT source, CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+         |         FROM shd GROUP BY 1),
+         |fir AS (SELECT shingle, min(doc_id) AS doc_id FROM shd GROUP BY 1),
+         |own AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_owned
+         |        FROM fir JOIN ds d USING (doc_id) GROUP BY 1),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY 1)
+         |SELECT source, n_docs,
+         |  coalesce(n_distinct, 0) AS n_distinct,
+         |  coalesce(n_owned, 0) AS n_owned,
+         |  ${ratio4Sql("coalesce(n_owned, 0)", "greatest(coalesce(n_distinct, 0), 1)")}
+         |    AS originality4
+         |FROM nd LEFT JOIN dist USING (source) LEFT JOIN own USING (source)
+         |ORDER BY source""".stripMargin,
 
     "text_lexical_diversity" ->
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

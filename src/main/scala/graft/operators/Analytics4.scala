@@ -351,12 +351,21 @@ object Analytics4 {
     * AGGREGATE (absent cells must contribute their full ppm to the
     * L1, not vanish), one lag window per type over aggregate rows.
     * Nothing touches raw events twice. */
-  def typeDrift(spark: SparkSession, dir: String): DataFrame = {
+  def typeDrift(spark: SparkSession, dir: String): DataFrame =
+    typeDriftOfCounts(
+      Dedup.eventsUs(spark, dir)
+        .select(intDiv(col("ts_us"), lit(WeekUs)).as("week"), col("event_type"))
+        .groupBy("week", "event_type").agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+
+  /** [[typeDrift]]'s algebra over an already-aggregated
+    * (week, event_type, c) frame — ONE definition, two runtimes: the
+    * batch query aggregates raw events; the streaming monitor
+    * ([[graft.streaming.StreamDrift.weeklyTypeCounts]]) maintains the
+    * same counts incrementally and a reviewer derives the identical
+    * drift table from the sink. */
+  def typeDriftOfCounts(wk: DataFrame): DataFrame = {
     import graft.functions.Hashing.halfUpDiv
-    val wk = Dedup.eventsUs(spark, dir)
-      .select(intDiv(col("ts_us"), lit(WeekUs)).as("week"), col("event_type"))
-      .groupBy("week", "event_type").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
     val tot = wk.groupBy("week").agg(sum("c").as("t"))
     val ppm = wk.join(tot, "week")
       .select(col("week"), col("event_type"),

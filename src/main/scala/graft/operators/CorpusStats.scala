@@ -128,6 +128,39 @@ object CorpusStats {
       .orderBy("decile")
   }
 
+  /** `source_originality`: first-occurrence shingle attribution per
+    * source — every distinct 3-shingle is OWNED by the source of its
+    * min-doc_id occurrence (deterministic ownership, the
+    * [[ingestNovelty]] first-occurrence rule projected onto feeds);
+    * per source: docs, distinct shingles appearing, shingles it owns,
+    * and the exact ratio4 originality share. A feed whose originality
+    * collapses is re-shipping content first seen elsewhere (CDN
+    * mirror, aggregator, re-crawl) — #94's dup-rate says how much a
+    * feed duplicates ITSELF; this says how much it duplicates the
+    * REST of the corpus, the cross-feed acquisition signal.
+    *
+    * Shape: two linear rollups over the shingle frame (distinct per
+    * source; min-doc ownership), both uniform keyed shuffles; the
+    * ownership join is doc-keyed; O(sources) output. */
+  def sourceOriginality(spark: SparkSession, dir: String): DataFrame = {
+    val docsrc = Tables.documents(spark, dir).select("doc_id", "source").spread
+    val shd = DocDedup.docShingles(spark, dir).join(docsrc, "doc_id")
+    val dist = shd.groupBy("source")
+      .agg(countDistinct("shingle").as("n_distinct"))
+    val own = shd.groupBy("shingle").agg(min("doc_id").as("doc_id"))
+      .join(docsrc, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_owned"))
+    val nd = docsrc.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    nd.join(dist, Seq("source"), "left").join(own, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"),
+        ratio4(coalesce(col("n_owned"), lit(0L)),
+          greatest(coalesce(col("n_distinct"), lit(0L)), lit(1L)))
+          .as("originality4"))
+      .orderBy("source")
+  }
+
   val HhThreshold = 32L  // heavy hitter = count·threshold > total
 
   /** pmiPairs noise gate / head size. */

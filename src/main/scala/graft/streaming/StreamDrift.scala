@@ -57,4 +57,44 @@ object StreamDrift {
   def panel(spark: SparkSession, stateDir: String,
             lambdaMeanHours: Long = Analytics6.CusumLambdaMeanHours): DataFrame =
     Analytics6.cusumOfCounts(foldedCounts(spark, stateDir), lambdaMeanHours)
+
+  // ---- composition drift (the streaming twin of events_type_drift) ----
+
+  /** Weekly (week, event_type, c) deltas of one event micro-batch —
+    * the same ℤ-group shape as [[hourlyDeltas]] at the composition
+    * panel's grain. */
+  def weeklyDeltas(batch: DataFrame): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    batch.select(intDiv(col("ts_us"), lit(graft.operators.Analytics4.WeekUs))
+        .as("week"), col("event_type"))
+      .groupBy("week", "event_type").agg(count(lit(1)).as("c"))
+  }
+
+  /** Attach the composition monitor: idempotent weekly-delta appends
+    * under `stateDir` (same TxnParquet idempotence/compaction story as
+    * [[monitor]]). */
+  def monitorComposition(ev: DataFrame, stateDir: String,
+                         checkpointDir: Option[String] = None): StreamingQuery =
+    ev.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$stateDir/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          TxnParquet.append(weeklyDeltas(batch), stateDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The folded weekly composition counts ingested so far. */
+  def weeklyTypeCounts(spark: SparkSession, stateDir: String): DataFrame =
+    TxnParquet.read(spark, stateDir)
+      .groupBy("week", "event_type").agg(sum("c").as("c"))
+
+  /** The week-over-week type-mix L1 panel over everything ingested so
+    * far — row-identical to the batch `events_type_drift` over the
+    * same events ([[graft.operators.Analytics4.typeDriftOfCounts]]:
+    * ONE algebra, two runtimes). */
+  def compositionPanel(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.Analytics4.typeDriftOfCounts(
+      weeklyTypeCounts(spark, stateDir).localCheckpoint())
 }

@@ -312,4 +312,30 @@ class CorpusStatsSpec extends SparkSpec {
     // novelty declines from the first decile to the last (the curve's point)
     assert(got.head._6 > got.last._6)
   }
+
+  test("sourceOriginality matches the min-doc ownership model") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val shd = docs.flatMap { case (id, src, text) =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (t.length < 3) Seq.empty
+      else t.sliding(3).map(_.mkString(" ")).toSeq.distinct.map(s => (id, src, s))
+    }
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val dist = shd.groupBy(_._2).map { case (s, g) =>
+      s -> g.map(_._3).distinct.size.toLong }
+    val owned = shd.groupBy(_._3).map(_._2.map(_._1).min)
+      .groupBy(srcOf).map { case (s, g) => s -> g.size.toLong }
+    val expected = docs.groupBy(_._2).map { case (s, g) =>
+      val nd = dist.getOrElse(s, 0L); val no = owned.getOrElse(s, 0L)
+      (s, g.size.toLong, nd, no, ratio4Model(no, math.max(nd, 1L)))
+    }.toSeq.sortBy(_._1)
+    val got = CorpusStats.sourceOriginality(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // ownership partitions the distinct-shingle universe exactly
+    assert(got.map(_._4).sum == shd.map(_._3).distinct.size.toLong)
+  }
 }

@@ -65,6 +65,31 @@ class StreamDriftSpec extends SparkSpec {
       panelRows(Analytics6.cusumDrift(spark, sf)))
   }
 
+  test("streamed weekly composition deltas fold to the exact batch type-drift panel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val want = panelRows(graft.operators.Analytics4.typeDrift(spark, sf))
+    for (nBatches <- Seq(1, 4)) {
+      val stateDir = Files.createTempDirectory("typedrift").toString
+      val mem = MemoryStream[Ev]
+      val q = StreamDrift.monitorComposition(mem.toDF(), stateDir)
+      try {
+        val size = math.max(1, events.size / nBatches)
+        events.grouped(size).foreach { chunk =>
+          mem.addData(chunk); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // one algebra, two runtimes: the composition panel over the
+      // folded stream state equals the batch events_type_drift
+      assert(panelRows(StreamDrift.compositionPanel(spark, stateDir)) == want,
+        s"composition panel drifted from batch at nBatches=$nBatches")
+      // compaction of the delta log changes nothing
+      TxnParquet.compact(spark, stateDir)
+      TxnParquet.vacuum(spark, stateDir)
+      assert(panelRows(StreamDrift.compositionPanel(spark, stateDir)) == want)
+    }
+  }
+
   test("compacting the delta log leaves the panel untouched") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
