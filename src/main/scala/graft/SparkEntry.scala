@@ -86,6 +86,8 @@ object SparkEntry {
     "events_uniques_sliding" -> ((s, d) => graft.operators.Sketches.slidingUniques(s, d)),
     "events_kmv_quantiles" -> ((s, d) => graft.operators.Sketches.kmvQuantiles(s, d)),
     "events_kmv_accuracy" -> ((s, d) => graft.operators.Sketches.kmvAccuracy(s, d)),
+    "orders_repeat_interval" -> ((s, d) => graft.operators.Analytics3.repeatInterval(s, d)),
+    "privacy_apply_release" -> ((s, d) => graft.operators.Privacy.applyRelease(s, d)),
     "source_term_cm" -> ((s, d) => graft.operators.Sketches.sourceTermCm(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -939,6 +941,27 @@ object SparkEntry {
        |           CAST(${halfUpSql("emd_sum", "greatest(n_bands - 1, 1)")}
        |             AS BIGINT) AS t_ppm
        |         FROM em CROSS JOIN nb)""".stripMargin
+  }
+
+  /** The k/l/t release-report oracle — mirrors Privacy.releaseReport;
+    * a standalone def so the report query AND the apply-step extract
+    * reuse the identical SQL (verdicts cannot drift between them). */
+  private def RELEASE_REPORT_SQL: String = {
+    val P = graft.operators.Privacy
+    s"""WITH ev AS ($EV),
+       |$TCLOSE_CTES,
+       |ll AS (SELECT event_type, ts_us // ${P.UsPerDay} AS day,
+       |         CAST(count(DISTINCT user_id) AS BIGINT) AS l
+       |       FROM ev GROUP BY 1, 2)
+       |SELECT tfin.event_type AS event_type, tfin.day AS day, k, l, t_ppm,
+       |  k >= ${P.GenKThreshold} AS pass_k,
+       |  l >= ${P.ReleaseL} AS pass_l,
+       |  t_ppm <= ${P.ReleaseTppm} AS pass_t,
+       |  (k >= ${P.GenKThreshold} AND l >= ${P.ReleaseL}
+       |   AND t_ppm <= ${P.ReleaseTppm}) AS releasable
+       |FROM tfin JOIN ll ON ll.event_type = tfin.event_type
+       |  AND ll.day = tfin.day
+       |ORDER BY event_type, day""".stripMargin
   }
 
   /** DuckDB twin of graft.functions.Hashing.ratio4: ROUND(num/den, 4)
@@ -5191,23 +5214,7 @@ object SparkEntry {
 
     // the composed k/l/t release decision table — mirrors
     // Privacy.releaseReport (same t chain, plus the distinct-user l)
-    "privacy_release_report" -> {
-      val P = graft.operators.Privacy
-      s"""WITH ev AS ($EV),
-         |$TCLOSE_CTES,
-         |ll AS (SELECT event_type, ts_us // ${P.UsPerDay} AS day,
-         |         CAST(count(DISTINCT user_id) AS BIGINT) AS l
-         |       FROM ev GROUP BY 1, 2)
-         |SELECT tfin.event_type AS event_type, tfin.day AS day, k, l, t_ppm,
-         |  k >= ${P.GenKThreshold} AS pass_k,
-         |  l >= ${P.ReleaseL} AS pass_l,
-         |  t_ppm <= ${P.ReleaseTppm} AS pass_t,
-         |  (k >= ${P.GenKThreshold} AND l >= ${P.ReleaseL}
-         |   AND t_ppm <= ${P.ReleaseTppm}) AS releasable
-         |FROM tfin JOIN ll ON ll.event_type = tfin.event_type
-         |  AND ll.day = tfin.day
-         |ORDER BY event_type, day""".stripMargin
-    },
+    "privacy_release_report" -> RELEASE_REPORT_SQL,
 
     // Fellegi–Sunter m/u calibration — mirrors Linkage.fsWeights
     // (match class = the shared verified near-dup pair CTEs; u side
@@ -5539,6 +5546,48 @@ object SparkEntry {
          |  quantile_cont(lag_days, 0.75) AS p75,
          |  CAST(max(lag_days) AS BIGINT) AS max_lag
          |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // repeat-purchase cadence per market segment — mirrors
+    // Analytics3.repeatInterval (customer-keyed lag window; exact
+    // quantile_cont == the groupedQuantiles interpolation)
+    "orders_repeat_interval" ->
+      s"""WITH g AS (
+         |  SELECT o_custkey, o_orderkey,
+         |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |      - lag(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+         |        OVER (PARTITION BY o_custkey
+         |              ORDER BY datediff('day', DATE '1970-01-01',
+         |                                CAST(o_orderdate AS DATE)), o_orderkey)
+         |      AS gap_days
+         |  FROM orders),
+         |gs AS (SELECT c_mktsegment, o_custkey, o_orderkey,
+         |         CAST(gap_days AS BIGINT) AS gap_days
+         |       FROM g JOIN customer ON c_custkey = o_custkey
+         |       WHERE gap_days IS NOT NULL)
+         |SELECT c_mktsegment,
+         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+         |  CAST(count(*) AS BIGINT) AS n_gaps,
+         |  ${ratio4Sql("sum(gap_days)", "count(*)")} AS mean_gap4,
+         |  quantile_cont(gap_days, 0.25) AS p25,
+         |  quantile_cont(gap_days, 0.5) AS p50,
+         |  quantile_cont(gap_days, 0.75) AS p75
+         |FROM gs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the APPLY half of the release report — only releasable classes,
+    // each with its exact released cents sum; mirrors
+    // Privacy.applyRelease (the report oracle reused as a subquery so
+    // verdicts cannot drift between the report and the extract)
+    "privacy_apply_release" ->
+      s"""WITH rep AS (SELECT event_type, day, k, l
+         |  FROM ($RELEASE_REPORT_SQL) WHERE releasable),
+         |ev AS ($EV),
+         |cents AS (
+         |  SELECT event_type, ts_us // ${graft.operators.Privacy.UsPerDay} AS day,
+         |    CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT event_type, day, k, l, sum_cents
+         |FROM rep JOIN cents USING (event_type, day)
+         |ORDER BY event_type, day""".stripMargin,
 
     // theta-sketch set DIFFERENCE (day's users minus yesterday's) —
     // mirrors Sketches.thetaNewUsersDaily; the estimate replays

@@ -560,6 +560,50 @@ object Analytics3 {
       .orderBy("day_epoch")
   }
 
+  /** `orders_repeat_interval`: repeat-purchase cadence per market
+    * segment — for every customer's consecutive order pair, the gap in
+    * whole days; per segment: repeat customers, gap count, exact
+    * ratio4 mean gap and the exact p25/p50/p75 via
+    * [[Ranking.groupedQuantiles]] (5 segments over the whole order
+    * stream is exactly the tiny-groups × huge-population shape the
+    * buffering percentile dies on at scale). The commerce-retention
+    * read: a stretching p75 with a flat p50 means the casual half of a
+    * segment is lapsing before the loyal half shows it.
+    *
+    * Shape: one customer-keyed lag window builds the gap frame (orders
+    * shuffles on o_custkey once), the segment joins in on the same key,
+    * then one GlobalRank pass + O(segments) rollups. */
+  def repeatInterval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .withColumn("prev", lag("day", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("day") - col("prev")).as("gap_days"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .localCheckpoint(true)
+    val stats = gaps.groupBy("c_mktsegment")
+      .agg(countDistinct("o_custkey").as("n_repeat_customers"),
+        count(lit(1)).as("n_gaps"),
+        ratio4(sum("gap_days"), count(lit(1))).as("mean_gap4"))
+    Ranking.groupedQuantiles(gaps, Seq("c_mktsegment"), "gap_days",
+        Seq("o_custkey", "o_orderkey"), Seq(0.25, 0.5, 0.75))
+      .groupBy("c_mktsegment")
+      .agg(max(when(col("p") === 0.25, col("q"))).as("p25"),
+        max(when(col("p") === 0.5, col("q"))).as("p50"),
+        max(when(col("p") === 0.75, col("q"))).as("p75"))
+      .join(stats, "c_mktsegment")
+      .select("c_mktsegment", "n_repeat_customers", "n_gaps", "mean_gap4",
+        "p25", "p50", "p75")
+      .orderBy("c_mktsegment")
+  }
+
   /** `orders_fulfillment_lag`: the operational latency panel — per
     * order month, item count, exact p25/p50/p75 of the ship lag in
     * whole days (l_shipdate − o_orderdate) and the worst straggler.

@@ -165,6 +165,37 @@ object Privacy {
       .orderBy("event_type", "day")
   }
 
+  /** `privacy_apply_release`: the APPLY half of the release report —
+    * #292 renders verdicts; THIS is the extract a reviewer actually
+    * ships: only the releasable (event_type, day) classes, each with
+    * its k/l evidence and the class's exact released aggregate (total
+    * spend cents). Suppressed classes are simply ABSENT — the
+    * small-cell suppression every statistical-disclosure release
+    * applies, materialized instead of described. The report and the
+    * apply step share [[releaseReportOf]] verbatim (the linkage tier's
+    * train→decide→apply symmetry, completed for privacy).
+    *
+    * Shape: the O(classes) report semi-gates one per-class cents
+    * aggregate (a keyed partial-aggregable shuffle); output ⊆ classes. */
+  def applyRelease(spark: SparkSession, dir: String): DataFrame =
+    applyReleaseOf(Dedup.eventsUs(spark, dir))
+
+  /** [[applyRelease]] over any canonical events frame — the testable
+    * core (the corpus releases every class; the spec's fixture makes
+    * suppression actually bite). */
+  def applyReleaseOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{intDiv, valueCents}
+    val cents = ev.select(col("event_type"),
+        intDiv(col("ts_us"), lit(UsPerDay)).as("day"),
+        valueCents(col("value")).as("cents"))
+      .groupBy("event_type", "day").agg(sum("cents").as("sum_cents"))
+    releaseReportOf(ev)
+      .filter(col("releasable"))
+      .select("event_type", "day", "k", "l")
+      .join(cents, Seq("event_type", "day"))
+      .orderBy("event_type", "day")
+  }
+
   /** The shared QI grouping: (event_type, day, band) classes carrying
     * user_id for sensitive-attribute measures. */
   /** Suppression threshold for the generalization ladder: classes with

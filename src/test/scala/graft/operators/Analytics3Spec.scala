@@ -295,4 +295,41 @@ class Analytics3Spec extends SparkSpec {
       // on physical data the dq_report contract monitors lag ≥ 0
     }
   }
+
+  test("repeatInterval matches the per-customer lag model") {
+    val seg = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.orders(spark, sf)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val gaps = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      os.toSeq.sortBy(o => (o._3, o._2)).sliding(2).collect {
+        case Seq(a, b) => (seg(ck), ck, b._3 - a._3)
+      }
+    }
+    def interp(v: IndexedSeq[Long], p: Double): Double = {
+      val pos = p * (v.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      if (lo == hi) v(lo).toDouble
+      else v(lo) * (hi - pos) + v(hi) * (pos - lo)
+    }
+    val expected = gaps.groupBy(_._1).map { case (s, g) =>
+      val v = g.map(_._3).sorted.toIndexedSeq
+      (s, g.map(_._2).distinct.size.toLong, g.size.toLong,
+        ratio4Model(g.map(_._3).sum, g.size.toLong),
+        interp(v, 0.25), interp(v, 0.5), interp(v, 0.75))
+    }.toSeq.sortBy(_._1)
+    val got = Analytics3.repeatInterval(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

@@ -91,6 +91,33 @@ class PrivacyLinkageSpec extends SparkSpec {
     }
   }
 
+  test("applyRelease: suppression bites and the released sums are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val day = Privacy.UsPerDay
+    // class "big": k=6 distinct users, uniform band mix (t=0) → releasable
+    // class "small": k=2 (fails k AND l) → suppressed
+    val ev = ((1 to 6).map(u => ("big", day + u, u.toLong, 5.0 + (u % 3) * 10)) ++
+      Seq(("small", day + 1L, 100L, 5.0), ("small", day + 2L, 101L, 15.0)))
+      .toDF("event_type", "ts_us", "user_id", "value")
+    val rep = Privacy.releaseReportOf(ev).collect()
+      .map(r => r.getString(0) -> r.getBoolean(8)).toMap
+    val got = Privacy.applyReleaseOf(ev).collect()
+    // the extract contains exactly the releasable classes
+    assert(got.map(_.getString(0)).toSet === rep.filter(_._2).keySet)
+    assert(!got.map(_.getString(0)).contains("small"), "suppressed class leaked")
+    got.filter(_.getString(0) == "big").foreach { r =>
+      assert(r.getLong(2) === 6L) // k
+      assert(r.getLong(3) === 6L) // l
+      // exact cents: 6 values of 5/15/25 dollars, 2 each
+      assert(r.getLong(4) === 2L * (500L + 1500L + 2500L))
+    }
+    // on the real corpus the extract is the releasable subset of #292
+    val repReal = Privacy.releaseReport(spark, sf).collect()
+      .count(_.getBoolean(8))
+    assert(Privacy.applyRelease(spark, sf).count() === repReal.toLong)
+  }
+
   test("fsWeights: one row per signal, consistent pair algebra") {
     val rows = Linkage.fsWeights(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ===
