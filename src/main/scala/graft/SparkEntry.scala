@@ -36,6 +36,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => MinHashLSH.nearDupPairs(s, d)),
     "dedup_components" -> ((s, d) => MinHashLSH.nearDupComponents(s, d)),
     "dedup_simhash" -> ((s, d) => SimHash.nearDupPairs(s, d)),
+    "dedup_simhash_profile" -> ((s, d) => SimHash.hammingProfile(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "dedup_embedding_summary" -> ((s, d) => Similarity.nearDupSummary(s, d)),
     // LLM-pipeline: similarity search
@@ -304,6 +305,34 @@ object SparkEntry {
   /** events with µs event time (DuckDB reads the ns parquet at µs). */
   private val EV =
     "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events"
+
+  /** SimHash signatures → capped byte-band candidates with exact
+    * Hamming distance — mirrors SimHash.signatures + candidateHamming;
+    * shared by the accept-gated query and the tuning profile so the
+    * two can never drift. Expects `sh` in scope; exposes
+    * `shcand(d1, d2, hd)`. */
+  private def SIMHASH_CAND_CTES: String =
+    s"""th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
+       |bits AS (
+       |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th, generate_series(0,63) b(b) GROUP BY doc_id, b.b
+       |),
+       |simh AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, simhash, band, byte FROM (
+       |    SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte,
+       |      count(*) OVER (PARTITION BY g.g, (simhash >> (8*g.g)) & 255) AS bsz
+       |    FROM simh, generate_series(0,7) g(g))
+       |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
+       |),
+       |shcand AS (
+       |  SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM (
+       |    SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2
+       |    FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |)""".stripMargin
 
   /** Deterministic per-type KMV bottom-k value sample (hash → dedup →
     * bottom-k → sorted values) — mirrors Sketches.kmvQuantiles's
@@ -1462,28 +1491,30 @@ object SparkEntry {
 
     "dedup_simhash" ->
       s"""WITH $SH_CTE,
-         |th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
-         |bits AS (
-         |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM th, generate_series(0,63) b(b) GROUP BY doc_id, b.b
-         |),
-         |simh AS (
-         |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id
-         |),
-         |bands AS (
-         |  SELECT doc_id, simhash, band, byte FROM (
-         |    SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte,
-         |      count(*) OVER (PARTITION BY g.g, (simhash >> (8*g.g)) & 255) AS bsz
-         |    FROM simh, generate_series(0,7) g(g))
-         |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
-         |),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
-         |)
-         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM cand
-         |WHERE bit_count(xor(s1, s2)) <= 4 ORDER BY d1, d2""".stripMargin,
+         |$SIMHASH_CAND_CTES
+         |SELECT d1, d2, hd FROM shcand
+         |WHERE hd <= ${graft.operators.SimHash.HammingMax} ORDER BY d1, d2""".stripMargin,
+
+    // HammingMax tuning curve over the unfiltered byte-band candidates
+    // — mirrors SimHash.hammingProfile (the simhash twin of #175)
+    "dedup_simhash_profile" ->
+      s"""WITH $SH_CTE,
+         |$SIMHASH_CAND_CTES,
+         |hist AS (SELECT hd, CAST(count(*) AS BIGINT) AS n_pairs
+         |         FROM shcand GROUP BY 1),
+         |dmin AS (SELECT hd, CAST(count(*) AS BIGINT) AS n_docs_min FROM (
+         |    SELECT doc_id, min(hd) AS hd FROM (
+         |      SELECT d1 AS doc_id, hd FROM shcand
+         |      UNION ALL SELECT d2, hd FROM shcand)
+         |    GROUP BY 1)
+         |  GROUP BY 1)
+         |SELECT hd, n_pairs,
+         |  CAST(sum(n_pairs) OVER w AS BIGINT) AS pairs_at_h,
+         |  coalesce(n_docs_min, 0) AS n_docs_min,
+         |  CAST(sum(coalesce(n_docs_min, 0)) OVER w AS BIGINT) AS docs_at_h
+         |FROM hist LEFT JOIN dmin USING (hd)
+         |WINDOW w AS (ORDER BY hd ROWS UNBOUNDED PRECEDING)
+         |ORDER BY hd""".stripMargin,
 
     // staged dedup funnel — mirrors Curation.dedupCascade: exact
     // keep-min, then greedy drop-the-larger-id over the shared MinHash

@@ -60,23 +60,65 @@ object SimHash {
     * frame — the seam a fused signature kernel (ByteSimHash) plugs into
     * without touching the proven candidate-generation code. */
   def nearDupPairsOfSignatures(sig: DataFrame,
-                               maxBucket: Int = MinHashLSH.MaxBucketSize): DataFrame = {
+                               maxBucket: Int = MinHashLSH.MaxBucketSize): DataFrame =
+    candidateHamming(sig, maxBucket)
+      .filter(col("hd") <= HammingMax)
+      .select("d1", "d2", "hd")
+      .orderBy("d1", "d2")
+
+  /** Every byte-band candidate pair with its EXACT Hamming distance —
+    * the unfiltered frame [[nearDupPairsOfSignatures]] gates at
+    * [[HammingMax]] and [[hammingProfile]] histograms whole (the
+    * snCandidatesOf discipline: rejected candidates are the tuning
+    * panel's data). */
+  private[operators] def candidateHamming(sig: DataFrame,
+                                          maxBucket: Int): DataFrame = {
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "byte")
     val bands = sig.withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
       .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
       .withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("x.simhash").as("s1"),
               col("y.doc_id").as("d2"), col("y.simhash").as("s2"))
       .distinct()
-    cand
       .withColumn("hd", expr("cast(bit_count(s1 ^ s2) as bigint)"))
-      .filter(col("hd") <= HammingMax)
+  }
+
+  /** `dedup_simhash_profile`: the HammingMax tuning curve — the simhash
+    * twin of #175's Jaccard threshold curve: over the SAME byte-band
+    * candidates the accept gate sees, per observed Hamming distance:
+    * pairs at that distance, pairs a threshold ≤ h would accept
+    * (cumulative), docs whose NEAREST candidate sits at that distance,
+    * and docs a threshold ≤ h would flag (cumulative of the per-doc
+    * min — never a per-band sum, which double-counts). Reading: accept
+    * up to the distance where pairs_at_h stops cliff-diving; beyond it
+    * is bit-noise. Candidates are the capped byte-band join (linear by
+    * construction); both cumulative windows run over ≤ 65 aggregate
+    * rows. */
+  def hammingProfile(spark: SparkSession, dir: String,
+                     maxBucket: Int = MinHashLSH.MaxBucketSize): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hd")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cand = candidateHamming(
+        signatures(DocDedup.docShingles(spark, dir)), maxBucket)
       .select("d1", "d2", "hd")
-      .orderBy("d1", "d2")
+      .localCheckpoint(true) // feeds both histograms; one candidate pass
+    val hist = cand.groupBy("hd").agg(count(lit(1)).as("n_pairs"))
+    val docMin = cand
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"), col("hd"))
+      .groupBy("doc_id").agg(min("hd").as("hd"))
+      .groupBy("hd").agg(count(lit(1)).as("n_docs_min"))
+    hist.join(docMin, Seq("hd"), "left")
+      .withColumn("n_docs_min", coalesce(col("n_docs_min"), lit(0L)))
+      .select(col("hd"), col("n_pairs"),
+        sum("n_pairs").over(w).as("pairs_at_h"),
+        col("n_docs_min"),
+        sum("n_docs_min").over(w).as("docs_at_h"))
+      .orderBy("hd")
   }
 }

@@ -219,6 +219,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simhash hamming profile: cumulative algebra and gate consistency") {
+    val prof = SimHash.hammingProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(prof.nonEmpty)
+    // cumulative columns are exact running sums over ascending hd
+    var (cp, cd) = (0L, 0L)
+    prof.sortBy(_._1).foreach { case (_, np, pAt, ndm, dAt) =>
+      cp += np; cd += ndm
+      assert(pAt === cp && dAt === cd)
+    }
+    // the accept gate's pair count reads straight off the curve
+    val accepted = SimHash.nearDupPairs(spark, sf).count()
+    val atGate = prof.filter(_._1 <= SimHash.HammingMax).map(_._2).sum
+    assert(atGate === accepted)
+    // the profile covers MORE than the gate (rejected candidates exist)
+    assert(prof.map(_._2).sum > accepted)
+  }
+
   test("multi-probe LSH recall@5 is at least single-bucket recall") {
     def pr(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "vec_id").collect()
