@@ -500,13 +500,26 @@ class PlanQualitySpec extends SparkSpec {
     // shape of the grouped `percentile` aggregate; every quantile
     // panel must ride the range-partitioned Ranking.groupedQuantiles
     Seq("events_anomalies", "lineitem_quantiles",
-        "orders_fulfillment_lag", "docs_source_quantiles").foreach { q =>
+        "orders_fulfillment_lag", "docs_source_quantiles",
+        "orders_repeat_interval", "events_kmv_accuracy").foreach { q =>
       val p = plan(q)
       assert(p.contains("GlobalRank"),
         s"$q must use the range-partitioned native rank")
       assert(!p.contains("percentile"),
         s"$q must not fall back to the buffering percentile aggregate")
       assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("round-12 panels: no cartesian anywhere") {
+    // burstiness/type-drift/novelty/originality/simhash-profile roll
+    // up through uniform keyed shuffles (their cumulative windows run
+    // over ≤65-row aggregates — the documented exemption); the linkage
+    // scorer's only unkeyed join is the 1-row weight broadcast
+    Seq("events_burstiness", "events_type_drift", "corpus_ingest_novelty",
+        "source_originality", "dedup_simhash_profile",
+        "linkage_score_pairs").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
     }
   }
 
