@@ -250,6 +250,7 @@ object SparkEntry {
     // round 11 continuation: spectral tier, privacy triad completion,
     // Fellegi–Sunter linkage calibration
     "embeddings_covariance" -> ((s, d) => graft.operators.Spectral.covariance(s, d)),
+    "embeddings_snapshot_drift" -> ((s, d) => graft.operators.Spectral.snapshotDrift(s, d)),
     "privacy_t_closeness" -> ((s, d) => graft.operators.Privacy.tCloseness(s, d)),
     "linkage_fs_weights" -> ((s, d) => graft.operators.Linkage.fsWeights(s, d)),
     "linkage_pattern_precision" -> ((s, d) => graft.operators.Linkage.patternPrecision(s, d)),
@@ -5365,6 +5366,24 @@ object SparkEntry {
          |       FROM ee JOIN comp c ON c.doc_id = ee.d1 GROUP BY 1)
          |SELECT entity_id, n_docs, n_sources, e_lsh_only, e_sn_only, e_both
          |FROM ns JOIN es USING (entity_id) ORDER BY entity_id""".stripMargin,
+
+    // per-dim centroid drift between the even/odd snapshot halves —
+    // mirrors Spectral.snapshotDrift (shifted halfUp centroids, shift
+    // cancelling exactly in the difference)
+    "embeddings_snapshot_drift" -> {
+      val K = graft.operators.Spectral.CentShift
+      s"""WITH $EMB_U3_CTE,
+         |h AS (SELECT (vec_id % 2 = 0) AS is_a, i,
+         |        CAST(count(*) AS BIGINT) AS n, CAST(sum(u3) AS BIGINT) AS s
+         |      FROM embu3 GROUP BY 1, 2),
+         |a AS (SELECT i, n AS n_a, s AS s_a FROM h WHERE is_a),
+         |b AS (SELECT i, n AS n_b, s AS s_b FROM h WHERE NOT is_a)
+         |SELECT i, n_a, n_b, s_a, s_b,
+         |  CAST(((s_a + $K * n_a) * 1000 + n_a // 2) // n_a
+         |     - ((s_b + $K * n_b) * 1000 + n_b // 2) // n_b AS BIGINT)
+         |    AS delta_micro
+         |FROM a JOIN b USING (i) ORDER BY i""".stripMargin
+    },
 
     // per-label cluster geometry off the u3-quantized grouped moments —
     // mirrors Spectral.labelScatter (shifted halfUp centroids so every

@@ -162,6 +162,43 @@ object Spectral {
     * real embedding scale. */
   val CentShift = 1000000L
 
+  /** `embeddings_snapshot_drift`: per-dimension mean drift between the
+    * two snapshot halves (even vs odd vec_id — the established
+    * split-half convention of appendedRecall/holdout): per dim, the
+    * half sizes, exact integer u3 sums and the micro-u3 centroid delta
+    * (shifted halfUp per the [[CentShift]] discipline, shift cancelling
+    * exactly in the difference). The encoder-drift panel a re-train
+    * gate reads: a handful of dims with large |delta| means the encoder
+    * moved those channels between snapshots — exactly the drift the
+    * frozen-quantizer index lifecycle (#300) re-trains on.
+    *
+    * Shape: ONE grouped GramSumAgg pass (2 mergeable moment buffers,
+    * O(d²) longs total), pivoted to a single row, exploded driver-free
+    * into the d output rows. No join, no vector-row shuffle. */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Dim
+    val byHalf = Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 2 === 0).as("is_a"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * 1000d).cast("long")).as("u"))
+      .groupBy("is_a")
+      .agg(graft.plans.GramSumAggFunctions.gramSumAgg(col("u"), d).as("g"))
+    def cent(buf: String, i: String, n: String) =
+      s"((($buf[1 + $i] + ${CentShift}L * ($n)) * 1000 + ($n) div 2) div ($n))"
+    byHalf
+      .agg(first(when(col("is_a"), col("g")), ignoreNulls = true).as("ga"),
+        first(when(!col("is_a"), col("g")), ignoreNulls = true).as("gb"))
+      .select(explode(expr(
+        s"""transform(sequence(0, ${d - 1}), i -> struct(
+           |  cast(i as bigint) as i,
+           |  ga[0] as n_a, gb[0] as n_b,
+           |  ga[1 + i] as s_a, gb[1 + i] as s_b,
+           |  ${cent("ga", "i", "ga[0]")} - ${cent("gb", "i", "gb[0]")}
+           |    as delta_micro))""".stripMargin)).as("r"))
+      .select("r.*")
+      .orderBy("i")
+  }
+
   /** #269 `embeddings_outliers`: the top-k vectors by exact squared
     * distance to the global quantized centroid — the "broken vector"
     * audit (all-zero rows, mis-scaled batches and encoder NaN-fills

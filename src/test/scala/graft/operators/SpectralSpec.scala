@@ -251,6 +251,32 @@ class SpectralSpec extends SparkSpec {
     assert(w > 0, "whiten must have collected the moment rows")
   }
 
+  test("snapshotDrift matches the exact shifted-centroid model") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray))
+    val K = Spectral.CentShift
+    def cent(half: Array[(Long, Array[Long])], i: Int): Long = {
+      val n = half.length.toLong
+      val s = half.map(_._2(i)).sum
+      ((s + K * n) * 1000 + n / 2) / n
+    }
+    val (a, b) = vecs.partition(_._1 % 2 == 0)
+    val got = Spectral.snapshotDrift(spark, sf).collect()
+    assert(got.length === d)
+    got.foreach { r =>
+      val i = r.getLong(0).toInt
+      assert(r.getLong(1) === a.length.toLong && r.getLong(2) === b.length.toLong)
+      assert(r.getLong(3) === a.map(_._2(i)).sum, s"s_a dim $i")
+      assert(r.getLong(4) === b.map(_._2(i)).sum, s"s_b dim $i")
+      assert(r.getLong(5) === cent(a, i) - cent(b, i), s"delta dim $i")
+    }
+    // the plan is one grouped moment pass — no per-row dim explode
+    val p = Spectral.snapshotDrift(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("gram_sum"), p.take(400))
+  }
+
   test("power iteration is deterministic") {
     val m = Array(Array(4.0, 1.0), Array(1.0, 3.0))
     val (l1, v1) = Spectral.powerIterate(m, 100)
