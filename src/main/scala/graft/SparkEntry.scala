@@ -97,14 +97,28 @@ object SparkEntry {
     "events_distinct_hour" -> ((s, d) => Analytics.distinctUsersHour(s, d)),
     "events_rollup" -> ((s, d) => Analytics.eventsRollup(s, d)),
     "events_cube" -> ((s, d) => Analytics.eventsCube(s, d)),
-    // HLL++ sketch (built-in approx_count_distinct) — approximation has
-    // no cross-engine oracle; driver records a rows-only check.
-    "events_approx_users" -> ((s, d) =>
+    // HLL++ sketch (built-in approx_count_distinct) — the ESTIMATE is
+    // Spark-internal (no cross-engine reproduction, unlike the KMV/theta
+    // sketches), so the typed oracle gates its ACCURACY CONTRACT
+    // instead: per hour, the exact distinct count plus a boolean
+    // pinning |est − exact| ≤ max(3, 3·rsd·exact) (rsd 0.05; the
+    // absolute floor covers tiny buckets where relative bounds are
+    // vacuous — DedupSpec's measured bound, max abs err 3 at sf0.01).
+    // The oracle computes the exact side and asserts the bound held,
+    // turning the one rows-only row into a full hash check.
+    "events_approx_users" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
       Dedup.eventsUs(s, d)
-        .withColumn("hour_bucket", org.apache.spark.sql.functions.expr("ts_us div 3600000000L"))
+        .withColumn("hour_bucket", expr("ts_us div 3600000000L"))
         .groupBy("hour_bucket")
-        .agg(org.apache.spark.sql.functions.approx_count_distinct("user_id").as("approx_users"))
-        .orderBy("hour_bucket")),
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          countDistinct("user_id").as("exact_users"))
+        .select(col("hour_bucket"), col("exact_users"),
+          (abs(col("approx_users").cast("double") - col("exact_users").cast("double"))
+            <= greatest(lit(3.0), lit(0.15) * col("exact_users").cast("double")))
+            .as("within_bound"))
+        .orderBy("hour_bucket")
+    }),
     "events_asof_signup" -> ((s, d) => AsOfJoin.eventsAsOfSignup(s, d)),
     "events_session_lookup" -> ((s, d) => graft.operators.RangeJoin.eventsSessionLookup(s, d)),
     "events_salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
@@ -2521,6 +2535,18 @@ object SparkEntry {
          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
          |  COUNT(*) AS n_events
          |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the HLL++ accuracy gate: exact per-hour distincts, asserting the
+    // engine-side |est − exact| ≤ max(3, 3·rsd·exact) bound held
+    // everywhere — a Spark estimate drifting out of its rsd contract
+    // flips the boolean and fails the hash (the estimate itself is
+    // Spark-internal and cannot appear in a cross-engine output)
+    "events_approx_users" ->
+      s"""WITH ev AS ($EV)
+         |SELECT ts_us // 3600000000 AS hour_bucket,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         |  TRUE AS within_bound
+         |FROM ev GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
 
     // moving average exported as its exact (sum, count) integer pair —
     // a repeating-decimal double ratio is the one thing two engines

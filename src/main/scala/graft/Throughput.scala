@@ -69,21 +69,34 @@ object Throughput {
       .as[(Long, Long, Long, String, Double, String, Long)]
       .collect().toSeq
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_TPUT_BATCHES", "10").toInt
-    results("stream_chain") = (bestOf2 { () =>
+    // shared micro-batch harness: feed `rows` in nBatches chunks through
+    // a memory source into `build`'s streaming frame, drain each batch
+    def runStream(build: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_]): Unit = {
       implicit val sq = spark.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, Long, String, Double, String, Long)]
-      val out = graft.streaming.StreamDedup.chain(spark,
-        mem.toDF().toDF("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest"),
-        3600L * 1000000L)
+      val out = build(mem.toDF()
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest"))
       val name = s"tput_${System.nanoTime()}"
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
       try rows.grouped(math.max(1, rows.size / nBatches)).foreach { chunk =>
         mem.addData(chunk); q.processAllAvailable()
       } finally q.stop()
-      ()
-    }, nRows)
+    }
+    // breakdown ladder (same harness, same rows, same batch count):
+    //  stream_noop           = micro-batch machinery only (stateless select)
+    //  stream_fmgws_passthru = + digest shuffle + typed encode/decode +
+    //                          state-store write (dedup decision removed)
+    //  stream_chain          = + the chain logic itself
+    results("stream_noop") =
+      (bestOf2(() => runStream(df => df.select("event_id", "ts_us", "digest"))), nRows)
+    results("stream_fmgws_passthru") =
+      (bestOf2(() => runStream(df =>
+        graft.streaming.StreamDedup.chainPassthrough(spark, df))), nRows)
+    results("stream_chain") = (bestOf2(() => runStream(df =>
+      graft.streaming.StreamDedup.chain(spark, df, 3600L * 1000000L))), nRows)
 
     val qs = results.map { case (k, (s, n)) =>
       val rps = if (s > 0) (n / s).toLong else -1L

@@ -41,11 +41,21 @@ object Linkage {
     * marginal subtraction), plus the m/u odds ratio4 that IS the
     * Fellegi–Sunter weight (log-free: the rational stays
     * cross-engine-exact; consumers take logs at display time). */
-  def fsWeights(spark: SparkSession, dir: String): DataFrame = {
+  def fsWeights(spark: SparkSession, dir: String): DataFrame =
+    fsWeightsOf(
+      Tables.documents(spark, dir)
+        .select("doc_id", "source", "lang", "n_chars", "text")
+        .spread,
+      MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2"))
+
+  /** [[fsWeights]] over an explicit (docs, verified-match-pair) input —
+    * the shared core that lets [[scorePairs]] derive the match class
+    * from its OWN checkpointed candidate frame
+    * (candidateJaccard.filter(j ≥ τ) ≡ the verified pair set by
+    * construction) instead of re-running the MinHash
+    * shingle/candidate/verify chain a second time per invocation. */
+  def fsWeightsOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
     import graft.functions.Hashing.{halfUpDiv, intDiv, ratio4}
-    val docs = Tables.documents(spark, dir)
-      .select("doc_id", "source", "lang", "n_chars", "text")
-      .spread
     val sig = docs.select(col("doc_id"), expr(
       s"""stack(4,
          |  'same_source', source,
@@ -62,7 +72,6 @@ object Linkage {
     val n = docs.count()
     val allPairs = n * (n - 1L) / 2L
     // m side: agreement over the edge-sized verified match list
-    val pairs = MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2")
     val matchAgg = pairs
       .join(sig.as("a"), col("d1") === col("a.doc_id"))
       .join(sig.as("b"),
@@ -170,9 +179,16 @@ object Linkage {
         intDivCol(col("n_chars"), LenBandChars).as("len_band"),
         lower(substring(trim(col("text")), 1, PrefixChars)).as("prefix"))
       .localCheckpoint()
+    // ONE MinHash shingle/candidate/verify pass per invocation: the
+    // unfiltered candidate frame is checkpointed and feeds BOTH the
+    // provenance merge (lsh_ok) and the fsWeights match class (its
+    // τ-accepted subset ≡ nearDupPairs by construction) — previously
+    // the chain ran twice (once inside fsWeights, once here)
+    val cj = MinHashLSH.candidateJaccard(docs.select("doc_id", "text"))
+      .localCheckpoint()
     // the 4-row calibration pivoted to one broadcastable row of exact
     // int64 weights (weight4's pre-divide fixed-point numerator)
-    val w = fsWeights(spark, dir)
+    val w = fsWeightsOf(docs, cj.filter(col("jaccard") >= 0.5).select("d1", "d2"))
       .select(col("signal"),
         halfUpDiv(col("m_ppm") * 10000L, greatest(col("u_ppm"), lit(1L)))
           .as("wgt"))
@@ -182,7 +198,7 @@ object Linkage {
       .agg(first("wgt"))
       .select(col("same_source").as("w_source"), col("same_lang").as("w_lang"),
         col("same_len_band").as("w_len"), col("same_prefix").as("w_prefix"))
-    val lshC = MinHashLSH.candidateJaccard(docs.select("doc_id", "text"))
+    val lshC = cj
       .select(col("d1"), col("d2"), (col("jaccard") >= 0.5).as("lsh_ok"))
     val snC = Blocking.snCandidatesOf(docs.select("doc_id", "text"))
       .select(least(col("d1"), col("d2")).as("d1"),

@@ -61,7 +61,11 @@ object Ranking {
     require(ps.nonEmpty, "need at least one quantile position")
     val gcols = groupCols.map(col)
     val sort = (gcols :+ col(valueCol)) ++ sortTie.map(col)
-    val ranked = nativeRank(df, sort, None, "_grn")
+    // checkpoint: the ranked frame feeds BOTH the stats aggregate and
+    // the position-hit join, and two GlobalRank subtrees don't
+    // exchange-reuse (Blocking.scala's measured note) — without this
+    // the full range-partitioned sort pass runs twice per call
+    val ranked = nativeRank(df, sort, None, "_grn").localCheckpoint()
     val stats = ranked.groupBy(gcols: _*)
       .agg(min("_grn").as("_gstart"), count(lit(1)).as("_gn"))
     val positions = stats
@@ -103,7 +107,9 @@ object Ranking {
     require(ps.nonEmpty, "need at least one quantile position")
     val gcols = groupCols.map(col)
     val sort = (gcols :+ col(valueCol)) ++ sortTie.map(col)
-    val ranked = nativeRank(df, sort, None, "_grn")
+    // same double-consumer shape as groupedQuantiles: checkpoint so the
+    // global sort pass runs once, not once per subtree
+    val ranked = nativeRank(df, sort, None, "_grn").localCheckpoint()
     val stats = ranked.groupBy(gcols: _*)
       .agg(min("_grn").as("_gstart"), count(lit(1)).as("_gn"))
     val positions = stats

@@ -4,11 +4,12 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge.{column, expression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Random-hyperplane LSH band buckets as one fused expression.
   *
@@ -40,6 +41,16 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
+
+  /** Only float/double vectors project meaningfully: an array<int>/
+    * array<long> child (e.g. an unconverted frame) would otherwise be
+    * read through getFloat and yield garbage buckets SILENTLY — fail
+    * analysis instead (the WhitenProject discipline). */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets requires array<float> or array<double> input, got ${other.sql}")
+  }
 
   /** signs(p)(j) = ±1.0, derived once from md5 — not per row. */
   @transient private lazy val signs: Array[Array[Double]] = {

@@ -120,6 +120,28 @@ object StreamDedup {
     }
   }
 
+  /** Dev-only (Throughput breakdown): `chain`'s exact grouping + state
+    * machinery with the dedup DECISION removed — every row is emitted
+    * and the per-digest state write still happens. The ladder
+    * (stateless noop → this → chain) decomposes the streaming tax:
+    * noop = micro-batch machinery; (this − noop) = the digest shuffle
+    * + typed encode/decode + state-store write; (chain − this) = the
+    * chain logic itself (sort + greedy scan), which batch measurements
+    * show is nearly free. */
+  def chainPassthrough(spark: SparkSession, df: DataFrame): Dataset[Msg] = {
+    import spark.implicits._
+    val ds = withEventTime(
+      df.select("event_id", "ts_us", "user_id", "event_type", "value", "props", "digest"))
+      .as[Msg]
+    ds.groupByKey(_.digest)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Msg], state: GroupState[DigestState]) =>
+          val seq = rows.toSeq
+          seq.lastOption.foreach(m => state.update(DigestState(m.ts_us)))
+          seq.iterator
+      }
+  }
+
   /** `chain`, but emitting EVERY row tagged kept/dropped instead of
     * filtering — the stream observability form. Downstream splits into
     * the forwarded stream (`filter(kept)`, then Origin.withOriginProp)

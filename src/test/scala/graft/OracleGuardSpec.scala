@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
 class OracleGuardSpec extends SparkSpec {
 
   test("every registered query has an oracle or a documented rows-only exemption") {
-    // rows-only by design: HLL++ is not replayable cross-engine (its
-    // error BOUND is spec-pinned instead — DedupSpec hll error test)
-    val exempt = Set("events_approx_users")
+    // empty since round 13: events_approx_users (the last rows-only
+    // row) now ships a typed error-bound oracle — the HLL++ estimate
+    // is gated engine-side against exact, the oracle asserts the bound
+    val exempt = Set.empty[String]
     // the ctx-ful form is what Verify dumps — guard THAT map (the
     // whitened-LSH oracle exists only with a corpus in hand)
     val oracles = SparkEntry.oracleSqlFor(Some((spark, sf))).keySet

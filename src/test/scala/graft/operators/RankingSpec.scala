@@ -103,12 +103,16 @@ class RankingSpec extends SparkSpec {
       .agg(expr("percentile(cents, 0.5D)").as("m")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got2 === want2)
-    // the plan stays on the native rank — no per-group buffering agg,
+    // the ranked frame is checkpointed (the global sort pass runs ONCE,
+    // not once per consuming subtree), so the outer plan reads the
+    // materialized rank output — and still no per-group buffering agg,
     // no single-partition window
     val plan = Ranking.groupedQuantiles(li, Seq("l_returnflag"), "l_quantity",
       Seq("l_orderkey", "l_linenumber"), ps)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("GlobalRank"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("GlobalRank"), "ranked frame not checkpointed: " +
+      "the global sort subtree would run once per consumer")
     assert(!plan.contains("percentile"))
   }
 
@@ -130,10 +134,13 @@ class RankingSpec extends SparkSpec {
         assert(got((t, p)) === vs((pos - 1).toInt), s"$t p=$p")
       }
     }
-    // same scale posture as groupedQuantiles: native rank, no buffering
+    // same scale posture as groupedQuantiles: one checkpointed native
+    // rank pass feeding both consumers, no buffering
     val plan = Ranking.groupedPositional(ev, Seq("event_type"), "cents",
       Seq("event_id"), Seq(0.5)).queryExecution.executedPlan.toString
-    assert(plan.contains("GlobalRank"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("GlobalRank"), "ranked frame not checkpointed: " +
+      "the global sort subtree would run once per consumer")
     assert(!plan.contains("percentile"))
   }
 

@@ -122,9 +122,15 @@ def main(sf_dir, out_dir):
         print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only by design, {n} rows)")
         results[name] = {"pass": ok, "rows_only": True, "rows": n}
         n_rows_only += 1
-        if not ok:
+        # rows-only passes COUNT in n_pass (flagged by rows_only in the
+        # per-query record) — the committed CORRECTNESS_sf1.json format;
+        # previously they were counted in neither total, so a
+        # regenerated artifact showed a spurious n_pass drop.
+        if ok:
+            n_pass += 1
+        else:
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    print(f"== {n_pass} pass ({n_rows_only} rows-only), {n_fail} fail ==")
     # Optional machine-readable artifact (COMPARE_JSON_OUT=<path>):
     # query -> pass/rows|detail, plus the run header — the committed
     # evidence format for off-driver replays (e.g. native sf1).
@@ -132,6 +138,7 @@ def main(sf_dir, out_dir):
     if out:
         with open(out, "w") as fh:
             json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "n_rows_only": n_rows_only,
                        "skipped": sorted(skip), "queries": results},
                       fh, indent=1, sort_keys=True)
         print(f"json -> {out}")
