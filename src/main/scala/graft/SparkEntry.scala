@@ -307,6 +307,13 @@ object SparkEntry {
       ((s, d) => graft.operators.QualityModels.calibrationCurve(s, d)),
     "privacy_release_report" ->
       ((s, d) => graft.operators.Privacy.releaseReport(s, d)),
+    // round 13 wave 1: association rules, behavioral concentration,
+    // q9-style product revenue
+    "orders_assoc_rules" ->
+      ((s, d) => graft.operators.Analytics6.assocRules(s, d)),
+    "events_user_predictability" ->
+      ((s, d) => graft.operators.Analytics6.userPredictability(s, d)),
+    "q9_product_revenue" -> ((s, d) => Analytics2.q9(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1007,6 +1014,25 @@ object SparkEntry {
        |  AND ll.day = tfin.day
        |ORDER BY event_type, day""".stripMargin
   }
+
+  /** Shared market-basket CTE stack (items → n/supp → capped pairs →
+    * the lift-annotated survivor frame `e`) — one definition, two
+    * consumers (orders_basket_pairs and orders_assoc_rules), so the
+    * pair grain and the rule grain can never drift. */
+  private def BASKET_CTES: String =
+    s"""items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+       |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS supp
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |f AS (SELECT * FROM pairs
+       |      WHERE supp >= ${graft.operators.Analytics6.BasketMinSupport}),
+       |e AS (
+       |  SELECT p1, p2, supp, sa.s AS s1, sb.s AS s2,
+       |    ${ratio4Sql("supp * n.n_orders", "sa.s * sb.s")} AS lift4
+       |  FROM f JOIN supp sa ON sa.p = f.p1 JOIN supp sb ON sb.p = f.p2
+       |  CROSS JOIN n)""".stripMargin
 
   /** DuckDB twin of graft.functions.Hashing.ratio4: ROUND(num/den, 4)
     * computed HALF_UP on the exact rational in integer arithmetic —
@@ -2201,6 +2227,19 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q9-style product revenue (no partsupp in the corpus, so the
+    // supplycost term is out of reach by data contract — revenue half)
+    "q9_product_revenue" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  ${moneySum(DISC_PRICE)} AS revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q13_order_dist" ->
       s"""SELECT c_count, COUNT(*) AS custdist FROM (
@@ -5030,6 +5069,25 @@ object SparkEntry {
          |  ${ratio4Sql("vocab", "greatest(n_tokens, 1)")} AS ttr4
          |FROM a ORDER BY source""".stripMargin,
 
+    // per-user behavioral Simpson concentration, banded — mirrors
+    // Analytics6.userPredictability (band floors the exact 1e-4
+    // integer numerator, never a double quotient)
+    "events_user_predictability" ->
+      s"""WITH ev AS ($EV),
+         |tf AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+         |       FROM ev GROUP BY 1, 2),
+         |per AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         |          CAST(count(*) AS BIGINT) AS k,
+         |          CAST(sum(c * (c - 1)) AS BIGINT) AS s2
+         |        FROM tf GROUP BY 1),
+         |sp AS (SELECT user_id, n, k,
+         |         ${halfUpSql("s2 * 10000", "greatest(n * (n - 1), 1)")} AS r4
+         |       FROM per)
+         |SELECT r4 // 500 AS band, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(sum(k) AS BIGINT) AS sum_types
+         |FROM sp GROUP BY 1 ORDER BY band""".stripMargin,
+
     // duplicated-span coverage — mirrors Spans.dupSpanCoverage
     "docs_dup_span_coverage" ->
       s"""WITH toks AS (SELECT doc_id, source, $TOKS AS t FROM documents),
@@ -5151,21 +5209,25 @@ object SparkEntry {
          |  CAST(num AS DOUBLE) / CAST(greatest(den, 1) AS DOUBLE) AS acf
          |FROM p JOIN den USING (event_type) ORDER BY event_type, lag_h""".stripMargin,
 
-    // market-basket pair lift — mirrors Analytics6.basketPairs
+    // market-basket pair lift — mirrors Analytics6.basketPairs (shared
+    // BASKET_CTES: one definition, two consumers — assoc rules reuse it)
     "orders_basket_pairs" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
-         |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
-         |pairs AS MATERIALIZED (
-         |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS supp
-         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-         |f AS (SELECT * FROM pairs
-         |      WHERE supp >= ${graft.operators.Analytics6.BasketMinSupport})
-         |SELECT p1, p2, supp, sa.s AS s1, sb.s AS s2,
-         |  ${ratio4Sql("supp * n.n_orders", "sa.s * sb.s")} AS lift4
-         |FROM f JOIN supp sa ON sa.p = f.p1 JOIN supp sb ON sb.p = f.p2
-         |CROSS JOIN n
-         |ORDER BY p1, p2""".stripMargin,
+      s"""WITH $BASKET_CTES
+         |SELECT p1, p2, supp, s1, s2, lift4
+         |FROM e ORDER BY p1, p2""".stripMargin,
+
+    // directional association rules — mirrors Analytics6.assocRules
+    // (both directions of every surviving pair; confidence is the
+    // exact HALF_UP rational supp(a,b)/supp(a))
+    "orders_assoc_rules" ->
+      s"""WITH $BASKET_CTES,
+         |r AS (
+         |  SELECT p1 AS ante, p2 AS cons, supp, s1 AS s_ante, lift4 FROM e
+         |  UNION ALL
+         |  SELECT p2 AS ante, p1 AS cons, supp, s2 AS s_ante, lift4 FROM e)
+         |SELECT ante, cons, supp, s_ante,
+         |  ${ratio4Sql("supp", "greatest(s_ante, 1)")} AS conf4, lift4
+         |FROM r ORDER BY ante, cons""".stripMargin,
 
     // the dataset card — mirrors DatasetCard.card (composes the digest,
     // language-vote and quality-key fragments of the panels it summarizes)

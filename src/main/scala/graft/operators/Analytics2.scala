@@ -42,6 +42,38 @@ object Analytics2 {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Q9-style product revenue: disc-price revenue per (supplier
+    * nation, order year) for one product family (p_name substring
+    * filter — the q9 LIKE '%green%' move on this corpus's color-named
+    * parts). The corpus has NO partsupp table (TESTDATA schema
+    * contract), so q9's ps_supplycost term is out of reach BY DATA
+    * CONTRACT and the panel reports the revenue half of profit —
+    * documented, not approximated.
+    *
+    * Shape: the filtered part key set broadcasts onto the lineitem
+    * scan (the selective filter prunes FIRST, so only family rows
+    * reach the supplier/orders joins); nation broadcasts onto
+    * supplier; output is O(nations × years). */
+  def q9(spark: SparkSession, dir: String, family: String = "red"): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").contains(family)).select("p_partkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_partkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(money2(sum(discPrice)).as("revenue"))
+      .orderBy("nation", "o_year")
+  }
+
   /** Q8-style market share: one nation's share of a region's revenue
     * for one part type, per order year (q14's conditional-ratio shape
     * over the q5 join graph). */

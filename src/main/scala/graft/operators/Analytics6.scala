@@ -239,4 +239,68 @@ object Analytics6 {
         ratio4(col("supp") * col("n_orders"), col("s1") * col("s2")).as("lift4"))
       .orderBy("p1", "p2")
   }
+
+  /** `orders_assoc_rules`: directional association rules over the
+    * basket pair frame — every surviving pair in BOTH directions
+    * antecedent→consequent with exact-rational CONFIDENCE
+    * (supp(a,b)/supp(a) = P(consequent | antecedent), HALF_UP 1e-4)
+    * next to the shared symmetric lift. Confidence is the deployable
+    * half of the association signal (a recommender reads "bought a →
+    * also bought b" off exactly this table, thresholded on conf);
+    * lift says whether the rule beats independence at all. The two
+    * direction rows differ ONLY in confidence — that asymmetry (a
+    * niche part implying a staple, never the reverse) is the point.
+    *
+    * Shape: [[basketPairs]]' own output (support-filtered, edge-sized,
+    * checkpointed so the self-join pipeline runs once), symmetrized by
+    * a union — no new corpus pass, output ≤ 2× the pair frame. */
+  def assocRules(spark: SparkSession, dir: String,
+                 minSupport: Long = BasketMinSupport): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val pairs = basketPairs(spark, dir, minSupport).localCheckpoint()
+    val sym = pairs.select(col("p1").as("ante"), col("p2").as("cons"),
+        col("supp"), col("s1").as("s_ante"), col("lift4"))
+      .unionByName(pairs.select(col("p2").as("ante"), col("p1").as("cons"),
+        col("supp"), col("s2").as("s_ante"), col("lift4")))
+    sym.select(col("ante"), col("cons"), col("supp"), col("s_ante"),
+        ratio4(col("supp"), greatest(col("s_ante"), lit(1L))).as("conf4"),
+        col("lift4"))
+      .orderBy("ante", "cons")
+  }
+
+  /** `events_user_predictability`: the per-user behavioral
+    * concentration histogram — per user, the Simpson concentration of
+    * their event-type distribution (Σ c_t·(c_t−1) / n·(n−1), the
+    * unbiased repeat-probability: "draw two of this user's events —
+    * how likely the same type?"), banded into exact 0.05 steps
+    * (band = simpson4 div 500) and rolled up to users/events per
+    * band. The panel separates single-behavior accounts (band 20 —
+    * scripted pollers, one event type forever) from diverse organic
+    * users (low bands); the bot-regularity panel (#177) reads TIMING,
+    * this reads the type MIX — log-free (the [[CorpusStats
+    * .sourceSimpson]] discipline: entropy needs libm logs two engines
+    * won't agree on; Simpson is exact integer algebra).
+    *
+    * Shape: one (user, type) count groupBy (partial-aggregable), one
+    * O(users) rollup, one ≤21-row band rollup. Users with one event
+    * land in band 0 by the n·(n−1)=0 → 0/1 guard — documented, not
+    * special-cased. */
+  def userPredictability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, intDiv}
+    val tf = Dedup.eventsUs(spark, dir)
+      .select("user_id", "event_type")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val per = tf.groupBy("user_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("k"),
+        sum(col("c") * (col("c") - 1L)).as("s2"))
+      .select(col("user_id"), col("n"), col("k"),
+        // the exact 1e-4 fixed-point numerator (banding must floor the
+        // INTEGER, never a double quotient — the ratio4 discipline)
+        halfUpDiv(col("s2") * 10000L,
+          greatest(col("n") * (col("n") - 1L), lit(1L))).as("r4"))
+    per.groupBy(intDiv(col("r4"), lit(500L)).as("band"))
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"),
+        sum("k").as("sum_types"))
+      .orderBy("band")
+  }
 }
