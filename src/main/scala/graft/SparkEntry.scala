@@ -314,6 +314,13 @@ object SparkEntry {
     "events_user_predictability" ->
       ((s, d) => graft.operators.Analytics6.userPredictability(s, d)),
     "q9_product_revenue" -> ((s, d) => Analytics2.q9(s, d)),
+    // round 13 wave 2: DP release, interval sweep, rank normalization
+    "privacy_dp_counts" ->
+      ((s, d) => graft.operators.Privacy.dpCounts(s, d)),
+    "events_peak_concurrency" ->
+      ((s, d) => graft.operators.Analytics6.peakConcurrency(s, d)),
+    "quality_percentile_normalize" ->
+      ((s, d) => graft.operators.QualitySignals.percentileNormalize(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2543,6 +2550,53 @@ object SparkEntry {
          |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
          |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // interval-sweep peak concurrency over the SAME session CTEs —
+    // mirrors Analytics6.peakConcurrency (starts before ends on ties:
+    // delta DESC, so point sessions register and touching sessions
+    // count as overlapping)
+    "events_peak_concurrency" ->
+      s"""WITH ev AS ($EV),
+         |$SESS_CTE,
+         |sess AS (SELECT user_id, session_idx,
+         |           MIN(ts_us) AS s, MAX(ts_us) AS e
+         |         FROM s2 GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT s AS t, CAST(1 AS BIGINT) AS delta, user_id, session_idx FROM sess
+         |  UNION ALL
+         |  SELECT e, CAST(-1 AS BIGINT), user_id, session_idx FROM sess),
+         |run AS (
+         |  SELECT t, delta, CAST(SUM(delta) OVER (
+         |    ORDER BY t, delta DESC, user_id, session_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+         |  FROM pts)
+         |SELECT t // 86400000000 AS day_bucket,
+         |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+         |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sessions_started
+         |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // discrete-Laplace DP release — mirrors Privacy.dpCounts (the
+    // trailing-ones-of-hash geometric, exact bit arithmetic, no libm)
+    "privacy_dp_counts" ->
+      s"""WITH ev AS ($EV),
+         |cells AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day_bucket,
+         |    CAST(count(*) AS BIGINT) AS true_n
+         |  FROM ev GROUP BY 1, 2),
+         |hz AS (
+         |  SELECT *,
+         |    ${H64("concat('dp1', '|', event_type, '|', CAST(day_bucket AS VARCHAR))")} AS h1,
+         |    ${H64("concat('dp2', '|', event_type, '|', CAST(day_bucket AS VARCHAR))")} AS h2
+         |  FROM cells),
+         |nz AS (
+         |  SELECT event_type, day_bucket, true_n,
+         |    CAST(bit_count(((~h1) & -(~h1)) - 1) AS BIGINT)
+         |      - CAST(bit_count(((~h2) & -(~h2)) - 1) AS BIGINT) AS noise
+         |  FROM hz)
+         |SELECT event_type, day_bucket, true_n, noise,
+         |  greatest(true_n + noise, 0) AS released
+         |FROM nz ORDER BY event_type, day_bucket""".stripMargin,
 
     "topk_per_group" ->
       s"""WITH ev AS ($EV)
@@ -5087,6 +5141,25 @@ object SparkEntry {
          |  CAST(sum(n) AS BIGINT) AS n_events,
          |  CAST(sum(k) AS BIGINT) AS sum_types
          |FROM sp GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // per-source percentile rank of the shared quality key — mirrors
+    // QualitySignals.percentileNormalize (same qKeySql fragment as the
+    // quality histogram / grid panels, so the score cannot drift)
+    "quality_percentile_normalize" ->
+      s"""WITH q AS (SELECT doc_id, source, $TOKS AS toks,
+         |  CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents),
+         |kk AS (SELECT doc_id, source, ${qKeySql(
+             "CAST(len(toks) AS BIGINT)",
+             "CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)",
+             "len_no_ws")} AS qkey FROM q),
+         |r AS (SELECT doc_id, source, qkey,
+         |        CAST(row_number() OVER (PARTITION BY source ORDER BY qkey, doc_id) AS BIGINT) AS rnk,
+         |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS gn
+         |      FROM kk)
+         |SELECT doc_id, source, qkey,
+         |  ${ratio4Sql("rnk - 1", "greatest(gn - 1, 1)")} AS pct4
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // duplicated-span coverage — mirrors Spans.dupSpanCoverage
     "docs_dup_span_coverage" ->

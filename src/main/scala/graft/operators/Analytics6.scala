@@ -303,4 +303,39 @@ object Analytics6 {
         sum("k").as("sum_types"))
       .orderBy("band")
   }
+
+  /** `events_peak_concurrency`: max simultaneous open sessions per day
+    * — the interval-sweep (plus-minus counting) operator capacity
+    * planning reads: every session contributes a +1 point at its start
+    * and a −1 at its end, the running sum over the GLOBAL time order
+    * is the live-session count, and the per-day max of that count is
+    * the peak. Ties order starts BEFORE ends (delta descending), so a
+    * single-event session (start == end) still registers and two
+    * sessions touching at an instant count as overlapping — the
+    * conservative capacity answer.
+    *
+    * Shape: points are 2× the session list (session-sized, never
+    * corpus-sized); the running sum is ONE native range-partitioned
+    * [[Ranking.globalPrefixSum]] pass — never a single-partition
+    * window over the timeline; the day rollup is partial-aggregable.
+    * This is the 100 TB form of the classic sweep line: sorting IS the
+    * shuffle, and everything after it is O(points). */
+  def peakConcurrency(spark: SparkSession, dir: String,
+                      gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val sess = Analytics.sessionize(spark, dir, gapUs)
+      .select("user_id", "session_idx", "start_us", "end_us")
+    val pts = sess.select(col("start_us").as("t"), lit(1L).as("delta"),
+        col("user_id"), col("session_idx"))
+      .unionByName(sess.select(col("end_us").as("t"), lit(-1L).as("delta"),
+        col("user_id"), col("session_idx")))
+    val run = graft.operators.Ranking.globalPrefixSum(pts,
+        Seq(col("t"), col("delta").desc, col("user_id"), col("session_idx")),
+        "delta", "prefix")
+      .withColumn("conc", col("prefix") + col("delta"))
+    run.groupBy(graft.functions.Hashing.intDiv(col("t"), lit(86400000000L))
+        .as("day_bucket"))
+      .agg(max("conc").as("peak_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions_started"))
+      .orderBy("day_bucket")
+  }
 }

@@ -43,6 +43,53 @@ object Privacy {
   def kAnonymity(spark: SparkSession, dir: String): DataFrame =
     kAnonymityOf(Dedup.eventsUs(spark, dir))
 
+  /** `privacy_dp_counts`: differentially-private release of the
+    * per-(event_type, day) count table via the DISCRETE LAPLACE
+    * (two-sided geometric) mechanism at α = 1/2 — ε = ln 2 per unit
+    * sensitivity. Noise is built from EXACT bit arithmetic, no libm:
+    * the trailing-ones count of a uniform hash is Geometric(1/2)
+    * exactly (P(g=k) = 2^-(k+1)), and the difference of two
+    * independent geometrics IS the discrete Laplace with α = 1/2 —
+    * so the mechanism is cross-engine bit-replayable where an inverse-
+    * CDF Laplace (logs) never is. Released value clamps at 0 (the
+    * standard nonnegative post-processing, which DP composition
+    * permits for free).
+    *
+    * Honesty seam (the decode-stub discipline): noise here is SEEDED
+    * from the group key, so the release is deterministic for the
+    * oracle replay and the panel demonstrates the mechanism's shape;
+    * a production release swaps the seed source for real entropy at
+    * this exact seam and drops the true_n/noise audit columns. This
+    * is also event-level DP (sensitivity 1 per event row); user-level
+    * DP needs a per-user contribution bound upstream (the
+    * sample_per_source-style capping already in the library).
+    *
+    * Shape: one corpus-grain groupBy (uniform keys), then O(cells)
+    * hash + bit arithmetic. Nothing downstream exceeds the cell count. */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame =
+    dpCountsOf(Dedup.eventsUs(spark, dir))
+
+  /** [[dpCounts]] over any µs event frame. */
+  def dpCountsOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.h64
+    val cells = ev
+      .select(col("event_type"), expr("ts_us div 86400000000L").as("day_bucket"))
+      .groupBy("event_type", "day_bucket")
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("h1", h64(concat_ws("|", lit("dp1"), col("event_type"),
+        col("day_bucket"))))
+      .withColumn("h2", h64(concat_ws("|", lit("dp2"), col("event_type"),
+        col("day_bucket"))))
+      .withColumn("noise",
+        expr("cast(bit_count(((~h1) & -(~h1)) - 1) as bigint)") -
+          expr("cast(bit_count(((~h2) & -(~h2)) - 1) as bigint)"))
+    cells
+      .select(col("event_type"), col("day_bucket"), col("true_n"),
+        col("noise"),
+        greatest(col("true_n") + col("noise"), lit(0L)).as("released"))
+      .orderBy("event_type", "day_bucket")
+  }
+
   /** [[kAnonymity]] over any canonical events frame (ts_us µs). */
   def kAnonymityOf(ev: DataFrame): DataFrame =
     riskHistogram(

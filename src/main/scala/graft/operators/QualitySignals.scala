@@ -52,6 +52,37 @@ object QualitySignals {
       .orderBy("doc_id")
   }
 
+  /** `quality_percentile_normalize`: per-source PERCENTILE
+    * NORMALIZATION of the document quality key — each doc's exact rank
+    * share within its own source (pct4 = (rank−1)/(n−1), HALF_UP
+    * 1e-4), the score a multi-source training mix compares ACROSS
+    * feeds: raw quality keys are not comparable between a clean-prose
+    * source and a forum scrape (different score distributions), but
+    * "top decile of its own source" is — the standard rank-normalize
+    * move before a cross-source quality gate.
+    *
+    * Shape: ONE native range-partitioned GlobalRank pass over
+    * (source, qkey, doc_id) — never a per-source window (a 20-source
+    * corpus would funnel 5% of all docs through one reducer) — then
+    * each source's start rank and count attach by an O(sources)
+    * broadcast join; rank−start is the within-source rank. Output is
+    * corpus-grain (one row per doc), like the dedup exports. */
+  def percentileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityKeyFromText(col("text")).as("qkey"))
+      .spread
+    val ranked = Ranking.globalRowNumber(d,
+      Seq(col("source"), col("qkey"), col("doc_id")), "rn").localCheckpoint()
+    val stats = ranked.groupBy("source")
+      .agg(min("rn").as("gstart"), count(lit(1)).as("gn"))
+    ranked.join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"), col("qkey"),
+        ratio4(col("rn") - col("gstart"),
+          greatest(col("gn") - 1L, lit(1L))).as("pct4"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source document-length profile: count plus exact p25/p50/p75
     * of n_chars — the composition panel a curation dashboard shows per
     * ingest feed. [[Ranking.groupedQuantiles]] at binary-exact

@@ -49,6 +49,80 @@ class Round13PanelsSpec extends SparkSpec {
     assert(got.forall(b => b._1 >= 0L && b._1 <= 20L))
   }
 
+  test("dpCounts: noise is the exact trailing-ones geometric difference, release clamps") {
+    def h64Model(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def trailingOnes(h: Long): Int = java.lang.Long.numberOfTrailingZeros(~h)
+    val cells = Dedup.eventsUs(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_us div 86400000000L").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expected = cells.map { case ((t, d), n) =>
+      val noise = trailingOnes(h64Model(s"dp1|$t|$d")).toLong -
+        trailingOnes(h64Model(s"dp2|$t|$d")).toLong
+      (t, d, n, noise, math.max(n + noise, 0L))
+    }.sortBy(r => (r._1, r._2))
+    val got = graft.operators.Privacy.dpCounts(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got == expected)
+    // mechanism shape: released never negative; noise magnitudes stay
+    // small (P(|z| > 20) < 2e-6 — a hit here means the bit kernel broke)
+    assert(got.forall(r => r._5 >= 0L && math.abs(r._4) <= 20L))
+  }
+
+  test("peakConcurrency: matches the driver sweep over the sessionize output") {
+    val sess = Analytics.sessionize(spark, sf)
+      .select("user_id", "session_idx", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pts = sess.flatMap { case (u, si, s, e) =>
+      Seq((s, 1L, u, si), (e, -1L, u, si)) }
+      .sortBy(p => (p._1, -p._2, p._3, p._4))
+    var conc = 0L
+    val expected = pts.map { p =>
+      conc += p._2
+      (p._1 / 86400000000L, conc, p._2)
+    }.groupBy(_._1).toSeq.map { case (day, rows) =>
+      (day, rows.map(_._2).max, rows.count(_._3 == 1L).toLong)
+    }.sortBy(_._1)
+    val got = Analytics6.peakConcurrency(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+    // the sweep must end balanced: every start has an end
+    assert(conc == 0L)
+  }
+
+  test("percentileNormalize: exact within-source rank share, top doc at 1") {
+    val keys = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        TextAnalysis.qualityKeyFromText(
+          org.apache.spark.sql.functions.col("text")).as("qkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = keys.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      val n = sorted.size.toLong
+      sorted.zipWithIndex.map { case ((id, src, q), i) =>
+        (id, src, q, halfUp(i.toLong * 10000L, math.max(n - 1L, 1L)) / 1e4)
+      }
+    }.sortBy(_._1)
+    val got = graft.operators.QualitySignals.percentileNormalize(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // every source's best doc normalizes to exactly 1, worst to 0
+    got.groupBy(_._2).values.foreach { ds =>
+      if (ds.size > 1) {
+        assert(ds.map(_._4).max == 1.0)
+        assert(ds.map(_._4).min == 0.0)
+      }
+    }
+  }
+
   test("q9: revenue per (nation, o_year) for the 'red' family, decimal-exact") {
     val partRed = graft.Tables.part(spark, sf)
       .collect().filter(_.getAs[String]("p_name").contains("red"))
