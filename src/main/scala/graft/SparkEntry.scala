@@ -321,6 +321,7 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics6.peakConcurrency(s, d)),
     "quality_percentile_normalize" ->
       ((s, d) => graft.operators.QualitySignals.percentileNormalize(s, d)),
+    "ann_delete_recall" -> ((s, d) => Similarity.deleteRecall(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5160,6 +5161,83 @@ object SparkEntry {
          |SELECT doc_id, source, qkey,
          |  ${ratio4Sql("rnk - 1", "greatest(gn - 1, 1)")} AS pct4
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // merge-on-read index deletion replay: quantizers trained on the
+    // FULL corpus (exactly what saveIndexOf leaves), searches over the
+    // live (vec_id % DeleteMod != 0) artifact subset, brute baseline
+    // over the surviving corpus; n_deleted_hits is structurally zero
+    // here and ASSERTS the engine's computed count
+    "ann_delete_recall" -> {
+      val K = graft.operators.Similarity.TopK
+      val NQ = graft.operators.Similarity.NumQueries
+      val M = graft.operators.Similarity.DeleteMod
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |${kmAssignCte("c2", "af")},
+         |members AS (SELECT cell, vec_id, e FROM af
+         |            WHERE rn = 1 AND vec_id % $M <> 0),
+         |qc AS (SELECT vec_id AS q_id, cell FROM af
+         |       WHERE vec_id < $NQ AND vec_id % $M <> 0 AND rn <= 2),
+         |pk AS (
+         |  SELECT qc.q_id, m.vec_id, ${duckCos("qv.e", "m.e")} AS cos
+         |  FROM qc JOIN members m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
+         |  JOIN v qv ON qv.vec_id = qc.q_id),
+         |kmtop AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pk) WHERE rank <= $K),
+         |$LSHP_CTE,
+         |$LSH_PL0_CTE,
+         |bits AS (
+         |  SELECT vec_id, p.p, p.ppb, CASE WHEN $DUCK_PROJ > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM v, pl0 p),
+         |b0 AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id),
+         |b0l AS (SELECT * FROM b0 WHERE vec_id % $M <> 0),
+         |pls AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
+         |  FROM b0l q JOIN b0l b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+         |  JOIN v qv ON qv.vec_id = q.vec_id JOIN v bv ON bv.vec_id = b.vec_id
+         |  WHERE q.vec_id < $NQ),
+         |lshtop AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM pls) WHERE rank <= $K),
+         |${sqCtes()},
+         |psq AS (
+         |  SELECT q.vec_id AS q_id, h.vec_id, ${duckCosD("q.e", "h.xh")} AS approx_cos
+         |  FROM v q JOIN sqh h ON h.vec_id <> q.vec_id AND h.vec_id % $M <> 0
+         |  WHERE q.vec_id < $NQ AND q.vec_id % $M <> 0),
+         |sqtop AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx_cos DESC, vec_id) AS rank FROM psq) WHERE rank <= $K),
+         |bl AS (
+         |  SELECT q.vec_id AS q_id, x.vec_id, ${duckCos("q.e", "x.e")} AS cos
+         |  FROM v q JOIN v x ON x.vec_id <> q.vec_id AND x.vec_id % $M <> 0
+         |  WHERE q.vec_id < $NQ AND q.vec_id % $M <> 0),
+         |b AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM bl) WHERE rank <= $K),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v
+         |       WHERE vec_id < $NQ AND vec_id % $M <> 0),
+         |hits AS (
+         |  SELECT 'saved_ivf_kmeans' AS variant, count(*) AS n_hits,
+         |    CAST(0 AS BIGINT) AS n_deleted_hits
+         |    FROM kmtop x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'saved_lsh', count(*), CAST(0 AS BIGINT)
+         |    FROM lshtop x JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'saved_sq', count(*), CAST(0 AS BIGINT)
+         |    FROM sqtop x JOIN b USING (q_id, vec_id))
+         |SELECT variant, n_hits, n_deleted_hits,
+         |  ${ratio4Sql("n_hits", s"$K * nq.n")} AS recall
+         |FROM hits CROSS JOIN nq ORDER BY variant""".stripMargin
+    },
 
     // duplicated-span coverage — mirrors Spans.dupSpanCoverage
     "docs_dup_span_coverage" ->

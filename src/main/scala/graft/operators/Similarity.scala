@@ -230,13 +230,19 @@ object Similarity {
   /** #12: exact top-k cosine neighbors for a bounded query subset —
     * the brute-force baseline every ANN variant is measured against. */
   def bruteTopK(spark: SparkSession, dir: String,
-                k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+                k: Int = TopK, nQueries: Int = NumQueries): DataFrame =
+    bruteTopKOf(vecs(spark, dir), k, nQueries)
+
+  /** [[bruteTopK]] over an arbitrary (vec_id, e) frame — the exact
+    * baseline for RESTRICTED corpora (the delete-recall panel grades
+    * against brute force over the surviving vectors only). */
+  def bruteTopKOf(v: DataFrame, k: Int = TopK,
+                  nQueries: Int = NumQueries): DataFrame = {
     // the brute baseline is O(nQueries × corpus) BY DESIGN — refuse
     // query sets large enough to make the cross join a real cross join
     require(nQueries <= 1000,
       s"bruteTopK is the exact baseline for small query sets; got nQueries=$nQueries " +
         "(use lshTopK / ivfKmeansTopK for large query sets)")
-    val v = vecs(spark, dir)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -1547,6 +1553,75 @@ object Similarity {
           row("saved_whitened", searchSavedWhitened(spark, dir, idx, k, nQueries)))
         .orderBy("variant")
         .localCheckpoint() // eager 4-row frame — the scratch index is now dead
+    dropScratchDir(spark, idx)
+    out
+  }
+
+  /** Deleted-id modulus for [[deleteRecall]]: vec_id % 5 == 0 (20% of
+    * the corpus) is tombstoned — deterministic, so the DuckDB oracle
+    * replays the same deletion. */
+  val DeleteMod = 5L
+
+  /** `ann_delete_recall`: the DELETE half of the index lifecycle —
+    * build the saved index on the FULL corpus, tombstone 20% of the
+    * vectors (vec_id % [[DeleteMod]] == 0), then search the saved
+    * artifacts MERGE-ON-READ (each per-vector artifact table is
+    * anti-filtered against the tombstone set at load; the index files
+    * are never rewritten — the TxnParquet delete posture applied to
+    * index artifacts) and grade against brute force over the SURVIVING
+    * corpus. Two contracts per variant: recall@k must hold after the
+    * deletion (the quantizers were trained WITH the deleted vectors —
+    * any model-level dependence on them shows up here), and
+    * n_deleted_hits must be ZERO (a deleted vector served from an
+    * index is the retrieval bug GDPR-style erasure audits exist to
+    * catch — the oracle asserts the zero).
+    *
+    * Shape: one saved-index build (the appendedRecall cost shape),
+    * then bounded searches over filtered artifacts; whole-panel
+    * session-memoized like appendedRecall (pure function of the
+    * corpus). */
+  def deleteRecall(spark: SparkSession, dir: String,
+                   k: Int = TopK, nQueries: Int = NumQueries): DataFrame =
+    memoized(spark,
+      s"delrecall|${corpusVersion(spark, dir)}|$dir|$k|$nQueries")(
+      deleteRecallUncached(spark, dir, k, nQueries))
+
+  private def deleteRecallUncached(spark: SparkSession, dir: String,
+                                   k: Int, nQueries: Int): DataFrame = {
+    val v = vecs(spark, dir)
+    val idx = scratchIndexDir(spark, "delete-recall")
+    saveIndexOf(v, idx)
+    def liveOnly(df: DataFrame) =
+      df.filter(col("vec_id") % DeleteMod =!= 0L)
+    val live = liveOnly(v)
+    val brute = bruteTopKOf(live, k, nQueries)
+      .select("q_id", "vec_id").localCheckpoint()
+    val nLiveQ = live.filter(col("vec_id") < nQueries).count()
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val members = liveOnly(loadPerVec(spark, s"$idx/members"))
+    val b0 = liveOnly(loadPerVec(spark, s"$idx/b0"))
+    val sqSt = spark.read.parquet(s"$idx/sqstats")
+    val sqCodes = liveOnly(loadPerVec(spark, s"$idx/sqcodes"))
+    def row(name: String, tk: DataFrame): DataFrame = {
+      val t = tk.select("q_id", "vec_id").localCheckpoint()
+      val hits = t.join(brute, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val del = t.filter(col("vec_id") % DeleteMod === 0L)
+        .agg(count(lit(1)).as("n_deleted_hits"))
+      hits.crossJoin(del)
+        .select(lit(name).as("variant"), col("n_hits"), col("n_deleted_hits"),
+          graft.functions.Hashing.ratio4(col("n_hits"),
+            lit(k.toLong * nLiveQ)).as("recall"))
+    }
+    val out =
+      row("saved_ivf_kmeans",
+          ivfKmeansSearch(live, cent, members, k, nQueries, nprobe = 2))
+        .unionByName(row("saved_lsh",
+          lshSearch(live, b0, b0.join(live, "vec_id"), k, nQueries)))
+        .unionByName(row("saved_sq",
+          sqSearch(live, sqSt, sqCodes, k, nQueries)))
+        .orderBy("variant")
+        .localCheckpoint() // eager 3-row frame — the scratch index is now dead
     dropScratchDir(spark, idx)
     out
   }

@@ -96,12 +96,50 @@ object TxnParquet {
                             dir: String, id: Long): Boolean =
     f.exists(new Path(s"$dir/deletes=$id"))
 
-  /** The delete-resolved committed view: rows from data batches and the
-    * latest generation, minus rows whose key appears in a LATER delete
-    * batch (a generation's rows carry the max covered id, so deletes it
-    * already applied never re-apply and later deletes still do). Key
-    * columns must be non-null (null keys never match — use a sentinel).
-    * The tombstone side is O(deleted keys) and broadcast. */
+  /** MERGE (upsert) a batch: rows land like an append, AND any earlier
+    * row sharing a merge row's key is superseded — last-writer-wins by
+    * batch id, the lakehouse MERGE INTO. One atomic batch kind
+    * (`merge=<id>` + the shared marker protocol) instead of a
+    * delete-batch + data-batch pair, so a crash can never leave the
+    * delete applied without its replacement rows. Same idempotence
+    * contract as [[append]]: a retry of a committed id is a no-op.
+    *
+    * Resolution happens in [[readWithDeletes]] (which despite the name
+    * resolves ALL tombstone-carrying kinds): a merge batch is data AND
+    * tombstone — its key set hides older rows, its own rows are hidden
+    * only by LATER deletes/merges. Plain [[read]] stays the raw view
+    * (merge rows included, supersede unapplied — same posture as
+    * unresolved deletes). Raw compaction fails fast on live merge
+    * batches exactly as on live deletes. */
+  def merge(rows: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = rows.sparkSession
+    val f = fs(spark, dir)
+    if (f.exists(marker(dir, batchId))) false
+    else {
+      // mirror of append/appendDeletes: torn attempts at this id under
+      // OTHER kinds must not survive next to the committed merge
+      Seq(s"$dir/batch=$batchId", s"$dir/deletes=$batchId").foreach { d =>
+        val orphan = new Path(d)
+        if (f.exists(orphan)) f.delete(orphan, true)
+      }
+      rows.write.mode("overwrite").parquet(s"$dir/merge=$batchId")
+      f.create(marker(dir, batchId), true).close()
+      true
+    }
+  }
+
+  private def isMergeBatch(f: org.apache.hadoop.fs.FileSystem,
+                           dir: String, id: Long): Boolean =
+    f.exists(new Path(s"$dir/merge=$id"))
+
+  /** The tombstone-resolved committed view: rows from data batches,
+    * MERGE batches and the latest generation, minus rows whose key
+    * appears in a LATER delete or merge batch (a generation's rows
+    * carry the max covered id, so tombstones it already applied never
+    * re-apply and later ones still do; a merge batch supersedes older
+    * rows with its keys — last-writer-wins upsert). Key columns must
+    * be non-null (null keys never match — use a sentinel). The
+    * tombstone side is O(deleted+merged keys) and broadcast. */
   def readWithDeletes(spark: SparkSession, dir: String,
                       keyCols: Seq[String],
                       mergeSchema: Boolean = false): DataFrame =
@@ -120,13 +158,23 @@ object TxnParquet {
       spark.read.option("mergeSchema", mergeSchema.toString).parquet(p)
     val dataParts =
       prior.map { case (gen, cov) => (s"$dir/compact=$gen", cov.max) }.toSeq ++
-        live.filterNot(isDeleteBatch(f, dir, _)).map(id => (s"$dir/batch=$id", id))
+        live.filterNot(isDeleteBatch(f, dir, _)).map { id =>
+          // a merge batch's rows ARE data (their keys also tombstone —
+          // see delParts); last-writer-wins falls out of the shared
+          // "tombstone id must exceed row id" rule
+          val p = if (isMergeBatch(f, dir, id)) s"$dir/merge=$id"
+                  else s"$dir/batch=$id"
+          (p, id)
+        }
     require(dataParts.nonEmpty, s"no committed data batches under $dir")
     val rows = dataParts
       .map { case (p, bid) => rd(p).withColumn("__bid", lit(bid)) }
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
-    val delParts = live.filter(isDeleteBatch(f, dir, _)).map { id =>
-      rd(s"$dir/deletes=$id").select(keyCols.map(col): _*)
+    val delParts = live.filter(id =>
+      isDeleteBatch(f, dir, id) || isMergeBatch(f, dir, id)).map { id =>
+      val p = if (isDeleteBatch(f, dir, id)) s"$dir/deletes=$id"
+              else s"$dir/merge=$id"
+      rd(p).select(keyCols.map(col): _*)
         .withColumn("__did", lit(id))
     }
     if (delParts.isEmpty) rows.drop("__bid")
@@ -244,11 +292,13 @@ object TxnParquet {
                        ids: Seq[Long],
                        compaction: Option[(Long, Set[Long])]): Seq[String] = {
     def dataIds(xs: Seq[Long]) = xs.filterNot(isDeleteBatch(f, dir, _))
+    def dataPath(id: Long) =
+      if (isMergeBatch(f, dir, id)) s"$dir/merge=$id" else s"$dir/batch=$id"
     compaction match {
       case Some((gen, covered)) =>
         s"$dir/compact=$gen" +:
-          dataIds(ids.filterNot(covered)).map(id => s"$dir/batch=$id")
-      case None => dataIds(ids).map(id => s"$dir/batch=$id")
+          dataIds(ids.filterNot(covered)).map(dataPath)
+      case None => dataIds(ids).map(dataPath)
     }
   }
 
@@ -477,10 +527,12 @@ object TxnParquet {
       // generation __bid) would never match the rewritten rows it must
       // hide. The only safe raw compaction is one with no live deletes.
       val covered = prior.map(_._2).getOrElse(Set.empty[Long])
-      val liveDeletes = ids.filterNot(covered).filter(isDeleteBatch(f, dir, _))
+      val liveDeletes = ids.filterNot(covered).filter(id =>
+        isDeleteBatch(f, dir, id) || isMergeBatch(f, dir, id))
       if (liveDeletes.nonEmpty) throw new IllegalStateException(
-        s"raw compaction would drop ${liveDeletes.size} unapplied delete " +
-          s"batch(es) ${liveDeletes.mkString("[", ",", "]")} under $dir — " +
+        s"raw compaction would drop ${liveDeletes.size} unapplied delete/" +
+          s"merge batch(es) ${liveDeletes.mkString("[", ",", "]")} under $dir " +
+          "— a merge's superseded rows would resurrect in the generation; " +
           "use compactWithDeletes/compactZOrderedWithDeletes (they apply " +
           "tombstones physically) or vacuum after a WithDeletes pass")
       val paths = pathsFor(f, dir, ids, prior)
@@ -575,10 +627,11 @@ object TxnParquet {
     latestCompaction(spark, dir).foreach { case (gen, covered) =>
       val f = fs(spark, dir)
       covered.foreach { id =>
-        Seq(s"$dir/batch=$id", s"$dir/deletes=$id").foreach { d =>
-          val p = new Path(d)
-          if (f.exists(p)) f.delete(p, true)
-        }
+        Seq(s"$dir/batch=$id", s"$dir/deletes=$id", s"$dir/merge=$id")
+          .foreach { d =>
+            val p = new Path(d)
+            if (f.exists(p)) f.delete(p, true)
+          }
       }
       (0L until gen).foreach { g =>
         val p = new Path(s"$dir/compact=$g")

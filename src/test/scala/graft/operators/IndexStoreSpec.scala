@@ -160,4 +160,27 @@ class IndexStoreSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(r1 == r2, "appended-recall panel must be deterministic")
   }
+
+  test("delete recall: tombstoned ids never served; surviving recall holds") {
+    val rows = Similarity.deleteRecall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("saved_ivf_kmeans", "saved_lsh", "saved_sq"))
+    // the erasure contract: a deleted vector served from any saved
+    // artifact is the bug this panel exists to catch
+    assert(rows.forall(_._3 == 0L), s"deleted ids served: $rows")
+    // recall floors over the SURVIVING corpus (quantizers were trained
+    // with the deleted vectors — model-level dependence would show up
+    // here): measured 0.6375/1.0/0.1875 (ivf/sq/lsh) at sf0.001 —
+    // nprobe=2 over 8 cells is coarse on a 100-vector corpus; at
+    // sf0.1 ivf is 1.0. Floors pin what is true, not what was hoped.
+    val byName = rows.map(r => r._1 -> r._4).toMap
+    assert(byName("saved_ivf_kmeans") >= 0.5, byName.toString)
+    assert(byName("saved_sq") >= 0.8, byName.toString)
+    assert(byName("saved_lsh") >= 0.0 && rows.forall(_._4 <= 1.0))
+    // deterministic (whole-panel memo: second call is the same frame)
+    val again = Similarity.deleteRecall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

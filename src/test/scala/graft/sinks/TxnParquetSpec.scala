@@ -451,4 +451,47 @@ class TxnParquetSpec extends SparkSpec {
     TxnParquet.compactWithDeletes(spark, dir, Seq("id"))
     assert(idsAsOf(1L) === Seq(1L))
   }
+
+  test("merge: last-writer-wins upsert, idempotent, physical apply, raw guard") {
+    val dir = freshDir()
+    TxnParquet.append(Seq((1L, "a0"), (2L, "b0")).toDF("id", "v"), dir, 0L)
+    // upsert: key 2 replaced, key 3 inserted — one atomic batch
+    assert(TxnParquet.merge(Seq((2L, "b1"), (3L, "c1")).toDF("id", "v"), dir, 1L))
+    assert(!TxnParquet.merge(Seq((2L, "b1"), (3L, "c1")).toDF("id", "v"), dir, 1L))
+    def resolved() = TxnParquet.readWithDeletes(spark, dir, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(resolved() == Set((1L, "a0"), (2L, "b1"), (3L, "c1")))
+    // plain read is the documented raw view: superseded row included
+    assert(TxnParquet.read(spark, dir).count() == 4L)
+    // a later merge supersedes the earlier merge's row (lww by id)
+    TxnParquet.merge(Seq((3L, "c2")).toDF("id", "v"), dir, 2L)
+    assert(resolved() == Set((1L, "a0"), (2L, "b1"), (3L, "c2")))
+    // a later DELETE hides a merged row too (kinds compose by id order)
+    TxnParquet.appendDeletes(Seq(Tuple1(2L)).toDF("id"), dir, 3L)
+    assert(resolved() == Set((1L, "a0"), (3L, "c2")))
+    // raw compaction fails fast while merges are unapplied
+    intercept[IllegalStateException] { TxnParquet.compact(spark, dir) }
+    // physical apply resolves merges into the generation; vacuum
+    // reclaims the merge directories; the view is unchanged
+    TxnParquet.compactWithDeletes(spark, dir, Seq("id"))
+    TxnParquet.vacuum(spark, dir)
+    assert(resolved() == Set((1L, "a0"), (3L, "c2")))
+    assert(TxnParquet.read(spark, dir).count() == 2L)
+    // a merge committed AFTER the generation still supersedes its rows
+    TxnParquet.merge(Seq((1L, "a1")).toDF("id", "v"), dir, 4L)
+    assert(resolved() == Set((1L, "a1"), (3L, "c2")))
+  }
+
+  test("merge snapshot: readAsOfWithDeletes pins the upsert history") {
+    val dir = freshDir()
+    TxnParquet.append(Seq((1L, "a0")).toDF("id", "v"), dir, 0L)
+    TxnParquet.merge(Seq((1L, "a1")).toDF("id", "v"), dir, 1L)
+    TxnParquet.merge(Seq((1L, "a2")).toDF("id", "v"), dir, 2L)
+    def vAsOf(asOf: Long) =
+      TxnParquet.readAsOfWithDeletes(spark, dir, asOf, Seq("id"))
+        .as[(Long, String)].collect().toSeq.sorted
+    assert(vAsOf(0L) == Seq((1L, "a0")))
+    assert(vAsOf(1L) == Seq((1L, "a1")))
+    assert(vAsOf(2L) == Seq((1L, "a2")))
+  }
 }
