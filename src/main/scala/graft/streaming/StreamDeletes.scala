@@ -81,4 +81,35 @@ object StreamDeletes {
         applyBatch(batch, dir, keyCols, epochId)
       }
       .start()
+
+  /** [[applyBatch]] with the upsert half landing as ONE atomic MERGE
+    * batch (TxnParquet.merge — data AND tombstone in a single commit):
+    * true deletes tombstone at 2·epoch, upsert survivors merge at
+    * 2·epoch + 1. This CLOSES applyBatch's documented
+    * transient-disappear window for upserted keys: a reader racing
+    * between the epoch's two commits (or after a crash between them)
+    * sees their OLD version until the merge commits — never an absence
+    * — because the key's tombstone and its replacement row are the
+    * same commit. Deleted keys keep the 2e semantics. Same dense-id /
+    * idempotent-replay contract as [[applyBatch]]. */
+  def applyBatchMerged(batch: DataFrame, dir: String, keyCols: Seq[String],
+                       epochId: Long): Unit = {
+    val last = lastOpPerKey(batch, keyCols).localCheckpoint()
+    val delKeys = last.filter(col("op") === "delete")
+      .select(keyCols.map(col): _*)
+    val upserts = last.filter(col("op") === "upsert").drop("op", "seq")
+    TxnParquet.appendDeletes(delKeys, dir, 2 * epochId)
+    TxnParquet.merge(upserts, dir, 2 * epochId + 1)
+  }
+
+  /** [[applyCdc]] on the merge path — the recommended online writer. */
+  def applyCdcMerged(ops: DataFrame, dir: String, keyCols: Seq[String],
+                     checkpointDir: Option[String] = None): StreamingQuery =
+    ops.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$dir/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyBatchMerged(batch, dir, keyCols, epochId)
+      }
+      .start()
 }

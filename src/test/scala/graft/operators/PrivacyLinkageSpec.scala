@@ -217,6 +217,26 @@ class PrivacyLinkageSpec extends SparkSpec {
     assert(comp.map(_.getLong(1)).toSet === Set(0L))
   }
 
+  test("componentsAuto: label-prop answer on cluster graphs, star answer on chains") {
+    import spark.implicits._
+    // clustered shape (the common case): auto == label-prop == star
+    val pairs = MinHashLSH.nearDupPairs(spark, sf).select("d1", "d2")
+    val auto = MinHashLSH.componentsAuto(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = MinHashLSH.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === prop)
+    // chain shape (the pathological case the budget exists for): the
+    // bounded label-prop attempt cannot close a 300-node path in
+    // LabelPropMaxRounds, so auto falls back to star — same labels
+    val ids = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle((0L until 300L).toVector)
+    val chain = ids.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("d1", "d2")
+    val autoChain = MinHashLSH.componentsAuto(chain).collect()
+    assert(autoChain.length === 300)
+    assert(autoChain.map(_.getLong(1)).toSet === Set(0L))
+  }
+
   test("verified pair frames are session-memoized per parameterization") {
     val a = MinHashLSH.nearDupPairs(spark, sf)
     val b = MinHashLSH.nearDupPairs(spark, sf)

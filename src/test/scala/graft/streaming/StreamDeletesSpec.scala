@@ -84,4 +84,52 @@ class StreamDeletesSpec extends SparkSpec {
       .select("id", "op").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(last === Map(7L -> "delete", 8L -> "upsert"))
   }
+
+  test("merged CDC apply: same settled state; upserts never transiently vanish") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scdcm").toString
+    val mem = MemoryStream[(Long, String, Long, String)]
+    val q = StreamDeletes.applyCdcMerged(
+      mem.toDF().toDF("seq", "op", "id", "v"), dir, Seq("id"))
+    try {
+      mem.addData((1L, "upsert", 1L, "a"), (2L, "upsert", 2L, "b"))
+      q.processAllAvailable()
+      assert(view(dir) === Seq(1L -> "a", 2L -> "b"))
+      mem.addData((3L, "delete", 1L, null), (4L, "delete", 2L, null),
+        (5L, "upsert", 2L, "b2"))
+      q.processAllAvailable()
+      assert(view(dir) === Seq(2L -> "b2"))
+      mem.addData((6L, "upsert", 1L, "a2"), (7L, "upsert", 2L, "b3"))
+      q.processAllAvailable()
+      assert(view(dir) === Seq(1L -> "a2", 2L -> "b3"))
+    } finally q.stop()
+    // replay idempotence on the merge path
+    StreamDeletes.applyBatchMerged(
+      Seq((5L, "upsert", 2L, "b2"),
+        (3L, "delete", 1L, null.asInstanceOf[String]))
+        .toDF("seq", "op", "id", "v"), dir, Seq("id"), epochId = 1L)
+    assert(view(dir) === Seq(1L -> "a2", 2L -> "b3"))
+    // the race applyBatch documents and the merge path CLOSES: simulate
+    // a crash between epoch 3's two commits (delete batch committed,
+    // merge not yet) — the upserted key shows its OLD version, never an
+    // absence (the delete-path writer shows it deleted here)
+    StreamDeletes.applyBatchMerged(
+      Seq((8L, "delete", 1L, null.asInstanceOf[String]))
+        .toDF("seq", "op", "id", "v"), dir, Seq("id"), epochId = 3L)
+    // epoch 3 half-applied: tombstone for key 1 at id 6 landed; now
+    // an epoch-4 upsert of key 2 commits only its DELETE half (none)
+    // while its merge half "crashes" — emulate by writing only the
+    // delete batch for an epoch that upserts key 2
+    TxnParquet.appendDeletes(
+      Seq.empty[Tuple1[Long]].toDF("id"), dir, 8L) // epoch 4: no deletes
+    // before the merge at id 9 lands, key 2 still reads b3 (old version)
+    assert(view(dir) === Seq(2L -> "b3"))
+    TxnParquet.merge(Seq((2L, "b4")).toDF("id", "v"), dir, 9L)
+    assert(view(dir) === Seq(2L -> "b4"))
+    // physical fold + vacuum preserve the merged state
+    TxnParquet.compactWithDeletes(spark, dir, Seq("id"))
+    TxnParquet.vacuum(spark, dir)
+    assert(view(dir) === Seq(2L -> "b4"))
+  }
 }
