@@ -322,6 +322,8 @@ object SparkEntry {
     "quality_percentile_normalize" ->
       ((s, d) => graft.operators.QualitySignals.percentileNormalize(s, d)),
     "ann_delete_recall" -> ((s, d) => Similarity.deleteRecall(s, d)),
+    "pipeline_budget_allocation" ->
+      ((s, d) => graft.operators.Pipeline.budgetAllocation(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -5161,6 +5163,47 @@ object SparkEntry {
          |SELECT doc_id, source, qkey,
          |  ${ratio4Sql("rnk - 1", "greatest(gn - 1, 1)")} AS pct4
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // weighted budget allocation with one leftover-redistribution pass
+    // — mirrors Pipeline.budgetAllocation (same qKeySql quality weight)
+    "pipeline_budget_allocation" -> {
+      val B = graft.operators.Pipeline.TokenBudget
+      s"""WITH q AS (SELECT source, $TOKS AS toks,
+         |  CAST(length(regexp_replace(text, '$WS', '', 'g')) AS BIGINT) AS len_no_ws
+         |  FROM documents),
+         |kk AS (SELECT source, CAST(len(toks) AS BIGINT) AS n, ${qKeySql(
+             "CAST(len(toks) AS BIGINT)",
+             "CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)",
+             "len_no_ws")} AS qk FROM q),
+         |per AS (SELECT source, CAST(sum(n) AS BIGINT) AS avail_toks,
+         |          CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(qk) AS BIGINT) AS sum_qk
+         |        FROM kk GROUP BY 1),
+         |pw AS (SELECT source, avail_toks,
+         |         ${halfUpSql("sum_qk", "greatest(n_docs, 1)")} AS weight4
+         |       FROM per),
+         |tw AS (SELECT CAST(sum(weight4) AS BIGINT) AS w_total FROM pw),
+         |p1 AS (SELECT source, avail_toks, weight4,
+         |         ${halfUpSql(s"$B * weight4", "greatest(w_total, 1)")} AS target_toks
+         |       FROM pw CROSS JOIN tw),
+         |p2 AS (SELECT *, least(avail_toks, target_toks) AS alloc_toks FROM p1),
+         |lo AS (SELECT greatest($B - CAST(sum(alloc_toks) AS BIGINT), 0) AS leftover,
+         |         CAST(sum(CASE WHEN alloc_toks < avail_toks THEN weight4
+         |                       ELSE 0 END) AS BIGINT) AS w_open
+         |       FROM p2),
+         |p3 AS (SELECT p2.*,
+         |         least(avail_toks - alloc_toks,
+         |           CASE WHEN alloc_toks < avail_toks
+         |                THEN ${halfUpSql("leftover * weight4",
+                                           "greatest(w_open, 1)")}
+         |                ELSE 0 END) AS extra_toks
+         |       FROM p2 CROSS JOIN lo)
+         |SELECT source, avail_toks, weight4, target_toks,
+         |  alloc_toks + extra_toks AS final_toks,
+         |  ${ratio4Sql("alloc_toks + extra_toks", "greatest(avail_toks, 1)")} AS fill4,
+         |  ${ratio4Sql("alloc_toks + extra_toks", B.toString)} AS share4
+         |FROM p3 ORDER BY source""".stripMargin
+    },
 
     // merge-on-read index deletion replay: quantizers trained on the
     // FULL corpus (exactly what saveIndexOf leaves), searches over the

@@ -71,6 +71,65 @@ object Pipeline {
     * survives a 10⁶× bigger corpus. Output keeps ALL docs with their
     * offset and a selected flag (the audit panel); a pipeline would
     * `.filter($"selected")`. */
+  /** `pipeline_budget_allocation`: the per-SOURCE half of the budget
+    * cut — allocate a global token budget across feeds proportionally
+    * to a quality weight (per-source mean quality key), capped by each
+    * source's availability, with ONE deterministic redistribution pass
+    * of the capped leftover among the uncapped sources. This is the
+    * bounded-waterfilling allocator a training-mix owner actually
+    * runs: #167 picks DOCUMENTS under a budget, #187 plans uniform
+    * per-source targets — this one answers "who gets how many tokens
+    * when quality differs and small feeds cap out". Exact int64
+    * throughout (halfUp proportional splits); a residue can survive
+    * the single redistribution pass (full waterfilling iterates a
+    * data-dependent number of rounds — not oracle-able), and the panel
+    * shows it rather than hiding it: Σ share4 < 1 exactly when tokens
+    * stayed unallocated.
+    *
+    * Shape: one corpus-grain tokenize+groupBy to O(sources), then
+    * O(sources) arithmetic over two broadcast total rows. int64
+    * ceiling: budget × weight4 must stay under 2⁶³ — holds to ~10¹⁴
+    * tokens at weight4 ≤ 10⁴; past that drop the weight scale. */
+  def budgetAllocation(spark: SparkSession, dir: String,
+                       budget: Long = TokenBudget): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, ratio4}
+    val per = Tables.documents(spark, dir).select("source", "text").spread
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"),
+        TextAnalysis.qualityKeyFromText(col("text")).as("qk"))
+      .groupBy("source")
+      .agg(sum("n").as("avail_toks"), count(lit(1)).as("n_docs"),
+        sum("qk").as("sum_qk"))
+      .select(col("source"), col("avail_toks"), col("n_docs"),
+        halfUpDiv(col("sum_qk"), greatest(col("n_docs"), lit(1L)))
+          .as("weight4"))
+      .localCheckpoint()
+    val tw = per.agg(sum("weight4").as("w_total"))
+    val p1 = per.crossJoin(broadcast(tw))
+      .withColumn("target_toks",
+        halfUpDiv(lit(budget) * col("weight4"),
+          greatest(col("w_total"), lit(1L))))
+      .withColumn("alloc_toks", least(col("avail_toks"), col("target_toks")))
+      .localCheckpoint()
+    val lo = p1.agg(
+      greatest(lit(budget) - sum("alloc_toks"), lit(0L)).as("leftover"),
+      sum(when(col("alloc_toks") < col("avail_toks"), col("weight4"))
+        .otherwise(0L)).as("w_open"))
+    p1.crossJoin(broadcast(lo))
+      .withColumn("extra_toks",
+        least(col("avail_toks") - col("alloc_toks"),
+          when(col("alloc_toks") < col("avail_toks"),
+            halfUpDiv(col("leftover") * col("weight4"),
+              greatest(col("w_open"), lit(1L)))).otherwise(0L)))
+      .withColumn("final_toks", col("alloc_toks") + col("extra_toks"))
+      .select(col("source"), col("avail_toks"), col("weight4"),
+        col("target_toks"), col("final_toks"),
+        ratio4(col("final_toks"), greatest(col("avail_toks"), lit(1L)))
+          .as("fill4"),
+        ratio4(col("final_toks"), lit(budget)).as("share4"))
+      .orderBy("source")
+  }
+
   def tokenBudget(spark: SparkSession, dir: String,
                   budget: Long = TokenBudget): DataFrame = {
     val perDoc = Tables.documents(spark, dir).select("doc_id", "text").spread

@@ -123,6 +123,41 @@ class Round13PanelsSpec extends SparkSpec {
     }
   }
 
+  test("budgetAllocation: capped proportional split + one redistribution, exact") {
+    import org.apache.spark.sql.functions.{col, size, sum, count, lit}
+    val per = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"),
+        TextAnalysis.qualityKeyFromText(col("text")).as("qk"))
+      .groupBy("source")
+      .agg(sum("n").as("a"), count(lit(1)).as("d"), sum("qk").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val budget = Pipeline.TokenBudget
+    val w = per.map { case (src, a, d, s) => (src, a, halfUp(s, math.max(d, 1L))) }
+    val wTotal = w.map(_._3).sum
+    val p1 = w.map { case (src, a, wt) =>
+      val target = halfUp(budget * wt, math.max(wTotal, 1L))
+      (src, a, wt, target, math.min(a, target))
+    }
+    val leftover = math.max(budget - p1.map(_._5).sum, 0L)
+    val wOpen = p1.filter(p => p._5 < p._2).map(_._3).sum
+    val expected = p1.map { case (src, a, wt, target, alloc) =>
+      val extra = if (alloc < a)
+        math.min(a - alloc, halfUp(leftover * wt, math.max(wOpen, 1L))) else 0L
+      val fin = alloc + extra
+      (src, a, wt, target, fin,
+        halfUp(fin * 10000L, math.max(a, 1L)) / 1e4,
+        halfUp(fin * 10000L, budget) / 1e4)
+    }.sortBy(_._1).toSeq
+    val got = Pipeline.budgetAllocation(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got == expected)
+    // allocation never exceeds availability or (within rounding) budget
+    assert(got.forall(r => r._5 <= r._2))
+    assert(got.map(_._5).sum <= budget + got.size) // per-source halfUp slack
+  }
+
   test("q9: revenue per (nation, o_year) for the 'red' family, decimal-exact") {
     val partRed = graft.Tables.part(spark, sf)
       .collect().filter(_.getAs[String]("p_name").contains("red"))
