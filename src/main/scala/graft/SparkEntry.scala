@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Analytics2, AsOfJoin, CorpusStats, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Analytics2, Analytics7, AsOfJoin, CorpusStats, Dedup, DocDedup, MinHashLSH, Multimodal, SimHash, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -324,6 +324,12 @@ object SparkEntry {
     "ann_delete_recall" -> ((s, d) => Similarity.deleteRecall(s, d)),
     "pipeline_budget_allocation" ->
       ((s, d) => graft.operators.Pipeline.budgetAllocation(s, d)),
+    // round 13 wave 4: the partsupp-family TPC-H tranche, adapted to
+    // lineitem facts (no partsupp table by data contract)
+    "q2_min_cost_supplier" -> ((s, d) => Analytics7.q2(s, d)),
+    "q11_important_stock" -> ((s, d) => Analytics7.q11(s, d)),
+    "q16_part_supplier" -> ((s, d) => Analytics7.q16(s, d)),
+    "q20_dominant_suppliers" -> ((s, d) => Analytics7.q20(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2250,6 +2256,80 @@ object SparkEntry {
          |JOIN orders ON l_orderkey = o_orderkey
          |WHERE p_name LIKE '%red%'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q2-style min-cost supplier over REALIZED unit prices (no
+    // partsupp by data contract); integer-exact min selection on the
+    // halfUp rational ×10⁴ — mirrors Analytics7.q2
+    "q2_min_cost_supplier" ->
+      s"""WITH ps AS (
+         |  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))*10000 AS BIGINT) AS ext_u,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))*10000 AS BIGINT) AS qty_u
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+         |    AND p_size BETWEEN 10 AND 20
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |u AS (SELECT *, ${halfUpSql("ext_u * 10000", "qty_u")} AS unit_ppk FROM ps),
+         |m AS (SELECT *, min(unit_ppk) OVER (PARTITION BY p_partkey) AS min_ppk FROM u)
+         |SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+         |  unit_ppk/10000.0 AS unit_price
+         |FROM m WHERE unit_ppk = min_ppk ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    // q11-style important stock from one nation's realized supply
+    // value; scale-free mean-relative cut, pure-int64 threshold
+    // (value_u > halfUp(2·total_u/n_parts)) — mirrors Analytics7.q11
+    "q11_important_stock" ->
+      s"""WITH per AS (
+         |  SELECT l_partkey AS p_partkey,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))*10000 AS BIGINT) AS value_u
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'
+         |  GROUP BY 1),
+         |t AS (SELECT ${halfUpSql("CAST(sum(value_u) AS BIGINT) * 2",
+                                   "greatest(CAST(count(*) AS BIGINT), 1)")} AS thr_u
+         |      FROM per)
+         |SELECT p_partkey, value_u/10000.0 AS value
+         |FROM per CROSS JOIN t
+         |WHERE value_u > thr_u
+         |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    // q16-style observed part/supplier counts (supplier-of-part from
+    // lineitem facts) — mirrors Analytics7.q16
+    "q16_part_supplier" ->
+      s"""SELECT p_brand, p_type, p_size,
+         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // q20-style dominant family suppliers in one region/year; dominance
+    // integer-exact (qty_u × 100 > part_total_u × 30) — mirrors
+    // Analytics7.q20
+    "q20_dominant_suppliers" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))*10000 AS BIGINT) AS qty_u
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE 'red%' AND year(l_shipdate) = 1996
+         |  GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |  CAST(sum(qty_u) OVER (PARTITION BY l_partkey) AS BIGINT) AS part_total_u
+         |  FROM ps),
+         |dom AS (SELECT l_suppkey FROM w WHERE qty_u * 100 > part_total_u * 30)
+         |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+         |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
 
     "q13_order_dist" ->
       s"""SELECT c_count, COUNT(*) AS custdist FROM (
