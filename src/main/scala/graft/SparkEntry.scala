@@ -330,6 +330,12 @@ object SparkEntry {
     "q11_important_stock" -> ((s, d) => Analytics7.q11(s, d)),
     "q16_part_supplier" -> ((s, d) => Analytics7.q16(s, d)),
     "q20_dominant_suppliers" -> ((s, d) => Analytics7.q20(s, d)),
+    // round 13 wave 5: DP sum release, weekly activity grid, code
+    // screening
+    "privacy_dp_sums" -> ((s, d) => graft.operators.Privacy.dpSums(s, d)),
+    "events_dow_hour_heatmap" ->
+      ((s, d) => graft.operators.Analytics6.dowHourHeatmap(s, d)),
+    "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2680,6 +2686,64 @@ object SparkEntry {
          |SELECT event_type, day_bucket, true_n, noise,
          |  greatest(true_n + noise, 0) AS released
          |FROM nz ORDER BY event_type, day_bucket""".stripMargin,
+
+    // DP sum release: contribution bounding (clamp to ClampCents) +
+    // the dpCounts geometric noise scaled by the sensitivity —
+    // mirrors Privacy.dpSums (distinct dps1/dps2 hash tags)
+    "privacy_dp_sums" -> {
+      val C = graft.operators.Privacy.ClampCents
+      s"""WITH ev AS ($EV),
+         |cells AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day_bucket,
+         |    CAST(count(*) AS BIGINT) AS n_records,
+         |    CAST(sum(greatest(least(CAST(ROUND(value*100) AS BIGINT), $C), 0))
+         |      AS BIGINT) AS true_sum_c
+         |  FROM ev GROUP BY 1, 2),
+         |hz AS (
+         |  SELECT *,
+         |    ${H64("concat('dps1', '|', event_type, '|', CAST(day_bucket AS VARCHAR))")} AS h1,
+         |    ${H64("concat('dps2', '|', event_type, '|', CAST(day_bucket AS VARCHAR))")} AS h2
+         |  FROM cells),
+         |nz AS (
+         |  SELECT event_type, day_bucket, n_records, true_sum_c,
+         |    CAST(bit_count(((~h1) & -(~h1)) - 1) AS BIGINT)
+         |      - CAST(bit_count(((~h2) & -(~h2)) - 1) AS BIGINT) AS noise
+         |  FROM hz)
+         |SELECT event_type, day_bucket, n_records, true_sum_c, noise,
+         |  greatest(true_sum_c + $C * noise, 0) AS released_c
+         |FROM nz ORDER BY event_type, day_bucket""".stripMargin
+    },
+
+    // weekly activity grid on pure integer µs arithmetic (dow 0 =
+    // Monday: epoch day 0 was a Thursday) — mirrors
+    // Analytics6.dowHourHeatmap
+    "events_dow_hour_heatmap" ->
+      s"""WITH ev AS ($EV)
+         |SELECT ((ts_us // 86400000000) + 3) % 7 AS dow,
+         |  (ts_us // 3600000000) % 24 AS hour,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS spend_cents
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // code-vs-prose density bands in exact halfUp ppm — mirrors
+    // TextAnalysis.codeDetect (shared CodeSymbolClass)
+    "text_code_detect" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    ${halfUpSql(
+               s"(CAST(length(text) AS BIGINT) - CAST(length(regexp_replace(text, '[${graft.operators.TextAnalysis.CodeSymbolClass}]', '', 'g')) AS BIGINT)) * 1000000",
+               "greatest(CAST(length(text) AS BIGINT), 1)")} AS code_ppm
+         |  FROM documents),
+         |b AS (SELECT source, code_ppm // 1000 AS band,
+         |        CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(max(code_ppm) AS BIGINT) AS max_ppm
+         |      FROM d GROUP BY 1, 2),
+         |t AS (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |      FROM b)
+         |SELECT source, band, n_docs, max_ppm,
+         |  ${ratio4Sql("n_docs", "greatest(tot, 1)")} AS share4
+         |FROM t ORDER BY source, band""".stripMargin,
 
     "topk_per_group" ->
       s"""WITH ev AS ($EV)

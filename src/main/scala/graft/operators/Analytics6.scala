@@ -338,4 +338,29 @@ object Analytics6 {
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions_started"))
       .orderBy("day_bucket")
   }
+
+  /** `events_dow_hour_heatmap`: the weekly activity grid — events,
+    * distinct users and spend per (day-of-week, hour-of-day) cell.
+    * Both coordinates are pure integer arithmetic on epoch µs
+    * (dow = (day_index + 3) mod 7 with 0 = Monday, because
+    * 1970-01-01 was a Thursday; hour = (ts div 3.6e9) mod 24) — no
+    * calendar/timezone functions, so bucket edges are identical in
+    * any engine and any session timezone.
+    *
+    * Shape: ONE partial-aggregable (dow, hour) shuffle (distinct-user
+    * is per-cell partial-aggregable too); output is the fixed 168-cell
+    * grid regardless of corpus size. */
+  def dowHourHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.valueCents
+    Dedup.eventsUs(spark, dir)
+      .select(
+        expr("((ts_us div 86400000000L) + 3) % 7").as("dow"),
+        expr("(ts_us div 3600000000L) % 24").as("hour"),
+        col("user_id"), valueCents(col("value")).as("cents"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("spend_cents"))
+      .orderBy("dow", "hour")
+  }
 }

@@ -90,6 +90,54 @@ object Privacy {
       .orderBy("event_type", "day_bucket")
   }
 
+  /** Per-record contribution bound for [[dpSums]], in cents: the
+    * clamp IS the sensitivity of the released sum, so the noise scale
+    * is exactly this constant. */
+  val ClampCents = 10000L
+
+  /** `privacy_dp_sums`: the SUM companion of [[dpCounts]] — DP release
+    * of per-(event_type, day) spend totals. Two textbook steps the
+    * count release doesn't need: (1) contribution bounding — each
+    * record's cents value is clamped to [0, [[ClampCents]]] BEFORE
+    * aggregation, making the clamped sum's sensitivity exactly
+    * ClampCents instead of unbounded; (2) noise scaling — the same
+    * hash-derived discrete-Laplace(α=1/2) geometric difference as
+    * dpCounts, multiplied by ClampCents (DLap noise scaled by the
+    * sensitivity gives the same ε=ln 2 guarantee for sums). Releases
+    * clamp at 0. Noise is pure integer bit arithmetic on h64 streams
+    * (distinct tags from dpCounts so the two releases draw independent
+    * noise) — deterministic, cross-engine exact, no libm.
+    *
+    * Shape: identical to dpCounts — one partial-aggregable
+    * (type, day) shuffle over pre-clamped cents, O(types × days)
+    * output. */
+  def dpSums(spark: SparkSession, dir: String): DataFrame =
+    dpSumsOf(Dedup.eventsUs(spark, dir))
+
+  /** [[dpSums]] over any µs event frame. */
+  def dpSumsOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{h64, valueCents}
+    val cells = ev
+      .select(col("event_type"), expr("ts_us div 86400000000L").as("day_bucket"),
+        greatest(least(valueCents(col("value")), lit(ClampCents)), lit(0L))
+          .as("v_clamped"))
+      .groupBy("event_type", "day_bucket")
+      .agg(sum(col("v_clamped")).as("true_sum_c"), count(lit(1)).as("n_records"))
+      .withColumn("h1", h64(concat_ws("|", lit("dps1"), col("event_type"),
+        col("day_bucket"))))
+      .withColumn("h2", h64(concat_ws("|", lit("dps2"), col("event_type"),
+        col("day_bucket"))))
+      .withColumn("noise",
+        expr("cast(bit_count(((~h1) & -(~h1)) - 1) as bigint)") -
+          expr("cast(bit_count(((~h2) & -(~h2)) - 1) as bigint)"))
+    cells
+      .select(col("event_type"), col("day_bucket"), col("n_records"),
+        col("true_sum_c"), col("noise"),
+        greatest(col("true_sum_c") + lit(ClampCents) * col("noise"), lit(0L))
+          .as("released_c"))
+      .orderBy("event_type", "day_bucket")
+  }
+
   /** [[kAnonymity]] over any canonical events frame (ts_us µs). */
   def kAnonymityOf(ev: DataFrame): DataFrame =
     riskHistogram(

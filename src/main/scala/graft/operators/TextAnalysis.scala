@@ -139,6 +139,47 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Character class whose density separates code from prose: the
+    * structural punctuation programming languages lean on and running
+    * text mostly doesn't. Shared verbatim with the DuckDB oracle. */
+  val CodeSymbolClass = ";{}()\\[\\]<>=#&|"
+
+  /** `text_code_detect`: code-vs-prose screening histogram — per
+    * source, documents banded by code-symbol density (the
+    * [[CodeSymbolClass]] share of characters, in exact HALF_UP ppm;
+    * band = ppm div 1000, i.e. 0.1% steps). The triage a mixed web
+    * crawl runs before routing documents to a code or a prose
+    * pipeline: prose sits in the bottom bands, config/code/markup
+    * pushes into the tail, and the per-source share curve shows which
+    * feeds carry it. Density is a pure int64 rational — no float
+    * thresholds.
+    *
+    * Shape: per-doc signals are expression-only over the document
+    * scan; ONE partial-aggregable (source, band) shuffle; the
+    * per-source share divides by a window total over the O(sources ×
+    * bands) aggregate frame (≤ 1001 bands by construction). */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, ratio4}
+    import org.apache.spark.sql.expressions.Window
+    val n = length(col("text")).cast("long")
+    val nCode =
+      n - length(regexp_replace(col("text"), s"[$CodeSymbolClass]", ""))
+        .cast("long")
+    val banded = Tables.documents(spark, dir)
+      .select(col("source"),
+        halfUpDiv(nCode * lit(1000000L), greatest(n, lit(1L))).as("code_ppm"))
+      .select(col("source"), expr("code_ppm div 1000").as("band"),
+        col("code_ppm"))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"), max(col("code_ppm")).as("max_ppm"))
+    banded
+      .withColumn("tot",
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("band"), col("n_docs"), col("max_ppm"),
+        ratio4(col("n_docs"), greatest(col("tot"), lit(1L))).as("share4"))
+      .orderBy("source", "band")
+  }
+
   /** #14: token counting — whitespace tokens, word/number regex tokens,
     * and a BPE-ish length/4 estimate. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

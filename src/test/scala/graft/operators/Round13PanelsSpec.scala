@@ -195,4 +195,83 @@ class Round13PanelsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got == expected)
   }
+
+  test("dpSums: clamped-contribution sum + sensitivity-scaled geometric noise") {
+    def h64Model(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def trailingOnes(h: Long): Int = java.lang.Long.numberOfTrailingZeros(~h)
+    val C = graft.operators.Privacy.ClampCents
+    val rows = Dedup.eventsUs(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_us div 86400000000L").as("d"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq.map { case ((t, d), rs) =>
+      val sumC = rs.map(r =>
+        math.max(math.min(math.round(r._3 * 100), C), 0L)).sum
+      val noise = trailingOnes(h64Model(s"dps1|$t|$d")).toLong -
+        trailingOnes(h64Model(s"dps2|$t|$d")).toLong
+      (t, d, rs.size.toLong, sumC, noise, math.max(sumC + C * noise, 0L))
+    }.sortBy(r => (r._1, r._2))
+    val got = graft.operators.Privacy.dpSums(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got == expected)
+    // releases clamp at 0 and the noise kernel stays in its tail bound
+    assert(got.forall(r => r._6 >= 0L && math.abs(r._5) <= 20L))
+    // dpSums draws DIFFERENT noise than dpCounts for the same cells
+    // (distinct hash tags) — a shared stream would correlate releases
+    val countNoise = graft.operators.Privacy.dpCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.exists(r => countNoise((r._1, r._2)) != r._5))
+  }
+
+  test("dowHourHeatmap: integer µs grid matches the driver model, dow 0=Monday") {
+    val ev = Dedup.eventsUs(spark, sf)
+      .select("ts_us", "user_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(e =>
+        ((e._1 / 86400000000L + 3) % 7, (e._1 / 3600000000L) % 24))
+      .toSeq.map { case ((dow, hour), rs) =>
+        (dow, hour, rs.size.toLong, rs.map(_._2).distinct.size.toLong,
+          rs.map(r => math.round(r._3 * 100)).sum)
+      }.sortBy(r => (r._1, r._2))
+    val got = Analytics6.dowHourHeatmap(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got == expected)
+    // grid coordinates live on the fixed 7×24 lattice
+    assert(got.forall(r => r._1 >= 0 && r._1 < 7 && r._2 >= 0 && r._2 < 24))
+  }
+
+  test("codeDetect: symbol-density bands match the exact ppm driver model") {
+    val codeSet = ";{}()[]<>=#&|".toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val perDoc = docs.map { case (src, text) =>
+      val n = text.length.toLong
+      val nCode = text.count(codeSet.contains).toLong
+      (src, halfUp(nCode * 1000000L, math.max(n, 1L)))
+    }
+    val banded = perDoc.groupBy(d => (d._1, d._2 / 1000L)).toSeq
+      .map { case ((src, band), rs) =>
+        (src, band, rs.size.toLong, rs.map(_._2).max)
+      }
+    val totals = banded.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = banded.map { case (src, band, n, mx) =>
+      (src, band, n, mx, halfUp(n * 10000L, math.max(totals(src), 1L)) / 1e4)
+    }.sortBy(r => (r._1, r._2))
+    val got = TextAnalysis.codeDetect(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // per-source shares sum to ~1 (halfUp per-band rounding residue)
+    got.groupBy(_._1).values.foreach { bs =>
+      assert(math.abs(bs.map(_._5).sum - 1.0) < 0.01)
+    }
+  }
 }
