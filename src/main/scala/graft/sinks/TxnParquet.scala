@@ -640,4 +640,116 @@ object TxnParquet {
         if (f.exists(m)) f.delete(m, false)
       }
     }
+
+  // ---- data skipping ----------------------------------------------------
+  // Parquet footers already carry per-FILE min/max; a 100 TB table fed
+  // by minutely batches needs the same idea one level up, so a range
+  // read can drop whole BATCH DIRECTORIES at planning time — before any
+  // file listing, footer fetch or task launch. `appendWithStats`
+  // records the batch's key range in a tiny `_stats/<id>` sidecar
+  // (written before the commit marker, so the marker's atomicity covers
+  // it); `readPruned` plans the scan over only the batches whose range
+  // intersects the query's. Stats are advisory: a batch without a
+  // sidecar (plain `append`, a merge batch, a compaction generation) is
+  // never pruned — correctness comes from the residual filter, the
+  // sidecars only save I/O.
+
+  private def statsPath(dir: String, batchId: Long) =
+    new Path(s"$dir/_stats/$batchId")
+
+  /** [[append]] plus a key-range stats sidecar for [[readPruned]]'s
+    * batch-level data skipping. The range is computed from the WRITTEN
+    * batch directory (a footer-cheap min/max scan of one column), never
+    * by re-evaluating the possibly expensive input plan. Integral key
+    * columns only (ids, epoch times, z-addresses — the natural range-
+    * partitioning keys); same idempotency contract as [[append]]. */
+  def appendWithStats(df: DataFrame, dir: String, batchId: Long,
+                      keyCol: String): Boolean = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    if (f.exists(marker(dir, batchId))) false
+    else {
+      val orphan = new Path(s"$dir/deletes=$batchId")
+      if (f.exists(orphan)) f.delete(orphan, true)
+      require(df.schema(keyCol).dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }, s"appendWithStats: $keyCol must be an integral column " +
+        s"(got ${df.schema(keyCol).dataType.simpleString})")
+      df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+      import org.apache.spark.sql.functions.{max, min, col}
+      val row = spark.read.parquet(s"$dir/batch=$batchId")
+        .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
+        .head()
+      val body =
+        if (row.isNullAt(0)) s"$keyCol\nempty\n"
+        else s"$keyCol\n${row.getLong(0)}\n${row.getLong(1)}\n"
+      val out = f.create(statsPath(dir, batchId), true)
+      out.write(body.getBytes("UTF-8"))
+      out.close()
+      f.create(marker(dir, batchId), true).close()
+      true
+    }
+  }
+
+  /** Recorded key range of a committed batch: None = no usable sidecar
+    * for `keyCol` (not prunable); Some(None) = recorded EMPTY batch
+    * (prunable against any range); Some(Some((min, max))). */
+  private def statsFor(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                       batchId: Long, keyCol: String): Option[Option[(Long, Long)]] = {
+    val p = statsPath(dir, batchId)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.split("\n").toList match {
+        case c :: "empty" :: _ if c == keyCol => Some(None)
+        case c :: mn :: mx :: _ if c == keyCol =>
+          try Some(Some((mn.toLong, mx.toLong)))
+          catch { case _: NumberFormatException => None }
+        case _ => None // different column, torn body: not prunable
+      }
+    }
+  }
+
+  /** The skip decision, exposed for observability: committed DATA batch
+    * ids split into (kept, skipped) for a `keyCol ∈ [lo, hi]` read.
+    * A batch is skipped only when a matching sidecar PROVES its range
+    * cannot intersect; no sidecar, a different stats column or a torn
+    * sidecar body all mean kept. */
+  def pruneIds(spark: SparkSession, dir: String, keyCol: String,
+               lo: Long, hi: Long): (Seq[Long], Seq[Long]) = {
+    val f = fs(spark, dir)
+    val dataIds = committedBatches(spark, dir)
+      .filterNot(isDeleteBatch(f, dir, _))
+    dataIds.partition { id =>
+      statsFor(f, dir, id, keyCol) match {
+        case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+        case Some(None)           => false // recorded empty batch
+        case None                 => true  // not prunable
+      }
+    }
+  }
+
+  /** Committed view restricted to `keyCol ∈ [lo, hi]`, planning the
+    * scan over only the batches [[pruneIds]] keeps. The residual
+    * filter always applies, so results equal
+    * `read(...).filter(keyCol between lo and hi)` whether or not any
+    * sidecar exists; a compaction generation (no sidecar) is read
+    * whole and filtered — skipping resumes on the batches appended
+    * after it. */
+  def readPruned(spark: SparkSession, dir: String, keyCol: String,
+                 lo: Long, hi: Long, mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val (kept, _) = pruneIds(spark, dir, keyCol, lo, hi)
+    val paths = pathsFor(f, dir, kept, latestCompaction(spark, dir))
+    val base =
+      if (paths.nonEmpty)
+        spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+      else read(spark, dir, mergeSchema) // schema-only: filter below is false
+    base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
 }

@@ -494,4 +494,76 @@ class TxnParquetSpec extends SparkSpec {
     assert(vAsOf(1L) == Seq((1L, "a1")))
     assert(vAsOf(2L) == Seq((1L, "a2")))
   }
+
+  test("data skipping: sidecar ranges prune whole batches, results unchanged") {
+    val dir = freshDir()
+    // 4 batches with disjoint id ranges: [0,9], [10,19], [20,29], [30,39]
+    (0 to 3).foreach { b =>
+      val rows = (0L to 9L).map(i => (b * 10L + i, s"b$b"))
+      assert(TxnParquet.appendWithStats(rows.toDF("id", "v"), dir, b.toLong, "id"))
+    }
+    val (kept, skipped) = TxnParquet.pruneIds(spark, dir, "id", 12L, 17L)
+    assert(kept == Seq(1L) && skipped == Seq(0L, 2L, 3L))
+    val pruned = TxnParquet.readPruned(spark, dir, "id", 12L, 17L)
+      .as[(Long, String)].collect().toSet
+    val full = TxnParquet.read(spark, dir)
+      .filter("id >= 12 and id <= 17").as[(Long, String)].collect().toSet
+    assert(pruned == full && pruned.size == 6)
+    // boundary touch keeps the batch (max == lo)
+    assert(TxnParquet.pruneIds(spark, dir, "id", 9L, 9L)._1 == Seq(0L))
+    // an all-miss range keeps nothing and still reads cleanly as empty
+    assert(TxnParquet.readPruned(spark, dir, "id", 100L, 200L).count() == 0L)
+  }
+
+  test("data skipping is advisory: stats-less and mismatched batches never prune") {
+    val dir = freshDir()
+    TxnParquet.appendWithStats(Seq((0L, "a")).toDF("id", "v"), dir, 0L, "id")
+    TxnParquet.append(Seq((100L, "plain")).toDF("id", "v"), dir, 1L)
+    // stats recorded on a DIFFERENT column: unusable for an id read
+    TxnParquet.appendWithStats(
+      Seq((200L, "other", 5L)).toDF("id", "v", "ts"), dir, 2L, "ts")
+    val (kept, skipped) = TxnParquet.pruneIds(spark, dir, "id", 90L, 110L)
+    assert(kept.toSet == Set(1L, 2L) && skipped == Seq(0L))
+    assert(TxnParquet.readPruned(spark, dir, "id", 90L, 110L)
+      .select("id", "v").as[(Long, String)].collect().toSet
+      == Set((100L, "plain")))
+    // retry idempotency matches append: a committed id is a no-op
+    assert(!TxnParquet.appendWithStats(Seq((7L, "x")).toDF("id", "v"), dir, 0L, "id"))
+    // non-integral stats columns fail loudly instead of recording garbage
+    intercept[IllegalArgumentException](
+      TxnParquet.appendWithStats(Seq((8L, "y")).toDF("id", "v"), dir, 9L, "v"))
+  }
+
+  test("data skipping composes with compaction: generation reads whole, tail prunes") {
+    val dir = freshDir()
+    (0 to 1).foreach { b =>
+      TxnParquet.appendWithStats(
+        (0L to 9L).map(i => (b * 10L + i, s"b$b")).toDF("id", "v"), dir, b.toLong, "id")
+    }
+    TxnParquet.compact(spark, dir)
+    // two more sidecar'd batches after the generation
+    (2 to 3).foreach { b =>
+      TxnParquet.appendWithStats(
+        (0L to 9L).map(i => (b * 10L + i, s"b$b")).toDF("id", "v"), dir, b.toLong, "id")
+    }
+    val pruned = TxnParquet.readPruned(spark, dir, "id", 25L, 32L)
+      .as[(Long, String)].collect().toSet
+    val full = TxnParquet.read(spark, dir)
+      .filter("id >= 25 and id <= 32").as[(Long, String)].collect().toSet
+    assert(pruned == full && pruned.size == 8)
+    // the post-compaction tail still skips: batch 3 is kept, batch 2 dropped
+    // for a range entirely inside batch 3
+    val (kept, _) = TxnParquet.pruneIds(spark, dir, "id", 35L, 38L)
+    assert(kept.toSet.intersect(Set(2L, 3L)) == Set(3L))
+  }
+
+  test("empty-batch sidecar prunes against every range") {
+    val dir = freshDir()
+    TxnParquet.appendWithStats(Seq((1L, "a")).toDF("id", "v"), dir, 0L, "id")
+    TxnParquet.appendWithStats(
+      Seq.empty[(Long, String)].toDF("id", "v"), dir, 1L, "id")
+    val (kept, skipped) = TxnParquet.pruneIds(spark, dir, "id", 0L, 1000L)
+    assert(kept == Seq(0L) && skipped == Seq(1L))
+    assert(TxnParquet.readPruned(spark, dir, "id", 0L, 1000L).count() == 1L)
+  }
 }
