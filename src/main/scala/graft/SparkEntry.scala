@@ -336,6 +336,11 @@ object SparkEntry {
     "events_dow_hour_heatmap" ->
       ((s, d) => graft.operators.Analytics6.dowHourHeatmap(s, d)),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
+    // round 13 wave 7: segment migration, CM accuracy
+    "events_rfm_migration" ->
+      ((s, d) => graft.operators.Analytics4.rfmMigration(s, d)),
+    "source_term_cm_accuracy" ->
+      ((s, d) => graft.operators.Sketches.sourceTermCmAccuracy(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2135,6 +2140,65 @@ object SparkEntry {
          |SELECT s.source,
          |  ${graft.operators.Sketches.CmProbes.map(p => s"${cmProbe(p)} AS est_$p").mkString(",\n         |  ")}
          |FROM s ORDER BY s.source""".stripMargin
+    },
+
+    // period-over-period value-segment migration — mirrors
+    // Analytics4.rfmMigration (midpoint split, exact global M-quintile
+    // per half, 0 = absent)
+    "events_rfm_migration" ->
+      s"""WITH ev AS ($EV),
+         |m AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev),
+         |a0 AS (SELECT user_id,
+         |         CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+         |       FROM ev, m WHERE ts_us < mn + (mx - mn)//2 GROUP BY 1),
+         |ar AS (SELECT user_id, (nn - rn)*5 // nn + 1 AS seg_a FROM (
+         |         SELECT user_id,
+         |           row_number() OVER (ORDER BY cents DESC, user_id) AS rn,
+         |           count(*) OVER () AS nn FROM a0)),
+         |b0 AS (SELECT user_id,
+         |         CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+         |       FROM ev, m WHERE ts_us >= mn + (mx - mn)//2 GROUP BY 1),
+         |br AS (SELECT user_id, (nn - rn)*5 // nn + 1 AS seg_b FROM (
+         |         SELECT user_id,
+         |           row_number() OVER (ORDER BY cents DESC, user_id) AS rn,
+         |           count(*) OVER () AS nn FROM b0))
+         |SELECT coalesce(seg_a, 0) AS seg_a, coalesce(seg_b, 0) AS seg_b,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM ar FULL OUTER JOIN br USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // CM accuracy panel: estimate vs exact per probe, one-sided error
+    // released as a boolean — mirrors Sketches.sourceTermCmAccuracy
+    "source_term_cm_accuracy" -> {
+      def cmProbe(p: String): String =
+        (0 until graft.operators.Sketches.CmD).map(i =>
+          s"COALESCE((SELECT n FROM c WHERE c.source = s.source AND c.i = $i " +
+            s"AND c.b = ${H64(s"'cm$i:$p'")} % ${graft.operators.Sketches.CmW}), 0)")
+          .mkString("LEAST(", ", ", ")")
+      val probes = graft.operators.Sketches.CmProbes
+      val probeList = probes.map(p => s"'$p'").mkString(", ")
+      s"""WITH tk AS (SELECT source, unnest($TOKS) AS term FROM documents),
+         |c AS (
+         |  SELECT source, i.i, ${H64("concat('cm', CAST(i.i AS VARCHAR), ':', term)")} % ${graft.operators.Sketches.CmW} AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tk, generate_series(0,${graft.operators.Sketches.CmD - 1}) i(i)
+         |  GROUP BY 1, 2, 3
+         |),
+         |s AS (SELECT DISTINCT source FROM documents),
+         |e AS (
+         |${probes.map(p =>
+              s"  SELECT s.source, '$p' AS probe, ${cmProbe(p)} AS est_n FROM s")
+             .mkString("\n|  UNION ALL\n|")}
+         |),
+         |x AS (SELECT source, term AS probe, CAST(count(*) AS BIGINT) AS exact_n
+         |      FROM tk WHERE term IN ($probeList) GROUP BY 1, 2)
+         |SELECT e.source, e.probe, coalesce(x.exact_n, 0) AS exact_n, e.est_n,
+         |  e.est_n - coalesce(x.exact_n, 0) AS overcount,
+         |  ${halfUpSql("(e.est_n - coalesce(x.exact_n, 0)) * 1000000",
+                        "greatest(coalesce(x.exact_n, 0), 1)")} AS over_ppm,
+         |  (e.est_n >= coalesce(x.exact_n, 0)) AS never_under
+         |FROM e LEFT JOIN x ON e.source = x.source AND e.probe = x.probe
+         |ORDER BY e.source, e.probe""".stripMargin
     },
 
     "q1_agg" ->

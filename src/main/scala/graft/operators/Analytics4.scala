@@ -274,6 +274,42 @@ object Analytics4 {
       .orderBy("user_id")
   }
 
+  /** `events_rfm_migration`: period-over-period value-segment
+    * migration — the longitudinal companion of [[rfm]]. The corpus
+    * splits at its temporal midpoint (pure int64: mn + (mx−mn) div 2,
+    * an O(1) driver aggregate like the Lloyd/whitening model-state
+    * collects); each half M-quintile-scores its users independently
+    * (exact global rank on cents spend — the same
+    * [[Ranking.globalRowNumber]] discipline as rfm, never a
+    * single-partition window), and the output is the 6×6 transition
+    * matrix with segment 0 = absent from that half (new users enter
+    * via row 0, churned users exit via column 0). The "did our
+    * high-value users stay high-value" panel a retention review reads.
+    *
+    * Shape: two per-user aggregates + two O(users) rank passes; the
+    * full-outer join is user-keyed; output ≤ 36 rows. */
+  def rfmMigration(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Dedup.eventsUs(spark, dir).select("user_id", "ts_us", "value")
+    val b = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).head()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    def seg(period: DataFrame, out: String) = {
+      val base = period.groupBy("user_id")
+        .agg(sum(valueCents(col("value"))).as("cents"))
+        .localCheckpoint(true) // the rank pass and the count both read it
+      val n = base.count()
+      Ranking.globalRowNumber(base, Seq(col("cents").desc, col("user_id")), "rn")
+        .select(col("user_id"),
+          (intDiv((lit(n) - col("rn")) * 5L, lit(n)) + 1L).as(out))
+    }
+    val a = seg(ev.filter(col("ts_us") < mid), "seg_a")
+    val bb = seg(ev.filter(col("ts_us") >= mid), "seg_b")
+    a.join(bb, Seq("user_id"), "full_outer")
+      .select(coalesce(col("seg_a"), lit(0L)).as("seg_a"),
+        coalesce(col("seg_b"), lit(0L)).as("seg_b"))
+      .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("n_users"))
+      .orderBy("seg_a", "seg_b")
+  }
+
   /** Attribution lookback: one hour in µs. */
   val AttributionWindowUs = 3600L * 1000000L
 

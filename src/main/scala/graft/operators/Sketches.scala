@@ -267,6 +267,42 @@ object Sketches {
       .orderBy("source")
   }
 
+  /** `source_term_cm_accuracy`: the error panel for [[sourceTermCm]] —
+    * the frequency member joins the accuracy family the theta/KMV
+    * sketches already have (events_theta_accuracy,
+    * events_kmv_accuracy): per (source, probe term), the CM estimate
+    * NEXT TO the exact count, the overcount and its exact ppm, plus
+    * the one-sided-error guarantee as a released boolean (CM never
+    * underestimates — a false here is a broken kernel, and it flips
+    * the oracle hash, not just a spec). Measured-not-asserted grading:
+    * a sketch whose collision overcount drifts past the w×d it was
+    * sized for gets re-sized on evidence.
+    *
+    * Shape: the sketch side is [[sourceTermCm]] verbatim (d·w longs
+    * per source); the exact side filters the token stream to the
+    * probe set BEFORE its (source, term) count — O(sources × probes)
+    * rows into the join, output the same. */
+  def sourceTermCmAccuracy(spark: SparkSession, dir: String,
+                           probes: Seq[String] = CmProbes): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    val stacked = sourceTermCm(spark, dir).selectExpr("source",
+      s"stack(${probes.size}, ${probes.map(p => s"'$p', est_$p").mkString(", ")}) " +
+        "AS (probe, est_n)")
+    val exact = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("probe"))
+      .filter(col("probe").isin(probes: _*))
+      .groupBy("source", "probe").agg(count(lit(1)).as("exact_n"))
+    stacked.join(exact, Seq("source", "probe"), "left")
+      .withColumn("exact_n", coalesce(col("exact_n"), lit(0L)))
+      .select(col("source"), col("probe"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"),
+        halfUpDiv((col("est_n") - col("exact_n")) * lit(1000000L),
+          greatest(col("exact_n"), lit(1L))).as("over_ppm"),
+        (col("est_n") >= col("exact_n")).as("never_under"))
+      .orderBy("source", "probe")
+  }
+
   /** events_kmv_quantiles: per event type, median and p90 of the value
     * (exact integer cents) over the deterministic KMV sample — a
     * mergeable quantile sketch whose answer is a pure function of the

@@ -247,6 +247,72 @@ class Round13PanelsSpec extends SparkSpec {
     assert(got.forall(r => r._1 >= 0 && r._1 < 7 && r._2 >= 0 && r._2 < 24))
   }
 
+  test("rfmMigration: midpoint split + independent per-half quintiles, 0 = absent") {
+    val ev = Dedup.eventsUs(spark, sf).select("user_id", "ts_us", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mn = ev.map(_._2).min
+    val mid = mn + (ev.map(_._2).max - mn) / 2
+    def segs(rows: Seq[(Long, Long, Double)]): Map[Long, Long] = {
+      val per = rows.groupBy(_._1).toSeq.map { case (u, rs) =>
+        (u, rs.map(r => math.round(r._3 * 100)).sum)
+      }
+      val n = per.size.toLong
+      per.sortBy(p => (-p._2, p._1)).zipWithIndex.map { case ((u, _), i) =>
+        u -> ((n - (i + 1L)) * 5L / n + 1L)
+      }.toMap
+    }
+    val a = segs(ev.filter(_._2 < mid).toSeq)
+    val b = segs(ev.filter(_._2 >= mid).toSeq)
+    val expected = (a.keySet ++ b.keySet).toSeq
+      .map(u => (a.getOrElse(u, 0L), b.getOrElse(u, 0L)))
+      .groupBy(identity).map { case (k, us) => (k._1, k._2, us.size.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = Analytics4.rfmMigration(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+    // both churn and arrival flows exist on this corpus, and the matrix
+    // stays on the 0..5 lattice
+    assert(got.forall(r => r._1 >= 0 && r._1 <= 5 && r._2 >= 0 && r._2 <= 5))
+  }
+
+  test("cmAccuracy: estimate vs exact per probe, CM one-sided error holds") {
+    def h64Model(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val W = Sketches.CmW
+    val D = Sketches.CmD
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")).as("t"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val bySource = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val expected = bySource.keySet.toSeq.sorted.flatMap { src =>
+      val terms = bySource(src)
+      // independent CM replica: d rows of w counters
+      val counters = Array.fill(D, W)(0L)
+      terms.foreach { t =>
+        (0 until D).foreach { i =>
+          counters(i)((h64Model(s"cm$i:$t") % W).toInt) += 1L
+        }
+      }
+      Sketches.CmProbes.sorted.map { p =>
+        val est = (0 until D).map(i =>
+          counters(i)((h64Model(s"cm$i:$p") % W).toInt)).min
+        val exact = terms.count(_ == p).toLong
+        (src, p, exact, est, est - exact,
+          halfUp((est - exact) * 1000000L, math.max(exact, 1L)), est >= exact)
+      }
+    }
+    val got = Sketches.sourceTermCmAccuracy(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got == expected)
+    // the CM guarantee: estimates never undercount, anywhere
+    assert(got.forall(_._7))
+  }
+
   test("codeDetect: symbol-density bands match the exact ppm driver model") {
     val codeSet = ";{}()[]<>=#&|".toSet
     val docs = graft.Tables.documents(spark, sf)
