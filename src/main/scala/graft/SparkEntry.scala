@@ -341,6 +341,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics4.rfmMigration(s, d)),
     "source_term_cm_accuracy" ->
       ((s, d) => graft.operators.Sketches.sourceTermCmAccuracy(s, d)),
+    // round 13 wave 8: winnowing fingerprints
+    "dedup_winnowing" -> ((s, d) => DocDedup.winnowingPairs(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2199,6 +2201,37 @@ object SparkEntry {
          |  (e.est_n >= coalesce(x.exact_n, 0)) AS never_under
          |FROM e LEFT JOIN x ON e.source = x.source AND e.probe = x.probe
          |ORDER BY e.source, e.probe""".stripMargin
+    },
+
+    // winnowing fingerprints (k-gram window minima at (doc, hash)
+    // grain — tie policy cancels, see DocDedup.winnowingPairs) with
+    // the df cap and the shared-count threshold
+    "dedup_winnowing" -> {
+      val D = graft.operators.DocDedup
+      val wm1 = D.WinnowW - 1
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, CAST(len(t) - ${D.WinnowK - 1} AS BIGINT) AS npos,
+         |    CAST(ps.p AS BIGINT) AS p, ${H64("ps.sh")} AS h
+         |  FROM (
+         |    SELECT doc_id, t, unnest(list_transform(generate_series(1, len(t)-${D.WinnowK - 1}),
+         |      i -> {'p': i, 'sh': concat_ws(' ', t[i], t[i+1], t[i+2])})) AS ps
+         |    FROM toks WHERE len(t) >= ${D.WinnowK}) q),
+         |wn AS (
+         |  SELECT doc_id, h,
+         |    unnest(generate_series(greatest(1, p - $wm1),
+         |      least(p, greatest(npos - $wm1, 1)))) AS j
+         |  FROM pos),
+         |mn AS (SELECT doc_id, j, min(h) AS h FROM wn GROUP BY 1, 2),
+         |fp AS (SELECT DISTINCT doc_id, h FROM mn),
+         |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM fp GROUP BY 1),
+         |fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN df USING (h)
+         |        WHERE df <= ${D.MaxFpDf})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= ${D.MinSharedFp}
+         |ORDER BY 1, 2""".stripMargin
     },
 
     "q1_agg" ->

@@ -102,6 +102,79 @@ object DocDedup {
       .select("doc_id", "shingle")
   }
 
+  /** Winnowing (Schleimer–Wilkerson–Aiken, the MOSS fingerprinter)
+    * parameters: k-gram size, window width, boilerplate fingerprint df
+    * cap, minimum shared fingerprints for a reported pair. With k = 3
+    * and w = 4 the guarantee is: any shared token run of length
+    * ≥ k + w − 1 = 6 produces at least one shared fingerprint. */
+  val WinnowK = 3
+  val WinnowW = 4
+  val MaxFpDf = 16
+  val MinSharedFp = 2
+
+  /** `dedup_winnowing`: local-fingerprint dedup — per document, hash
+    * every k-gram, slide a w-wide window over the hash sequence and
+    * keep each window's MINIMUM; documents sharing ≥ [[MinSharedFp]]
+    * selected hashes pair up. The published guarantee (vs plain 0 mod
+    * p hash sampling): every match of length ≥ k+w−1 is caught, while
+    * only ~2/(w+1) of positions are kept — position-local, unlike
+    * MinHash's whole-document signature, so it pairs documents that
+    * share PASSAGES, at a fraction of the full-shingle join's volume.
+    *
+    * The classic rightmost-tie position rule cancels here BY GRAIN:
+    * fingerprints are matched as (doc, hash) SETS, and whichever
+    * position a tie selects, the selected hash is the same — so the
+    * fingerprint set is exactly {per-window min hash}, no positional
+    * tie-break needed (documented, not skipped).
+    *
+    * Shape: k-gram explode is O(tokens); window membership explodes
+    * each position into ≤ w window ids (O(tokens·w), constant w); the
+    * per-(doc, window) min and the distinct fingerprint set are
+    * doc-partitioned; the pair join runs on the df-capped fingerprint
+    * hash (same boilerplate-cap discipline as [[cappedShingles]] —
+    * candidates linear by construction, never all-pairs). */
+  def winnowingPairs(spark: SparkSession, dir: String,
+                     k: Int = WinnowK, w: Int = WinnowW,
+                     maxDf: Int = MaxFpDf,
+                     minShared: Int = MinSharedFp): DataFrame =
+    winnowingPairsOf(
+      Tables.documents(spark, dir).select("doc_id", "text").spread,
+      k, w, maxDf, minShared)
+
+  /** [[winnowingPairs]] over any (doc_id, text) frame. */
+  def winnowingPairsOf(docs: DataFrame, k: Int, w: Int,
+                       maxDf: Int, minShared: Int): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val grams = (0 until k).map(o => s"element_at(t, i + $o)").mkString(", ")
+    val pos = docs
+      .withColumn("t", t).filter(size(col("t")) >= k)
+      .withColumn("npos", (size(col("t")) - (k - 1)).cast("long"))
+      .select(col("doc_id"), col("npos"), explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> struct(CAST(i AS BIGINT) AS p, concat_ws(' ', $grams) AS sh))"))
+        .as("ps"))
+      .select(col("doc_id"), col("npos"), col("ps.p").as("p"),
+        h64(col("ps.sh")).as("h"))
+    // window j covers positions [j, j+w-1]; a short doc (npos < w) is
+    // one window. Position p belongs to windows [max(1, p-w+1), min(p, W)]
+    val win = pos
+      .withColumn("W", greatest(col("npos") - lit(w - 1L), lit(1L)))
+      .select(col("doc_id"), col("h"), explode(
+        sequence(greatest(lit(1L), col("p") - lit(w - 1L)),
+          least(col("p"), col("W")))).as("j"))
+    val fp = win.groupBy("doc_id", "j").agg(min(col("h")).as("h"))
+      .select("doc_id", "h").distinct()
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val capped = fp.withColumn("df", count(lit(1)).over(wH))
+      .filter(col("df") <= maxDf).select("doc_id", "h")
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ τ — the
     * ASYMMETRIC overlap that catches sub-document duplication (a doc
     * quoted or embedded inside a larger one), which symmetric Jaccard

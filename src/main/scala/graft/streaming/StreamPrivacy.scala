@@ -76,4 +76,43 @@ object StreamPrivacy {
     * set → streaming-after-any-prefix equals the batch frame. */
   def qiClassCounts(ev: DataFrame): DataFrame =
     graft.operators.Privacy.fineClasses(ev)
+
+  /** Streaming DP daily release — the online form of
+    * [[graft.operators.Privacy.dpCounts]]: per (event_type, day) the
+    * released count is published ONCE, when the watermark closes the
+    * day (append-mode windowed aggregation), with the SAME
+    * hash-derived discrete-Laplace noise the batch release applies —
+    * so a day's streaming release row EQUALS the batch dpCounts row
+    * for that day (the parity the spec pins). Publishing exactly once
+    * per closed window is what makes the ε accounting honest: a
+    * release re-published per trigger as the count grows would be a
+    * fresh query against the same data every few seconds, and the
+    * naive per-trigger noise would compose its ε away.
+    *
+    * State is the in-flight day windows only (O(types × open days)),
+    * watermark-bounded; the noise is a stateless expression over the
+    * final counts. `lateness` is the allowed event-time disorder. */
+  def dpDailyRelease(ev: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    import graft.functions.Hashing.h64
+    ev.select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", lateness)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("win"))
+      .agg(count(lit(1)).as("true_n"))
+      .select(col("event_type"),
+        // session tz is pinned UTC (GraftSession), so 1-day windows are
+        // epoch-aligned and win.start div day == the batch day_bucket
+        graft.functions.Hashing.intDiv(unix_micros(col("win.start")),
+          lit(86400000000L)).as("day_bucket"),
+        col("true_n"))
+      .withColumn("h1", h64(concat_ws("|", lit("dp1"), col("event_type"),
+        col("day_bucket"))))
+      .withColumn("h2", h64(concat_ws("|", lit("dp2"), col("event_type"),
+        col("day_bucket"))))
+      .withColumn("noise",
+        expr("cast(bit_count(((~h1) & -(~h1)) - 1) as bigint)") -
+          expr("cast(bit_count(((~h2) & -(~h2)) - 1) as bigint)"))
+      .select(col("event_type"), col("day_bucket"), col("true_n"),
+        col("noise"),
+        greatest(col("true_n") + col("noise"), lit(0L)).as("released"))
+  }
 }

@@ -308,4 +308,42 @@ class DocDedupSpec extends SparkSpec {
     }
     assert(got(2L)._2 === got(2L)._1) // the exact-dup doc is fully duplicated
   }
+
+  test("winnowingPairs: window-min fingerprints match the driver model") {
+    def h64m(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val k = DocDedup.WinnowK; val w = DocDedup.WinnowW
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fps: Seq[(Long, Long)] = docs.toSeq.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < k) Nil
+      else {
+        val hs = (0 to toks.size - k)
+          .map(i => h64m(toks.slice(i, i + k).mkString(" ")))
+        val nWin = math.max(hs.size - w + 1, 1)
+        (0 until nWin).map(j => id -> hs.slice(j, j + w).min).distinct
+      }
+    }.distinct
+    val df = fps.groupBy(_._2).view.mapValues(_.size).toMap
+    val capped = fps.filter(f => df(f._2) <= DocDedup.MaxFpDf)
+    val byHash = capped.groupBy(_._2).values.toSeq
+    val expected = byHash.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices; jj <- i + 1 until ids.size) yield (ids(i), ids(jj))
+    }.groupBy(identity).map { case ((a, b), ps) => (a, b, ps.size.toLong) }
+      .filter(_._3 >= DocDedup.MinSharedFp)
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = DocDedup.winnowingPairs(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+    // the corpus's planted near-dups are caught
+    assert(got.nonEmpty)
+    // selection really thins: fingerprints ≪ total k-gram positions
+    val nPos = docs.map(d =>
+      math.max(d._2.trim.split("\\s+").count(_.nonEmpty) - k + 1, 0)).sum
+    assert(fps.size < nPos / 2)
+  }
 }

@@ -84,4 +84,38 @@ class StreamPrivacySpec extends SparkSpec {
       .generalizationLadder(spark, sf).collect().map(_.toSeq).toSeq
     assert(fromStream === fromBatch)
   }
+
+  test("dpDailyRelease: a closed day's release row equals the batch dpCounts row") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Dedup.eventsUs(spark, sf)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+    val maxUs = rows.map(_._2).max
+    // sentinel 3 days past the corpus end: advances the watermark so
+    // every real day closes; its own day stays open and is never released
+    val sentinel = ("flush", maxUs + 3L * 86400000000L)
+    val mem = MemoryStream[(String, Long)]
+    val name = s"dpd_${System.nanoTime()}"
+    val q = StreamPrivacy
+      .dpDailyRelease(mem.toDF().toDF("event_type", "ts_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+        mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      mem.addData(sentinel); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(r => (r._1, r._2))
+    val want = graft.operators.Privacy
+      .dpCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(r => (r._1, r._2))
+    // every real (type, day) cell released exactly once, equal to batch
+    assert(got == want)
+    assert(got.map(r => (r._1, r._2)).distinct.size == got.size)
+  }
 }
