@@ -343,6 +343,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Sketches.sourceTermCmAccuracy(s, d)),
     // round 13 wave 8: winnowing fingerprints
     "dedup_winnowing" -> ((s, d) => DocDedup.winnowingPairs(s, d)),
+    "dedup_winnowing_agreement" ->
+      ((s, d) => DocDedup.winnowingAgreement(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -570,6 +572,39 @@ object SparkEntry {
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM capped x JOIN capped y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
        |)""".stripMargin
+
+  /** Winnowing fingerprint CTEs (k-gram window minima at (doc, hash)
+    * grain, df cap, shared-count pairs) — mirrors
+    * DocDedup.winnowingPairs; `wn`-prefixed names so the chain
+    * composes with the shingle/MinHash macros (both claim `toks`).
+    * Terminal CTEs: `wfp` (capped fingerprints), `wpairs`. */
+  private val WINNOW_CTES: String = {
+    val D = graft.operators.DocDedup
+    val wm1 = D.WinnowW - 1
+    s"""wtoks AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |wpos AS (
+       |  SELECT doc_id, CAST(len(t) - ${D.WinnowK - 1} AS BIGINT) AS npos,
+       |    CAST(ps.p AS BIGINT) AS p, ${H64("ps.sh")} AS h
+       |  FROM (
+       |    SELECT doc_id, t, unnest(list_transform(generate_series(1, len(t)-${D.WinnowK - 1}),
+       |      i -> {'p': i, 'sh': concat_ws(' ', t[i], t[i+1], t[i+2])})) AS ps
+       |    FROM wtoks WHERE len(t) >= ${D.WinnowK}) q),
+       |wwin AS (
+       |  SELECT doc_id, h,
+       |    unnest(generate_series(greatest(1, p - $wm1),
+       |      least(p, greatest(npos - $wm1, 1)))) AS j
+       |  FROM wpos),
+       |wmn AS (SELECT doc_id, j, min(h) AS h FROM wwin GROUP BY 1, 2),
+       |wfp0 AS (SELECT DISTINCT doc_id, h FROM wmn),
+       |wdf AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM wfp0 GROUP BY 1),
+       |wfp AS (SELECT wfp0.doc_id, wfp0.h FROM wfp0 JOIN wdf USING (h)
+       |        WHERE df <= ${D.MaxFpDf}),
+       |wpairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM wfp a JOIN wfp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= ${D.MinSharedFp})""".stripMargin
+  }
 
   /** Gap-session index over `ev` (30-min default) — mirrors
     * Analytics.sessionIndexed; shared by every session-consuming
@@ -2206,33 +2241,30 @@ object SparkEntry {
     // winnowing fingerprints (k-gram window minima at (doc, hash)
     // grain — tie policy cancels, see DocDedup.winnowingPairs) with
     // the df cap and the shared-count threshold
-    "dedup_winnowing" -> {
-      val D = graft.operators.DocDedup
-      val wm1 = D.WinnowW - 1
-      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |pos AS (
-         |  SELECT doc_id, CAST(len(t) - ${D.WinnowK - 1} AS BIGINT) AS npos,
-         |    CAST(ps.p AS BIGINT) AS p, ${H64("ps.sh")} AS h
-         |  FROM (
-         |    SELECT doc_id, t, unnest(list_transform(generate_series(1, len(t)-${D.WinnowK - 1}),
-         |      i -> {'p': i, 'sh': concat_ws(' ', t[i], t[i+1], t[i+2])})) AS ps
-         |    FROM toks WHERE len(t) >= ${D.WinnowK}) q),
-         |wn AS (
-         |  SELECT doc_id, h,
-         |    unnest(generate_series(greatest(1, p - $wm1),
-         |      least(p, greatest(npos - $wm1, 1)))) AS j
-         |  FROM pos),
-         |mn AS (SELECT doc_id, j, min(h) AS h FROM wn GROUP BY 1, 2),
-         |fp AS (SELECT DISTINCT doc_id, h FROM mn),
-         |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM fp GROUP BY 1),
-         |fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN df USING (h)
-         |        WHERE df <= ${D.MaxFpDf})
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(count(*) AS BIGINT) AS n_shared
-         |FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= ${D.MinSharedFp}
-         |ORDER BY 1, 2""".stripMargin
-    },
+    "dedup_winnowing" ->
+      s"""WITH $WINNOW_CTES
+         |SELECT doc_a, doc_b, n_shared FROM wpairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // winnowing vs verified-MinHash agreement — the method-agreement
+    // read (#226's pattern): passage-local fingerprints vs whole-doc
+    // signatures catch overlapping-but-different pair sets
+    "dedup_winnowing_agreement" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |$WINNOW_CTES,
+         |mhp AS (SELECT d1, d2 FROM pairs),
+         |wnp AS (SELECT doc_a AS d1, doc_b AS d2 FROM wpairs),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+         |       FROM mhp WHERE EXISTS (SELECT 1 FROM wnp
+         |         WHERE wnp.d1 = mhp.d1 AND wnp.d2 = mhp.d2)),
+         |am AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM mhp),
+         |bm AS (SELECT CAST(count(*) AS BIGINT) AS n_win FROM wnp)
+         |SELECT n_lsh, n_win, n_common,
+         |  ${ratio4Sql("n_common", "greatest(n_lsh, 1)")} AS lsh_confirmed4,
+         |  ${ratio4Sql("n_common", "greatest(n_win, 1)")} AS win_confirmed4
+         |FROM am CROSS JOIN bm CROSS JOIN cm""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

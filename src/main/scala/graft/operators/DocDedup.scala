@@ -175,6 +175,30 @@ object DocDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** `dedup_winnowing_agreement`: winnowing vs verified MinHash — the
+    * method-agreement read (the #226 blocking-agreement pattern):
+    * passage-local fingerprints and whole-document signatures catch
+    * overlapping but DIFFERENT pair sets, and the two confirmation
+    * ratios say which method is the superset on this corpus (the
+    * evidence a pipeline needs before dropping one of them). Both
+    * inputs arrive canonical (d1 < d2); one semi-join, one row out. */
+  def winnowingAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val mh = MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2")
+    val wp = winnowingPairs(spark, dir)
+      .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
+    val common = mh.join(wp, Seq("d1", "d2"), "left_semi")
+    val a = mh.agg(count(lit(1)).as("n_lsh"))
+    val b = wp.agg(count(lit(1)).as("n_win"))
+    val c = common.agg(count(lit(1)).as("n_common"))
+    a.crossJoin(b).crossJoin(c)
+      .select(col("n_lsh"), col("n_win"), col("n_common"),
+        ratio4(col("n_common"), greatest(col("n_lsh"), lit(1L)))
+          .as("lsh_confirmed4"),
+        ratio4(col("n_common"), greatest(col("n_win"), lit(1L)))
+          .as("win_confirmed4"))
+  }
+
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ τ — the
     * ASYMMETRIC overlap that catches sub-document duplication (a doc
     * quoted or embedded inside a larger one), which symmetric Jaccard

@@ -346,4 +346,22 @@ class DocDedupSpec extends SparkSpec {
       math.max(d._2.trim.split("\\s+").count(_.nonEmpty) - k + 1, 0)).sum
     assert(fps.size < nPos / 2)
   }
+
+  test("winnowingAgreement row reconciles with the two pair sets it grades") {
+    val mh = MinHashLSH.nearDupPairs(spark, sf).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wp = DocDedup.winnowingPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val common = mh.intersect(wp)
+    val got = DocDedup.winnowingAgreement(spark, sf).collect().head
+    assert(got.getLong(0) == mh.size.toLong)
+    assert(got.getLong(1) == wp.size.toLong)
+    assert(got.getLong(2) == common.size.toLong)
+    assert(got.getDouble(3) ==
+      ratio4Model(common.size.toLong, math.max(mh.size.toLong, 1L)))
+    assert(got.getDouble(4) ==
+      ratio4Model(common.size.toLong, math.max(wp.size.toLong, 1L)))
+    // the two methods genuinely overlap on the planted near-dups
+    assert(common.nonEmpty)
+  }
 }
