@@ -345,6 +345,10 @@ object SparkEntry {
     "dedup_winnowing" -> ((s, d) => DocDedup.winnowingPairs(s, d)),
     "dedup_winnowing_agreement" ->
       ((s, d) => DocDedup.winnowingAgreement(s, d)),
+    // round 13 wave 10: RAKE keyphrases, sentence-grain quantiles
+    "text_keyphrases_rake" -> ((s, d) => TextAnalysis.rakeKeyphrases(s, d)),
+    "docs_sentence_quantiles" ->
+      ((s, d) => graft.operators.QualitySignals.sentenceQuantiles(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2265,6 +2269,53 @@ object SparkEntry {
          |  ${ratio4Sql("n_common", "greatest(n_lsh, 1)")} AS lsh_confirmed4,
          |  ${ratio4Sql("n_common", "greatest(n_win, 1)")} AS win_confirmed4
          |FROM am CROSS JOIN bm CROSS JOIN cm""".stripMargin,
+
+    // fixed-point RAKE keyphrases — mirrors TextAnalysis.rakeKeyphrases
+    // (per-source word deg/freq ×10⁴ halfUp, int64 phrase sums)
+    "text_keyphrases_rake" -> {
+      val stopList = graft.operators.TextAnalysis.StopEn
+        .map(s => s"'$s'").mkString(", ")
+      val K = graft.operators.TextAnalysis.RakeTopK
+      val L = graft.operators.TextAnalysis.RakeMaxLen
+      s"""WITH toksr AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS t
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(generate_series(1, len(t)),
+         |      i -> {'pos': i, 'tok': t[i]})) AS ps
+         |  FROM toksr WHERE len(t) >= 1),
+         |fl AS (SELECT doc_id, source, ps.pos AS pos, ps.tok AS tok,
+         |         (ps.tok IN ($stopList)) AS is_stop FROM tk),
+         |il AS (SELECT *, CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |         OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+         |       FROM fl),
+         |ph AS (SELECT doc_id, source, island,
+         |         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |         CAST(count(*) AS BIGINT) AS len
+         |       FROM il WHERE NOT is_stop GROUP BY 1, 2, 3
+         |       HAVING count(*) <= $L),
+         |wsx AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq,
+         |          CAST(sum(len) AS BIGINT) AS deg
+         |        FROM (SELECT source, len, unnest(string_split(phrase, ' ')) AS w
+         |              FROM ph) q
+         |        GROUP BY 1, 2),
+         |wsc AS (SELECT source, w, ${halfUpSql("deg * 10000", "freq")} AS wscore
+         |        FROM wsx),
+         |pa AS (SELECT source, phrase, CAST(count(*) AS BIGINT) AS n_occ
+         |       FROM ph GROUP BY 1, 2),
+         |psc AS (SELECT pa.source, pa.phrase, pa.n_occ,
+         |          CAST(sum(wsc.wscore) AS BIGINT) AS score_u4
+         |        FROM pa CROSS JOIN unnest(string_split(pa.phrase, ' ')) AS u(w)
+         |        JOIN wsc ON wsc.source = pa.source AND wsc.w = u.w
+         |        GROUP BY 1, 2, 3),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |        ORDER BY score_u4 DESC, phrase) AS BIGINT) AS rank FROM psc)
+         |SELECT source, rank, phrase, n_occ, score_u4,
+         |  score_u4/10000.0 AS score
+         |FROM r WHERE rank <= $K ORDER BY source, rank""".stripMargin
+    },
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -4290,6 +4341,23 @@ object SparkEntry {
          |  quantile_cont(n_chars, 0.5) AS p50,
          |  quantile_cont(n_chars, 0.75) AS p75
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // sentence-grain length quantiles — mirrors
+    // QualitySignals.sentenceQuantiles ([.!?]+ splits, empties dropped)
+    "docs_sentence_quantiles" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id, source, unnest(string_split_regex(text, '[.!?]+')) AS sent
+         |  FROM documents),
+         |s1 AS (SELECT source,
+         |         CAST(len(list_filter(string_split_regex(trim(sent), '\\s+'),
+         |           t -> t <> '')) AS BIGINT) AS n_toks
+         |       FROM s0)
+         |SELECT source, count(*) AS n_sentences,
+         |  quantile_cont(n_toks, 0.25) AS p25,
+         |  quantile_cont(n_toks, 0.5) AS p50,
+         |  quantile_cont(n_toks, 0.75) AS p75,
+         |  quantile_cont(n_toks, 0.9) AS p90
+         |FROM s1 WHERE n_toks > 0 GROUP BY source ORDER BY source""".stripMargin,
 
     // content-defined-chunk dedup manifest — mirrors
     // DocDedup.cdcChunkDedup (boundaries from trailing-window hashes,

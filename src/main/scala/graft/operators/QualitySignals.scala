@@ -105,6 +105,38 @@ object QualitySignals {
       .orderBy("source")
   }
 
+  /** `docs_sentence_quantiles`: per-source sentence-length profile —
+    * exact positional quantiles (p25/p50/p75/p90) of sentence token
+    * counts on the native [[Ranking.groupedQuantiles]] path (never a
+    * reducer-buffering percentile). Sentence grain: [.!?]+ splits,
+    * empty fragments dropped. The readability-adjacent signal at the
+    * grain #139 summarizes per document: a source whose p90 sentence
+    * runs long reads like run-on boilerplate even when doc-level
+    * stats look normal.
+    *
+    * Shape: the sentence explode is the only corpus-sized expansion
+    * (~sentences ≈ tokens/15); quantiles ride the one range-partitioned
+    * GlobalRank sort; output O(sources). */
+  def sentenceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val sents = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "[.!?]+")).as(Seq("sid", "sent")))
+      .select(col("doc_id"), col("source"), col("sid"),
+        size(TextAnalysis.tokens(col("sent"))).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+    val counts = sents.groupBy("source").agg(count(lit(1)).as("n_sentences"))
+    Ranking.groupedQuantiles(sents, Seq("source"), "n_toks",
+        Seq("doc_id", "sid"), Seq(0.25, 0.5, 0.75, 0.9))
+      .groupBy("source")
+      .agg(max(when(col("p") === 0.25, col("q"))).as("p25"),
+        max(when(col("p") === 0.5, col("q"))).as("p50"),
+        max(when(col("p") === 0.75, col("q"))).as("p75"),
+        max(when(col("p") === 0.9, col("q"))).as("p90"))
+      .join(counts, "source")
+      .select("source", "n_sentences", "p25", "p50", "p75", "p90")
+      .orderBy("source")
+  }
+
   /** Corpus-relative novelty: the fraction of a document's distinct
     * 3-token shingles that occur in NO other document (document
     * frequency 1). Low novelty = boilerplate assembled from shared

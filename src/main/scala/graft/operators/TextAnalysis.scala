@@ -139,6 +139,74 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** RAKE candidate-phrase length cap (longer stopword-free runs are
+    * run-ons, not keyphrases) and the per-source report depth. */
+  val RakeMaxLen = 4
+  val RakeTopK = 5
+
+  /** `text_keyphrases_rake`: RAKE keyword extraction (Rose et al.) in
+    * fixed-point — candidate phrases are the maximal stopword-free
+    * token runs (length ≤ [[RakeMaxLen]]); each word scores
+    * deg/freq (deg = Σ length of the phrases its occurrences sit in,
+    * freq = occurrence count) and a phrase scores the sum of its
+    * words' scores. The published method sums float ratios; here each
+    * word score is the exact HALF_UP rational ×10⁴ and the phrase
+    * score a pure int64 sum — same ranking, engine-exact ties
+    * (documented fixed-point RAKE, not an approximation of it). Word
+    * statistics and phrases are PER SOURCE: the panel reports each
+    * feed's top-[[RakeTopK]] keyphrases, the "what is this source
+    * about" summary a mixture designer reads.
+    *
+    * Shape: positions/flags/islands are expression + one per-doc
+    * window (prefix count of stopwords — the island idiom); phrase
+    * assembly and both stat frames are partial-aggregable shuffles;
+    * the top-K window runs per source over the distinct-phrase
+    * aggregate. */
+  def rakeKeyphrases(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokens(lower(col("text"))).as("t")).spread
+      .select(col("doc_id"), col("source"),
+        posexplode(col("t")).as(Seq("pos0", "tok")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos0")
+    val phr = base
+      .withColumn("is_stop", col("tok").isin(StopEn: _*))
+      .withColumn("island",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+      .groupBy("doc_id", "source", "island")
+      .agg(sort_array(collect_list(struct(col("pos0"), col("tok")))).as("pw"))
+      .withColumn("words", expr("transform(pw, x -> x.tok)"))
+      .withColumn("len", size(col("words")).cast("long"))
+      .filter(col("len") <= RakeMaxLen)
+      .withColumn("phrase", concat_ws(" ", col("words")))
+    val wordScore = phr
+      .select(col("source"), col("len"), explode(col("words")).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("source"), col("w"),
+        halfUpDiv(col("deg") * lit(10000L), col("freq")).as("wscore"))
+    val scored = phr.groupBy("source", "phrase")
+      .agg(count(lit(1)).as("n_occ"))
+      // rebuild the word list from the phrase text itself — identical
+      // for every instance, so no order-sensitive first() is needed
+      .select(col("source"), col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScore, Seq("source", "w"))
+      .groupBy("source", "phrase", "n_occ")
+      .agg(sum(col("wscore")).as("score_u4"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("score_u4").desc, col("phrase"))
+    scored
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= RakeTopK)
+      .select(col("source"), col("rank"), col("phrase"), col("n_occ"),
+        col("score_u4"), (col("score_u4") / lit(10000.0)).as("score"))
+      .orderBy("source", "rank")
+  }
+
   /** Character class whose density separates code from prose: the
     * structural punctuation programming languages lean on and running
     * text mostly doesn't. Shared verbatim with the DuckDB oracle. */

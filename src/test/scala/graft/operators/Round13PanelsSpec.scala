@@ -313,6 +313,73 @@ class Round13PanelsSpec extends SparkSpec {
     assert(got.forall(_._7))
   }
 
+  test("rakeKeyphrases: fixed-point RAKE matches the driver model") {
+    val stop = TextAnalysis.StopEn.toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // candidate phrases per source: maximal stopword-free runs, len <= cap
+    val phrases: Seq[(String, Seq[String])] = docs.toSeq.flatMap { case (src, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val runs = scala.collection.mutable.ListBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ListBuffer[String]()
+      toks.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) { runs += cur.toSeq; cur = scala.collection.mutable.ListBuffer() } }
+        else cur += t
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs.toSeq.filter(_.size <= TextAnalysis.RakeMaxLen).map(src -> _)
+    }
+    val expected = phrases.groupBy(_._1).toSeq.flatMap { case (src, ps) =>
+      val ws = ps.flatMap { case (_, words) => words.map(w => (w, words.size.toLong)) }
+        .groupBy(_._1).map { case (w, occ) =>
+          w -> halfUp(occ.map(_._2).sum * 10000L, occ.size.toLong)
+        }
+      val scored = ps.groupBy(_._2).toSeq.map { case (words, occ) =>
+        (words.mkString(" "), occ.size.toLong, words.map(ws).sum)
+      }
+      scored.sortBy(p => (-p._3, p._1)).take(TextAnalysis.RakeTopK)
+        .zipWithIndex.map { case ((phrase, n, s), i) =>
+          (src, i + 1L, phrase, n, s, s / 1e4)
+        }
+    }.sortBy(r => (r._1, r._2))
+    val got = TextAnalysis.rakeKeyphrases(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got == expected)
+    // every source reports a full top-K (the corpus is dense enough)
+    assert(got.groupBy(_._1).values.forall(_.size == TextAnalysis.RakeTopK))
+  }
+
+  test("sentenceQuantiles: positional interpolation matches the driver model") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val lens = docs.toSeq.flatMap { case (src, text) =>
+      text.split("[.!?]+").toSeq
+        .map(s => s.trim.split("\\s+").count(_.nonEmpty).toLong)
+        .filter(_ > 0).map(src -> _)
+    }
+    def q(vs: Seq[Long], p: Double): Double = {
+      val s = vs.sorted
+      val pos = p * (s.size - 1)
+      val lo = s(math.floor(pos).toInt).toDouble
+      val hi = s(math.ceil(pos).toInt).toDouble
+      lo + (pos - math.floor(pos)) * (hi - lo)
+    }
+    val expected = lens.groupBy(_._1).toSeq.map { case (src, rs) =>
+      val vs = rs.map(_._2)
+      (src, vs.size.toLong, q(vs, 0.25), q(vs, 0.5), q(vs, 0.75), q(vs, 0.9))
+    }.sortBy(_._1)
+    val got = graft.operators.QualitySignals.sentenceQuantiles(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got == expected)
+    // quantiles are ordered within every source
+    assert(got.forall(r => r._3 <= r._4 && r._4 <= r._5 && r._5 <= r._6))
+  }
+
   test("codeDetect: symbol-density bands match the exact ppm driver model") {
     val codeSet = ";{}()[]<>=#&|".toSet
     val docs = graft.Tables.documents(spark, sf)
