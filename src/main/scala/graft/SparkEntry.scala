@@ -349,6 +349,9 @@ object SparkEntry {
     "text_keyphrases_rake" -> ((s, d) => TextAnalysis.rakeKeyphrases(s, d)),
     "docs_sentence_quantiles" ->
       ((s, d) => graft.operators.QualitySignals.sentenceQuantiles(s, d)),
+    // round 13 wave 11: rank-symbolized motif mining
+    "events_symbolic_motifs" ->
+      ((s, d) => graft.operators.Analytics6.symbolicMotifs(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -4358,6 +4361,39 @@ object SparkEntry {
          |  quantile_cont(n_toks, 0.75) AS p75,
          |  quantile_cont(n_toks, 0.9) AS p90
          |FROM s1 WHERE n_toks > 0 GROUP BY source ORDER BY source""".stripMargin,
+
+    // rank-symbolized SAX-style motif trigrams over the dense hourly
+    // grid — mirrors Analytics6.symbolicMotifs (quartile symbol = exact
+    // rank within the type, integer division; motifs on adjacent hours)
+    "events_symbolic_motifs" ->
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT event_type, ts_us // ${graft.operators.Analytics6.UsPerHour} AS hour FROM ev),
+         |c AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+         |      FROM h GROUP BY 1, 2),
+         |rng AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+         |ty AS (SELECT DISTINCT event_type FROM h),
+         |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour
+         |         FROM ty CROSS JOIN rng),
+         |d AS (SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+         |      FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour),
+         |sy AS (SELECT event_type, hour,
+         |         ((row_number() OVER (PARTITION BY event_type ORDER BY n, hour) - 1) * 4)
+         |           // (count(*) OVER (PARTITION BY event_type)) AS sym
+         |       FROM d),
+         |tri AS (SELECT event_type,
+         |          CAST(sym AS VARCHAR)
+         |            || CAST(lead(sym, 1) OVER (PARTITION BY event_type ORDER BY hour) AS VARCHAR)
+         |            || CAST(lead(sym, 2) OVER (PARTITION BY event_type ORDER BY hour) AS VARCHAR) AS motif,
+         |          lead(sym, 2) OVER (PARTITION BY event_type ORDER BY hour) AS s2
+         |        FROM sy),
+         |mo AS (SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n_occ
+         |       FROM tri WHERE s2 IS NOT NULL GROUP BY 1, 2),
+         |rk AS (SELECT event_type, motif, n_occ,
+         |         CAST(row_number() OVER (PARTITION BY event_type
+         |           ORDER BY n_occ DESC, motif) AS BIGINT) AS rank
+         |       FROM mo)
+         |SELECT event_type, rank, motif, n_occ FROM rk
+         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     // content-defined-chunk dedup manifest — mirrors
     // DocDedup.cdcChunkDedup (boundaries from trailing-window hashes,

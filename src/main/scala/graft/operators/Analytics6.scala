@@ -339,6 +339,46 @@ object Analytics6 {
       .orderBy("day_bucket")
   }
 
+  /** `events_symbolic_motifs`: SAX-style motif mining over the dense
+    * hourly grid, with RANK-based symbolization instead of the
+    * published gaussian breakpoints — each hour's count maps to a
+    * quartile symbol by its exact rank within the type
+    * (sym = (rank−1)·4 div n_hours), so the alphabet is
+    * distribution-free and engine-exact where z-scored breakpoints
+    * are a float lottery (documented variant, same discretize-then-
+    * count-motifs shape as SAX). Motifs are 3-hour symbol trigrams on
+    * the DENSE grid (missing hours count 0 — a sparse frame would
+    * concatenate non-adjacent hours); the panel reports each type's
+    * top-3 recurring shapes, the "what does a normal day look like"
+    * summary next to the seasonality/anomaly panels.
+    *
+    * Shape: one corpus-sized (type, hour) shuffle (the shared dense
+    * substrate); ranking, motif windows and top-K all run partitioned
+    * per type over the O(types × hours) grid. */
+  def symbolicMotifs(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val wT = Window.partitionBy("event_type").orderBy("n", "hour")
+    val wN = Window.partitionBy("event_type")
+    val wH = Window.partitionBy("event_type").orderBy("hour")
+    val sym = denseHourlyCounts(spark, dir)
+      .withColumn("rnk", row_number().over(wT).cast("long"))
+      .withColumn("nh", count(lit(1)).over(wN))
+      .withColumn("sym", intDiv((col("rnk") - 1L) * 4L, col("nh")))
+    val motifs = sym
+      .withColumn("s1", lead("sym", 1).over(wH))
+      .withColumn("s2", lead("sym", 2).over(wH))
+      .filter(col("s2").isNotNull)
+      .withColumn("motif", concat_ws("", col("sym"), col("s1"), col("s2")))
+      .groupBy("event_type", "motif").agg(count(lit(1)).as("n_occ"))
+    val wTop = Window.partitionBy("event_type")
+      .orderBy(col("n_occ").desc, col("motif"))
+    motifs
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("event_type", "rank", "motif", "n_occ")
+      .orderBy("event_type", "rank")
+  }
+
   /** `events_dow_hour_heatmap`: the weekly activity grid — events,
     * distinct users and spend per (day-of-week, hour-of-day) cell.
     * Both coordinates are pure integer arithmetic on epoch µs

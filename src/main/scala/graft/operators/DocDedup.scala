@@ -141,9 +141,12 @@ object DocDedup {
       Tables.documents(spark, dir).select("doc_id", "text").spread,
       k, w, maxDf, minShared)
 
-  /** [[winnowingPairs]] over any (doc_id, text) frame. */
-  def winnowingPairsOf(docs: DataFrame, k: Int, w: Int,
-                       maxDf: Int, minShared: Int): DataFrame = {
+  /** The selected winnowing fingerprint set — distinct (doc_id, h) of
+    * per-window k-gram hash minima. Shared by [[winnowingPairsOf]] and
+    * the streaming co-occurrence producer (one definition of the
+    * fingerprint, batch and stream can't drift). */
+  def winnowFingerprintsOf(docs: DataFrame, k: Int = WinnowK,
+                           w: Int = WinnowW): DataFrame = {
     val t = TextAnalysis.tokens(col("text"))
     val grams = (0 until k).map(o => s"element_at(t, i + $o)").mkString(", ")
     val pos = docs
@@ -162,8 +165,14 @@ object DocDedup {
       .select(col("doc_id"), col("h"), explode(
         sequence(greatest(lit(1L), col("p") - lit(w - 1L)),
           least(col("p"), col("W")))).as("j"))
-    val fp = win.groupBy("doc_id", "j").agg(min(col("h")).as("h"))
+    win.groupBy("doc_id", "j").agg(min(col("h")).as("h"))
       .select("doc_id", "h").distinct()
+  }
+
+  /** [[winnowingPairs]] over any (doc_id, text) frame. */
+  def winnowingPairsOf(docs: DataFrame, k: Int, w: Int,
+                       maxDf: Int, minShared: Int): DataFrame = {
+    val fp = winnowFingerprintsOf(docs, k, w)
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val capped = fp.withColumn("df", count(lit(1)).over(wH))
       .filter(col("df") <= maxDf).select("doc_id", "h")

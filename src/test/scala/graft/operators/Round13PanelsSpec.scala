@@ -407,4 +407,29 @@ class Round13PanelsSpec extends SparkSpec {
       assert(math.abs(bs.map(_._5).sum - 1.0) < 0.01)
     }
   }
+
+  test("symbolicMotifs: top-3 trigram shapes match a rank-symbolized driver model") {
+    val ev = Dedup.eventsUs(spark, sf).select("event_type", "ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1) / Analytics6.UsPerHour))
+      .toSeq
+    val counts = ev.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val h0 = ev.map(_._2).min
+    val h1 = ev.map(_._2).max
+    val expected = ev.map(_._1).distinct.sorted.flatMap { t =>
+      val grid = (h0 to h1).map(h => (h, counts.getOrElse((t, h), 0L)))
+      val nh = grid.size.toLong
+      val symOf = grid.sortBy { case (h, n) => (n, h) }.zipWithIndex
+        .map { case ((h, _), i) => h -> (i.toLong * 4L) / nh }.toMap
+      val syms = (h0 to h1).map(symOf)
+      syms.sliding(3).filter(_.size == 3).map(_.mkString("")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (m, n) => (-n, m) }.take(3).zipWithIndex
+        .map { case ((m, n), i) => (t, (i + 1).toLong, m, n) }
+    }
+    val got = Analytics6.symbolicMotifs(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got == expected)
+    // the alphabet is the exact rank-quartile set
+    assert(got.nonEmpty && got.forall(_._3.forall(c => c >= '0' && c <= '3')))
+  }
 }
