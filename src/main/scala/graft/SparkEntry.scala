@@ -352,6 +352,11 @@ object SparkEntry {
     // round 13 wave 11: rank-symbolized motif mining
     "events_symbolic_motifs" ->
       ((s, d) => graft.operators.Analytics6.symbolicMotifs(s, d)),
+    // round 13 wave 12: Bloom-prefilter accuracy, grouped OLS trend
+    "dedup_bloom_accuracy" ->
+      ((s, d) => graft.operators.Sketches.bloomAccuracy(s, d)),
+    "events_trend_ols" ->
+      ((s, d) => graft.operators.Analytics6.trendOls(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2927,6 +2932,96 @@ object SparkEntry {
          |SELECT source, band, n_docs, max_ppm,
          |  ${ratio4Sql("n_docs", "greatest(tot, 1)")} AS share4
          |FROM t ORDER BY source, band""".stripMargin,
+
+    // Bloom prefilter accuracy: k salted h64 positions mod m, build =
+    // pre-cutoff digest set, probes = post-cutoff digests — mirrors
+    // Sketches.bloomAccuracy (shared digest substrate with
+    // dedup_bootstrap via hashedCte)
+    "dedup_bloom_accuracy" -> {
+      val C = graft.operators.Dedup.BootstrapCutoffUs
+      def bp(m: String, i: String) = H64(
+        s"concat_ws(':', 'bloom', CAST($m AS VARCHAR), CAST($i AS VARCHAR), CAST(digest AS VARCHAR))")
+      s"""WITH $DUP_CTE, ${hashedCte(CANON_K)},
+         |dg AS (
+         |  SELECT digest,
+         |    CAST(max(CASE WHEN ts_us < $C THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+         |    max(CASE WHEN ts_us >= $C THEN 1 ELSE 0 END) AS post
+         |  FROM hashed GROUP BY 1),
+         |cfg(m_slots, k_hashes) AS (VALUES ${
+            graft.operators.Sketches.BloomConfigs
+              .map { case (m, k) => s"($m, $k)" }.mkString(", ")}),
+         |seeds AS (
+         |  SELECT m_slots, k_hashes, i.i FROM cfg, generate_series(0, 7) i(i)
+         |  WHERE i.i < k_hashes),
+         |bpos AS (
+         |  SELECT DISTINCT m_slots, ${bp("m_slots", "i")} % m_slots AS pos
+         |  FROM dg, seeds WHERE pre = 1),
+         |ppos AS (
+         |  SELECT s.m_slots, s.k_hashes, d.digest, d.pre,
+         |    ${bp("s.m_slots", "s.i")} % s.m_slots AS pos
+         |  FROM dg d, seeds s WHERE d.post = 1),
+         |ph AS (
+         |  SELECT p.m_slots, p.k_hashes, p.digest, p.pre,
+         |    count(*) AS n_pos,
+         |    sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM ppos p LEFT JOIN bpos b ON p.m_slots = b.m_slots AND p.pos = b.pos
+         |  GROUP BY 1, 2, 3, 4),
+         |agg AS (
+         |  SELECT m_slots, k_hashes,
+         |    CAST(count(*) AS BIGINT) AS n_probe,
+         |    CAST(sum(pre) AS BIGINT) AS n_member,
+         |    CAST(sum(CASE WHEN pre = 1 AND n_hit <> n_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+         |    CAST(sum(1 - pre) AS BIGINT) AS n_nonmember,
+         |    CAST(sum(CASE WHEN pre = 0 AND n_hit = n_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+         |  FROM ph GROUP BY 1, 2),
+         |fill AS (SELECT m_slots, CAST(count(*) AS BIGINT) AS n_set FROM bpos GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM dg WHERE pre = 1)
+         |SELECT a.m_slots, a.k_hashes, nb.n_build,
+         |  ${halfUpSql("f.n_set * 1000000", "a.m_slots")} AS fill_ppm,
+         |  a.n_probe, a.n_member, a.n_fn, a.n_nonmember, a.n_fp,
+         |  ${halfUpSql("a.n_fp * 1000000", "greatest(a.n_nonmember, 1)")} AS fpr_ppm
+         |FROM agg a JOIN fill f ON a.m_slots = f.m_slots CROSS JOIN nb
+         |ORDER BY a.m_slots""".stripMargin
+    },
+
+    // grouped OLS trend of daily spend: exact int64 running sums,
+    // signed ratio4 slope/intercept, r² in HUGEINT (the one product
+    // that outgrows int64) — mirrors Analytics6.trendOls
+    "events_trend_ols" ->
+      s"""WITH ev AS ($EV),
+         |daily AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day,
+         |    CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM ev GROUP BY 1, 2),
+         |d0 AS (SELECT min(day) AS day0 FROM daily),
+         |xy AS (SELECT event_type, day - day0 AS x, y FROM daily, d0),
+         |st AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM xy GROUP BY 1),
+         |c AS (
+         |  SELECT *,
+         |    n_days * sxy - sx * sy AS sn,
+         |    n_days * sxx - sx * sx AS sd,
+         |    sy * sxx - sx * sxy AS iin,
+         |    CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS syy_n
+         |  FROM st)
+         |SELECT event_type, n_days, sy AS total_cents,
+         |  CASE WHEN sd = 0 THEN NULL ELSE
+         |    (CASE WHEN sn < 0 THEN -1.0 ELSE 1.0 END) *
+         |    (${halfUpSql("abs(sn) * 10000", "sd")}) / 10000.0 END AS slope_cents,
+         |  CASE WHEN sd = 0 THEN NULL ELSE
+         |    (CASE WHEN iin < 0 THEN -1.0 ELSE 1.0 END) *
+         |    (${halfUpSql("abs(iin) * 10000", "sd")}) / 10000.0 END AS icept_cents,
+         |  CASE WHEN sd = 0 OR syy_n = 0 THEN NULL ELSE
+         |    CAST((2 * CAST(sn AS HUGEINT) * sn * 1000000 + CAST(sd AS HUGEINT) * syy_n)
+         |      // (2 * CAST(sd AS HUGEINT) * syy_n) AS BIGINT) END AS r2_ppm
+         |FROM c ORDER BY event_type""".stripMargin,
 
     "topk_per_group" ->
       s"""WITH ev AS ($EV)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -402,5 +402,69 @@ object Analytics6 {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("cents")).as("spend_cents"))
       .orderBy("dow", "hour")
+  }
+
+  /** `events_trend_ols`: grouped ordinary-least-squares trend — per
+    * event type, the exact-rational OLS slope/intercept of daily spend
+    * (cents) over the day index, plus the fit's r² in ppm. The missing
+    * member of the trend family: forecastError grades a SEASONAL-NAIVE
+    * model, cusumDrift detects level SHIFTS — this fits the level's
+    * LINE, the primitive a mix planner reads to see which sources are
+    * growing vs decaying.
+    *
+    * Numeric discipline: all sums are exact int64 over (x = day index
+    * from the corpus' first day, y = daily cents); slope = (nΣxy −
+    * ΣxΣy)/(nΣx² − (Σx)²) and intercept are released through the
+    * signed ratio4 form (sign × halfUp(|num|·10⁴, den), one IEEE
+    * divide by 10⁴ — both engines truncate identically because the
+    * division is always on the non-negative numerator). r² squares the
+    * slope numerator, which overflows int64 at large SFs, so that one
+    * ratio is computed in DECIMAL(38,0) (DuckDB: HUGEINT) — exact
+    * integer arithmetic in both engines, then one halfUp to ppm.
+    *
+    * Shape at scale: one map-side-combinable (type, day) aggregate
+    * over the scan, then an O(types × days) second aggregate carrying
+    * five running sums — the classic two-level distributive-moment
+    * plan; the 1-row day-origin frame broadcasts. */
+  def trendOls(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, intDiv, valueCents}
+    val daily = Dedup.eventsUs(spark, dir)
+      .select(col("event_type"),
+        intDiv(col("ts_us"), lit(86400000000L)).as("day"),
+        valueCents(col("value")).as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+    val day0 = daily.agg(min("day").as("day0"))
+    def signed4(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(when(num < 0L, lit(-1.0)).otherwise(lit(1.0)) *
+          (halfUpDiv(abs(num) * 10000L, den) / lit(10000.0)))
+    daily.crossJoin(broadcast(day0))
+      .withColumn("x", col("day") - col("day0"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .withColumn("sn", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("sd", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("syy_n", expr(
+        "CAST(n_days AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"))
+      // halfUp as (2·num + den) DIV (2·den): DIV on decimals returns
+      // BIGINT, so only the ≤10⁶ RESULT may be a long — a den DIV 2
+      // intermediate would itself overflow int64 at large SFs
+      .withColumn("r2_ppm", expr(
+        """CASE WHEN sd = 0 OR syy_n = 0 THEN NULL
+          |ELSE CAST((2 * CAST(sn AS DECIMAL(38,0)) * CAST(sn AS DECIMAL(38,0)) * 1000000
+          |  + CAST(sd AS DECIMAL(38,0)) * syy_n)
+          |  DIV (2 * CAST(sd AS DECIMAL(38,0)) * syy_n) AS BIGINT) END""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("sy").as("total_cents"),
+        signed4(col("sn"), col("sd")).as("slope_cents"),
+        signed4(col("sy") * col("sxx") - col("sx") * col("sxy"), col("sd"))
+          .as("icept_cents"),
+        col("r2_ppm"))
+      .orderBy("event_type")
   }
 }

@@ -362,4 +362,85 @@ object Sketches {
         errPpm("p90_cents", "exact_p90").as("err90_ppm"))
       .orderBy("event_type")
   }
+
+  /** Bloom-filter configurations for [[bloomAccuracy]]: (slots m, hash
+    * count k). The three points bracket the interesting fill range at
+    * the test SFs — the smallest table saturates as history grows (the
+    * panel SHOWS a filter aging out), the largest stays sparse. */
+  val BloomConfigs: Seq[(Int, Int)] = Seq((32768, 2), (262144, 4), (2097152, 6))
+
+  /** `dedup_bloom_accuracy`: the Bloom-filter member of the
+    * sketch-accuracy family (theta #257 / KMV #301 / Count-Min #329 —
+    * now the dedup prefilter gets the same measured-not-asserted
+    * grading). Build side: the distinct digests of the pre-cutoff
+    * history (the [[Dedup.bootstrapBloom]] substrate, digest definition
+    * shared via [[Dedup.hashedStream]]); probe side: every distinct
+    * post-cutoff digest. Per (m, k) the panel releases the observed
+    * false-positive rate in ppm, the fill ratio, AND the
+    * zero-false-negative guarantee as counted fact (`n_fn` — provably
+    * 0: positions are a pure function of the digest, so a member's k
+    * positions are all set by its own insertion).
+    *
+    * Positions are k independent salted [[h64]] draws mod m — the
+    * whole filter is a pure function of the input SET, so the DuckDB
+    * oracle replays every number hash-exactly (the same property the
+    * theta/KMV/CM panels exploit; Spark's own util.sketch.BloomFilter
+    * is seed-stable but not replayable outside the JVM).
+    *
+    * Shape at scale: the build side collapses to ≤ m distinct (m, pos)
+    * rows per config — a map-side-combined aggregate whose output is
+    * BOUNDED by the filter size regardless of history volume (the
+    * whole point of a Bloom prefilter); the probe side is one pass
+    * over post-cutoff digests × Σk position rows joined against that
+    * bounded set (AQE broadcasts it), then two grouped aggregates.
+    * Nothing in the plan grows faster than the probe count. */
+  def bloomAccuracy(spark: SparkSession, dir: String,
+                    configs: Seq[(Int, Int)] = BloomConfigs,
+                    cutoffUs: Long = Dedup.BootstrapCutoffUs): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    import spark.implicits._
+    val dg = Dedup.hashedStream(spark, dir)
+      .groupBy("digest")
+      .agg(max(when(col("ts_us") < cutoffUs, 1L).otherwise(0L)).as("pre"),
+        max(when(col("ts_us") >= cutoffUs, 1L).otherwise(0L)).as("post"))
+      .localCheckpoint(true) // feeds build, probe AND truth — digest once
+    val seeds = configs.toDF("m_slots", "k_hashes")
+      .withColumn("i", explode(sequence(lit(0), col("k_hashes") - 1)))
+    // position = salted oracle hash mod m; h64 ≥ 0 so % == pmod
+    def posCol: Column =
+      pmod(h64(concat_ws(":", lit("bloom"), col("m_slots").cast("string"),
+        col("i").cast("string"), col("digest").cast("string"))),
+        col("m_slots").cast("long"))
+    val buildPos = dg.filter(col("pre") === 1L)
+      .crossJoin(broadcast(seeds))
+      .select(col("m_slots"), posCol.as("pos"))
+      .distinct()
+      .localCheckpoint(true) // ≤ Σm rows — the materialized filter
+    val probeHits = dg.filter(col("post") === 1L)
+      .crossJoin(broadcast(seeds))
+      .withColumn("pos", posCol)
+      .join(buildPos.withColumn("hit", lit(1L)), Seq("m_slots", "pos"), "left")
+      .groupBy("m_slots", "k_hashes", "digest", "pre")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("positive", col("n_hit") === col("n_pos"))
+    val fill = buildPos.groupBy("m_slots").agg(count(lit(1)).as("n_set"))
+    val nBuild = dg.filter(col("pre") === 1L)
+      .agg(count(lit(1)).as("n_build"))
+    probeHits.groupBy("m_slots", "k_hashes")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(col("pre")).as("n_member"),
+        sum(when(col("pre") === 1L && !col("positive"), 1L).otherwise(0L)).as("n_fn"),
+        sum(lit(1L) - col("pre")).as("n_nonmember"),
+        sum(when(col("pre") === 0L && col("positive"), 1L).otherwise(0L)).as("n_fp"))
+      .join(fill, "m_slots")
+      .crossJoin(broadcast(nBuild))
+      .select(col("m_slots"), col("k_hashes"), col("n_build"),
+        halfUpDiv(col("n_set") * 1000000L, col("m_slots")).as("fill_ppm"),
+        col("n_probe"), col("n_member"), col("n_fn"),
+        col("n_nonmember"), col("n_fp"),
+        halfUpDiv(col("n_fp") * 1000000L,
+          greatest(col("n_nonmember"), lit(1L))).as("fpr_ppm"))
+      .orderBy("m_slots")
+  }
 }
