@@ -357,6 +357,10 @@ object SparkEntry {
       ((s, d) => graft.operators.Sketches.bloomAccuracy(s, d)),
     "events_trend_ols" ->
       ((s, d) => graft.operators.Analytics6.trendOls(s, d)),
+    // round 13 wave 13: TTL sensitivity curve, leakage-free group folds
+    "dedup_ttl_curve" -> ((s, d) => Dedup.ttlCurve(s, d)),
+    "pipeline_group_folds" ->
+      ((s, d) => graft.operators.Pipeline.groupFolds(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3022,6 +3026,58 @@ object SparkEntry {
          |    CAST((2 * CAST(sn AS HUGEINT) * sn * 1000000 + CAST(sd AS HUGEINT) * syy_n)
          |      // (2 * CAST(sd AS HUGEINT) * syy_n) AS BIGINT) END AS r2_ppm
          |FROM c ORDER BY event_type""".stripMargin,
+
+    // TTL sensitivity grid: one greedy ObliviousSet chain per TTL
+    // (same recursive closure as dedup_chain, parameterized) —
+    // mirrors Dedup.ttlCurve
+    "dedup_ttl_curve" -> {
+      def chainCte(t: Long) =
+        s"""chain_$t(digest, ts_us) AS (
+           |  SELECT digest, min(ts_us) FROM hashed GROUP BY digest
+           |  UNION ALL
+           |  SELECT c.digest, nxt.ts_us FROM chain_$t c
+           |  JOIN LATERAL (
+           |    SELECT min(h.ts_us) AS ts_us FROM hashed h
+           |    WHERE h.digest = c.digest AND h.ts_us >= c.ts_us + ${t * 1000000L}
+           |  ) nxt ON nxt.ts_us IS NOT NULL
+           |)""".stripMargin
+      val ttls = graft.operators.Dedup.TtlCurveS
+      s"""WITH RECURSIVE $DUP_CTE, ${hashedCte(CANON_K)},
+         |${ttls.map(chainCte).mkString(",\n")},
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM hashed),
+         |k AS (${ttls.map(t =>
+              s"SELECT CAST($t AS BIGINT) AS ttl_s, CAST(count(*) AS BIGINT) AS n_kept FROM chain_$t")
+              .mkString("\n   UNION ALL ")})
+         |SELECT ttl_s, n_kept, n_total, ${ratio4Sql("n_kept", "n_total")} AS keep4
+         |FROM k, tot ORDER BY ttl_s""".stripMargin
+    },
+
+    // GroupKFold by near-dup component: fold = h64('fold:'||group) % K,
+    // group = component label (singletons = own doc id) — mirrors
+    // Pipeline.groupFolds (shared pair/component closure CTEs)
+    "pipeline_group_folds" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |${labelPropCtes()},
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS gid,
+         |    ${H64("concat('fold:', CAST(coalesce(c.component_id, d.doc_id) AS VARCHAR))")}
+         |      % ${graft.operators.Pipeline.NumFolds} AS fold
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |cross_p AS (
+         |  SELECT a.fold, CAST(count(*) AS BIGINT) AS n_cross_pairs
+         |  FROM pairs p JOIN lab a ON a.doc_id = p.d1
+         |               JOIN lab b ON b.doc_id = p.d2
+         |  WHERE a.fold <> b.fold GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lab)
+         |SELECT l.fold, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT l.gid) AS BIGINT) AS n_groups,
+         |  ${ratio4Sql("CAST(count(*) AS BIGINT)", "any_value(tot.n_total)")} AS doc_share4,
+         |  coalesce(any_value(cp.n_cross_pairs), 0) AS n_cross_pairs
+         |FROM lab l LEFT JOIN cross_p cp ON cp.fold = l.fold CROSS JOIN tot
+         |GROUP BY l.fold ORDER BY l.fold""".stripMargin,
 
     "topk_per_group" ->
       s"""WITH ev AS ($EV)

@@ -257,4 +257,42 @@ object Dedup {
         sum(when(col("rn") =!= 1, 1).otherwise(0)).cast("long").as("n_dropped"))
       .orderBy("minute_bucket")
   }
+
+  /** TTL grid for [[ttlCurve]], seconds. The points bracket the
+    * stream's replica structure (a +37 s replica and a +2 h replica —
+    * deduplication.ts's DEDUPLICATION_WINDOW exists to absorb exactly
+    * such upstream re-deliveries): 30 s keeps both replicas, 600/3600
+    * drop only the near replica, 7200 lands ON the far replica's
+    * boundary (kept — the chain rule is ≥, an exact-semantics pin),
+    * 14400 drops both. */
+  val TtlCurveS: Seq[Long] = Seq(30L, 600L, 3600L, 7200L, 14400L)
+
+  /** `dedup_ttl_curve`: sensitivity of the TTL-chain dedup to its ONE
+    * tuning parameter — the reference's DEDUPLICATION_WINDOW
+    * (deduplication.ts:10-13, the env-tuned window this whole family
+    * implements). Per TTL: rows kept, total, and the exact ratio4 keep
+    * share — the curve an operator reads to size the window against
+    * the observed replica lag spectrum instead of folklore (kept mass
+    * steps DOWN precisely where a replica lag crosses the TTL).
+    *
+    * Shape: the digest pass runs ONCE (local checkpoint) and each TTL
+    * adds one ChainDedupExec — a digest exchange + in-partition sort +
+    * O(1)-state run scan; counts are map-side-combined. Cost is
+    * strictly |grid| × the single chain query, no quadratic term. */
+  def ttlCurve(spark: SparkSession, dir: String,
+               ttlsS: Seq[Long] = TtlCurveS): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val hashed = hashedStream(spark, dir).localCheckpoint(true)
+    val total = hashed.agg(count(lit(1)).as("n_total"))
+    ttlsS.map { t =>
+        chainNative(hashed, t * 1000000L)
+          .agg(count(lit(1)).as("n_kept"))
+          .select(lit(t).as("ttl_s"), col("n_kept"))
+      }
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(total))
+      .select(col("ttl_s"), col("n_kept"), col("n_total"),
+        ratio4(col("n_kept"), col("n_total")).as("keep4"))
+      .orderBy("ttl_s")
+  }
 }

@@ -601,4 +601,52 @@ object Pipeline {
           .otherwise(lit(nShards - 1L) - col("pos")))
       .drop("block", "pos")
   }
+
+  /** Fold count for [[groupFolds]]. */
+  val NumFolds = 5
+
+  /** `pipeline_group_folds`: leakage-free GroupKFold — the FIX for
+    * what `split_leakage` (#183) measures. A per-document hash split
+    * guarantees document disjointness and nothing more: near-dup
+    * families straddle folds and cross-validation scores leak. Here
+    * the assignment unit is the near-dup COMPONENT (singleton docs
+    * form their own group), fold = h64 of the group id mod K — so
+    * every verified near-dup pair lands in ONE fold by construction.
+    * Per fold: doc count, group count, exact ratio4 doc share, and
+    * the cross-fold verified-pair count released as a counted fact
+    * (provably 0 — the zero-leakage guarantee next to the balance
+    * evidence a reviewer needs to trust the folds).
+    *
+    * Shape: the verified pair list + components are the session-
+    * memoized artifacts ~10 other panels share (no new corpus pass in
+    * a warm session); the rest is two uniform-int-key joins and an
+    * O(K) rollup. */
+  def groupFolds(spark: SparkSession, dir: String,
+                 k: Int = NumFolds): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val comp = MinHashLSH.nearDupComponents(spark, dir)
+    val lab = Tables.documents(spark, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("gid"))
+      .withColumn("fold",
+        pmod(h64(concat(lit("fold:"), col("gid").cast("string"))), lit(k.toLong)))
+      .localCheckpoint(true) // feeds the rollup AND both pair endpoints
+    val cross = MinHashLSH.nearDupPairs(spark, dir)
+      .select("d1", "d2")
+      .join(lab.select(col("doc_id").as("d1"), col("fold").as("f1")), "d1")
+      .join(lab.select(col("doc_id").as("d2"), col("fold").as("f2")), "d2")
+      .filter(col("f1") =!= col("f2"))
+      .groupBy(col("f1").as("fold"))
+      .agg(count(lit(1)).as("n_cross_pairs"))
+    val tot = lab.agg(count(lit(1)).as("n_total"))
+    lab.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("gid")).as("n_groups"))
+      .join(cross, Seq("fold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("n_groups"),
+        ratio4(col("n_docs"), col("n_total")).as("doc_share4"),
+        coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"))
+      .orderBy("fold")
+  }
 }

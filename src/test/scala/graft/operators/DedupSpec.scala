@@ -154,4 +154,31 @@ class DedupSpec extends SparkSpec {
       Dedup.hashedStream(spark, sf, ignored = Seq("k"))).count()
     assert(loose <= strict)
   }
+
+  test("ttlCurve: every point matches the ObliviousSet model; replica steps land") {
+    val rows = hashed.collect()
+      .map(r => (r.getAs[Long]("digest"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts_us")))
+    val nTotal = rows.length.toLong
+    val expected = Dedup.TtlCurveS.map { t =>
+      val kept = rows.groupBy(_._1).values.map { rs =>
+        obliviousSetModel(
+          rs.map(r => (r._2, r._3)).sortBy { case (id, ts) => (ts, id) }
+            .toIndexedSeq,
+          t * 1000000L).size.toLong
+      }.sum
+      (t, kept, nTotal, ratio4Model(kept, nTotal))
+    }.sortBy(_._1)
+    val got = Dedup.ttlCurve(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    val byTtl = got.map(r => r._1 -> r._2).toMap
+    // kept mass is monotone non-increasing in the TTL
+    assert(got.map(_._2) == got.map(_._2).sortBy(-_))
+    // 30s keeps the +37s replica that 600s drops
+    assert(byTtl(30L) > byTtl(600L))
+    // the +2h replica sits exactly ON the 7200s boundary: >= keeps it,
+    // so the step only appears past it
+    assert(byTtl(7200L) > byTtl(14400L))
+  }
 }

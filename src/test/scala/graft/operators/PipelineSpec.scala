@@ -265,4 +265,33 @@ class PipelineSpec extends SparkSpec {
       assert(rows(g)._3 <= base - keptDocs(g))
     }
   }
+
+  test("groupFolds: component-unit assignment, zero cross-fold pairs, exact cover") {
+    def h64Model(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val comp = MinHashLSH.nearDupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docIds = graft.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val gid = docIds.map(d => d -> comp.getOrElse(d, d)).toMap
+    def fold(g: Long): Long = h64Model(s"fold:$g") % Pipeline.NumFolds
+    val expected = docIds.groupBy(d => fold(gid(d))).toSeq.map { case (f, ds) =>
+      (f, ds.size.toLong, ds.map(gid).distinct.size.toLong,
+        ratio4Model(ds.size.toLong, docIds.size.toLong), 0L)
+    }.sortBy(_._1)
+    val got = Pipeline.groupFolds(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got == expected)
+    // the released guarantee: no verified pair straddles folds, ever
+    assert(got.forall(_._5 == 0L))
+    // exact cover: fold doc counts sum to the corpus
+    assert(got.map(_._2).sum == docIds.size.toLong)
+    // every pair endpoint shares its partner's fold (the model's own check)
+    MinHashLSH.nearDupPairs(spark, sf).select("d1", "d2").collect()
+      .foreach(r => assert(fold(gid(r.getLong(0))) == fold(gid(r.getLong(1)))))
+  }
 }
