@@ -361,6 +361,10 @@ object SparkEntry {
     "dedup_ttl_curve" -> ((s, d) => Dedup.ttlCurve(s, d)),
     "pipeline_group_folds" ->
       ((s, d) => graft.operators.Pipeline.groupFolds(s, d)),
+    // round 13 wave 14: multi-scale dispersion, dedup savings budget
+    "events_fano_spectrum" ->
+      ((s, d) => graft.operators.Analytics6.fanoSpectrum(s, d)),
+    "dedup_savings_report" -> ((s, d) => DocDedup.savingsReport(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -382,25 +386,25 @@ object SparkEntry {
     * `shcand(d1, d2, hd)`. */
   private def SIMHASH_CAND_CTES: String =
     s"""th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
-       |bits AS (
+       |shbits AS (
        |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
        |  FROM th, generate_series(0,63) b(b) GROUP BY doc_id, b.b
        |),
-       |simh AS (
+       |shsimh AS (
        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id
+       |  FROM shbits GROUP BY doc_id
        |),
-       |bands AS (
+       |shbands AS (
        |  SELECT doc_id, simhash, band, byte FROM (
        |    SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte,
        |      count(*) OVER (PARTITION BY g.g, (simhash >> (8*g.g)) & 255) AS bsz
-       |    FROM simh, generate_series(0,7) g(g))
+       |    FROM shsimh, generate_series(0,7) g(g))
        |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
        |),
        |shcand AS (
        |  SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM (
        |    SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2
-       |    FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |    FROM shbands x JOIN shbands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
        |)""".stripMargin
 
   /** Deterministic per-type KMV bottom-k value sample (hash → dedup →
@@ -3078,6 +3082,75 @@ object SparkEntry {
          |  coalesce(any_value(cp.n_cross_pairs), 0) AS n_cross_pairs
          |FROM lab l LEFT JOIN cross_p cp ON cp.fold = l.fold CROSS JOIN tot
          |GROUP BY l.fold ORDER BY l.fold""".stripMargin,
+
+    // multi-scale Fano: dense-grid variance-to-mean per (type, width)
+    // on exact int64 moments — mirrors Analytics6.fanoSpectrum
+    "events_fano_spectrum" ->
+      s"""WITH ev AS ($EV),
+         |cells AS (
+         |  SELECT event_type, ts_us // 3600000000 AS hour,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1, 2),
+         |span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM cells),
+         |w(width_h) AS (
+         |  SELECT CAST(unnest([${graft.operators.Analytics6.FanoWidthsH.mkString(", ")}]) AS BIGINT)),
+         |cw AS (
+         |  SELECT event_type, width_h, (hour - h0) // width_h AS slot,
+         |    (h1 - h0) // width_h + 1 AS nslots, c
+         |  FROM cells, span, w),
+         |s AS (
+         |  SELECT event_type, width_h, slot, max(nslots) AS nslots,
+         |    CAST(sum(c) AS BIGINT) AS c
+         |  FROM cw GROUP BY 1, 2, 3),
+         |a AS (
+         |  SELECT event_type, width_h,
+         |    CAST(max(nslots) AS BIGINT) AS n_slots,
+         |    CAST(sum(c) AS BIGINT) AS n_events,
+         |    CAST(count(*) AS BIGINT) AS n_active_slots,
+         |    CAST(sum(c*c) AS BIGINT) AS s2
+         |  FROM s GROUP BY 1, 2)
+         |SELECT event_type, width_h, n_slots, n_events, n_active_slots,
+         |  ${ratio4Sql("n_slots*s2 - n_events*n_events", "n_slots*n_events")} AS fano4
+         |FROM a ORDER BY event_type, width_h""".stripMargin,
+
+    // per-method dedup savings on the real corpus: exact keeps min id
+    // per normalized digest; pair families drop the larger pair id
+    // (the Pipeline rule) — mirrors DocDedup.savingsReport
+    "dedup_savings_report" ->
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |$SIMHASH_CAND_CTES,
+         |$WINNOW_CTES,
+         |ntk AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_toks FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS td,
+         |               CAST(sum(n_toks) AS BIGINT) AS tt FROM ntk),
+         |ex AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY digest) AS keep
+         |    FROM (SELECT doc_id,
+         |      ${H64("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS digest
+         |      FROM documents))
+         |  WHERE doc_id <> keep),
+         |u AS (
+         |  SELECT 'exact' AS method, doc_id FROM ex
+         |  UNION ALL SELECT 'minhash', d2 FROM (SELECT DISTINCT d2 FROM pairs)
+         |  UNION ALL SELECT 'simhash', d2 FROM (
+         |    SELECT DISTINCT d2 FROM shcand
+         |    WHERE hd <= ${graft.operators.SimHash.HammingMax})
+         |  UNION ALL SELECT 'winnowing', doc_b FROM (SELECT DISTINCT doc_b FROM wpairs)),
+         |m(method) AS (VALUES ('exact'), ('minhash'), ('simhash'), ('winnowing')),
+         |agg AS (
+         |  SELECT u.method, CAST(count(*) AS BIGINT) AS n_dropped,
+         |    CAST(coalesce(sum(n.n_toks), 0) AS BIGINT) AS tok_dropped
+         |  FROM u JOIN ntk n USING (doc_id) GROUP BY 1)
+         |SELECT m.method,
+         |  coalesce(agg.n_dropped, 0) AS n_dropped,
+         |  coalesce(agg.tok_dropped, 0) AS tok_dropped,
+         |  ${ratio4Sql("coalesce(agg.n_dropped, 0)", "tot.td")} AS doc_share4,
+         |  ${ratio4Sql("coalesce(agg.tok_dropped, 0)", "tot.tt")} AS tok_share4
+         |FROM m LEFT JOIN agg ON agg.method = m.method CROSS JOIN tot
+         |ORDER BY m.method""".stripMargin,
 
     "topk_per_group" ->
       s"""WITH ev AS ($EV)

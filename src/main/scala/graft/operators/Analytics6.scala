@@ -404,6 +404,56 @@ object Analytics6 {
       .orderBy("dow", "hour")
   }
 
+  /** Bucket widths (hours) for [[fanoSpectrum]] — a dyadic ladder plus
+    * the daily scale. */
+  val FanoWidthsH: Seq[Long] = Seq(1L, 2L, 4L, 8L, 24L)
+
+  /** `events_fano_spectrum`: multi-scale dispersion — the Fano factor
+    * (variance-to-mean of bucket counts over the DENSE bucket grid) of
+    * each event type at widths 1/2/4/8/24 h. `events_burstiness`
+    * (#296) grades each USER at the single hourly scale; this is the
+    * per-TYPE scale SPECTRUM: a Poisson-like feed holds Fano ≈ 1 at
+    * every width, while session-clumped or daily-cyclic traffic shows
+    * Fano GROWING with width (clumps aggregate into heavier buckets) —
+    * which width it departs at tells an anomaly detector the
+    * correlation horizon to model. Exact algebra: F = (S·Σc² − (Σc)²)
+    * / (S·Σc) over int64 moments with S = dense slot count from the
+    * global span (empty slots carry zero mass but enter S), released
+    * via one halfUp ratio4 — Cauchy–Schwarz keeps the numerator ≥ 0.
+    *
+    * Shape: ONE (type, hour) base aggregate (map-side combinable)
+    * feeds every width — coarser cells re-aggregate from the hourly
+    * frame, never from raw events; the span is a broadcast 1-row
+    * frame; output O(types × widths). */
+  def fanoSpectrum(spark: SparkSession, dir: String,
+                   widths: Seq[Long] = FanoWidthsH): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val cells1 = Dedup.eventsUs(spark, dir)
+      .select(col("event_type"),
+        intDiv(col("ts_us"), lit(3600000000L)).as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val span = cells1.agg(min("hour").as("h0"), max("hour").as("h1"))
+    widths.map { w =>
+        cells1.crossJoin(broadcast(span))
+          .select(col("event_type"),
+            intDiv(col("hour") - col("h0"), lit(w)).as("slot"), col("c"),
+            (intDiv(col("h1") - col("h0"), lit(w)) + 1L).as("nslots"))
+          .groupBy("event_type", "slot")
+          .agg(sum("c").as("c"), max("nslots").as("nslots"))
+          .groupBy("event_type")
+          .agg(max("nslots").as("n_slots"), sum("c").as("n_events"),
+            count(lit(1)).as("n_active_slots"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(col("event_type"), lit(w).as("width_h"), col("n_slots"),
+            col("n_events"), col("n_active_slots"),
+            ratio4(col("n_slots") * col("s2") - col("n_events") * col("n_events"),
+              col("n_slots") * col("n_events")).as("fano4"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("event_type", "width_h")
+  }
+
   /** `events_trend_ols`: grouped ordinary-least-squares trend — per
     * event type, the exact-rational OLS slope/intercept of daily spend
     * (cents) over the day index, plus the fit's r² in ppm. The missing

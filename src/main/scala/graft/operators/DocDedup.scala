@@ -621,4 +621,54 @@ object DocDedup {
         col("m.partner").as("best_partner"), col("m.jaccard").as("max_jaccard"))
       .orderBy("doc_id")
   }
+
+  /** `dedup_savings_report`: what each dedup method actually SAVES —
+    * per method (exact / minhash / simhash / winnowing), the documents
+    * and token mass its canonical drop rule removes from the REAL
+    * corpus, as counts and exact ratio4 shares. The agreement panels
+    * (#226/#332) compare pair SETS; this is the budget view a capacity
+    * planner reads: bytes-on-disk and tokens-into-training saved per
+    * method, one table. Drop rules are each method's documented
+    * keeper convention: exact keeps the min doc_id per normalized
+    * digest; the pair families drop every doc appearing as the LARGER
+    * id of a verified/accepted pair (the Pipeline near-dup rule — no
+    * transitive closure, deterministic at any scale).
+    *
+    * Shape: the token frame is computed once (checkpoint); each
+    * method contributes one distinct-id frame joined on the uniform
+    * int doc key; pair lists are the session-memoized artifacts where
+    * they exist. Output O(methods). */
+  def savingsReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .localCheckpoint(true)
+    val tot = toks.agg(count(lit(1)).as("td"), sum("n_toks").as("tt"))
+    val exactIds = Tables.documents(spark, dir)
+      .select(col("doc_id"), h64(normalized(col("text"))).as("digest"))
+      .withColumn("keep",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    def larger(pairs: DataFrame, d2: String) =
+      pairs.select(col(d2).as("doc_id")).distinct()
+    val methods = Seq(
+      "exact" -> exactIds,
+      "minhash" -> larger(MinHashLSH.nearDupPairs(spark, dir), "d2"),
+      "simhash" -> larger(SimHash.nearDupPairs(spark, dir), "d2"),
+      "winnowing" -> larger(winnowingPairs(spark, dir), "doc_b"))
+    methods.map { case (name, ids) =>
+        ids.distinct().join(toks, "doc_id")
+          .agg(count(lit(1)).as("n_dropped"),
+            coalesce(sum("n_toks"), lit(0L)).as("tok_dropped"))
+          .select(lit(name).as("method"), col("n_dropped"), col("tok_dropped"))
+      }
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(tot))
+      .select(col("method"), col("n_dropped"), col("tok_dropped"),
+        ratio4(col("n_dropped"), col("td")).as("doc_share4"),
+        ratio4(col("tok_dropped"), col("tt")).as("tok_share4"))
+      .orderBy("method")
+  }
 }

@@ -88,4 +88,61 @@ class BloomTrendSpec extends SparkSpec {
     // r² lives on the ppm grid
     assert(got.forall(_._6.forall(v => v >= 0L && v <= 1000000L)))
   }
+
+  test("fanoSpectrum: dense-grid Fano matches a driver model at every width") {
+    val ev = Dedup.eventsUs(spark, sf).select("event_type", "ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1) / 3600000000L))
+    val h0 = ev.map(_._2).min
+    val h1 = ev.map(_._2).max
+    val expected = (for {
+      w <- Analytics6.FanoWidthsH
+      (t, rows) <- ev.groupBy(_._1)
+    } yield {
+      val slots = rows.groupBy(r => (r._2 - h0) / w).values.map(_.size.toLong)
+      val nSlots = (h1 - h0) / w + 1L
+      val n = slots.sum
+      val s2 = slots.map(c => c * c).sum
+      (t, w, nSlots, n, slots.size.toLong,
+        ratio4Model(nSlots * s2 - n * n, nSlots * n))
+    }).toSeq.sortBy(r => (r._1, r._2))
+    val got = Analytics6.fanoSpectrum(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got == expected)
+    // Cauchy–Schwarz: the dense-grid Fano numerator is never negative
+    assert(got.forall(_._6 >= 0.0))
+  }
+
+  test("savingsReport: each method's row reconciles with its own pair/digest set") {
+    val toks = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val td = toks.size.toLong
+    val tt = toks.values.sum
+    def row(name: String, ids: Set[Long]) = {
+      val nd = ids.size.toLong
+      val tk = ids.toSeq.map(toks).sum
+      (name, nd, tk, ratio4Model(nd, td), ratio4Model(tk, tt))
+    }
+    // exact: independent normalization model over raw text
+    val exact = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase))
+      .groupBy(_._2).values.flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    val mh = MinHashLSH.nearDupPairs(spark, sf)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    val sh2 = SimHash.nearDupPairs(spark, sf)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    val wn = DocDedup.winnowingPairs(spark, sf)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val expected = Seq(row("exact", exact), row("minhash", mh),
+      row("simhash", sh2), row("winnowing", wn)).sortBy(_._1)
+    val got = DocDedup.savingsReport(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got == expected)
+  }
 }
