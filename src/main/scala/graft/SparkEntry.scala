@@ -365,6 +365,9 @@ object SparkEntry {
     "events_fano_spectrum" ->
       ((s, d) => graft.operators.Analytics6.fanoSpectrum(s, d)),
     "dedup_savings_report" -> ((s, d) => DocDedup.savingsReport(s, d)),
+    // round 13 wave 15: DP quantiles via released-histogram inversion
+    "privacy_dp_quantiles" ->
+      ((s, d) => graft.operators.Privacy.dpQuantiles(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3151,6 +3154,44 @@ object SparkEntry {
          |  ${ratio4Sql("coalesce(agg.tok_dropped, 0)", "tot.tt")} AS tok_share4
          |FROM m LEFT JOIN agg ON agg.method = m.method CROSS JOIN tot
          |ORDER BY m.method""".stripMargin,
+
+    // DP quantiles: discrete-Laplace-noised counts over the FIXED
+    // public band grid (absent bands noised too), then exact int64
+    // CDF inversion — mirrors Privacy.dpQuantiles
+    "privacy_dp_quantiles" -> {
+      val P = graft.operators.Privacy
+      s"""WITH ev AS ($EV),
+         |tc AS (
+         |  SELECT event_type,
+         |    least(CAST(ROUND(value*100) AS BIGINT) // ${P.DpBandCents}, ${P.DpMaxBand}) AS band,
+         |    CAST(count(*) AS BIGINT) AS true_n
+         |  FROM ev GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT event_type, CAST(b.b AS BIGINT) AS band
+         |  FROM (SELECT DISTINCT event_type FROM ev) ty,
+         |       generate_series(0, ${P.DpMaxBand}) b(b)),
+         |hz AS (
+         |  SELECT g.event_type, g.band, coalesce(tc.true_n, 0) AS true_n,
+         |    ${H64("concat('dpq1', '|', g.event_type, '|', CAST(g.band AS VARCHAR))")} AS h1,
+         |    ${H64("concat('dpq2', '|', g.event_type, '|', CAST(g.band AS VARCHAR))")} AS h2
+         |  FROM grid g LEFT JOIN tc ON tc.event_type = g.event_type AND tc.band = g.band),
+         |nz AS (
+         |  SELECT event_type, band,
+         |    greatest(true_n + CAST(bit_count(((~h1) & -(~h1)) - 1) AS BIGINT)
+         |      - CAST(bit_count(((~h2) & -(~h2)) - 1) AS BIGINT), 0) AS released_n
+         |  FROM hz),
+         |cdf AS (
+         |  SELECT event_type, band,
+         |    CAST(sum(released_n) OVER (PARTITION BY event_type ORDER BY band) AS BIGINT) AS cum,
+         |    CAST(sum(released_n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+         |  FROM nz),
+         |p(p10) AS (SELECT CAST(unnest([${P.DpQuantileTenths.mkString(", ")}]) AS BIGINT))
+         |SELECT event_type, p10, CAST(min(band) AS BIGINT) AS q_band,
+         |  CAST(min(band) * ${P.DpBandCents} AS BIGINT) AS q_lo_cents,
+         |  CAST(max(total) AS BIGINT) AS released_total
+         |FROM cdf, p WHERE total > 0 AND cum * 10 >= p10 * total
+         |GROUP BY 1, 2 ORDER BY event_type, p10""".stripMargin
+    },
 
     "topk_per_group" ->
       s"""WITH ev AS ($EV)

@@ -477,13 +477,23 @@ object Analytics6 {
     * five running sums — the classic two-level distributive-moment
     * plan; the 1-row day-origin frame broadcasts. */
   def trendOls(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Hashing.{halfUpDiv, intDiv, valueCents}
-    val daily = Dedup.eventsUs(spark, dir)
+    import graft.functions.Hashing.{intDiv, valueCents}
+    trendOlsOfDaily(Dedup.eventsUs(spark, dir)
       .select(col("event_type"),
         intDiv(col("ts_us"), lit(86400000000L)).as("day"),
         valueCents(col("value")).as("cents"))
       .groupBy("event_type", "day")
-      .agg(sum("cents").as("y"))
+      .agg(sum("cents").as("y")))
+  }
+
+  /** [[trendOls]]'s algebra over an already-aggregated
+    * (event_type, day, y) frame — ONE definition, two runtimes: the
+    * batch query aggregates raw events; the streaming monitor
+    * ([[graft.streaming.StreamTrend]]) maintains the daily sums as
+    * ℤ-group deltas and evaluates THIS on the folded state (daily
+    * cents sums are distributive, so stream ≡ batch exactly). */
+  def trendOlsOfDaily(daily: DataFrame): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
     val day0 = daily.agg(min("day").as("day0"))
     def signed4(num: Column, den: Column): Column =
       when(den === 0L, lit(null).cast("double"))

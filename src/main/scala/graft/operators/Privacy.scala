@@ -406,4 +406,76 @@ object Privacy {
         ratio4(col("cum_rows"), col("t")).as("cum_share"))
       .orderBy("bucket_rank")
   }
+
+  /** Histogram resolution for [[dpQuantiles]], cents per band. */
+  val DpBandCents = 500L
+
+  /** Top band index for [[dpQuantiles]] — the public value domain is
+    * the FIXED grid [0, 128) × 500 cents; values past it clamp into
+    * the last band. A data-dependent domain would itself leak. */
+  val DpMaxBand = 127L
+
+  /** Quantile probes for [[dpQuantiles]], in tenths (5 = p50, 9 = p90)
+    * — integer-encoded so the CDF inversion is exact int64. */
+  val DpQuantileTenths: Seq[Long] = Seq(5L, 9L)
+
+  /** `privacy_dp_quantiles`: DP per-type value quantiles by the
+    * textbook histogram route — release a discrete-Laplace-noised
+    * count for EVERY band of the fixed public grid (absent bands get
+    * noise too; releasing only occupied cells would leak occupancy),
+    * then invert the released CDF to p50/p90. The inversion is pure
+    * POST-PROCESSING of the DP histogram, so the quantiles inherit
+    * its ε with no further budget — the standard answer to "DP
+    * median" without the exponential mechanism's float lottery. Noise
+    * is the [[dpCounts]] hash-derived geometric difference under
+    * fresh `dpq` tags (independent of the count/sum releases).
+    * Quantile rule: smallest band with 10·cum ≥ p₁₀·total over
+    * released counts — exact int64, no division. A type whose
+    * released total is ≤ 0 emits no row (nothing releasable).
+    *
+    * Shape: one (type, band) count over the scan, densified against
+    * the O(types × 128) public grid (a broadcast of distinct types),
+    * one cumulative window per type, O(types × probes) output. */
+  def dpQuantiles(spark: SparkSession, dir: String): DataFrame =
+    dpQuantilesOf(Dedup.eventsUs(spark, dir))
+
+  /** [[dpQuantiles]] over any µs event frame. */
+  def dpQuantilesOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{h64, intDiv, valueCents}
+    val counts = ev
+      .select(col("event_type"),
+        least(intDiv(valueCents(col("value")), lit(DpBandCents)),
+          lit(DpMaxBand)).as("band"))
+      .groupBy("event_type", "band").agg(count(lit(1)).as("true_n"))
+    val grid = ev.select("event_type").distinct()
+      .withColumn("band", explode(sequence(lit(0L), lit(DpMaxBand))))
+    val released = grid
+      .join(counts, Seq("event_type", "band"), "left")
+      .withColumn("true_n", coalesce(col("true_n"), lit(0L)))
+      .withColumn("h1", h64(concat_ws("|", lit("dpq1"), col("event_type"),
+        col("band"))))
+      .withColumn("h2", h64(concat_ws("|", lit("dpq2"), col("event_type"),
+        col("band"))))
+      .withColumn("noise",
+        expr("cast(bit_count(((~h1) & -(~h1)) - 1) as bigint)") -
+          expr("cast(bit_count(((~h2) & -(~h2)) - 1) as bigint)"))
+      .withColumn("released_n", greatest(col("true_n") + col("noise"), lit(0L)))
+    val wCum = Window.partitionBy("event_type").orderBy("band")
+    val wAll = Window.partitionBy("event_type")
+    val cum = released
+      .withColumn("cum", sum("released_n").over(wCum))
+      .withColumn("total", sum("released_n").over(wAll))
+      .localCheckpoint(true) // one densified CDF feeds every probe
+    DpQuantileTenths.map { p10 =>
+        cum.filter(col("total") > 0L &&
+            col("cum") * 10L >= lit(p10) * col("total"))
+          .groupBy("event_type")
+          .agg(min("band").as("q_band"), max("total").as("released_total"))
+          .select(col("event_type"), lit(p10).as("p10"), col("q_band"),
+            (col("q_band") * DpBandCents).as("q_lo_cents"),
+            col("released_total"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("event_type", "p10")
+  }
 }

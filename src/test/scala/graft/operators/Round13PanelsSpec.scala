@@ -432,4 +432,43 @@ class Round13PanelsSpec extends SparkSpec {
     // the alphabet is the exact rank-quartile set
     assert(got.nonEmpty && got.forall(_._3.forall(c => c >= '0' && c <= '3')))
   }
+
+  test("dpQuantiles: dense-grid noised histogram + CDF inversion match the driver model") {
+    val P = graft.operators.Privacy
+    def h64Model(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def trailingOnes(h: Long): Int = java.lang.Long.numberOfTrailingZeros(~h)
+    val ev = Dedup.eventsUs(spark, sf).select("event_type", "value")
+      .collect().map(r => (r.getString(0),
+        math.min(math.round(r.getDouble(1) * 100) / P.DpBandCents, P.DpMaxBand)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val byBand = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val released = (0L to P.DpMaxBand).map { b =>
+        val noise = trailingOnes(h64Model(s"dpq1|$t|$b")).toLong -
+          trailingOnes(h64Model(s"dpq2|$t|$b")).toLong
+        b -> math.max(byBand.getOrElse(b, 0L) + noise, 0L)
+      }
+      val total = released.map(_._2).sum
+      val cum = released.scanLeft((-1L, 0L)) { case ((_, c), (b, n)) => (b, c + n) }.tail
+      P.DpQuantileTenths.flatMap { p10 =>
+        if (total <= 0L) None
+        else {
+          val qb = cum.find { case (_, c) => c * 10L >= p10 * total }.get._1
+          Some((t, p10, qb, qb * P.DpBandCents, total))
+        }
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = P.dpQuantiles(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got == expected)
+    // post-processing sanity: the released quantile band is monotone in p
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._3) == sorted.map(_._3).sorted)
+    }
+  }
 }
