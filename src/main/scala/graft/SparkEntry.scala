@@ -368,6 +368,8 @@ object SparkEntry {
     // round 13 wave 15: DP quantiles via released-histogram inversion
     "privacy_dp_quantiles" ->
       ((s, d) => graft.operators.Privacy.dpQuantiles(s, d)),
+    // round 13 wave 16: IVF recall-vs-nprobe tuning curve
+    "ann_ivf_probe_curve" -> ((s, d) => Similarity.ivfProbeCurve(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1341,7 +1343,41 @@ object SparkEntry {
                 (graft.operators.Similarity.TopK.toLong *
                  graft.operators.Similarity.NumQueries).toString)} AS recall
          |FROM hits ORDER BY variant""".stripMargin
-    ) + ("ann_recall_report" ->
+    ) + ("ann_ivf_probe_curve" -> {
+      // recall@k vs nprobe over the shared Lloyd assignment: af's rn IS
+      // the probe ranking (cos to centroid desc, c_id) — mirrors
+      // Similarity.ivfProbeCurve
+      val S = graft.operators.Similarity
+      val denom = (S.NumQueries * S.TopK).toString
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |${kmAssignCte("c2", "af")},
+         |members AS (SELECT cell, vec_id, e FROM af WHERE rn = 1),
+         |b AS ${sub("ann_brute_topk")},
+         |np(nprobe) AS (SELECT CAST(unnest([${S.ProbeGrid.mkString(", ")}]) AS BIGINT)),
+         |qc AS (SELECT vec_id AS q_id, cell, rn FROM af WHERE vec_id < ${S.NumQueries}),
+         |p AS (
+         |  SELECT np.nprobe, qc.q_id, m.vec_id, ${duckCos("qv.e", "m.e")} AS cos
+         |  FROM np JOIN qc ON qc.rn <= np.nprobe
+         |  JOIN members m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
+         |  JOIN v qv ON qv.vec_id = qc.q_id),
+         |tk AS (SELECT nprobe, q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+         |    ORDER BY cos DESC, vec_id) AS r FROM p) WHERE r <= ${S.TopK}),
+         |hits AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM tk JOIN b USING (q_id, vec_id) GROUP BY 1)
+         |SELECT np.nprobe, CAST(${S.NumQueries} AS BIGINT) AS n_queries,
+         |  CAST(${S.TopK} AS BIGINT) AS topk,
+         |  coalesce(hits.n_hits, 0) AS n_hits,
+         |  ${ratio4Sql("coalesce(hits.n_hits, 0)", denom)} AS recall4
+         |FROM np LEFT JOIN hits ON hits.nprobe = np.nprobe
+         |ORDER BY np.nprobe""".stripMargin
+    }) + ("ann_recall_report" ->
       s"""WITH b AS ${sub("ann_brute_topk")},
          |hits AS (
          |  SELECT 'ann_ivf_kmeans' AS variant, count(*) AS n_hits

@@ -608,6 +608,50 @@ object Similarity {
     ivfKmeansTopKWith(vecs(spark, dir),
       kmeansCentroids(vecs(spark, dir), nCentroids, iters), k, nQueries, nprobe)
 
+  /** Probe grid for [[ivfProbeCurve]] — 1 (pure cell-local) up to the
+    * full 8-cell sweep (≡ brute force over the probe set). */
+  val ProbeGrid: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** `ann_ivf_probe_curve`: recall@k vs nprobe — the ANN member of the
+    * tuning-curve family (threshold #175 / Hamming #306 / TTL #339):
+    * `ann_recall_report` grades each variant at its SHIPPED config,
+    * this is the knob sweep behind the IVF row — how much recall each
+    * extra probed cell buys (and where it saturates) against the
+    * shared exact baseline, the panel read before trading per-query
+    * cost for recall. nprobe = nCentroids makes IVF exhaustive, so the
+    * curve provably ends at recall 1 — a built-in self-check.
+    *
+    * Shape: Lloyd training and the cell assignment run ONCE
+    * (session-memoized, shared checkpoint) — each grid point adds only
+    * the O(nQueries × probed cells) search join against the memoized
+    * brute baseline; output O(|grid|). */
+  def ivfProbeCurve(spark: SparkSession, dir: String, k: Int = TopK,
+                    nQueries: Int = NumQueries, nCentroids: Int = 8,
+                    iters: Int = 2): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val v = vecs(spark, dir)
+    val cent = memoized(spark,
+      s"ivfcurve-cent|${corpusVersion(spark, dir)}|$dir|$nCentroids|$iters")(
+      kmeansCentroids(v, nCentroids, iters))
+    val members = memoized(spark,
+      s"ivfcurve-mem|${corpusVersion(spark, dir)}|$dir|$nCentroids|$iters")(
+      argmaxCellOf(v, cent))
+    val brute = bruteTopKShared(spark, dir, k, nQueries)
+      .select("q_id", "vec_id")
+    ProbeGrid.map { np =>
+        ivfKmeansSearch(v, cent, members, k, nQueries, np)
+          .select("q_id", "vec_id")
+          .join(brute, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+      }
+      .reduce(_ unionAll _)
+      .select(col("nprobe"), lit(nQueries.toLong).as("n_queries"),
+        lit(k.toLong).as("topk"), col("n_hits"),
+        ratio4(col("n_hits"), lit(nQueries.toLong * k)).as("recall4"))
+      .orderBy("nprobe")
+  }
+
   /** Search against ALREADY-TRAINED centroids (a materialized local
     * relation) — lets recallReport train once and grade every consumer
     * of the same coarse quantizer without re-running Lloyd. */

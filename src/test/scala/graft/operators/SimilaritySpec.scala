@@ -414,4 +414,22 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(mean / 1e6 - c4.sum / c4.length) < 1e-3)
     }
   }
+
+  test("ivfProbeCurve: monotone recall, exhaustive probe reaches 1, point-consistency") {
+    val got = Similarity.ivfProbeCurve(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(_._1) == Similarity.ProbeGrid.map(_.toLong))
+    // recall can only grow with probed cells
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    // nprobe = nCentroids searches every cell => IVF ≡ brute force
+    val denom = Similarity.NumQueries.toLong * Similarity.TopK
+    assert(got.last._4 == denom && got.last._5 == 1.0)
+    // the nprobe=2 point is exactly the shipped ann_ivf_kmeans config
+    val brute = Similarity.bruteTopK(spark, sf).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = Similarity.ivfKmeansTopK(spark, sf).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.find(_._1 == 2L).get._4 == (ivf2 & brute).size.toLong)
+  }
 }
