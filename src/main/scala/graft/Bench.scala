@@ -19,9 +19,19 @@ object Bench {
     // silently ran local[4] → ~6× inflated timings).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // Shuffle parallelism defaults to the core count (the driver's
+    // sf0.1 contract) but scales independently for larger-SF spot
+    // runs: per-task aggregation memory is (heap share ÷ concurrent
+    // tasks ÷ partition volume), so a 100× corpus in one JVM needs
+    // MORE partitions, not more threads — the same knob a real
+    // cluster turns (AQE can coalesce a too-fine shuffle but cannot
+    // split a too-coarse non-skewed aggregation). Measured: sf10's
+    // token-grain aggregations throw AGGREGATE_OUT_OF_MEMORY at
+    // 32 partitions / 16 g and run clean at 256.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = GraftSession.withDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", shuffle))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up, untimed: one representative query per TABLE FAMILY, so the

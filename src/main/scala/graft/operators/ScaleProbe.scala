@@ -47,6 +47,15 @@ object ScaleProbe {
       .localCheckpoint()
     // lexical LSH for context: capped band candidates
     val lshCand = MinHashLSH.candidateJaccard(docs).count()
+    // round-13 sf10 watch-list: the superlinear-suspect INPUT volumes —
+    // embedding near-dup pairs (semantic components' edge list), chunk
+    // instances/groups (chunkDedup's join grain), token stream + vocab
+    // (heapsCurve's shuffle mass)
+    val embPairs = Similarity.nearDupPairs(spark, dir).count()
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val nToks = toks.count()
+    val nVocab = toks.distinct().count()
     val out =
       s"""{"dir":"$dir","n_docs":$nDocs,
          |"sn_prefix_candidates":${snPrefixCand.count()},
@@ -55,7 +64,10 @@ object ScaleProbe {
          |"sn_suffix_accepted":${acc(snSuffixCand)},
          |"phash_candidates":${phashCand.count()},
          |"phash_accepted":${phashCand.filter(col("hd") <= SimHash.HammingMax).count()},
-         |"lsh_candidates":$lshCand}""".stripMargin.replaceAll("\n", "")
+         |"lsh_candidates":$lshCand,
+         |"emb_neardup_pairs":$embPairs,
+         |"n_tokens":$nToks,
+         |"n_vocab":$nVocab}""".stripMargin.replaceAll("\n", "")
     println(out)
     spark.stop()
   }

@@ -536,4 +536,39 @@ class PlanQualitySpec extends SparkSpec {
     // the O(bands) global marginal and 1-row totals ride broadcasts
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("ttl curve: one digest pass, one ChainDedupExec per grid point") {
+    val p = plan("dedup_ttl_curve")
+    // the five chains consume the checkpointed digest frame, so the
+    // md5 digest projection appears in NO plan (it ran once, before)
+    assert(!p.contains("md5"), "digest must be computed once, not per TTL")
+    assert("ChainDedup".r.findAllIn(p).size ==
+      graft.operators.Dedup.TtlCurveS.size)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bloom accuracy: probe side joins the bounded checkpointed filter") {
+    val p = plan("dedup_bloom_accuracy")
+    // build positions are materialized (≤ Σm rows) — the probe join
+    // reads them as an existing relation, not a recomputed subtree
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fano spectrum: widths re-aggregate the checkpointed hourly cells") {
+    val p = plan("events_fano_spectrum")
+    // the raw events scan happened once at checkpoint time — per-width
+    // subtrees read the materialized (type, hour) frame
+    assert(!p.toLowerCase.contains("filescan parquet") &&
+      !p.contains("Scan parquet"),
+      "per-width branches must not rescan events")
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
+  test("trend panels: two-level distributive moments, no cartesian blowup") {
+    Seq("events_trend_ols", "privacy_dp_quantiles", "pipeline_group_folds",
+        "dedup_savings_report", "ann_ivf_probe_curve").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
 }
