@@ -370,6 +370,9 @@ object SparkEntry {
       ((s, d) => graft.operators.Privacy.dpQuantiles(s, d)),
     // round 13 wave 16: IVF recall-vs-nprobe tuning curve
     "ann_ivf_probe_curve" -> ((s, d) => Similarity.ivfProbeCurve(s, d)),
+    // round 13 wave 17: the OLS algebra on commerce revenue
+    "orders_segment_trend" ->
+      ((s, d) => graft.operators.Analytics4.segmentTrend(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1377,7 +1380,50 @@ object SparkEntry {
          |  ${ratio4Sql("coalesce(hits.n_hits, 0)", denom)} AS recall4
          |FROM np LEFT JOIN hits ON hits.nprobe = np.nprobe
          |ORDER BY np.nprobe""".stripMargin
-    }) + ("ann_recall_report" ->
+    }) + ("orders_segment_trend" ->
+      // the #338 OLS algebra on monthly discounted revenue per market
+      // segment; moments in HUGEINT (cents magnitudes pass int64 here)
+      // — mirrors Analytics4.segmentTrend
+      s"""WITH monthly AS (
+         |  SELECT c_mktsegment AS segment,
+         |    CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT) AS mo,
+         |    CAST(ROUND(SUM($DISC_PRICE) * 100, 0) AS BIGINT) AS y
+         |  FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  GROUP BY 1, 2),
+         |d0 AS (SELECT min(mo) AS mo0 FROM monthly),
+         |xy AS (SELECT segment, mo - mo0 AS x, y FROM monthly, d0),
+         |st AS (
+         |  SELECT segment,
+         |    CAST(count(*) AS BIGINT) AS n_months,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM xy GROUP BY 1),
+         |c AS (
+         |  SELECT *,
+         |    n_months * sxy - sx * sy AS sn,
+         |    n_months * sxx - sx * sx AS sd,
+         |    CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS iin,
+         |    CAST(n_months AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS syy_n
+         |  FROM st)
+         |SELECT segment, n_months, sy AS total_cents,
+         |  CASE WHEN sd = 0 THEN NULL ELSE
+         |    (CASE WHEN sn < 0 THEN -1.0 ELSE 1.0 END) *
+         |    CAST((2 * abs(CAST(sn AS HUGEINT)) * 10000 + sd) // (2 * CAST(sd AS HUGEINT)) AS BIGINT)
+         |    / 10000.0 END AS slope_cents,
+         |  CASE WHEN sd = 0 THEN NULL ELSE
+         |    (CASE WHEN iin < 0 THEN -1.0 ELSE 1.0 END) *
+         |    CAST((2 * abs(iin) * 10000 + sd) // (2 * CAST(sd AS HUGEINT)) AS BIGINT)
+         |    / 10000.0 END AS icept_cents,
+         |  CASE WHEN sd = 0 OR syy_n = 0 THEN NULL ELSE
+         |    CAST((2 * CAST(sn AS HUGEINT) * sn * 1000000 + CAST(sd AS HUGEINT) * syy_n)
+         |      // (2 * CAST(sd AS HUGEINT) * syy_n) AS BIGINT) END AS r2_ppm
+         |FROM c ORDER BY segment""".stripMargin
+    ) + ("ann_recall_report" ->
       s"""WITH b AS ${sub("ann_brute_topk")},
          |hits AS (
          |  SELECT 'ann_ivf_kmeans' AS variant, count(*) AS n_hits

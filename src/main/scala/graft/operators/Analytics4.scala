@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables
 import graft.functions.Hashing.{intDiv, valueCents}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -420,5 +421,39 @@ object Analytics4 {
       .select(col("week"), col("l1_ppm"),
         col("m.event_type").as("top_mover"), col("m.d").as("top_delta_ppm"))
       .orderBy("week")
+  }
+
+  /** `orders_segment_trend`: per market segment, the exact-rational
+    * OLS trend of MONTHLY discounted revenue — the commerce
+    * application of the #338 trend algebra (the OLS panel is
+    * substrate-generic: (key, time-index, int64 mass) in, slope/
+    * intercept/r² out), answering "which segments grow vs decay" at
+    * the grain a demand planner reads. Revenue is the money-suite
+    * exact DECIMAL(18,4) sum per (segment, month) rounded once to
+    * cents; month index = 12·year + month − 1, pure integer calendar
+    * arithmetic. The cents magnitudes here are what forced the shared
+    * release into DECIMAL(38,0) (Σy·Σx² passes int64 at commerce
+    * scale).
+    *
+    * Shape: lineitem joins the two dimension-sized sides (orders
+    * projected to key+date+cust broadcast-buildable at these SFs;
+    * customer to key+segment), ONE (segment, month) partial-
+    * aggregable rollup, then the O(segments) moment pass. */
+  def segmentTrend(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1.0).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+    val monthly = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), rev.as("rev"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("day")), "l_orderkey")
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+      .groupBy(col("c_mktsegment").as("event_type"), col("day"))
+      .agg(round(sum("rev") * 100, 0).cast("long").as("y"))
+    Analytics6.trendOlsOfDaily(monthly)
+      .withColumnRenamed("event_type", "segment")
+      .withColumnRenamed("n_days", "n_months")
   }
 }

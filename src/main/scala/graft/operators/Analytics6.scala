@@ -493,12 +493,23 @@ object Analytics6 {
     * ℤ-group deltas and evaluates THIS on the folded state (daily
     * cents sums are distributive, so stream ≡ batch exactly). */
   def trendOlsOfDaily(daily: DataFrame): DataFrame = {
-    import graft.functions.Hashing.halfUpDiv
     val day0 = daily.agg(min("day").as("day0"))
-    def signed4(num: Column, den: Column): Column =
-      when(den === 0L, lit(null).cast("double"))
-        .otherwise(when(num < 0L, lit(-1.0)).otherwise(lit(1.0)) *
-          (halfUpDiv(abs(num) * 10000L, den) / lit(10000.0)))
+    // Signed ratio4 with the numerator promoted to DECIMAL(38,0): the
+    // int64 halfUpDiv form caps |num| at ~9.2e14 (num·10⁴ must fit a
+    // long), which commerce-scale cents sums exceed (#346 reuses this
+    // algebra on orders revenue). The decimal (2n+d) DIV 2d form is
+    // the SAME exact rational with the SAME rounding — for d=2m both
+    // reduce to floor((n+m)/d); for d=2m+1 the extra +1 in
+    // (2n+2m+1)/(2d) can never reach the next multiple — and only the
+    // small RESULT returns to int64 (DIV on decimals yields BIGINT).
+    def signed4(numName: String, denName: String): Column = {
+      val q = expr(s"""CAST((2 * CAST(abs($numName) AS DECIMAL(38,0)) * 10000
+        |  + CAST($denName AS DECIMAL(38,0)))
+        |  DIV (2 * CAST($denName AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+      when(col(denName) === 0L, lit(null).cast("double"))
+        .otherwise(when(col(numName) < 0L, lit(-1.0)).otherwise(lit(1.0)) *
+          (q / lit(10000.0)))
+    }
     daily.crossJoin(broadcast(day0))
       .withColumn("x", col("day") - col("day0"))
       .groupBy("event_type")
@@ -510,6 +521,10 @@ object Analytics6 {
         sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
       .withColumn("sn", col("n_days") * col("sxy") - col("sx") * col("sy"))
       .withColumn("sd", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      // the intercept numerator Σy·Σx² − Σx·Σxy outgrows int64 at
+      // commerce magnitudes — decimal from the start
+      .withColumn("iin", expr(
+        "CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy"))
       .withColumn("syy_n", expr(
         "CAST(n_days AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"))
       // halfUp as (2·num + den) DIV (2·den): DIV on decimals returns
@@ -521,9 +536,8 @@ object Analytics6 {
           |  + CAST(sd AS DECIMAL(38,0)) * syy_n)
           |  DIV (2 * CAST(sd AS DECIMAL(38,0)) * syy_n) AS BIGINT) END""".stripMargin))
       .select(col("event_type"), col("n_days"), col("sy").as("total_cents"),
-        signed4(col("sn"), col("sd")).as("slope_cents"),
-        signed4(col("sy") * col("sxx") - col("sx") * col("sxy"), col("sd"))
-          .as("icept_cents"),
+        signed4("sn", "sd").as("slope_cents"),
+        signed4("iin", "sd").as("icept_cents"),
         col("r2_ppm"))
       .orderBy("event_type")
   }

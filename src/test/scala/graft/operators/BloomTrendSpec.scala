@@ -89,6 +89,64 @@ class BloomTrendSpec extends SparkSpec {
     assert(got.forall(_._6.forall(v => v >= 0L && v <= 1000000L)))
   }
 
+  private def olsModel(daily: Seq[(String, Long, BigInt)])
+      : Seq[(String, Long, Long, Option[Double], Option[Double], Option[Long])] = {
+    val day0 = daily.map(_._2).min
+    daily.groupBy(_._1).toSeq.map { case (t, rows) =>
+      val pts = rows.map(r => (BigInt(r._2 - day0), r._3))
+      val n = BigInt(pts.size)
+      val sx = pts.map(_._1).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sn = n * sxy - sx * sy
+      val sd = n * sxx - sx * sx
+      val iin = sy * sxx - sx * sxy
+      val syyN = n * syy - sy * sy
+      def signed4(num: BigInt): Option[Double] =
+        if (sd == 0) None
+        else Some(num.signum *
+          (((2 * num.abs * 10000 + sd) / (2 * sd)).toLong / 10000.0))
+      val r2 = if (sd == 0 || syyN == 0) None
+        else Some(((2 * sn * sn * 1000000 + sd * syyN) / (2 * sd * syyN)).toLong)
+      (t, n.toLong, sy.toLong, signed4(sn), signed4(iin), r2)
+    }.sortBy(_._1)
+  }
+
+  test("segmentTrend: the OLS algebra on commerce revenue matches a BigDecimal model") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0),
+        (BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) -
+            BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))))
+    val om = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val seg = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val daily = li.flatMap { case (ok, rev) => om.get(ok).map { case (ck, mo) =>
+        ((seg(ck), mo), rev) } }
+      .groupBy(_._1).toSeq.map { case ((s, mo), rs) =>
+        val cents = (rs.map(_._2).sum * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+        (s, mo, cents)
+      }
+    val expected = olsModel(daily)
+    val got = Analytics4.segmentTrend(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(_._6.forall(v => v >= 0L && v <= 1000000L)))
+  }
+
   test("fanoSpectrum: dense-grid Fano matches a driver model at every width") {
     val ev = Dedup.eventsUs(spark, sf).select("event_type", "ts_us")
       .collect().map(r => (r.getString(0), r.getLong(1) / 3600000000L))
