@@ -373,6 +373,14 @@ object SparkEntry {
     // round 13 wave 17: the OLS algebra on commerce revenue
     "orders_segment_trend" ->
       ((s, d) => graft.operators.Analytics4.segmentTrend(s, d)),
+    // round 13 wave 18: offline CUSUM changepoint locator, Theil–Sen
+    // robust trend
+    "events_changepoint" ->
+      ((s, d) => graft.operators.Analytics8.changepoint(s, d)),
+    "events_theil_sen" ->
+      ((s, d) => graft.operators.Analytics8.theilSen(s, d)),
+    // round 13 wave 19: sampled silhouette for the k-means consumers
+    "cluster_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2014,6 +2022,53 @@ object SparkEntry {
          |FROM d ORDER BY vec_id""".stripMargin
     },
 
+    // sampled silhouette over the trained assignment: u6-lifted pair
+    // distances, halfUp per-(point,cluster) means BEFORE the a/b
+    // comparison, s = (b−a)/max(a,b) in ppm — mirrors
+    // Similarity.silhouette
+    "cluster_silhouette" -> {
+      val nS = graft.operators.Similarity.SilhouetteQueries
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
+         |       FROM v WHERE vec_id < 8),
+         |${kmAssignCte("c0", "a1")},
+         |${kmUpdateCte("a1", "c1")},
+         |${kmAssignCte("c1", "a2")},
+         |${kmUpdateCte("a2", "c2")},
+         |${kmAssignCte("c2", "af")},
+         |m AS (SELECT vec_id, cell, e FROM af WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, cell AS q_cell, e AS qe
+         |      FROM m WHERE vec_id < $nS),
+         |p AS (
+         |  SELECT q.q_id, q.q_cell, m.cell,
+         |    1000000 - CAST(ROUND(${duckCos("q.qe", "m.e")} * 1000000) AS BIGINT) AS du6
+         |  FROM q JOIN m ON m.vec_id <> q.q_id),
+         |g AS (SELECT q_id, q_cell, cell, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(du6) AS BIGINT) AS sd
+         |      FROM p GROUP BY 1, 2, 3),
+         |mm AS (SELECT q_id, q_cell, cell,
+         |         CAST(${halfUpSql("sd", "n")} AS BIGINT) AS mean_u6 FROM g),
+         |ab AS (SELECT q_id, q_cell,
+         |         max(CASE WHEN cell = q_cell THEN mean_u6 END) AS a,
+         |         min(CASE WHEN cell <> q_cell THEN mean_u6 END) AS b
+         |       FROM mm GROUP BY 1, 2),
+         |s AS (SELECT q_id, q_cell,
+         |        CAST(CASE WHEN a IS NULL OR b IS NULL THEN 0
+         |          ELSE (CASE WHEN b < a THEN -1 ELSE 1 END) *
+         |            (${halfUpSql("abs(b - a) * 1000000",
+                        "greatest(greatest(a, b), 1)")})
+         |          END AS BIGINT) AS s_ppm
+         |      FROM ab)
+         |SELECT q_cell AS cluster, CAST(count(*) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |  CAST((CASE WHEN sum(s_ppm) < 0 THEN -1 ELSE 1 END) *
+         |    (${halfUpSql("abs(CAST(sum(s_ppm) AS BIGINT))",
+               "CAST(count(*) AS BIGINT)")}) AS BIGINT) AS mean_s_ppm,
+         |  CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
+         |  CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "ann_lsh_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
          |$LSHP_CTE,
@@ -3115,6 +3170,103 @@ object SparkEntry {
          |    CAST((2 * CAST(sn AS HUGEINT) * sn * 1000000 + CAST(sd AS HUGEINT) * syy_n)
          |      // (2 * CAST(sd AS HUGEINT) * syy_n) AS BIGINT) END AS r2_ppm
          |FROM c ORDER BY event_type""".stripMargin,
+
+    // offline CUSUM changepoint: dense daily counts, argmax of
+    // |n·S₁ − k·S| (ties → earliest day), explained-variance ppm in
+    // HUGEINT — mirrors Analytics8.changepoint
+    "events_changepoint" ->
+      s"""WITH ev AS ($EV),
+         |daily AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1, 2),
+         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+         |dense AS (
+         |  SELECT t.event_type, g.day, coalesce(d.c, 0) AS c
+         |  FROM (SELECT DISTINCT event_type FROM daily) t
+         |  CROSS JOIN days g
+         |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+         |st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(c) AS BIGINT) AS s,
+         |    sum(CAST(c AS HUGEINT) * c) AS s2
+         |  FROM dense GROUP BY 1),
+         |cum AS (
+         |  SELECT event_type, day,
+         |    CAST(row_number() OVER w AS BIGINT) AS rn,
+         |    CAST(sum(c) OVER w AS BIGINT) AS s1
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |               ROWS UNBOUNDED PRECEDING)),
+         |best AS (
+         |  SELECT c.event_type, c.day, c.rn AS n1, st.n - c.rn AS n2,
+         |    c.s1, st.n, st.s, st.s2, abs(st.n * c.s1 - c.rn * st.s) AS g
+         |  FROM cum c JOIN st USING (event_type)
+         |  WHERE c.rn < st.n
+         |  QUALIFY row_number() OVER (PARTITION BY c.event_type
+         |    ORDER BY abs(st.n * c.s1 - c.rn * st.s) DESC, c.day) = 1),
+         |rel AS (
+         |  SELECT *,
+         |    CAST(n1 AS HUGEINT) * n2 *
+         |      (CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s) AS bt
+         |  FROM best)
+         |SELECT event_type, n AS n_days, s AS n_events, day + 1 AS split_day,
+         |  n1 AS n_left, n2 AS n_right,
+         |  ${ratio4Sql("s1", "n1")} AS mean_left4,
+         |  ${ratio4Sql("s - s1", "n2")} AS mean_right4,
+         |  g AS cusum_peak,
+         |  CASE WHEN bt = 0 THEN NULL
+         |    ELSE CAST((2 * CAST(g AS HUGEINT) * g * 1000000 + bt)
+         |      // (2 * bt) AS BIGINT) END AS gain_ppm
+         |FROM rel ORDER BY event_type""".stripMargin,
+
+    // Theil–Sen robust trend: lower-median pairwise slope selected on
+    // the exact fixed-scale integer key, median residual intercept on
+    // the chosen (p, q) — mirrors Analytics8.theilSen
+    "events_theil_sen" -> {
+      val K = graft.operators.Analytics8.SlopeKeyScale
+      s"""WITH ev AS ($EV),
+         |daily AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day,
+         |    CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM ev GROUP BY 1, 2),
+         |d0 AS (SELECT min(day) AS day0 FROM daily),
+         |pts AS (SELECT event_type, day - day0 AS x, y FROM daily, d0),
+         |pr AS (
+         |  SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den,
+         |    (CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END) *
+         |      ((abs(b.y - a.y) * $K) // (b.x - a.x)) AS skey
+         |  FROM pts a JOIN pts b
+         |    ON a.event_type = b.event_type AND b.x > a.x),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM pr GROUP BY 1),
+         |sl AS (
+         |  SELECT pr.event_type, m.n_pairs, pr.num AS p, pr.den AS q
+         |  FROM pr JOIN m USING (event_type)
+         |  QUALIFY row_number() OVER (PARTITION BY pr.event_type
+         |    ORDER BY pr.skey, pr.num, pr.den) = (m.n_pairs + 1) // 2),
+         |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         |       FROM pts GROUP BY 1),
+         |res AS (
+         |  SELECT pts.event_type, sl.n_pairs, sl.p, sl.q,
+         |    sl.q * pts.y - sl.p * pts.x AS rnum
+         |  FROM pts JOIN sl USING (event_type)),
+         |med AS (
+         |  SELECT res.event_type, nd.n_days, res.n_pairs, res.p, res.q,
+         |    res.rnum
+         |  FROM res JOIN nd USING (event_type)
+         |  QUALIFY row_number() OVER (PARTITION BY res.event_type
+         |    ORDER BY res.rnum) = (nd.n_days + 1) // 2)
+         |SELECT event_type, n_days, n_pairs,
+         |  (CASE WHEN p < 0 THEN -1.0 ELSE 1.0 END) *
+         |    CAST((2 * abs(CAST(p AS HUGEINT)) * 10000 + q)
+         |      // (2 * CAST(q AS HUGEINT)) AS BIGINT) / 10000.0 AS slope_cents,
+         |  (CASE WHEN rnum < 0 THEN -1.0 ELSE 1.0 END) *
+         |    CAST((2 * abs(CAST(rnum AS HUGEINT)) * 10000 + q)
+         |      // (2 * CAST(q AS HUGEINT)) AS BIGINT) / 10000.0 AS icept_cents
+         |FROM med ORDER BY event_type""".stripMargin
+    },
 
     // TTL sensitivity grid: one greedy ObliviousSet chain per TTL
     // (same recursive closure as dedup_chain, parameterized) —

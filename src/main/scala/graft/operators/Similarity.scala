@@ -2275,6 +2275,77 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Sample size for [[silhouette]] — bounded like the brute baseline's
+    * NumQueries so the pair volume stays O(nSample × corpus), never
+    * corpus². */
+  val SilhouetteQueries = 50
+
+  /** `cluster_silhouette`: sampled silhouette health of the trained
+    * k-means clustering — the panel that grades the ASSIGNMENT
+    * (clusterBalance grades cell sizes, prototypicality grades
+    * within-cluster position; neither says whether a point would
+    * rather live in a DIFFERENT cluster). Per sampled point: a = mean
+    * cosine distance to own-cluster mates, b = min over other clusters
+    * of the mean distance, s = (b − a)/max(a, b) ∈ [−1, 1]; negative s
+    * = misassigned. Released per cluster: sample count, negative
+    * count, mean/min/max silhouette in ppm.
+    *
+    * Exactness: each pair distance lifts to integer micro-units
+    * (du6 = 10⁶ − round(cos·10⁶), the engine-exact primitive), per-
+    * (point, cluster) means round halfUp at u6 grain BEFORE the a/b
+    * comparison — so a, b, and s are functions of deterministic
+    * integers, and the min-over-clusters never compares raw floats.
+    * Singleton own-cluster (a undefined) releases the standard s = 0.
+    *
+    * Shape at scale: the bounded sample broadcasts onto ONE corpus
+    * scan (BroadcastNestedLoopJoin, same cost class as the brute
+    * baseline); everything after lives on O(nSample × k) rows. */
+  def silhouette(spark: SparkSession, dir: String, nCentroids: Int = 8,
+                 iters: Int = 2,
+                 nSample: Int = SilhouetteQueries): DataFrame = {
+    import graft.functions.Hashing.halfUpDiv
+    require(nSample <= 1000, "silhouette sample must stay bounded")
+    val v = vecs(spark, dir)
+    val cent = kmeansCentroids(v, nCentroids, iters)
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("cs",
+        graft.plans.VectorExpressions.mixedCosine(col("e"), col("ce")))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cs")).as("ncs"), col("c_id"), col("e"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cluster"), col("m.e").as("e"))
+      .localCheckpoint()
+    val q = assigned.filter(col("vec_id") < nSample)
+      .select(col("vec_id").as("q_id"), col("cluster").as("q_cluster"),
+        col("e").as("qe"))
+    val perCluster = assigned.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("du6",
+        lit(1000000L) - round(cosine("qe", "e") * 1000000d).cast("long"))
+      .groupBy("q_id", "q_cluster", "cluster")
+      .agg(count(lit(1)).as("n"), sum("du6").as("sd"))
+      .withColumn("mean_u6", halfUpDiv(col("sd"), col("n")))
+    val s = perCluster.groupBy("q_id", "q_cluster")
+      .agg(max(when(col("cluster") === col("q_cluster"), col("mean_u6")))
+          .as("a"),
+        min(when(col("cluster") =!= col("q_cluster"), col("mean_u6")))
+          .as("b"))
+      .withColumn("s_ppm",
+        when(col("a").isNull || col("b").isNull, lit(0L))
+          .otherwise(
+            when(col("b") < col("a"), lit(-1L)).otherwise(lit(1L)) *
+              halfUpDiv(abs(col("b") - col("a")) * 1000000L,
+                greatest(greatest(col("a"), col("b")), lit(1L)))))
+    s.groupBy(col("q_cluster").as("cluster"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("s_ppm") < 0L, 1L).otherwise(0L)).as("n_neg"),
+        sum("s_ppm").as("ssum"),
+        min("s_ppm").as("min_s_ppm"), max("s_ppm").as("max_s_ppm"))
+      .select(col("cluster"), col("n_sampled"), col("n_neg"),
+        (when(col("ssum") < 0L, lit(-1L)).otherwise(lit(1L)) *
+          halfUpDiv(abs(col("ssum")), col("n_sampled"))).as("mean_s_ppm"),
+        col("min_s_ppm"), col("max_s_ppm"))
+      .orderBy("cluster")
+  }
+
   /** Single-bucket search against ALREADY-BUILT band-0 buckets and
     * candidates — shared with the multi-probe variant in recallReport. */
   private def lshSearch(v: DataFrame, b0: DataFrame, candidates: DataFrame,

@@ -432,4 +432,60 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.find(_._1 == 2L).get._4 == (ivf2 & brute).size.toLong)
   }
+  test("silhouette: driver replay of the u6 distance/mean/ratio algebra over the trained assignment") {
+    def halfUp(num: Long, den: Long): Long = (num + den / 2) / den
+    def r1e6(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1000000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    // assignment is pinned by cluster_kmeans' own oracle; this pins the
+    // silhouette ALGEBRA on top of it
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cl = Similarity.clusterKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qs = cl.keys.filter(_ < Similarity.SilhouetteQueries).toSeq.sorted
+    val perPoint = qs.map { q =>
+      val byCluster = cl.toSeq.filter(_._1 != q).groupBy(_._2).map {
+        case (c, ms) =>
+          val ds = ms.map(m => 1000000L - r1e6(cos(emb(q), emb(m._1))))
+          c -> halfUp(ds.sum, ds.size.toLong)
+      }
+      val own = cl(q)
+      val a = byCluster.get(own)
+      val b = byCluster.view.filterKeys(_ != own).values.toSeq.sorted.headOption
+      val s = (a, b) match {
+        case (Some(av), Some(bv)) =>
+          val sg = if (bv < av) -1L else 1L
+          sg * halfUp(math.abs(bv - av) * 1000000L, math.max(math.max(av, bv), 1L))
+        case _ => 0L
+      }
+      own -> s
+    }
+    val expected = perPoint.groupBy(_._1).toSeq.map { case (c, ss) =>
+      val v = ss.map(_._2)
+      val sum = v.sum
+      val sg = if (sum < 0) -1L else 1L
+      (c, v.size.toLong, v.count(_ < 0L).toLong,
+        sg * halfUp(math.abs(sum), v.size.toLong), v.min, v.max)
+    }.sortBy(_._1)
+    val got = Similarity.silhouette(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got == expected)
+    // silhouettes live on the ppm scale and the sample is fully covered
+    assert(got.map(_._2).sum == qs.size.toLong)
+    assert(got.forall(r => r._5 >= -1000000L && r._6 <= 1000000L))
+  }
+
 }
