@@ -381,6 +381,9 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics8.theilSen(s, d)),
     // round 13 wave 19: sampled silhouette for the k-means consumers
     "cluster_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
+    // round 13 wave 20: utility audit of the DP release family
+    "privacy_dp_error" ->
+      ((s, d) => graft.operators.Privacy.dpError(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3425,6 +3428,84 @@ object SparkEntry {
          |  CAST(max(total) AS BIGINT) AS released_total
          |FROM cdf, p WHERE total > 0 AND cum * 10 >= p10 * total
          |GROUP BY 1, 2 ORDER BY event_type, p10""".stripMargin
+    },
+
+    // DP utility audit: replay all three release chains (count / sum /
+    // quantile) and roll |released − true| per family; quantile truth
+    // is the sparse CDF inversion over un-noised counts — mirrors
+    // Privacy.dpError
+    "privacy_dp_error" -> {
+      val P = graft.operators.Privacy
+      val C = P.ClampCents
+      def noise(tag: String, keyExpr: String) =
+        s"""CAST(bit_count(((~${H64(s"concat('${tag}1', '|', $keyExpr)")}) & -(~${H64(s"concat('${tag}1', '|', $keyExpr)")})) - 1) AS BIGINT)
+           |      - CAST(bit_count(((~${H64(s"concat('${tag}2', '|', $keyExpr)")}) & -(~${H64(s"concat('${tag}2', '|', $keyExpr)")})) - 1) AS BIGINT)""".stripMargin
+      s"""WITH ev AS ($EV),
+         |ccells AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day_bucket,
+         |    CAST(count(*) AS BIGINT) AS true_n
+         |  FROM ev GROUP BY 1, 2),
+         |cerrs AS (
+         |  SELECT greatest(true_n + (${noise("dp",
+                "event_type, '|', CAST(day_bucket AS VARCHAR)")}), 0)
+         |    - true_n AS err
+         |  FROM ccells),
+         |scells AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day_bucket,
+         |    CAST(sum(greatest(least(CAST(ROUND(value*100) AS BIGINT), $C), 0))
+         |      AS BIGINT) AS true_sum_c
+         |  FROM ev GROUP BY 1, 2),
+         |serrs AS (
+         |  SELECT greatest(true_sum_c + $C * (${noise("dps",
+                "event_type, '|', CAST(day_bucket AS VARCHAR)")}), 0)
+         |    - true_sum_c AS err
+         |  FROM scells),
+         |tc AS (
+         |  SELECT event_type,
+         |    least(CAST(ROUND(value*100) AS BIGINT) // ${P.DpBandCents}, ${P.DpMaxBand}) AS band,
+         |    CAST(count(*) AS BIGINT) AS true_n
+         |  FROM ev GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT event_type, CAST(b.b AS BIGINT) AS band
+         |  FROM (SELECT DISTINCT event_type FROM ev) ty,
+         |       generate_series(0, ${P.DpMaxBand}) b(b)),
+         |nz AS (
+         |  SELECT g.event_type, g.band,
+         |    greatest(coalesce(tc.true_n, 0) + (${noise("dpq",
+                "g.event_type, '|', CAST(g.band AS VARCHAR)")}), 0) AS released_n
+         |  FROM grid g LEFT JOIN tc ON tc.event_type = g.event_type AND tc.band = g.band),
+         |cdf AS (
+         |  SELECT event_type, band,
+         |    CAST(sum(released_n) OVER (PARTITION BY event_type ORDER BY band) AS BIGINT) AS cum,
+         |    CAST(sum(released_n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+         |  FROM nz),
+         |p(p10) AS (SELECT CAST(unnest([${P.DpQuantileTenths.mkString(", ")}]) AS BIGINT)),
+         |relq AS (
+         |  SELECT event_type, p10, CAST(min(band) * ${P.DpBandCents} AS BIGINT) AS rel_cents
+         |  FROM cdf, p WHERE total > 0 AND cum * 10 >= p10 * total
+         |  GROUP BY 1, 2),
+         |tcdf AS (
+         |  SELECT event_type, band,
+         |    CAST(sum(true_n) OVER (PARTITION BY event_type ORDER BY band) AS BIGINT) AS cum,
+         |    CAST(sum(true_n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+         |  FROM tc),
+         |trueq AS (
+         |  SELECT event_type, p10, CAST(min(band) * ${P.DpBandCents} AS BIGINT) AS true_cents
+         |  FROM tcdf, p WHERE cum * 10 >= p10 * total
+         |  GROUP BY 1, 2),
+         |qerrs AS (
+         |  SELECT r.rel_cents - t.true_cents AS err
+         |  FROM relq r JOIN trueq t USING (event_type, p10)),
+         |fam AS (
+         |  SELECT 'count' AS release, err FROM cerrs
+         |  UNION ALL SELECT 'sum_cents', err FROM serrs
+         |  UNION ALL SELECT 'quantile_cents', err FROM qerrs)
+         |SELECT release, CAST(count(*) AS BIGINT) AS n_cells,
+         |  ${ratio4Sql("CAST(sum(abs(err)) AS BIGINT)", "count(*)")} AS mae4,
+         |  CAST(max(abs(err)) AS BIGINT) AS max_abs_err,
+         |  ${ratio4Sql("CAST(sum(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT)",
+              "count(*)")} AS exact_share4
+         |FROM fam GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "topk_per_group" ->

@@ -63,12 +63,23 @@ object Analytics8 {
     * O(types × span-days) dense grid — the 1-row span broadcasts, the
     * cumulative window partitions by type, output O(types). */
   def changepoint(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Hashing.{intDiv, ratio4}
-    val daily = Dedup.eventsUs(spark, dir)
+    import graft.functions.Hashing.intDiv
+    changepointOfDaily(Dedup.eventsUs(spark, dir)
       .select(col("event_type"),
         intDiv(col("ts_us"), lit(86400000000L)).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+  }
+
+  /** [[changepoint]]'s algebra over an already-aggregated
+    * (event_type, day, c) counts frame — ONE definition, two runtimes:
+    * the batch query aggregates raw events; the streaming monitor
+    * ([[graft.streaming.StreamChangepoint]]) maintains the daily
+    * counts as ℤ-group deltas and evaluates THIS on the folded state
+    * (counts are distributive, so stream ≡ batch exactly — the
+    * [[Analytics6.trendOlsOfDaily]] discipline). */
+  def changepointOfDaily(dailyIn: DataFrame): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val daily = dailyIn.localCheckpoint(true)
     val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val dense = daily.select("event_type").distinct()
       .crossJoin(broadcast(span))

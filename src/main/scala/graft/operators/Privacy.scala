@@ -478,4 +478,72 @@ object Privacy {
       .reduce(_ unionAll _)
       .orderBy("event_type", "p10")
   }
+  /** `privacy_dp_error`: the UTILITY audit of the DP release family —
+    * the sketch-accuracy discipline (theta/kmv/cm/bloom panels)
+    * applied to the privacy mechanisms: per release (count / clamped
+    * sum / histogram-inverted quantile), how far the released values
+    * sit from the truth the honesty-seam audit columns already carry.
+    * Released per family: cell count, mean absolute error (ratio4),
+    * max absolute error, and the exact-hit share — the number an
+    * analyst reads to decide whether the ε = ln 2 release is usable
+    * for their question. Post-hoc utility evaluation is standard DP
+    * engineering practice; the panel grades the ENGINE, it does not
+    * ship beside a real release.
+    *
+    * Error units are per-family (cells for counts, cents for sums and
+    * quantiles — quantile truth is the same sparse CDF inversion over
+    * un-noised counts; sparse ≡ dense inversion for true counts since
+    * absent bands never cross the threshold first). All errors are
+    * exact integers (noise is the deterministic hash-derived
+    * geometric difference), so the rollup is order-independent.
+    *
+    * Shape: three map-side-combinable passes over the scan (one per
+    * release family — cheaper than materializing the corpus to share
+    * one), each collapsing to O(types × days / bands) cells before
+    * the O(1) error rollup; output is 3 rows. */
+  def dpError(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4, valueCents}
+    val ev = Dedup.eventsUs(spark, dir)
+    def rollup(errs: DataFrame, release: String): DataFrame =
+      errs.agg(count(lit(1)).as("n_cells"),
+          sum(abs(col("err"))).as("sae"),
+          max(abs(col("err"))).as("max_abs_err"),
+          sum(when(col("err") === 0L, 1L).otherwise(0L)).as("n_exact"))
+        .select(lit(release).as("release"), col("n_cells"),
+          ratio4(col("sae"), col("n_cells")).as("mae4"),
+          col("max_abs_err"),
+          ratio4(col("n_exact"), col("n_cells")).as("exact_share4"))
+    val cErr = rollup(dpCountsOf(ev)
+      .select((col("released") - col("true_n")).as("err")), "count")
+    val sErr = rollup(dpSumsOf(ev)
+      .select((col("released_c") - col("true_sum_c")).as("err")), "sum_cents")
+    // true quantiles: the dpQuantiles inversion over UN-noised counts
+    val trueQ = {
+      val counts = ev
+        .select(col("event_type"),
+          least(intDiv(valueCents(col("value")), lit(DpBandCents)),
+            lit(DpMaxBand)).as("band"))
+        .groupBy("event_type", "band").agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy("event_type").orderBy("band")
+      val wAll = Window.partitionBy("event_type")
+      val cum = counts
+        .withColumn("cum", sum("n").over(wCum))
+        .withColumn("total", sum("n").over(wAll))
+        .localCheckpoint(true) // one true CDF feeds every probe
+      DpQuantileTenths.map { p10 =>
+          cum.filter(col("cum") * 10L >= lit(p10) * col("total"))
+            .groupBy("event_type").agg(min("band").as("q_band"))
+            .select(col("event_type"), lit(p10).as("p10"),
+              (col("q_band") * DpBandCents).as("true_cents"))
+        }
+        .reduce(_ unionAll _)
+    }
+    val qErr = rollup(dpQuantilesOf(ev)
+      .select(col("event_type"), col("p10"),
+        col("q_lo_cents").as("rel_cents"))
+      .join(trueQ, Seq("event_type", "p10"))
+      .select((col("rel_cents") - col("true_cents")).as("err")),
+      "quantile_cents")
+    cErr.unionAll(sErr).unionAll(qErr).orderBy("release")
+  }
 }

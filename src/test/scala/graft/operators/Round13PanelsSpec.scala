@@ -471,4 +471,47 @@ class Round13PanelsSpec extends SparkSpec {
       assert(sorted.map(_._3) == sorted.map(_._3).sorted)
     }
   }
+  test("dpError: family rollups match a driver replay of released-vs-true") {
+    def rollup(errs: Seq[Long]): (Long, Double, Long, Double) = {
+      val n = errs.size.toLong
+      (n, halfUp(errs.map(math.abs).sum * 10000L, n) / 1e4,
+        errs.map(math.abs).max, halfUp(errs.count(_ == 0L) * 10000L, n) / 1e4)
+    }
+    val cErr = Privacy.dpCounts(spark, sf).collect().toSeq
+      .map(r => r.getLong(4) - r.getLong(2))
+    val sErr = Privacy.dpSums(spark, sf).collect().toSeq
+      .map(r => r.getLong(5) - r.getLong(3))
+    // true quantiles re-derived from raw events in the driver
+    val ev = Dedup.eventsUs(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        graft.functions.Hashing.valueCents(
+          org.apache.spark.sql.functions.col("value")).as("cents"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val trueQ = ev.groupBy(_._1).flatMap { case (t, rows) =>
+      val bands = rows.map(r => math.min(r._2 / Privacy.DpBandCents,
+        Privacy.DpMaxBand)).groupBy(identity).view.mapValues(_.size.toLong)
+      val total = rows.size.toLong
+      Privacy.DpQuantileTenths.map { p10 =>
+        val q = bands.keys.toSeq.sorted.scanLeft((Long.MinValue, 0L)) {
+          case ((_, cum), b) => (b, cum + bands(b))
+        }.tail.find { case (_, cum) => cum * 10L >= p10 * total }.get._1
+        (t, p10) -> q * Privacy.DpBandCents
+      }
+    }.toMap
+    val qErr = Privacy.dpQuantiles(spark, sf).collect().toSeq
+      .map(r => r.getLong(3) - trueQ((r.getString(0), r.getLong(1))))
+    val expected = Seq(
+      ("count", rollup(cErr)), ("quantile_cents", rollup(qErr)),
+      ("sum_cents", rollup(sErr))).sortBy(_._1)
+      .map { case (f, (n, mae, mx, hit)) => (f, n, mae, mx, hit) }
+    val got = Privacy.dpError(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // shares live on [0, 1]; the count release (smallest noise scale
+    // relative to cell grain) lands exactly on the truth sometimes
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    assert(got.find(_._1 == "count").exists(_._5 > 0.0))
+  }
+
 }
