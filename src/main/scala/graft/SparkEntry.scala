@@ -384,6 +384,8 @@ object SparkEntry {
     // round 13 wave 20: utility audit of the DP release family
     "privacy_dp_error" ->
       ((s, d) => graft.operators.Privacy.dpError(s, d)),
+    // round 13 wave 21: recall@k cutoff curve over the memoized top-ks
+    "ann_recall_at_k" -> ((s, d) => Similarity.recallAtK(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1357,7 +1359,33 @@ object SparkEntry {
                 (graft.operators.Similarity.TopK.toLong *
                  graft.operators.Similarity.NumQueries).toString)} AS recall
          |FROM hits ORDER BY variant""".stripMargin
-    ) + ("ann_ivf_probe_curve" -> {
+    ) + ("ann_recall_at_k" -> {
+      // recall@k prefixes of the shipped top-ks vs the brute baseline
+      // at the same cutoff — mirrors Similarity.recallAtK
+      val S = graft.operators.Similarity
+      def subr(name: String) =
+        s"(SELECT q_id, rank, vec_id FROM (${baseOracles(name)}))"
+      val nQ = S.NumQueries
+      s"""WITH b AS ${subr("ann_brute_topk")},
+         |ks(k) AS (SELECT CAST(unnest([${S.RecallKs.mkString(", ")}]) AS BIGINT)),
+         |spine AS (
+         |  SELECT v.variant, ks.k
+         |  FROM (VALUES ('ann_ivf_kmeans'), ('ann_lsh_multiprobe')) v(variant), ks),
+         |j AS (
+         |  SELECT 'ann_ivf_kmeans' AS variant, a.rank AS rv, b.rank AS rb
+         |  FROM ${subr("ann_ivf_kmeans")} a JOIN b USING (q_id, vec_id)
+         |  UNION ALL
+         |  SELECT 'ann_lsh_multiprobe', a.rank, b.rank
+         |  FROM ${subr("ann_lsh_multiprobe")} a JOIN b USING (q_id, vec_id)),
+         |hits AS (
+         |  SELECT j.variant, ks.k, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM j, ks WHERE j.rv <= ks.k AND j.rb <= ks.k
+         |  GROUP BY 1, 2)
+         |SELECT s.variant, s.k, coalesce(h.n_hits, 0) AS n_hits,
+         |  ${ratio4Sql("coalesce(h.n_hits, 0)", s"s.k * $nQ")} AS recall4
+         |FROM spine s LEFT JOIN hits h ON h.variant = s.variant AND h.k = s.k
+         |ORDER BY s.variant, s.k""".stripMargin
+    }) + ("ann_ivf_probe_curve" -> {
       // recall@k vs nprobe over the shared Lloyd assignment: af's rn IS
       // the probe ranking (cos to centroid desc, c_id) — mirrors
       // Similarity.ivfProbeCurve

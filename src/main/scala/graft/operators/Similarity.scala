@@ -1386,6 +1386,56 @@ object Similarity {
       .orderBy("variant")
   }
 
+  /** The k grid for [[recallAtK]] — prefixes of the shipped top-k
+    * (rank ≤ k is exactly top-k by the row_number prefix property), so
+    * the whole curve reads the already-memoized frames. */
+  val RecallKs: Seq[Int] = Seq(1, 3, 5)
+
+  /** `ann_recall_at_k`: recall@k curve — the k-axis member of the ANN
+    * tuning-curve family (ivfProbeCurve sweeps the PROBE knob at fixed
+    * k; this sweeps the CUTOFF at the shipped configs): for the two
+    * headline variants (k-means IVF and multiprobe LSH), the share of
+    * the brute top-k recovered in the variant's top-k for each k ≤
+    * TopK. Answers the deployment question the flat recall number
+    * can't: is the variant's rank-1 as trustworthy as its rank-5 set
+    * (recall@1 ≥ recall@5 means the head is safe; the reverse means
+    * only the SET is, and a "top hit" UI needs a rerank).
+    *
+    * Shape: the brute baseline and both variant top-ks are the
+    * SESSION-MEMOIZED frames every recall panel shares (rank ≤ k
+    * prefixes — zero re-search per grid point); the k grid is a
+    * broadcast literal; output O(variants × ks). */
+  def recallAtK(spark: SparkSession, dir: String,
+                ks: Seq[Int] = RecallKs): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    import spark.implicits._
+    val brute = bruteTopKShared(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rb"))
+    val kdf = broadcast(
+      ks.map(_.toLong).toDF("k").repartition(1))
+    val spine = broadcast(
+      Seq("ann_ivf_kmeans", "ann_lsh_multiprobe").toDF("variant")
+        .crossJoin(kdf))
+    val hits = Seq(
+      "ann_ivf_kmeans" -> ivfKmeansTopK(spark, dir),
+      "ann_lsh_multiprobe" -> lshMultiProbeTopK(spark, dir))
+      .map { case (name, tk) =>
+        tk.select(col("q_id"), col("vec_id"), col("rank").as("rv"))
+          .join(brute, Seq("q_id", "vec_id"))
+          .crossJoin(kdf)
+          .filter(col("rv") <= col("k") && col("rb") <= col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_hits"))
+          .select(lit(name).as("variant"), col("k"), col("n_hits"))
+      }
+      .reduce(_ unionByName _)
+    spine.join(hits, Seq("variant", "k"), "left")
+      .select(col("variant"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        ratio4(coalesce(col("n_hits"), lit(0L)),
+          col("k") * NumQueries.toLong).as("recall4"))
+      .orderBy("variant", "k")
+  }
+
   // ---- Index persistence (build once / query many) ---------------------
 
   /** A cluster-reachable scratch directory for in-panel index builds:

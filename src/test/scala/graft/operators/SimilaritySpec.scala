@@ -488,4 +488,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._5 >= -1000000L && r._6 <= 1000000L))
   }
 
+  test("recallAtK: prefix intersections of the shipped top-ks match a driver model") {
+    def halfUp(num: Long, den: Long): Long = (num + den / 2) / den
+    def tk(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select("q_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = tk(Similarity.bruteTopKShared(spark, sf))
+    val expected = Seq(
+      "ann_ivf_kmeans" -> tk(Similarity.ivfKmeansTopK(spark, sf)),
+      "ann_lsh_multiprobe" -> tk(Similarity.lshMultiProbeTopK(spark, sf)))
+      .flatMap { case (name, v) =>
+        Similarity.RecallKs.map { k =>
+          val hits = v.count { case (key, rv) =>
+            rv <= k && brute.get(key).exists(_ <= k)
+          }.toLong
+          val den = k.toLong * Similarity.NumQueries
+          (name, k.toLong, hits, halfUp(hits * 10000L, den) / 1e4)
+        }
+      }.sortBy(r => (r._1, r._2))
+    val got = Similarity.recallAtK(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // hit counts are monotone in k (prefix property), recalls in [0,1]
+    got.groupBy(_._1).values.foreach { rows =>
+      val byK = rows.sortBy(_._2).map(_._3)
+      assert(byK == byK.sorted)
+    }
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
 }
