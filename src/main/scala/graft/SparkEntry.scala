@@ -386,6 +386,9 @@ object SparkEntry {
       ((s, d) => graft.operators.Privacy.dpError(s, d)),
     // round 13 wave 21: recall@k cutoff curve over the memoized top-ks
     "ann_recall_at_k" -> ((s, d) => Similarity.recallAtK(s, d)),
+    // round 13 wave 22: PAV isotonic calibration fit
+    "quality_isotonic_fit" ->
+      ((s, d) => graft.operators.QualityModels.isotonicFit(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -7135,38 +7138,71 @@ object SparkEntry {
     // QualityModels.calibrationCurve (shared scoring CTEs with
     // quality_lexicon_score)
     "quality_calibration_curve" ->
-      s"""WITH $LEX_CTES,
-         |prior AS (SELECT ${halfUpSql("(CAST(sum(c_cur) AS BIGINT) + count(*)) * 10000",
-                                       "CAST(sum(c_rest) AS BIGINT) + count(*)")} AS thr4
-         |          FROM lex),
-         |pdt AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
-         |    CAST(sum(c * coalesce(aff4, thr4)) AS BIGINT) AS s4
-         |  FROM pdt LEFT JOIN w USING (term) CROSS JOIN prior GROUP BY doc_id),
-         |sc2 AS (SELECT doc_id,
-         |          CAST(${halfUpSql("s4", "n_toks")} AS BIGINT) AS score4
-         |        FROM sc),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc2),
-         |rk AS (SELECT doc_id, score4,
-         |         CAST(row_number() OVER (ORDER BY score4, doc_id) AS BIGINT)
-         |           AS rn
-         |       FROM sc2),
-         |dd AS (SELECT doc_id, score4,
-         |         CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile
-         |       FROM rk CROSS JOIN nn),
-         |lab AS (SELECT doc_id,
-         |          CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END AS label
-         |        FROM documents),
-         |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
-         |        CAST(sum(label) AS BIGINT) AS n_pos,
-         |        CAST(sum(score4) AS BIGINT) AS ss4
-         |      FROM dd JOIN lab USING (doc_id) GROUP BY 1)
+      s"""WITH $CAL_DECILE_CTES
          |SELECT decile, n_docs, n_pos,
          |  ${ratio4Sql("n_pos", "n_docs")} AS pos_rate4,
          |  CAST(${halfUpSql("ss4", "n_docs")} AS BIGINT) AS mean_score4
          |FROM g ORDER BY decile""".stripMargin,
+
+    // PAV isotonic fit via the exact minimax characterization over the
+    // shared decile substrate: fixed-scale int64 interval keys, release
+    // recovered from the key itself — mirrors QualityModels.isotonicFit
+    "quality_isotonic_fit" ->
+      s"""WITH $CAL_DECILE_CTES,
+         |pref AS (
+         |  SELECT decile AS d,
+         |    CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cp,
+         |    CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cn
+         |  FROM g
+         |  UNION ALL SELECT 0, 0, 0),
+         |cand AS (
+         |  SELECT i.decile AS i, lo.d AS jd,
+         |    CAST((CAST(hi.cp - lo.cp AS HUGEINT) * 1000000000000000000)
+         |      // CAST(hi.cn - lo.cn AS HUGEINT) AS BIGINT) AS skey
+         |  FROM (SELECT decile FROM g) i
+         |  JOIN pref lo ON lo.d < i.decile
+         |  JOIN pref hi ON hi.d >= i.decile),
+         |imin AS (SELECT i, jd, min(skey) AS mn FROM cand GROUP BY 1, 2),
+         |ofit AS (SELECT i AS decile, max(mn) AS skey FROM imin GROUP BY 1)
+         |SELECT g.decile, g.n_docs, g.n_pos,
+         |  ${ratio4Sql("n_pos", "n_docs")} AS pos_rate4,
+         |  CAST((f.skey + 50000000000000) // 100000000000000 AS BIGINT)
+         |    / 10000.0 AS iso_rate4
+         |FROM g JOIN ofit f USING (decile) ORDER BY g.decile""".stripMargin,
   )
+
+  /** The reliability-diagram decile substrate `g(decile, n_docs,
+    * n_pos, ss4)` — shared by the raw calibration curve and the
+    * isotonic fit so the two oracles can never disagree about the
+    * binning. Mirrors QualityModels.decileLabelCounts. */
+  private def CAL_DECILE_CTES: String =
+    s"""$LEX_CTES,
+       |prior AS (SELECT ${halfUpSql("(CAST(sum(c_cur) AS BIGINT) + count(*)) * 10000",
+                                     "CAST(sum(c_rest) AS BIGINT) + count(*)")} AS thr4
+       |          FROM lex),
+       |pdt AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+       |    CAST(sum(c * coalesce(aff4, thr4)) AS BIGINT) AS s4
+       |  FROM pdt LEFT JOIN w USING (term) CROSS JOIN prior GROUP BY doc_id),
+       |sc2 AS (SELECT doc_id,
+       |          CAST(${halfUpSql("s4", "n_toks")} AS BIGINT) AS score4
+       |        FROM sc),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc2),
+       |rk AS (SELECT doc_id, score4,
+       |         CAST(row_number() OVER (ORDER BY score4, doc_id) AS BIGINT)
+       |           AS rn
+       |       FROM sc2),
+       |dd AS (SELECT doc_id, score4,
+       |         CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile
+       |       FROM rk CROSS JOIN nn),
+       |lab AS (SELECT doc_id,
+       |          CASE WHEN source IN $CUR_IN THEN 1 ELSE 0 END AS label
+       |        FROM documents),
+       |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(label) AS BIGINT) AS n_pos,
+       |        CAST(sum(score4) AS BIGINT) AS ss4
+       |      FROM dd JOIN lab USING (doc_id) GROUP BY 1)""".stripMargin
 
   /** u3-quantized (vec_id, label, dim, value) long grain over the
     * embedding table — the DuckDB twin of the engine's

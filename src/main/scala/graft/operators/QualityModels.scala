@@ -4,6 +4,7 @@ import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.{h64, halfUpDiv, ratio4}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based corpus filtering: the trainable counterparts of the
@@ -136,7 +137,18 @@ object QualityModels {
     * native GlobalRank for the deciles (range-partitioned — no
     * single-partition window), a uniform doc-key label join, O(10)
     * rollup. All arithmetic exact int64. */
-  def calibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+  def calibrationCurve(spark: SparkSession, dir: String): DataFrame =
+    decileLabelCounts(spark, dir)
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        ratio4(col("n_pos"), col("n_docs")).as("pos_rate4"),
+        halfUpDiv(col("ss4"), col("n_docs")).as("mean_score4"))
+      .orderBy("decile")
+
+  /** The per-decile (n_docs, n_pos, ss4) substrate of the reliability
+    * diagram — shared by [[calibrationCurve]] (the raw curve) and
+    * [[isotonicFit]] (the PAV fit on top of it) so the two panels can
+    * never disagree about the binning. */
+  private def decileLabelCounts(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.intDiv
     val scored = lexiconScored4Of(
         Tables.documents(spark, dir).select("doc_id", "text").spread,
@@ -151,9 +163,58 @@ object QualityModels {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum("label").as("n_pos"),
         sum("score4").as("ss4"))
+  }
+
+  /** `quality_isotonic_fit`: PAV isotonic calibration of the
+    * reliability diagram — the FIT step on top of the raw curve
+    * (#291 shows whether the score is calibrated; this produces the
+    * monotone calibration MAP a gate would actually apply, the
+    * Zadrozny–Elkan recipe). Computed by the exact minimax
+    * characterization: fit(i) = max_{j ≤ i} min_{k ≥ i} avg(pos
+    * rate over deciles j..k) — provably equal to pool-adjacent-
+    * violators (the spec pins the equivalence against a driver PAV).
+    *
+    * Exactness: interval averages are rationals (ΣP, ΣN of prefix
+    * sums); min/max selection runs on the fixed-scale int64 key
+    * floor(P·10¹⁸/N) — an exact total order while N ≤ ~3·10⁹
+    * (distinct rationals with denominators ≤ N differ by ≥ 1/N², so
+    * the scaled gap stays > 1; equal rationals reduce to equal keys)
+    * — and the released ratio4 is recovered from the key ITSELF:
+    * halfUp(P·10⁴/N) = (key + 5·10¹³) div 10¹⁴ exactly (proof: with
+    * f = frac(P·10¹⁸/N) < 1, adding f to the integer key + 5·10¹³
+    * can never cross a multiple of 10¹⁴; exact .5 ties have f = 0).
+    *
+    * Shape: the corpus work is the shared decile substrate; the
+    * minimax triple join lives on O(bins²)·O(bins) = O(10³) rows —
+    * free at any corpus size. */
+  def isotonicFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val g = decileLabelCounts(spark, dir).localCheckpoint(true)
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // prefix sums + the zero origin row: interval [j, k] reads
+    // pref(k) − pref(j−1)
+    val pref = g
+      .select(col("decile").as("d"), sum("n_pos").over(wCum).as("cp"),
+        sum("n_docs").over(wCum).as("cn"))
+      .unionAll(g.sparkSession.range(1)
+        .select(lit(0L).as("d"), lit(0L).as("cp"), lit(0L).as("cn")))
+      .localCheckpoint(true)
+    val cand = g.select(col("decile"))
+      .join(pref.select(col("d").as("jd"), col("cp").as("lcp"),
+        col("cn").as("lcn")), col("jd") < col("decile"))
+      .join(pref.select(col("d").as("kd"), col("cp").as("hcp"),
+        col("cn").as("hcn")), col("kd") >= col("decile"))
+      .withColumn("key", expr(
+        """CAST((CAST(hcp - lcp AS DECIMAL(38,0)) * 1000000000000000000)
+          |  DIV CAST(hcn - lcn AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+    val fit = cand.groupBy("decile", "jd").agg(min("key").as("mn"))
+      .groupBy("decile").agg(max("mn").as("key"))
+    g.join(fit, "decile")
       .select(col("decile"), col("n_docs"), col("n_pos"),
         ratio4(col("n_pos"), col("n_docs")).as("pos_rate4"),
-        halfUpDiv(col("ss4"), col("n_docs")).as("mean_score4"))
+        (intDiv(col("key") + lit(50000000000000L), lit(100000000000000L)) /
+          lit(10000.0)).as("iso_rate4"))
       .orderBy("decile")
   }
 

@@ -226,4 +226,35 @@ class QualityModelsSpec extends SparkSpec {
     val (c, r) = got.partition(g => curated(bySource(g._1)))
     assert(c.map(_._3).sum / c.size > r.map(_._3).sum / r.size)
   }
+  test("isotonicFit: minimax formulation equals a driver pool-adjacent-violators stack") {
+    def halfUp(num: BigInt, den: BigInt): BigInt = (num * 2 + den) / (den * 2)
+    val cal = QualityModels.calibrationCurve(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // classic PAV: merge adjacent blocks while the weighted rate order
+    // is violated; compare rationals by cross-multiplication
+    case class Block(p: BigInt, n: BigInt, size: Int)
+    val stack = scala.collection.mutable.Stack[Block]()
+    cal.foreach { case (_, nd, np, _) =>
+      var b = Block(BigInt(np), BigInt(nd), 1)
+      while (stack.nonEmpty && stack.top.p * b.n >= b.p * stack.top.n) {
+        val t = stack.pop()
+        b = Block(t.p + b.p, t.n + b.n, t.size + b.size)
+      }
+      stack.push(b)
+    }
+    val pav = stack.toSeq.reverse.flatMap(b =>
+      Seq.fill(b.size)(halfUp(b.p * 10000, b.n).toLong / 1e4))
+    val expected = cal.zip(pav).map { case ((d, nd, np, pr), fit) =>
+      (d, nd, np, pr, fit)
+    }
+    val got = QualityModels.isotonicFit(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // the fit is monotone non-decreasing by construction
+    val fits = got.sortBy(_._1).map(_._5)
+    assert(fits == fits.sorted)
+  }
+
 }
