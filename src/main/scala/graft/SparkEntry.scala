@@ -389,6 +389,9 @@ object SparkEntry {
     // round 13 wave 22: PAV isotonic calibration fit
     "quality_isotonic_fit" ->
       ((s, d) => graft.operators.QualityModels.isotonicFit(s, d)),
+    // round 13 wave 23: JL distortion audit of the ±1 projection family
+    "embeddings_rp_distortion" ->
+      ((s, d) => Similarity.rpDistortion(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -2101,6 +2104,41 @@ object SparkEntry {
          |  CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
          |  CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
          |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // JL distortion histogram: u6-lifted projections/components, pure
+    // int64 squared distances, one HUGEINT halfUp ppm ratio — mirrors
+    // Similarity.rpDistortion
+    "embeddings_rp_distortion" -> {
+      val S = graft.operators.Similarity
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings
+         |           WHERE vec_id < ${S.RpSample}),
+         |pl(p) AS (SELECT CAST(unnest(generate_series(0, ${S.RpPlanes - 1})) AS BIGINT)),
+         |pj AS (SELECT vec_id, p.p,
+         |         CAST(ROUND(($DUCK_PROJ) * 1000000) AS BIGINT) AS pu6
+         |       FROM v, pl p),
+         |cu AS (SELECT vec_id, g.k,
+         |         CAST(ROUND(CAST(e[g.k] AS DOUBLE) * 1000000) AS BIGINT) AS cu6
+         |       FROM v, generate_series(1, 64) g(k)),
+         |od AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |         CAST(sum((a.cu6 - b.cu6) * (a.cu6 - b.cu6)) AS BIGINT) AS od2
+         |       FROM cu a JOIN cu b ON a.k = b.k AND b.vec_id > a.vec_id
+         |       GROUP BY 1, 2),
+         |pd AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |         CAST(sum((a.pu6 - b.pu6) * (a.pu6 - b.pu6)) AS BIGINT) AS pd2
+         |       FROM pj a JOIN pj b ON a.p = b.p AND b.vec_id > a.vec_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT i, j,
+         |        CAST((2 * CAST(pd2 AS HUGEINT) * 1000000
+         |          + ${S.RpPlanes} * CAST(od2 AS HUGEINT))
+         |          // (2 * ${S.RpPlanes} * CAST(od2 AS HUGEINT)) AS BIGINT) AS ratio_ppm
+         |      FROM od JOIN pd USING (i, j) WHERE od2 > 0)
+         |SELECT ratio_ppm // ${S.RpBandPpm} AS band,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(${halfUpSql("CAST(sum(ratio_ppm) AS BIGINT)", "count(*)")} AS BIGINT) AS mean_ppm,
+         |  CAST(min(ratio_ppm) AS BIGINT) AS min_ppm,
+         |  CAST(max(ratio_ppm) AS BIGINT) AS max_ppm
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "ann_lsh_topk" ->

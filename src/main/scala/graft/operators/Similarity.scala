@@ -1436,6 +1436,73 @@ object Similarity {
       .orderBy("variant", "k")
   }
 
+  /** [[rpDistortion]] knobs: target dimension (planes 0..15 of the
+    * SAME md5-derived ±1 family the LSH buckets use), bounded pair
+    * sample, and the 0.1 band grain of the released histogram. */
+  val RpPlanes = 16
+  val RpSample = 50
+  val RpBandPpm = 100000L
+
+  /** `embeddings_rp_distortion`: Johnson–Lindenstrauss distortion
+    * audit of the ±1 random projection the LSH family is built on —
+    * for a bounded pair sample, the ratio of the 16-plane projected
+    * squared distance to its expectation (d′ × original squared
+    * distance; E[(Σ±x)²] = ‖x‖² for ±1 signs, so E[ratio] = 1),
+    * released as a 0.1-grain histogram with per-band mean/min/max
+    * ppm. This is the panel that says WHETHER the hyperplane family
+    * preserves geometry at d′ = 16 — the empirical JL check that
+    * explains multiprobe recall before anyone tunes band counts.
+    *
+    * Exactness: projections and components lift to integer
+    * micro-units (round(x·10⁶)) BEFORE any distance — both squared
+    * distances are pure int64 sums, the ratio is one halfUp ppm in
+    * DECIMAL(38,0)/HUGEINT (numerator outgrows int64), bands are
+    * integer division. Zero-distance pairs (exact duplicates) are
+    * excluded (ratio undefined).
+    *
+    * Shape: O(sample) projection rows (the HOF projection is
+    * CodegenFallback, fine at 50 × 16), O(sample²) pair rows — all
+    * constants; the corpus is scanned once for the sample filter. */
+  def rpDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, intDiv}
+    import spark.implicits._
+    val v = vecs(spark, dir).filter(col("vec_id") < RpSample)
+      .localCheckpoint()
+    val planes = broadcast((0 until RpPlanes).map(_.toLong).toDF("p"))
+    val pj = v.crossJoin(planes)
+      .withColumn("pu6", round(expr(ProjSql) * 1000000d).cast("long"))
+      .select("vec_id", "p", "pu6")
+    val cu = v.select(col("vec_id"), posexplode(col("e")))
+      .select(col("vec_id"), col("pos").as("k"),
+        round(col("col").cast("double") * 1000000d).cast("long").as("cu6"))
+    def sqDist(df: DataFrame, grain: String, value: String,
+               out: String): DataFrame =
+      df.as("a").join(df.as("b"),
+          col(s"a.$grain") === col(s"b.$grain") &&
+            col("b.vec_id") > col("a.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          ((col(s"a.$value") - col(s"b.$value")) *
+            (col(s"a.$value") - col(s"b.$value"))).as("d2"))
+        .groupBy("i", "j").agg(sum("d2").as(out))
+    val od = sqDist(cu, "k", "cu6", "od2")
+    val pd = sqDist(pj, "p", "pu6", "pd2")
+    val ratios = od.join(pd, Seq("i", "j"))
+      .filter(col("od2") > 0L)
+      .withColumn("ratio_ppm", expr(
+        s"""CAST((2 * CAST(pd2 AS DECIMAL(38,0)) * 1000000
+           |  + $RpPlanes * CAST(od2 AS DECIMAL(38,0)))
+           |  DIV (2 * $RpPlanes * CAST(od2 AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("band", intDiv(col("ratio_ppm"), lit(RpBandPpm)))
+    ratios.groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"), sum("ratio_ppm").as("sr"),
+        min("ratio_ppm").as("min_ppm"), max("ratio_ppm").as("max_ppm"))
+      .select(col("band"), col("n_pairs"),
+        halfUpDiv(col("sr"), col("n_pairs")).as("mean_ppm"),
+        col("min_ppm"), col("max_ppm"))
+      .orderBy("band")
+  }
+
   // ---- Index persistence (build once / query many) ---------------------
 
   /** A cluster-reachable scratch directory for in-panel index builds:

@@ -517,4 +517,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
   }
 
+  test("rpDistortion: driver replay of the u6 JL distance-ratio histogram") {
+    def halfUp(num: BigInt, den: BigInt): BigInt = (num * 2 + den) / (den * 2)
+    def h64Model(str: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def r1e6(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1000000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val emb = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < Similarity.RpSample)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+    val signs = (0 until Similarity.RpPlanes).map { p =>
+      (1 to 64).map(j => (h64Model(s"pl:$p:$j") % 2) * 2 - 1).toArray
+    }
+    val pu = emb.map { case (id, e) =>
+      id -> signs.map(sg =>
+        r1e6(e.indices.foldLeft(0.0)((acc, j) => acc + e(j).toDouble * sg(j))))
+    }.toMap
+    val cu = emb.map { case (id, e) => id -> e.map(x => r1e6(x.toDouble)) }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val ids = emb.map(_._1)
+    val ratios = for {
+      i <- ids; j <- ids if j > i
+      od2 = d2(cu(i), cu(j)) if od2 > 0
+    } yield {
+      val pd2 = d2(pu(i).toArray, pu(j).toArray)
+      halfUp(BigInt(pd2) * 1000000, BigInt(Similarity.RpPlanes) * od2).toLong
+    }
+    val expected = ratios.groupBy(_ / Similarity.RpBandPpm).toSeq.map {
+      case (band, rs) =>
+        (band, rs.size.toLong, halfUp(BigInt(rs.sum), rs.size).toLong,
+          rs.min, rs.max)
+    }.sortBy(_._1)
+    val got = Similarity.rpDistortion(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got == expected)
+    // every sampled pair lands in exactly one band
+    assert(got.map(_._2).sum == ratios.size.toLong)
+  }
+
 }
