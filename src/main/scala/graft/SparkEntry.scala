@@ -392,6 +392,9 @@ object SparkEntry {
     // round 13 wave 23: JL distortion audit of the ±1 projection family
     "embeddings_rp_distortion" ->
       ((s, d) => Similarity.rpDistortion(s, d)),
+    // round 13 wave 24: Friedman rank test for the weekly rhythm
+    "events_friedman_dow" ->
+      ((s, d) => graft.operators.Analytics8.friedmanDow(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3292,6 +3295,50 @@ object SparkEntry {
          |    ELSE CAST((2 * CAST(g AS HUGEINT) * g * 1000000 + bt)
          |      // (2 * bt) AS BIGINT) END AS gain_ppm
          |FROM rel ORDER BY event_type""".stripMargin,
+
+    // Friedman rank statistic over complete Monday-aligned weeks:
+    // doubled ranks (ties → average) in pure int64, exact rational Q —
+    // mirrors Analytics8.friedmanDow
+    "events_friedman_dow" ->
+      s"""WITH ev AS ($EV),
+         |daily AS (
+         |  SELECT event_type, ts_us // 86400000000 AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1, 2),
+         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |days AS (SELECT unnest(generate_series(d0, d1)) AS day, d0, d1
+         |         FROM span),
+         |dense AS (
+         |  SELECT t.event_type, (g.day + 3) // 7 AS wk,
+         |    (g.day + 3) % 7 AS dow, coalesce(d.c, 0) AS c
+         |  FROM (SELECT DISTINCT event_type FROM daily) t
+         |  CROSS JOIN days g
+         |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+         |  WHERE ((g.day + 3) // 7) * 7 - 3 >= g.d0
+         |    AND ((g.day + 3) // 7) * 7 + 3 <= g.d1),
+         |rk AS (
+         |  SELECT event_type, wk, dow,
+         |    CAST(rank() OVER (PARTITION BY event_type, wk ORDER BY c) AS BIGINT) * 2
+         |      + CAST(count(*) OVER (PARTITION BY event_type, wk, c) AS BIGINT) - 1 AS rank2
+         |  FROM dense),
+         |pd AS (
+         |  SELECT event_type, dow, CAST(sum(rank2) AS BIGINT) AS r2,
+         |    CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks
+         |  FROM rk GROUP BY 1, 2),
+         |top AS (
+         |  SELECT event_type, dow AS top_dow, r2 AS top_r2, n_weeks
+         |  FROM pd
+         |  QUALIFY row_number() OVER (PARTITION BY event_type
+         |    ORDER BY r2 DESC, dow) = 1),
+         |ag AS (SELECT event_type, CAST(sum(r2 * r2) AS BIGINT) AS sr2sq
+         |       FROM pd GROUP BY 1)
+         |SELECT t.event_type, t.n_weeks,
+         |  ${ratio4Sql("3 * ag.sr2sq - 1344 * t.n_weeks * t.n_weeks",
+              "56 * t.n_weeks")} AS friedman_q4,
+         |  t.top_dow,
+         |  ${ratio4Sql("t.top_r2", "2 * t.n_weeks")} AS top_mean_rank4
+         |FROM top t JOIN ag USING (event_type)
+         |WHERE t.n_weeks > 0 ORDER BY t.event_type""".stripMargin,
 
     // Theil–Sen robust trend: lower-median pairwise slope selected on
     // the exact fixed-scale integer key, median residual intercept on

@@ -150,6 +150,72 @@ object Analytics8 {
     * O(types × days) daily frame — O(types × days²) ≈ 10⁵ rows at any
     * SF (days grow with the calendar, not the corpus), so the
     * quadratic lives on the aggregate grain where it is free. */
+  /** `events_friedman_dow`: nonparametric day-of-week effect strength
+    * — per event type, the Friedman rank statistic over complete
+    * Monday-aligned weeks: within each week the 7 daily counts are
+    * ranked (ties → average rank), and Q = 12/(nk(k+1))·ΣR_j² −
+    * 3n(k+1) measures how consistently the dows order across weeks
+    * (Q ≈ 0 = no weekly rhythm; large Q = a stable rhythm — the
+    * rank-based, outlier-proof companion to the mean-based
+    * seasonality panel #137: one viral day can fake a mean dow
+    * effect, it cannot fake a rank that repeats every week). Also
+    * released: the busiest dow by total rank and its mean rank.
+    *
+    * Exactness: average ranks are half-integers, so everything runs
+    * on DOUBLED ranks (rank2 = 2·rank(min) + ties − 1, pure int64 —
+    * rank()/count() windows, no floats); Q rewrites to the exact
+    * rational (3·ΣR2² − 3n²k(k+1)²)/(n·k·(k+1)), non-negative by
+    * Cauchy–Schwarz (total rank mass per week is invariant), one
+    * halfUp ratio4. Weeks use the heatmap's (day+3) convention
+    * (dow 0 = Monday); partial boundary weeks are excluded — a
+    * 5-day week would rank against missing days.
+    *
+    * Shape: ONE map-side-combinable (type, day) count aggregate;
+    * the dense week grid, ranking windows and rollups all live on
+    * O(types × weeks × 7) rows. */
+  def friedmanDow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val daily = Dedup.eventsUs(spark, dir)
+      .select(col("event_type"),
+        intDiv(col("ts_us"), lit(86400000000L)).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"),
+        col("d0"), col("d1"))
+      .withColumn("wk", intDiv(col("day") + 3L, lit(7L)))
+      // complete Monday-aligned weeks only: all 7 days inside the span
+      .filter(col("wk") * 7L - 3L >= col("d0") &&
+        col("wk") * 7L + 3L <= col("d1"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("wk"),
+        ((col("day") + 3L) % 7L).as("dow"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wRank = Window.partitionBy("event_type", "wk").orderBy("c")
+    val wTies = Window.partitionBy("event_type", "wk", "c")
+    val ranked = dense
+      .withColumn("rank2",
+        rank().over(wRank).cast("long") * 2L +
+          count(lit(1)).over(wTies) - 1L)
+    val perDow = ranked.groupBy("event_type", "dow")
+      .agg(sum("rank2").as("r2"), countDistinct("wk").as("n_weeks"))
+    perDow.groupBy("event_type")
+      .agg(max("n_weeks").as("n_weeks"),
+        sum(col("r2") * col("r2")).as("sr2sq"),
+        min(struct((-col("r2")).as("nr2"), col("dow"))).as("m"))
+      .filter(col("n_weeks") > 0L)
+      .select(col("event_type"), col("n_weeks"),
+        ratio4(lit(3L) * col("sr2sq") -
+            lit(1344L) * col("n_weeks") * col("n_weeks"),
+          lit(56L) * col("n_weeks")).as("friedman_q4"),
+        col("m.dow").as("top_dow"),
+        ratio4(-col("m.nr2"), lit(2L) * col("n_weeks")).as("top_mean_rank4"))
+      .orderBy("event_type")
+  }
+
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.{intDiv, valueCents}
     val daily = Dedup.eventsUs(spark, dir)

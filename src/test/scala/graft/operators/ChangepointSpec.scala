@@ -96,4 +96,41 @@ class ChangepointSpec extends SparkSpec {
     // the median slope is bracketed by the extreme pairwise slopes
     assert(got.forall(r => r._3 >= -1e14 && r._3 <= 1e14))
   }
+  test("friedmanDow: doubled-rank Friedman statistic matches the driver model") {
+    def halfUp(num: Long, den: Long): Long = (num + den / 2) / den
+    val ev = eventsRaw()
+    val daily = ev.groupBy(e => (e._1, Math.floorDiv(e._2, 86400000000L)))
+      .view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.map(_._2).min
+    val d1 = daily.keys.map(_._2).max
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { t =>
+      val cells = (d0 to d1).map { d =>
+        (Math.floorDiv(d + 3, 7L), (d + 3) % 7, daily.getOrElse((t, d), 0L))
+      }.filter { case (wk, _, _) => wk * 7 - 3 >= d0 && wk * 7 + 3 <= d1 }
+      val byWeek = cells.groupBy(_._1)
+      if (byWeek.isEmpty) None
+      else {
+        // doubled average ranks within each complete week
+        val r2ByDow = byWeek.values.flatMap { week =>
+          week.map { case (_, dow, c) =>
+            val lo = week.count(_._3 < c) + 1
+            val hi = week.count(_._3 <= c)
+            dow -> (lo + hi).toLong
+          }
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val n = byWeek.size.toLong
+        val sr2sq = r2ByDow.values.map(r => r * r).sum
+        val (topDow, topR2) = r2ByDow.toSeq.sortBy { case (d, r) => (-r, d) }.head
+        Some((t, n, halfUp((3 * sr2sq - 1344 * n * n) * 10000L, 56 * n) / 1e4,
+          topDow, halfUp(topR2 * 10000L, 2 * n) / 1e4))
+      }
+    }
+    val got = Analytics8.friedmanDow(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // Q is non-negative and the top mean rank lives on [1, 7]
+    assert(got.forall(r => r._3 >= 0.0 && r._5 >= 1.0 && r._5 <= 7.0))
+  }
+
 }
