@@ -395,6 +395,9 @@ object SparkEntry {
     // round 13 wave 24: Friedman rank test for the weekly rhythm
     "events_friedman_dow" ->
       ((s, d) => graft.operators.Analytics8.friedmanDow(s, d)),
+    // round 13 wave 25: customer revenue concentration per segment
+    "customer_revenue_gini" ->
+      ((s, d) => graft.operators.Analytics4.revenueGini(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -3295,6 +3298,42 @@ object SparkEntry {
          |    ELSE CAST((2 * CAST(g AS HUGEINT) * g * 1000000 + bt)
          |      // (2 * bt) AS BIGINT) END AS gain_ppm
          |FROM rel ORDER BY event_type""".stripMargin,
+
+    // per-segment customer Gini + top-decile share on the sorted-rank
+    // identity, HUGEINT moments — mirrors Analytics4.revenueGini
+    "customer_revenue_gini" ->
+      s"""WITH rev AS (
+         |  SELECT c_mktsegment AS segment, o_custkey AS cust,
+         |    CAST(ROUND(SUM($DISC_PRICE) * 100, 0) AS BIGINT) AS cents
+         |  FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT segment, cents,
+         |    CAST(row_number() OVER (PARTITION BY segment
+         |      ORDER BY cents, cust) AS BIGINT) AS rnk
+         |  FROM rev),
+         |nn AS (SELECT segment, CAST(count(*) AS BIGINT) AS n
+         |       FROM rev GROUP BY 1),
+         |ag AS (
+         |  SELECT r.segment, any_value(nn.n) AS n,
+         |    CAST(sum(r.cents) AS BIGINT) AS sv,
+         |    sum(CAST(r.rnk AS HUGEINT) * r.cents) AS siv,
+         |    CAST(sum(CASE WHEN r.rnk > (9 * nn.n) // 10
+         |      THEN r.cents ELSE 0 END) AS BIGINT) AS topv
+         |  FROM rk r JOIN nn USING (segment) GROUP BY 1)
+         |SELECT segment, n AS n_customers, sv AS total_cents,
+         |  CASE WHEN sv = 0 THEN NULL ELSE
+         |    CAST((2 * (2 * siv - (CAST(n AS HUGEINT) + 1) * sv) * 10000
+         |      + CAST(n AS HUGEINT) * sv)
+         |      // (2 * CAST(n AS HUGEINT) * sv) AS BIGINT) / 10000.0
+         |  END AS gini4,
+         |  CASE WHEN sv = 0 THEN NULL ELSE
+         |    CAST((2 * CAST(topv AS HUGEINT) * 10000 + sv)
+         |      // (2 * CAST(sv AS HUGEINT)) AS BIGINT) / 10000.0
+         |  END AS top10_share4
+         |FROM ag ORDER BY segment""".stripMargin,
 
     // Friedman rank statistic over complete Monday-aligned weeks:
     // doubled ranks (ties → average) in pure int64, exact rational Q —

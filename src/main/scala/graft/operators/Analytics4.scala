@@ -439,6 +439,68 @@ object Analytics4 {
     * projected to key+date+cust broadcast-buildable at these SFs;
     * customer to key+segment), ONE (segment, month) partial-
     * aggregable rollup, then the O(segments) moment pass. */
+  /** `customer_revenue_gini`: revenue concentration across CUSTOMERS,
+    * per market segment — the commerce member of the concentration
+    * family (#173 grades event spend per user decile; #232 grades
+    * token mass per term; this is the Lorenz/Gini number an account
+    * team reads: does one whale carry the segment). Released per
+    * segment: customer count, total cents, the exact population Gini,
+    * and the top-decile revenue share.
+    *
+    * Exactness: per-customer revenue is the money-suite decimal sum
+    * rounded once to cents; Gini uses the sorted-rank identity
+    * G = (2·Σ i·vᵢ − (n+1)·Σv)/(n·Σv) with i = ascending within-
+    * segment rank — Σ i·v outgrows int64 at commerce magnitudes, so
+    * the moment and both releases run in DECIMAL(38,0)/HUGEINT (the
+    * (2n+d) DIV 2d halfUp form); the numerator is ≥ 0 because rank
+    * and value sort together.
+    *
+    * Shape at scale: the within-segment rank comes from ONE native
+    * GlobalRank over (segment, cents, cust) minus a broadcast
+    * O(segments) offset — never a per-segment window sort over the
+    * customer table; one partial-aggregable rollup ends at
+    * O(segments) rows. */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val rev0 = (col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1.0).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), rev0.as("rev"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "l_orderkey")
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey").as("cust"))
+      .agg(round(sum("rev") * 100, 0).cast("long").as("cents"))
+      .localCheckpoint(true)
+    val ranked = Ranking.globalRowNumber(rev,
+      Seq(col("segment"), col("cents"), col("cust")), "grn")
+    val offs = ranked.groupBy("segment")
+      .agg((min("grn") - 1L).as("off"), count(lit(1)).as("n"))
+    ranked.join(broadcast(offs), "segment")
+      .withColumn("rnk", col("grn") - col("off"))
+      .groupBy("segment")
+      .agg(max("n").as("n"), sum("cents").as("sv"),
+        sum(expr("CAST(rnk AS DECIMAL(38,0)) * cents")).as("siv"),
+        sum(when(col("rnk") > intDiv(lit(9L) * col("n"), lit(10L)),
+          col("cents")).otherwise(0L)).as("topv"))
+      .select(col("segment"), col("n").as("n_customers"),
+        col("sv").as("total_cents"),
+        expr("""CASE WHEN sv = 0 THEN NULL ELSE
+          |CAST((2 * (2 * siv - (CAST(n AS DECIMAL(38,0)) + 1) * sv) * 10000
+          |  + CAST(n AS DECIMAL(38,0)) * sv)
+          |  DIV (2 * CAST(n AS DECIMAL(38,0)) * sv) AS BIGINT)
+          |  / CAST(10000 AS DOUBLE) END""".stripMargin).as("gini4"),
+        expr("""CASE WHEN sv = 0 THEN NULL ELSE
+          |CAST((2 * CAST(topv AS DECIMAL(38,0)) * 10000
+          |  + CAST(sv AS DECIMAL(38,0)))
+          |  DIV (2 * CAST(sv AS DECIMAL(38,0))) AS BIGINT)
+          |  / CAST(10000 AS DOUBLE) END""".stripMargin).as("top10_share4"))
+      .orderBy("segment")
+  }
+
   def segmentTrend(spark: SparkSession, dir: String): DataFrame = {
     val rev = (col("l_extendedprice").cast("decimal(18,4)") *
       (lit(1.0).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))

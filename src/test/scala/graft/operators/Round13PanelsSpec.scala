@@ -514,4 +514,42 @@ class Round13PanelsSpec extends SparkSpec {
     assert(got.find(_._1 == "count").exists(_._5 > 0.0))
   }
 
+  test("revenueGini: sorted-rank Gini and top-decile share match a BigDecimal driver model") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(4),
+        BigDecimal(r.getDouble(2)).setScale(4)))
+    val ord = graft.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seg = graft.Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perCust = li.groupBy(l => ord(l._1)).map { case (cust, ls) =>
+      val s = ls.map(l => l._2 * (BigDecimal(1).setScale(4) - l._3)).sum
+      (seg(cust), cust) -> (s * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = perCust.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+      case (segment, m) =>
+        val vs = m.toSeq.map { case ((_, cust), c) => (c, cust) }.sorted
+        val n = vs.size.toLong
+        val sv = vs.map(_._1).sum
+        val siv = vs.zipWithIndex.map { case ((c, _), i) =>
+          BigInt(i + 1) * c
+        }.sum
+        val topv = vs.zipWithIndex.collect {
+          case ((c, _), i) if (i + 1).toLong > 9 * n / 10 => c
+        }.sum
+        def halfUp(num: BigInt, den: BigInt): Long = ((num * 2 + den) / (den * 2)).toLong
+        (segment, n, sv,
+          halfUp((2 * siv - BigInt(n + 1) * sv) * 10000, BigInt(n) * sv) / 1e4,
+          halfUp(BigInt(topv) * 10000, BigInt(sv)) / 1e4)
+    }
+    val got = Analytics4.revenueGini(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got == expected)
+    // Gini lives on [0, 1); the top decile holds at least its share
+    assert(got.forall(r => r._4 >= 0.0 && r._4 < 1.0 && r._5 >= 0.0))
+  }
+
 }
