@@ -200,11 +200,13 @@ object QualityModels {
       .unionAll(g.sparkSession.range(1)
         .select(lit(0L).as("d"), lit(0L).as("cp"), lit(0L).as("cn")))
       .localCheckpoint(true)
+    // both non-equi joins broadcast the O(bins) prefix frame — without
+    // the hint the checkpointed sides plan a CartesianProduct
     val cand = g.select(col("decile"))
-      .join(pref.select(col("d").as("jd"), col("cp").as("lcp"),
-        col("cn").as("lcn")), col("jd") < col("decile"))
-      .join(pref.select(col("d").as("kd"), col("cp").as("hcp"),
-        col("cn").as("hcn")), col("kd") >= col("decile"))
+      .join(broadcast(pref.select(col("d").as("jd"), col("cp").as("lcp"),
+        col("cn").as("lcn"))), col("jd") < col("decile"))
+      .join(broadcast(pref.select(col("d").as("kd"), col("cp").as("hcp"),
+        col("cn").as("hcn"))), col("kd") >= col("decile"))
       .withColumn("key", expr(
         """CAST((CAST(hcp - lcp AS DECIMAL(38,0)) * 1000000000000000000)
           |  DIV CAST(hcn - lcn AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
