@@ -174,12 +174,22 @@ object Analytics8 {
     * the dense week grid, ranking windows and rollups all live on
     * O(types × weeks × 7) rows. */
   def friedmanDow(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Hashing.{intDiv, ratio4}
-    val daily = Dedup.eventsUs(spark, dir)
+    import graft.functions.Hashing.intDiv
+    friedmanDowOfDaily(Dedup.eventsUs(spark, dir)
       .select(col("event_type"),
         intDiv(col("ts_us"), lit(86400000000L)).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+  }
+
+  /** [[friedmanDow]]'s algebra over an already-aggregated
+    * (event_type, day, c) counts frame — the SAME daily-count
+    * substrate [[changepointOfDaily]] reads, so the streaming monitor
+    * ([[graft.streaming.StreamChangepoint]]) evaluates BOTH panels
+    * from one TxnParquet delta log (one state, two rhythm readings:
+    * where the level moved, and whether the weekly rhythm holds). */
+  def friedmanDowOfDaily(dailyIn: DataFrame): DataFrame = {
+    import graft.functions.Hashing.{intDiv, ratio4}
+    val daily = dailyIn.localCheckpoint(true)
     val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val dense = daily.select("event_type").distinct()
       .crossJoin(broadcast(span))

@@ -59,4 +59,11 @@ object StreamChangepoint {
     * events. */
   def panel(spark: SparkSession, stateDir: String): DataFrame =
     Analytics8.changepointOfDaily(foldedDaily(spark, stateDir))
+
+  /** The weekly-rhythm panel over the SAME delta log — one maintained
+    * state, two readings (where the level moved / whether the weekly
+    * rhythm holds); row-identical to the batch `events_friedman_dow`
+    * over the same events. */
+  def friedmanPanel(spark: SparkSession, stateDir: String): DataFrame =
+    Analytics8.friedmanDowOfDaily(foldedDaily(spark, stateDir))
 }

@@ -28,6 +28,7 @@ class StreamChangepointSpec extends SparkSpec {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val want = rows(Analytics8.changepoint(spark, sf))
+    val wantFriedman = rows(Analytics8.friedmanDow(spark, sf))
     assert(want.nonEmpty)
     for (nBatches <- Seq(1, 4)) {
       val stateDir = Files.createTempDirectory("cp").toString
@@ -44,10 +45,17 @@ class StreamChangepointSpec extends SparkSpec {
       // ℤ-group, so batching cannot move the split
       assert(rows(StreamChangepoint.panel(spark, stateDir)) == want,
         s"changepoint panel drifted from batch at nBatches=$nBatches")
+      // one maintained state, two readings: the weekly-rhythm panel
+      // over the SAME delta log equals the batch events_friedman_dow
+      assert(rows(StreamChangepoint.friedmanPanel(spark, stateDir))
+        == wantFriedman,
+        s"friedman panel drifted from batch at nBatches=$nBatches")
       // compaction of the delta log changes nothing
       TxnParquet.compact(spark, stateDir)
       TxnParquet.vacuum(spark, stateDir)
       assert(rows(StreamChangepoint.panel(spark, stateDir)) == want)
+      assert(rows(StreamChangepoint.friedmanPanel(spark, stateDir))
+        == wantFriedman)
     }
   }
 }
