@@ -398,6 +398,8 @@ object SparkEntry {
     // round 13 wave 25: customer revenue concentration per segment
     "customer_revenue_gini" ->
       ((s, d) => graft.operators.Analytics4.revenueGini(s, d)),
+    // round 13 wave 27: LSH recall vs corpus size (adaptive banding)
+    "ann_recall_scaling" -> ((s, d) => Similarity.recallScaling(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1371,7 +1373,64 @@ object SparkEntry {
                 (graft.operators.Similarity.TopK.toLong *
                  graft.operators.Similarity.NumQueries).toString)} AS recall
          |FROM hits ORDER BY variant""".stripMargin
-    ) + ("ann_recall_at_k" -> {
+    ) + ("ann_recall_scaling" -> {
+      // per prefix subset: adaptive ppb re-derived from the subset
+      // count, band-0 bucket search vs brute over the SAME subset —
+      // mirrors Similarity.recallScaling
+      val S = graft.operators.Similarity
+      val t = S.TargetBucket
+      val frags = S.ScaleFracs.map { f =>
+        val x = s"f$f"
+        s"""n_$x AS (SELECT (SELECT count(*) FROM embeddings) // $f AS nf),
+           |v_$x AS (SELECT vec_id, embedding AS e FROM embeddings, n_$x
+           |         WHERE vec_id < nf),
+           |lshp_$x AS (
+           |  SELECT CASE WHEN m <= 1 THEN ${S.PlanesPerBand}
+           |    ELSE greatest(${S.PlanesPerBand},
+           |      CAST(floor(log2(CAST(m - 1 AS DOUBLE))) AS INT) + 1) END AS ppb
+           |  FROM (SELECT (count(*) + ${t - 1}) // $t AS m FROM v_$x)),
+           |pl_$x AS (SELECT ppb, unnest(generate_series(0, ppb - 1)) AS p
+           |          FROM lshp_$x),
+           |bits_$x AS (
+           |  SELECT vec_id, p.p, p.ppb,
+           |    CASE WHEN ${DUCK_PROJ} > 0 THEN 1 ELSE 0 END AS bit
+           |  FROM v_$x v, pl_$x p),
+           |b0_$x AS (
+           |  SELECT vec_id, CAST(SUM(CASE WHEN bit = 1
+           |    THEN (1::BIGINT << (p % ppb)) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM bits_$x GROUP BY vec_id),
+           |p_$x AS (
+           |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("qv.e", "bv.e")} AS cos
+           |  FROM b0_$x q JOIN b0_$x b
+           |    ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+           |  JOIN v_$x qv ON qv.vec_id = q.vec_id
+           |  JOIN v_$x bv ON bv.vec_id = b.vec_id
+           |  WHERE q.vec_id < ${S.NumQueries}),
+           |tk_$x AS (SELECT q_id, vec_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, vec_id) AS rank FROM p_$x)
+           |  WHERE rank <= ${S.TopK}),
+           |bp_$x AS (
+           |  SELECT q.vec_id AS q_id, b.vec_id, ${duckCos("q.e", "b.e")} AS cos
+           |  FROM v_$x q JOIN v_$x b ON b.vec_id <> q.vec_id
+           |  WHERE q.vec_id < ${S.NumQueries}),
+           |bt_$x AS (SELECT q_id, vec_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, vec_id) AS rank FROM bp_$x)
+           |  WHERE rank <= ${S.TopK}),
+           |row_$x AS (
+           |  SELECT (SELECT CAST(nf AS BIGINT) FROM n_$x) AS n_vectors,
+           |    (SELECT CAST(ppb AS BIGINT) FROM lshp_$x) AS planes_per_band,
+           |    CAST(count(*) AS BIGINT) AS n_hits
+           |  FROM tk_$x JOIN bt_$x USING (q_id, vec_id))""".stripMargin
+      }
+      s"""WITH ${frags.mkString(",\n")},
+         |uni AS (${S.ScaleFracs.map(f => s"SELECT * FROM row_f$f")
+            .mkString("\n UNION ALL ")})
+         |SELECT n_vectors, planes_per_band, n_hits,
+         |  ${ratio4Sql("n_hits", (S.TopK.toLong * S.NumQueries).toString)} AS recall4
+         |FROM uni ORDER BY n_vectors""".stripMargin
+    }) + ("ann_recall_at_k" -> {
       // recall@k prefixes of the shipped top-ks vs the brute baseline
       // at the same cutoff — mirrors Similarity.recallAtK
       val S = graft.operators.Similarity

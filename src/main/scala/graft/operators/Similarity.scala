@@ -1445,6 +1445,53 @@ object Similarity {
       .orderBy("variant", "k")
   }
 
+  /** Corpus-subset divisors for [[recallScaling]] — prefix subsets
+    * N/4, N/2, N (prefixes keep the probe set inside every subset). */
+  val ScaleFracs: Seq[Int] = Seq(4, 2, 1)
+
+  /** `ann_recall_scaling`: single-bucket LSH recall vs CORPUS SIZE —
+    * the scale-axis member of the tuning-curve family (probe curve
+    * sweeps nprobe, recall@k sweeps the cutoff; this sweeps N): for
+    * prefix subsets N/4, N/2, N, the adaptive band width
+    * ([[planesPerBandFor]] — one extra plane per corpus doubling) is
+    * re-derived per subset and recall@k measured against brute force
+    * over the SAME subset. The panel that answers the 100× question
+    * directly: does recall hold as the corpus grows, or does the
+    * bucket-size control trade it away — measured, not assumed.
+    *
+    * Shape: each subset is one linear bucket build + the bounded
+    * brute baseline (O(nQueries × subset)); per-subset results are
+    * session-memoized 1-row frames (key: corpus version + divisor),
+    * so bench best-of-2 reuses them. Output O(|fracs|). */
+  def recallScaling(spark: SparkSession, dir: String,
+                    k: Int = TopK, nQueries: Int = NumQueries): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val cv = corpusVersion(spark, dir)
+    val vAll = vecs(spark, dir)
+    val n = vAll.count()
+    ScaleFracs.map { f =>
+        val nf = n / f
+        memoized(spark, s"rs|$cv|$dir|$f|$k|$nQueries") {
+          val v = vAll.filter(col("vec_id") < nf)
+          val ppb = planesPerBandFor(nf)
+          val b0 = bucketsOf(v, NumBands * ppb, ppb)
+            .filter(col("band") === 0)
+          val candidates = b0.join(v, "vec_id")
+          val lsh = lshSearch(v, b0, candidates, k, nQueries)
+            .select("q_id", "vec_id")
+          val brute = bruteTopKOf(v, k, nQueries).select("q_id", "vec_id")
+          lsh.join(brute, Seq("q_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(nf).as("n_vectors"),
+              lit(ppb.toLong).as("planes_per_band"), col("n_hits"))
+        }
+      }
+      .reduce(_ unionByName _)
+      .select(col("n_vectors"), col("planes_per_band"), col("n_hits"),
+        ratio4(col("n_hits"), lit(k.toLong * nQueries)).as("recall4"))
+      .orderBy("n_vectors")
+  }
+
   /** [[rpDistortion]] knobs: target dimension (planes 0..15 of the
     * SAME md5-derived ±1 family the LSH buckets use), bounded pair
     * sample, and the 0.1 band grain of the released histogram. */

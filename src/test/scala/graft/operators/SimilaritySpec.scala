@@ -562,4 +562,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).sum == ratios.size.toLong)
   }
 
+  test("recallScaling: full-corpus row agrees with the recall report; prefix subsets nest") {
+    val got = Similarity.recallScaling(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.size == Similarity.ScaleFracs.size)
+    // subsets are strict prefixes: sizes strictly increase, ppb never shrinks
+    assert(got.map(_._1) == got.map(_._1).sorted)
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // the N/1 row IS the shipped single-bucket config: its hit count
+    // must equal the recall report's ann_lsh_topk row exactly
+    val reportHits = Similarity.recallReport(spark, sf).collect()
+      .find(_.getString(0) == "ann_lsh_topk").get.getLong(1)
+    assert(got.last._3 == reportHits)
+  }
+
 }
