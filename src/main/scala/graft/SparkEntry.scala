@@ -400,6 +400,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Analytics4.revenueGini(s, d)),
     // round 13 wave 27: LSH recall vs corpus size (adaptive banding)
     "ann_recall_scaling" -> ((s, d) => Similarity.recallScaling(s, d)),
+    // round 13 wave 28: exact prefix-filter set-similarity join
+    "dedup_ssjoin_prefix" -> ((s, d) => DocDedup.prefixJoin(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1754,6 +1756,43 @@ object SparkEntry {
          |FROM p JOIN n n1 ON p.d1 = n1.doc_id JOIN n n2 ON p.d2 = n2.doc_id
          |WHERE shared / (n1.n + n2.n - shared) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // exact prefix-filter set-similarity self-join (AllPairs + length
+    // filter) over the UNCAPPED shingle sets — mirrors
+    // DocDedup.prefixJoin
+    "dedup_ssjoin_prefix" -> {
+      val tau = graft.operators.DocDedup.PrefixTauPpm
+      s"""WITH $SH_CTE,
+         |dfx AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+         |        FROM sh GROUP BY 1),
+         |szd AS (
+         |  SELECT s.doc_id, s.shingle, d.df,
+         |    CAST(row_number() OVER (PARTITION BY s.doc_id
+         |      ORDER BY d.df, s.shingle) AS BIGINT) AS pos,
+         |    CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT) AS n
+         |  FROM sh s JOIN dfx d USING (shingle)),
+         |pref AS (
+         |  SELECT doc_id, shingle, n FROM szd
+         |  WHERE pos <= n - ((n * $tau + 999999) // 1000000) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.n AS n1, b.n AS n2
+         |  FROM pref a JOIN pref b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  WHERE a.n * $tau <= b.n * 1000000
+         |    AND b.n * $tau <= a.n * 1000000),
+         |ov AS (
+         |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS shared
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.d1
+         |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+         |  GROUP BY 1, 2)
+         |SELECT c.d1, c.d2, ov.shared,
+         |  ov.shared / (c.n1 + c.n2 - ov.shared) AS jaccard
+         |FROM cand c JOIN ov USING (d1, d2)
+         |WHERE ov.shared / (c.n1 + c.n2 - ov.shared) >= ${tau / 1000000.0}
+         |ORDER BY d1, d2""".stripMargin
+    },
 
     // aggregated export form of the pair list: per doc, partner count +
     // highest-jaccard exemplar (ties -> smallest partner id) — mirrors

@@ -535,6 +535,73 @@ object DocDedup {
       .orderBy("d1", "d2")
   }
 
+  /** Jaccard threshold of [[prefixJoin]] in ppm — integer so the ceil
+    * arithmetic in the prefix length is exact cross-engine. */
+  val PrefixTauPpm = 500000L
+
+  /** `dedup_ssjoin_prefix`: EXACT set-similarity self-join by prefix
+    * filtering (Bayardo/Chaudhuri/Xiao AllPairs with the length
+    * filter) — the exact counterpart of the probabilistic candidate
+    * generators: MinHash can miss a qualifying pair and the
+    * ngram-Jaccard panel (#8) drops hot shingles by df cap; this
+    * finds EVERY pair with set-Jaccard ≥ τ over the UNCAPPED shingle
+    * sets, with no all-pairs blow-up. Principle: order the universe
+    * by rarity (df asc, shingle asc); a pair with overlap ≥ α must
+    * share a token inside both docs' first (n − α + 1) tokens of that
+    * order, and J ≥ τ gives α = ⌈τ·n⌉ per side — so candidates come
+    * only from rare-token prefixes, and hot boilerplate shingles
+    * (which sort LAST) never generate a candidate from a long doc.
+    * The length filter (τ·n₂ ≤ n₁ ≤ n₂/τ, pure int64 at ppm grain)
+    * prunes cross-size pairs before the distinct.
+    *
+    * Shape at scale: ONE shingle-keyed shuffle computes df and feeds
+    * the prefix self-join on the same partitioning; the per-doc
+    * position window is bounded by document length; verification
+    * joins the candidate list (true-pair-sized by the filtering
+    * principle) back to the shingle table on (doc, shingle) keys. No
+    * df cap, no bucket cap — exactness is the contract, and the spec
+    * pins it against a brute-force ground truth. */
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixJoinOf(docShingles(spark, dir))
+
+  /** [[prefixJoin]] over an arbitrary distinct (doc_id, shingle)
+    * frame. */
+  def prefixJoinOf(sh0: DataFrame, tauPpm: Long = PrefixTauPpm): DataFrame = {
+    import graft.functions.Hashing.intDiv
+    val sh = sh0.localCheckpoint(true) // df + prefix + both verify sides
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "shingle")
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sized = sh
+      .withColumn("df", count(lit(1)).over(wSh))
+      .withColumn("pos", row_number().over(wDoc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+    val pref = sized
+      .filter(col("pos") <= col("n") -
+        intDiv(col("n") * tauPpm + 999999L, lit(1000000L)) + 1L)
+      .select("doc_id", "shingle", "n")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * tauPpm <= col("b.n") * 1000000L &&
+          col("b.n") * tauPpm <= col("a.n") * 1000000L)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
+    val ov = cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")),
+        Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    cand.join(ov, Seq("d1", "d2"))
+      .withColumn("jaccard",
+        col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= lit(tauPpm / 1000000.0))
+      .select("d1", "d2", "shared", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
   /** CDC boundary window (tokens) and modulus: a chunk boundary falls
     * AFTER token i iff the h64 of the trailing [[CdcWindow]]-token
     * window at i divides [[CdcMod]] — boundaries depend on local

@@ -364,4 +364,25 @@ class DocDedupSpec extends SparkSpec {
     // the two methods genuinely overlap on the planted near-dups
     assert(common.nonEmpty)
   }
+  test("prefixJoin: EXACTLY the brute-force tau-Jaccard pair set over uncapped shingle sets") {
+    val sets = DocDedup.docShingles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = sets(ids(i)); b = sets(ids(j))
+      shared = (a & b).size
+      if shared > 0
+      jac = shared.toDouble / (a.size + b.size - shared)
+      if jac >= 0.5
+    } yield (ids(i), ids(j), shared.toLong, jac)).sortBy(r => (r._1, r._2))
+    val got = DocDedup.prefixJoin(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exactness is the contract: no false negatives (unlike MinHash),
+    // no df-cap truncation (unlike #8), no false positives
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
 }
