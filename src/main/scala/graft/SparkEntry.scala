@@ -402,6 +402,8 @@ object SparkEntry {
     "ann_recall_scaling" -> ((s, d) => Similarity.recallScaling(s, d)),
     // round 13 wave 28: exact prefix-filter set-similarity join
     "dedup_ssjoin_prefix" -> ((s, d) => DocDedup.prefixJoin(s, d)),
+    // round 13 wave 29: MinHash recall vs the exact ground truth
+    "dedup_minhash_recall" -> ((s, d) => MinHashLSH.minhashRecall(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1760,39 +1762,29 @@ object SparkEntry {
     // exact prefix-filter set-similarity self-join (AllPairs + length
     // filter) over the UNCAPPED shingle sets — mirrors
     // DocDedup.prefixJoin
-    "dedup_ssjoin_prefix" -> {
-      val tau = graft.operators.DocDedup.PrefixTauPpm
+    "dedup_ssjoin_prefix" ->
       s"""WITH $SH_CTE,
-         |dfx AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
-         |        FROM sh GROUP BY 1),
-         |szd AS (
-         |  SELECT s.doc_id, s.shingle, d.df,
-         |    CAST(row_number() OVER (PARTITION BY s.doc_id
-         |      ORDER BY d.df, s.shingle) AS BIGINT) AS pos,
-         |    CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT) AS n
-         |  FROM sh s JOIN dfx d USING (shingle)),
-         |pref AS (
-         |  SELECT doc_id, shingle, n FROM szd
-         |  WHERE pos <= n - ((n * $tau + 999999) // 1000000) + 1),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-         |    a.n AS n1, b.n AS n2
-         |  FROM pref a JOIN pref b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  WHERE a.n * $tau <= b.n * 1000000
-         |    AND b.n * $tau <= a.n * 1000000),
-         |ov AS (
-         |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS shared
-         |  FROM cand c
-         |  JOIN sh s1 ON s1.doc_id = c.d1
-         |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-         |  GROUP BY 1, 2)
-         |SELECT c.d1, c.d2, ov.shared,
-         |  ov.shared / (c.n1 + c.n2 - ov.shared) AS jaccard
-         |FROM cand c JOIN ov USING (d1, d2)
-         |WHERE ov.shared / (c.n1 + c.n2 - ov.shared) >= ${tau / 1000000.0}
-         |ORDER BY d1, d2""".stripMargin
-    },
+         |${SSJOIN_CTES}
+         |SELECT d1, d2, shared, jaccard
+         |FROM sjpairs ORDER BY d1, d2""".stripMargin,
+
+    // banded-MinHash recall vs the exact prefix-join ground truth —
+    // mirrors MinHashLSH.minhashRecall (shared SSJOIN + MH macros)
+    "dedup_minhash_recall" ->
+      s"""WITH $SH_CTE,
+         |${SSJOIN_CTES},
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM sjpairs),
+         |lh AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM pairs
+         |       WHERE jaccard >= 0.5),
+         |bo AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+         |       FROM (SELECT d1, d2 FROM pairs WHERE jaccard >= 0.5) p
+         |       JOIN sjpairs s USING (d1, d2))
+         |SELECT ex.n_exact, lh.n_lsh, bo.n_both,
+         |  ex.n_exact - bo.n_both AS n_missed,
+         |  ${ratio4Sql("bo.n_both", "greatest(ex.n_exact, 1)")} AS recall4
+         |FROM ex, lh, bo""".stripMargin,
 
     // aggregated export form of the pair list: per doc, partner count +
     // highest-jaccard exemplar (ties -> smallest partner id) — mirrors
@@ -7392,6 +7384,47 @@ object SparkEntry {
          |    / 10000.0 AS iso_rate4
          |FROM g JOIN ofit f USING (decile) ORDER BY g.decile""".stripMargin,
   )
+
+  /** The exact prefix-filter set-similarity join chain (sj-prefixed
+    * CTE names so it composes beside the MH macros, whose `cand`/
+    * `pairs` names it would otherwise shadow) — exposes
+    * `sjpairs(d1, d2, shared, jaccard)`, the EXACT τ-Jaccard pair set
+    * over the uncapped shingle sets. Expects `sh` in scope. Mirrors
+    * DocDedup.prefixJoin; shared by the standalone query and the
+    * MinHash-recall panel so the two can never drift. */
+  private def SSJOIN_CTES: String = {
+    val tau = graft.operators.DocDedup.PrefixTauPpm
+    s"""sjdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+       |         FROM sh GROUP BY 1),
+       |sjszd AS (
+       |  SELECT s.doc_id, s.shingle, d.df,
+       |    CAST(row_number() OVER (PARTITION BY s.doc_id
+       |      ORDER BY d.df, s.shingle) AS BIGINT) AS pos,
+       |    CAST(count(*) OVER (PARTITION BY s.doc_id) AS BIGINT) AS n
+       |  FROM sh s JOIN sjdf d USING (shingle)),
+       |sjpref AS (
+       |  SELECT doc_id, shingle, n FROM sjszd
+       |  WHERE pos <= n - ((n * $tau + 999999) // 1000000) + 1),
+       |sjcand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    a.n AS n1, b.n AS n2
+       |  FROM sjpref a JOIN sjpref b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE a.n * $tau <= b.n * 1000000
+       |    AND b.n * $tau <= a.n * 1000000),
+       |sjov AS (
+       |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS shared
+       |  FROM sjcand c
+       |  JOIN sh s1 ON s1.doc_id = c.d1
+       |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+       |  GROUP BY 1, 2),
+       |sjpairs AS MATERIALIZED (
+       |  SELECT c.d1, c.d2, ov.shared,
+       |    ov.shared / (c.n1 + c.n2 - ov.shared) AS jaccard
+       |  FROM sjcand c JOIN sjov ov USING (d1, d2)
+       |  WHERE ov.shared / (c.n1 + c.n2 - ov.shared) >= ${tau / 1000000.0})"""
+      .stripMargin
+  }
 
   /** The reliability-diagram decile substrate `g(decile, n_docs,
     * n_pos, ss4)` — shared by the raw calibration curve and the

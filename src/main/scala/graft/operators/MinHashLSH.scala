@@ -422,6 +422,39 @@ object MinHashLSH {
   def nearDupPairsOf(docs: DataFrame, tau: Double = 0.5): DataFrame =
     verifyCandidates(lshCandidates(docs), DocDedup.docShinglesOf(docs), tau)
 
+  /** `dedup_minhash_recall`: the banded MinHash config graded against
+    * EXACT ground truth — the prefix-filter join (`dedup_ssjoin_prefix`)
+    * finds every τ-Jaccard pair, so the panel releases the MEASURED
+    * false-negative rate of the shipped (seeds, bands, df-cap,
+    * bucket-cap) configuration: exact pairs, LSH pairs, their
+    * intersection, the missed count, and recall — the number the
+    * threshold/quality panels (#128/#175) estimate from the candidate
+    * side, now measured against the full truth. LSH pairs verify
+    * their Jaccard on the UNCAPPED sets, so LSH ⊆ exact and the
+    * intersection is just the LSH side re-counted (the oracle and the
+    * spec both pin n_lsh = n_both).
+    *
+    * Shape: both inputs are the session-memoized pair lists the rest
+    * of the registry already shares; one semi-join + three 1-row
+    * aggregates. */
+  def minhashRecall(spark: SparkSession, dir: String,
+                    tau: Double = 0.5): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val exact = Similarity.memoized(spark,
+      s"sjpairs|${Similarity.artifactVersion(spark, dir, "documents.parquet")}|$dir")(
+      DocDedup.prefixJoin(spark, dir).select("d1", "d2"))
+    val mh = nearDupPairs(spark, dir, tau).select("d1", "d2")
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nl = mh.agg(count(lit(1)).as("n_lsh"))
+    val nb = mh.join(exact, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    ne.crossJoin(nl).crossJoin(nb)
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        (col("n_exact") - col("n_both")).as("n_missed"),
+        ratio4(col("n_both"), greatest(col("n_exact"), lit(1L)))
+          .as("recall4"))
+  }
+
   /** `dedup_pair_audit_sample`: the human-QA workflow for the near-dup
     * gate — per 0.05 similarity band, a DETERMINISTIC k-pair sample
     * (bottom-k by a seeded pair hash, the [[graft.streaming.StreamSample]]

@@ -577,4 +577,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.last._3 == reportHits)
   }
 
+  test("minhashRecall: counts reconcile with the pair lists; LSH pairs are a subset of exact") {
+    val exact = DocDedup.prefixJoin(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = MinHashLSH.nearDupPairs(spark, sf, tau = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = MinHashLSH.minhashRecall(spark, sf).collect().head
+    assert(got.getLong(0) == exact.size.toLong)
+    assert(got.getLong(1) == mh.size.toLong)
+    assert(got.getLong(2) == (mh & exact).size.toLong)
+    assert(got.getLong(3) == (exact -- mh).size.toLong)
+    // LSH verifies Jaccard on the uncapped sets, so it can never
+    // accept a pair the exact join rejects
+    assert(mh.subsetOf(exact))
+    assert(got.getLong(1) == got.getLong(2))
+  }
+
 }
