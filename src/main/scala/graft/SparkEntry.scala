@@ -404,6 +404,8 @@ object SparkEntry {
     "dedup_ssjoin_prefix" -> ((s, d) => DocDedup.prefixJoin(s, d)),
     // round 13 wave 29: MinHash recall vs the exact ground truth
     "dedup_minhash_recall" -> ((s, d) => MinHashLSH.minhashRecall(s, d)),
+    // round 13 wave 30: the measured S-curve (recall per jaccard band)
+    "dedup_recall_by_band" -> ((s, d) => MinHashLSH.recallByBand(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1765,7 +1767,7 @@ object SparkEntry {
     "dedup_ssjoin_prefix" ->
       s"""WITH $SH_CTE,
          |${SSJOIN_CTES}
-         |SELECT d1, d2, shared, jaccard
+         |SELECT d1, d2, shared, n_union, jaccard
          |FROM sjpairs ORDER BY d1, d2""".stripMargin,
 
     // banded-MinHash recall vs the exact prefix-join ground truth —
@@ -1785,6 +1787,28 @@ object SparkEntry {
          |  ex.n_exact - bo.n_both AS n_missed,
          |  ${ratio4Sql("bo.n_both", "greatest(ex.n_exact, 1)")} AS recall4
          |FROM ex, lh, bo""".stripMargin,
+
+    // the measured S-curve: exact-jaccard bands (integer jaccard4) ×
+    // caught-by-LSH flags — mirrors MinHashLSH.recallByBand
+    "dedup_recall_by_band" -> {
+      val b4 = graft.operators.MinHashLSH.RecallBand4
+      s"""WITH $SH_CTE,
+         |${SSJOIN_CTES},
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |ex AS (SELECT d1, d2,
+         |         CAST(${halfUpSql("shared * 10000", "n_union")} AS BIGINT) AS j4
+         |       FROM sjpairs),
+         |mhb AS (SELECT d1, d2, 1 AS caught FROM pairs WHERE jaccard >= 0.5),
+         |jj AS (SELECT ex.j4, coalesce(mhb.caught, 0) AS caught
+         |       FROM ex LEFT JOIN mhb USING (d1, d2)),
+         |g AS (SELECT j4 // $b4 AS band, CAST(count(*) AS BIGINT) AS n_exact,
+         |        CAST(sum(caught) AS BIGINT) AS n_caught
+         |      FROM jj GROUP BY 1)
+         |SELECT band * $b4 / 10000.0 AS band_lo, n_exact, n_caught,
+         |  ${ratio4Sql("n_caught", "n_exact")} AS recall4
+         |FROM g ORDER BY band_lo""".stripMargin
+    },
 
     // aggregated export form of the pair list: per doc, partner count +
     // highest-jaccard exemplar (ties -> smallest partner id) — mirrors
@@ -7420,6 +7444,7 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |sjpairs AS MATERIALIZED (
        |  SELECT c.d1, c.d2, ov.shared,
+       |    c.n1 + c.n2 - ov.shared AS n_union,
        |    ov.shared / (c.n1 + c.n2 - ov.shared) AS jaccard
        |  FROM sjcand c JOIN sjov ov USING (d1, d2)
        |  WHERE ov.shared / (c.n1 + c.n2 - ov.shared) >= ${tau / 1000000.0})"""

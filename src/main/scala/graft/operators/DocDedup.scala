@@ -595,10 +595,10 @@ object DocDedup {
         Seq("d2", "shingle"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
     cand.join(ov, Seq("d1", "d2"))
-      .withColumn("jaccard",
-        col("shared") / (col("n1") + col("n2") - col("shared")))
+      .withColumn("n_union", col("n1") + col("n2") - col("shared"))
+      .withColumn("jaccard", col("shared") / col("n_union"))
       .filter(col("jaccard") >= lit(tauPpm / 1000000.0))
-      .select("d1", "d2", "shared", "jaccard")
+      .select("d1", "d2", "shared", "n_union", "jaccard")
       .orderBy("d1", "d2")
   }
 

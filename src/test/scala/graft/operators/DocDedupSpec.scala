@@ -374,11 +374,14 @@ class DocDedupSpec extends SparkSpec {
       a = sets(ids(i)); b = sets(ids(j))
       shared = (a & b).size
       if shared > 0
-      jac = shared.toDouble / (a.size + b.size - shared)
+      union = a.size + b.size - shared
+      jac = shared.toDouble / union
       if jac >= 0.5
-    } yield (ids(i), ids(j), shared.toLong, jac)).sortBy(r => (r._1, r._2))
+    } yield (ids(i), ids(j), shared.toLong, union.toLong, jac))
+      .sortBy(r => (r._1, r._2))
     val got = DocDedup.prefixJoin(spark, sf).collect().toSeq
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
     // exactness is the contract: no false negatives (unlike MinHash),
     // no df-cap truncation (unlike #8), no false positives
     assert(got == expected)

@@ -593,4 +593,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(1) == got.getLong(2))
   }
 
+  test("recallByBand: banded ground-truth recall matches the driver model and reconciles with the totals") {
+    def halfUp(num: Long, den: Long): Long = (num + den / 2) / den
+    val exact = DocDedup.prefixJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        halfUp(r.getLong(2) * 10000L, r.getLong(3))).toMap
+    val mh = MinHashLSH.nearDupPairs(spark, sf, tau = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.toSeq.groupBy(_._2 / MinHashLSH.RecallBand4)
+      .toSeq.map { case (band, ps) =>
+        val caught = ps.count(p => mh(p._1)).toLong
+        (band * MinHashLSH.RecallBand4 / 10000.0, ps.size.toLong, caught,
+          halfUp(caught * 10000L, ps.size.toLong) / 1e4)
+      }.sortBy(_._1)
+    val got = MinHashLSH.recallByBand(spark, sf).collect().toSeq
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // band sums reconcile with the flat recall panel's totals
+    val flat = MinHashLSH.minhashRecall(spark, sf).collect().head
+    assert(got.map(_._2).sum == flat.getLong(0))
+    assert(got.map(_._3).sum == flat.getLong(2))
+  }
+
 }
