@@ -406,6 +406,8 @@ object SparkEntry {
     "dedup_minhash_recall" -> ((s, d) => MinHashLSH.minhashRecall(s, d)),
     // round 13 wave 30: the measured S-curve (recall per jaccard band)
     "dedup_recall_by_band" -> ((s, d) => MinHashLSH.recallByBand(s, d)),
+    // round 13 wave 31: the prefix join's cost-observability funnel
+    "dedup_ssjoin_funnel" -> ((s, d) => DocDedup.prefixJoinFunnel(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -1787,6 +1789,21 @@ object SparkEntry {
          |  ex.n_exact - bo.n_both AS n_missed,
          |  ${ratio4Sql("bo.n_both", "greatest(ex.n_exact, 1)")} AS recall4
          |FROM ex, lh, bo""".stripMargin,
+
+    // the prefix join's candidate funnel — mirrors
+    // DocDedup.prefixJoinFunnel (shared SSJOIN_CTES)
+    "dedup_ssjoin_funnel" ->
+      s"""WITH $SH_CTE,
+         |${SSJOIN_CTES},
+         |dc AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_shingle_rows FROM sh),
+         |pc AS (SELECT CAST(count(*) AS BIGINT) AS n_prefix_rows FROM sjpref),
+         |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM sjcand),
+         |vc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sjpairs)
+         |SELECT n_docs, n_shingle_rows, n_prefix_rows, n_candidates, n_pairs,
+         |  ${ratio4Sql("n_prefix_rows", "n_shingle_rows")} AS prefix_share4,
+         |  ${ratio4Sql("n_pairs", "greatest(n_candidates, 1)")} AS verify_yield4
+         |FROM dc, pc, cc, vc""".stripMargin,
 
     // the measured S-curve: exact-jaccard bands (integer jaccard4) ×
     // caught-by-LSH flags — mirrors MinHashLSH.recallByBand

@@ -388,4 +388,20 @@ class DocDedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("prefixJoinFunnel: counts reconcile with the shingle table and the pair list") {
+    val row = DocDedup.prefixJoinFunnel(spark, sf).collect().head
+    val (nDocs, nSh, nPref, nCand, nPairs) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    val sh = DocDedup.docShingles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(nDocs == sh.map(_._1).distinct.size.toLong)
+    assert(nSh == sh.size.toLong)
+    assert(nPairs == DocDedup.prefixJoin(spark, sf).count())
+    // the funnel narrows: prefix ⊆ shingle rows, verified ⊆ candidates
+    assert(nPref <= nSh && nPairs <= nCand)
+    // τ = 0.5 prefixes index about half the rows (n − ⌈n/2⌉ + 1 per doc)
+    assert(nPref * 10 >= nSh * 4 && nPref * 10 <= nSh * 6)
+  }
+
 }
