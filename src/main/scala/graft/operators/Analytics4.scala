@@ -423,22 +423,6 @@ object Analytics4 {
       .orderBy("week")
   }
 
-  /** `orders_segment_trend`: per market segment, the exact-rational
-    * OLS trend of MONTHLY discounted revenue — the commerce
-    * application of the #338 trend algebra (the OLS panel is
-    * substrate-generic: (key, time-index, int64 mass) in, slope/
-    * intercept/r² out), answering "which segments grow vs decay" at
-    * the grain a demand planner reads. Revenue is the money-suite
-    * exact DECIMAL(18,4) sum per (segment, month) rounded once to
-    * cents; month index = 12·year + month − 1, pure integer calendar
-    * arithmetic. The cents magnitudes here are what forced the shared
-    * release into DECIMAL(38,0) (Σy·Σx² passes int64 at commerce
-    * scale).
-    *
-    * Shape: lineitem joins the two dimension-sized sides (orders
-    * projected to key+date+cust broadcast-buildable at these SFs;
-    * customer to key+segment), ONE (segment, month) partial-
-    * aggregable rollup, then the O(segments) moment pass. */
   /** `customer_revenue_gini`: revenue concentration across CUSTOMERS,
     * per market segment — the commerce member of the concentration
     * family (#173 grades event spend per user decile; #232 grades
@@ -501,6 +485,22 @@ object Analytics4 {
       .orderBy("segment")
   }
 
+  /** `orders_segment_trend`: per market segment, the exact-rational
+    * OLS trend of MONTHLY discounted revenue — the commerce
+    * application of the #338 trend algebra (the OLS panel is
+    * substrate-generic: (key, time-index, int64 mass) in, slope/
+    * intercept/r² out), answering "which segments grow vs decay" at
+    * the grain a demand planner reads. Revenue is the money-suite
+    * exact DECIMAL(18,4) sum per (segment, month) rounded once to
+    * cents; month index = 12·year + month − 1, pure integer calendar
+    * arithmetic. The cents magnitudes here are what forced the shared
+    * release into DECIMAL(38,0) (Σy·Σx² passes int64 at commerce
+    * scale).
+    *
+    * Shape: lineitem joins the two dimension-sized sides (orders
+    * projected to key+date+cust broadcast-buildable at these SFs;
+    * customer to key+segment), ONE (segment, month) partial-
+    * aggregable rollup, then the O(segments) moment pass. */
   def segmentTrend(spark: SparkSession, dir: String): DataFrame = {
     val rev = (col("l_extendedprice").cast("decimal(18,4)") *
       (lit(1.0).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))

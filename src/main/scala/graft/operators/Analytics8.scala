@@ -126,30 +126,6 @@ object Analytics8 {
       .orderBy("event_type")
   }
 
-  /** `events_theil_sen`: per event type, the Theil–Sen ROBUST trend of
-    * daily spend — median of all pairwise slopes (y_j−y_i)/(x_j−x_i)
-    * over the observed (day, cents) points, plus the matching median
-    * residual intercept. The robust member of the trend family: OLS
-    * (#338/#346) is leverage-sensitive — one promo day drags the line;
-    * the median slope has a 29.3% breakdown point and is what a mix
-    * planner should read when spend has heavy days.
-    *
-    * Exactness: pairwise slopes are rationals (Δcents, Δdays); the
-    * median is selected by ordering on the [[SlopeKeyScale]] int64 key
-    * (exact total order, proof at the constant), taking the LOWER
-    * median (rank (m+1) div 2 — deterministic, documented). The
-    * intercept re-uses the chosen slope p/q: residuals y_i − (p/q)x_i
-    * order exactly by their integer numerators q·y_i − p·x_i (q
-    * constant per type), lower median again, released as the signed
-    * decimal ratio4 of (numerator, q). Every released value is a
-    * function of the underlying RATIONAL only, so representation
-    * ties ((p,q) vs (2p,2q)) cannot flip a bit.
-    *
-    * Shape at scale: the (type, day) cents aggregate is one map-side
-    * combinable pass over the scan; pairs are a self-join of the
-    * O(types × days) daily frame — O(types × days²) ≈ 10⁵ rows at any
-    * SF (days grow with the calendar, not the corpus), so the
-    * quadratic lives on the aggregate grain where it is free. */
   /** `events_friedman_dow`: nonparametric day-of-week effect strength
     * — per event type, the Friedman rank statistic over complete
     * Monday-aligned weeks: within each week the 7 daily counts are
@@ -226,6 +202,30 @@ object Analytics8 {
       .orderBy("event_type")
   }
 
+  /** `events_theil_sen`: per event type, the Theil–Sen ROBUST trend of
+    * daily spend — median of all pairwise slopes (y_j−y_i)/(x_j−x_i)
+    * over the observed (day, cents) points, plus the matching median
+    * residual intercept. The robust member of the trend family: OLS
+    * (#338/#346) is leverage-sensitive — one promo day drags the line;
+    * the median slope has a 29.3% breakdown point and is what a mix
+    * planner should read when spend has heavy days.
+    *
+    * Exactness: pairwise slopes are rationals (Δcents, Δdays); the
+    * median is selected by ordering on the [[SlopeKeyScale]] int64 key
+    * (exact total order, proof at the constant), taking the LOWER
+    * median (rank (m+1) div 2 — deterministic, documented). The
+    * intercept re-uses the chosen slope p/q: residuals y_i − (p/q)x_i
+    * order exactly by their integer numerators q·y_i − p·x_i (q
+    * constant per type), lower median again, released as the signed
+    * decimal ratio4 of (numerator, q). Every released value is a
+    * function of the underlying RATIONAL only, so representation
+    * ties ((p,q) vs (2p,2q)) cannot flip a bit.
+    *
+    * Shape at scale: the (type, day) cents aggregate is one map-side
+    * combinable pass over the scan; pairs are a self-join of the
+    * O(types × days) daily frame — O(types × days²) ≈ 10⁵ rows at any
+    * SF (days grow with the calendar, not the corpus), so the
+    * quadratic lives on the aggregate grain where it is free. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.{intDiv, valueCents}
     val daily = Dedup.eventsUs(spark, dir)

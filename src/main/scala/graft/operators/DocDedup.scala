@@ -562,26 +562,41 @@ object DocDedup {
     * df cap, no bucket cap — exactness is the contract, and the spec
     * pins it against a brute-force ground truth. */
   def prefixJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixJoinOf(docShingles(spark, dir))
+    ssjPairs(spark, dir).orderBy("d1", "d2")
 
   /** [[prefixJoin]] over an arbitrary distinct (doc_id, shingle)
-    * frame. */
+    * frame — the generic EXACT set-similarity self-join: any
+    * (doc_id, set-element) long table qualifies (shingles here,
+    * linkage blocking tokens, tag sets …); the element column just
+    * has to be named `shingle`. Uncached; the corpus-table form
+    * shares its staged frames via the session memo instead. */
   def prefixJoinOf(sh0: DataFrame, tauPpm: Long = PrefixTauPpm): DataFrame = {
-    import graft.functions.Hashing.intDiv
     val sh = sh0.localCheckpoint(true) // df + prefix + both verify sides
+    ssjVerifiedOf(ssjCandidatesOf(ssjPrefixOf(sh, tauPpm), tauPpm), sh, tauPpm)
+      .orderBy("d1", "d2")
+  }
+
+  /** Rarity-ordered prefix of each doc's set (AllPairs): keep the
+    * first (n − ⌈τ·n⌉ + 1) elements in (df asc, element asc) order —
+    * a qualifying pair must collide inside both prefixes. */
+  private def ssjPrefixOf(sh: DataFrame, tauPpm: Long): DataFrame = {
+    import graft.functions.Hashing.intDiv
     val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "shingle")
     val wN = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sized = sh
-      .withColumn("df", count(lit(1)).over(wSh))
+    sh.withColumn("df", count(lit(1)).over(wSh))
       .withColumn("pos", row_number().over(wDoc).cast("long"))
       .withColumn("n", count(lit(1)).over(wN))
-    val pref = sized
       .filter(col("pos") <= col("n") -
         intDiv(col("n") * tauPpm + 999999L, lit(1000000L)) + 1L)
       .select("doc_id", "shingle", "n")
-    val cand = pref.as("a").join(pref.as("b"),
+  }
+
+  /** Prefix-collision candidates after the ppm length filter
+    * (τ·n₂ ≤ n₁ ≤ n₂/τ), distinct on (d1, d2) with sizes kept. */
+  private def ssjCandidatesOf(pref: DataFrame, tauPpm: Long): DataFrame =
+    pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * tauPpm <= col("b.n") * 1000000L &&
@@ -589,6 +604,11 @@ object DocDedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
+
+  /** Exact verification of the candidates against the FULL sets —
+    * unordered (d1, d2, shared, n_union, jaccard) at τ. */
+  private def ssjVerifiedOf(cand: DataFrame, sh: DataFrame,
+                            tauPpm: Long): DataFrame = {
     val ov = cand
       .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingle")),
@@ -599,7 +619,42 @@ object DocDedup {
       .withColumn("jaccard", col("shared") / col("n_union"))
       .filter(col("jaccard") >= lit(tauPpm / 1000000.0))
       .select("d1", "d2", "shared", "n_union", "jaccard")
-      .orderBy("d1", "d2")
+  }
+
+  /** Session-memoized stage `which` of the corpus prefix join — ONE
+    * computation of each stage feeds #359 (the pair release), #360
+    * (recall vs ground truth), #362 (the S-curve) and #361 (the
+    * funnel); the memo localCheckpoints, so the funnel's stage counts
+    * are counted aggregates over frames the pair consumers already
+    * materialized instead of a second end-to-end join. */
+  private def ssjStage(spark: SparkSession, dir: String, which: String)
+                      (build: => DataFrame): DataFrame =
+    Similarity.memoized(spark,
+      s"ssj$which|${Similarity.artifactVersion(spark, dir, "documents.parquet")}|$dir")(
+      build)
+
+  private[operators] def ssjShingles(spark: SparkSession, dir: String): DataFrame =
+    ssjStage(spark, dir, "sh")(docShingles(spark, dir))
+
+  // each accessor resolves its upstream stage BEFORE entering the
+  // memo (computeIfAbsent must not nest on the same map)
+  private[operators] def ssjPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sh = ssjShingles(spark, dir)
+    ssjStage(spark, dir, "pref")(ssjPrefixOf(sh, PrefixTauPpm))
+  }
+
+  private[operators] def ssjCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val pref = ssjPrefix(spark, dir)
+    ssjStage(spark, dir, "cand")(ssjCandidatesOf(pref, PrefixTauPpm))
+  }
+
+  /** The memoized verified pair list (UNORDERED) with its exact
+    * integer counts — the shared exact-ground-truth substrate for the
+    * MinHash recall family. */
+  private[operators] def ssjPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cand = ssjCandidates(spark, dir)
+    val sh = ssjShingles(spark, dir)
+    ssjStage(spark, dir, "pairs")(ssjVerifiedOf(cand, sh, PrefixTauPpm))
   }
 
   /** `dedup_ssjoin_funnel`: the cost-observability funnel of the exact
@@ -614,37 +669,18 @@ object DocDedup {
     * the LSH bucket profile (#281) — observability beside the
     * operator, shared plumbing so they can't drift.
     *
-    * Shape: re-runs the prefix-join stages (each a counted aggregate
-    * over the same frames), all rollups 1-row. */
-  def prefixJoinFunnel(spark: SparkSession, dir: String,
-                       tauPpm: Long = PrefixTauPpm): DataFrame = {
-    import graft.functions.Hashing.{intDiv, ratio4}
-    val sh = docShingles(spark, dir).localCheckpoint(true)
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("df", "shingle")
-    val wN = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val pref = sh
-      .withColumn("df", count(lit(1)).over(wSh))
-      .withColumn("pos", row_number().over(wDoc).cast("long"))
-      .withColumn("n", count(lit(1)).over(wN))
-      .filter(col("pos") <= col("n") -
-        intDiv(col("n") * tauPpm + 999999L, lit(1000000L)) + 1L)
-      .select("doc_id", "shingle", "n")
-      .localCheckpoint(true)
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * tauPpm <= col("b.n") * 1000000L &&
-          col("b.n") * tauPpm <= col("a.n") * 1000000L)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    val counts = sh.agg(
+    * Shape: every stage count is an aggregate over the session-
+    * memoized staged frames ([[ssjShingles]]…[[ssjPairs]]) the pair
+    * consumers already materialized — the funnel adds four counted
+    * scans of checkpointed frames, never a second join. */
+  def prefixJoinFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val counts = ssjShingles(spark, dir).agg(
       countDistinct("doc_id").as("n_docs"),
       count(lit(1)).as("n_shingle_rows"))
-    val pc = pref.agg(count(lit(1)).as("n_prefix_rows"))
-    val cc = cand.agg(count(lit(1)).as("n_candidates"))
-    val vc = prefixJoinOf(sh, tauPpm).agg(count(lit(1)).as("n_pairs"))
+    val pc = ssjPrefix(spark, dir).agg(count(lit(1)).as("n_prefix_rows"))
+    val cc = ssjCandidates(spark, dir).agg(count(lit(1)).as("n_candidates"))
+    val vc = ssjPairs(spark, dir).agg(count(lit(1)).as("n_pairs"))
     counts.crossJoin(pc).crossJoin(cc).crossJoin(vc)
       .select(col("n_docs"), col("n_shingle_rows"), col("n_prefix_rows"),
         col("n_candidates"), col("n_pairs"),

@@ -435,14 +435,14 @@ object MinHashLSH {
     * spec both pin n_lsh = n_both).
     *
     * Shape: both inputs are the session-memoized pair lists the rest
-    * of the registry already shares; one semi-join + three 1-row
-    * aggregates. */
+    * of the registry already shares (the exact side is
+    * [[DocDedup.ssjPairs]] — the SAME staged frame #359/#361/#362
+    * consume, so a session running any combination pays the prefix
+    * join once); one semi-join + three 1-row aggregates. */
   def minhashRecall(spark: SparkSession, dir: String,
                     tau: Double = 0.5): DataFrame = {
     import graft.functions.Hashing.ratio4
-    val exact = Similarity.memoized(spark,
-      s"sjpairs|${Similarity.artifactVersion(spark, dir, "documents.parquet")}|$dir")(
-      DocDedup.prefixJoin(spark, dir).select("d1", "d2"))
+    val exact = DocDedup.ssjPairs(spark, dir).select("d1", "d2")
     val mh = nearDupPairs(spark, dir, tau).select("d1", "d2")
     val ne = exact.agg(count(lit(1)).as("n_exact"))
     val nl = mh.agg(count(lit(1)).as("n_lsh"))
@@ -469,18 +469,18 @@ object MinHashLSH {
     * doing what it promises, now evidenced). Banding uses the exact
     * integer jaccard4 (halfUp of shared·10⁴/union — no float bands).
     *
-    * Shape: both inputs are the memoized pair lists; one left-semi
-    * flag join + an O(bands) rollup. */
+    * Shape: both inputs are the memoized pair lists ([[DocDedup
+    * .ssjPairs]] again — minhashRecall and this panel project d1/d2
+    * and j4 from ONE shared frame, so running both costs one exact
+    * join); one left-semi flag join + an O(bands) rollup. */
   def recallByBand(spark: SparkSession, dir: String,
                    tau: Double = 0.5): DataFrame = {
     import graft.functions.Hashing.{halfUpDiv, intDiv, ratio4}
-    val exact = Similarity.memoized(spark,
-      s"sjpairsj|${Similarity.artifactVersion(spark, dir, "documents.parquet")}|$dir")(
-      DocDedup.prefixJoin(spark, dir)
-        .select(col("d1"), col("d2"),
-          // exact integer jaccard4 from the released integer counts —
-          // banding never touches the double jaccard
-          halfUpDiv(col("shared") * 10000L, col("n_union")).as("j4")))
+    val exact = DocDedup.ssjPairs(spark, dir)
+      .select(col("d1"), col("d2"),
+        // exact integer jaccard4 from the released integer counts —
+        // banding never touches the double jaccard
+        halfUpDiv(col("shared") * 10000L, col("n_union")).as("j4"))
     val mh = nearDupPairs(spark, dir, tau).select("d1", "d2")
       .withColumn("caught", lit(1L))
     exact.join(mh, Seq("d1", "d2"), "left")
