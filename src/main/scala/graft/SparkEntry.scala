@@ -408,6 +408,8 @@ object SparkEntry {
     "dedup_recall_by_band" -> ((s, d) => MinHashLSH.recallByBand(s, d)),
     // round 13 wave 31: the prefix join's cost-observability funnel
     "dedup_ssjoin_funnel" -> ((s, d) => DocDedup.prefixJoinFunnel(s, d)),
+    // round 14 wave 1: the (k, bands) sweep vs exact ground truth
+    "dedup_minhash_tuning" -> ((s, d) => MinHashLSH.minhashTuning(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -614,27 +616,34 @@ object SparkEntry {
 
   /** MinHash signatures → banded LSH candidate pairs with the hot-bucket
     * cap (buckets larger than MaxBucketSize dropped) — mirrors
-    * MinHashLSH.nearDupPairsOf. Shared by every oracle that consumes
-    * near-dup candidates. */
-  private val MH_CAND_CTE =
-    s"""mh AS MATERIALIZED (
+    * MinHashLSH.nearDupPairsOf at an arbitrary (numSeeds, bandRows)
+    * operating point; CTE names carry prefix `p` so the tuning sweep
+    * can instantiate several points in one statement. */
+  private def mhCandCte(numSeeds: Int, bandRows: Int, p: String): String =
+    s"""${p}mh AS MATERIALIZED (
        |  SELECT doc_id, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS mh
-       |  FROM sh, generate_series(0,15) g(seed) GROUP BY doc_id, g.seed
+       |  FROM sh, generate_series(0,${numSeeds - 1}) g(seed) GROUP BY doc_id, g.seed
        |),
-       |bands AS (
-       |  SELECT doc_id, seed//4 AS band,
-       |    ${H64("concat_ws('|', CAST(seed//4 AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
-       |  FROM mh GROUP BY doc_id, seed//4
+       |${p}bands AS (
+       |  SELECT doc_id, seed//$bandRows AS band,
+       |    ${H64(s"concat_ws('|', CAST(seed//$bandRows AS VARCHAR), string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed))")} AS sig
+       |  FROM ${p}mh GROUP BY doc_id, seed//$bandRows
        |),
-       |capped AS (
+       |${p}capped AS (
        |  SELECT doc_id, band, sig FROM (
-       |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bsz FROM bands)
+       |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS bsz FROM ${p}bands)
        |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
        |),
-       |cand AS MATERIALIZED (
+       |${p}cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |  FROM capped x JOIN capped y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+       |  FROM ${p}capped x JOIN ${p}capped y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
        |)""".stripMargin
+
+  /** The shipped operating point — every oracle that consumes near-dup
+    * candidates shares this instance, so retuning the Scala constants
+    * retunes both sides together. */
+  private val MH_CAND_CTE = mhCandCte(
+    graft.operators.MinHashLSH.NumSeeds, graft.operators.MinHashLSH.BandRows, "")
 
   /** Winnowing fingerprint CTEs (k-gram window minima at (doc, hash)
     * grain, df cap, shared-count pairs) — mirrors
@@ -691,19 +700,22 @@ object SparkEntry {
     * `sh` — mirrors MinHashLSH.verifyCandidates, shared by every
     * oracle that consumes verified near-dup pairs (the SQL twin of the
     * Scala-side shared helper; one definition each side). */
-  private val MH_PAIRS_CTE =
-    s"""n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |shared AS (
+  private def mhPairsCte(p: String): String =
+    s"""${p}shared AS (
        |  SELECT c.d1, c.d2, count(*) AS shared
-       |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+       |  FROM ${p}cand c JOIN sh a ON a.doc_id = c.d1
        |             JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
        |  GROUP BY 1, 2
        |),
-       |pairs AS MATERIALIZED (
+       |${p}pairs AS MATERIALIZED (
        |  SELECT d1, d2, shared / (n1.n + n2.n - shared) AS jaccard
-       |  FROM shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+       |  FROM ${p}shared JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
        |  WHERE shared / (n1.n + n2.n - shared) >= 0.5
        |)""".stripMargin
+
+  private val MH_PAIRS_CTE =
+    s"""n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |${mhPairsCte("")}""".stripMargin
 
   /** 5-gram contamination CTEs (tokens → hashed shingles → eval/train
     * split → per-doc totals and eval hits) — mirrors
@@ -1825,6 +1837,48 @@ object SparkEntry {
          |SELECT band * $b4 / 10000.0 AS band_lo, n_exact, n_caught,
          |  ${ratio4Sql("n_caught", "n_exact")} AS recall4
          |FROM g ORDER BY band_lo""".stripMargin
+    },
+
+    // the (k, bands) operating-point sweep vs exact ground truth —
+    // mirrors MinHashLSH.minhashTuning: one parameterized candidate +
+    // verify chain per grid config (prefixed CTEs), shared exact side
+    "dedup_minhash_tuning" -> {
+      val grid = graft.operators.MinHashLSH.TuningGrid
+      val lo = graft.operators.MinHashLSH.TuneLoJ4
+      val chains = grid.zipWithIndex.map { case ((k, r), i) =>
+        s"""${mhCandCte(k, r, s"t$i")},
+           |${mhPairsCte(s"t$i")},
+           |t${i}j AS (SELECT ex.j4,
+           |    CASE WHEN p.d1 IS NULL THEN 0 ELSE 1 END AS caught
+           |  FROM ex LEFT JOIN t${i}pairs p USING (d1, d2)),
+           |t${i}g AS (SELECT
+           |    (SELECT CAST(count(*) AS BIGINT) FROM t${i}cand) AS n_candidates,
+           |    CAST(count(*) AS BIGINT) AS n_exact,
+           |    CAST(sum(caught) AS BIGINT) AS n_pairs,
+           |    CAST(count(*) FILTER (WHERE j4 < $lo) AS BIGINT) AS n_exact_lo,
+           |    CAST(coalesce(sum(caught) FILTER (WHERE j4 < $lo), 0) AS BIGINT)
+           |      AS n_caught_lo
+           |  FROM t${i}j)""".stripMargin
+      }.mkString(",\n")
+      val rows = grid.zipWithIndex.map { case ((k, r), i) =>
+        s"""SELECT CAST($k AS BIGINT) AS n_seeds,
+           |  CAST($r AS BIGINT) AS band_rows,
+           |  CAST(${k / r} AS BIGINT) AS n_bands,
+           |  n_candidates, n_pairs, n_exact,
+           |  ${ratio4Sql("n_pairs", "greatest(n_exact, 1)")} AS recall4,
+           |  n_exact_lo, n_caught_lo,
+           |  ${ratio4Sql("n_caught_lo", "greatest(n_exact_lo, 1)")} AS recall_lo4
+           |FROM t${i}g""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $SH_CTE,
+         |${SSJOIN_CTES},
+         |ex AS (SELECT d1, d2,
+         |         CAST(${halfUpSql("shared * 10000", "n_union")} AS BIGINT) AS j4
+         |       FROM sjpairs),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |$chains
+         |$rows
+         |ORDER BY n_seeds, band_rows""".stripMargin
     },
 
     // aggregated export form of the pair list: per doc, partner count +
@@ -3898,10 +3952,10 @@ object SparkEntry {
          |),
          |mh AS (
          |  SELECT source, g.seed, min(${H64("concat_ws(':', CAST(g.seed AS VARCHAR), shingle)")}) AS m
-         |  FROM shs, generate_series(0,15) g(seed) GROUP BY source, g.seed
+         |  FROM shs, generate_series(0,${graft.operators.MinHashLSH.NumSeeds - 1}) g(seed) GROUP BY source, g.seed
          |)
          |SELECT a.source AS s1, b.source AS s2,
-         |  SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+         |  SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / ${graft.operators.MinHashLSH.NumSeeds}.0 AS est_jaccard
          |FROM mh a JOIN mh b ON a.seed = b.seed AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  val NumSeeds = 16
-  val BandRows = 4 // → 4 bands
+  /** Shipped operating point: k=24 permutations banded 8×3 — chosen by
+    * the measured sweep `dedup_minhash_tuning` against the exact
+    * prefix-join ground truth at native sf1 (round 14): vs the
+    * original 16×(4×4), near-τ recall (j ∈ [0.5, 0.65)) rose
+    * 0.40 → 0.83 and overall recall 0.49 → 0.86 for 1.76× candidate
+    * volume (419 → 736 on 50k docs — well under the 2× growth pin;
+    * the hot-bucket cap keeps the bucket join linear either way).
+    * r=3 moves the S-curve 1−(1−s^r)^b left: at s=τ=0.5 detection is
+    * 0.66 vs 0.23 at r=4. */
+  val NumSeeds = 24
+  val BandRows = 3 // → 8 bands
 
   /** Hot-bucket cap: an LSH bucket holding k docs emits k²/2 candidate
     * pairs, so one degenerate signature (empty/templated docs all
@@ -34,26 +43,31 @@ object MinHashLSH {
     * stage by the fused MinHashSignature expression (the composable
     * explode×seeds → groupBy-min plan shuffles seeds× the shingle
     * volume); only the final (doc, band, sig) rows reach an exchange.
-    * Band sig = h64("band|m₀,m₁,m₂,m₃") — identical bytes to the
-    * composable formulation, so the oracle is unchanged. */
-  def bandSignatures(docs: DataFrame): DataFrame = banded(sigTable(docs))
+    * Band sig = h64("band|m₀,m₁,…") — identical bytes to the
+    * composable formulation, so the oracle is unchanged. (k, r)
+    * default to the shipped operating point; the tuning sweep passes
+    * alternates. */
+  def bandSignatures(docs: DataFrame, numSeeds: Int = NumSeeds,
+                     bandRows: Int = BandRows): DataFrame =
+    banded(sigTable(docs, numSeeds), numSeeds, bandRows)
 
   /** (doc_id, mh) — the per-doc k-seed signature table, fused into the
     * scan stage. */
-  def sigTable(docs: DataFrame): DataFrame = docs
+  def sigTable(docs: DataFrame, numSeeds: Int = NumSeeds): DataFrame = docs
     .withColumn("sh3", graft.plans.TextExpressions.shingles(col("text"), 3))
     .filter(size(col("sh3")) > 0)
-    .withColumn("mh", graft.plans.MinHashExpressions.minhashSignature(col("sh3"), NumSeeds))
+    .withColumn("mh", graft.plans.MinHashExpressions.minhashSignature(col("sh3"), numSeeds))
     .select("doc_id", "mh")
 
   /** Signature table → per-(doc, band) LSH signatures. */
-  private def banded(sig: DataFrame): DataFrame = sig
-    .withColumn("band", explode(sequence(lit(0), lit(NumSeeds / BandRows - 1))))
+  private def banded(sig: DataFrame, numSeeds: Int = NumSeeds,
+                     bandRows: Int = BandRows): DataFrame = sig
+    .withColumn("band", explode(sequence(lit(0), lit(numSeeds / bandRows - 1))))
     .select(col("doc_id"), col("band"),
       h64(concat_ws("|",
         col("band").cast("string"),
         array_join(
-          transform(slice(col("mh"), col("band") * lit(BandRows) + lit(1), lit(BandRows)),
+          transform(slice(col("mh"), col("band") * lit(bandRows) + lit(1), lit(bandRows)),
             m => m.cast("string")),
           ","))).as("sig"))
 
@@ -492,6 +506,69 @@ object MinHashLSH {
         col("n_exact"), col("n_caught"),
         ratio4(col("n_caught"), col("n_exact")).as("recall4"))
       .orderBy("band_lo")
+  }
+
+  /** (k perms, rows/band) grid swept by [[minhashTuning]]: the shipped
+    * operating point plus the candidates the measured S-curve (#362)
+    * motivates — r=3 variants lift the near-τ detection probability
+    * 1−(1−s^r)^b (at s=τ=0.5: r4b4 → 0.23, r3b6 → 0.55, r3b8 → 0.66)
+    * while r=4 variants hold candidate volume flat. */
+  val TuningGrid: Seq[(Int, Int)] = Seq((16, 4), (18, 3), (24, 3), (24, 4), (32, 4))
+
+  /** Exclusive j4 upper bound of the "near-τ" recall band the sweep
+    * grades separately (τ=0.5 … 0.65) — the S-curve's weak region,
+    * where every MinHash-fed panel loses its pairs. */
+  val TuneLoJ4 = 6500L
+
+  /** `dedup_minhash_tuning`: the (k, bands) OPERATING-POINT SWEEP
+    * against exact ground truth — for each grid config, the banded
+    * pipeline (same fused signatures, same hot-bucket cap) runs end to
+    * end and is graded on the [[DocDedup.ssjPairs]] truth: candidate
+    * volume (the cost axis), overall recall, and near-τ recall (the
+    * quality axis the shipped config is weakest on). This panel is HOW
+    * the default (k, r) is chosen: the committed defaults are the grid
+    * row with near-τ recall ≥ 0.6 at minimal candidate growth.
+    *
+    * Shape: |grid| independent LSH passes over the memoized corpus
+    * shingle table (each one signature aggregate + one capped bucket
+    * join + one verify join — the verified side is ⊆ exact by the
+    * prefix-join exactness contract, so recall needs no extra
+    * intersection), each ending in a 1-row rollup; output O(|grid|). */
+  def minhashTuning(spark: SparkSession, dir: String,
+                    tau: Double = 0.5): DataFrame = {
+    import graft.functions.Hashing.{halfUpDiv, ratio4}
+    val sh = DocDedup.ssjShingles(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .spread
+    val exact = DocDedup.ssjPairs(spark, dir)
+      .select(col("d1"), col("d2"),
+        halfUpDiv(col("shared") * 10000L, col("n_union")).as("j4"))
+    val rows = TuningGrid.map { case (k, r) =>
+      val cand = candidatesFromBands(bandSignatures(docs, k, r))
+        .localCheckpoint(true) // counted AND verified below
+      val mh = verifyCandidates(cand, sh, tau)
+        .select(col("d1"), col("d2"), lit(1L).as("caught"))
+      val flags = exact.join(mh, Seq("d1", "d2"), "left")
+        .select(col("j4"), coalesce(col("caught"), lit(0L)).as("caught"))
+      val cc = cand.agg(count(lit(1)).as("n_candidates"))
+      val ag = flags.agg(
+        count(lit(1)).as("n_exact"),
+        sum("caught").as("n_pairs"),
+        sum(when(col("j4") < TuneLoJ4, 1L).otherwise(0L)).as("n_exact_lo"),
+        sum(when(col("j4") < TuneLoJ4, col("caught")).otherwise(0L))
+          .as("n_caught_lo"))
+      cc.crossJoin(ag).select(
+        lit(k.toLong).as("n_seeds"), lit(r.toLong).as("band_rows"),
+        lit((k / r).toLong).as("n_bands"), col("n_candidates"),
+        col("n_pairs"), col("n_exact"),
+        ratio4(col("n_pairs"), greatest(col("n_exact"), lit(1L)))
+          .as("recall4"),
+        col("n_exact_lo"), col("n_caught_lo"),
+        ratio4(col("n_caught_lo"), greatest(col("n_exact_lo"), lit(1L)))
+          .as("recall_lo4"))
+    }
+    rows.reduce(_ unionByName _).orderBy("n_seeds", "band_rows")
   }
 
   /** `dedup_pair_audit_sample`: the human-QA workflow for the near-dup
