@@ -410,6 +410,12 @@ object SparkEntry {
     "dedup_ssjoin_funnel" -> ((s, d) => DocDedup.prefixJoinFunnel(s, d)),
     // round 14 wave 1: the (k, bands) sweep vs exact ground truth
     "dedup_minhash_tuning" -> ((s, d) => MinHashLSH.minhashTuning(s, d)),
+    // round 14 wave 2: per-family candidate funnels (SN, phash)
+    "dedup_sn_funnel" -> ((s, d) => graft.operators.Blocking.snFunnel(s, d)),
+    "multimodal_phash_funnel" -> ((s, d) => Multimodal.phashFunnel(s, d)),
+    // round 14 wave 3: the prefix join as a generic API — exact
+    // set-similarity join over the winnowing fingerprint sets
+    "linkage_fp_ssjoin" -> ((s, d) => graft.operators.Linkage.fpSetJoin(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -650,7 +656,10 @@ object SparkEntry {
     * DocDedup.winnowingPairs; `wn`-prefixed names so the chain
     * composes with the shingle/MinHash macros (both claim `toks`).
     * Terminal CTEs: `wfp` (capped fingerprints), `wpairs`. */
-  private val WINNOW_CTES: String = {
+  /** Just the fingerprint-selection prefix of [[WINNOW_CTES]]
+    * (wtoks → wfp0: distinct per-doc window-min hashes, UNCAPPED) —
+    * shared with the exact fp-set join, which needs the raw sets. */
+  private val WINNOW_FP_CTES: String = {
     val D = graft.operators.DocDedup
     val wm1 = D.WinnowW - 1
     s"""wtoks AS (SELECT doc_id, $TOKS AS t FROM documents),
@@ -667,7 +676,12 @@ object SparkEntry {
        |      least(p, greatest(npos - $wm1, 1)))) AS j
        |  FROM wpos),
        |wmn AS (SELECT doc_id, j, min(h) AS h FROM wwin GROUP BY 1, 2),
-       |wfp0 AS (SELECT DISTINCT doc_id, h FROM wmn),
+       |wfp0 AS (SELECT DISTINCT doc_id, h FROM wmn)""".stripMargin
+  }
+
+  private val WINNOW_CTES: String = {
+    val D = graft.operators.DocDedup
+    s"""$WINNOW_FP_CTES,
        |wdf AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM wfp0 GROUP BY 1),
        |wfp AS (SELECT wfp0.doc_id, wfp0.h FROM wfp0 JOIN wdf USING (h)
        |        WHERE df <= ${D.MaxFpDf}),
@@ -1218,6 +1232,44 @@ object SparkEntry {
 
   /** The default (prefix-keyed) SN chain: `snj`/`snacc`. */
   private def SN_CTES: String = snCtesKeyed("sn", SN_KEY_PREFIX)
+
+  /** Binary-grain SimHash chain (payload hex → sampled byte shingles →
+    * 64-bit simhash → capped byte bands → candidates with both
+    * signatures) — mirrors Multimodal.nearDupPairsOf; shared by the
+    * phash dedup query and its funnel. Terminal CTEs: `simh`, `bands`
+    * (capped), `cand(d1, s1, d2, s2)`. */
+  private def PHASH_CTES: String = {
+    val w = graft.operators.Multimodal.ShingleBytes
+    s"""p AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |        octet_length(encode(text)) AS nb FROM documents),
+       |sh AS (
+       |  SELECT doc_id, u AS shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, nb - ${w - 1}),
+       |      i -> substring(hx, 2 * (i - 1) + 1, ${2 * w}))) AS u
+       |    FROM p WHERE nb >= $w) q
+       |  WHERE ${H64("u")} % ${graft.operators.Multimodal.SampleMod} = 0
+       |),
+       |th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
+       |bits AS (
+       |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th, generate_series(0,63) b(b) GROUP BY doc_id, b.b
+       |),
+       |simh AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, simhash, band, byte FROM (
+       |    SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte,
+       |      count(*) OVER (PARTITION BY g.g, (simhash >> (8*g.g)) & 255) AS bsz
+       |    FROM simh, generate_series(0,7) g(g))
+       |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
+       |)""".stripMargin
+  }
 
   /** Fellegi–Sunter calibration chain (base/sig/ag/nn/ap/ma/fin) —
     * mirrors Linkage.fsWeights; shared by the weights panel and the
@@ -5610,41 +5662,27 @@ object SparkEntry {
     // binary-grain near-dup: content-defined sampled byte shingles
     // (hex windows) through the SAME simhash/band/hamming chain as
     // dedup_simhash — mirrors Multimodal.nearDupPairsOf
-    "multimodal_phash_dedup" -> {
-      val w = graft.operators.Multimodal.ShingleBytes
-      s"""WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
-         |             octet_length(encode(text)) AS nb FROM documents),
-         |sh AS (
-         |  SELECT doc_id, u AS shingle FROM (
-         |    SELECT doc_id, unnest(list_transform(generate_series(1, nb - ${w - 1}),
-         |      i -> substring(hx, 2 * (i - 1) + 1, ${2 * w}))) AS u
-         |    FROM p WHERE nb >= $w) q
-         |  WHERE ${H64("u")} % ${graft.operators.Multimodal.SampleMod} = 0
-         |),
-         |th AS (SELECT doc_id, ${H64("shingle")} AS h FROM sh),
-         |bits AS (
-         |  SELECT doc_id, b.b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM th, generate_series(0,63) b(b) GROUP BY doc_id, b.b
-         |),
-         |simh AS (
-         |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id
-         |),
-         |bands AS (
-         |  SELECT doc_id, simhash, band, byte FROM (
-         |    SELECT doc_id, simhash, g.g AS band, (simhash >> (8*g.g)) & 255 AS byte,
-         |      count(*) OVER (PARTITION BY g.g, (simhash >> (8*g.g)) & 255) AS bsz
-         |    FROM simh, generate_series(0,7) g(g))
-         |  WHERE bsz <= ${graft.operators.MinHashLSH.MaxBucketSize}
-         |),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS s1, y.doc_id AS d2, y.simhash AS s2
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
-         |)
+    "multimodal_phash_dedup" ->
+      s"""WITH $PHASH_CTES
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hd FROM cand
          |WHERE bit_count(xor(s1, s2)) <= ${graft.operators.SimHash.HammingMax}
-         |ORDER BY d1, d2""".stripMargin
-    },
+         |ORDER BY d1, d2""".stripMargin,
+
+    // the byte-band funnel: assets -> capped band rows -> candidates ->
+    // Hamming-accepted pairs — mirrors Multimodal.phashFunnel (shared
+    // PHASH_CTES so the funnel and the operator cannot drift)
+    "multimodal_phash_funnel" ->
+      s"""WITH $PHASH_CTES,
+         |ac AS (SELECT CAST(count(*) AS BIGINT) AS n_assets FROM simh),
+         |bc AS (SELECT CAST(count(*) AS BIGINT) AS n_banded_rows FROM bands),
+         |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |         CAST(coalesce(sum(CASE WHEN bit_count(xor(s1, s2)) <=
+         |             ${graft.operators.SimHash.HammingMax}
+         |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+         |       FROM cand)
+         |SELECT n_assets, n_banded_rows, n_candidates, n_pairs,
+         |  ${ratio4Sql("n_pairs", "greatest(n_candidates, 1)")} AS verify_yield4
+         |FROM ac CROSS JOIN bc CROSS JOIN cc""".stripMargin,
 
     // binary-grain exact dedup: payload is the UTF-8 text bytes, so
     // md5(payload) == md5(text) and byte length == strlen(text); the
@@ -6324,6 +6362,30 @@ object SparkEntry {
     "dedup_sorted_neighborhood" ->
       s"""WITH $SN_CTES
          |SELECT d1, d2, gap, jacc4 FROM snacc ORDER BY d1, d2""".stripMargin,
+
+    // the exact set-similarity join at the winnowing-FINGERPRINT grain
+    // — mirrors Linkage.fpSetJoin (the generic prefixJoinOf over a
+    // LongType element column; SSJOIN_CTES verbatim, only `sh` differs)
+    "linkage_fp_ssjoin" ->
+      s"""WITH $WINNOW_FP_CTES,
+         |sh AS MATERIALIZED (SELECT doc_id, h AS shingle FROM wfp0),
+         |${SSJOIN_CTES}
+         |SELECT d1, d2, shared, n_union, jaccard
+         |FROM sjpairs ORDER BY d1, d2""".stripMargin,
+
+    // the SN funnel: docs -> probes -> compared adjacencies ->
+    // accepted pairs — mirrors Blocking.snFunnel (shared SN_CTES)
+    "dedup_sn_funnel" -> {
+      val w = graft.operators.Blocking.SnWindow
+      s"""WITH $SN_CTES,
+         |dc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM snj),
+         |aa AS (SELECT CAST(count(*) AS BIGINT) AS n_accepted FROM snacc)
+         |SELECT n_docs, n_docs * ${w - 1} AS n_probes,
+         |  n_candidates, n_accepted,
+         |  ${ratio4Sql("n_accepted", "greatest(n_candidates, 1)")} AS accept_yield4
+         |FROM dc CROSS JOIN cc CROSS JOIN aa""".stripMargin
+    },
 
     // multi-pass SN gain: prefix key vs suffix key — mirrors
     // Blocking.snMultiKey (the same keyed chain instantiated twice)

@@ -163,6 +163,36 @@ object Blocking {
           greatest(col("n_prefix"), lit(1L))).as("gain4"))
   }
 
+  /** `dedup_sn_funnel`: the cost-observability funnel of the sorted-
+    * neighborhood pass — the SN member of the per-family funnel suite
+    * (#361 grades the exact ssjoin, #281 the LSH buckets). SN's
+    * capacity claim is "exactly window−1 comparisons per doc, nothing
+    * quadratic anywhere"; this panel RELEASES the measured stages:
+    * docs entering the sort, adjacency probes issued
+    * (docs × (window−1)), candidate pairs actually compared (probes
+    * whose partner rank exists — the tail of the ranking absorbs the
+    * difference), accepted pairs at τ, and the accept yield a
+    * capacity planner reads before running the pass on a new corpus.
+    *
+    * Shape: ONE [[snCandidatesOf]] pass (global range sort + int-key
+    * adjacency joins), checkpointed, then two counted aggregates;
+    * output ONE row. */
+  def snFunnel(spark: SparkSession, dir: String,
+               window: Int = SnWindow, tau: Double = SnTau): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
+    val cand = snCandidatesOf(docs, window).localCheckpoint(true)
+    val dc = docs.agg(count(lit(1)).as("n_docs"))
+    val cc = cand.agg(count(lit(1)).as("n_candidates"),
+      sum(when(col("jacc4") >= tau, 1L).otherwise(0L)).as("n_accepted"))
+    dc.crossJoin(cc)
+      .select(col("n_docs"),
+        (col("n_docs") * (window - 1L)).as("n_probes"),
+        col("n_candidates"), col("n_accepted"),
+        ratio4(col("n_accepted"), greatest(col("n_candidates"), lit(1L)))
+          .as("accept_yield4"))
+  }
+
   def blockingAgreement(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing.ratio4
     val mh = MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2")

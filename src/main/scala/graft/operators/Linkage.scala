@@ -280,4 +280,31 @@ object Linkage {
         "e_lsh_only", "e_sn_only", "e_both")
       .orderBy("entity_id")
   }
+
+  /** `linkage_fp_ssjoin`: the EXACT set-similarity self-join at the
+    * record-linkage grain — [[DocDedup.prefixJoinOf]] applied to the
+    * winnowing FINGERPRINT sets (a LongType element column, not text
+    * shingles), proving the prefix-filter join is a generic API over
+    * any (id, set-element) frame: every pair with fingerprint-set
+    * Jaccard ≥ τ, no window, no df cap, no probabilistic miss — the
+    * exact counterpart of the count-thresholded `dedup_winnowing`
+    * (#307), and the entity-resolution entry point beside
+    * `RangeJoin.pointInInterval`.
+    *
+    * Why fingerprints and not raw token sets: an exact join's output
+    * is Θ(true pairs), a property of the DATA — measured on this
+    * corpus the distinct-token grain is 71% dense at τ=0.5 (8.9M of
+    * 12.5M possible pairs at sf0.1) because the generator draws all
+    * docs from one vocabulary, so ANY exact operator over it is
+    * quadratic in output. Winnowing minima subsample the k-gram space
+    * per document, so fp-set similarity concentrates on real near-dups
+    * and the pair list stays edge-sized at every SF. */
+  def fpSetJoin(spark: SparkSession, dir: String): DataFrame =
+    Similarity.memoized(spark,
+      s"ssjfp|${Similarity.artifactVersion(spark, dir, "documents.parquet")}|$dir")(
+      DocDedup.prefixJoinOf(
+        DocDedup.winnowFingerprintsOf(
+            Tables.documents(spark, dir).select("doc_id", "text").spread)
+          .select(col("doc_id"), col("h").as("shingle"))))
+      .orderBy("d1", "d2")
 }

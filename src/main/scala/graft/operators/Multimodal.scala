@@ -128,6 +128,45 @@ object Multimodal {
     SimHash.nearDupPairsOfSignatures(sig)
   }
 
+  /** `multimodal_phash_funnel`: the cost-observability funnel of the
+    * binary-grain near-dup pass — the phash member of the per-family
+    * funnel suite (#361 ssjoin, #281 LSH buckets, SN funnel): assets
+    * carrying a signature, banded rows surviving the hot-bucket cap
+    * (8 per asset minus the hot set the cap drops), distinct
+    * candidate pairs from byte-band collisions, and pairs accepted at
+    * Hamming ≤ [[SimHash.HammingMax]], with the verify yield. This is
+    * the capacity math of the byte-band join released at query level:
+    * candidates are bounded by Σ C(bucket, 2) under the cap, and the
+    * funnel shows the measured volume per corpus.
+    *
+    * Shape: the fused one-pass signature kernel, the capped band
+    * frame counted once and self-joined once (the SAME frame the
+    * operator uses — shared builder, can't drift), all rollups 1-row. */
+  def phashFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    import graft.functions.ByteSimHash
+    val sig = withPayload(spark, dir).select("doc_id", "payload")
+      .select(col("doc_id"),
+        ByteSimHash.byteSimHash(col("payload"), ShingleBytes, SampleMod)
+          .as("simhash"))
+      .filter(col("simhash") =!= ByteSimHash.NoSignature)
+      .localCheckpoint(true)
+    val bands = SimHash.cappedBands(sig, MinHashLSH.MaxBucketSize)
+      .localCheckpoint(true)
+    val cand = SimHash.candidateHammingOfBands(bands)
+      .localCheckpoint(true)
+    val ac = sig.agg(count(lit(1)).as("n_assets"))
+    val bc = bands.agg(count(lit(1)).as("n_banded_rows"))
+    val cc = cand.agg(count(lit(1)).as("n_candidates"),
+      sum(when(col("hd") <= SimHash.HammingMax, 1L).otherwise(0L))
+        .as("n_pairs"))
+    ac.crossJoin(bc).crossJoin(cc)
+      .select(col("n_assets"), col("n_banded_rows"), col("n_candidates"),
+        col("n_pairs"),
+        ratio4(col("n_pairs"), greatest(col("n_candidates"), lit(1L)))
+          .as("verify_yield4"))
+  }
+
   /** SPEC-ONLY reference: the declarative explode-window signature
     * pipeline the fused kernel replaced — kept so ByteSimHashSpec can
     * pin bit-parity on real corpora. Do not use in queries: it

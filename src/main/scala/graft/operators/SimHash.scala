@@ -72,13 +72,12 @@ object SimHash {
     * snCandidatesOf discipline: rejected candidates are the tuning
     * panel's data). */
   private[operators] def candidateHamming(sig: DataFrame,
-                                          maxBucket: Int): DataFrame = {
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "byte")
-    val bands = sig.withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
-      .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
-      .withColumn("bsz", count(lit(1)).over(wB))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+                                          maxBucket: Int): DataFrame =
+    candidateHammingOfBands(cappedBands(sig, maxBucket))
+
+  /** [[candidateHamming]] over a prebuilt (already capped) band frame
+    * — lets the funnel count and join ONE checkpointed band stage. */
+  private[operators] def candidateHammingOfBands(bands: DataFrame): DataFrame = {
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -86,6 +85,20 @@ object SimHash {
               col("y.doc_id").as("d2"), col("y.simhash").as("s2"))
       .distinct()
       .withColumn("hd", expr("cast(bit_count(s1 ^ s2) as bigint)"))
+  }
+
+  /** (doc_id, simhash, band, byte) rows surviving the hot-bucket cap —
+    * the blocking stage [[candidateHamming]] self-joins; exposed so
+    * the per-family funnels can count it without a second pass. The
+    * size window hash-partitions on (band, byte), the same key the
+    * candidate join shuffles on. */
+  private[operators] def cappedBands(sig: DataFrame, maxBucket: Int): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "byte")
+    sig.withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
+      .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
   }
 
   /** `dedup_simhash_profile`: the HammingMax tuning curve — the simhash
