@@ -69,9 +69,9 @@ object Throughput {
       .as[(Long, Long, Long, String, Double, String, Long)]
       .collect().toSeq
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_TPUT_BATCHES", "10").toInt
-    // shared micro-batch harness: feed `rows` in nBatches chunks through
+    // shared micro-batch harness: feed `rows` in nb chunks through
     // a memory source into `build`'s streaming frame, drain each batch
-    def runStream(build: org.apache.spark.sql.DataFrame =>
+    def runStreamN(nb: Int)(build: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.Dataset[_]): Unit = {
       implicit val sq = spark.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -81,10 +81,12 @@ object Throughput {
       val name = s"tput_${System.nanoTime()}"
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-      try rows.grouped(math.max(1, rows.size / nBatches)).foreach { chunk =>
+      try rows.grouped(math.max(1, rows.size / nb)).foreach { chunk =>
         mem.addData(chunk); q.processAllAvailable()
       } finally q.stop()
     }
+    def runStream(build: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_]): Unit = runStreamN(nBatches)(build)
     // breakdown ladder (same harness, same rows, same batch count):
     //  stream_noop           = micro-batch machinery only (stateless select)
     //  stream_fmgws_passthru = + digest shuffle + typed encode/decode +
@@ -98,12 +100,28 @@ object Throughput {
     results("stream_chain") = (bestOf2(() => runStream(df =>
       graft.streaming.StreamDedup.chain(spark, df, 3600L * 1000000L))), nRows)
 
+    // trigger-size sweep for the chain: the round-13 profile showed the
+    // streaming/batch gap is a FIXED per-trigger tax (~0.53 s: shuffle +
+    // typed encode + state-store commit), so rows/s scales with trigger
+    // size — this measures the knob a deployment turns (bigger trigger
+    // = more latency, more throughput) instead of asserting it.
+    val sweepBatches = sys.env.getOrElse("SPARK_GRAFT_TPUT_SWEEP", "40,10,4,1")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).filter(_ > 0)
+    val sweep = sweepBatches.map { nb =>
+      val s = bestOf2(() => runStreamN(nb)(df =>
+        graft.streaming.StreamDedup.chain(spark, df, 3600L * 1000000L)))
+      val rps = if (s > 0) (nRows / s).toLong else -1L
+      val trig = nRows / math.max(nb, 1)
+      nb -> s""""$nb":{"trigger_rows":$trig,"sec":${"%.3f".format(s)},"rows_per_sec":$rps}"""
+    }
+    val sweepJson = sweep.map(_._2).mkString("{", ",", "}")
+
     val qs = results.map { case (k, (s, n)) =>
       val rps = if (s > 0) (n / s).toLong else -1L
       s""""$k":{"sec":${"%.3f".format(s)},"rows":$n,"rows_per_sec":$rps}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"throughput","rows":$nRows,"cpus":$cpus,"sf":"$sfDir","stream_batches":$nBatches,"modes":$qs}"""
+      s"""{"metric":"throughput","rows":$nRows,"cpus":$cpus,"sf":"$sfDir","stream_batches":$nBatches,"modes":$qs,"chain_trigger_sweep":$sweepJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_TPUT_OUT", "throughput_out.json")
     try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[tput] write failed: ${e.getMessage}") }
