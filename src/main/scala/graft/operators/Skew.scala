@@ -22,8 +22,14 @@ object Skew {
 
   /** Salted count+sum per event_type over the replicated event stream. */
   def saltedEventAgg(spark: SparkSession, dir: String,
-                     salts: Int = DefaultSalts): DataFrame = {
-    val partial = Dedup.eventsUs(spark, dir)
+                     salts: Int = DefaultSalts): DataFrame =
+    saltedAggOf(Dedup.eventsUs(spark, dir), salts)
+
+  /** [[saltedEventAgg]]'s two-stage plan over any frame carrying
+    * (event_id, event_type, value) — shared with the skew bench so the
+    * measured plan IS the registered operator's plan. */
+  def saltedAggOf(ev: DataFrame, salts: Int = DefaultSalts): DataFrame = {
+    val partial = ev
       .withColumn("salt", pmod(col("event_id"), lit(salts)))
       .groupBy("event_type", "salt")
       .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
@@ -32,6 +38,14 @@ object Skew {
       .agg(sum(col("pn")).as("n"), money2(sum(col("psum"))).as("sum_value"))
       .orderBy("event_type")
   }
+
+  /** The direct (unsalted) twin of [[saltedAggOf]] — the baseline the
+    * skew bench races it against; bit-identical output by the exact
+    * decimal-partials argument above. */
+  def directAggOf(ev: DataFrame): DataFrame = ev
+    .groupBy("event_type")
+    .agg(count(lit(1)).as("n"), money2(sum(dec(col("value")))).as("sum_value"))
+    .orderBy("event_type")
 
   /** `events_key_skew`: the DECISION TABLE behind the salting knob —
     * per event_type (the low-cardinality aggregation key of this

@@ -104,6 +104,21 @@ class PlanQualitySpec extends SparkSpec {
       "the 20-row query frame must broadcast, not sort-merge")
   }
 
+  test("salted agg: hot key spreads over (event_type, salt); partial combine below both exchanges") {
+    val p = plan("events_salted_agg")
+    // stage-1 shuffle carries the salt → a hot type occupies `salts`
+    // reducers instead of one (THE balance guarantee of the plan)
+    assert("hashpartitioning\\(event_type#\\d+, salt#\\d+".r
+      .findFirstIn(p).isDefined)
+    // map-side combine below it: partial_count over (type, salt)
+    assert("HashAggregate\\(keys=\\[event_type#\\d+, salt#\\d+L?\\], functions=\\[partial_count"
+      .r.findFirstIn(p).isDefined)
+    // the merge stage re-combines map-side too, so the second exchange
+    // moves only types×salts pre-aggregated rows
+    assert("HashAggregate\\(keys=\\[event_type#\\d+\\], functions=\\[partial_sum"
+      .r.findFirstIn(p).isDefined)
+  }
+
   test("no registered query plans a cartesian product") {
     // crossJoin(broadcast(tiny)) plans as BroadcastNestedLoopJoin — fine;
     // CartesianProductExec means an unintended unbounded pair blow-up.

@@ -65,4 +65,21 @@ class SkewStressSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(simPairs === Set((900L, 901L)))
   }
+
+  test("saltedAggOf is bit-identical to the direct aggregation on a degenerate hot key") {
+    // one hot type carries ~99% of rows — the shape events_key_skew
+    // warns about; the exact decimal partials make the two-stage merge
+    // order-independent, so salted == direct to the bit
+    val ev = spark.range(100000).select(
+      col("id").as("event_id"), col("id").as("ts_us"),
+      lit(7L).as("user_id"),
+      when(pmod(col("id"), lit(100L)) === 0L, lit("rare"))
+        .otherwise(lit("hot")).as("event_type"),
+      (col("id") % 997L / lit(10.0)).as("value"),
+      lit("{}").as("props"))
+    val direct = Skew.directAggOf(ev).collect().toSeq
+    val salted = Skew.saltedAggOf(ev).collect().toSeq
+    assert(salted == direct)
+    assert(direct.map(_.getString(0)) == Seq("hot", "rare"))
+  }
 }
