@@ -416,6 +416,9 @@ object SparkEntry {
     // round 14 wave 3: the prefix join as a generic API — exact
     // set-similarity join over the winnowing fingerprint sets
     "linkage_fp_ssjoin" -> ((s, d) => graft.operators.Linkage.fpSetJoin(s, d)),
+    // round 14 wave 4: near-dup pairs straddling the holdout split
+    "split_neardup_leakage" ->
+      ((s, d) => graft.operators.Pipeline.splitNearDupLeakage(s, d)),
   )
 
   /** Bench times every registered query — the profile covers the whole
@@ -4417,6 +4420,39 @@ object SparkEntry {
          |  ${ratio4Sql("n_docs", "td")} AS doc_share,
          |  ${ratio4Sql("n_toks", "tt")} AS tok_share
          |FROM s CROSS JOIN t ORDER BY split""".stripMargin
+    },
+
+    // near-dup pairs straddling the holdout split — mirrors
+    // Pipeline.splitNearDupLeakage (shared split CASE + MH pair CTEs;
+    // fixed 6-row spine, zero-filled)
+    "split_neardup_leakage" -> {
+      val P = graft.operators.Pipeline
+      s"""WITH $SH_CTE,
+         |$MH_CAND_CTE,
+         |$MH_PAIRS_CTE,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ${H64("concat('split:', CAST(doc_id AS VARCHAR))")} % ${P.SplitBuckets} = ${P.ValBucket} THEN 'val'
+         |         WHEN ${H64("concat('split:', CAST(doc_id AS VARCHAR))")} % ${P.SplitBuckets} = ${P.TestBucket} THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM documents),
+         |sz AS (SELECT split, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY 1),
+         |pl AS (SELECT least(a.split, b.split) AS split_1,
+         |         greatest(a.split, b.split) AS split_2,
+         |         CAST(count(*) AS BIGINT) AS np
+         |       FROM pairs p JOIN sp a ON a.doc_id = p.d1
+         |                    JOIN sp b ON b.doc_id = p.d2
+         |       GROUP BY 1, 2),
+         |names AS (SELECT unnest(['test', 'train', 'val']) AS s),
+         |spine AS (SELECT a.s AS split_1, b.s AS split_2
+         |          FROM names a JOIN names b ON a.s <= b.s)
+         |SELECT split_1, split_2,
+         |  coalesce(z1.n, 0) AS n_docs_1, coalesce(z2.n, 0) AS n_docs_2,
+         |  coalesce(np, 0) AS n_pairs
+         |FROM spine
+         |LEFT JOIN sz z1 ON z1.split = split_1
+         |LEFT JOIN sz z2 ON z2.split = split_2
+         |LEFT JOIN pl USING (split_1, split_2)
+         |ORDER BY split_1, split_2""".stripMargin
     },
 
     // exact-integer lift collocations (PMI rank twin): the two-step

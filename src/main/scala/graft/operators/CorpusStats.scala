@@ -23,10 +23,15 @@ object CorpusStats {
     * distinct (doc, term), never raw token volume. The rank window runs
     * on the already-LIMITed head, not the corpus. */
   def zipfTerms(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    // fused per-doc term counts in the scan stage: the former
+    // explode → groupBy(doc_id, term) spelling shuffled the corpus at
+    // TOKEN grain before the term rollup — 112 s at native sf10; this
+    // plan's one exchange is at vocabulary grain (tf = Σc, df = one
+    // row per (doc, term): identical values, identical hashes)
     val head = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).spread
-      .select(col("doc_id"), explode(col("t")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("text")).spread
+      .select(explode(graft.plans.TextExpressions.termCounts(col("text"))).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.c").as("c"))
       .groupBy("term").agg(sum("c").as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("term"))
       .limit(topN)

@@ -291,6 +291,47 @@ object Pipeline {
       .orderBy("split")
   }
 
+  /** `split_neardup_leakage`: near-dup DOCUMENT pairs straddling the
+    * train/val/test hash split — the pair-grain companion of #183:
+    * that panel catches copied PASSAGES on both sides of the split;
+    * this one counts whole-document near-dups (the verified MinHash
+    * pair set) whose endpoints landed in different splits — exactly
+    * the documents an eval-set curator removes, because a val doc
+    * whose near-twin is in train is a memorization probe, not an eval
+    * point. Released per unordered split pair (the full 6-row spine,
+    * zero-filled, so the panel's shape is corpus-independent): split
+    * sizes and the straddling pair count.
+    *
+    * Shape: the pair set is the session-memoized #9 frame (edge-
+    * sized); labeling is two broadcast-size joins on the O(docs)
+    * (doc_id, split) projection; rollup O(1). */
+  def splitNearDupLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sp = Tables.documents(spark, dir).select("doc_id").spread
+      .withColumn("split", splitOf(col("doc_id")))
+    val lab = MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2")
+      .join(sp.select(col("doc_id").as("d1"), col("split").as("sa")), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col("split").as("sb")), "d2")
+      .select(least(col("sa"), col("sb")).as("split_1"),
+        greatest(col("sa"), col("sb")).as("split_2"))
+      .groupBy("split_1", "split_2").agg(count(lit(1)).as("np"))
+    val sizes = sp.groupBy("split").agg(count(lit(1)).as("n"))
+    val splits = Seq("test", "train", "val")
+    val spine = splits.flatMap(a => splits.filter(_ >= a).map(b => (a, b)))
+      .toDF("split_1", "split_2")
+    spine
+      .join(sizes.select(col("split").as("split_1"), col("n").as("na")),
+        Seq("split_1"), "left")
+      .join(sizes.select(col("split").as("split_2"), col("n").as("nb")),
+        Seq("split_2"), "left")
+      .join(lab, Seq("split_1", "split_2"), "left")
+      .select(col("split_1"), col("split_2"),
+        coalesce(col("na"), lit(0L)).as("n_docs_1"),
+        coalesce(col("nb"), lit(0L)).as("n_docs_2"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"))
+      .orderBy("split_1", "split_2")
+  }
+
   /** The oracle-checked pipeline_clean_docs: BOTH gates (exact-dedup
     * keepers and near-dup losers) are computed over the FULL corpus —
     * exactly the oracle's one-shot gating, where the fluent

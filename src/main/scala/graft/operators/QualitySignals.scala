@@ -27,28 +27,20 @@ object QualitySignals {
     * (doc) — both partial-aggregable, shuffling gram-count rows only.
     * Documents need ≥ 3 tokens (both gram widths defined). */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val t = TextAnalysis.tokens(col("text"))
-    def gramStructs(toks: org.apache.spark.sql.Column, n: Int) =
-      transform(sequence(lit(0), size(toks) - n), i =>
-        struct(lit(n).as("n"),
-          concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*).as("g")))
+    // fused scan-stage kernel (plans.RepetitionStats): the signal is
+    // per-DOC, so the former explode → (doc, n, gram) → (doc) plan
+    // shuffled the corpus at ~2× token grain just to collapse back to
+    // one row per doc (125 s at native sf10); this plan's only cost is
+    // the scan + the O(docs) output sort. Identical values and hashes.
     Tables.documents(spark, dir)
-      .select(col("doc_id"), t.as("t")).spread
-      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("text")).spread
       .select(col("doc_id"),
-        explode(concat(gramStructs(col("t"), 2), gramStructs(col("t"), 3))).as("gr"))
-      .groupBy(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        sum(when(col("n") === 2, col("c"))).as("n2"),
-        max(when(col("n") === 2, col("c"))).as("top2"),
-        sum(when(col("n") === 3, col("c"))).as("n3"),
-        coalesce(sum(when(col("n") === 3 && col("c") >= 2, col("c"))), lit(0L)).as("dup3"))
-      .select(col("doc_id"), col("n2"), col("top2"),
-        ratio4(col("top2"), col("n2")).as("top2_frac"),
-        col("n3"), col("dup3"),
-        ratio4(col("dup3"), col("n3")).as("dup3_frac"))
+        graft.plans.TextExpressions.repetitionStats(col("text")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), col("r.n2").as("n2"), col("r.top2").as("top2"),
+        ratio4(col("r.top2"), col("r.n2")).as("top2_frac"),
+        col("r.n3").as("n3"), col("r.dup3").as("dup3"),
+        ratio4(col("r.dup3"), col("r.n3")).as("dup3_frac"))
       .orderBy("doc_id")
   }
 

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge.{column, expression}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused single-pass shingling: tokenize on whitespace and emit the
@@ -67,8 +68,130 @@ case class ShingleArray(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Fused per-document term counting: tokenize on whitespace and emit
+  * one (term, c) struct per DISTINCT term, in first-occurrence order.
+  *
+  * This is the scan-stage replacement for the
+  * `explode(tokens) → groupBy(doc_id, term)` pattern: that plan
+  * shuffles the corpus at TOKEN grain (every occurrence crosses the
+  * exchange carrying its doc_id) just to reach the per-doc distinct
+  * counts this kernel computes locally in one pass. Downstream term
+  * rollups then need only ONE exchange, at vocabulary grain, with
+  * map-side combine collapsing each task to its local vocab first —
+  * the plan shape a 100 TB corpus needs (measured: corpus_zipf at
+  * native sf10 fell 112 s → one term-keyed shuffle, see PLANS.md
+  * round 14). tf = Σc and df = one row per (doc, term) are identical
+  * to the two-stage spelling, so oracle hashes are unchanged. */
+case class TermCountArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  /** Single-pass kernel shared by interpreted eval and generated code. */
+  def compute(v: UTF8String): ArrayData = {
+    val toks = v.toString.split("\\s+").filter(_.nonEmpty)
+    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b); i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCountArray", this, classOf[TermCountArray].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TermCountArray =
+    copy(child = c)
+}
+
+/** Fused Gopher-repetition kernel: the ENTIRE per-document repetition
+  * signal (bigram occurrences, hottest-bigram count, trigram
+  * occurrences, duplicated-trigram occurrences) in one scan-stage
+  * pass, as struct(n2, top2, n3, dup3); null for docs under 3 tokens.
+  *
+  * The signal is per-DOC, so the former explode → groupBy(doc, n,
+  * gram) → groupBy(doc) plan shuffled the corpus at ~2× token grain
+  * (bigram+trigram rows with string keys) only to collapse right back
+  * to one row per doc — 125 s at native sf10. This kernel removes the
+  * exchange entirely: the only remaining cost is the scan and the
+  * O(docs) output sort. Values are identical (n2 = Σ bigram counts,
+  * top2 = max, dup3 = Σ counts ≥ 2), so oracle hashes are unchanged. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n2", LongType, nullable = false),
+    StructField("top2", LongType, nullable = false),
+    StructField("n3", LongType, nullable = false),
+    StructField("dup3", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  /** Single-pass kernel shared by interpreted eval and generated code. */
+  def compute(v: UTF8String): InternalRow = {
+    val toks = v.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) return null
+    val bi = new java.util.HashMap[String, Long](toks.length * 2)
+    val tri = new java.util.HashMap[String, Long](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < toks.length - 1) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      bi.merge(sb.toString, 1L, (a, b) => a + b)
+      if (i < toks.length - 2) {
+        sb.append(' ').append(toks(i + 2))
+        tri.merge(sb.toString, 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    var top2 = 0L
+    val bit = bi.values().iterator()
+    while (bit.hasNext) { val c = bit.next(); if (c > top2) top2 = c }
+    var dup3 = 0L
+    val tit = tri.values().iterator()
+    while (tit.hasNext) { val c = tit.next(); if (c >= 2L) dup3 += c }
+    InternalRow(toks.length - 1L, top2, toks.length - 2L, dup3)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetitionStats", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.compute($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
 object TextExpressions {
   /** Column API: distinct n-gram shingles of a text column. */
   def shingles(text: Column, n: Int = 3): Column =
     column(ShingleArray(expression(text), n))
+
+  /** Column API: per-document (term, c) counts, first-occurrence order. */
+  def termCounts(text: Column): Column =
+    column(TermCountArray(expression(text)))
+
+  /** Column API: fused per-doc repetition signal (null under 3 tokens). */
+  def repetitionStats(text: Column): Column =
+    column(RepetitionStats(expression(text)))
 }

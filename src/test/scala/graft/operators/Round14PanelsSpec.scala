@@ -96,6 +96,25 @@ class Round14PanelsSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 1L && r._2 == 3L))
   }
 
+  test("splitNearDupLeakage: spine complete, sizes and pair counts reconcile") {
+    val got = Pipeline.splitNearDupLeakage(spark, sf).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // the 6-row unordered spine is corpus-independent
+    assert(got.map(t => (t._1, t._2)) == Seq(
+      ("test", "test"), ("test", "train"), ("test", "val"),
+      ("train", "train"), ("train", "val"), ("val", "val")))
+    // independent labeling: holdoutSplit's own sizes, pairs re-labeled
+    val sizes = Pipeline.holdoutSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { t =>
+      assert(t._3 == sizes.getOrElse(t._1, 0L))
+      assert(t._4 == sizes.getOrElse(t._2, 0L))
+    }
+    // total pairs across cells == the released pair set
+    assert(got.map(_._5).sum == MinHashLSH.nearDupPairs(spark, sf).count())
+  }
+
   test("fpSetJoin: exactly the brute-force tau-Jaccard pairs over fingerprint sets") {
     val fp = DocDedup.winnowFingerprintsOf(
         graft.Tables.documents(spark, sf).select("doc_id", "text"))
