@@ -302,27 +302,40 @@ object DocDedup {
     * bigramsOf convention). Shared by [[passageDedupOf]] and the
     * per-source duplicated-window share panel. */
   def rollingWindowsOf(docs: DataFrame, w: Int): DataFrame = {
+    // fused native kernel (plans.WindowHashArray): the composable
+    // transform-lambda spelling evaluated h64 INTERPRETED per window
+    // (HOF lambdas sit outside codegen) — the measured hot spot of
+    // every rolling-window panel at sf10; bit-identical output
     val carried = docs.columns.filterNot(_ == "text").map(col).toSeq
     docs
-      .withColumn("t", TextAnalysis.tokens(col("text")))
-      .filter(size(col("t")) >= w)
       .select(carried :+ explode(
-        transform(sequence(lit(1L), (size(col("t")) - (w - 1)).cast("long")), i =>
-          struct(i.as("pos"),
-            h64(concat_ws(" ", slice(col("t"), i.cast("int"), lit(w)))).as("h")))).as("c"): _*)
+        graft.plans.TextExpressions.windowHashes(col("text"), w)).as("c"): _*)
       .select(carried :+ col("c.pos").as("pos") :+ col("c.h").as("win_h"): _*)
   }
 
-  /** The rolling core over any (doc_id, text) frame. */
+  /** The rolling core over any (doc_id, text) frame.
+    *
+    * "Duplicated window" = any occurrence that is not its hash's
+    * global (doc_id, pos)-minimum. Only hashes occurring MORE THAN
+    * ONCE can produce one, and those are a sliver of the stream
+    * (measured 0.9% at native sf10), so the plan aggregates to the
+    * multi-occurrence hash list first (partial-aggregable, no sort)
+    * and joins it back — AQE sees the true size of that side at
+    * runtime and broadcasts it when small, so the window stream is
+    * exchanged once for the aggregate and never sorted. The former
+    * row_number-over-(win_h) spelling sort-spilled the full stream
+    * (180 s at sf10 against an input that grew exactly 10×). */
   def passageDedupOf(docs: DataFrame, w: Int): DataFrame = {
     val wins = rollingWindowsOf(docs.select("doc_id", "text"), w)
-    val byHash = org.apache.spark.sql.expressions.Window
-      .partitionBy("win_h").orderBy("doc_id", "pos")
-    passageSpans(
-      wins.withColumn("rn", row_number().over(byHash))
-        .filter(col("rn") > 1)
-        .select("doc_id", "pos"),
-      w)
+      .localCheckpoint() // aggregate + join-back read one derivation
+    val multi = wins.groupBy("win_h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .filter(col("c") > 1L)
+    val dups = wins.join(multi, "win_h")
+      .filter(col("doc_id") =!= col("f.doc_id") || col("pos") =!= col("f.pos"))
+      .select("doc_id", "pos")
+    passageSpans(dups, w)
   }
 
   /** Coalesce duplicated window positions into maximal passage spans
@@ -385,14 +398,23 @@ object DocDedup {
                     w: Int = ChunkTokens): DataFrame = {
     import graft.functions.Hashing.ratio4
     val wins = rollingWindowsOf(
-      Tables.documents(spark, dir).select("doc_id", "source", "text").spread, w)
-    val byHash = org.apache.spark.sql.expressions.Window
-      .partitionBy("win_h").orderBy("doc_id", "pos")
-    wins
-      .withColumn("rn", row_number().over(byHash))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+        Tables.documents(spark, dir).select("doc_id", "source", "text").spread, w)
+      .localCheckpoint() // totals + firsts read one window derivation
+    // "first global occurrence" as a partial-aggregable min instead of
+    // a row_number sort window: rn=1 ⇔ min (doc_id, pos) per win_h —
+    // identical rows, but the exchange hash-aggregates (no sort, map-
+    // side combine) — the sf10 sweep measured the sort window spilling
+    // the 46.6M-row stream (156 s) while the dup-window mass itself
+    // grew exactly 10× (density-linear input, plan-bound cost)
+    val totals = wins.groupBy("source").agg(count(lit(1)).as("n_windows"))
+    val firsts = wins
+      .groupBy("win_h")
+      .agg(min(struct(col("doc_id"), col("pos"), col("source"))).as("f"))
+      .groupBy(col("f.source").as("source"))
+      .agg(count(lit(1)).as("n_first"))
+    totals.join(firsts, Seq("source"), "left")
+      .select(col("source"), col("n_windows"),
+        (col("n_windows") - coalesce(col("n_first"), lit(0L))).as("n_dup"))
       .withColumn("dup_share", ratio4(col("n_dup"), col("n_windows")))
       .select("source", "n_windows", "n_dup", "dup_share")
       .orderBy("source")

@@ -182,10 +182,81 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Fused rolling-window hashing: tokenize on whitespace and emit one
+  * (pos, h) struct per w-token window (stride 1, pos 1-based), where
+  * h is the corpus hash h64(window text joined by ' ') — BIT-IDENTICAL
+  * to `h64(concat_ws(" ", slice(t, i, w)))`, i.e. the first 60 bits of
+  * the md5 of the UTF-8 window bytes.
+  *
+  * The composable spelling put that h64 inside a `transform(...)`
+  * lambda — and higher-order-function lambdas evaluate INTERPRETED
+  * (md5 → hex string → Conv radix parse per element, outside
+  * whole-stage codegen): the sf10 profile showed `Conv.nullSafeEval` /
+  * `NumberConverter.convert` as the hot frames of every rolling-window
+  * panel (156–180 s each at 46.6M windows). This kernel runs the
+  * whole derivation in one compiled pass — one MessageDigest reused
+  * across a document's windows, bytes straight from the window
+  * builder, hex parsed without the string detour. Empty array under
+  * w tokens (the old `size(t) >= w` filter becomes a free no-op). */
+case class WindowHashArray(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, "window size must be >= 1")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", LongType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  /** Single-pass kernel shared by interpreted eval and generated code. */
+  def compute(v: UTF8String): ArrayData = {
+    val toks = v.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(128)
+    val out = new Array[Any](toks.length - w + 1)
+    var i = 0
+    while (i <= toks.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits: 7 full bytes + the high
+      // nibble of the 8th — matches conv(substring(md5(x),1,15),16,10)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0xfL)
+      out(i) = InternalRow(i + 1L, h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("windowHashArray", this, classOf[WindowHashArray].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WindowHashArray =
+    copy(child = c)
+}
+
 object TextExpressions {
   /** Column API: distinct n-gram shingles of a text column. */
   def shingles(text: Column, n: Int = 3): Column =
     column(ShingleArray(expression(text), n))
+
+  /** Column API: (pos, h64) per rolling w-token window, stride 1. */
+  def windowHashes(text: Column, w: Int): Column =
+    column(WindowHashArray(expression(text), w))
 
   /** Column API: per-document (term, c) counts, first-occurrence order. */
   def termCounts(text: Column): Column =
