@@ -1909,7 +1909,7 @@ object SparkEntry {
            |t${i}g AS (SELECT
            |    (SELECT CAST(count(*) AS BIGINT) FROM t${i}cand) AS n_candidates,
            |    CAST(count(*) AS BIGINT) AS n_exact,
-           |    CAST(sum(caught) AS BIGINT) AS n_pairs,
+           |    CAST(coalesce(sum(caught), 0) AS BIGINT) AS n_pairs,
            |    CAST(count(*) FILTER (WHERE j4 < $lo) AS BIGINT) AS n_exact_lo,
            |    CAST(coalesce(sum(caught) FILTER (WHERE j4 < $lo), 0) AS BIGINT)
            |      AS n_caught_lo

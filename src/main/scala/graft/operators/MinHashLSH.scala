@@ -552,12 +552,16 @@ object MinHashLSH {
       val flags = exact.join(mh, Seq("d1", "d2"), "left")
         .select(col("j4"), coalesce(col("caught"), lit(0L)).as("caught"))
       val cc = cand.agg(count(lit(1)).as("n_candidates"))
+      // every sum is zero-filled: on a corpus with zero exact pairs the
+      // flags frame is empty and a bare sum() releases NULL — the panel
+      // must report 0-recall rows, not null ones (oracle side matches)
       val ag = flags.agg(
         count(lit(1)).as("n_exact"),
-        sum("caught").as("n_pairs"),
-        sum(when(col("j4") < TuneLoJ4, 1L).otherwise(0L)).as("n_exact_lo"),
-        sum(when(col("j4") < TuneLoJ4, col("caught")).otherwise(0L))
-          .as("n_caught_lo"))
+        coalesce(sum("caught"), lit(0L)).as("n_pairs"),
+        coalesce(sum(when(col("j4") < TuneLoJ4, 1L).otherwise(0L)), lit(0L))
+          .as("n_exact_lo"),
+        coalesce(sum(when(col("j4") < TuneLoJ4, col("caught")).otherwise(0L)),
+          lit(0L)).as("n_caught_lo"))
       cc.crossJoin(ag).select(
         lit(k.toLong).as("n_seeds"), lit(r.toLong).as("band_rows"),
         lit((k / r).toLong).as("n_bands"), col("n_candidates"),

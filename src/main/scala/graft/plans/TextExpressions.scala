@@ -209,11 +209,16 @@ case class WindowHashArray(child: Expression, w: Int)
     containsNull = false)
   override def prettyName: String = "window_hashes"
 
+  /** One digest instance per deserialized expression (i.e. per task),
+    * reset between windows AND between rows — getInstance("MD5") per
+    * row would re-run provider lookup for every document. */
+  @transient private lazy val md: java.security.MessageDigest =
+    java.security.MessageDigest.getInstance("MD5")
+
   /** Single-pass kernel shared by interpreted eval and generated code. */
   def compute(v: UTF8String): ArrayData = {
     val toks = v.toString.split("\\s+").filter(_.nonEmpty)
     if (toks.length < w) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
     val sb = new java.lang.StringBuilder(128)
     val out = new Array[Any](toks.length - w + 1)
     var i = 0
