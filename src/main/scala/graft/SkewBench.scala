@@ -60,6 +60,18 @@ object SkewBench {
         when(hot, lit("hot")).otherwise(col("event_type")).as("event_type"),
         col("value"))
       .localCheckpoint()
+    // third twin for the DISTINCT race: hot TYPE whose rows carry
+    // DISTINCT users (one per row) — the shape where the hot key's
+    // distinct-value SET (not its row count) lands on one reducer;
+    // map-side partial distinct can't collapse it, so this is the
+    // non-combinable case the decision table routes to the salted plan
+    val skewedType = base.select(
+        col("event_id"), col("ts_us"),
+        when(hot, col("event_id") + 1000000000L).otherwise(col("user_id"))
+          .as("user_id"),
+        when(hot, lit("hot")).otherwise(col("event_type")).as("event_type"),
+        col("value"))
+      .localCheckpoint()
     val nRows = base.count()
 
     def bestOf2(f: () => Unit): Double =
@@ -93,6 +105,19 @@ object SkewBench {
       run(s"agg_salted_$tag",
         () => { graft.operators.Skew.saltedAggOf(ev).count(); () })
       run(s"win_sessionize_$tag", () => { sessionizeOf(ev).count(); () })
+      // the round-15 mitigation: time-segmented local sessions + a
+      // session-grain merge — bit-identical output, hot user spread
+      // over its active segments instead of one task
+      run(s"win_sessionize_split_$tag",
+        () => { graft.operators.Skew.splitSessionizeOf(ev).count(); () })
+    }
+    // the non-combinable race (decision-table wiring): exact distinct
+    // users per type, direct vs value-salted, hot-type twin
+    for ((tag, ev) <- Seq("uniform" -> base, "skewedtype" -> skewedType)) {
+      run(s"distinct_direct_$tag",
+        () => { graft.operators.Skew.directDistinctOf(ev).count(); () })
+      run(s"distinct_salted_$tag",
+        () => { graft.operators.Skew.saltedDistinctOf(ev).count(); () })
     }
 
     // fixture self-description: measured hot-key shares per grain

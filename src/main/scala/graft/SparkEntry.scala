@@ -92,6 +92,7 @@ object SparkEntry {
     "source_term_cm" -> ((s, d) => graft.operators.Sketches.sourceTermCm(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "events_sessionize_split" -> ((s, d) => Skew.splitSessionize(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "events_running" -> ((s, d) => Analytics.runningUser(s, d)),
     "events_distinct_hour" -> ((s, d) => Analytics.distinctUsersHour(s, d)),
@@ -3287,6 +3288,16 @@ object SparkEntry {
          |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_sessionize" ->
+      s"""WITH ev AS ($EV),
+         |$SESS_CTE
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the split (skew-safe) plan is bit-identical by construction, so
+    // it shares the direct plan's oracle verbatim
+    "events_sessionize_split" ->
       s"""WITH ev AS ($EV),
          |$SESS_CTE
          |SELECT user_id, session_idx, COUNT(*) AS n_events,

@@ -78,4 +78,134 @@ object Skew {
           .as("skew_x4"))
       .orderBy("event_type")
   }
+
+  // ---- the WINDOW family's skew mitigation (round-15) -----------------
+
+  /** Gap-sessionize with the hot-key partition SPLIT — the mitigation
+    * the measured skew race demanded (SkewBench, PLANS round-14): a
+    * window `partitionBy(user_id)` puts a 50%-hot user's entire stream
+    * in ONE task (measured 2.0× at 10M rows, growing linearly with the
+    * hot key), and salting cannot fix it because window semantics need
+    * the whole key in one partition.
+    *
+    * This plan splits by TIME instead: events are segmented at
+    * `seg = ts_us div segUs`, the gap rule runs locally per
+    * (user, seg) — bounding every window partition at the user's event
+    * rate × segUs, regardless of how hot the user is — and local
+    * sessions are then merged by the SAME gap rule applied at session
+    * grain (a second window over O(active segments) rows per user,
+    * never events). Bit-identical to the one-window plan for ANY
+    * segUs > 0, by construction: local sessions tile the user's
+    * time-ordered event sequence, so consecutive local sessions'
+    * boundary gap (p_start − prev p_end) IS the event-grain gap the
+    * direct plan tests — within-segment breaks already satisfy
+    * gap > gapUs, and equal-ts events can never straddle a segment
+    * boundary. Session ordinals, counts, extents and the exact decimal
+    * value sums all re-aggregate losslessly (equality spec-pinned, and
+    * the registered query shares `events_sessionize`'s oracle SQL
+    * verbatim).
+    *
+    * segUs defaults to 4× the gap (2 h at the default 30-min gap —
+    * measured: the gap-sized segment pays +20% window-partition
+    * overhead on uniform data, 4× pays +8% while the 50%-hot twin
+    * still spreads over ~360 segments and runs at 1.0× its uniform
+    * twin vs the one-window plan's 1.9×; skew_bench.json). Larger
+    * segments mean fewer merge rows, smaller segments mean tighter
+    * per-partition bounds — at 100 TB, size segUs so rate × segUs
+    * rows fit an executor task. */
+  def splitSessionizeOf(ev: DataFrame, gapUs: Long = 1800L * 1000000L,
+                        segUs: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = if (segUs > 0L) segUs else 4L * gapUs
+    val wSeg = Window.partitionBy("user_id", "seg").orderBy("ts_us", "event_id")
+    val local = ev
+      .withColumn("seg", expr(s"ts_us div ${seg}L"))
+      .withColumn("new_local",
+        when(lag("ts_us", 1).over(wSeg).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(wSeg) > gapUs, 1).otherwise(0))
+      .withColumn("local_idx",
+        sum("new_local").over(wSeg.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "seg", "local_idx")
+      .agg(count(lit(1)).as("pn"), min("ts_us").as("p_start"),
+        max("ts_us").as("p_end"), sum(dec(col("value"))).as("psum"))
+    val wUser = Window.partitionBy("user_id").orderBy("seg", "local_idx")
+    local
+      .withColumn("new_sess",
+        when(lag("p_end", 1).over(wUser).isNull ||
+          col("p_start") - lag("p_end", 1).over(wUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum("new_sess").over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(sum("pn").as("n_events"), min("p_start").as("start_us"),
+        max("p_end").as("end_us"), money2(sum("psum")).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** `events_sessionize_split`: [[splitSessionizeOf]] over the event
+    * stream — same output contract (and oracle SQL) as #24
+    * `events_sessionize`, different physical plan. */
+  def splitSessionize(spark: SparkSession, dir: String,
+                      gapUs: Long = 1800L * 1000000L): DataFrame =
+    splitSessionizeOf(Dedup.eventsUs(spark, dir), gapUs)
+
+  // ---- the decision table, wired (round-15) ----------------------------
+
+  /** Hotness multiple (the #280 panel's `skew_x4`) above which a
+    * NON-combinable aggregation should take the salted plan. ≈1 means
+    * the key's traffic spreads uniformly over its sub-keys; the race's
+    * deliberate 50%-hot fixture measures in the thousands. An order of
+    * magnitude over uniform is where one reducer's surplus stops
+    * hiding inside task-size variance. */
+  val SaltSkewX4Threshold = 10.0
+
+  /** The measured salting decision (SkewBench, PLANS rounds 14-15):
+    * map-side partial aggregation already collapses each task's rows
+    * to ≤ |keys| partials for COMBINABLE aggregates (count/sum/min/
+    * max/avg), so the hot key never concentrates raw rows on one
+    * reducer and salting buys only ~15% even at a 50%-hot key — not
+    * worth the second exchange as a default. Salting pays only when
+    * the aggregate is NOT map-side combinable at key grain (exact
+    * distinct counts and other set-sized measures): there the hot
+    * key's whole value set lands on one reducer, and value-salting
+    * splits it into disjoint exact shards. Window-family skew is not
+    * a salting question at all — see [[splitSessionizeOf]]. */
+  def shouldSalt(mapSideCombinable: Boolean, skewX4: Double): Boolean =
+    !mapSideCombinable && skewX4 >= SaltSkewX4Threshold
+
+  /** Exact distinct users per event_type — the direct plan: Spark
+    * plans countDistinct as a two-stage expand, but stage 2 still
+    * concentrates the hot TYPE's whole distinct-user set on one
+    * reducer. The baseline [[distinctUsersAuto]] races. */
+  def directDistinctOf(ev: DataFrame): DataFrame = ev
+    .groupBy("event_type")
+    .agg(countDistinct("user_id").as("n_users"))
+    .orderBy("event_type")
+
+  /** Value-salted exact distinct: users are sharded by
+    * `pmod(user_id, salts)` — shards are DISJOINT value sets, so
+    * per-shard distinct counts sum exactly; the hot type's set work
+    * spreads over `salts` reducers. Bit-identical to the direct plan. */
+  def saltedDistinctOf(ev: DataFrame, salts: Int = DefaultSalts): DataFrame = ev
+    .withColumn("vsalt", pmod(col("user_id"), lit(salts.toLong)))
+    .groupBy("event_type", "vsalt")
+    .agg(countDistinct("user_id").as("pn"))
+    .groupBy("event_type")
+    .agg(sum("pn").as("n_users"))
+    .orderBy("event_type")
+
+  /** [[shouldSalt]] dispatched for the non-combinable distinct-count
+    * shape: callers pass the #280 panel's measured `skew_x4` for the
+    * key and get the plan the decision table prescribes. */
+  def distinctUsersAuto(ev: DataFrame, skewX4: Double,
+                        salts: Int = DefaultSalts): DataFrame =
+    if (shouldSalt(mapSideCombinable = false, skewX4)) saltedDistinctOf(ev, salts)
+    else directDistinctOf(ev)
+
+  /** [[shouldSalt]] dispatched for combinable count/sum shapes: always
+    * the direct plan — the race proved map-side combine absorbs the
+    * skew, and the spec pins that this helper never salts. */
+  def eventAggAuto(ev: DataFrame, skewX4: Double): DataFrame = {
+    require(!shouldSalt(mapSideCombinable = true, skewX4))
+    directAggOf(ev)
+  }
 }

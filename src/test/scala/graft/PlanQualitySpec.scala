@@ -119,6 +119,39 @@ class PlanQualitySpec extends SparkSpec {
       .r.findFirstIn(p).isDefined)
   }
 
+  test("split sessionize: local windows keyed by (user, seg); merge window at session grain") {
+    val p = plan("events_sessionize_split")
+    // stage-1 exchange carries the time segment → a hot user's stream
+    // spreads over its active segments instead of one task (THE
+    // balance guarantee; the one-window plan hashes user_id alone)
+    assert("hashpartitioning\\(user_id#\\d+L?, seg#\\d+L?".r
+      .findFirstIn(p).isDefined, s"stage-1 exchange must carry seg:\n$p")
+    // the merge window re-partitions by user alone — but only local
+    // SESSION rows (post-aggregation) reach it, never events
+    assert("hashpartitioning\\(user_id#\\d+L?, 4\\b".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\(user_id#\\d+L?\\)".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\(user_id#\\d+L?,\\s*\\d+\\)".r.findFirstIn(p).isDefined)
+    // partial aggregation collapses events to local sessions BEFORE the
+    // user-grain exchange
+    assert("HashAggregate\\(keys=\\[user_id#\\d+L?, seg#\\d+L?, local_idx#\\d+L?\\], functions=\\[partial_count"
+      .r.findFirstIn(p).isDefined, s"local-session rollup must partial-aggregate:\n$p")
+  }
+
+  test("distinctUsersAuto: salted plan only for the hot non-combinable shape") {
+    val ev = graft.operators.Dedup.eventsUs(spark, sf)
+    val hotPlan = graft.operators.Skew
+      .distinctUsersAuto(ev, skewX4 = 100.0)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(event_type#\\d+, vsalt#\\d+L?".r
+      .findFirstIn(hotPlan).isDefined,
+      s"hot non-combinable shape must take the value-salted plan:\n$hotPlan")
+    val coldPlan = graft.operators.Skew
+      .distinctUsersAuto(ev, skewX4 = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!coldPlan.contains("vsalt"),
+      "a cold key must take the direct distinct plan")
+  }
+
   test("no registered query plans a cartesian product") {
     // crossJoin(broadcast(tiny)) plans as BroadcastNestedLoopJoin — fine;
     // CartesianProductExec means an unintended unbounded pair blow-up.

@@ -82,4 +82,83 @@ class SkewStressSpec extends SparkSpec {
     assert(salted == direct)
     assert(direct.map(_.getString(0)) == Seq("hot", "rare"))
   }
+
+  test("splitSessionizeOf == one-window sessionize on the test corpus, any segment size") {
+    val direct = Analytics.sessionize(spark, sf).collect().toSeq
+    // default segUs (= gap) and a deliberately tiny segment — the
+    // bit-identity argument holds for ANY segUs > 0
+    for (segUs <- Seq(0L, 120L * 1000000L)) {
+      val split = Skew.splitSessionizeOf(
+        Dedup.eventsUs(spark, sf), segUs = segUs).collect().toSeq
+      assert(split == direct, s"segUs=$segUs diverged from the direct plan")
+    }
+  }
+
+  test("splitSessionizeOf boundary cases: multi-segment sessions, exact-gap ties, hot key") {
+    val gap = 1800L * 1000000L
+    // one hot user: events every 17 minutes for 3 days (ONE session
+    // spanning ~145 segments), then a break of exactly gap (continues:
+    // the rule is > gap), then a break of gap+1µs (new session);
+    // plus a user with equal-ts event pairs straddling nothing
+    val hotTs = (0L until 250L).map(_ * 1020L * 1000000L) // 17 min apart
+    val afterEnd = hotTs.last
+    val rows =
+      hotTs.map(t => (7L, t)) ++
+      Seq((7L, afterEnd + gap),        // exactly gap → same session
+          (7L, afterEnd + gap + gap + 1L)) ++ // gap+1 past previous → new
+      Seq((8L, 5L), (8L, 5L), (8L, 5L + gap), (8L, 5L + gap + gap + 1L))
+    import spark.implicits._
+    val ev = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, t, u, "e", 1.0) }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .repartition(7) // scatter input so window ordering does the work
+    val direct = {
+      // the one-window reference shape (same as SkewBench's sessionizeOf)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev.withColumn("new_sess",
+          when(lag("ts_us", 1).over(w).isNull ||
+            col("ts_us") - lag("ts_us", 1).over(w) > gap, 1).otherwise(0))
+        .withColumn("session_idx", sum("new_sess").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+          graft.functions.Hashing.money2(
+            sum(graft.functions.Hashing.dec(col("value")))).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }.collect().toSeq
+    val split = Skew.splitSessionizeOf(ev, gap).collect().toSeq
+    assert(split == direct)
+    // shape sanity: user 7 has exactly 2 sessions (the exact-gap event
+    // extends session 1), user 8 has 2
+    assert(direct.count(_.getLong(0) == 7L) == 2)
+    assert(direct.count(_.getLong(0) == 8L) == 2)
+  }
+
+  test("value-salted distinct == direct distinct on a hot-type corpus") {
+    // hot type with many distinct users — the non-combinable shape the
+    // decision table sends to the salted plan
+    val ev = spark.range(100000).select(
+      col("id").as("event_id"), col("id").as("ts_us"),
+      pmod(col("id") * 31L, lit(5000L)).as("user_id"),
+      when(pmod(col("id"), lit(100L)) === 0L, lit("rare"))
+        .otherwise(lit("hot")).as("event_type"),
+      lit(1.0).as("value"))
+    val direct = Skew.directDistinctOf(ev).collect().toSeq
+    val salted = Skew.saltedDistinctOf(ev).collect().toSeq
+    assert(salted == direct)
+    assert(Skew.distinctUsersAuto(ev, skewX4 = 50.0).collect().toSeq == direct)
+    assert(Skew.distinctUsersAuto(ev, skewX4 = 1.0).collect().toSeq == direct)
+  }
+
+  test("salting decision: combinable aggregates never salt; non-combinable salt only when hot") {
+    // the measured race (skew_bench.json): map-side combine absorbs
+    // algebraic-agg skew, so salting is reserved for set-sized
+    // aggregates on measurably hot keys
+    assert(!Skew.shouldSalt(mapSideCombinable = true, skewX4 = 1e6))
+    assert(!Skew.shouldSalt(mapSideCombinable = false, skewX4 = 1.0))
+    assert(Skew.shouldSalt(mapSideCombinable = false,
+      skewX4 = Skew.SaltSkewX4Threshold))
+  }
 }
