@@ -312,20 +312,23 @@ object CorpusStats {
     * scale the bigram frame is larger than the input, so two scans beat
     * one persist. */
   def bigramCoverage(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    // fused per-doc (pair, c) counts (plans.PairCountArray) in place of
+    // the interpreted transform + occurrence-grain explode: the head
+    // election shuffles per-doc DISTINCT pairs (map-side combinable)
+    // and the scoring join probes each doc's distinct pairs once —
+    // n_bigrams = Σc and covered = Σc·hit are the same occurrence sums
     def bigrams: DataFrame = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).spread
-      .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
-          concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-          .as("pair"))
-    val head = bigrams.groupBy("pair").agg(count(lit(1)).as("n"))
+        graft.plans.TextExpressions.pairCounts(col("text")).as("pcs")).spread
+      .select(col("doc_id"), explode(col("pcs")).as("pc"))
+      .select(col("doc_id"), col("pc.pair").as("pair"), col("pc.c").as("c"))
+    val head = bigrams.groupBy("pair").agg(sum("c").as("n"))
       .orderBy(col("n").desc, col("pair")).limit(topN)
       .select(col("pair"), lit(1L).as("hit"))
     bigrams.join(broadcast(head), Seq("pair"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        coalesce(sum("hit"), lit(0L)).as("covered"))
+      .agg(sum("c").as("n_bigrams"),
+        coalesce(sum(col("c") * col("hit")), lit(0L)).as("covered"))
       .select(col("doc_id"), col("n_bigrams"), col("covered"),
         ratio4(col("covered"), col("n_bigrams")).as("coverage"))
       .orderBy("doc_id")
@@ -351,18 +354,24 @@ object CorpusStats {
     * election is a TakeOrdered(topN) — no corpus shuffle anywhere. */
   def pmiPairs(spark: SparkSession, dir: String, topN: Int = PmiHead): DataFrame = {
     import graft.functions.Hashing.halfUpDiv
-    def toks = Tables.documents(spark, dir)
-      .select(TextAnalysis.tokens(col("text")).as("t")).spread
-    def tk = toks.select(explode(col("t")).as("term"))
-    val uni = tk.groupBy("term").agg(count(lit(1)).as("c"))
-    val tot = tk.agg(count(lit(1)).as("n"))
-    val pairs = toks.filter(size(col("t")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
-        struct(element_at(col("t"), i).as("w1"),
-          element_at(col("t"), i + 1).as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // fused per-doc term/pair counts (scan-stage kernels): both
+    // aggregates shuffle per-doc DISTINCT keys instead of token
+    // occurrences, with identical Σc sums — tokens never contain
+    // whitespace, so splitting the kernel's "w1 w2" pair string on its
+    // single space recovers the struct exactly
+    def tcs = Tables.documents(spark, dir)
+      .select(graft.plans.TextExpressions.termCounts(col("text")).as("tcs")).spread
+      .select(explode(col("tcs")).as("tc"))
+    val uni = tcs.groupBy(col("tc.term").as("term")).agg(sum("tc.c").as("c"))
+    val tot = tcs.agg(sum("tc.c").as("n"))
+    val pairs = Tables.documents(spark, dir)
+      .select(graft.plans.TextExpressions.pairCounts(col("text")).as("pcs")).spread
+      .select(explode(col("pcs")).as("pc"))
+      .groupBy(col("pc.pair").as("pair")).agg(sum("pc.c").as("c12"))
       .filter(col("c12") >= PmiMinPair)
+      // the split runs at FILTERED pair-vocabulary grain, never corpus
+      .select(split(col("pair"), " ").as("sp"), col("c12"))
+      .select(col("sp")(0).as("w1"), col("sp")(1).as("w2"), col("c12"))
     pairs
       .join(uni.select(col("term").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("term").as("w2"), col("c").as("c2")), Seq("w2"))

@@ -347,15 +347,17 @@ object Curation {
     * is exactly a distributed explode + count. Top `topN` pairs with
     * a deterministic tie-break. */
   def bpePairCounts(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // fused per-doc pair counts (plans.PairCountArray): the former
+    // explode(transform(...)) spelling evaluated its lambda interpreted
+    // per token and shuffled at bigram-OCCURRENCE grain; the kernel
+    // counts per doc in the scan, so the exchange moves per-doc
+    // DISTINCT pairs and Σc is the same occurrence count (sf10
+    // measured: 77.2 → see PLANS round 15; hashes unchanged)
+    Tables.documents(spark, dir)
       .select("text").spread
-      .select(TextAnalysis.tokens(col("text")).as("t"))
-    toks.filter(size(col("t")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
-        concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-        .as("pair"))
-      .groupBy("pair")
-      .agg(count(lit(1)).as("n"))
+      .select(explode(graft.plans.TextExpressions.pairCounts(col("text"))).as("pc"))
+      .groupBy(col("pc.pair").as("pair"))
+      .agg(sum("pc.c").as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(topN)
   }
@@ -413,14 +415,15 @@ object Curation {
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (r <- 1 to rounds) {
+      // fused symbol-pair kernel (plans.SymbolPairCountArray): parses
+      // the wrapped form and counts adjacent pairs in one compiled
+      // pass per word type — the old replace→split→transform chain
+      // ran its lambda interpreted per symbol, per ROUND
       val top = words
-        .withColumn("sy",
-          split(trim(expr("replace(s, ')(', ' ')"), "()"), " "))
-        .filter(size(col("sy")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("sy")) - 1),
-          i => concat(element_at(col("sy"), i), lit(" "),
-            element_at(col("sy"), i + 1)))).as("pair"), col("n"))
-        .groupBy("pair").agg(sum("n").as("cnt"))
+        .select(explode(graft.plans.TextExpressions
+          .symbolPairCounts(col("s"))).as("pc"), col("n"))
+        .groupBy(col("pc.pair").as("pair"))
+        .agg(sum(col("pc.c") * col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1).collect()
       if (top.nonEmpty) {

@@ -109,12 +109,13 @@ object TextAnalysis {
       .orderBy("lang", "pred_lang")
   }
 
-  /** Rolling polynomial fingerprint — identical to `fingerprint`. */
+  /** Rolling polynomial fingerprint — identical to `fingerprint`.
+    * Fused kernel (plans.FingerprintHash): the former
+    * aggregate(transform(...)) spelling ran md5 → hex → Conv radix
+    * parse INTERPRETED per token; the kernel digests bytes in one
+    * compiled pass, bit-identical (Round15KernelsSpec). */
   def fingerprintCol(text: Column): Column =
-    aggregate(
-      transform(tokens(text),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 1000000007L),
-      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+    graft.plans.TextExpressions.fingerprintHash(text)
 
   /** Character-class profile per document: counts and ratios of
     * uppercase / lowercase / digit / whitespace characters — the
@@ -415,11 +416,6 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      expr(
-        """aggregate(
-          |  transform(filter(split(trim(text), '\\s+'), t -> t != ''),
-          |            t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 1000000007),
-          |  0L, (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
-      ).as("fingerprint")
+      fingerprintCol(col("text")).as("fingerprint")
     ).orderBy("doc_id")
 }

@@ -120,6 +120,177 @@ case class TermCountArray(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Fused per-document adjacent-pair counting: tokenize on whitespace
+  * and emit one (pair, c) struct per DISTINCT adjacent token bigram
+  * ("a b"), in first-occurrence order.
+  *
+  * The scan-stage replacement for the
+  * `explode(transform(sequence(...), i -> concat_ws(...)))` bigram
+  * derivation: that spelling evaluates its lambda INTERPRETED per
+  * token (the WindowHashArray lesson — HOF lambdas sit outside
+  * whole-stage codegen) and ships the corpus at bigram-occurrence
+  * grain into the exchange. With per-doc counts computed in the scan,
+  * the downstream pair rollup shuffles only per-doc DISTINCT pairs
+  * and map-side combine collapses to local vocab first. Σc per pair
+  * equals the occurrence count, so oracle hashes are unchanged. */
+case class PairCountArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pair", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pair_counts"
+
+  /** Single-pass kernel shared by interpreted eval and generated code. */
+  def compute(v: UTF8String): ArrayData = {
+    val toks = v.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < toks.length - 1) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      counts.merge(sb.toString, 1L, (a, b) => a + b); i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pairCountArray", this, classOf[PairCountArray].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PairCountArray =
+    copy(child = c)
+}
+
+/** Fused BPE symbol-pair counting over the WRAPPED word form
+  * "(a)(b)(ab)": emits one ("l r", c) struct per distinct adjacent
+  * symbol pair, in first-occurrence order — the per-round inner loop
+  * of BPE training in one compiled pass, replacing the
+  * replace → trim → split → transform(sequence) → explode chain
+  * (whose lambda evaluates interpreted, per symbol, per round).
+  * Symbols are the paren-group contents; under 2 symbols → empty
+  * array (the old `size >= 2` filter becomes a free no-op). Σ(c·n)
+  * per pair equals the old occurrence×frequency sum, so the trained
+  * merges are identical. */
+case class SymbolPairCountArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pair", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "symbol_pair_counts"
+
+  /** Single-pass kernel shared by interpreted eval and generated code. */
+  def compute(v: UTF8String): ArrayData = {
+    val s = v.toString
+    // parse "(sym)(sym)..." — symbols never contain parens (spec'd by
+    // the [a-z0-9]+ vocab gate upstream)
+    val syms = new scala.collection.mutable.ArrayBuffer[String](16)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '(') {
+        val close = s.indexOf(')', i + 1)
+        if (close < 0) { i = s.length }
+        else { syms += s.substring(i + 1, close); i = close + 1 }
+      } else i += 1
+    }
+    if (syms.length < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[String, Long](syms.length * 2)
+    val sb = new java.lang.StringBuilder(32)
+    var j = 0
+    while (j < syms.length - 1) {
+      sb.setLength(0)
+      sb.append(syms(j)).append(' ').append(syms(j + 1))
+      counts.merge(sb.toString, 1L, (a, b) => a + b); j += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("symbolPairCountArray", this,
+      classOf[SymbolPairCountArray].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SymbolPairCountArray =
+    copy(child = c)
+}
+
+/** Fused order-sensitive document fingerprint: the rolling polynomial
+  * hash `fold((acc·31 + h₆₀(tok) mod p) mod p)` with
+  * h₆₀ = conv(substring(md5(tok),1,15),16,10) and p = 1e9+7 — the
+  * exact fold `text_fingerprint`'s oracle states in DuckDB
+  * list_reduce. The composable spelling ran the md5 → hex string →
+  * Conv radix parse INTERPRETED per token inside an aggregate()
+  * lambda (the same frames the sf10 profile flagged for the
+  * rolling-window family); this kernel digests bytes directly (top
+  * 60 bits of the md5, no hex/string detour), one MessageDigest per
+  * task. Bit-identical by construction. */
+case class FingerprintHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint_hash"
+
+  private val P = 1000000007L
+
+  /** One digest per deserialized expression (per task). */
+  @transient private lazy val md: java.security.MessageDigest =
+    java.security.MessageDigest.getInstance("MD5")
+
+  /** Single-pass kernel shared by interpreted eval and generated code. */
+  def compute(v: UTF8String): Long = {
+    val toks = v.toString.split("\\s+").filter(_.nonEmpty)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits: 7 full bytes + high nibble of
+      // the 8th — matches conv(substring(md5(t),1,15),16,10)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0xfL)
+      acc = (acc * 31L + h % P) % P
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fingerprintHash", this, classOf[FingerprintHash].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): FingerprintHash =
+    copy(child = c)
+}
+
 /** Fused Gopher-repetition kernel: the ENTIRE per-document repetition
   * signal (bigram occurrences, hottest-bigram count, trigram
   * occurrences, duplicated-trigram occurrences) in one scan-stage
@@ -266,6 +437,18 @@ object TextExpressions {
   /** Column API: per-document (term, c) counts, first-occurrence order. */
   def termCounts(text: Column): Column =
     column(TermCountArray(expression(text)))
+
+  /** Column API: per-document adjacent-bigram (pair, c) counts. */
+  def pairCounts(text: Column): Column =
+    column(PairCountArray(expression(text)))
+
+  /** Column API: BPE symbol-pair (pair, c) counts over a wrapped word. */
+  def symbolPairCounts(wrapped: Column): Column =
+    column(SymbolPairCountArray(expression(wrapped)))
+
+  /** Column API: rolling polynomial document fingerprint (mod 1e9+7). */
+  def fingerprintHash(text: Column): Column =
+    column(FingerprintHash(expression(text)))
 
   /** Column API: fused per-doc repetition signal (null under 3 tokens). */
   def repetitionStats(text: Column): Column =
