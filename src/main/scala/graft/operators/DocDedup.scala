@@ -307,7 +307,10 @@ object DocDedup {
     // (HOF lambdas sit outside codegen) — the measured hot spot of
     // every rolling-window panel at sf10; bit-identical output
     val carried = docs.columns.filterNot(_ == "text").map(col).toSeq
-    docs
+    // fanOut BEFORE the ~100× window explosion: the stream inherits the
+    // doc side's partitioning, and every consumer aggregates it on the
+    // near-unique win_h — per-task key volume must stay bounded
+    docs.fanOut
       .select(carried :+ explode(
         graft.plans.TextExpressions.windowHashes(col("text"), w)).as("c"): _*)
       .select(carried :+ col("c.pos").as("pos") :+ col("c.h").as("win_h"): _*)
@@ -328,11 +331,22 @@ object DocDedup {
   def passageDedupOf(docs: DataFrame, w: Int): DataFrame = {
     val wins = rollingWindowsOf(docs.select("doc_id", "text"), w)
       .localCheckpoint() // aggregate + join-back read one derivation
+    // the probe side is the BARE multi-occurrence hash list (8 B/row —
+    // small enough that AQE broadcasts it at any measured scale; the
+    // former spelling carried the min-struct through the join, tipping
+    // the build side past the broadcast threshold at sf10 and planning
+    // a 46.6M-row shuffle join: 130 s vs 72 s for the slim probe).
+    // Firsts are then resolved on the multi-occurrence SUBSET only —
+    // a sliver of the stream (measured 0.9% of hashes at sf10).
     val multi = wins.groupBy("win_h")
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") > 1L)
-    val dups = wins.join(multi, "win_h")
+      .select("win_h")
+    val occ = wins.join(multi, "win_h")
+      .localCheckpoint() // firsts + dup filter read one probe pass
+    val firsts = occ.groupBy("win_h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val dups = occ.join(firsts, "win_h")
       .filter(col("doc_id") =!= col("f.doc_id") || col("pos") =!= col("f.pos"))
       .select("doc_id", "pos")
     passageSpans(dups, w)

@@ -44,31 +44,36 @@ object Spans {
 
   /** [[dupSpanCoverage]] core over any (doc_id, source, text) frame. */
   def dupSpanCoverageOf(docs: DataFrame): DataFrame = {
-    import graft.functions.Hashing.{h64, intDiv, ratio4}
-    val base = docs.select(col("doc_id"), col("source"),
-      TextAnalysis.tokens(col("text")).as("t"))
+    import graft.functions.Hashing.{intDiv, ratio4}
     // greatest(…, 0): a NULL text tokenizes to a NULL array whose size
     // is −1 — it must count as an empty doc, not subtract from totals
-    val meta = base.select(col("doc_id"), col("source"),
-      greatest(size(col("t")).cast("long"), lit(0L)).as("n_toks"))
-    // positioned (NOT distinct) shingles: one row per start position;
-    // the shingle itself rides as a 60-bit hash — the window only needs
-    // equality, and 8 bytes beat re-shuffling the raw trigram text
-    val pos = base
-      .filter(size(col("t")) >= SpanN)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - (SpanN - 1)), i =>
-          struct(i.cast("long").as("p"),
-            h64(concat_ws(" ",
-              element_at(col("t"), i),
-              element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2))).as("sh")))).as("ps"))
-      .select(col("doc_id"), col("ps.p").as("p"), col("ps.sh").as("sh"))
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    val dup = pos
-      .withColumn("cross_doc",
-        min("doc_id").over(wSh) =!= max("doc_id").over(wSh))
-      .filter(col("cross_doc"))
+    val meta = docs.select(col("doc_id"), col("source"),
+      greatest(size(TextAnalysis.tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_toks"))
+    // positioned (NOT distinct) shingles via the fused rolling-window
+    // kernel — plans.WindowHashArray computes EXACTLY h64 of the
+    // space-joined trigram with pos from 1 (the former transform-lambda
+    // spelling evaluated md5→Conv interpreted per position); the
+    // shingle rides as its 60-bit hash — equality is all downstream
+    // needs, and 8 bytes beat re-shuffling the raw trigram text
+    val pos = docs.fanOut // pre-explosion fan-out: see Partitioning.fanOut
+      .select(col("doc_id"), explode(
+        graft.plans.TextExpressions.windowHashes(col("text"), SpanN)).as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("p"), col("ps.h").as("sh"))
+      .localCheckpoint() // hash rollup + probe read one derivation
+    // cross-doc duplication as a partial-aggregable min≠max ROLLUP +
+    // join-back instead of a min/max window over the positioned stream:
+    // the window spelling sorted all 46.6M rows by sh at sf10 (the
+    // dominant cost of this panel's 160 s); the rollup hash-aggregates
+    // with map-side combine, and only the cross-doc hash list (a small
+    // fraction of hashes) reaches the probe join — AQE sees its true
+    // size at runtime. Identical rows: min(doc)≠max(doc) per sh ⇔ the
+    // hash occurs in ≥2 distinct documents.
+    val cross = pos.groupBy("sh")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("sh")
+    val dup = pos.join(cross, "sh")
       .select(col("doc_id"), col("p"), (col("p") + (SpanN - 1)).as("e"))
       // a position can mark only one interval, but equal (doc, p) rows
       // cannot arise anyway: p is unique within a doc
