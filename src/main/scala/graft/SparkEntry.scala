@@ -289,6 +289,7 @@ object SparkEntry {
     "events_theta_new_users" ->
       ((s, d) => graft.operators.Sketches.thetaNewUsersDaily(s, d)),
     "events_key_skew" -> ((s, d) => graft.operators.Skew.keySkew(s, d)),
+    "events_users_by_type_auto" -> ((s, d) => graft.operators.Skew.usersByTypeAuto(s, d)),
     "dedup_lsh_bucket_profile" ->
       ((s, d) => MinHashLSH.lshBucketProfile(s, d)),
     "ann_ivf_cell_profile" -> ((s, d) => Similarity.ivfCellProfile(s, d)),
@@ -7389,6 +7390,14 @@ object SparkEntry {
          |  ${ratio4Sql("top_user_rows", "n_rows")} AS top_share4,
          |  ${ratio4Sql("top_user_rows * n_users", "n_rows")} AS skew_x4
          |FROM r ORDER BY event_type""".stripMargin,
+
+    // the decision table dispatched end-to-end: exact distinct users per
+    // type — the AUTO plan (direct vs value-salted) is bit-identical by
+    // construction, so ONE oracle states the result
+    "events_users_by_type_auto" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // per-band LSH bucket-size profile — mirrors
     // MinHashLSH.lshBucketProfile (shared banded-signature CTEs)

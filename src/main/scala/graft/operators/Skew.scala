@@ -208,4 +208,18 @@ object Skew {
     require(!shouldSalt(mapSideCombinable = true, skewX4))
     directAggOf(ev)
   }
+
+  /** `events_users_by_type_auto`: the decision table wired END TO END —
+    * reads its own #280 panel (an O(types) frame, collected driver-side
+    * like a k-means centroid pull), takes the hottest key's measured
+    * skew_x4, and dispatches the non-combinable distinct-count through
+    * [[shouldSalt]]. On the natural stream skew_x4 ≈ 1 → direct plan;
+    * a deliberately skewed feed trips the threshold and gets the
+    * value-salted shards. Output is the same either way (bit-identical
+    * plans, spec-pinned), which is what lets the planner switch freely. */
+  def usersByTypeAuto(spark: SparkSession, dir: String): DataFrame = {
+    val maxSkew = keySkew(spark, dir)
+      .agg(max(col("skew_x4"))).collect().head.getDouble(0)
+    distinctUsersAuto(Dedup.eventsUs(spark, dir), maxSkew)
+  }
 }
