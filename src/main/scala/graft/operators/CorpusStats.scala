@@ -441,9 +441,14 @@ object CorpusStats {
       .spread
       .filter(size(col("t")) >= 1)
       .select(col("source"), concat_ws(" ", slice(col("t"), 1, k)).as("prefix"))
+    // ONE corpus tokenize: totals re-aggregate the (source, prefix)
+    // rollup (Σ modal_count per source == doc count), so the second
+    // corpus scan the old spelling paid disappears; the rollup is
+    // O(distinct openings) and checkpointed for its two readers
     val counts = pre.groupBy("source", "prefix")
       .agg(count(lit(1)).as("modal_count"))
-    val totals = pre.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy("source").agg(sum("modal_count").as("n_docs"))
     val wS = Window.partitionBy("source")
       .orderBy(col("modal_count").desc, col("prefix"))
     counts.withColumn("rn", row_number().over(wS))
