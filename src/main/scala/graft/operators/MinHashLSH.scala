@@ -127,7 +127,8 @@ object MinHashLSH {
     * only fires on pathological (chain-diameter) graphs where finishing
     * label-prop would cost O(diameter) MORE rounds than the restart. */
   def componentsAuto(pairs: DataFrame): DataFrame = {
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     labelPropBounded(p, LabelPropMaxRounds).getOrElse(componentsStar(p))
   }
 
@@ -135,13 +136,15 @@ object MinHashLSH {
                                maxRounds: Int): Option[DataFrame] = {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // seed labels with round 1 already applied: min(self, neighbors) is
     // exactly one propagation step from identity labels, as a plain
     // aggregation — saves a full join round (+ checkpoint) per run
     var labels = edges.groupBy(col("d1")).agg(min("d2").as("mn"))
       .select(col("d1").as("node"), least(col("d1"), col("mn")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var converged = false
     var rounds = 1
     while (!converged && rounds < maxRounds) {
@@ -154,7 +157,8 @@ object MinHashLSH {
               col("node") === col("d1"), "left")
         .select(col("node"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       converged = updated.filter(col("label") =!= col("prev_label")).isEmpty
       labels = updated.select("node", "label")
       rounds += 1
@@ -180,7 +184,8 @@ object MinHashLSH {
       .select(least(col("d1"), col("d2")).as("a"),
         greatest(col("d1"), col("d2")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var converged = false
     while (!converged) {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
@@ -199,7 +204,8 @@ object MinHashLSH {
         .unionAll(mn2.select(col("m"), col("u").as("x")))
         .filter(col("m") =!= col("x"))
         .select(col("m").as("a"), col("x").as("b")).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       // fixpoint = the canonical edge set is unchanged (stars reached).
       // ONE action per round: both sides are distinct canonical sets, so
       // set equality is "no edge tagged by only one side" — a single

@@ -336,7 +336,14 @@ object Similarity {
         new java.util.concurrent.ConcurrentLinkedQueue[String]))
     val df = sm.entries.computeIfAbsent(key, k => {
       sm.order.add(k)
-      build.localCheckpoint()
+      // SERIALIZED storage: memoized frames can be edge-sized (the
+      // embedding pair list is 138M rows at native sf10), and the
+      // default deserialized MEMORY_AND_DISK level stores them as Java
+      // object rows — measured OOMing a 100 g heap during the 32-way
+      // concurrent block puts. Serialized bytes are ~10× smaller and
+      // spill to disk; readers pay a cheap decode per scan.
+      build.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     })
     // bound: drop oldest-inserted entries only; never the one just
     // returned, never with an unpersist (see the memo doc above). The
