@@ -93,6 +93,7 @@ object SparkEntry {
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "events_sessionize_split" -> ((s, d) => Skew.splitSessionize(s, d)),
+    "events_sessionize_auto" -> ((s, d) => Skew.sessionizeAuto(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "events_running" -> ((s, d) => Analytics.runningUser(s, d)),
     "events_distinct_hour" -> ((s, d) => Analytics.distinctUsersHour(s, d)),
@@ -3306,6 +3307,16 @@ object SparkEntry {
          |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
          |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the auto dispatch picks one of two bit-identical plans from its
+    // measured per-user hotness panel — same oracle verbatim again
+    "events_sessionize_auto" ->
+      s"""WITH ev AS ($EV),
+         |$SESS_CTE
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
+         |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // interval-sweep peak concurrency over the SAME session CTEs —
     // mirrors Analytics6.peakConcurrency (starts before ends on ties:
     // delta DESC, so point sessions register and touching sessions
@@ -5783,9 +5794,18 @@ object SparkEntry {
          |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM bits GROUP BY vec_id, p//ppb
          |),
+         |r AS (
+         |  SELECT vec_id, band, bucket,
+         |    row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY band, bucket) AS bsz
+         |  FROM buckets
+         |),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-         |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  FROM r x JOIN r y ON x.band = y.band AND x.bucket = y.bucket
+         |    AND y.rn > x.rn
+         |    AND (x.bsz <= ${graft.operators.Similarity.TargetBucket}
+         |         OR y.rn <= x.rn + ${graft.operators.Similarity.NeighborWindow})
          |),
          |p AS (
          |  SELECT c.v1, c.v2
@@ -5821,9 +5841,18 @@ object SparkEntry {
          |  SELECT vec_id, p//ppb AS band, CAST(SUM(CASE WHEN bit = 1 THEN (1::BIGINT << (p%ppb)) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM sbits GROUP BY vec_id, p//ppb
          |),
+         |sr AS (
+         |  SELECT vec_id, band, bucket,
+         |    row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY band, bucket) AS bsz
+         |  FROM sbkt
+         |),
          |scand AS (
          |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
-         |  FROM sbkt x JOIN sbkt y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  FROM sr x JOIN sr y ON x.band = y.band AND x.bucket = y.bucket
+         |    AND y.rn > x.rn
+         |    AND (x.bsz <= ${graft.operators.Similarity.TargetBucket}
+         |         OR y.rn <= x.rn + ${graft.operators.Similarity.NeighborWindow})
          |),
          |sp AS MATERIALIZED (
          |  SELECT c.v1, c.v2

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -416,7 +417,7 @@ object Analytics3 {
     val act = Dedup.eventsUs(spark, dir)
       .select(col("user_id"), expr("ts_us div 86400000000L").as("day"))
       .distinct()
-      .localCheckpoint(true) // feeds the active count AND the span aggregate
+      .checkpointSer // feeds the active count AND the span aggregate
     val active = act.groupBy("day").agg(count(lit(1)).as("n_active"))
     val span = act.groupBy("user_id")
       .agg(min("day").as("fd"), max("day").as("ld"))
@@ -477,7 +478,7 @@ object Analytics3 {
       .filter(col("next_type").isNotNull)
       .select(col("event_type").as("from_type"), col("next_type").as("to_type"),
         (col("next_ts") - col("ts_us")).as("gap_us"), col("event_id"))
-      .localCheckpoint(true)
+      .checkpointSer
     val counts = trans.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n_transitions"))
     Ranking.groupedQuantiles(trans, Seq("from_type", "to_type"), "gap_us",
@@ -587,7 +588,7 @@ object Analytics3 {
       .join(Tables.customer(spark, dir)
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
         "o_custkey")
-      .localCheckpoint(true)
+      .checkpointSer
     val stats = gaps.groupBy("c_mktsegment")
       .agg(countDistinct("o_custkey").as("n_repeat_customers"),
         count(lit(1)).as("n_gaps"),
@@ -630,7 +631,7 @@ object Analytics3 {
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
           .as("lag_days"),
         col("l_orderkey"), col("l_linenumber"))
-      .localCheckpoint(true)
+      .checkpointSer
     val stats = lags.groupBy("year", "month")
       .agg(count(lit(1)).as("n_items"), max("lag_days").as("max_lag"))
     Ranking.groupedQuantiles(lags, Seq("year", "month"), "lag_days",

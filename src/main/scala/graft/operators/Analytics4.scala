@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.{intDiv, valueCents}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -132,7 +133,7 @@ object Analytics4 {
     // re-aggregate the raw events (3 scans)
     val spend = Dedup.eventsUs(spark, dir)
       .groupBy("user_id").agg(sum(valueCents(col("value"))).as("spend_cents"))
-      .localCheckpoint(true)
+      .checkpointSer
     val n = spend.count() // one scalar job; the denominator of the decile formula
     Ranking.globalRowNumber(spend, Seq(col("spend_cents").desc, col("user_id")))
       .select(col("user_id"), col("spend_cents"), col("rn"),
@@ -256,7 +257,7 @@ object Analytics4 {
       .groupBy("user_id")
       .agg(max("ts_us").as("last_us"), count(lit(1)).as("n_events"),
         sum(valueCents(col("value"))).as("spend_cents"))
-      .localCheckpoint(true) // three rank passes + count read it
+      .checkpointSer // three rank passes + count read it
     val n = base.count()
     // each dimension ranks the CHECKPOINTED base independently (a chain
     // of rank passes would re-execute the prior pass's sort + row
@@ -296,7 +297,7 @@ object Analytics4 {
     def seg(period: DataFrame, out: String) = {
       val base = period.groupBy("user_id")
         .agg(sum(valueCents(col("value"))).as("cents"))
-        .localCheckpoint(true) // the rank pass and the count both read it
+        .checkpointSer // the rank pass and the count both read it
       val n = base.count()
       Ranking.globalRowNumber(base, Seq(col("cents").desc, col("user_id")), "rn")
         .select(col("user_id"),
@@ -458,7 +459,7 @@ object Analytics4 {
         "o_custkey")
       .groupBy(col("c_mktsegment").as("segment"), col("o_custkey").as("cust"))
       .agg(round(sum("rev") * 100, 0).cast("long").as("cents"))
-      .localCheckpoint(true)
+      .checkpointSer
     val ranked = Ranking.globalRowNumber(rev,
       Seq(col("segment"), col("cents"), col("cust")), "grn")
     val offs = ranked.groupBy("segment")

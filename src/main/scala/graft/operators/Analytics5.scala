@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.ratio4
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -85,7 +86,7 @@ object Analytics5 {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         TextAnalysis.qualityKeyFromText(col("text")).as("qkey"))
-      .localCheckpoint(true)
+      .checkpointSer
     val n = base.count()
     def decile(rn: org.apache.spark.sql.Column) =
       intDiv((rn - 1L) * 10L, lit(n)) + 1L
@@ -124,7 +125,7 @@ object Analytics5 {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.qualityKeyFromText(col("text")).as("qkey"))
-      .localCheckpoint(true)
+      .checkpointSer
     val n = base.count()
     val qd = Ranking.globalRowNumber(base, Seq(col("qkey"), col("doc_id")), "qrn")
       .select(col("doc_id"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -224,7 +225,7 @@ object Analytics6 {
     import graft.functions.Hashing.ratio4
     val items = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct().localCheckpoint()
+      .distinct().checkpointSer
     val nOrders = items.agg(countDistinct("o").as("n_orders"))
     val supp = items.groupBy("p").agg(count(lit(1)).as("s"))
     val a = items.select(col("o"), col("p").as("p1"))
@@ -257,7 +258,7 @@ object Analytics6 {
   def assocRules(spark: SparkSession, dir: String,
                  minSupport: Long = BasketMinSupport): DataFrame = {
     import graft.functions.Hashing.ratio4
-    val pairs = basketPairs(spark, dir, minSupport).localCheckpoint()
+    val pairs = basketPairs(spark, dir, minSupport).checkpointSer
     val sym = pairs.select(col("p1").as("ante"), col("p2").as("cons"),
         col("supp"), col("s1").as("s_ante"), col("lift4"))
       .unionByName(pairs.select(col("p2").as("ante"), col("p1").as("cons"),

@@ -96,7 +96,7 @@ object Blocking {
     // exchange-reuse); the key itself is dropped first (only the rank
     // survives it)
     val ranked = Ranking.globalRowNumber(keyed, Seq(col("bkey"), col("doc_id")))
-      .select("rn", "doc_id").localCheckpoint()
+      .select("rn", "doc_id").checkpointSer
     val probes = ranked
       .withColumn("k", explode(sequence(lit(1L), lit(window - 1L))))
       .select(col("doc_id").as("d1"), (col("rn") + col("k")).as("rn_b"),
@@ -150,8 +150,8 @@ object Blocking {
         .select(least(col("d1"), col("d2")).as("d1"),
           greatest(col("d1"), col("d2")).as("d2"))
         .distinct()
-    val pre = accepted(snKeyPrefix(col("text"))).localCheckpoint()
-    val suf = accepted(snKeySuffix(col("text"))).localCheckpoint()
+    val pre = accepted(snKeyPrefix(col("text"))).checkpointSer
+    val suf = accepted(snKeySuffix(col("text"))).checkpointSer
     val a = pre.agg(count(lit(1)).as("n_prefix"))
     val b = suf.agg(count(lit(1)).as("n_suffix"))
     val c = pre.join(suf, Seq("d1", "d2"), "left_semi")
@@ -181,7 +181,7 @@ object Blocking {
                window: Int = SnWindow, tau: Double = SnTau): DataFrame = {
     import graft.functions.Hashing.ratio4
     val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
-    val cand = snCandidatesOf(docs, window).localCheckpoint(true)
+    val cand = snCandidatesOf(docs, window).checkpointSer
     val dc = docs.agg(count(lit(1)).as("n_docs"))
     val cc = cand.agg(count(lit(1)).as("n_candidates"),
       sum(when(col("jacc4") >= tau, 1L).otherwise(0L)).as("n_accepted"))

@@ -66,18 +66,30 @@ object CorpusStats {
     * (doc_id·10) div (max_id+1) — exact integer arithmetic, so the
     * cut points reproduce in any engine. */
   def heapsCurve(spark: SparkSession, dir: String): DataFrame = {
-    val tk = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).spread
-      .select(col("doc_id"), explode(col("t")).as("term"))
     val mx = Tables.documents(spark, dir).agg(max("doc_id").as("m"))
     def bucketOf(id: org.apache.spark.sql.Column) =
       graft.functions.Hashing.intDiv(id * 10L, col("m") + 1L)
-    val byBucket = tk.crossJoin(broadcast(mx))
-      .groupBy(bucketOf(col("doc_id")).as("bucket"))
-      .agg(count(lit(1)).as("toks"))
-    val newTypes = tk.groupBy("term").agg(min("doc_id").as("fd"))
+    // ONE token scan, for real: the former spelling derived byBucket
+    // and newTypes from the same exploded frame, but their groupings
+    // differ, so no exchange was reused and the corpus was tokenized
+    // TWICE (measured superlinear at sf10: 13.4× for 10× data). Now
+    // the scan aggregates once at (bucket, term) grain — map-side
+    // combinable, bounded by 10×|vocabulary| not the token stream —
+    // and that small frame is checkpointed and feeds both rollups.
+    // min(bucket) per term ≡ bucket(min doc_id): the bucket cut is
+    // monotonic in doc_id, so first-occurrence semantics survive the
+    // pre-aggregation. fanOut before the explode keeps per-task
+    // partial-agg key volume bounded (the dedup_passages lesson).
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).fanOut
+      .select(col("doc_id"), explode(col("t")).as("term"))
       .crossJoin(broadcast(mx))
-      .groupBy(bucketOf(col("fd")).as("bucket"))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"), col("term"))
+      .agg(count(lit(1)).as("toks"))
+      .checkpointSer
+    val byBucket = g.groupBy("bucket").agg(sum("toks").as("toks"))
+    val newTypes = g.groupBy("term").agg(min("bucket").as("fb"))
+      .groupBy(col("fb").as("bucket"))
       .agg(count(lit(1)).as("new_types"))
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -447,7 +459,7 @@ object CorpusStats {
     // O(distinct openings) and checkpointed for its two readers
     val counts = pre.groupBy("source", "prefix")
       .agg(count(lit(1)).as("modal_count"))
-      .localCheckpoint(true)
+      .checkpointSer
     val totals = counts.groupBy("source").agg(sum("modal_count").as("n_docs"))
     val wS = Window.partitionBy("source")
       .orderBy(col("modal_count").desc, col("prefix"))
@@ -548,7 +560,7 @@ object CorpusStats {
       .select(col("source"), TextAnalysis.tokens(col("text")).as("t")).spread
       .select(col("source"), explode(col("t")).as("term"))
     val st = tk.groupBy("source", "term").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .checkpointSer
     val totals = st.groupBy("source").agg(sum("c").as("n_s"))
     val vocab = st.groupBy("term").agg(sum("c").as("g"))
       .orderBy(col("g").desc, col("term")).limit(vocabSize)
@@ -567,7 +579,7 @@ object CorpusStats {
       .agg(greatest(lit(1000000L) - sum("p6"), lit(0L)).as("p6"))
       .select(col("source"), lit("<oov>").as("term"), col("p6"))
     val dense = inVocab.select("source", "term", "p6").unionByName(oov)
-      .localCheckpoint()
+      .checkpointSer
     val a = dense.select(col("source").as("source_a"), col("term"),
       col("p6").as("pa"))
     val b = dense.select(col("source").as("source_b"), col("term"),

@@ -412,7 +412,7 @@ object Curation {
     // job count, not the data, dominates BPE training cost)
     var words = words0
       .select(regexp_replace(col("w"), "(.)", "($1)").as("s"), col("n"))
-      .localCheckpoint()
+      .checkpointSer
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (r <- 1 to rounds) {
       // fused symbol-pair kernel (plans.SymbolPairCountArray): parses
@@ -471,8 +471,8 @@ object Curation {
     // one corpus scan: the (source, word, count) frame is checkpointed
     // and both the training vocab and the final roll-up derive from it
     val bySourceWord = docs.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val vocab = bySourceWord.groupBy("w").agg(sum("cnt").as("n")).localCheckpoint()
+      .checkpointSer
+    val vocab = bySourceWord.groupBy("w").agg(sum("cnt").as("n")).checkpointSer
     val nsyms = bpeEncodedSymbols(vocab, bpeTrainMergesLocal(vocab, rounds))
     bySourceWord.join(nsyms, "w")
       .groupBy("source")
@@ -533,20 +533,20 @@ object Curation {
     import graft.functions.Hashing.ratio4
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
-      .localCheckpoint()
+      .checkpointSer
     // exact: keep-min per digest; NULL-text docs have no digest and
     // all survive (a null is not a duplicate of another null)
     val w = Window.partitionBy("dg").orderBy("doc_id")
     val s1 = docs.withColumn("dg", md5(col("text")))
       .withColumn("rn", row_number().over(w))
       .filter(col("dg").isNull || col("rn") === 1)
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").checkpointSer
     def survivors(prev: DataFrame, pairs: DataFrame): DataFrame = {
       val alive = pairs
         .join(prev.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
         .join(prev.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
       prev.join(alive.select(col("d2").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti").localCheckpoint()
+        Seq("doc_id"), "left_anti").checkpointSer
     }
     val s2 = survivors(s1, MinHashLSH.nearDupPairs(spark, dir).select("d1", "d2"))
     val s3 = survivors(s2, DocDedup.containmentPairs(spark, dir).select("d1", "d2"))
@@ -555,7 +555,7 @@ object Curation {
     // buy" must be answerable in both
     val tk = docs.select(col("doc_id"),
       coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
-        .cast("long").as("nt")).localCheckpoint()
+        .cast("long").as("nt")).checkpointSer
     def agg2(df: DataFrame, pre: String): DataFrame =
       df.select("doc_id").join(tk, "doc_id")
         .agg(count(lit(1)).as(s"${pre}_rows"),

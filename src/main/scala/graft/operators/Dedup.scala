@@ -227,7 +227,7 @@ object Dedup {
       .groupBy("digest").agg(min("ts_us").as("first_ts"))
       .filter(col("first_ts") >= lit(cutoffUs - cacheWindowUs))
       .select("digest")
-      .localCheckpoint(true)
+      .checkpointSer
     val n = math.max(1L, hist.count())
     val bloom = hist.stat.bloomFilter("digest", n, fpp)
     val mightContain = udf((d: Long) => bloom.mightContainLong(d))
@@ -282,7 +282,7 @@ object Dedup {
   def ttlCurve(spark: SparkSession, dir: String,
                ttlsS: Seq[Long] = TtlCurveS): DataFrame = {
     import graft.functions.Hashing.ratio4
-    val hashed = hashedStream(spark, dir).localCheckpoint(true)
+    val hashed = hashedStream(spark, dir).checkpointSer
     val total = hashed.agg(count(lit(1)).as("n_total"))
     ttlsS.map { t =>
         chainNative(hashed, t * 1000000L)

@@ -255,25 +255,38 @@ object DocDedup {
     * occurrences are emitted, but state per chunk key is one row. */
   def chunkDedup(spark: SparkSession, dir: String,
                  w: Int = ChunkTokens): DataFrame = {
-    import graft.functions.Hashing.intDiv
-    val t = TextAnalysis.tokens(col("text"))
+    // Fused stride-w kernel (plans.WindowHashArray): the former
+    // transform-lambda spelling evaluated h64's md5 → hex → Conv
+    // INTERPRETED per chunk, and the explode inherited the doc scan's
+    // coarse partitioning — measured superlinear at sf10 (12.4× for
+    // 10× data). fanOut before the explosion bounds per-task key
+    // volume (the dedup_passages lesson); pos = chunk ordinal, hashes
+    // bit-identical to h64(concat_ws(" ", slice(t, (i-1)·w+1, w))).
     val chunks = Tables.documents(spark, dir)
-      .select(col("doc_id"), t.as("t")).spread
-      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), col("text")).fanOut
       .select(col("doc_id"), explode(
-        transform(sequence(lit(1L), intDiv(size(col("t")), lit(w))), i =>
-          struct(i.as("pos"),
-            h64(concat_ws(" ",
-              slice(col("t"), ((i - 1L) * w + 1L).cast("int"), lit(w)))).as("h")))).as("c"))
+        graft.plans.TextExpressions.windowHashes(col("text"), w, w)).as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"), col("c.h").as("chunk_h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("chunk_h").orderBy("doc_id", "pos")
-    chunks
-      .withColumn("rn", row_number().over(win))
-      .withColumn("keep_doc", first("doc_id").over(win))
-      .withColumn("keep_pos", first("pos").over(win))
-      .filter(col("rn") > 1)
-      .select("doc_id", "pos", "chunk_h", "keep_doc", "keep_pos")
+      .checkpointSer
+    // Duplicate occurrences = everything but each hash's (doc_id, pos)
+    // minimum, and only multi-occurrence hashes can produce one — so
+    // aggregate to the bare multi-occurrence hash list first
+    // (partial-aggregable, no sort; AQE broadcasts the sliver) and
+    // resolve firsts on that subset, instead of row_number-sorting the
+    // FULL chunk stream by chunk_h (the passageDedupOf pattern; the
+    // window spelling sort-spilled at sf10).
+    val multi = chunks.groupBy("chunk_h")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1L)
+      .select("chunk_h")
+    val occ = chunks.join(multi, "chunk_h")
+      .checkpointSer
+    val firsts = occ.groupBy("chunk_h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    occ.join(firsts, "chunk_h")
+      .filter(col("doc_id") =!= col("f.doc_id") || col("pos") =!= col("f.pos"))
+      .select(col("doc_id"), col("pos"), col("chunk_h"),
+        col("f.doc_id").as("keep_doc"), col("f.pos").as("keep_pos"))
       .orderBy("doc_id", "pos")
   }
 
@@ -330,7 +343,7 @@ object DocDedup {
     * (180 s at sf10 against an input that grew exactly 10×). */
   def passageDedupOf(docs: DataFrame, w: Int): DataFrame = {
     val wins = rollingWindowsOf(docs.select("doc_id", "text"), w)
-      .localCheckpoint() // aggregate + join-back read one derivation
+      .checkpointSer // aggregate + join-back read one derivation
     // the probe side is the BARE multi-occurrence hash list (8 B/row —
     // small enough that AQE broadcasts it at any measured scale; the
     // former spelling carried the min-struct through the join, tipping
@@ -343,7 +356,7 @@ object DocDedup {
       .filter(col("c") > 1L)
       .select("win_h")
     val occ = wins.join(multi, "win_h")
-      .localCheckpoint() // firsts + dup filter read one probe pass
+      .checkpointSer // firsts + dup filter read one probe pass
     val firsts = occ.groupBy("win_h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     val dups = occ.join(firsts, "win_h")
@@ -413,7 +426,7 @@ object DocDedup {
     import graft.functions.Hashing.ratio4
     val wins = rollingWindowsOf(
         Tables.documents(spark, dir).select("doc_id", "source", "text").spread, w)
-      .localCheckpoint() // totals + firsts read one window derivation
+      .checkpointSer // totals + firsts read one window derivation
     // "first global occurrence" as a partial-aggregable min instead of
     // a row_number sort window: rn=1 ⇔ min (doc_id, pos) per win_h —
     // identical rows, but the exchange hash-aggregates (no sort, map-
@@ -607,7 +620,7 @@ object DocDedup {
     * has to be named `shingle`. Uncached; the corpus-table form
     * shares its staged frames via the session memo instead. */
   def prefixJoinOf(sh0: DataFrame, tauPpm: Long = PrefixTauPpm): DataFrame = {
-    val sh = sh0.localCheckpoint(true) // df + prefix + both verify sides
+    val sh = sh0.checkpointSer // df + prefix + both verify sides
     ssjVerifiedOf(ssjCandidatesOf(ssjPrefixOf(sh, tauPpm), tauPpm), sh, tauPpm)
       .orderBy("d1", "d2")
   }
@@ -834,7 +847,7 @@ object DocDedup {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
-      .localCheckpoint(true)
+      .checkpointSer
     val tot = toks.agg(count(lit(1)).as("td"), sum("n_toks").as("tt"))
     val exactIds = Tables.documents(spark, dir)
       .select(col("doc_id"), h64(normalized(col("text"))).as("digest"))

@@ -247,12 +247,12 @@ object MinHashLSH {
     val pairs = nearDupPairs(spark, dir, tau).select("d1", "d2")
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true)
+      .checkpointSer
     val deg = edges.groupBy("d1").agg(count(lit(1)).as("outdeg"))
     val n = deg.count() // node count — one tiny job on the checkpoint
     var rank = deg.select(col("d1").as("node"),
         intDiv(lit(1000000L), lit(n)).as("r"))
-      .localCheckpoint(true)
+      .checkpointSer
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(deg, "d1")
@@ -265,7 +265,7 @@ object MinHashLSH {
         .select(col("node"),
           (halfUpDiv(lit(15000000L), lit(100L * n)) +
             coalesce(col("in_c"), lit(0L))).as("r"))
-        .localCheckpoint(true)
+        .checkpointSer
     }
     rank.select(col("node").as("doc_id"), col("r").as("rank_micro"))
       .orderBy("doc_id")
@@ -284,7 +284,7 @@ object MinHashLSH {
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").spread
     // one-off report: materialize the fused signature pass once — it
     // feeds both the banded candidate join and the per-pair estimate
-    val sigs = sigTable(docs).localCheckpoint(true)
+    val sigs = sigTable(docs).checkpointSer
     val cand = candidatesFromBands(banded(sigs))
     jaccardPairs(cand, DocDedup.docShinglesOf(docs))
       .join(sigs.as("sa"), col("sa.doc_id") === col("d1"))
@@ -372,7 +372,7 @@ object MinHashLSH {
       .select(col("d1"), col("d2"),
         intDiv(col("shared") * 20L, col("n1") + col("n2") - col("shared"))
           .as("band"))
-      .localCheckpoint(true) // feeds both histograms; the pair scan runs once
+      .checkpointSer // feeds both histograms; the pair scan runs once
     val hist = pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
     val docMax = pairs
       .select(explode(array(col("d1"), col("d2"))).as("doc_id"), col("band"))
@@ -552,7 +552,7 @@ object MinHashLSH {
         halfUpDiv(col("shared") * 10000L, col("n_union")).as("j4"))
     val rows = TuningGrid.map { case (k, r) =>
       val cand = candidatesFromBands(bandSignatures(docs, k, r))
-        .localCheckpoint(true) // counted AND verified below
+        .checkpointSer // counted AND verified below
       val mh = verifyCandidates(cand, sh, tau)
         .select(col("d1"), col("d2"), lit(1L).as("caught"))
       val flags = exact.join(mh, Seq("d1", "d2"), "left")
@@ -694,12 +694,18 @@ object MinHashLSH {
     val exact = eh.join(eh.groupBy("dg").agg(min("doc_id").as("d1")), "dg")
       .filter(col("doc_id") > col("d1"))
       .select(col("d1"), col("doc_id").as("d2"))
-      .localCheckpoint()
+      .checkpointSer
     val lexical = nearDupPairs(spark, dir, tau).select("d1", "d2")
-      .localCheckpoint()
-    val semantic = Similarity.nearDupPairs(spark, dir)
+      .checkpointSer
+    // DEGREE-BOUNDED semantic edges (Similarity.nearDupEdgesCapped):
+    // components need connectivity, not the full pair grain — the raw
+    // verified pair list is quadratic in cluster density (138M rows at
+    // sf10, ~1.4T extrapolated at 100×; the round-15 verdict's named
+    // scale-killer), while the window edge set is ≤ bands·C·N.
+    // (no extra checkpoint: the memoized edge frame is already
+    // SER-checkpointed, and the rename on top is narrow)
+    val semantic = Similarity.nearDupEdgesCapped(spark, dir)
       .select(col("v1").as("d1"), col("v2").as("d2"))
-      .localCheckpoint()
     val all = exact.unionByName(lexical).unionByName(semantic).distinct()
     def nodesOf(p: DataFrame, flag: String): DataFrame =
       p.select(col("d1").as("doc_id"))
@@ -745,18 +751,18 @@ object MinHashLSH {
                      tau: Double = 0.5): DataFrame = {
     import graft.functions.Hashing.ratio4
     val pairs = nearDupPairs(spark, dir, tau).select("d1", "d2")
-      .localCheckpoint()
+      .checkpointSer
     val deg = pairs.select(col("d1").as("node"))
       .unionAll(pairs.select(col("d2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-      .localCheckpoint()
+      .checkpointSer
     val low = struct(col("g1"), col("d1")) < struct(col("g2"), col("d2"))
     val e = pairs
       .join(deg.select(col("node").as("d1"), col("degree").as("g1")), "d1")
       .join(deg.select(col("node").as("d2"), col("degree").as("g2")), "d2")
       .select(when(low, col("d1")).otherwise(col("d2")).as("u"),
         when(low, col("d2")).otherwise(col("d1")).as("v"))
-      .localCheckpoint()
+      .checkpointSer
     // wedge tips ordered by id so the closing lookup hits the pair
     // list's canonical (d1 < d2) form directly
     val wedges = e.as("a").join(e.as("b"),
@@ -793,7 +799,7 @@ object MinHashLSH {
       .join(lab.select(col("doc_id").as("d2"), col("lang").as("l2")), "d2")
       .select(least(col("l1"), col("l2")).as("lang_a"),
         greatest(col("l1"), col("l2")).as("lang_b"))
-      .localCheckpoint()
+      .checkpointSer
     val tot = lp.agg(count(lit(1)).as("t"))
     lp.groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_pairs"))
       .crossJoin(broadcast(tot))

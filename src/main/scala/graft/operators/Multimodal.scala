@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.Tables
 import graft.functions.Hashing.h64
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
@@ -150,11 +151,11 @@ object Multimodal {
         ByteSimHash.byteSimHash(col("payload"), ShingleBytes, SampleMod)
           .as("simhash"))
       .filter(col("simhash") =!= ByteSimHash.NoSignature)
-      .localCheckpoint(true)
+      .checkpointSer
     val bands = SimHash.cappedBands(sig, MinHashLSH.MaxBucketSize)
-      .localCheckpoint(true)
+      .checkpointSer
     val cand = SimHash.candidateHammingOfBands(bands)
-      .localCheckpoint(true)
+      .checkpointSer
     val ac = sig.agg(count(lit(1)).as("n_assets"))
     val bc = bands.agg(count(lit(1)).as("n_banded_rows"))
     val cc = cand.agg(count(lit(1)).as("n_candidates"),

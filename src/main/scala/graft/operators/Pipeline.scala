@@ -409,8 +409,8 @@ object Pipeline {
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val vocab = perDocWord.groupBy("w").agg(sum("cnt").as("n")).localCheckpoint()
+      .checkpointSer
+    val vocab = perDocWord.groupBy("w").agg(sum("cnt").as("n")).checkpointSer
     val nsyms = Curation.bpeEncodedSymbols(vocab,
       Curation.bpeTrainMergesLocal(vocab, Curation.BpeRounds))
     packOf(
@@ -488,15 +488,15 @@ object Pipeline {
       .filter(col("doc_id") % mod =!= 0)
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
-      .localCheckpoint()
+      .checkpointSer
     val gDecon = Curation.decontaminated(spark, dir)
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").checkpointSer
     val gDedup = Tables.documents(spark, dir).select("doc_id", "text").spread
       .withColumn("digest", h64(DocDedup.normalized(col("text"))))
       .groupBy("digest").agg(min("doc_id").as("doc_id"))
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").checkpointSer
     val gLex = QualityModels.lexiconScore(spark, dir)
-      .filter(col("pred") === 1).select("doc_id").localCheckpoint()
+      .filter(col("pred") === 1).select("doc_id").checkpointSer
     // membership FLAGS instead of semi-join chains: three
     // co-partitioned left joins tag each doc with its gate bits, and
     // ONE conditional aggregate computes all eight (count, tokens)
@@ -672,7 +672,7 @@ object Pipeline {
         coalesce(col("component_id"), col("doc_id")).as("gid"))
       .withColumn("fold",
         pmod(h64(concat(lit("fold:"), col("gid").cast("string"))), lit(k.toLong)))
-      .localCheckpoint(true) // feeds the rollup AND both pair endpoints
+      .checkpointSer // feeds the rollup AND both pair endpoints
     val cross = MinHashLSH.nearDupPairs(spark, dir)
       .select("d1", "d2")
       .join(lab.select(col("doc_id").as("d1"), col("fold").as("f1")), "d1")

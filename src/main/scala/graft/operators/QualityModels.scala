@@ -153,7 +153,7 @@ object QualityModels {
     val scored = lexiconScored4Of(
         Tables.documents(spark, dir).select("doc_id", "text").spread,
         lexiconTrain(spark, dir).localCheckpoint())
-      .select("doc_id", "score4").localCheckpoint(true)
+      .select("doc_id", "score4").checkpointSer
     val n = scored.count()
     Ranking.globalRowNumber(scored, Seq(col("score4"), col("doc_id")), "rn")
       .select(col("doc_id"), col("score4"),
@@ -400,7 +400,7 @@ object QualityModels {
     // bigram-vocab-sized table so training tokenizes the corpus once.
     val pair = bg.filter(col("lang") === "en")
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+      .checkpointSer
     val ctx = pair.groupBy("w1").agg(sum("c12").as("c1"))
     val v2 = pair.agg(countDistinct("w2").as("v2"))
     val perDocBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))

@@ -65,7 +65,7 @@ object QualitySignals {
         TextAnalysis.qualityKeyFromText(col("text")).as("qkey"))
       .spread
     val ranked = Ranking.globalRowNumber(d,
-      Seq(col("source"), col("qkey"), col("doc_id")), "rn").localCheckpoint()
+      Seq(col("source"), col("qkey"), col("doc_id")), "rn").checkpointSer
     val stats = ranked.groupBy("source")
       .agg(min("rn").as("gstart"), count(lit(1)).as("gn"))
     ranked.join(broadcast(stats), "source")

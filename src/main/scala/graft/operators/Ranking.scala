@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.catalyst.plans.logical.Sort
@@ -65,7 +66,7 @@ object Ranking {
     // the position-hit join, and two GlobalRank subtrees don't
     // exchange-reuse (Blocking.scala's measured note) — without this
     // the full range-partitioned sort pass runs twice per call
-    val ranked = nativeRank(df, sort, None, "_grn").localCheckpoint()
+    val ranked = nativeRank(df, sort, None, "_grn").checkpointSer
     val stats = ranked.groupBy(gcols: _*)
       .agg(min("_grn").as("_gstart"), count(lit(1)).as("_gn"))
     val positions = stats
@@ -109,7 +110,7 @@ object Ranking {
     val sort = (gcols :+ col(valueCol)) ++ sortTie.map(col)
     // same double-consumer shape as groupedQuantiles: checkpoint so the
     // global sort pass runs once, not once per subtree
-    val ranked = nativeRank(df, sort, None, "_grn").localCheckpoint()
+    val ranked = nativeRank(df, sort, None, "_grn").checkpointSer
     val stats = ranked.groupBy(gcols: _*)
       .agg(min("_grn").as("_gstart"), count(lit(1)).as("_gn"))
     val positions = stats

@@ -32,9 +32,9 @@ object ScaleProbe {
     val docs = Tables.documents(spark, dir).select("doc_id", "text").spread
     val nDocs = docs.count()
     // SN family: unfiltered window adjacencies + accepted pairs, per key
-    val snPrefixCand = Blocking.snCandidatesOf(docs).localCheckpoint()
+    val snPrefixCand = Blocking.snCandidatesOf(docs).checkpointSer
     val snSuffixCand = Blocking.snCandidatesKeyed(
-      docs, Blocking.snKeySuffix(col("text"))).localCheckpoint()
+      docs, Blocking.snKeySuffix(col("text"))).checkpointSer
     def acc(c: org.apache.spark.sql.DataFrame) =
       c.filter(col("jacc4") >= Blocking.SnTau).count()
     // phash family: byte-band candidates before the Hamming gate
@@ -44,7 +44,7 @@ object ScaleProbe {
           Multimodal.ShingleBytes, Multimodal.SampleMod).as("simhash"))
       .filter(col("simhash") =!= graft.functions.ByteSimHash.NoSignature)
     val phashCand = SimHash.candidateHamming(sig, MinHashLSH.MaxBucketSize)
-      .localCheckpoint()
+      .checkpointSer
     // lexical LSH for context: capped band candidates
     val lshCand = MinHashLSH.candidateJaccard(docs).count()
     // round-13 sf10 watch-list: the superlinear-suspect INPUT volumes —

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.functions.Hashing.h64
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -120,7 +121,7 @@ object SimHash {
     val cand = candidateHamming(
         signatures(DocDedup.docShingles(spark, dir)), maxBucket)
       .select("d1", "d2", "hd")
-      .localCheckpoint(true) // feeds both histograms; one candidate pass
+      .checkpointSer // feeds both histograms; one candidate pass
     val hist = cand.groupBy("hd").agg(count(lit(1)).as("n_pairs"))
     val docMin = cand
       .select(explode(array(col("d1"), col("d2"))).as("doc_id"), col("hd"))

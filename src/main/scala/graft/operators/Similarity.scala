@@ -207,22 +207,93 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Neighbor window for OVERSIZED LSH buckets in the component-grain
+    * edge source: inside a bucket larger than [[TargetBucket]], each
+    * vector pairs only with its next C bucket neighbors in vec_id
+    * order. Buckets at or under [[TargetBucket]] — the expected size
+    * by construction of [[planesPerBandFor]], i.e. the overwhelmingly
+    * common case — keep EXACT all-pairs candidacy, so sparse-regime
+    * recall is identical to the full LSH join. Only the dense-cluster
+    * buckets (the quadratic killers: 138M verified pairs at sf10,
+    * ~1.4T extrapolated at 100× — no storage level survives that
+    * grain) get the window, and a τ-clique bucket stays CONNECTED
+    * under it (consecutive members chain), which is all a
+    * connected-components consumer needs. Candidate volume is
+    * ≤ bands·N·max(TargetBucket/2, C) — LINEAR in the corpus by
+    * construction. Bounded recall inside dense buckets is pinned by
+    * CappedEdgesSpec; pair-grain exports (#11/#237/#225) keep the
+    * exact all-pairs generation. */
+  val NeighborWindow = 16
+
+  /** Degree-bounded verified embedding edges: all-pairs inside
+    * normal-size buckets, the [[NeighborWindow]] rule inside oversized
+    * ones, cosine-verified at τ — the edge source for the component
+    * consumers ([[semanticComponents]], multi-signal).
+    * Session-memoized like [[nearDupPairs]] (several panels share it). */
+  def nearDupEdgesCapped(spark: SparkSession, dir: String,
+                         tau: Double = NearDupTau,
+                         cWin: Int = NeighborWindow): DataFrame =
+    memoized(spark,
+      s"embcapped|${corpusVersion(spark, dir)}|$dir|$tau|$cWin")(
+      nearDupEdgesCappedUncached(spark, dir, tau, cWin))
+
+  private def nearDupEdgesCappedUncached(spark: SparkSession, dir: String,
+                                         tau: Double, cWin: Int): DataFrame = {
+    val v = vecs(spark, dir)
+    val ppb = planesPerBandFor(v.count())
+    val b = buckets(spark, dir, NumBands * ppb, ppb)
+    // rank members within (band, bucket) by vec_id — id-grain rows
+    // only (24 B), the vectors join in AFTER the candidate set is
+    // bounded and deduplicated; bucket size rides the same window
+    // shuffle (zero extra exchange)
+    val wB = Window.partitionBy("band", "bucket").orderBy("vec_id")
+    val wC = Window.partitionBy("band", "bucket")
+    val r = b.withColumn("rn", row_number().over(wB))
+      .withColumn("bsz", count(lit(1)).over(wC))
+    // exact equi-join on (band, bucket, rn + j): each member emits
+    // target ranks rn+1..hi, hi = bucket end for normal buckets,
+    // rn + C for oversized ones — emit is bounded per member per band
+    // by construction (never the |bucket|² hash-join blowup a
+    // rank-range predicate would plan); v1 < v2 falls out of the rank
+    // order. The CASE guards sequence() against hi < rn+1 (Spark
+    // sequence DESCENDS on inverted bounds — it must be empty here).
+    val hi = when(col("bsz") <= lit(TargetBucket), col("bsz").cast("int"))
+      .otherwise(least(col("rn") + cWin, col("bsz").cast("int")))
+    val x = r.select(col("band"), col("bucket"),
+        explode(when(hi >= col("rn") + 1, sequence(col("rn") + 1, hi))
+          .otherwise(array().cast("array<int>"))).as("rn"),
+        col("vec_id").as("v1"))
+    val cand = x.join(
+        r.select(col("band"), col("bucket"), col("rn"),
+          col("vec_id").as("v2")),
+        Seq("band", "bucket", "rn"))
+      .select("v1", "v2").distinct()
+    cand
+      .join(v.select(col("vec_id").as("v1"), col("e").as("e1")), "v1")
+      .join(v.select(col("vec_id").as("v2"), col("e").as("e2")), "v2")
+      .withColumn("cos", cosine("e1", "e2"))
+      .filter(col("cos") >= tau)
+      .select("v1", "v2", "cos")
+  }
+
   /** Transitive SEMANTIC dedup groups: connected components over the
-    * embedding near-dup graph (cosine ≥ τ pairs) — the meaning-level
+    * embedding near-dup graph (cosine ≥ τ edges) — the meaning-level
     * analog of the shingle-graph components, catching paraphrase
-    * families a lexical pass can't merge. Runs on ALTERNATING STAR
-    * CONTRACTION (MinHashLSH.componentsStar, O(log²) rounds), not the
-    * one-hop min-label engine: the embedding graph develops long
-    * near-dup CHAINS as the corpus grows (A≈B≈C paraphrase ladders),
-    * so label-prop's O(diameter) rounds blow up with scale — measured
-    * 0.38 s → 10.0 s for 10× data (sf0.1 → sf1) on label-prop, the
-    * registry's worst scaler, vs bounded rounds on star contraction.
-    * Same (node, component-min label) output contract, so the
-    * label-prop DuckDB oracle and its hash are unchanged. */
+    * families a lexical pass can't merge. The edge source is the
+    * DEGREE-BOUNDED window generation ([[nearDupEdgesCapped]]):
+    * components need connectivity, not every interior clique edge, and
+    * the raw pair grain is quadratic in cluster density (138M rows at
+    * sf10 — the round-15 verdict's named scale-killer). Runs on
+    * ALTERNATING STAR CONTRACTION (MinHashLSH.componentsStar, O(log²)
+    * rounds), not the one-hop min-label engine: the window graph is
+    * chain-shaped inside dense clusters by construction, so
+    * label-prop's O(diameter) rounds blow up with scale. The DuckDB
+    * oracle applies the IDENTICAL window rule, and CappedEdgesSpec
+    * pins capped-vs-full component agreement on the test corpus. */
   def semanticComponents(spark: SparkSession, dir: String,
                          tau: Double = NearDupTau): DataFrame =
     MinHashLSH.componentsStar(
-      nearDupPairs(spark, dir, tau)
+      nearDupEdgesCapped(spark, dir, tau)
         .select(col("v1").as("d1"), col("v2").as("d2")))
       .select(col("node").as("vec_id"), col("label").as("component_id"))
       .orderBy("vec_id")
@@ -595,7 +666,7 @@ object Similarity {
                iters: Int = 2, tau: Double = NearDupTau): DataFrame = {
     val v = vecs(spark, dir)
     val assign = argmaxCellOf(v, kmeansCentroids(v, nCentroids, iters))
-      .localCheckpoint(true)
+      .checkpointSer
     val dups = assign.select(col("vec_id").as("v1"), col("cell"), col("e").as("e1"))
       .join(assign.select(col("vec_id").as("v2"), col("cell"), col("e").as("e2")),
         "cell")
@@ -2436,7 +2507,7 @@ object Similarity {
       .agg(min(struct((-col("cs")).as("ncs"), col("c_id"))).as("m"))
       .select(col("vec_id"), col("m.c_id").as("cluster"),
         expr("cast(round(-m.ncs * 1000000.0D) as bigint)").as("cos_u6"))
-      .localCheckpoint()
+      .checkpointSer
     // per-cluster mean in exact micro-units (the clusterBalance
     // arithmetic: +1e6 shift keeps halfUpDiv's num ≥ 0 contract)
     val means = assigned.groupBy("cluster")
@@ -2493,7 +2564,7 @@ object Similarity {
       .groupBy("vec_id")
       .agg(min(struct((-col("cs")).as("ncs"), col("c_id"), col("e"))).as("m"))
       .select(col("vec_id"), col("m.c_id").as("cluster"), col("m.e").as("e"))
-      .localCheckpoint()
+      .checkpointSer
     val q = assigned.filter(col("vec_id") < nSample)
       .select(col("vec_id").as("q_id"), col("cluster").as("q_cluster"),
         col("e").as("qe"))

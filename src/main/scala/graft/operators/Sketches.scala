@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Partitioning._
 import graft.functions.Hashing.{h64, valueCents}
 import graft.plans.{ThetaSketch, ThetaSketchFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -403,7 +404,7 @@ object Sketches {
       .groupBy("digest")
       .agg(max(when(col("ts_us") < cutoffUs, 1L).otherwise(0L)).as("pre"),
         max(when(col("ts_us") >= cutoffUs, 1L).otherwise(0L)).as("post"))
-      .localCheckpoint(true) // feeds build, probe AND truth — digest once
+      .checkpointSer // feeds build, probe AND truth — digest once
     val seeds = configs.toDF("m_slots", "k_hashes")
       .withColumn("i", explode(sequence(lit(0), col("k_hashes") - 1)))
     // position = salted oracle hash mod m; h64 ≥ 0 so % == pmod

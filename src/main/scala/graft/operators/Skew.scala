@@ -218,8 +218,82 @@ object Skew {
     * value-salted shards. Output is the same either way (bit-identical
     * plans, spec-pinned), which is what lets the planner switch freely. */
   def usersByTypeAuto(spark: SparkSession, dir: String): DataFrame = {
-    val maxSkew = keySkew(spark, dir)
-      .agg(max(col("skew_x4"))).collect().head.getDouble(0)
+    // max() over an empty panel is NULL — treat as "no skew" so the
+    // query degrades to the direct plan's empty result instead of NPE.
+    val row = keySkew(spark, dir).agg(max(col("skew_x4"))).collect().head
+    val maxSkew = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     distinctUsersAuto(Dedup.eventsUs(spark, dir), maxSkew)
+  }
+
+  // ---- the WINDOW family's decision, wired (round-16) -----------------
+
+  /** Per-user hotness panel at the WINDOW key — the #280 discipline
+    * lifted from (event_type, user) to the sessionize partition key:
+    * one partial-aggregable (user) shuffle, then a 1-row rollup.
+    * skew_x4 = top_user_rows · n_users / n_rows — ≈ 1 on a uniform
+    * stream; the measured race's 50%-hot fixture reads ~n_users/2. */
+  def userHotness(ev: DataFrame): DataFrame = {
+    import graft.functions.Hashing.ratio4
+    ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_users"),
+        max("n").as("top_user_rows"))
+      .select(col("n_rows"), col("n_users"), col("top_user_rows"),
+        ratio4(col("top_user_rows") * col("n_users"),
+          greatest(col("n_rows"), lit(1L))).as("skew_x4"))
+  }
+
+  /** The measured window-split decision (SkewBench, PLANS round-15):
+    * a `partitionBy(user_id)` window puts a hot user's ENTIRE stream
+    * in one task — salting can't help (window semantics need the whole
+    * key together), but the time-segment split plan is bit-identical
+    * and bounds every partition at rate × segUs. The split costs +8%
+    * on uniform data (the second merge window), so it dispatches only
+    * on MEASURED hotness — same threshold discipline as
+    * [[shouldSalt]]: an order of magnitude over uniform is where one
+    * task's surplus stops hiding inside task-size variance. */
+  def shouldSplitWindow(skewX4: Double): Boolean =
+    skewX4 >= SaltSkewX4Threshold
+
+  /** Direct one-window gap sessionize over any canonical events frame
+    * (the Analytics.sessionize plan, frame-parameterized so the auto
+    * dispatch and the stress spec run both plans on the same input). */
+  def directSessionizeOf(ev: DataFrame,
+                         gapUs: Long = 1800L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev.withColumn("new_sess",
+        when(lag("ts_us", 1).over(byUser).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"),
+        money2(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** [[shouldSplitWindow]] dispatched for a measured hotness: callers
+    * pass the [[userHotness]] panel's skew_x4 and get the plan the
+    * decision table prescribes — both plans are bit-identical
+    * (spec-pinned), which is what lets the planner switch freely. */
+  def sessionizeAutoOf(ev: DataFrame, skewX4: Double,
+                       gapUs: Long = 1800L * 1000000L): DataFrame =
+    if (shouldSplitWindow(skewX4)) splitSessionizeOf(ev, gapUs)
+    else directSessionizeOf(ev, gapUs)
+
+  /** `events_sessionize_auto`: the window decision wired END TO END —
+    * reads its own per-user hotness panel (a 1-row frame, collected
+    * driver-side like the #372 salting pull), and dispatches through
+    * [[shouldSplitWindow]]. On the natural stream skew_x4 ≈ low →
+    * direct one-window plan; a measured-hot corpus gets the
+    * time-segment split. Output (and oracle SQL) shared verbatim with
+    * #24 `events_sessionize`. */
+  def sessionizeAuto(spark: SparkSession, dir: String,
+                     gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val ev = Dedup.eventsUs(spark, dir)
+    val row = userHotness(ev).select("skew_x4").collect().head
+    val skew = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    sessionizeAutoOf(ev, skew, gapUs)
   }
 }

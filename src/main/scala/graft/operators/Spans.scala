@@ -60,7 +60,7 @@ object Spans {
       .select(col("doc_id"), explode(
         graft.plans.TextExpressions.windowHashes(col("text"), SpanN)).as("ps"))
       .select(col("doc_id"), col("ps.pos").as("p"), col("ps.h").as("sh"))
-      .localCheckpoint() // hash rollup + probe read one derivation
+      .checkpointSer // hash rollup + probe read one derivation
     // cross-doc duplication as a partial-aggregable min≠max ROLLUP +
     // join-back instead of a min/max window over the positioned stream:
     // the window spelling sorted all 46.6M rows by sh at sf10 (the

@@ -394,7 +394,7 @@ object TextAnalysis {
       .spread
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .checkpointSer
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct("doc_id").as("n"))
     val score = (col("tf") * col("n")).cast("double") / col("df")

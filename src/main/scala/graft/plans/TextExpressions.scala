@@ -256,18 +256,23 @@ case class FingerprintHash(child: Expression) extends UnaryExpression {
 
   private val P = 1000000007L
 
-  /** One digest per deserialized expression (per task). */
-  @transient private lazy val md: java.security.MessageDigest =
-    java.security.MessageDigest.getInstance("MD5")
+  /** Thread-confined digest: tasks usually get their own deserialized
+    * expression copy, but driver-side constant folding (e.g.
+    * ConvertToLocalRelation during concurrent query BUILDS sharing a
+    * memoized Column) can evaluate ONE instance from many threads —
+    * a plain per-instance digest would silently corrupt hashes there. */
+  @transient private lazy val md: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Single-pass kernel shared by interpreted eval and generated code. */
   def compute(v: UTF8String): Long = {
+    val digest = md.get()
     val toks = v.toString.split("\\s+").filter(_.nonEmpty)
     var acc = 0L
     var i = 0
     while (i < toks.length) {
-      md.reset()
-      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.reset()
+      val d = digest.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 15 hex chars = top 60 bits: 7 full bytes + high nibble of
       // the 8th — matches conv(substring(md5(t),1,15),16,10)
       var h = 0L
@@ -369,10 +374,11 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   * across a document's windows, bytes straight from the window
   * builder, hex parsed without the string detour. Empty array under
   * w tokens (the old `size(t) >= w` filter becomes a free no-op). */
-case class WindowHashArray(child: Expression, w: Int)
+case class WindowHashArray(child: Expression, w: Int, stride: Int = 1)
     extends UnaryExpression {
 
   require(w >= 1, "window size must be >= 1")
+  require(stride >= 1, "stride must be >= 1")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("pos", LongType, nullable = false),
@@ -380,19 +386,28 @@ case class WindowHashArray(child: Expression, w: Int)
     containsNull = false)
   override def prettyName: String = "window_hashes"
 
-  /** One digest instance per deserialized expression (i.e. per task),
-    * reset between windows AND between rows — getInstance("MD5") per
-    * row would re-run provider lookup for every document. */
-  @transient private lazy val md: java.security.MessageDigest =
-    java.security.MessageDigest.getInstance("MD5")
+  /** Thread-confined digest (see [[FingerprintHash.md]]): reset between
+    * windows AND between rows — getInstance("MD5") per row would re-run
+    * provider lookup for every document, while a bare per-instance
+    * field would corrupt hashes if driver-side folding ever evaluates
+    * one shared instance from concurrent query-build threads. */
+  @transient private lazy val md: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Single-pass kernel shared by interpreted eval and generated code. */
   def compute(v: UTF8String): ArrayData = {
     val toks = v.toString.split("\\s+").filter(_.nonEmpty)
     if (toks.length < w) return new GenericArrayData(Array.empty[Any])
+    val digest = md.get()
     val sb = new java.lang.StringBuilder(128)
-    val out = new Array[Any](toks.length - w + 1)
+    // pos = window ORDINAL (1-based); at stride 1 that coincides with
+    // the window's first-token position. stride = w is the
+    // non-overlapping chunk grid of `dedup_chunks`, emitting exactly
+    // floor(len/w) full chunks — identical hashes to the stride-1
+    // windows at those offsets.
+    val out = new Array[Any]((toks.length - w) / stride + 1)
     var i = 0
+    var ord = 0L
     while (i <= toks.length - w) {
       sb.setLength(0)
       var j = 0
@@ -400,16 +415,17 @@ case class WindowHashArray(child: Expression, w: Int)
         if (j > 0) sb.append(' ')
         sb.append(toks(i + j)); j += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.reset()
+      val d = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 15 hex chars = top 60 bits: 7 full bytes + the high
       // nibble of the 8th — matches conv(substring(md5(x),1,15),16,10)
       var h = 0L
       var b = 0
       while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
       h = (h << 4) | ((d(7) >> 4) & 0xfL)
-      out(i) = InternalRow(i + 1L, h)
-      i += 1
+      ord += 1L
+      out(ord.toInt - 1) = InternalRow(ord, h)
+      i += stride
     }
     new GenericArrayData(out)
   }
@@ -433,6 +449,11 @@ object TextExpressions {
   /** Column API: (pos, h64) per rolling w-token window, stride 1. */
   def windowHashes(text: Column, w: Int): Column =
     column(WindowHashArray(expression(text), w))
+
+  /** Column API: (ordinal, h64) per w-token window at the given stride
+    * — stride = w is the non-overlapping chunk grid. */
+  def windowHashes(text: Column, w: Int, stride: Int): Column =
+    column(WindowHashArray(expression(text), w, stride))
 
   /** Column API: per-document (term, c) counts, first-occurrence order. */
   def termCounts(text: Column): Column =

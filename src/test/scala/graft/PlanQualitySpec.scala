@@ -152,6 +152,26 @@ class PlanQualitySpec extends SparkSpec {
       "a cold key must take the direct distinct plan")
   }
 
+  test("sessionizeAuto: split plan iff measured-hot; natural stream stays one-window") {
+    val ev = graft.operators.Dedup.eventsUs(spark, sf)
+    val hotPlan = graft.operators.Skew
+      .sessionizeAutoOf(ev, skewX4 = 100.0)
+      .queryExecution.executedPlan.toString
+    // the split plan's stage-1 exchange carries the time segment
+    assert("hashpartitioning\\(user_id#\\d+L?, seg#\\d+L?".r
+      .findFirstIn(hotPlan).isDefined,
+      s"a measured-hot stream must take the time-segment split plan:\n$hotPlan")
+    val coldPlan = graft.operators.Skew
+      .sessionizeAutoOf(ev, skewX4 = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!coldPlan.contains("seg#"),
+      "a uniform stream must take the direct one-window plan")
+    // the registered auto query reads its own panel: the natural test
+    // stream measures low → the shipped plan is the direct one
+    assert(!plan("events_sessionize_auto").contains("seg#"),
+      "natural stream must dispatch to the direct plan")
+  }
+
   test("no registered query plans a cartesian product") {
     // crossJoin(broadcast(tiny)) plans as BroadcastNestedLoopJoin — fine;
     // CartesianProductExec means an unintended unbounded pair blow-up.
@@ -196,10 +216,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(scanCount(plan("text_novelty"), "documents") == 1)
   }
 
-  test("chunk dedup: one documents scan, one chunk-hash shuffle") {
+  test("chunk dedup: rollup + join-back, never a full-stream sort by chunk_h") {
     val p = plan("dedup_chunks")
-    assert(scanCount(p, "documents") == 1)
-    assert(hashExchanges(p) == 1, s"expected 1 hash exchange:\n$p")
+    // round-16 shape: the chunk stream is derived once (fanOut before
+    // the explode, checkpointed — the scan lives BEHIND the checkpoint,
+    // so the final plan reads RDD scans), the multi-occurrence hashes
+    // come from a partial-aggregable rollup, and firsts resolve on that
+    // subset. The former row_number-over-(chunk_h) spelling sorted the
+    // WHOLE chunk stream (sort-spilled at sf10: 12.4× for 10× data).
+    assert(!p.contains("Window"), s"no window sort of the chunk stream:\n$p")
+    // firsts resolve by a partial-aggregated min on the multi-occurrence
+    // SUBSET (the multi rollup itself lives behind the occ checkpoint),
+    // and join back onto the checkpointed stream — broadcast, since the
+    // subset is a sliver of the stream
+    assert("functions=\\[partial_min\\(struct\\(doc_id".r.findFirstIn(p).isDefined,
+      s"firsts must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the firsts sliver must broadcast onto the stream:\n$p")
   }
 
   test("pattern sessions: one events scan, one user-keyed shuffle") {

@@ -161,4 +161,38 @@ class SkewStressSpec extends SparkSpec {
     assert(Skew.shouldSalt(mapSideCombinable = false,
       skewX4 = Skew.SaltSkewX4Threshold))
   }
+
+  test("window decision: split plan iff measured-hot; both dispatch targets bit-identical") {
+    // a 50%-hot user over 5000 users reads skew_x4 ≈ n_users/2 — the
+    // shape the race measured at 1.9×; the natural test stream reads
+    // low and must stay on the one-window plan
+    assert(!Skew.shouldSplitWindow(1.0))
+    assert(Skew.shouldSplitWindow(Skew.SaltSkewX4Threshold))
+    val ev = spark.range(40000).select(
+      col("id").as("event_id"),
+      (col("id") * 60L * 1000000L).as("ts_us"),
+      when(pmod(col("id"), lit(2L)) === 0L, lit(7L))
+        .otherwise(pmod(col("id") * 31L, lit(5000L)) + 100L).as("user_id"),
+      lit("e").as("event_type"),
+      (col("id") % 97L / lit(10.0)).as("value"))
+    val direct = Skew.directSessionizeOf(ev).collect().toSeq
+    assert(Skew.sessionizeAutoOf(ev, skewX4 = 50.0).collect().toSeq == direct)
+    assert(Skew.sessionizeAutoOf(ev, skewX4 = 1.0).collect().toSeq == direct)
+  }
+
+  test("userHotness panel reads hot on the 50%-hot fixture and low on uniform") {
+    val hot = spark.range(10000).select(
+      col("id").as("event_id"), col("id").as("ts_us"),
+      when(pmod(col("id"), lit(2L)) === 0L, lit(7L))
+        .otherwise(pmod(col("id") * 31L, lit(1000L)) + 100L).as("user_id"),
+      lit("e").as("event_type"), lit(1.0).as("value"))
+    val hx = Skew.userHotness(hot).collect().head.getDouble(3)
+    assert(Skew.shouldSplitWindow(hx), s"50%-hot fixture read skew_x4=$hx")
+    val uniform = spark.range(10000).select(
+      col("id").as("event_id"), col("id").as("ts_us"),
+      pmod(col("id"), lit(1000L)).as("user_id"),
+      lit("e").as("event_type"), lit(1.0).as("value"))
+    val ux = Skew.userHotness(uniform).collect().head.getDouble(3)
+    assert(!Skew.shouldSplitWindow(ux), s"uniform fixture read skew_x4=$ux")
+  }
 }
