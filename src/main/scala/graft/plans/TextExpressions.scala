@@ -93,17 +93,23 @@ case class TermCountArray(child: Expression) extends UnaryExpression {
   /** Single-pass kernel shared by interpreted eval and generated code. */
   def compute(v: UTF8String): ArrayData = {
     val toks = v.toString.split("\\s+").filter(_.nonEmpty)
-    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    // mutable long[] cells: one allocation per DISTINCT key — the
+    // boxed merge() spelling allocated a java.lang.Long per token
+    // OCCURRENCE, the measured per-row constant that made the kernel
+    // lose to the interpreted lambda at small corpus scales
+    val counts = new java.util.LinkedHashMap[String, Array[Long]](toks.length * 2)
     var i = 0
     while (i < toks.length) {
-      counts.merge(toks(i), 1L, (a, b) => a + b); i += 1
+      val cell = counts.get(toks(i))
+      if (cell == null) counts.put(toks(i), Array(1L)) else cell(0) += 1L
+      i += 1
     }
     val out = new Array[Any](counts.size)
     val it = counts.entrySet().iterator()
     var k = 0
     while (it.hasNext) {
       val e = it.next()
-      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue()(0))
       k += 1
     }
     new GenericArrayData(out)
@@ -145,20 +151,25 @@ case class PairCountArray(child: Expression) extends UnaryExpression {
   def compute(v: UTF8String): ArrayData = {
     val toks = v.toString.split("\\s+").filter(_.nonEmpty)
     if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
-    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    // mutable long[] cells (see TermCountArray.compute): no boxed Long
+    // per bigram occurrence
+    val counts = new java.util.LinkedHashMap[String, Array[Long]](toks.length * 2)
     val sb = new java.lang.StringBuilder(48)
     var i = 0
     while (i < toks.length - 1) {
       sb.setLength(0)
       sb.append(toks(i)).append(' ').append(toks(i + 1))
-      counts.merge(sb.toString, 1L, (a, b) => a + b); i += 1
+      val key = sb.toString
+      val cell = counts.get(key)
+      if (cell == null) counts.put(key, Array(1L)) else cell(0) += 1L
+      i += 1
     }
     val out = new Array[Any](counts.size)
     val it = counts.entrySet().iterator()
     var k = 0
     while (it.hasNext) {
       val e = it.next()
-      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue()(0))
       k += 1
     }
     new GenericArrayData(out)
@@ -208,20 +219,25 @@ case class SymbolPairCountArray(child: Expression) extends UnaryExpression {
       } else i += 1
     }
     if (syms.length < 2) return new GenericArrayData(Array.empty[Any])
-    val counts = new java.util.LinkedHashMap[String, Long](syms.length * 2)
+    // mutable long[] cells (see TermCountArray.compute): no boxed Long
+    // per symbol-pair occurrence
+    val counts = new java.util.LinkedHashMap[String, Array[Long]](syms.length * 2)
     val sb = new java.lang.StringBuilder(32)
     var j = 0
     while (j < syms.length - 1) {
       sb.setLength(0)
       sb.append(syms(j)).append(' ').append(syms(j + 1))
-      counts.merge(sb.toString, 1L, (a, b) => a + b); j += 1
+      val key = sb.toString
+      val cell = counts.get(key)
+      if (cell == null) counts.put(key, Array(1L)) else cell(0) += 1L
+      j += 1
     }
     val out = new Array[Any](counts.size)
     val it = counts.entrySet().iterator()
     var k = 0
     while (it.hasNext) {
       val e = it.next()
-      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue()(0))
       k += 1
     }
     new GenericArrayData(out)
