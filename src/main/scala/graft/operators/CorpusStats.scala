@@ -73,19 +73,25 @@ object CorpusStats {
     // and newTypes from the same exploded frame, but their groupings
     // differ, so no exchange was reused and the corpus was tokenized
     // TWICE (measured superlinear at sf10: 13.4× for 10× data). Now
-    // the scan aggregates once at (bucket, term) grain — map-side
-    // combinable, bounded by 10×|vocabulary| not the token stream —
-    // and that small frame is checkpointed and feeds both rollups.
-    // min(bucket) per term ≡ bucket(min doc_id): the bucket cut is
-    // monotonic in doc_id, so first-occurrence semantics survive the
-    // pre-aggregation. fanOut before the explode keeps per-task
-    // partial-agg key volume bounded (the dedup_passages lesson).
+    // the scan counts terms PER DOC inside the fused TermCountArray
+    // kernel (the corpus_zipf spelling — the exploded stream is
+    // per-doc DISTINCT (term, c) pairs, ~3–5× smaller than raw token
+    // occurrences), aggregates once at (bucket, term) grain —
+    // map-side combinable, bounded by 10×|vocabulary| not the token
+    // stream — and that small frame is checkpointed and feeds both
+    // rollups. min(bucket) per term ≡ bucket(min doc_id): the bucket
+    // cut is monotonic in doc_id, so first-occurrence semantics
+    // survive the pre-aggregation. fanOut before the explode keeps
+    // per-task partial-agg key volume bounded (the dedup_passages
+    // lesson).
     val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t")).fanOut
-      .select(col("doc_id"), explode(col("t")).as("term"))
+      .select(col("doc_id"),
+        graft.plans.TextExpressions.termCounts(col("text")).as("tcs")).fanOut
+      .select(col("doc_id"), explode(col("tcs")).as("tc"))
       .crossJoin(broadcast(mx))
-      .groupBy(bucketOf(col("doc_id")).as("bucket"), col("term"))
-      .agg(count(lit(1)).as("toks"))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"),
+        col("tc.term").as("term"))
+      .agg(sum(col("tc.c")).as("toks"))
       .checkpointSer
     val byBucket = g.groupBy("bucket").agg(sum("toks").as("toks"))
     val newTypes = g.groupBy("term").agg(min("bucket").as("fb"))
