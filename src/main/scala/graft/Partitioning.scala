@@ -26,6 +26,18 @@ object Partitioning {
         case _ =>
           if (!Partitioning.narrowOnly(df)) df
           else if (df.rdd.getNumPartitions < target) df.repartition(target)
+          else if (Partitioning.scanRowGroups(df).exists(_ < target))
+            // The split count lies when files carry fewer ROW GROUPS
+            // than planned byte-range splits: a row group is parquet's
+            // atomic read unit, so the extra splits yield zero rows and
+            // the real scan parallelism is the row-group count. A
+            // 500k-doc single-row-group file planned as 32 splits ran
+            // every downstream kernel on ONE core — the minhash
+            // signature pass measured 234.9 s vs 26.9 s once the scan
+            // was actually parallel. Footers are read once per file
+            // and memoized; many-file tables skip the check (their
+            // file count alone guarantees parallelism).
+            df.repartition(target)
           else df
       }
     }
@@ -68,6 +80,8 @@ object Partitioning {
           Partitioning.firstWide(df) match {
             case None =>
               if (df.rdd.getNumPartitions < target) df.repartition(target)
+              else if (Partitioning.scanRowGroups(df).exists(_ < target))
+                df.repartition(target) // split count lies on few-row-group files (see spread)
               else df
             case Some(r: org.apache.spark.sql.catalyst.plans.logical.Repartition)
                 if r.shuffle && r.numPartitions < target =>
@@ -100,6 +114,44 @@ object Partitioning {
   }
 
   private[graft] def narrowOnly(df: DataFrame): Boolean = firstWide(df).isEmpty
+
+  /** Footer cache: (path, length, modTime) → row groups. Bounded by the
+    * number of distinct table files a session touches (tens). */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
+  /** Total parquet row groups behind a narrow scan, when cheaply
+    * knowable. Parquet cannot split a row group, so this — not the
+    * planned byte-range split count — is the scan's true parallelism
+    * ceiling on few-file tables. Returns None (no opinion) when the
+    * plan reads a non-parquet source, or when the table has more files
+    * than `maxFiles` (file count alone then guarantees parallelism —
+    * and a 100 TB table never pays a footer sweep here). */
+  private[graft] def scanRowGroups(df: DataFrame,
+                                   maxFiles: Int = 64): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r
+    }
+    if (rels.isEmpty || !rels.forall(_.fileFormat.isInstanceOf[ParquetFileFormat]))
+      return None
+    val files = rels.flatMap(_.location.inputFiles)
+    if (files.isEmpty || files.length > maxFiles) return None
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    try Some(files.map { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val st = path.getFileSystem(conf).getFileStatus(path)
+      val key = (p, st.getLen, st.getModificationTime)
+      rowGroupCache.computeIfAbsent(key, { _ =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rdr.getRowGroups.size.toLong finally rdr.close()
+      })
+    }.sum)
+    catch { case _: Exception => None } // unreadable footer → no opinion
+  }
 
   /** The topmost non-narrow logical operator, if any (pre-order
     * traversal, so the first hit is the closest to the root). */

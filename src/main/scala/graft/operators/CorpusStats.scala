@@ -73,25 +73,36 @@ object CorpusStats {
     // and newTypes from the same exploded frame, but their groupings
     // differ, so no exchange was reused and the corpus was tokenized
     // TWICE (measured superlinear at sf10: 13.4× for 10× data). Now
-    // the scan counts terms PER DOC inside the fused TermCountArray
-    // kernel (the corpus_zipf spelling — the exploded stream is
-    // per-doc DISTINCT (term, c) pairs, ~3–5× smaller than raw token
-    // occurrences), aggregates once at (bucket, term) grain —
-    // map-side combinable, bounded by 10×|vocabulary| not the token
-    // stream — and that small frame is checkpointed and feeds both
-    // rollups. min(bucket) per term ≡ bucket(min doc_id): the bucket
-    // cut is monotonic in doc_id, so first-occurrence semantics
-    // survive the pre-aggregation. fanOut before the explode keeps
-    // per-task partial-agg key volume bounded (the dedup_passages
-    // lesson).
+    // the scan aggregates once at (bucket, term) grain — map-side
+    // combinable, bounded by 10×|vocabulary| not the token stream —
+    // and that small frame is checkpointed and feeds both rollups.
+    // min(bucket) per term ≡ bucket(min doc_id): the bucket cut is
+    // monotonic in doc_id, so first-occurrence semantics survive the
+    // pre-aggregation. `spread`, not `fanOut`: per-task partial-agg
+    // key volume is bounded by 10×|vocabulary| — an order under the
+    // hash-agg sort-fallback regime the dedup_passages fanOut targets
+    // (~1.5M near-unique keys/task) — but the single-file local scan
+    // still needs core-count parallelism for the explode (measured:
+    // 32.9 s single-split vs ~12 s spread at sf10), while a 100 TB
+    // scan is thousands of splits and passes through untouched.
+    // NOT the fused TermCountArray spelling either: this plan's
+    // exchange is already at (bucket, term) grain — the kernel would
+    // shrink no shuffle, and its per-doc hash-map constant measured
+    // ~2× SLOWER than streaming explode + hash partial-agg at sf1 AND
+    // sf10 (the corpus_zipf win came from collapsing a TOKEN-grain
+    // exchange, which heapsCurve never had).
+    // spread the RAW text before tokenizing: applied after the tokens()
+    // projection, the rebalance exchange reads the projection's OUTPUT,
+    // i.e. tokenization still runs inside the few-split scan stage
+    // (measured at sf10: 34.8 s with a post-projection spread vs the
+    // pre-projection form — the explode/agg side was never the cost)
     val g = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.plans.TextExpressions.termCounts(col("text")).as("tcs")).fanOut
-      .select(col("doc_id"), explode(col("tcs")).as("tc"))
+      .select(col("doc_id"), col("text")).spread
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("term"))
       .crossJoin(broadcast(mx))
-      .groupBy(bucketOf(col("doc_id")).as("bucket"),
-        col("tc.term").as("term"))
-      .agg(sum(col("tc.c")).as("toks"))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"), col("term"))
+      .agg(count(lit(1)).as("toks"))
       .checkpointSer
     val byBucket = g.groupBy("bucket").agg(sum("toks").as("toks"))
     val newTypes = g.groupBy("term").agg(min("bucket").as("fb"))

@@ -417,6 +417,57 @@ class PlanQualitySpec extends SparkSpec {
     assert(spreadDf.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
   }
 
+  test("spread: single-ROW-GROUP file with many planned splits is rebalanced") {
+    // Parquet cannot split a row group: a fat one-row-group file planned
+    // as N byte-range splits yields rows from ONE split only, so the
+    // partition-count probe alone is fooled (measured at sf10: the
+    // minhash signature pass ran 234.9 s single-core vs 26.9 s parallel).
+    // spread must consult the footers and rebalance.
+    import graft.Partitioning._
+    import org.apache.spark.sql.functions._
+    val target = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_fatgroup").toString
+    spark.range(20000).select(col("id"),
+        concat(lit("padding text to make rows wide enough "),
+          col("id").cast("string")).as("t"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val scan = spark.read.parquet(dir)
+      assert(scan.rdd.getNumPartitions >= target,
+        "precondition: planner sees plenty of byte-range splits")
+      assert(graft.Partitioning.scanRowGroups(scan).contains(1L))
+      val spreadDf = scan.spread
+      assert(spreadDf ne scan)
+      assert(spreadDf.rdd.getNumPartitions === target)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("spread: multi-ROW-GROUP single file passes through; footer count exact") {
+    import graft.Partitioning._
+    import org.apache.spark.sql.functions._
+    val target = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_manygroups").toString
+    spark.range(20000).select(col("id"),
+        concat(lit("padding text to make rows wide enough "),
+          col("id").cast("string")).as("t"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "16384") // many small row groups
+      .parquet(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val scan = spark.read.parquet(dir)
+      val groups = graft.Partitioning.scanRowGroups(scan)
+      assert(groups.exists(_ >= target),
+        s"precondition: expected >= $target row groups, got $groups")
+      assert(scan.rdd.getNumPartitions >= target)
+      // enough real read units — no rebalance exchange added
+      assert(scan.spread eq scan)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("dsir: scoring is one broadcast join + one shuffle (model checkpointed)") {
     val p = plan("dsir_weights")
     assert(p.contains("BroadcastHashJoin"))
