@@ -285,7 +285,7 @@ object Curation {
     // duplicate-sized set, not the corpus. Self-canonical rows
     // (keep_unique/keep_canonical and already-resolved drops) never
     // re-enter a join.
-    val base0 = base.localCheckpoint(true)
+    val base0 = base.checkpointSer // corpus-sized (one row per doc) — serialized posture
     val m = base0.filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id").as("m_id"), col("canonical_id").as("m_next"))
     val stable = base0.filter(col("doc_id") === col("canonical_id"))
@@ -296,7 +296,7 @@ object Curation {
         .select(col("doc_id"), col("status"),
           coalesce(col("m_next"), col("canonical_id")).as("canonical_id"),
           col("m_next").isNotNull.as("moved"))
-        .localCheckpoint(true)
+        .checkpointSer // duplicate-sized per round — scales with the data
       converged = stepped.filter(col("moved")).isEmpty
       moving = stepped.drop("moved")
     }

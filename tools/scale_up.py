@@ -64,5 +64,13 @@ for t, m in SHIFT.items():
                 tab = tab.set_column(idx, tab.schema.field(idx), shifted)
         copies.append(tab)
     out = pa.concat_tables(copies)
-    pq.write_table(out, f"{dst}/{t}.parquet")
-    print(f"{t}: {base.num_rows} -> {out.num_rows}")
+    # Realistic row-group layout: pyarrow's default (1M rows/group) packs a
+    # 500k-row text table into ONE row group, and a row group is the atomic
+    # parquet read unit — every Spark byte-range split but one comes back
+    # empty and the whole corpus streams through a single task (the round-16
+    # serial-scan find). Target ~32 groups (the local core count) with a
+    # 2k-row floor so fat tables split natively while narrow fact tables
+    # keep pyarrow-default-sized groups.
+    rg = min(1 << 20, max(2000, out.num_rows // 32))
+    pq.write_table(out, f"{dst}/{t}.parquet", row_group_size=rg)
+    print(f"{t}: {base.num_rows} -> {out.num_rows} (row_group_size={rg})")
