@@ -621,7 +621,9 @@ object DocDedup {
     * shares its staged frames via the session memo instead. */
   def prefixJoinOf(sh0: DataFrame, tauPpm: Long = PrefixTauPpm): DataFrame = {
     val sh = sh0.checkpointSer // df + prefix + both verify sides
-    ssjVerifiedOf(ssjCandidatesOf(ssjPrefixOf(sh, tauPpm), tauPpm), sh, tauPpm)
+    val cmap = ssjClassMapOf(sh).checkpointSer
+    val candC = ssjCandClassesOf(ssjPrefixOf(sh, tauPpm), cmap, tauPpm)
+    ssjExpandPairs(ssjVerifiedClassesOf(candC, sh, cmap, tauPpm), cmap)
       .orderBy("d1", "d2")
   }
 
@@ -642,33 +644,88 @@ object DocDedup {
       .select("doc_id", "shingle", "n")
   }
 
-  /** Prefix-collision candidates after the ppm length filter
-    * (τ·n₂ ≤ n₁ ≤ n₂/τ), distinct on (d1, d2) with sizes kept. */
-  private def ssjCandidatesOf(pref: DataFrame, tauPpm: Long): DataFrame =
-    pref.as("a").join(pref.as("b"),
+  /** IDENTICAL-SET CONTRACTION map: (doc_id, n, cls) where cls = min
+    * doc_id over docs with the SAME full shingle set (grouped by the
+    * sorted element array — exact identity, no digest collisions).
+    * Identical sets ⟹ identical global-df rarity prefixes, identical
+    * collision behavior, identical overlaps — so both the candidate
+    * self-join AND the verify overlap join are functions of the class,
+    * and every quadratic-in-replication stage of the prefix join can
+    * run once per class pair. On a corpus where every doc appears ×K
+    * (the scale_up stress replica) the collision/overlap streams
+    * shrink K²; a corpus with no exact replication contracts to
+    * singleton classes and pays one extra aggregation over the shingle
+    * table. The doc-grain spelling shuffled ~10⁹ collision rows and
+    * ~300 GB of verify intermediates at sf10 — the ENOSPC that failed
+    * six registered queries in the full sf10 sweep. */
+  private def ssjClassMapOf(sh: DataFrame): DataFrame = {
+    val wSet = org.apache.spark.sql.expressions.Window.partitionBy("sset")
+    sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("sset"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"),
+        min("doc_id").over(wSet).as("cls"))
+  }
+
+  /** Class-grain prefix-collision candidates after the ppm length
+    * filter: (c1, c2, n1, n2) over class REPRESENTATIVES, c1 ≤ c2;
+    * the self row (c1 = c2) seeds the within-class all-pairs of a
+    * replicated family. Doc-grain candidate rows are never
+    * materialized — consumers expand ([[ssjExpandPairs]]) or count
+    * algebraically (the funnel). */
+  private def ssjCandClassesOf(pref: DataFrame, cmap: DataFrame,
+                               tauPpm: Long): DataFrame = {
+    val reps = cmap.filter(col("doc_id") === col("cls")).select("doc_id")
+    val prefS = pref.join(reps, Seq("doc_id"), "left_semi")
+    prefS.as("a").join(prefS.as("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id") &&
+          col("a.doc_id") <= col("b.doc_id") &&
           col("a.n") * tauPpm <= col("b.n") * 1000000L &&
           col("b.n") * tauPpm <= col("a.n") * 1000000L)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+      .select(col("a.doc_id").as("c1"), col("b.doc_id").as("c2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
+  }
 
-  /** Exact verification of the candidates against the FULL sets —
-    * unordered (d1, d2, shared, n_union, jaccard) at τ. */
-  private def ssjVerifiedOf(cand: DataFrame, sh: DataFrame,
-                            tauPpm: Long): DataFrame = {
-    val ov = cand
-      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")),
-        Seq("d2", "shingle"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
-    cand.join(ov, Seq("d1", "d2"))
+  /** Exact verification at class grain: (c1, c2, n1, n2, shared,
+    * n_union, jaccard), τ-filtered. Cross-class overlaps come from one
+    * (pair × shingle) join over REPRESENTATIVE sets only; same-class
+    * pairs need no join at all (identical sets: shared = n,
+    * jaccard = 1 — computed through the same Divide so the double is
+    * bit-identical to the doc-grain spelling). */
+  private def ssjVerifiedClassesOf(candC: DataFrame, sh: DataFrame,
+                                   cmap: DataFrame, tauPpm: Long): DataFrame = {
+    val reps = cmap.filter(col("doc_id") === col("cls")).select("doc_id")
+    val shSet = sh.join(reps, Seq("doc_id"), "left_semi")
+    val cross = candC.filter(col("c1") =!= col("c2"))
+    val ov = cross.select("c1", "c2")
+      .join(shSet.select(col("doc_id").as("c1"), col("shingle")), "c1")
+      .join(shSet.select(col("doc_id").as("c2"), col("shingle")),
+        Seq("c2", "shingle"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("shared"))
+    val crossV = cross.join(ov, Seq("c1", "c2")) // inner: disjoint sets drop, as before
       .withColumn("n_union", col("n1") + col("n2") - col("shared"))
       .withColumn("jaccard", col("shared") / col("n_union"))
       .filter(col("jaccard") >= lit(tauPpm / 1000000.0))
-      .select("d1", "d2", "shared", "n_union", "jaccard")
+    val selfV = candC.filter(col("c1") === col("c2"))
+      .withColumn("shared", col("n1"))
+      .withColumn("n_union", col("n1"))
+      .withColumn("jaccard", col("shared") / col("n_union"))
+    crossV.unionByName(selfV)
+      .select("c1", "c2", "n1", "n2", "shared", "n_union", "jaccard")
   }
+
+  /** Expand class-grain verified pairs to the declared doc grain:
+    * members(c1) × members(c2) (one orientation inside a class), the
+    * symmetric stats ride along unchanged. Each doc belongs to exactly
+    * one class, so no distinct is needed. */
+  private def ssjExpandPairs(vc: DataFrame, cmap: DataFrame): DataFrame =
+    vc.join(cmap.select(col("cls").as("c1"), col("doc_id").as("x1")), "c1")
+      .join(cmap.select(col("cls").as("c2"), col("doc_id").as("x2")), "c2")
+      .filter(col("c1") =!= col("c2") || col("x1") < col("x2"))
+      .select(least(col("x1"), col("x2")).as("d1"),
+        greatest(col("x1"), col("x2")).as("d2"),
+        col("shared"), col("n_union"), col("jaccard"))
 
   /** Session-memoized stage `which` of the corpus prefix join — ONE
     * computation of each stage feeds #359 (the pair release), #360
@@ -692,18 +749,28 @@ object DocDedup {
     ssjStage(spark, dir, "pref")(ssjPrefixOf(sh, PrefixTauPpm))
   }
 
-  private[operators] def ssjCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def ssjClassMap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = ssjShingles(spark, dir)
+    ssjStage(spark, dir, "cls")(ssjClassMapOf(sh))
+  }
+
+  /** Class-grain candidate pairs (memoized) — doc-grain candidates are
+    * never materialized; the funnel counts them algebraically. */
+  private[operators] def ssjCandClasses(spark: SparkSession, dir: String): DataFrame = {
     val pref = ssjPrefix(spark, dir)
-    ssjStage(spark, dir, "cand")(ssjCandidatesOf(pref, PrefixTauPpm))
+    val cmap = ssjClassMap(spark, dir)
+    ssjStage(spark, dir, "candc")(ssjCandClassesOf(pref, cmap, PrefixTauPpm))
   }
 
   /** The memoized verified pair list (UNORDERED) with its exact
     * integer counts — the shared exact-ground-truth substrate for the
     * MinHash recall family. */
   private[operators] def ssjPairs(spark: SparkSession, dir: String): DataFrame = {
-    val cand = ssjCandidates(spark, dir)
+    val candC = ssjCandClasses(spark, dir)
     val sh = ssjShingles(spark, dir)
-    ssjStage(spark, dir, "pairs")(ssjVerifiedOf(cand, sh, PrefixTauPpm))
+    val cmap = ssjClassMap(spark, dir)
+    ssjStage(spark, dir, "pairs")(
+      ssjExpandPairs(ssjVerifiedClassesOf(candC, sh, cmap, PrefixTauPpm), cmap))
   }
 
   /** `dedup_ssjoin_funnel`: the cost-observability funnel of the exact
@@ -728,7 +795,18 @@ object DocDedup {
       countDistinct("doc_id").as("n_docs"),
       count(lit(1)).as("n_shingle_rows"))
     val pc = ssjPrefix(spark, dir).agg(count(lit(1)).as("n_prefix_rows"))
-    val cc = ssjCandidates(spark, dir).agg(count(lit(1)).as("n_candidates"))
+    // doc-grain candidate count by exact algebra over the class-grain
+    // frame: a cross-class pair expands to g1·g2 doc pairs, a class
+    // self-pair to C(g, 2) — identical to counting the doc-grain
+    // distinct list, which is never materialized (it is quadratic in
+    // exact replication: ~10⁹ rows on the sf10 stress replica)
+    val g = ssjClassMap(spark, dir).groupBy("cls").agg(count(lit(1)).as("g"))
+    val cc = ssjCandClasses(spark, dir)
+      .join(g.select(col("cls").as("c1"), col("g").as("g1")), "c1")
+      .join(g.select(col("cls").as("c2"), col("g").as("g2")), "c2")
+      .agg(coalesce(sum(when(col("c1") === col("c2"),
+          expr("g1 * (g1 - 1) div 2")).otherwise(col("g1") * col("g2"))),
+        lit(0L)).as("n_candidates"))
     val vc = ssjPairs(spark, dir).agg(count(lit(1)).as("n_pairs"))
     counts.crossJoin(pc).crossJoin(cc).crossJoin(vc)
       .select(col("n_docs"), col("n_shingle_rows"), col("n_prefix_rows"),

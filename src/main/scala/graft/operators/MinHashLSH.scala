@@ -250,6 +250,15 @@ object MinHashLSH {
       .checkpointSer
     val deg = edges.groupBy("d1").agg(count(lit(1)).as("outdeg"))
     val n = deg.count() // node count — one tiny job on the checkpoint
+    // Empty graph (a corpus where the capped LSH pass verifies zero
+    // pairs — e.g. every bucket over MaxBucketSize on a pathologically
+    // replicated corpus): rank₀ = 10⁶ div N is constant-folded at
+    // planning, so N = 0 threw DIVIDE_BY_ZERO before any row existed
+    // to divide. No nodes → no rows; the oracle's empty-join SQL
+    // agrees by construction.
+    if (n == 0L)
+      return deg.select(col("d1").as("doc_id"), col("outdeg").as("rank_micro"))
+        .filter(lit(false)).orderBy("doc_id")
     var rank = deg.select(col("d1").as("node"),
         intDiv(lit(1000000L), lit(n)).as("r"))
       .checkpointSer

@@ -2054,12 +2054,41 @@ object Similarity {
   def graphEdgesOf(v: DataFrame): DataFrame = {
     val n = v.count()
     val ppb = planesPerBandFor(n)
-    val b = bucketsOf(v, NumBands * ppb, ppb)
-    val mates = b.as("x").join(b.as("y"),
+    // EXACT-DUPLICATE CONTRACTION: identical vectors share buckets and
+    // every cosine, so the bucket-mates join runs at class grain (class
+    // = min vec_id over identical arrays) and node-grain candidates
+    // expand through the membership map. The expansion keeps, per mate
+    // class, only its M+1 smallest member ids: selection is top-M by
+    // (cos DESC, dst ASC) and all members of a class tie on cos, so a
+    // member behind M+1 smaller ids of its own class can never be
+    // chosen by ANY source (the +1 covers the src ∈ class self-skip) —
+    // candidates drop, the selected edge set is IDENTICAL. On the ×K
+    // replica corpus the within-bucket pair mass shrinks K² (the sf10
+    // bucket-mates join was 2.6B scored pairs — 223 s; class grain
+    // scores the base corpus's pairs once each).
+    val wVec = Window.partitionBy("e")
+    val cmap = v.select(col("vec_id"), min("vec_id").over(wVec).as("cls"))
+      .checkpointSer
+    val reps = v.join(cmap.filter(col("vec_id") === col("cls"))
+      .select("vec_id"), Seq("vec_id"), "left_semi")
+    val b = bucketsOf(reps, NumBands * ppb, ppb)
+    val matesC = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+          col("x.vec_id") <= col("y.vec_id"))
+      .select(col("x.vec_id").as("cx"), col("y.vec_id").as("cy"))
       .distinct()
+    val matesSym = matesC.unionByName(
+        matesC.select(col("cy").as("cx"), col("cx").as("cy")))
+      .distinct()
+    val wCls = Window.partitionBy("cls").orderBy("vec_id")
+    val firstM1 = cmap.withColumn("r", row_number().over(wCls))
+      .filter(col("r") <= GraphM + 1)
+      .select(col("cls").as("cy"), col("vec_id").as("dst"))
+    val mates = cmap.select(col("vec_id").as("src"), col("cls").as("cx"))
+      .join(matesSym, "cx")
+      .join(firstM1, "cy")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
     // native range-partitioned global rank (never a single-partition
     // window): ring successor guarantees the graph has no isolated
     // islands, the hashed shortcut gives the small-world hop
@@ -2079,10 +2108,17 @@ object Similarity {
           col("vec_id") =!= col("dst_vec"))
       .select(col("vec_id").as("src"), col("dst_vec").as("dst"))
     val cand = mates.unionByName(ring).unionByName(lng).distinct()
-    val scored = cand
-      .join(v.select(col("vec_id").as("src"), col("e").as("se")), "src")
-      .join(v.select(col("vec_id").as("dst"), col("e").as("de")), "dst")
+    // score once per CLASS pair — cosine is a function of the two
+    // arrays, and a class's rep holds the identical array
+    val cc = cand
+      .join(cmap.select(col("vec_id").as("src"), col("cls").as("sc")), "src")
+      .join(cmap.select(col("vec_id").as("dst"), col("cls").as("dc")), "dst")
+    val classCos = cc.select("sc", "dc").distinct()
+      .join(reps.select(col("vec_id").as("sc"), col("e").as("se")), "sc")
+      .join(reps.select(col("vec_id").as("dc"), col("e").as("de")), "dc")
       .withColumn("cos", cosine("se", "de"))
+      .select("sc", "dc", "cos")
+    val scored = cc.join(classCos, Seq("sc", "dc"))
       .select("src", "dst", "cos")
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     val sel = scored.withColumn("rnk", row_number().over(w))

@@ -96,6 +96,42 @@ class Round14PanelsSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 1L && r._2 == 3L))
   }
 
+  test("prefixJoinOf under heavy exact replication: class contraction is exact") {
+    import spark.implicits._
+    // the scale_up stress pathology: every set appears K times under
+    // distinct doc ids — identical prefixes AND identical full sets, so
+    // both contraction maps (candidate classes, verify set classes) are
+    // exercised with multi-member classes; the expansion must reproduce
+    // the brute-force doc-grain join exactly (within-replica pairs at
+    // jaccard 1, cross pairs once each, orientation d1 < d2)
+    val base: Map[Long, Set[Long]] = Map(
+      1L -> Set(10L, 11L, 12L, 13L),
+      2L -> Set(10L, 11L, 12L, 14L),
+      3L -> Set(10L, 11L),
+      4L -> Set(20L, 21L, 22L),
+      6L -> Set(30L))
+    val k = 3
+    val sets: Map[Long, Set[Long]] =
+      (0 until k).flatMap(i => base.map { case (d, s) => (d + i * 100L, s) }).toMap
+    val sh = sets.toSeq.flatMap { case (d, s) => s.map(e => (d, e)) }
+      .toDF("doc_id", "shingle")
+    val got = DocDedup.prefixJoinOf(sh).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j)).size.toLong
+      if inter > 0
+      uni = sets(i).size + sets(j).size - inter
+      jac = inter.toDouble / uni
+      if jac >= 0.5
+    } yield (i, j, inter, uni, jac)).sortBy(r => (r._1, r._2))
+    assert(got == expected)
+    // every replica family contributes its C(k,2) identical pairs
+    assert(got.count(_._5 == 1.0) >= base.size * k * (k - 1) / 2)
+  }
+
   test("splitNearDupLeakage: spine complete, sizes and pair counts reconcile") {
     val got = Pipeline.splitNearDupLeakage(spark, sf).collect().toSeq
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
